@@ -1,0 +1,457 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, QueryDef}
+
+/** The relational surface of the engine (SURVEY.md §2.2, §2.5–2.9).
+  *
+  * The reference (danilop/SampleBatchProcessing) has no relational
+  * operators at all — each category below is marked NOT PRESENT in
+  * SURVEY.md §2 and exposed via Spark built-ins, declared through the
+  * DataFrame/Dataset API so Catalyst owns planning (pushdown, pruning,
+  * join selection, AQE). Scale notes per query are in the `doc` field.
+  */
+object RelationalQueries {
+
+  private def T(s: SparkSession, dir: String) = Engine.Tables(s, dir)
+
+  /** Money-safe aggregation: sums run in exact DECIMAL (order-independent,
+    * no float drift), then cast back to DOUBLE — bitwise-identical in
+    * Spark and DuckDB, so the driver's hash compare can't trip on
+    * last-ulp or rounding-mode differences. See QueryDef scaladoc.
+    */
+  private def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(12,2)")
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    // ------------------------------------------------------------------
+    "q01_pricing_summary" -> QueryDef(
+      fn = { (s, dir) =>
+        val li = T(s, dir).lineitem
+        // Filter is pushed to the parquet scan; agg is partial+final
+        // hash agg (map-side combine), so the shuffle carries only
+        // (flag,status) groups — constant-size at any SF.
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+              * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+               round(avg(l_quantity), 4)      AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4)      AS avg_disc,
+               count(*)                       AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""),
+      doc = "TPC-H-Q1-style pricing summary; hash agg w/ map-side combine."),
+
+    // ------------------------------------------------------------------
+    "q02_filter_project" -> QueryDef(
+      fn = { (s, dir) =>
+        // Both predicate and 3-column projection reach the scan:
+        // .explain shows PushedFilters + pruned ReadSchema.
+        T(s, dir).lineitem
+          .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"""),
+      doc = "Projection + predicate pushdown to parquet scan."),
+
+    // ------------------------------------------------------------------
+    "q03_join_broadcast" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = T(s, dir)
+        // customer is the small dim at every SF (orders:customer = 10:1,
+        // lineitem:customer = 40:1): broadcast it so the big fact side
+        // never shuffles. At 100 TB the fact stream stays pipelined.
+        t.orders
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment"""),
+      doc = "Broadcast hash join dim⋈fact, no fact-side shuffle."),
+
+    // ------------------------------------------------------------------
+    "q04_star_join" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = T(s, dir)
+        // Star: tiny dims (region/nation) broadcast; the single big
+        // shuffle is lineitem⋈orders on orderkey, which AQE can
+        // re-plan (skew-split) at runtime.
+        val dims = broadcast(
+          t.region.join(t.nation, col("n_regionkey") === col("r_regionkey")))
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(dims, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast("double").as("revenue"))
+      },
+      oracle = Some("""
+        SELECT r_name, n_name, count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey   = c_custkey
+        JOIN lineitem ON l_orderkey  = o_orderkey
+        GROUP BY r_name, n_name"""),
+      doc = "5-way star join: broadcast dims, one shuffled fact join."),
+
+    // ------------------------------------------------------------------
+    "q05_window_funcs" -> QueryDef(
+      fn = { (s, dir) =>
+        // One shuffle on o_custkey serves all three window specs
+        // (same partitioning); deterministic tie-break by o_orderkey.
+        val byDate = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val bySpend = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T(s, dir).orders
+          .select(col("o_orderkey"), col("o_custkey"),
+            row_number().over(byDate).as("rn"),
+            rank().over(bySpend).as("spend_rank"),
+            sum(dec(col("o_totalprice")))
+              .over(byDate.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("double").as("cum_spend"),
+            lag(col("o_totalprice"), 1, 0.0).over(byDate).as("prev_price"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey,
+               row_number() OVER w_date AS rn,
+               rank() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS spend_rank,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS cum_spend,
+               coalesce(lag(o_totalprice, 1) OVER w_date, 0.0)
+                 AS prev_price
+        FROM orders
+        WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""),
+      doc = "row_number/rank/lag/running-sum over one shared partitioning."),
+
+    // ------------------------------------------------------------------
+    "q06_topk" -> QueryDef(
+      fn = { (s, dir) =>
+        // Catalyst plans TakeOrderedAndProject: per-partition top-k then
+        // a k-row merge on the driver — no global sort at any SF.
+        T(s, dir).orders
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select("o_orderkey", "o_totalprice")
+          .limit(25)
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"""),
+      doc = "Top-k via TakeOrderedAndProject (no full sort)."),
+
+    // ------------------------------------------------------------------
+    "q07_set_ops" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = T(s, dir)
+        val c = t.customer.select(col("c_nationkey").as("nkey"))
+        val sup = t.supplier.select(col("s_nationkey").as("nkey"))
+        c.intersect(sup).withColumn("op", lit("intersect"))
+          .unionByName(c.except(sup).withColumn("op", lit("except")))
+          .unionByName(c.union(sup).distinct().withColumn("op", lit("union")))
+      },
+      oracle = Some("""
+        SELECT nkey, 'intersect' AS op FROM
+          (SELECT c_nationkey AS nkey FROM customer
+           INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nkey, 'except' AS op FROM
+          (SELECT c_nationkey AS nkey FROM customer
+           EXCEPT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nkey, 'union' AS op FROM
+          (SELECT c_nationkey AS nkey FROM customer
+           UNION SELECT s_nationkey FROM supplier)"""),
+      doc = "intersect / except / union (distinct set semantics)."),
+
+    // ------------------------------------------------------------------
+    "q08_rollup" -> QueryDef(
+      fn = { (s, dir) =>
+        T(s, dir).lineitem
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
+      doc = "ROLLUP grouping sets (Expand + single hash agg)."),
+
+    // ------------------------------------------------------------------
+    "q09_count_distinct" -> QueryDef(
+      fn = { (s, dir) =>
+        T(s, dir).lineitem.agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+      },
+      oracle = Some("""
+        SELECT count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem"""),
+      doc = "Exact multi-column count distinct (Expand-based)."),
+
+    // ------------------------------------------------------------------
+    "q10_semi_anti_join" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = T(s, dir)
+        val ordered = t.customer.join(t.orders,
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        val never = t.customer.join(t.orders,
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        ordered.agg(count(lit(1)).as("n")).withColumn("op", lit("semi"))
+          .unionByName(
+            never.agg(count(lit(1)).as("n")).withColumn("op", lit("anti")))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n, 'semi' AS op FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT count(*) AS n, 'anti' AS op FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""),
+      doc = "left_semi / left_anti == EXISTS / NOT EXISTS."),
+
+    // ------------------------------------------------------------------
+    "q11_scalar_subquery" -> QueryDef(
+      fn = { (s, dir) =>
+        // SQL surface demo: Catalyst rewrites the scalar subquery into
+        // a broadcast-scalar; no driver-side collect in user code.
+        T(s, dir).orders.createOrReplaceTempView("graft_orders")
+        s.sql("""
+          SELECT o_orderkey, o_totalprice
+          FROM graft_orders
+          WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM graft_orders)""")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)"""),
+      doc = "Scalar subquery in predicate (2x avg threshold)."),
+
+    // ------------------------------------------------------------------
+    "q12_case_scalar" -> QueryDef(
+      fn = { (s, dir) =>
+        T(s, dir).lineitem
+          .filter(col("l_orderkey") % 100 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            when(col("l_quantity") < 10, "low")
+              .when(col("l_quantity") < 30, "mid")
+              .otherwise("high").as("qty_band"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net"))
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity < 10 THEN 'low'
+                    WHEN l_quantity < 30 THEN 'mid'
+                    ELSE 'high' END AS qty_band,
+               l_extendedprice * (1 - l_discount) AS net
+        FROM lineitem WHERE l_orderkey % 100 = 0"""),
+      doc = "CASE/arithmetic scalar expressions (whole-stage codegen)."),
+
+    // ------------------------------------------------------------------
+    "q13_date_agg" -> QueryDef(
+      fn = { (s, dir) =>
+        T(s, dir).orders
+          .groupBy(year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      },
+      oracle = Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1, 2"""),
+      doc = "Calendar extraction + agg (year/month as exact ints)."),
+
+    // ------------------------------------------------------------------
+    "q14_json_extract" -> QueryDef(
+      fn = { (s, dir) =>
+        // Native JSON path: from_json with an explicit schema (the
+        // engine's F4 analog, SURVEY.md §2.3); schema'd parse beats
+        // regex at scale (single pass, codegen'd).
+        T(s, dir).events
+          .select(col("event_type"), col("value"),
+            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("sum_value"),
+            sum(col("k").cast("long")).as("sum_k"))
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+               sum(CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT)) AS sum_k
+        FROM events GROUP BY event_type"""),
+      doc = "JSON field extraction (from_json) + agg over events.props."),
+
+    // ------------------------------------------------------------------
+    "q15_tumbling_window" -> QueryDef(
+      fn = { (s, dir) =>
+        // Batch twin of the streaming tumbling window (same window()
+        // expression works under readStream + watermark; see
+        // graft.streaming). Emitted as exact integer micros.
+        T(s, dir).events
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("v"))
+          .select(unix_micros(col("window.start")).as("hour_start_us"),
+            col("event_type"), col("n"), col("v"))
+      },
+      oracle = Some("""
+        SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2"""),
+      doc = "1h tumbling event-time window (batch twin of streaming)."),
+
+    // ------------------------------------------------------------------
+    "q16_sessionize" -> QueryDef(
+      fn = { (s, dir) =>
+        // session_window: gap-based sessions, 30 min. Works identically
+        // in batch and streaming mode (Spark merges overlapping
+        // [ts, ts+gap) intervals per key).
+        T(s, dir).events
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec(col("value"))).cast("double").as("session_value"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            col("n_events"), col("session_value"))
+      },
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL THEN 1
+                      WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          >= INTERVAL 30 MINUTE THEN 1
+                      ELSE 0 END AS new_session
+          FROM events),
+        sessioned AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        FROM sessioned GROUP BY user_id, sid"""),
+      doc = "Gap-based sessionization (session_window, 30 min gap)."),
+
+    // ------------------------------------------------------------------
+    "q17_pivot" -> QueryDef(
+      fn = { (s, dir) =>
+        T(s, dir).events
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("signup", "purchase", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("signup", "purchase", "error"))
+      },
+      oracle = Some("""
+        SELECT user_id,
+               count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'error'    THEN 1 END) AS error
+        FROM events GROUP BY user_id"""),
+      doc = "Pivot (explicit value list → single-pass conditional agg)."),
+
+    // ------------------------------------------------------------------
+    "q18_explode" -> QueryDef(
+      fn = { (s, dir) =>
+        // Generator surface: posexplode over ArrayType; min/max are
+        // order-insensitive so float compare is exact.
+        T(s, dir).embeddings
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("dim"),
+            min(col("v")).cast("double").as("v_min"),
+            max(col("v")).cast("double").as("v_max"))
+      },
+      oracle = Some("""
+        SELECT vec_id, count(*) AS dim,
+               CAST(min(v) AS DOUBLE) AS v_min,
+               CAST(max(v) AS DOUBLE) AS v_max
+        FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+        GROUP BY vec_id"""),
+      doc = "explode/posexplode generators over ArrayType columns."),
+
+    // ------------------------------------------------------------------
+    "q19_grouping_sets" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = T(s, dir)
+        t.orders.createOrReplaceTempView("graft_orders_gs")
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          FROM graft_orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""),
+      doc = "GROUPING SETS via SQL surface."),
+
+    // ------------------------------------------------------------------
+    "q20_join_full_outer" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = T(s, dir)
+        // Full outer over nation-key presence on either side; small
+        // inputs → AQE converts the SMJ to broadcast where legal.
+        val cn = t.customer.groupBy(col("c_nationkey").as("nkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sn = t.supplier.groupBy(col("s_nationkey").as("nkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        cn.join(sn, Seq("nkey"), "full_outer")
+          .na.fill(0L, Seq("n_cust", "n_supp"))
+      },
+      oracle = Some("""
+        SELECT coalesce(c.nkey, s.nkey) AS nkey,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey AS nkey, count(*) AS n_cust
+              FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nkey, count(*) AS n_supp
+              FROM supplier GROUP BY 1) s
+        USING (nkey)"""),
+      doc = "Full outer join with null-side fill."))
+}
