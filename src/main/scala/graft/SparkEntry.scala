@@ -20,7 +20,8 @@ object SparkEntry {
     queries_.foldLeft(ListMap.empty[String, QueryDef])(_ ++ _)
 
   private def queries_ : Seq[ListMap[String, QueryDef]] = Seq(
-    graft.queries.RelationalQueries.defs)
+    graft.queries.RelationalQueries.defs,
+    graft.queries.PipelineQueries.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

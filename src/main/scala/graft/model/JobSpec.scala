@@ -1,0 +1,67 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The job/task descriptor — the reference's entire "IR".
+  *
+  * The reference encodes one job per input object as a 5-element
+  * positional JSON array `["process", bucket, inputPrefix,
+  * outputPrefix, fileName]` (reference SendJobs.py:31, parsed
+  * positionally at GetJobs.py:27-34 with no validation). We keep the
+  * positional-array wire format for fidelity but carry jobs as a typed
+  * Dataset[JobSpec]; malformed envelopes parse to null fields and are
+  * routed to quarantine instead of killing the worker (the reference's
+  * uncaught-exception behavior, SURVEY.md §1.3, is a defect we fix).
+  */
+final case class JobSpec(
+    action: String,
+    bucket: String,
+    inputPrefix: String,
+    outputPrefix: String,
+    fileName: String)
+
+object JobSpec {
+
+  val schema: StructType = StructType(Seq(
+    StructField("action", StringType),
+    StructField("bucket", StringType),
+    StructField("inputPrefix", StringType),
+    StructField("outputPrefix", StringType),
+    StructField("fileName", StringType)))
+
+  /** Serialize JobSpec columns to the reference's positional JSON
+    * array envelope (F3, reference SendJobs.py:31).
+    */
+  def toEnvelope(
+      action: Column, bucket: Column, inputPrefix: Column,
+      outputPrefix: Column, fileName: Column): Column =
+    to_json(array(action, bucket, inputPrefix, outputPrefix, fileName))
+
+  /** Parse the positional envelope back into struct fields (F4,
+    * reference GetJobs.py:27-34). Malformed JSON → null fields.
+    */
+  def fromEnvelope(envelope: Column): Column = {
+    val arr = from_json(envelope, ArrayType(StringType))
+    // get() (not getItem): under ANSI mode a short envelope must parse
+    // to null fields for quarantine, not throw mid-stage — the
+    // reference dies on these (GetJobs.py:27, uncaught).
+    struct(
+      get(arr, lit(0)).as("action"),
+      get(arr, lit(1)).as("bucket"),
+      get(arr, lit(2)).as("inputPrefix"),
+      get(arr, lit(3)).as("outputPrefix"),
+      get(arr, lit(4)).as("fileName"))
+  }
+
+  /** Split a parsed job stream into (dispatchable, quarantined).
+    * The reference's dispatch filter (P1, GetJobs.py:29-30) silently
+    * skips-and-never-acks unknown actions — an unbounded-redelivery
+    * defect; we route them to an explicit quarantine branch.
+    */
+  def dispatch(jobs: DataFrame): (DataFrame, DataFrame) = {
+    val ok = col("action") === lit("process") && col("fileName").isNotNull
+    (jobs.filter(ok), jobs.filter(!ok || ok.isNull))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.NamedSink
+import graft.sources.FileIngest
+
+/** End-to-end batch realization of the reference architecture
+  * (SURVEY.md §3): directory in → keyed scan → external-command
+  * transform → deterministic-name outputs + quarantine report.
+  *
+  * The reference's whole control plane (SQS + ASG + CloudWatch,
+  * §3.3) collapses into the Spark scheduler: pull-based task
+  * assignment IS the queue, dynamic allocation IS the elasticity.
+  * What remains as code is exactly this dataflow.
+  */
+object BatchPipeline {
+
+  final case class Result(processed: Long, failed: Long)
+
+  /** Run `command <in> <out>` over every file in `inDir`, writing
+    * outputs as `<outDir>/<file><ext>`. Failures don't abort the run
+    * (the reference redelivers them forever — the poison-message
+    * defect in SURVEY.md §1.4); they land in a parquet quarantine at
+    * `<outDir>_quarantine` (key, exitCode, error) for bounded retry
+    * by the caller.
+    *
+    * `partitions`: number of tasks to spread files over. Small
+    * partitions (~1 file each) preserve the reference's pull-based
+    * work-stealing for lumpy job times (SURVEY.md §4.2); large ones
+    * amortize scheduling for tiny files.
+    */
+  def run(
+      spark: SparkSession, inDir: String, outDir: String,
+      command: Seq[String], ext: String = ".out",
+      partitions: Int = 0): Result = {
+    val files = FileIngest.keyed(FileIngest.readDir(spark, inDir))
+    val sized =
+      if (partitions > 0) files.repartition(partitions) else files
+    // Persist so the external command runs exactly once per record
+    // even though three actions (sink write, quarantine write, counts)
+    // consume the result.
+    val results = PipeTransform.transform(sized, command)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (ok, bad) = PipeTransform.split(results)
+      NamedSink.write(ok, outDir, ext)
+      bad.select("key", "exitCode", "error")
+        .write.mode("overwrite").parquet(s"${outDir}_quarantine")
+      Result(ok.count(), bad.count())
+    } finally { results.unpersist(); () }
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.io.File
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** The reference's core operator T1: per-record external-command
+  * transformation (reference GetJobs.py:42-61 — stage input locally,
+  * `subprocess.call([command, in, out])`, check exit code, publish).
+  *
+  * Spark-first realization: `mapPartitions` over a (key, content)
+  * DataFrame. Binary-safe (content staged to a task-local file, not
+  * piped through line-oriented `RDD.pipe`), exit-code captured per
+  * record, failures emitted as rows (for quarantine/retry) rather than
+  * crashing the task — SURVEY.md §2.4 option (b).
+  *
+  * Scale design:
+  *  - one temp dir PER TASK (not per node): fixes the reference's
+  *    shared-workdir clobber race (SURVEY.md §1.4) and makes task
+  *    retries safe;
+  *  - processing is per-partition sequential, so a 1000-executor
+  *    cluster runs `slots` commands concurrently with zero shared
+  *    state — the same pull-based work-stealing the reference gets
+  *    from SQS (SURVEY.md §4.2), but scheduled by Spark;
+  *  - partition sizing is the caller's lever: ~1 file per partition
+  *    preserves work-stealing for lumpy jobs, big partitions amortize
+  *    JVM-side overhead for tiny ones.
+  */
+object PipeTransform {
+
+  /** Result row per input record. `output` is null iff the command
+    * failed (exitCode != 0 or spawn error).
+    */
+  val outputSchema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("output", BinaryType),
+    StructField("exitCode", IntegerType),
+    StructField("error", StringType)))
+
+  /** Run `command ++ Seq(inPath, outPath)` over every (key: String,
+    * content: Binary) row of `in`. Mirrors GetJobs.process(): the
+    * command reads its input file and must write the output file;
+    * exit 0 = success.
+    */
+  def transform(in: DataFrame, command: Seq[String]): DataFrame = {
+    val enc = Encoders.row(outputSchema)
+    in.select("key", "content").mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val dir = Files.createTempDirectory("graft-pipe-")
+        onTaskDone(() => deleteRecursive(dir))
+        it.map { row =>
+          runOne(dir, command, row.getString(0),
+            row.getAs[Array[Byte]](1))
+        }
+      }
+    }(enc)
+  }
+
+  private def runOne(
+      dir: Path, command: Seq[String], key: String,
+      content: Array[Byte]): Row = {
+    // Stage by a content-independent local name, not the raw key: keys
+    // may contain separators/.. (the reference staged by bare fileName
+    // and was traversal-unsafe, GetJobs.py:44).
+    val base = java.lang.Long.toHexString(
+      java.util.UUID.randomUUID().getMostSignificantBits)
+    val inF = dir.resolve(s"in-$base")
+    val outF = dir.resolve(s"out-$base")
+    try {
+      Files.write(inF, if (content == null) Array.empty[Byte] else content)
+      val pb = new ProcessBuilder(
+        (command ++ Seq(inF.toString, outF.toString)): _*)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      proc.getOutputStream.close()
+      val stderr = new String(
+        proc.getErrorStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val exit = proc.waitFor()
+      if (exit == 0 && Files.exists(outF))
+        Row(key, Files.readAllBytes(outF), 0, null)
+      else
+        Row(key, null, exit,
+          if (stderr.nonEmpty) stderr.take(4096)
+          else if (exit == 0) "command exited 0 but wrote no output"
+          else null)
+    } catch {
+      case NonFatal(e) => Row(key, null, -1, String.valueOf(e))
+    } finally {
+      Files.deleteIfExists(inF)
+      Files.deleteIfExists(outF)
+    }
+  }
+
+  private def onTaskDone(f: () => Unit): Unit = {
+    val ctx = TaskContext.get()
+    if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => f())
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+
+  /** Success/failure split (P3, reference GetJobs.py:54-56 + 37-39):
+    * successes flow to the sink; failures to quarantine with a
+    * retry-count discipline owned by the caller.
+    */
+  def split(results: DataFrame): (DataFrame, DataFrame) =
+    (results.filter(results("exitCode") === 0),
+      results.filter(results("exitCode") =!= 0))
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, QueryDef}
+import graft.model.JobSpec
+import graft.operators.PipeTransform
+
+/** Reference-parity pipeline operators exercised as oracle-checked
+  * queries (SURVEY.md §2.3–2.4): the external-command pipe transform
+  * T1 and the JobSpec envelope codec F3/F4, driven over the
+  * `documents` fixture so DuckDB can recompute the expected output.
+  */
+object PipelineQueries {
+
+  private def T(s: SparkSession, dir: String) = Engine.Tables(s, dir)
+
+  /** documents.text staged as binary content keyed by doc_id. */
+  private def docsAsFiles(s: SparkSession, dir: String) =
+    T(s, dir).documents.select(
+      col("doc_id").cast("string").as("key"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    // ------------------------------------------------------------------
+    "p01_pipe_identity" -> QueryDef(
+      fn = { (s, dir) =>
+        // T1 with the reference's shipped default COMMAND="cp"
+        // (user-data.sh:4): identity transform; round-tripped content
+        // must match the source text exactly.
+        PipeTransform.transform(docsAsFiles(s, dir), Seq("cp"))
+          .select(col("key").cast("long").as("doc_id"),
+            length(decode(col("output"), "UTF-8")).as("n_chars_rt"),
+            col("exitCode").as("exit_code"))
+      },
+      oracle = Some("""
+        SELECT doc_id, length(text) AS n_chars_rt, 0 AS exit_code
+        FROM documents"""),
+      doc = "External-command pipe (cp identity) — reference T1."),
+
+    // ------------------------------------------------------------------
+    "p02_pipe_command" -> QueryDef(
+      fn = { (s, dir) =>
+        // Non-identity command: byte count via the shell, reading the
+        // staged input file and writing the staged output file —
+        // exactly the reference's `command <in> <out>` contract.
+        val wc = Seq("sh", "-c", """wc -c < "$1" > "$2"""", "graft-wc")
+        PipeTransform.transform(docsAsFiles(s, dir), wc)
+          .select(col("key").cast("long").as("doc_id"),
+            trim(decode(col("output"), "UTF-8")).cast("long").as("n_bytes"))
+      },
+      oracle = Some("""
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes
+        FROM documents"""),
+      doc = "External-command pipe (wc -c) with recomputable oracle."),
+
+    // ------------------------------------------------------------------
+    "p03_job_envelope" -> QueryDef(
+      fn = { (s, dir) =>
+        // F3/F4 codec fidelity: serialize each doc as the reference's
+        // positional JSON envelope, parse it back, dispatch-filter.
+        val env = T(s, dir).documents.select(
+          JobSpec.toEnvelope(
+            lit("process"), lit("bucket"), lit("input/"), lit("output/"),
+            col("doc_id").cast("string")).as("envelope"))
+        val parsed = env.select(JobSpec.fromEnvelope(col("envelope")).as("job"))
+          .select("job.*")
+        val (ok, _) = JobSpec.dispatch(parsed)
+        ok.select(col("fileName").cast("long").as("doc_id"),
+          col("action"), col("outputPrefix").as("output_prefix"))
+      },
+      oracle = Some("""
+        SELECT doc_id, 'process' AS action, 'output/' AS output_prefix
+        FROM documents"""),
+      doc = "JobSpec positional-JSON envelope round-trip + dispatch."))
+}

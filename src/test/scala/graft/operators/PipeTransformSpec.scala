@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PipeTransformSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val inSchema = StructType(Seq(
+    StructField("key", StringType), StructField("content", BinaryType)))
+
+  private def df(rows: (String, Array[Byte])*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), inSchema)
+
+  test("cp identity round-trips binary content incl NULs and empty") {
+    val payloads = Seq(
+      "plain" -> "hello world".getBytes("UTF-8"),
+      "binary" -> Array[Byte](0, 1, 2, -1, 10, 13, 0, 42),
+      "empty" -> Array.empty[Byte],
+      "unicode-名前" -> "héllo ✓".getBytes("UTF-8"))
+    val out = PipeTransform.transform(df(payloads: _*), Seq("cp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 4)
+    payloads.foreach { case (k, bytes) =>
+      val r = out(k)
+      assert(r.getInt(2) == 0, s"$k exit")
+      assert(r.getAs[Array[Byte]](1).toSeq == bytes.toSeq, s"$k bytes")
+    }
+  }
+
+  test("failing command yields nonzero exit, null output, row survives") {
+    val out = PipeTransform.transform(
+      df("a" -> "x".getBytes), Seq("false")).collect()
+    assert(out.length == 1)
+    assert(out(0).getInt(2) != 0)
+    assert(out(0).get(1) == null)
+  }
+
+  test("missing executable is captured as spawn error, not task failure") {
+    val out = PipeTransform.transform(
+      df("a" -> "x".getBytes), Seq("/no/such/binary-xyz")).collect()
+    assert(out(0).getInt(2) == -1)
+    assert(out(0).getString(3) != null)
+  }
+
+  test("command exiting 0 without writing output is a failure") {
+    val out = PipeTransform.transform(
+      df("a" -> "x".getBytes), Seq("true")).collect()
+    assert(out(0).getInt(2) == 0 && out(0).get(1) == null)
+    assert(out(0).getString(3).contains("no output"))
+  }
+
+  test("stderr of failing command is captured") {
+    val cmd = Seq("sh", "-c", """echo boom >&2; exit 3""", "t")
+    val out = PipeTransform.transform(df("a" -> "x".getBytes), cmd).collect()
+    assert(out(0).getInt(2) == 3)
+    assert(out(0).getString(3).contains("boom"))
+  }
+
+  test("split routes by exit code") {
+    val mixed = PipeTransform.transform(
+      df("ok" -> "x".getBytes), Seq("cp"))
+      .union(PipeTransform.transform(df("bad" -> "x".getBytes), Seq("false")))
+    val (ok, bad) = PipeTransform.split(mixed)
+    assert(ok.collect().map(_.getString(0)).toSeq == Seq("ok"))
+    assert(bad.collect().map(_.getString(0)).toSeq == Seq("bad"))
+  }
+}
