@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.expressions._
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions so `spark.sql("SELECT cosine_sim(a,b)
+  * ...")` works next to the Column API.
+  *
+  * Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two numeric arrays",
+      { case Seq(a, b) => CosineSimilarity(a, b) })
+    register(ext, "dot_product",
+      "dot_product(a, b) - dot product of two numeric arrays",
+      { case Seq(a, b) => DotProduct(a, b) })
+    register(ext, "simhash64",
+      "simhash64(tokens) - 64-bit SimHash of a string-token array",
+      { case Seq(t) => SimHash64(t) })
+  }
+
+  private def register(
+      ext: SparkSessionExtensions, name: String, usage: String,
+      builder: PartialFunction[Seq[Expression], Expression]): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      (args: Seq[Expression]) =>
+        builder.applyOrElse(args, (a: Seq[Expression]) =>
+          throw new IllegalArgumentException(
+            s"$name: unexpected argument count ${a.size}"))))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ExpressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f), Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+    (4L, Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f)),
+    (5L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))) // length mismatch
+    .toDF("id", "a", "b")
+
+  test("native cosine_sim matches the HOF reference implementation") {
+    val got = vecs.select($"id",
+      VectorFunctions.cosineSim($"a", $"b").as("nat"),
+      VectorFunctions.cosineSimHof($"a", $"b").as("ref"))
+      .collect()
+    got.foreach { r =>
+      val (id, nat) = (r.getLong(0), r.getDouble(1))
+      // length mismatch: native=0.0 by convention; HOF ref is null
+      // (zip_with pads with null), so only compare where ref exists.
+      if (id == 5L) assert(nat == 0.0 && r.isNullAt(2))
+      else assert(math.abs(nat - r.getDouble(2)) < 1e-12, s"id=$id")
+    }
+    val byId = got.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(byId(1L) - 1.0) < 1e-12)
+    assert(byId(2L) == 0.0)
+    assert(byId(4L) == 0.0) // zero norm -> 0, not NaN
+    assert(math.abs(byId(3L) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+  }
+
+  test("dot_product native vs HOF") {
+    val got = vecs.filter($"id" =!= 5).select(
+      VectorFunctions.dotProduct($"a", $"b").as("nat"),
+      VectorFunctions.dotProductHof($"a", $"b").as("ref")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("null inputs yield null") {
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+    val r = df.select(VectorFunctions.cosineSim($"a", $"b")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("simhash64: identical token sets hash equal; near sets differ in few bits") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val near = base.updated(7, "CHANGED").updated(33, "ALSO")
+    val far = (1 to 60).map(i => s"other$i")
+    val df = Seq(
+      ("same1", base), ("same2", base), ("near", near), ("far", far))
+      .toDF("k", "toks")
+      .select($"k", VectorFunctions.simhash64($"toks").as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("same1") == m("same2"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m("same1"), m("near")) < 20)
+    assert(ham(m("same1"), m("near")) > 0)
+    assert(ham(m("same1"), m("far")) > ham(m("same1"), m("near")))
+  }
+
+  test("SQL registration via GraftExtensions") {
+    val one = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "simhash64(array('a','b')) AS h").head()
+    assert(math.abs(one.getDouble(0) - 1.0) < 1e-12)
+    assert(one.getDouble(1) == 11.0)
+    assert(one.getLong(2) != 0L)
+  }
+
+  test("codegen path actually compiles (no fallback): project over 1k rows") {
+    val n = spark.range(1000).select($"id",
+      array_repeat(($"id" % 7).cast("double") + 1.0, 64).as("a"),
+      array_repeat(($"id" % 5).cast("double") + 2.0, 64).as("b"))
+    val out = n.select(VectorFunctions.cosineSim($"a", $"b").as("c"))
+      .agg(min($"c"), max($"c")).head()
+    // parallel arrays -> cosine exactly 1.0 for every row
+    assert(math.abs(out.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(out.getDouble(1) - 1.0) < 1e-12)
+  }
+}
