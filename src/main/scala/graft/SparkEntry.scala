@@ -21,7 +21,9 @@ object SparkEntry {
 
   private def queries_ : Seq[ListMap[String, QueryDef]] = Seq(
     graft.queries.RelationalQueries.defs,
-    graft.queries.PipelineQueries.defs)
+    graft.queries.PipelineQueries.defs,
+    graft.queries.TextQueries.defs,
+    graft.queries.DedupQueries.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

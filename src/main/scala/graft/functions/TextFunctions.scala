@@ -121,7 +121,8 @@ object TextFunctions {
   }
 
   /** Rolling polynomial hash of the whole document (base-31 over
-    * chars, mod 2^64 via Long overflow) — an order-sensitive
+    * chars, mod the Mersenne-ish prime 2^31-1 so the accumulator
+    * never overflows Long under ANSI mode) — an order-sensitive
     * fingerprint: permuted tokens hash differently even though the
     * token SET (and thus minhash) is unchanged.
     */
@@ -129,5 +130,5 @@ object TextFunctions {
     aggregate(
       transform(split(text, "", -1), ch => ascii(ch).cast("long")),
       lit(0L),
-      (acc, c) => acc * lit(31L) + c)
+      (acc, c) => pmod(acc * lit(31L) + c, lit(2147483647L)))
 }

@@ -65,4 +65,16 @@ object VectorFunctions {
     }
     planeBits.reduce(_.bitwiseOR(_))
   }
+
+  /** Multi-table LSH signatures (the OR-construction): `tables`
+    * independent `bits`-bit hyperplane signatures. A single b-bit
+    * table has recall p^b at per-bit agreement p — hopeless for
+    * moderate similarity; L tables lift it to 1-(1-p^b)^L. `bits`
+    * scales with corpus size (bucket occupancy), `tables` buys
+    * recall. Returns array<long>, index = table id.
+    */
+  def hyperplaneSigs(
+      v: Column, bits: Int, tables: Int, seed: Int = 7): Column =
+    array((0 until tables).map(t =>
+      hyperplaneSig(v, bits, seed * 1009 + t)): _*)
 }

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Deduplication operators for LLM-corpus curation: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (the whole point — SURVEY.md §7 M4):
+  *  - Exact dedup is a hash-groupBy: one shuffle on a 128-bit
+  *    fingerprint, uniform by construction (no skew).
+  *  - MinHash/LSH replaces the quadratic all-pairs comparison with a
+  *    shuffle on (band, bucket): only colliding docs meet. All hash
+  *    functions are seeded xxhash64 — deterministic, executor-
+  *    independent, no fit/model state to broadcast.
+  *  - Candidate verification recomputes EXACT Jaccard only on
+  *    colliding pairs, so false positives cost one array intersect,
+  *    and false negatives are bounded by the (bands, rows) S-curve.
+  *  - Identical-content floods (the classic LSH skew: one bucket with
+  *    10^6 copies of the same boilerplate) are the known hot spot:
+  *    AQE skew-join handles moderate cases; `maxBucketSize` hard-caps
+  *    pathological buckets (dropping a bucket of exact duplicates is
+  *    safe because exact dedup runs first).
+  */
+object Dedup {
+
+  /** Exact dedup on the normalized-text fingerprint. One row per
+    * distinct content: (fingerprint, keep_id = min id, n_dups).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures: (id, sig: array<bigint> length numHashes).
+    * Shingle hashes are xxhash64(shingle); permutation i is
+    * xxhash64(shingleHash, i) — the standard "one strong hash,
+    * many seeds" construction. Docs with fewer than `shingleSize`
+    * tokens get a null signature (excluded from LSH).
+    */
+  def minhashSignatures(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, shingleSize: Int = 3): DataFrame = {
+    val sh = TextFunctions.shingles(col(textCol), shingleSize)
+    val hashes = transform(array_distinct(sh), s => xxhash64(s))
+    val sig = when(size(hashes) > 0,
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(hashes, h => xxhash64(h, i)))))
+    df.select(col(idCol).as("id"), sig.as("sig"))
+  }
+
+  /** LSH banding: explode each signature into `bands` bucket keys;
+    * docs sharing any (band, bucket) are candidates. r = sigLen/bands
+    * rows per band controls the similarity S-curve.
+    */
+  def lshBuckets(sigs: DataFrame, bands: Int, numHashes: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    sigs.filter(col("sig").isNotNull).select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** Candidate pairs (a < b) from bucket collisions. `maxBucketSize`
+    * drops pathological buckets (see scaladoc above).
+    */
+  def candidatePairs(
+      buckets: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+    val sized = buckets
+      .withColumn("bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsize") <= maxBucketSize)
+      .drop("bsize")
+    val l = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val rt = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(rt, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact token-shingle Jaccard for given pairs; used to verify LSH
+    * candidates. Joins the (small) pair list to per-doc shingle sets.
+    */
+  def verifyJaccard(
+      pairs: DataFrame, df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("vid"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleSize))
+        .as("shset"))
+    pairs
+      .join(sets.withColumnRenamed("vid", "id_a")
+        .withColumnRenamed("shset", "set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("vid", "id_b")
+        .withColumnRenamed("shset", "set_b"), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("n_inter"))
+            .cast("double"))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: deterministic verified pairs
+    * with exact Jaccard >= threshold.
+    */
+  def nearDupPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 128, bands: Int = 32,
+      shingleSize: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
+    val cands = candidatePairs(lshBuckets(sigs, bands, numHashes))
+    verifyJaccard(cands, df, textCol, idCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints, banded into
+    * `bands` segments for candidate generation (two docs within
+    * hamming distance < bands must agree on >= 1 segment), verified
+    * with bit_count(a^b) <= maxHamming.
+    */
+  def simhashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val h = df.select(col(idCol).as("id"),
+      VectorFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sh"))
+    val seg = 64 / bands
+    // bands is a static small int: unroll the segment extraction into
+    // a literal array of (band, segval) structs.
+    val segs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * seg)
+          .bitwiseAND(lit((1L << seg) - 1)).as("segval"))
+    }
+    val exploded = h.select(col("id"), col("sh"),
+      explode(array(segs: _*)).as("s"))
+      .select(col("id"), col("sh"), col("s.band").as("band"),
+        col("s.segval").as("segval"))
+    val l = exploded.select(col("band"), col("segval"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val rt = exploded.select(col("band"), col("segval"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(rt, Seq("band", "segval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs via multi-table hyperplane-LSH
+    * bucketing + exact verification: vectors sharing a bucket in ANY
+    * of the `tables` signature tables are compared, then filtered on
+    * true cosine >= threshold. Tune `bits` to corpus size (bucket
+    * occupancy ~ n/2^bits) and `tables` to the recall target
+    * 1-(1-p^bits)^tables.
+    */
+  def embeddingDupPairs(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, bits: Int = 4, tables: Int = 12): DataFrame = {
+    val sigd = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables)))
+      .select(col("id"), col("v"), col("pos").as("table"),
+        col("col").as("bucket"))
+    val l = sigd.select(col("table"), col("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val rt = sigd.select(col("table"), col("bucket"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    l.join(rt, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Connected-component representatives from a near-dup pair list:
+    * (id, rep) where rep is the minimum id reachable through pairs.
+    * Iterative min-label propagation over the edge list; converges in
+    * O(diameter) rounds (dup clusters are shallow in practice). Each
+    * round is two broadcast-friendly shuffles; `maxIters` bounds
+    * runaway chains.
+    */
+  def clusterReps(
+      ids: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val spark = ids.sparkSession
+    // undirected edges, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var reps = ids.select(col("id"), col("id").as("rep")).persist()
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val neighborMin = edges
+        .join(reps.withColumnRenamed("id", "dst")
+          .withColumnRenamed("rep", "nrep"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nrep")).as("minN"))
+      val next = reps.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("minN"), col("rep"))).as("rep"))
+        .persist()
+      val changed = next.join(reps.withColumnRenamed("rep", "oldRep"), "id")
+        .filter(col("rep") =!= col("oldRep")).limit(1).count()
+      reps.unpersist()
+      reps = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    reps
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Two paths (builder brief):
+  *  - `bruteForceTopK`: exact baseline. The query set is broadcast
+  *    (it is small by definition); the corpus is scanned once,
+  *    partition-parallel, through the codegen'd native cosine; only
+  *    (qid, id, sim) tuples — not vectors — reach the top-k shuffle.
+  *  - `lshTopK`: the scale path. Hyperplane-LSH signatures bucket the
+  *    corpus; a query only scans its own bucket (and optional
+  *    1-bit-flip probes to recover near-boundary misses). At 100 TB
+  *    the bucket join replaces the full scan with a 1/2^bits slice
+  *    per probe; signatures are deterministic seeded hashes, so the
+  *    "index" is just a column — no model state, rebuildable by a
+  *    single select.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector.
+    * Returns (qid, id, cosine, rank), rank 1..k, self-match excluded,
+    * deterministic tie-break by id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: compare a query only against
+    * corpus vectors sharing a bucket in any of `tables` signature
+    * tables, each optionally widened by 1-bit-flip multi-probe.
+    * Candidate fraction per query ~ tables * (1+bits*probeBits) /
+    * 2^bits of the corpus — the knob that turns a full scan into a
+    * slice at scale.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 8, tables: Int = 8, probeBits: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"),
+      posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables)))
+      .select(col("id"), col("cvec"), col("pos").as("table"),
+        col("col").as("bucket"))
+    val qsig = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables)))
+      .select(col("qid"), col("qvec"), col("pos").as("table"),
+        col("col").as("qbucket"))
+    // multi-probe: each (table, sig) probes itself plus 1-bit flips
+    val probes: Seq[org.apache.spark.sql.Column] =
+      col("qbucket") +: (if (probeBits >= 1)
+        (0 until bits).map(b => col("qbucket").bitwiseXOR(lit(1L << b)))
+      else Seq.empty)
+    val q = qsig.select(col("qid"), col("qvec"), col("table"),
+      explode(array_distinct(array(probes: _*))).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("cvec"), col("qvec"))
+      .distinct() // a pair can meet via several tables/probes
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, QueryDef}
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup + similarity-search surface (builder brief: exact, MinHash
+  * LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup; ANN
+  * top-k). Oracle-checked wherever DuckDB can recompute the exact
+  * semantics; probabilistic-but-deterministic LSH pipelines get
+  * rows-only driver checks plus recall specs in ScalaTest.
+  */
+object DedupQueries {
+
+  private def T(s: SparkSession, dir: String) = Engine.Tables(s, dir)
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    // ------------------------------------------------------------------
+    "d01_exact_dedup" -> QueryDef(
+      fn = { (s, dir) =>
+        Dedup.exact(T(s, dir).documents, "text", "doc_id")
+      },
+      oracle = Some("""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 AS fingerprint,
+               min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1"""),
+      doc = "Exact dedup: hash-groupBy on normalized fingerprint."),
+
+    // ------------------------------------------------------------------
+    "d02_jaccard_adjacent" -> QueryDef(
+      fn = { (s, dir) =>
+        // Exact token-set Jaccard on a deterministic pair set
+        // (consecutive doc ids) — the verification kernel of the LSH
+        // pipeline, oracle-checked in isolation.
+        val d = T(s, dir).documents
+        val sets = d.select(col("doc_id"),
+          array_distinct(TextFunctions.tokens(col("text"))).as("ts"))
+        val a = sets.select(col("doc_id").as("id_a"), col("ts").as("set_a"))
+        val b = sets.select((col("doc_id") - 1).as("id_a"),
+          col("doc_id").as("id_b"), col("ts").as("set_b"))
+        a.join(b, Seq("id_a"))
+          .withColumn("n_inter",
+            size(array_intersect(col("set_a"), col("set_b"))))
+          .select(col("id_a"), col("id_b"),
+            (col("n_inter").cast("double") /
+              (size(col("set_a")) + size(col("set_b")) - col("n_inter"))
+                .cast("double")).as("jaccard"))
+      },
+      oracle = Some("""
+        WITH sets AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(string_split(text, ' '),
+                   x -> x != '')) AS ts
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+               CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+                 AS DOUBLE) AS jaccard
+        FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1"""),
+      doc = "Exact n-gram(1) Jaccard kernel on adjacent-id pairs."),
+
+    // ------------------------------------------------------------------
+    "d03_minhash_neardups" -> QueryDef(
+      fn = { (s, dir) =>
+        // Full MinHash(128)+LSH(32 bands) near-dup pipeline with
+        // exact-Jaccard verification at 0.5. Deterministic (seeded
+        // xxhash64) but not SQL-expressible -> rows-only; recall vs
+        // brute force is asserted in DedupSpec.
+        Dedup.nearDupPairs(T(s, dir).documents, "text", "doc_id",
+          threshold = 0.5)
+      },
+      oracle = None,
+      doc = "MinHash+LSH near-dup pairs, Jaccard>=0.5 verified."),
+
+    // ------------------------------------------------------------------
+    "d04_simhash_neardups" -> QueryDef(
+      fn = { (s, dir) =>
+        Dedup.simhashPairs(T(s, dir).documents, "text", "doc_id",
+          maxHamming = 10)
+      },
+      oracle = None,
+      doc = "SimHash banded near-dup pairs, hamming<=10 (rows-only)."),
+
+    // ------------------------------------------------------------------
+    "d05_embedding_dups" -> QueryDef(
+      fn = { (s, dir) =>
+        // Brute-force cosine pair scan through the native codegen'd
+        // expression — the exact baseline the LSH path is measured
+        // against; DuckDB recomputes it bit-for-bit (double math).
+        val e = T(s, dir).embeddings
+        val a = e.select(col("vec_id").as("id_a"),
+          col("embedding").as("v_a"))
+        val b = e.select(col("vec_id").as("id_b"),
+          col("embedding").as("v_b"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(VectorFunctions.cosineSim(col("v_a"), col("v_b")), 4)
+              .as("cosine"))
+          .filter(col("cosine") >= 0.35)
+      },
+      oracle = Some("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])), 4) >= 0.35"""),
+      doc = "Embedding near-dup pairs (exact cosine >= 0.35)."),
+
+    // ------------------------------------------------------------------
+    "s01_topk_bruteforce" -> QueryDef(
+      fn = { (s, dir) =>
+        // Exact ANN baseline: top-5 neighbors for a deterministic
+        // query sample. Ranking on (rounded cosine, id) so both
+        // engines order identically.
+        val e = T(s, dir).embeddings
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val scored = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("id"),
+            round(VectorFunctions.cosineSim(col("embedding"), col("qvec")), 4)
+              .as("cosine"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS id,
+                 round(list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+          WHERE q.vec_id % 50 = 0),
+        ranked AS (
+          SELECT qid, id, cosine,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cosine DESC, id) AS rank
+          FROM scored)
+        SELECT qid, id, cosine, rank FROM ranked WHERE rank <= 5"""),
+      doc = "Brute-force cosine top-5 per sampled query vector."),
+
+    // ------------------------------------------------------------------
+    "s02_topk_lsh" -> QueryDef(
+      fn = { (s, dir) =>
+        // The scale path: hyperplane-LSH bucketed ANN with 1-bit
+        // multi-probe. Deterministic; recall vs s01 asserted in
+        // SimilaritySpec (rows-only driver check).
+        val e = T(s, dir).embeddings
+        Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0), k = 5)
+          .select(col("qid"), col("id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      oracle = None,
+      doc = "LSH-bucketed ANN top-5 with multi-probe (rows-only)."))
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, QueryDef}
+import graft.functions.TextFunctions
+
+/** Text-analysis surface over the `documents` fixture: token stats,
+  * BPE-ish token counting, fingerprinting, quality scoring,
+  * language-ID. All pure column expressions (whole-stage codegen) —
+  * a 100 TB corpus pass is one parquet scan with no shuffle at all
+  * except the final write.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    Engine.Tables(s, dir).documents
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    // ------------------------------------------------------------------
+    "t01_text_stats" -> QueryDef(
+      fn = { (s, dir) =>
+        val t = col("text")
+        docs(s, dir).select(
+          col("doc_id"),
+          TextFunctions.tokenCount(t).as("n_tokens"),
+          length(t).as("n_chars"),
+          TextFunctions.punctCount(t).as("n_punct"),
+          TextFunctions.stopwordRatio(t).as("stop_ratio"),
+          TextFunctions.meanTokenLen(t).as("mean_tok_len"))
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), x -> x != '') AS toks
+          FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))
+                 AS n_punct,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(
+                        list_filter(string_split(lower(text), ' '), x -> x != ''),
+                        x -> list_contains(
+                          ['the','a','of','and','to','in','is','it','that','for'], x)))
+                      AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                      AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS mean_tok_len
+        FROM tk"""),
+      doc = "Per-doc token/char/punct/stopword stats (codegen, no shuffle)."),
+
+    // ------------------------------------------------------------------
+    "t02_fingerprint" -> QueryDef(
+      fn = { (s, dir) =>
+        docs(s, dir).select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"),
+          TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                 AS n_bpeish
+        FROM documents"""),
+      doc = "Canonical md5 fingerprint + BPE-ish subword count."),
+
+    // ------------------------------------------------------------------
+    "t03_quality_score" -> QueryDef(
+      fn = { (s, dir) =>
+        docs(s, dir).select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id,
+            CAST(length(text) AS DOUBLE) AS nc,
+            list_filter(string_split(text, ' '), x -> x != '') AS toks,
+            list_filter(string_split(lower(text), ' '), x -> x != '') AS ltoks,
+            CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))
+              AS DOUBLE) AS np
+          FROM documents),
+        g AS (
+          SELECT doc_id, nc, np,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(ltoks,
+                     x -> list_contains(
+                       ['the','a','of','and','to','in','is','it','that','for'], x)))
+                   AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                   AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS mtl
+          FROM f)
+        SELECT doc_id,
+          round(
+            (least(nc / 200.0, 1.0) *
+              (CASE WHEN nc > 20000 THEN 0.5 ELSE 1.0 END)) * 0.3 +
+            least(stop_ratio * 5.0, 1.0) * 0.3 +
+            (CASE WHEN np / greatest(nc, 1.0) > 0.3
+                  THEN 0.2 ELSE 1.0 END) * 0.2 +
+            (CASE WHEN mtl BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2,
+            6) AS quality
+        FROM g"""),
+      doc = "C4-style composite quality score, fully SQL-mirrored."),
+
+    // ------------------------------------------------------------------
+    "t04_lang_id" -> QueryDef(
+      fn = { (s, dir) =>
+        // Heuristic (charset beacons + stopword-profile argmax); not
+        // SQL-expressible compactly -> rows-only driver check; unit
+        // tests cover the semantics on multilingual samples.
+        docs(s, dir).select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+      },
+      oracle = None,
+      doc = "Language-ID heuristic distribution (rows-only check)."),
+
+    // ------------------------------------------------------------------
+    "t05_rolling_hash" -> QueryDef(
+      fn = { (s, dir) =>
+        // Order-sensitive doc fingerprint; int64 wraparound arithmetic
+        // is exact and engine-independent, so this IS oracle-checkable
+        // ... but DuckDB lacks wrapping multiply (hugeint widens).
+        // Rows-only; ExpressionSpec + TextFunctionsSpec cover it.
+        docs(s, dir).select(col("doc_id"),
+          TextFunctions.rollingHash(col("text")).as("rh"))
+      },
+      oracle = None,
+      doc = "Rolling polynomial hash fingerprint (rows-only check)."))
+}

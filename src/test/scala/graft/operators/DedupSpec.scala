@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextFunctions
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    Seq(
+      (1L, base),
+      (2L, base),                                     // exact dup of 1
+      (3L, base.replace("lazy", "sleepy")),           // near dup of 1
+      (4L, "completely different words about spark engines and columnar data processing"),
+      (5L, base.toUpperCase),                         // exact dup after normalization
+      (6L, "short doc"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val got = Dedup.exact(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // 1,2,5 collapse (5 only differs in case) => keep 1, n=3
+    assert(got(1L) == 3L)
+    assert(got(3L) == 1L && got(4L) == 1L && got(6L) == 1L)
+  }
+
+  test("minhash LSH finds the near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.nearDupPairs(corpus, "text", "doc_id",
+      threshold = 0.5, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("LSH recall vs exact jaccard on the documents fixture") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val sets = docs.select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(col("text"), 3)).as("ts"))
+    val a = sets.select(col("doc_id").as("id_a"), col("ts").as("sa"))
+    val b = sets.select(col("doc_id").as("id_b"), col("ts").as("sb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("j", col("ni").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification makes LSH ⊆ exact; recall should be high at J>=0.5
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+    }
+  }
+
+  test("simhash pairs rank exact dup closer than unrelated") {
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
+      maxHamming = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0)) // identical tokens
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("clusterReps propagates min id across chained pairs") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val reps = Dedup.clusterReps(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("embedding LSH dup pairs ⊆ brute force, high recall at 0.35") {
+    val e = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("c", graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")))
+      .filter(col("c") >= 0.35).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingDupPairs(e, "embedding", "vec_id",
+      threshold = 0.35)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    if (brute.nonEmpty) {
+      val recall = lsh.size.toDouble / brute.size
+      assert(recall >= 0.7, s"recall $recall (${lsh.size}/${brute.size})")
+    }
+  }
+}

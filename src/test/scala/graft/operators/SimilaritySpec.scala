@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emb =
+    graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+
+  test("brute-force top-k: k rows per query, self excluded, sorted") {
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val got = Similarity.bruteForceTopK(emb, q, k = 5)
+    val rows = got.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == 5, s"qid=$qid")
+      assert(!rs.exists(_.getLong(1) == qid))
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("LSH top-k recall@5 vs brute force is reasonable") {
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(Similarity.bruteForceTopK(emb, q, k = 5))
+    val lsh = asSet(Similarity.lshTopK(emb, q, k = 5))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // random-hyperplane LSH on weakly-clustered synthetic vectors:
+    // the point is the plumbing + determinism, not SOTA recall
+    assert(recall >= 0.5, s"recall $recall")
+    // determinism: same call -> same result
+    val lsh2 = asSet(Similarity.lshTopK(emb, q, k = 5))
+    assert(lsh == lsh2)
+  }
+}
