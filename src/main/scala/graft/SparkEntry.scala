@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.defs,
     graft.queries.PipelineQueries.defs,
     graft.queries.TextQueries.defs,
-    graft.queries.DedupQueries.defs)
+    graft.queries.DedupQueries.defs,
+    graft.queries.MultimodalQueries.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

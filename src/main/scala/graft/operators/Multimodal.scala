@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column support: opaque `binary`
+  * payloads + typed metadata structs, processed in BATCHES inside
+  * `mapPartitions` — the Scala analog of `mapInPandas` (batch in,
+  * batch out), which is the shape that matters at 100 TB: the decode
+  * library amortizes per-batch setup, Spark only sees a narrow
+  * iterator transform, no shuffle, full partition parallelism.
+  *
+  * The actual codec calls are STUBBED (this container ships no
+  * image/audio libs): `GraftImageHeader` is a deterministic 16-byte
+  * fake header that `decodeBatch` parses. Swapping in a real decoder
+  * means replacing ONLY `ImageDecoder.decode` — schema, batching,
+  * partitioning, null handling, and error routing stay as-is and are
+  * what the tests pin down.
+  */
+object Multimodal {
+
+  /** Decoded metadata appended per image row. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType),
+    StructField("n_payload_bytes", LongType),
+    StructField("valid", BooleanType)))
+
+  val MagicBytes: Array[Byte] = "GRFT".getBytes("US-ASCII")
+  val Formats: Seq[String] = Seq("png", "jpeg", "webp")
+
+  /** Deterministic fake "image": 16-byte header (magic, width,
+    * height, format tag) + payload. Stands in for real encoded bytes.
+    */
+  def encodeFakeImage(
+      width: Int, height: Int, format: String,
+      payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + payload.length)
+    bb.put(MagicBytes)
+    bb.putInt(width)
+    bb.putInt(height)
+    bb.putInt(Formats.indexOf(format))
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** STUB decoder — a real build replaces this body with an actual
+    * codec call (e.g. javax.imageio / libvips over JNI). Everything
+    * around it is production plumbing.
+    */
+  object ImageDecoder {
+    def decode(bytes: Array[Byte]): Row = {
+      if (bytes == null || bytes.length < 16 ||
+          !hasMagic(bytes)) {
+        Row(null, null, null,
+          if (bytes == null) 0L else bytes.length.toLong, false)
+      } else {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        bb.position(4)
+        val w = bb.getInt
+        val h = bb.getInt
+        val f = bb.getInt
+        Row(w, h, Formats.lift(f).orNull, (bytes.length - 16).toLong, true)
+      }
+    }
+  }
+
+  /** Batched decode: (keyCol, binCol) -> (keyCol, meta struct fields).
+    * `batchSize` mirrors mapInPandas' Arrow batch: the decoder is fed
+    * fixed-size slices so a real codec can amortize setup/buffers.
+    */
+  def decodeImages(
+      df: DataFrame, keyCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(
+      df.schema(keyCol) +: metaSchema.fields.toSeq)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(keyCol), col(binCol)).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch-shaped: decode the whole slice, then emit — the
+        // real-codec version would hand `batch` to the lib in one call
+        batch.iterator.map { r =>
+          val meta = ImageDecoder.decode(r.getAs[Array[Byte]](1))
+          Row.fromSeq(r.get(0) +: meta.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Stub resize: rewrites the header dims, keeps payload (a real
+    * impl transforms payload bytes). Demonstrates binary-in/
+    * binary-out transform plumbing.
+    */
+  def resizeImages(
+      df: DataFrame, keyCol: String, binCol: String,
+      newWidth: Int, newHeight: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(keyCol), StructField("image", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(keyCol), col(binCol)).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val out = if (bytes != null && bytes.length >= 16 &&
+            hasMagic(bytes)) {
+          val bb = java.nio.ByteBuffer.wrap(bytes.clone())
+          bb.position(4)
+          bb.putInt(newWidth)
+          bb.putInt(newHeight)
+          bb.array()
+        } else bytes
+        Row(r.get(0), out)
+      }
+    }(enc)
+  }
+
+  /** Stub frame sampler for "video" payloads: treats the payload as
+    * fixed-size frames and emits every `everyN`-th as its own row —
+    * the explode-shaped generator a real frame extractor needs.
+    */
+  def sampleFrames(
+      df: DataFrame, keyCol: String, binCol: String,
+      frameBytes: Int, everyN: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(keyCol),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(keyCol), col(binCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.length < 16 ||
+            !hasMagic(bytes)) Iterator.empty
+        else {
+          val payload = bytes.drop(16)
+          val nFrames = payload.length / frameBytes
+          (0 until nFrames by everyN).iterator.map { i =>
+            Row(r.get(0), i,
+              payload.slice(i * frameBytes, (i + 1) * frameBytes))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  private def hasMagic(a: Array[Byte]): Boolean =
+    a.length >= MagicBytes.length && {
+      var i = 0
+      while (i < MagicBytes.length && a(i) == MagicBytes(i)) i += 1
+      i == MagicBytes.length
+    }
+}

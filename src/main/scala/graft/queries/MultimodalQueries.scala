@@ -1,0 +1,80 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, QueryDef}
+import graft.operators.Multimodal
+
+/** Multimodal-column surface: binary image payloads built
+  * deterministically from the documents fixture, run through the
+  * batched decode / resize / frame-sample plumbing. The decode is a
+  * stub (no codec libs in the container) but every derived value is
+  * deterministic, so DuckDB can recompute the expected metadata.
+  */
+object MultimodalQueries {
+
+  /** documents -> (doc_id, image binary): fake-encoded with
+    * dimensions/format derived from doc_id and payload = text bytes.
+    */
+  def fakeImages(s: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.Tables(s, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("image", BinaryType)))
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, Multimodal.encodeFakeImage(
+          (64 + id % 512).toInt, (48 + id % 256).toInt,
+          Multimodal.Formats((id % 3).toInt),
+          r.getAs[Array[Byte]](1)))
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    // ------------------------------------------------------------------
+    "m01_image_meta" -> QueryDef(
+      fn = { (s, dir) =>
+        Multimodal.decodeImages(fakeImages(s, dir), "doc_id", "image")
+          .select(col("doc_id"), col("width"), col("height"),
+            col("format"), col("n_payload_bytes"), col("valid"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(64 + doc_id % 512 AS INT) AS width,
+               CAST(48 + doc_id % 256 AS INT) AS height,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                               ELSE 'webp' END AS format,
+               octet_length(encode(text)) AS n_payload_bytes,
+               true AS valid
+        FROM documents"""),
+      doc = "Binary image column + batched stub decode to typed meta."),
+
+    // ------------------------------------------------------------------
+    "m02_frame_sample" -> QueryDef(
+      fn = { (s, dir) =>
+        // every 4th 32-byte "frame" of each payload; count per doc
+        Multimodal.sampleFrames(fakeImages(s, dir), "doc_id", "image",
+          frameBytes = 32, everyN = 4)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(length(col("frame")).cast("long")).as("frame_bytes"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) // 32 AS n_total
+          FROM documents)
+        SELECT doc_id,
+               (n_total + 3) // 4 AS n_frames,
+               32 * ((n_total + 3) // 4) AS frame_bytes
+        FROM f WHERE n_total > 0"""),
+      doc = "Stub frame sampling: explode-shaped generator over binary."))
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time streaming analytics over an `events`-shaped stream
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has NO event-time processing (its only "window" is
+  * the CloudWatch scaling alarm, SURVEY.md §2.6); these are the
+  * streaming twins of the batch queries q15/q16 — the SAME window
+  * expressions run under `readStream` with watermarks, which is the
+  * point: one declarative definition, batch and streaming execution.
+  *
+  * Watermark = bounded state: at 100 TB/day the state store only
+  * keeps windows newer than the watermark horizon; without it a
+  * streaming agg grows unboundedly.
+  */
+object EventStreams {
+
+  /** Tumbling 1h counts per event_type (append mode after watermark). */
+  def tumblingCounts(
+      events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("v"))
+
+  /** Sliding 30min/5min event counts. */
+  def slidingCounts(
+      events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "30 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** Gap-based sessions per user (30 min), same semantics as the
+    * batch q16_sessionize.
+    */
+  def sessions(
+      events: DataFrame, watermark: String = "30 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def images = {
+    val rows = Seq(
+      (1L, Multimodal.encodeFakeImage(640, 480, "png",
+        Array.fill[Byte](100)(7))),
+      (2L, Multimodal.encodeFakeImage(32, 32, "webp",
+        Array.empty[Byte])),
+      (3L, "not an image at all".getBytes),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    rows.toDF("id", "img")
+  }
+
+  test("batched decode: valid headers parsed, garbage/null flagged not thrown") {
+    val got = Multimodal.decodeImages(images, "id", "img", batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getInt(1) == 640 && got(1L).getInt(2) == 480 &&
+      got(1L).getString(3) == "png" && got(1L).getLong(4) == 100L &&
+      got(1L).getBoolean(5))
+    assert(got(2L).getString(3) == "webp" && got(2L).getLong(4) == 0L)
+    assert(!got(3L).getBoolean(5) && got(3L).isNullAt(1))
+    assert(!got(4L).getBoolean(5) && got(4L).getLong(4) == 0L)
+  }
+
+  test("resize rewrites header only; decode sees new dims, same payload") {
+    val resized = Multimodal.resizeImages(images, "id", "img", 100, 50)
+    val meta = Multimodal.decodeImages(resized, "id", "image")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getInt(1) == 100 && meta(1L).getInt(2) == 50)
+    assert(meta(1L).getLong(4) == 100L) // payload untouched
+    assert(!meta(3L).getBoolean(5))     // garbage passes through
+  }
+
+  test("frame sampling emits every Nth fixed-size frame") {
+    val v = Seq((9L, Multimodal.encodeFakeImage(1, 1, "png",
+      Array.tabulate[Byte](100)(_.toByte)))).toDF("id", "vid")
+    val frames = Multimodal.sampleFrames(v, "id", "vid",
+      frameBytes = 10, everyN = 3).collect()
+    // 10 frames, every 3rd: idx 0,3,6,9
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 3, 6, 9))
+    assert(frames.forall(_.getAs[Array[Byte]](2).length == 10))
+    val f3 = frames.find(_.getInt(1) == 3).get.getAs[Array[Byte]](2)
+    assert(f3.head == 30.toByte) // payload offset preserved
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("file-queue worker: envelopes -> pipe -> named outputs, exactly-once") {
+    val queue = Files.createTempDirectory("graft-q-").toString
+    val in = Files.createTempDirectory("graft-sin-")
+    val out = Files.createTempDirectory("graft-sout-").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    Files.write(in.resolve("f1.txt"), "hello stream".getBytes)
+    Files.write(in.resolve("f2.txt"), "second file".getBytes)
+    // 2 good jobs, 1 unknown action, 1 missing input
+    Files.write(Paths.get(queue, "batch1.jsonl"),
+      ("""["process","b","i/","o/","f1.txt"]""" + "\n" +
+        """["process","b","i/","o/","f2.txt"]""" + "\n" +
+        """["reboot","b","i/","o/","f1.txt"]""" + "\n" +
+        """["process","b","i/","o/","missing.txt"]""").getBytes)
+
+    val q = JobStream.runWorker(spark, queue, in.toString, out, ckpt,
+      Seq("cp"), trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    assert(new String(Files.readAllBytes(Paths.get(out, "f1.txt.out"))) ==
+      "hello stream")
+    assert(new String(Files.readAllBytes(Paths.get(out, "f2.txt.out"))) ==
+      "second file")
+    val quar = spark.read.parquet(out + "_quarantine").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(quar("missing.txt") == -2)
+    assert(quar.exists(_._2 == -3)) // unknown action routed, not retried
+
+    // restart with same checkpoint: no new work, outputs unchanged
+    val before = Paths.get(out).toFile.list().toSet
+    val q2 = JobStream.runWorker(spark, queue, in.toString, out, ckpt,
+      Seq("cp"), trigger = Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(Paths.get(out).toFile.list().toSet == before)
+    assert(spark.read.parquet(out + "_quarantine").count() == quar.size)
+  }
+
+  test("watermarked tumbling window over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.tumblingCounts(events, watermark = "1 minute")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumble_out").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 10:05:00"), "a", 1.0),
+      (t("2024-01-01 10:45:00"), "a", 2.0),
+      (t("2024-01-01 10:50:00"), "b", 3.0))
+    q.processAllAvailable()
+    // advance watermark past 11:00 so the 10:00 window closes
+    mem.addData((t("2024-01-01 12:30:00"), "c", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumble_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:00:00.0", "a", 2L)))
+    assert(rows.contains(("2024-01-01 10:00:00.0", "b", 1L)))
+  }
+
+  test("session windows close after gap + watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+      .select(col("ts"), col("user_id"), col("value"))
+    val q = EventStreams.sessions(events, watermark = "10 minutes",
+      gap = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 09:00:00"), 7L, 1.0),
+      (t("2024-01-01 09:05:00"), 7L, 2.0),   // same session
+      (t("2024-01-01 09:30:00"), 7L, 4.0))   // new session (gap 25m)
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 11:00:00"), 8L, 0.0)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      .toSet
+    q.stop()
+    assert(rows.contains((7L, "2024-01-01 09:00:00.0", 2L)))
+    assert(rows.contains((7L, "2024-01-01 09:30:00.0", 1L)))
+  }
+}
