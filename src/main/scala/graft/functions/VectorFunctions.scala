@@ -18,13 +18,27 @@ object VectorFunctions {
   /** Widen a float array to double (exact). */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Native cosine: accepts array<float>/array<double> directly (the
+    * expression widens elements in-register, bit-identical to casting
+    * the array first but without the per-row allocation).
+    */
   def cosineSim(a: Column, b: Column): Column =
-    native.cosine_sim(asDouble(a), asDouble(b))
+    native.cosine_sim(a, b)
 
   def dotProduct(a: Column, b: Column): Column =
-    native.dot_product(asDouble(a), asDouble(b))
+    native.dot_product(a, b)
 
   def simhash64(tokens: Column): Column = native.simhash64(tokens)
+
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    native.minhash_signature(shingleHashes, numHashes)
+
+  /** Sorted distinct xxhash64 values of word n-gram shingles,
+    * computed natively from the raw text bytes (no string
+    * materialization — see ShingleHashes scaladoc).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    native.shingle_hashes(text, n)
 
   def l2Norm(v: Column): Column = sqrt(dotProduct(v, v))
 
@@ -44,23 +58,35 @@ object VectorFunctions {
       .otherwise(dot / (sqrt(na) * sqrt(nb)))
   }
 
-  /** Random-hyperplane LSH signature: `bits` sign bits of projections
-    * onto deterministic pseudo-random hyperplanes, packed into a
-    * Long. Planes are derived from xxhash64(seed, plane, dim) — no
-    * driver-side randomness, identical on every executor, stable
-    * across runs. Cosine-similar vectors agree on most bits.
+  /** Deterministic Rademacher (+-1) hyperplane, embedded as a plan
+    * literal: sign i = parity of splitmix64(seed, plane, i). Computed
+    * once on the driver, shipped inside the serialized plan — no
+    * per-row hashing, no executor-side randomness, stable across runs
+    * and JVMs (pure integer arithmetic).
     */
-  def hyperplaneSig(v: Column, bits: Int = 16, seed: Int = 7): Column = {
+  private def planeLit(dim: Int, seed: Long): Column = {
+    val arr = Array.tabulate(dim) { i =>
+      if ((splitmix64(seed * 0x9E3779B97F4A7C15L + i) & 1L) == 0L) 1.0 else -1.0
+    }
+    lit(arr)
+  }
+
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of projections
+    * onto literal +-1 hyperplanes (native dot product per plane),
+    * packed into a Long. `dim` must match the vector dimension.
+    * Cosine-similar vectors agree on a bit with prob 1 - theta/pi.
+    */
+  def hyperplaneSig(v: Column, bits: Int, dim: Int, seed: Int = 7): Column = {
     require(bits >= 1 && bits <= 63, "bits must be in [1,63]")
-    val dv = asDouble(v)
     val planeBits = (0 until bits).map { p =>
-      // plane_p[i] in {-1,+1} from a hash of (seed, p, i): a cheap
-      // Rademacher hyperplane, good enough for bucketing.
-      val proj = aggregate(
-        zip_with(dv, sequence(lit(0), size(dv) - 1), (x, i) =>
-          when(pmod(xxhash64(lit(seed), lit(p), i), lit(2)) === 0, x)
-            .otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dotProduct(v, planeLit(dim, seed.toLong * 7919L + p))
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     planeBits.reduce(_.bitwiseOR(_))
@@ -74,7 +100,7 @@ object VectorFunctions {
     * recall. Returns array<long>, index = table id.
     */
   def hyperplaneSigs(
-      v: Column, bits: Int, tables: Int, seed: Int = 7): Column =
+      v: Column, bits: Int, tables: Int, dim: Int, seed: Int = 7): Column =
     array((0 until tables).map(t =>
-      hyperplaneSig(v, bits, seed * 1009 + t)): _*)
+      hyperplaneSig(v, bits, dim, seed * 1009 + t)): _*)
 }

@@ -42,11 +42,12 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, shingleSize: Int = 3): DataFrame = {
-    val sh = TextFunctions.shingles(col(textCol), shingleSize)
-    val hashes = transform(array_distinct(sh), s => xxhash64(s))
+    // Both stages are native fused expressions (ShingleHashes,
+    // MinHashSignature); the equivalent HOF composition allocates a
+    // string per shingle and an array per permutation -- ~30x slower.
+    val hashes = VectorFunctions.shingleHashes(col(textCol), shingleSize)
     val sig = when(size(hashes) > 0,
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(hashes, h => xxhash64(h, i)))))
+      graft.functions.VectorFunctions.minhashSignature(hashes, numHashes))
     df.select(col(idCol).as("id"), sig.as("sig"))
   }
 
@@ -88,9 +89,10 @@ object Dedup {
   def verifyJaccard(
       pairs: DataFrame, df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3): DataFrame = {
+    // Jaccard over distinct shingle HASHES == Jaccard over shingle
+    // strings (collisions ~2^-64); sorted long arrays intersect fast.
     val sets = df.select(col(idCol).as("vid"),
-      array_distinct(TextFunctions.shingles(col(textCol), shingleSize))
-        .as("shset"))
+      VectorFunctions.shingleHashes(col(textCol), shingleSize).as("shset"))
     pairs
       .join(sets.withColumnRenamed("vid", "id_a")
         .withColumnRenamed("shset", "set_a"), Seq("id_a"))
@@ -160,9 +162,10 @@ object Dedup {
     */
   def embeddingDupPairs(
       df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, bits: Int = 4, tables: Int = 12): DataFrame = {
+      threshold: Double, bits: Int = 4, tables: Int = 12,
+      dim: Int = 64): DataFrame = {
     val sigd = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables)))
+      posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables, dim)))
       .select(col("id"), col("v"), col("pos").as("table"),
         col("col").as("bucket"))
     val l = sigd.select(col("table"), col("bucket"),

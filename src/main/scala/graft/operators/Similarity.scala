@@ -51,14 +51,14 @@ object Similarity {
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 8, tables: Int = 8, probeBits: Int = 1,
+      bits: Int = 8, tables: Int = 8, probeBits: Int = 1, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"),
-      posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables)))
+      posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables, dim)))
       .select(col("id"), col("cvec"), col("pos").as("table"),
         col("col").as("bucket"))
     val qsig = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-      posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables)))
+      posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables, dim)))
       .select(col("qid"), col("qvec"), col("pos").as("table"),
         col("col").as("qbucket"))
     // multi-probe: each (table, sig) probes itself plus 1-bit flips

@@ -72,8 +72,9 @@ object DedupQueries {
         // exact-Jaccard verification at 0.5. Deterministic (seeded
         // xxhash64) but not SQL-expressible -> rows-only; recall vs
         // brute force is asserted in DedupSpec.
-        Dedup.nearDupPairs(T(s, dir).documents, "text", "doc_id",
-          threshold = 0.5)
+        Dedup.nearDupPairs(
+          T(s, dir).documents.repartition(s.sparkContext.defaultParallelism),
+          "text", "doc_id", threshold = 0.5)
       },
       oracle = None,
       doc = "MinHash+LSH near-dup pairs, Jaccard>=0.5 verified."),
@@ -94,6 +95,7 @@ object DedupQueries {
         // expression — the exact baseline the LSH path is measured
         // against; DuckDB recomputes it bit-for-bit (double math).
         val e = T(s, dir).embeddings
+          .repartition(s.sparkContext.defaultParallelism)
         val a = e.select(col("vec_id").as("id_a"),
           col("embedding").as("v_a"))
         val b = e.select(col("vec_id").as("id_b"),
@@ -122,6 +124,7 @@ object DedupQueries {
         // query sample. Ranking on (rounded cosine, id) so both
         // engines order identically.
         val e = T(s, dir).embeddings
+          .repartition(s.sparkContext.defaultParallelism)
         val q = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val scored = e.crossJoin(broadcast(q))
@@ -158,6 +161,7 @@ object DedupQueries {
         // multi-probe. Deterministic; recall vs s01 asserted in
         // SimilaritySpec (rows-only driver check).
         val e = T(s, dir).embeddings
+          .repartition(s.sparkContext.defaultParallelism)
         Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0), k = 5)
           .select(col("qid"), col("id"),
             round(col("cosine"), 4).as("cosine"), col("rank"))

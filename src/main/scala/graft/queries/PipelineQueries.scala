@@ -18,11 +18,17 @@ object PipelineQueries {
 
   private def T(s: SparkSession, dir: String) = Engine.Tables(s, dir)
 
-  /** documents.text staged as binary content keyed by doc_id. */
+  /** documents.text staged as binary content keyed by doc_id.
+    * The fixture parquet is one tiny file -> one scan partition; the
+    * pipe transform is process-spawn bound, so spread rows across all
+    * task slots first (at real scale the input arrives pre-split and
+    * this repartition is the caller's knob, BatchPipeline.partitions).
+    */
   private def docsAsFiles(s: SparkSession, dir: String) =
     T(s, dir).documents.select(
       col("doc_id").cast("string").as("key"),
       encode(col("text"), "UTF-8").as("content"))
+      .repartition(s.sparkContext.defaultParallelism)
 
   val defs: ListMap[String, QueryDef] = ListMap(
     // ------------------------------------------------------------------

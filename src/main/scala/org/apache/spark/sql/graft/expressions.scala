@@ -25,33 +25,44 @@ import org.apache.spark.unsafe.types.UTF8String
 object expressions {
 
   // -------------------------------------------------------------------
-  /** Cosine similarity of two double arrays in one fused loop.
+  /** Cosine similarity of two numeric arrays in one fused loop,
+    * accumulated in double. Accepts array<float> AND array<double>
+    * natively — no per-row widening cast is materialized ((double)f
+    * in-register equals the cast array's element bit-for-bit, so
+    * results are identical either way, just without the allocation).
     * Null if either input is null; 0.0 on length mismatch or zero
-    * norm (never NaN). Float arrays are widened by the implicit cast
-    * ExpectsInputTypes inserts.
+    * norm (never NaN).
     */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
 
-    override def inputTypes: Seq[AbstractDataType] =
-      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
 
     override def dataType: DataType = DoubleType
 
     override def prettyName: String = "cosine_sim"
+
+    private def floatSide(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val n = x.numElements()
       if (n != y.numElements()) return 0.0d
+      val fx = floatSide(left)
+      val fy = floatSide(right)
       var dot = 0.0d
       var nx = 0.0d
       var ny = 0.0d
       var i = 0
       while (i < n) {
-        val xi = x.getDouble(i)
-        val yi = y.getDouble(i)
+        val xi = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
         dot += xi * yi
         nx += xi * xi
         ny += yi * yi
@@ -63,6 +74,8 @@ object expressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (x, y) => {
+        val gx = if (floatSide(left)) "getFloat" else "getDouble"
+        val gy = if (floatSide(right)) "getFloat" else "getDouble"
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val dot = ctx.freshName("dot")
@@ -77,8 +90,8 @@ object expressions {
           } else {
             double $dot = 0.0d; double $nx = 0.0d; double $ny = 0.0d;
             for (int $i = 0; $i < $n; $i++) {
-              final double $xi = $x.getDouble($i);
-              final double $yi = $y.getDouble($i);
+              final double $xi = (double) $x.$gx($i);
+              final double $yi = (double) $y.$gy($i);
               $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
             }
             ${ev.value} = ($nx == 0.0d || $ny == 0.0d)
@@ -100,22 +113,32 @@ object expressions {
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
 
-    override def inputTypes: Seq[AbstractDataType] =
-      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
 
     override def dataType: DataType = DoubleType
 
     override def prettyName: String = "dot_product"
+
+    private def floatSide(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val n = x.numElements()
       if (n != y.numElements()) return 0.0d
+      val fx = floatSide(left)
+      val fy = floatSide(right)
       var dot = 0.0d
       var i = 0
       while (i < n) {
-        dot += x.getDouble(i) * y.getDouble(i)
+        val xi = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+        dot += xi * yi
         i += 1
       }
       dot
@@ -123,6 +146,8 @@ object expressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (x, y) => {
+        val gx = if (floatSide(left)) "getFloat" else "getDouble"
+        val gy = if (floatSide(right)) "getFloat" else "getDouble"
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val dot = ctx.freshName("dot")
@@ -131,7 +156,7 @@ object expressions {
           double $dot = 0.0d;
           if ($n == $y.numElements()) {
             for (int $i = 0; $i < $n; $i++) {
-              $dot += $x.getDouble($i) * $y.getDouble($i);
+              $dot += ((double) $x.$gx($i)) * ((double) $y.$gy($i));
             }
           }
           ${ev.value} = $dot;
@@ -180,6 +205,82 @@ object expressions {
   }
 
   // -------------------------------------------------------------------
+  /** MinHash signature over an array of shingle hashes: one fused
+    * pass computing all `numHashes` minima. Permutation i of shingle
+    * hash h is xxhash64(h, seed=i) — the "one strong hash, many
+    * seeds" construction, computed in-register.
+    *
+    * Replaces the `transform(sequence(0,n-1), i -> array_min(
+    * transform(hashes, h -> xxhash64(h,i))))` HOF composition, which
+    * allocates n intermediate arrays per row and runs interpreted —
+    * ~30x slower (the difference between 217 s and 7 s on the sf0.1
+    * dedup bench, and the difference between feasible and not at
+    * 100 TB).
+    *
+    * Null input or empty array -> null signature (docs too short to
+    * shingle are excluded from LSH).
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType))
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullable: Boolean = true
+
+    override def prettyName: String = "minhash_signature"
+
+    override def nullSafeEval(input: Any): Any =
+      MinHashUtil.evalArray(input.asInstanceOf[ArrayData], numHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} =
+          org.apache.spark.sql.graft.MinHashUtil.evalArray($a, $numHashes);
+        ${ev.isNull} = (${ev.value} == null);
+      """)
+
+    override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+  }
+
+  // -------------------------------------------------------------------
+  /** Word-shingle hashes straight from the raw UTF8 bytes: tokenize
+    * on spaces, hash each n-token window (tokens joined by a single
+    * space) with xxhash64, return the SORTED DISTINCT hash array.
+    *
+    * This replaces the `array_distinct(transform(sequence(...),
+    * i -> concat_ws(" ", slice(tokens, i, n))))` composition that
+    * materializes every shingle as a new string — the dominant cost
+    * of the MinHash dedup pipeline. Downstream, Jaccard on distinct
+    * hash arrays equals Jaccard on shingle sets (collisions are
+    * ~2^-64). Sorted output also makes array_intersect cheap.
+    *
+    * Null text -> null; fewer than n tokens -> empty array.
+    */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def prettyName: String = "shingle_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleUtil.evalText(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = org.apache.spark.sql.graft.ShingleUtil.evalText($a, $n);")
+
+    override protected def withNewChildInternal(c: Expression): ShingleHashes =
+      copy(child = c)
+  }
+
+  // -------------------------------------------------------------------
   // Column-level API (the engine-facing surface).
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -192,6 +293,14 @@ object expressions {
 
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  def minhash_signature(shingleHashes: Column, numHashes: Int): Column =
+    ExpressionUtils.column(
+      MinHashSignature(ExpressionUtils.expression(shingleHashes), numHashes))
+
+  def shingle_hashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      ShingleHashes(ExpressionUtils.expression(text), n))
 }
 
 /** Top-level (stable-classname) helper shared by SimHash64.eval and
@@ -234,5 +343,115 @@ object SimHashUtil {
       b += 1
     }
     out
+  }
+}
+
+/** Top-level helper for MinHashSignature (stable classname for
+  * Janino-generated code).
+  */
+object MinHashUtil {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** All-minima pass: sig[i] = min over shingle hashes h of
+    * xxhash64(h, seed=i). Returns null for empty inputs.
+    */
+  def evalArray(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = arr.getLong(t)
+        var i = 0
+        while (i < numHashes) {
+          val v = XXH64.hashLong(h, i)
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** Top-level helper for ShingleHashes (stable classname for
+  * Janino-generated code).
+  */
+object ShingleUtil {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Seed = 42L
+
+  /** Tokenize on 0x20, hash every n-token window joined by single
+    * spaces, sort + dedup in place.
+    */
+  def evalText(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    // token spans: starts(i) inclusive, ends(i) exclusive
+    var count = 0
+    var i = 0
+    val len = bytes.length
+    var starts = new Array[Int](math.max(8, len / 4))
+    var ends = new Array[Int](starts.length)
+    while (i < len) {
+      while (i < len && bytes(i) == ' ') i += 1
+      if (i < len) {
+        val s0 = i
+        while (i < len && bytes(i) != ' ') i += 1
+        if (count == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, count * 2)
+          ends = java.util.Arrays.copyOf(ends, count * 2)
+        }
+        starts(count) = s0
+        ends(count) = i
+        count += 1
+      }
+    }
+    if (count < n) return new GenericArrayData(Array.empty[Long])
+    val nShingles = count - n + 1
+    val hashes = new Array[Long](nShingles)
+    // reusable join buffer sized to the longest window
+    var maxWin = 0
+    var w = 0
+    while (w < nShingles) {
+      val need = ends(w + n - 1) - starts(w)
+      if (need > maxWin) maxWin = need
+      w += 1
+    }
+    val buf = new Array[Byte](maxWin)
+    w = 0
+    while (w < nShingles) {
+      // join tokens w..w+n-1 with single spaces into buf
+      var pos = 0
+      var t = w
+      while (t < w + n) {
+        if (t > w) { buf(pos) = ' '; pos += 1 }
+        val tl = ends(t) - starts(t)
+        System.arraycopy(bytes, starts(t), buf, pos, tl)
+        pos += tl
+        t += 1
+      }
+      hashes(w) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, pos, Seed)
+      w += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // in-place dedup
+    var out = 0
+    var r = 0
+    while (r < nShingles) {
+      if (r == 0 || hashes(r) != hashes(r - 1)) {
+        hashes(out) = hashes(r)
+        out += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
   }
 }
