@@ -36,6 +36,28 @@ object Engine {
     spark
   }
 
+  /** The reference's entire control plane (SQS depth -> CloudWatch
+    * alarms -> ASG 0..N, SURVEY.md §3.3) expressed as Spark conf:
+    * apply on a real cluster deployment. Local test sessions don't
+    * need any of it (no executors to scale).
+    *
+    *  - dynamic allocation min=0      == ASG min-size 0 (scale to zero
+    *    executors; the driver itself never scales away — documented gap)
+    *  - schedulerBacklogTimeout 120s  == the >=120 s scale-up alarm
+    *    (60 s period x 2 evaluation periods)
+    *  - executorIdleTimeout 120s      == the scale-down alarm shape
+    *  - shuffle tracking               : required without an external
+    *    shuffle service
+    */
+  val clusterConf: Map[String, String] = Map(
+    "spark.dynamicAllocation.enabled" -> "true",
+    "spark.dynamicAllocation.minExecutors" -> "0",
+    "spark.dynamicAllocation.schedulerBacklogTimeout" -> "120s",
+    "spark.dynamicAllocation.executorIdleTimeout" -> "120s",
+    "spark.dynamicAllocation.shuffleTracking.enabled" -> "true",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true")
+
   /** Typed access to the driver fixture tables under one sf dir. */
   final case class Tables(spark: SparkSession, dir: String) {
     private def t(name: String): DataFrame =

@@ -141,25 +141,33 @@ object RelationalQueries {
           .select(col("o_orderkey"), col("o_custkey"),
             row_number().over(byDate).as("rn"),
             rank().over(bySpend).as("spend_rank"),
+            dense_rank().over(bySpend).as("spend_dense_rank"),
+            ntile(4).over(byDate).as("quartile"),
             sum(dec(col("o_totalprice")))
               .over(byDate.rowsBetween(Window.unboundedPreceding, 0))
               .cast("double").as("cum_spend"),
-            lag(col("o_totalprice"), 1, 0.0).over(byDate).as("prev_price"))
+            lag(col("o_totalprice"), 1, 0.0).over(byDate).as("prev_price"),
+            lead(col("o_totalprice"), 1, 0.0).over(byDate).as("next_price"))
       },
       oracle = Some("""
         SELECT o_orderkey, o_custkey,
                row_number() OVER w_date AS rn,
-               rank() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey) AS spend_rank,
+               rank() OVER w_spend AS spend_rank,
+               dense_rank() OVER w_spend AS spend_dense_rank,
+               ntile(4) OVER w_date AS quartile,
                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                  AS cum_spend,
                coalesce(lag(o_totalprice, 1) OVER w_date, 0.0)
-                 AS prev_price
+                 AS prev_price,
+               coalesce(lead(o_totalprice, 1) OVER w_date, 0.0)
+                 AS next_price
         FROM orders
-        WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""),
-      doc = "row_number/rank/lag/running-sum over one shared partitioning."),
+        WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               w_spend AS (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey)"""),
+      doc = "row_number/rank/dense_rank/ntile/lag/lead/running-sum windows."),
 
     // ------------------------------------------------------------------
     "q06_topk" -> QueryDef(
@@ -453,5 +461,48 @@ object RelationalQueries {
              (SELECT s_nationkey AS nkey, count(*) AS n_supp
               FROM supplier GROUP BY 1) s
         USING (nkey)"""),
-      doc = "Full outer join with null-side fill."))
+      doc = "Full outer join with null-side fill."),
+
+    // ------------------------------------------------------------------
+    "q21_sliding_window" -> QueryDef(
+      fn = { (s, dir) =>
+        // 30-min windows sliding by 10: each event lands in exactly 3
+        // windows (Expand node, no self-join).
+        T(s, dir).events
+          .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("window.start")).as("ws_us"), col("n"))
+      },
+      oracle = Some("""
+        SELECT (epoch_us(ts) // 600000000 - k.k) * 600000000 AS ws_us,
+               count(*) AS n
+        FROM events CROSS JOIN (VALUES (0), (1), (2)) k(k)
+        GROUP BY 1"""),
+      doc = "Sliding event-time windows (30m/10m, 3 windows per event)."),
+
+    // ------------------------------------------------------------------
+    "q22_cube" -> QueryDef(
+      fn = { (s, dir) =>
+        T(s, dir).orders
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""),
+      doc = "CUBE over two dimensions (all 4 grouping sets)."),
+
+    // ------------------------------------------------------------------
+    "q23_approx_distinct" -> QueryDef(
+      fn = { (s, dir) =>
+        // HLL++ sketch: implementation-defined estimate, so no DuckDB
+        // hash oracle (its HLL differs); the rows-only driver check
+        // plus RelationalSpec error-bound assertion cover it. At
+        // scale this replaces the memory-heavy exact distinct.
+        T(s, dir).lineitem.agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      },
+      oracle = None,
+      doc = "approx_count_distinct (HLL++) estimates (rows-only check)."))
 }

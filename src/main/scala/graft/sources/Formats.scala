@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, Row, SparkSession}
+
+/** File-format surface (SURVEY.md §2.1 S8).
+  *
+  * The reference has NO format support — file contents are opaque and
+  * the only "format" is the output extension suffix (GetJobs.py:45,47).
+  * The engine exposes Spark's readers/writers wholesale; this module
+  * is the thin, discoverable catalog of them (plus the `binaryFile`
+  * opaque-object scan in FileIngest, which IS the reference's model).
+  *
+  * `avro` is excluded: the spark-avro external module is not on this
+  * build's classpath (zero-egress container); on a normal deployment
+  * add org.apache.spark:spark-avro and it slots into the same API.
+  */
+object Formats {
+
+  /** Formats available in this build, all round-trip tested. */
+  val supported: Seq[String] = Seq("parquet", "orc", "json", "csv", "text")
+
+  def read(spark: SparkSession, format: String): DataFrameReader = {
+    require(supported.contains(format), s"unsupported format: $format")
+    val r = spark.read.format(format)
+    format match {
+      case "csv" => r.option("header", "true").option("inferSchema", "true")
+      case _ => r
+    }
+  }
+
+  def write(df: DataFrame, format: String): DataFrameWriter[Row] = {
+    require(supported.contains(format), s"unsupported format: $format")
+    val w = df.write.format(format)
+    format match {
+      case "csv" => w.option("header", "true")
+      case _ => w
+    }
+  }
+}

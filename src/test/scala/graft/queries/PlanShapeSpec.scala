@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Guards the physical-plan properties the 100 TB story depends on:
+  * pushdown, pruning, broadcast joins, top-k without global sort,
+  * whole-stage codegen. A regression here is a performance bug even
+  * while every correctness test stays green.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"),
+      s"no pushed filters in:\n$p")
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_extendedprice"), "projection not pruned")
+  }
+
+  test("q03: dim join is a broadcast hash join, not SMJ") {
+    val p = plan("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"no BHJ in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "unexpected SMJ")
+  }
+
+  test("q04: star join broadcasts every dim") {
+    val p = plan("q04_star_join")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"expected >=3 BHJ, got $bhj")
+  }
+
+  test("q06: top-k plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q06_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no TOAP in:\n$p")
+  }
+
+  test("q01: aggregation is partial+final hash agg") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate")
+  }
+
+  test("native cosine projection runs inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Engine.Tables(spark, dir).embeddings
+    val df = e.select(graft.functions.VectorFunctions
+      .cosineSim(col("embedding"), col("embedding")).as("c"))
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(p.contains("*(1) Project"), s"no codegen stage in:\n$p")
+    assert(p.contains("cosine_sim"), "native expression missing")
+    // and it actually executes through the generated path
+    assert(df.limit(5).collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("approx_count_distinct is within HLL error bounds") {
+    val got = SparkEntry.queries("q23_approx_distinct")(spark, dir).head()
+    val li = graft.Engine.Tables(spark, dir).lineitem
+    val exactParts = li.select("l_partkey").distinct().count()
+    val exactOrders = li.select("l_orderkey").distinct().count()
+    assert(math.abs(got.getLong(0) - exactParts).toDouble / exactParts < 0.1)
+    assert(math.abs(got.getLong(1) - exactOrders).toDouble / exactOrders < 0.1)
+  }
+}
