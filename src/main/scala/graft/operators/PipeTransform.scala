@@ -110,6 +110,20 @@ object PipeTransform {
         .forEach(f => Files.deleteIfExists(f))
     }
 
+  /** Line-oriented pipe: ONE process per PARTITION, text lines
+    * streamed through stdin/stdout (`RDD.pipe`). This is the scale
+    * path for line-shaped text commands: at 10^9 records,
+    * process-per-record spawning (the reference's model, `transform`
+    * above) costs ~ms x rows; process-per-partition amortizes it to
+    * ~ms x partitions. Not binary-safe and no per-record exit code —
+    * use `transform` when those semantics matter.
+    */
+  def transformLines(in: Dataset[String], command: Seq[String]): Dataset[String] = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    spark.createDataset(in.rdd.pipe(command))
+  }
+
   /** Success/failure split (P3, reference GetJobs.py:54-56 + 37-39):
     * successes flow to the sink; failures to quarantine with a
     * retry-count discipline owned by the caller.

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time streaming analytics over an `events`-shaped stream
   * (event_id, ts, user_id, event_type, value, props).
@@ -36,6 +37,40 @@ object EventStreams {
       .groupBy(window(col("ts"), "30 minutes", "5 minutes"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("n"))
+
+  /** Per-user running totals via explicit state
+    * (flatMapGroupsWithState) — the §2.10 "stateful ops" surface for
+    * logic `session_window`/windowed aggs can't express (custom
+    * eviction, conditional emission). Emits an updated (user_id,
+    * n_events, total_value) row whenever a user's cumulative value
+    * crosses another multiple of `emitEvery`.
+    *
+    * State is per-key and partitioned by the shuffle on user_id —
+    * exactly as scalable as a streaming agg; ProcessingTimeTimeout
+    * would bound state lifetime in production.
+    */
+  def runningTotals(
+      events: Dataset[(Long, Double)],
+      emitEvery: Double = 100.0): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          rows.foreach { case (_, v) =>
+            val crossed =
+              (total / emitEvery).toLong != ((total + v) / emitEvery).toLong
+            n += 1
+            total += v
+            if (crossed) out += ((user, n, total))
+          }
+          state.update((n, total))
+          out.result().iterator
+      }
+  }
 
   /** Gap-based sessions per user (30 min), same semantics as the
     * batch q16_sessionize.

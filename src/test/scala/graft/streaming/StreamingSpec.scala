@@ -99,4 +99,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((7L, "2024-01-01 09:00:00.0", 2L)))
     assert(rows.contains((7L, "2024-01-01 09:30:00.0", 1L)))
   }
+
+  test("flatMapGroupsWithState running totals emit on threshold crossings") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = EventStreams.runningTotals(mem.toDS(), emitEvery = 100.0)
+      .toDF("user_id", "n_events", "total")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("running_out").start()
+    mem.addData((1L, 60.0), (1L, 50.0))  // crosses 100 at n=2
+    q.processAllAvailable()
+    mem.addData((1L, 30.0))              // no crossing (110 -> 140)
+    mem.addData((1L, 70.0))              // crosses 200 at n=4
+    mem.addData((2L, 250.0))             // user 2 crosses at n=1
+    q.processAllAvailable()
+    val rows = spark.table("running_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows.contains((1L, 2L, 110.0)))
+    assert(rows.contains((1L, 4L, 210.0)))
+    assert(rows.contains((2L, 1L, 250.0)))
+    assert(rows.size == 3)
+  }
 }
