@@ -31,6 +31,11 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fresh per-process warehouse: the default ./spark-warehouse
+      // outlives the in-memory catalog (new JVM -> empty catalog but
+      // orphaned managed-table dirs -> LOCATION_ALREADY_EXISTS)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh-").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

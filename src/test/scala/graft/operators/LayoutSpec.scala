@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed join on matching buckets plans zero Exchange") {
+    val t = graft.Engine.Tables(spark, "/root/testdata/sf0.001")
+    Layout.writeBucketed(
+      t.orders.select("o_orderkey", "o_totalprice"),
+      "b_orders", "o_orderkey", 4)
+    Layout.writeBucketed(
+      t.lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "b_lineitem", "o_orderkey", 4)
+    // force the non-broadcast path: the point of bucketing is the big
+    // fact⋈fact case where broadcasting is impossible
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Layout.bucketedJoin(spark, "b_orders", "b_lineitem",
+        "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      // and it is still correct
+      val o = t.orders
+      val l = t.lineitem
+      val expected = o.join(l, o("o_orderkey") === l("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("salted join matches plain join results under heavy key skew") {
+    import spark.implicits._
+    // 10k rows all sharing one hot key + a tail
+    val big = ((1 to 10000).map(i => (1L, s"row$i")) ++
+      (1 to 100).map(i => (i.toLong + 1, s"tail$i"))).toDF("k", "payload")
+    val dim = (1 to 200).map(i => (i.toLong, s"dim$i")).toDF("k", "attr")
+    val plain = big.join(dim, "k")
+    val salted = Layout.saltedJoin(big, dim, "k", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.toSet == plain.columns.toSet)
+    // hot key actually split across salts
+    val saltSpread = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(8)))
+      .filter($"k" === 1L).select("__salt").distinct().count()
+    assert(saltSpread > 4, s"salt spread only $saltSpread")
+  }
+
+  test("salted sum/count equals plain aggregation") {
+    import spark.implicits._
+    val df = ((1 to 5000).map(_ => ("hot", 1.0)) ++
+      (1 to 50).map(i => (s"k$i", 2.0))).toDF("k", "v")
+    val plain = df.groupBy("k").agg(
+      sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Layout.saltedSumCount(df, "k", "v", salts = 16)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+  }
+}
