@@ -70,12 +70,14 @@ object Dedup {
     */
   def candidatePairs(
       buckets: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
-    val sized = buckets
-      .withColumn("bsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))))
+    // Bucket-size cap via hash-agg + semi-join on small buckets: a
+    // window count would sort every partition; the aggregate is one
+    // map-side-combinable pass and the ok-bucket list is tiny.
+    val okBuckets = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") <= maxBucketSize)
-      .drop("bsize")
+      .select("band", "bucket")
+    val sized = buckets.join(okBuckets, Seq("band", "bucket"), "left_semi")
     val l = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
     val rt = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(rt, Seq("band", "bucket"))

@@ -504,5 +504,52 @@ object RelationalQueries {
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       },
       oracle = None,
-      doc = "approx_count_distinct (HLL++) estimates (rows-only check)."))
+      doc = "approx_count_distinct (HLL++) estimates (rows-only check)."),
+
+    // ------------------------------------------------------------------
+    "q24_salted_agg" -> QueryDef(
+      fn = { (s, dir) =>
+        // Manual skew-splitting aggregation (Layout.saltedSumCount):
+        // hot keys are spread over 16 reducers in the partial stage.
+        // Value pre-cast to DECIMAL so the salted partial sums are
+        // order-independent (oracle-exact).
+        val li = T(s, dir).lineitem
+          .withColumn("qty_dec", dec(col("l_quantity")))
+        graft.operators.Layout
+          .saltedSumCount(li, "l_returnflag", "qty_dec", salts = 16)
+          .select(col("l_returnflag"),
+            col("sum_qty_dec").cast("double").as("sum_qty"), col("n"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag"""),
+      doc = "Two-phase salted aggregation == plain groupBy (skew path)."),
+
+    // ------------------------------------------------------------------
+    "q25_bucketed_join" -> QueryDef(
+      fn = { (s, dir) =>
+        // Shuffle-once-at-ingest: write both sides bucketed on the
+        // join key, then join + aggregate with zero Exchange on the
+        // fact tables (LayoutSpec asserts the plan property).
+        val t = T(s, dir)
+        graft.operators.Layout.writeBucketed(
+          t.orders.select("o_orderkey", "o_totalprice"),
+          "graft_b_orders", "o_orderkey", 8)
+        graft.operators.Layout.writeBucketed(
+          t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+            col("l_quantity")),
+          "graft_b_lineitem", "o_orderkey", 8)
+        graft.operators.Layout
+          .bucketedJoin(s, "graft_b_orders", "graft_b_lineitem", "o_orderkey")
+          .groupBy()
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""),
+      doc = "Bucketed co-located join (no fact-side shuffle)."))
 }
