@@ -70,14 +70,18 @@ object Dedup {
     */
   def candidatePairs(
       buckets: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
-    // Bucket-size cap via hash-agg + semi-join on small buckets: a
-    // window count would sort every partition; the aggregate is one
-    // map-side-combinable pass and the ok-bucket list is tiny.
-    val okBuckets = buckets.groupBy(col("band"), col("bucket"))
+    // Materialize the bucket table once (localCheckpoint): three
+    // consumers follow (size agg, join left, join right) and each
+    // would otherwise recompute the full signature subtree. The cap
+    // itself is a hash-agg + semi-join on small buckets — one
+    // map-side-combinable pass, no per-partition sort (a window
+    // count would sort the whole exploded table).
+    val b = buckets.localCheckpoint()
+    val okBuckets = b.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") <= maxBucketSize)
       .select("band", "bucket")
-    val sized = buckets.join(okBuckets, Seq("band", "bucket"), "left_semi")
+    val sized = b.join(okBuckets, Seq("band", "bucket"), "left_semi")
     val l = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
     val rt = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(rt, Seq("band", "bucket"))
