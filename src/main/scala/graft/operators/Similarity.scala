@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -74,6 +76,58 @@ object Similarity {
       .distinct() // a pair can meet via several tables/probes
       .select(col("qid"), col("id"),
         VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) approximate top-k: a k-means coarse
+    * quantizer partitions the corpus into `nlist` cells; each query
+    * scans only its `nprobe` nearest cells.
+    *
+    * Complements the LSH path: IVF adapts to the data distribution
+    * (centroids follow density; LSH planes are data-oblivious) at the
+    * cost of a training pass. At scale: train on a sample, assignment
+    * is one broadcast-centroid map pass, and the cell id becomes a
+    * partition/sort key so a cell scan is a partition-pruned read —
+    * the classic vector-index layout, expressed as plain columns.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val train = corpus.select(
+      array_to_vector(VectorFunctions.asDouble(col(vecCol))).as("features"))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
+      .fit(train)
+    // centroids as plain arrays, broadcast-sized by construction
+    val centroids = model.clusterCenters.zipWithIndex.toSeq.map {
+      case (c, i) => (i, c.toArray.toSeq)
+    }
+    import spark.implicits._
+    val centDf = centroids.toDF("cell", "cvec_center")
+    def assign(df: DataFrame, id: String, out: String, probes: Int) = {
+      val scored = df.crossJoin(broadcast(centDf))
+        .select(col(id), col(vecCol),
+          col("cell"),
+          VectorFunctions.cosineSim(col(vecCol), col("cvec_center")).as("csim"))
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cell"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= probes)
+        .select(col(id), col(vecCol).as(out), col("cell"))
+    }
+    val cells = assign(corpus.select(col(idCol).as("id"), col(vecCol)),
+      "id", "cvec", 1)
+    val probed = assign(queries.select(col(idCol).as("qid"), col(vecCol)),
+      "qid", "qvec", nprobe)
+    val scored = cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+      .distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

@@ -167,5 +167,20 @@ object DedupQueries {
             round(col("cosine"), 4).as("cosine"), col("rank"))
       },
       oracle = None,
-      doc = "LSH-bucketed ANN top-5 with multi-probe (rows-only)."))
+      doc = "LSH-bucketed ANN top-5 with multi-probe (rows-only)."),
+
+    // ------------------------------------------------------------------
+    "s03_topk_ivf" -> QueryDef(
+      fn = { (s, dir) =>
+        // IVF variant: k-means coarse quantizer + nprobe cell scan.
+        // Not oracle-expressible (trained centroids); recall vs s01
+        // asserted in SimilaritySpec.
+        val e = T(s, dir).embeddings
+        Similarity.ivfTopK(e, e.filter(col("vec_id") % 50 === 0),
+          k = 5, nlist = 16, nprobe = 3)
+          .select(col("qid"), col("id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      oracle = None,
+      doc = "IVF (k-means cells, nprobe=3) ANN top-5 (rows-only)."))
 }

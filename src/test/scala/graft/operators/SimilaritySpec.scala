@@ -40,4 +40,19 @@ class SimilaritySpec extends AnyFunSuite {
     val lsh2 = asSet(Similarity.lshTopK(emb, q, k = 5))
     assert(lsh == lsh2)
   }
+
+  test("IVF top-k recall@5 vs brute force") {
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(Similarity.bruteForceTopK(emb, q, k = 5))
+    val ivf = asSet(Similarity.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 3))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+    // shape: exactly 5 neighbors per query
+    val perQ = Similarity.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 3)
+      .groupBy("qid").count().collect()
+    assert(perQ.forall(_.getLong(1) == 5L))
+  }
 }
