@@ -145,6 +145,48 @@ object Multimodal {
     }(enc)
   }
 
+  /** Audio-stats metadata for a PCM payload: the payload after the
+    * header is interpreted as little-endian int16 samples. Unlike the
+    * image decode this needs NO codec — raw PCM math is exact — so
+    * this operator is fully real: n_samples, duration, RMS, peak.
+    */
+  def audioStats(
+      df: DataFrame, keyCol: String, binCol: String,
+      sampleRate: Int = 16000): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(keyCol),
+      StructField("n_samples", LongType),
+      StructField("duration_s", DoubleType),
+      StructField("rms", DoubleType),
+      StructField("peak", IntegerType),
+      StructField("valid", BooleanType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(keyCol), col(binCol)).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.length < 16 || !hasMagic(bytes)) {
+          Row(r.get(0), 0L, 0.0, 0.0, 0, false)
+        } else {
+          val n = (bytes.length - 16) / 2
+          var sumSq = 0.0
+          var peak = 0
+          var i = 0
+          while (i < n) {
+            val lo = bytes(16 + 2 * i) & 0xff
+            val hi = bytes(16 + 2 * i + 1).toInt
+            val s = (hi << 8) | lo
+            sumSq += s.toDouble * s.toDouble
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            i += 1
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          Row(r.get(0), n.toLong, n.toDouble / sampleRate, rms, peak, true)
+        }
+      }
+    }(enc)
+  }
+
   private def hasMagic(a: Array[Byte]): Boolean =
     a.length >= MagicBytes.length && {
       var i = 0

@@ -76,5 +76,24 @@ object MultimodalQueries {
                (n_total + 3) // 4 AS n_frames,
                32 * ((n_total + 3) // 4) AS frame_bytes
         FROM f WHERE n_total > 0"""),
-      doc = "Stub frame sampling: explode-shaped generator over binary."))
+      doc = "Stub frame sampling: explode-shaped generator over binary."),
+
+    // ------------------------------------------------------------------
+    "m03_audio_stats" -> QueryDef(
+      fn = { (s, dir) =>
+        // Payload bytes as little-endian int16 PCM; exact math, no
+        // codec. n_samples is oracle-checkable from the byte length;
+        // rms/peak are pinned by MultimodalSpec.
+        graft.operators.Multimodal
+          .audioStats(fakeImages(s, dir), "doc_id", "image")
+          .select(col("doc_id"), col("n_samples"),
+            round(col("duration_s"), 6).as("duration_s"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               octet_length(encode(text)) // 2 AS n_samples,
+               round((octet_length(encode(text)) // 2) / 16000.0, 6)
+                 AS duration_s
+        FROM documents"""),
+      doc = "PCM audio stats over binary payloads (exact, codec-free)."))
 }

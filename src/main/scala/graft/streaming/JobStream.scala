@@ -58,6 +58,19 @@ object JobStream {
       .start()
   }
 
+  /** Graceful shutdown (reference T4, GetJobs.py:63-65 SIGINT
+    * handler): stop the query at the next micro-batch boundary; also
+    * installable as a JVM shutdown hook so ^C drains cleanly. The
+    * checkpoint guarantees the interrupted batch is either fully
+    * committed or fully re-run on restart.
+    */
+  def stopGracefully(query: StreamingQuery, installHook: Boolean = false): Unit = {
+    def stop(): Unit = if (query.isActive) query.stop()
+    if (installHook)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => stop()))
+    else stop()
+  }
+
   /** One micro-batch = one bounded BatchPipeline pass over the named
     * input files. Package-private for direct testing.
     */

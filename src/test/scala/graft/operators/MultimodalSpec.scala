@@ -51,4 +51,22 @@ class MultimodalSpec extends AnyFunSuite {
     val f3 = frames.find(_.getInt(1) == 3).get.getAs[Array[Byte]](2)
     assert(f3.head == 30.toByte) // payload offset preserved
   }
+
+  test("audio stats: exact int16 PCM math") {
+    // samples: 0, +1000, -1000, 32767 (LE int16)
+    val pcm = Array[Int](0, 1000, -1000, 32767).flatMap { s =>
+      Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+    }
+    val df = Seq((1L, Multimodal.encodeFakeImage(1, 1, "png", pcm)),
+      (2L, "garbage".getBytes)).toDF("id", "a")
+    val got = Multimodal.audioStats(df, "id", "a", sampleRate = 1000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getLong(1) == 4L)
+    assert(r1.getDouble(2) == 0.004)
+    val expectedRms = math.sqrt((0.0 + 1000.0 * 1000 * 2 + 32767.0 * 32767) / 4)
+    assert(math.abs(r1.getDouble(3) - expectedRms) < 1e-9)
+    assert(r1.getInt(4) == 32767)
+    assert(!got(2L).getBoolean(5))
+  }
 }
