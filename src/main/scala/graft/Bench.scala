@@ -26,10 +26,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warm the JVM/codegen/file-listing paths once, untimed, on the
-    // cheapest aggregate query.
-    SparkEntry.queries.headOption.foreach { case (n, _) =>
-      try runOnce("q01_pricing_summary") catch { case _: Throwable => () }
+    // Warm the JVM/codegen/file-listing paths once, untimed.
+    if (SparkEntry.queries.contains("q01_pricing_summary")) {
+      runOnce("q01_pricing_summary")
+      ()
     }
 
     // min of two runs per query: strips GC/JIT/page-cache noise, the

@@ -12,12 +12,13 @@ import org.apache.spark.sql.types._
   * library amortizes per-batch setup, Spark only sees a narrow
   * iterator transform, no shuffle, full partition parallelism.
   *
-  * The actual codec calls are STUBBED (this container ships no
-  * image/audio libs): `GraftImageHeader` is a deterministic 16-byte
-  * fake header that `decodeBatch` parses. Swapping in a real decoder
-  * means replacing ONLY `ImageDecoder.decode` — schema, batching,
-  * partitioning, null handling, and error routing stay as-is and are
-  * what the tests pin down.
+  * The image codec call is STUBBED (this container ships no image
+  * libs): a deterministic 16-byte header (`MagicBytes` + dims +
+  * format tag) stands in for real encoded bytes. Swapping in a real
+  * decoder means replacing ONLY `ImageDecoder.decode` — schema,
+  * batching, partitioning, null handling, and error routing stay
+  * as-is and are what the tests pin down. `audioStats` needs no stub
+  * at all: raw PCM math is exact.
   */
 object Multimodal {
 

@@ -25,6 +25,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "simhash64",
       "simhash64(tokens) - 64-bit SimHash of a string-token array",
       { case Seq(t) => SimHash64(t) })
+    register(ext, "shingle_hashes",
+      "shingle_hashes(text, n) - sorted distinct xxhash64 of word n-grams",
+      { case Seq(t, n) => ShingleHashes(t, toIntLit(n, "shingle_hashes")) })
+    register(ext, "minhash_signature",
+      "minhash_signature(hashes, k) - k-permutation MinHash signature",
+      { case Seq(h, k) => MinHashSignature(h, toIntLit(k, "minhash_signature")) })
+  }
+
+  private def toIntLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected integer literal, got $other")
   }
 
   private def register(

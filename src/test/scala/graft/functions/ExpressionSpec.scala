@@ -70,10 +70,14 @@ class ExpressionSpec extends AnyFunSuite {
     val one = spark.sql(
       "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
         "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
-        "simhash64(array('a','b')) AS h").head()
+        "simhash64(array('a','b')) AS h, " +
+        "shingle_hashes('a b c d', 2) AS sh, " +
+        "minhash_signature(shingle_hashes('a b c d', 2), 8) AS sig").head()
     assert(math.abs(one.getDouble(0) - 1.0) < 1e-12)
     assert(one.getDouble(1) == 11.0)
     assert(one.getLong(2) != 0L)
+    assert(one.getSeq[Long](3).length == 3) // "a b","b c","c d"
+    assert(one.getSeq[Long](4).length == 8)
   }
 
   test("codegen path actually compiles (no fallback): project over 1k rows") {
