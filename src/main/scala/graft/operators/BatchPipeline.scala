@@ -35,7 +35,8 @@ object BatchPipeline {
       spark: SparkSession, inDir: String, outDir: String,
       command: Seq[String], ext: String = ".out",
       partitions: Int = 0): Result = {
-    val files = FileIngest.keyed(FileIngest.readDir(spark, inDir))
+    val files = FileIngest.keyed(FileIngest.readDir(spark, inDir),
+      baseDir = Some(inDir))
     val sized =
       if (partitions > 0) files.repartition(partitions) else files
     // Persist so the external command runs exactly once per record

@@ -114,15 +114,32 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: deterministic verified pairs
     * with exact Jaccard >= threshold.
+    *
+    * Exact duplicates are detected SEPARATELY (fingerprint groupBy)
+    * and unioned in as (keep_id, dup_id, 1.0) pairs: a flood of
+    * >maxBucketSize identical docs saturates every LSH bucket and
+    * would otherwise be dropped by the cap — the exact path is
+    * immune to that (and O(n) per flood instead of O(n^2) pairs).
     */
   def nearDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 32,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
-    val cands = candidatePairs(lshBuckets(sigs, bands, numHashes))
-    verifyJaccard(cands, df, textCol, idCol, shingleSize)
+    val cands = candidatePairs(lshBuckets(sigs, bands, numHashes),
+      maxBucketSize)
+    val lshPairs = verifyJaccard(cands, df, textCol, idCol, shingleSize)
       .filter(col("jaccard") >= threshold)
+    val exactPairs = df
+      .select(col(idCol).as("did"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .withColumn("keep", min(col("did")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("did") =!= col("keep"))
+      .select(col("keep").as("id_a"), col("did").as("id_b"),
+        lit(1.0).as("jaccard"))
+    lshPairs.unionByName(exactPairs)
+      .groupBy("id_a", "id_b").agg(max(col("jaccard")).as("jaccard"))
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints, banded into
@@ -170,14 +187,14 @@ object Dedup {
       df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, bits: Int = 4, tables: Int = 12,
       dim: Int = 64): DataFrame = {
-    val sigd = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // ids only through the (wide, exploded) bucket self-join — the
+    // vectors would multiply the shuffle width by tables x dim floats;
+    // they are re-joined once per side on the (small) distinct pair set
+    val sigd = df.select(col(idCol).as("id"),
       posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables, dim)))
-      .select(col("id"), col("v"), col("pos").as("table"),
-        col("col").as("bucket"))
-    val l = sigd.select(col("table"), col("bucket"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val rt = sigd.select(col("table"), col("bucket"),
-      col("id").as("id_b"), col("v").as("v_b"))
+      .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
+    val l = sigd.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val rt = sigd.select(col("table"), col("bucket"), col("id").as("id_b"))
     l.join(rt, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

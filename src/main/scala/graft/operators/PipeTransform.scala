@@ -78,6 +78,11 @@ object PipeTransform {
       val pb = new ProcessBuilder(
         (command ++ Seq(inF.toString, outF.toString)): _*)
       pb.redirectErrorStream(false)
+      // stdout -> executor log (the reference's subprocess.call also
+      // inherits it). Leaving it a pipe we never drain would deadlock
+      // any command that writes >64KB to stdout: child blocks on the
+      // full pipe while we block reading stderr.
+      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       proc.getOutputStream.close()
       val stderr = new String(

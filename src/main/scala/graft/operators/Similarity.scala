@@ -109,20 +109,26 @@ object Similarity {
     }
     import spark.implicits._
     val centDf = centroids.toDF("cell", "cvec_center")
-    def assign(df: DataFrame, id: String, out: String, probes: Int) = {
-      val scored = df.crossJoin(broadcast(centDf))
-        .select(col(id), col(vecCol),
-          col("cell"),
+    def scoredCells(df: DataFrame, id: String) =
+      df.crossJoin(broadcast(centDf))
+        .select(col(id), col(vecCol), col("cell"),
           VectorFunctions.cosineSim(col(vecCol), col("cvec_center")).as("csim"))
-      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cell"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= probes)
-        .select(col(id), col(vecCol).as(out), col("cell"))
-    }
-    val cells = assign(corpus.select(col(idCol).as("id"), col(vecCol)),
-      "id", "cvec", 1)
-    val probed = assign(queries.select(col(idCol).as("qid"), col(vecCol)),
-      "qid", "qvec", nprobe)
+    // Corpus assignment (probes=1) is an ARGMAX, not a ranking: one
+    // map-side-combinable hash agg per vector — no window sort of the
+    // whole corpus. Tie-break on lower cell id via (csim, -cell) max.
+    val cells = scoredCells(corpus.select(col(idCol).as("id"), col(vecCol)), "id")
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cell"), col(vecCol).as("cvec")),
+        struct(col("csim"), (col("cell") * -1).as("nc"))).as("best"))
+      .select(col("id"), col("best.cvec").as("cvec"), col("best.cell").as("cell"))
+    // Query probing genuinely needs top-nprobe: window over the tiny
+    // (|queries| x nlist) scored set.
+    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
+    val probed = scoredCells(
+      queries.select(col(idCol).as("qid"), col(vecCol)), "qid")
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col(vecCol).as("qvec"), col("cell"))
     val scored = cells.join(broadcast(probed), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),

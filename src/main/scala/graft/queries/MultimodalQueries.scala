@@ -84,16 +84,19 @@ object MultimodalQueries {
         // Payload bytes as little-endian int16 PCM; exact math, no
         // codec. n_samples is oracle-checkable from the byte length;
         // rms/peak are pinned by MultimodalSpec.
+        // duration emitted as exact integer micros (n*1e6 div rate):
+        // rounding the per-row double quotient hits exact .5 ties for
+        // every odd n (float-discipline violation)
         graft.operators.Multimodal
           .audioStats(fakeImages(s, dir), "doc_id", "image")
           .select(col("doc_id"), col("n_samples"),
-            round(col("duration_s"), 6).as("duration_s"))
+            expr("n_samples * 1000000 div 16000").as("duration_us"))
       },
       oracle = Some("""
         SELECT doc_id,
                octet_length(encode(text)) // 2 AS n_samples,
-               round((octet_length(encode(text)) // 2) / 16000.0, 6)
-                 AS duration_s
+               ((octet_length(encode(text)) // 2) * 1000000) // 16000
+                 AS duration_us
         FROM documents"""),
       doc = "PCM audio stats over binary payloads (exact, codec-free)."))
 }

@@ -43,10 +43,13 @@ object NamedSink {
   }
 
   /** The reference stages/publishes by raw fileName, allowing path
-    * traversal via keys containing separators; we flatten them.
+    * traversal via keys containing separators; we percent-encode the
+    * separators (and the escape char itself) — unlike a plain
+    * replace-with-underscore, encoding is injective, so distinct keys
+    * can never collide onto one output file.
     */
   private def sanitize(key: String): String =
-    key.replace('/', '_').replace('\\', '_')
+    key.replace("%", "%25").replace("/", "%2F").replace("\\", "%5C")
 
   private def writeAtomic(dir: Path, name: String, bytes: Array[Byte]): Unit = {
     val tmp = Files.createTempFile(dir, s".$name.", ".tmp")

@@ -65,12 +65,25 @@ object FileIngest {
   }
 
   /** (key, content) view used by PipeTransform: key = bare file name,
-    * the reference's record identity (SendJobs.py:22-23).
+    * the reference's record identity (SendJobs.py:22-23). For
+    * RECURSIVE scans pass `baseDir` so the key is the base-relative
+    * path — bare basenames would collapse `a/data.txt` and
+    * `b/data.txt` into one key and the named sink would clobber one
+    * output.
     */
-  def keyed(files: DataFrame): DataFrame =
-    files.select(
-      element_at(split(col("path"), "/"), -1).as("key"),
-      col("content"))
+  def keyed(files: DataFrame, baseDir: Option[String] = None): DataFrame = {
+    val key = baseDir match {
+      case Some(b) =>
+        // strip everything up to and including the base dir segment;
+        // scan paths are URIs (file:/...), so anchor on the dir name
+        val prefix = b.stripSuffix("/") + "/"
+        val anchored = regexp_replace(col("path"), "^.*" +
+          java.util.regex.Pattern.quote(prefix.dropWhile(_ != '/')), "")
+        anchored
+      case None => element_at(split(col("path"), "/"), -1)
+    }
+    files.select(key.as("key"), col("content"))
+  }
 
   /** Build the job manifest (S3): one JobSpec row per file, with the
     * reference's positional-JSON envelope attached for wire fidelity.

@@ -52,7 +52,7 @@ object JobStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, inputDir, outputDir, command, ext)
+        processBatch(batch, batchId, inputDir, outputDir, command, ext)
         ()
       }
       .start()
@@ -71,38 +71,62 @@ object JobStream {
     else stop()
   }
 
-  /** One micro-batch = one bounded BatchPipeline pass over the named
-    * input files. Package-private for direct testing.
+  /** One micro-batch = one bounded pipe pass over ONLY the files the
+    * batch names. Package-private for direct testing.
+    *
+    * The batch's fileName set is bounded by maxFilesPerTrigger x
+    * lines-per-envelope-file, so collecting it to the driver is the
+    * streaming analog of "one SQS message batch" — and it lets us
+    * read exactly those objects (per-key GETs, like the reference's
+    * worker) instead of rescanning the whole input directory every
+    * trigger.
     */
   private[streaming] def processBatch(
-      batch: DataFrame, inputDir: String, outputDir: String,
+      batch: DataFrame, batchId: Long, inputDir: String, outputDir: String,
       command: Seq[String], ext: String): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val (ok, bad) = JobSpec.dispatch(batch)
-    // load content for dispatchable jobs by file name
-    val keyed = ok.select(col("fileName").as("key"))
-      .join(
+    val names = ok.select("fileName").distinct()
+      .collect().map(_.getString(0))
+    // driver-side existence check: metadata-only, one call per named
+    // file (bounded by the batch size)
+    val base = new org.apache.hadoop.fs.Path(inputDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val (present, absent) = names.partition { n =>
+      val p = new org.apache.hadoop.fs.Path(base, n)
+      fs.exists(p) && fs.getFileStatus(p).isFile
+    }
+    import spark.implicits._
+    val missing = absent.toSeq.map(n => (n, -2, "input object not found"))
+      .toDF("key", "exitCode", "error")
+    val results =
+      if (present.isEmpty) None
+      else Some(PipeTransform.transform(
         graft.sources.FileIngest.keyed(
-          graft.sources.FileIngest.readDir(spark, inputDir)),
-        Seq("key"), "left")
-    val missing = keyed.filter(col("content").isNull)
-      .select(col("key"), lit(-2).as("exitCode"),
-        lit("input object not found").as("error"))
-    val results = PipeTransform.transform(
-      keyed.filter(col("content").isNotNull), command)
-      .persist()
+          spark.read.format("binaryFile")
+            .load(present.map(n => new org.apache.hadoop.fs.Path(base, n).toString): _*),
+          baseDir = Some(inputDir)),
+        command).persist())
     try {
-      val (succ, fail) = PipeTransform.split(results)
-      NamedSink.write(succ, outputDir, ext)
-      fail.select("key", "exitCode", "error")
+      results.foreach { r =>
+        NamedSink.write(PipeTransform.split(r)._1, outputDir, ext)
+      }
+      val failed = results.map(r => PipeTransform.split(r)._2
+        .select("key", "exitCode", "error"))
+        .getOrElse(missing.limit(0))
+      failed
         .unionByName(missing)
         .unionByName(bad.select(
           coalesce(col("fileName"), col("envelope")).as("key"),
           lit(-3).as("exitCode"),
           concat(lit("undispatchable action: "),
             coalesce(col("action"), lit("null"))).as("error")))
-        .write.mode("append").parquet(s"${outputDir}_quarantine")
-    } finally { results.unpersist(); () }
+        // per-batch overwrite => a retried micro-batch rewrites its own
+        // partition instead of appending duplicates (foreachBatch is
+        // at-least-once; this keeps the quarantine exactly-once too)
+        .write.mode("overwrite")
+        .parquet(s"${outputDir}_quarantine/batch=$batchId")
+    } finally { results.foreach(_.unpersist()); () }
   }
 }

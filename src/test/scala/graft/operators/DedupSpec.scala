@@ -72,6 +72,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("identical-doc flood beyond maxBucketSize still dedups via exact path") {
+    val flood = (1L to 30L).map(i =>
+      (i, "exactly the same boilerplate text repeated verbatim in every copy"))
+    val docs = (flood :+ ((99L, "an unrelated document about other things entirely")))
+      .toDF("doc_id", "text")
+    // cap of 5 << 30 copies: every LSH bucket for the flood is dropped,
+    // but exact-dup pairs must still appear
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
+      threshold = 0.5, numHashes = 64, bands = 16, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((2L to 30L).forall(i => pairs.contains((1L, i))),
+      s"flood pairs missing: ${pairs.size}")
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
   test("clusterReps propagates min id across chained pairs") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
