@@ -551,5 +551,72 @@ object RelationalQueries {
         SELECT count(*) AS n_rows,
                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""),
-      doc = "Bucketed co-located join (no fact-side shuffle)."))
+      doc = "Bucketed co-located join (no fact-side shuffle)."),
+
+    // ------------------------------------------------------------------
+    "q26_asof_carry" -> QueryDef(
+      fn = { (s, dir) =>
+        // As-of semantics composed from built-ins (SURVEY.md §7
+        // preference (a)): for each event, the value of the same
+        // user's most recent STRICTLY-PRIOR 'error' event. One window
+        // pass — no join at all, which is exactly why composing beats
+        // a custom as-of join operator here: the sort-merge work an
+        // AsOfJoinExec would do is the same single shuffle+sort.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        T(s, dir).events
+          .withColumn("prev_error_value",
+            last(when(col("event_type") === "error", col("value")), true)
+              .over(w))
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("prev_error_value"), lit(-1.0))
+              .as("prev_error_value"))
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+               coalesce(
+                 last_value(CASE WHEN event_type = 'error' THEN value END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 -1.0) AS prev_error_value
+        FROM events"""),
+      doc = "As-of value carry (most recent prior matching row per key)."),
+
+    // ------------------------------------------------------------------
+    "q27_range_join" -> QueryDef(
+      fn = { (s, dir) =>
+        // Interval/range join at scale: bucketize time to the window
+        // width, join each probe row to its own and previous bucket
+        // only, then apply the exact range predicate — turns the
+        // quadratic theta-join (BroadcastNestedLoop) into an
+        // equi-join shuffle with 2x fan-out. Pairs: error events
+        // joined to purchases of the SAME user within the preceding
+        // 10 minutes.
+        val ev = T(s, dir).events
+        val win = 600000000L // 10 min in micros
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"),
+            unix_micros(col("ts")).as("err_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            unix_micros(col("ts")).as("p_us"))
+        val probes = errors.withColumn("bucket",
+          explode(array(expr(s"err_us div $win"),
+            expr(s"err_us div $win") - 1)))
+        val build = purchases.withColumn("bucket", expr(s"p_us div $win"))
+        probes.join(build, Seq("user_id", "bucket"))
+          .filter(col("p_us") >= col("err_us") - win &&
+            col("p_us") < col("err_us"))
+          .select("err_id", "p_id", "user_id").distinct()
+      },
+      oracle = Some("""
+        SELECT DISTINCT e.event_id AS err_id, p.event_id AS p_id, e.user_id
+        FROM events e JOIN events p
+          ON e.user_id = p.user_id
+         AND e.event_type = 'error' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) >= epoch_us(e.ts) - 600000000
+         AND epoch_us(p.ts) < epoch_us(e.ts)"""),
+      doc = "Bucketized range join (theta-join as equi-join + filter)."))
 }
