@@ -618,5 +618,90 @@ object RelationalQueries {
          AND e.event_type = 'error' AND p.event_type = 'purchase'
          AND epoch_us(p.ts) >= epoch_us(e.ts) - 600000000
          AND epoch_us(p.ts) < epoch_us(e.ts)"""),
-      doc = "Bucketized range join (theta-join as equi-join + filter)."))
+      doc = "Bucketized range join (theta-join as equi-join + filter)."),
+
+    // ------------------------------------------------------------------
+    "q28_percentiles" -> QueryDef(
+      fn = { (s, dir) =>
+        // Exact interpolated percentiles (both engines use the
+        // standard (1-f)*lower + f*upper continuous quantile).
+        T(s, dir).orders
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderstatus"""),
+      doc = "Exact continuous percentiles per group."),
+
+    // ------------------------------------------------------------------
+    "q29_stats_agg" -> QueryDef(
+      fn = { (s, dir) =>
+        // Statistical aggregate family; results rounded to absorb the
+        // engines' different accumulation schemes (Welford vs naive).
+        T(s, dir).lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+            round(var_samp(col("l_discount")), 6).as("var_disc"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+              .as("corr_qty_price"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+              .as("covar_qty_price"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(var_samp(l_discount), 6) AS var_disc,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2)
+                 AS covar_qty_price
+        FROM lineitem GROUP BY l_returnflag"""),
+      doc = "stddev/variance/corr/covar aggregate family."),
+
+    // ------------------------------------------------------------------
+    "q30_string_funcs" -> QueryDef(
+      fn = { (s, dir) =>
+        T(s, dir).part
+          .filter(col("p_partkey") % 7 === 0)
+          .select(col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            substring(col("p_name"), 1, 5).as("prefix5"),
+            lpad(col("p_brand"), 12, "*").as("padded"),
+            translate(col("p_type"), "aeiou", "AEIOU").as("xlated"),
+            length(regexp_replace(col("p_name"), "[aeiou]", "")).as("n_consonants"),
+            levenshtein(col("p_brand"), lit("Brand#00")).as("brand_dist"))
+      },
+      oracle = Some("""
+        SELECT p_partkey,
+               upper(p_name) AS uname,
+               substring(p_name, 1, 5) AS prefix5,
+               lpad(p_brand, 12, '*') AS padded,
+               translate(p_type, 'aeiou', 'AEIOU') AS xlated,
+               length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS n_consonants,
+               levenshtein(p_brand, 'Brand#00') AS brand_dist
+        FROM part WHERE p_partkey % 7 = 0"""),
+      doc = "Scalar string-function registry sweep."),
+
+    // ------------------------------------------------------------------
+    "q31_array_agg" -> QueryDef(
+      fn = { (s, dir) =>
+        // Order-insensitive array aggregation: sort the collected list
+        // so both engines produce identical arrays.
+        T(s, dir).nation
+          .groupBy(col("n_regionkey"))
+          .agg(array_sort(collect_list(col("n_name"))).as("nations"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT n_regionkey, list_sort(list(n_name)) AS nations,
+               count(*) AS n
+        FROM nation GROUP BY n_regionkey"""),
+      doc = "collect_list + deterministic array_sort per group."))
 }
