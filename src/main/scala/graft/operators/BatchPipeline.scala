@@ -19,6 +19,55 @@ object BatchPipeline {
 
   final case class Result(processed: Long, failed: Long)
 
+  /** Bounded retry of quarantined jobs (SURVEY.md M1: the reference
+    * redelivers poison messages FOREVER; we quarantine them and
+    * re-drive with an attempt budget). Reads `<outDir>_quarantine`,
+    * re-runs the command for those keys only, publishes successes,
+    * and rewrites the quarantine with an incremented `attempts`
+    * column; rows at `maxAttempts` are left as permanent failures.
+    */
+  def retryQuarantine(
+      spark: SparkSession, inDir: String, outDir: String,
+      command: Seq[String], ext: String = ".out",
+      maxAttempts: Int = 3): Result = {
+    val qDir = s"${outDir}_quarantine"
+    val raw = spark.read.parquet(qDir)
+    val q = (if (raw.columns.contains("attempts")) raw
+      else raw.withColumn("attempts", lit(1)))
+      .select("key", "exitCode", "error", "attempts")
+    val (eligible, exhausted) = (
+      q.filter(col("attempts") < maxAttempts),
+      q.filter(col("attempts") >= maxAttempts))
+    val keys = eligible.select("key").distinct()
+    val files = FileIngest.keyed(FileIngest.readDir(spark, inDir),
+      baseDir = Some(inDir))
+      .join(keys, Seq("key"), "left_semi")
+    val results = PipeTransform.transform(files, command)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (ok, bad) = PipeTransform.split(results)
+      NamedSink.write(ok, outDir, ext)
+      // keys whose input object has disappeared were not attempted:
+      // keep their quarantine row unchanged rather than dropping it
+      val notFound = eligible.join(
+        files.select("key").distinct(), Seq("key"), "left_anti")
+      val stillFailing = bad.select("key", "exitCode", "error")
+        .join(eligible.select(col("key"), col("attempts")), Seq("key"))
+        .withColumn("attempts", col("attempts") + 1)
+        .unionByName(notFound)
+        .unionByName(exhausted)
+      // write-then-swap: the quarantine is both input and output here
+      val tmp = qDir + "_next"
+      stillFailing.write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(qDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(qDir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(qDir))
+      Result(ok.count(), spark.read.parquet(qDir).count())
+    } finally { results.unpersist(); () }
+  }
+
   /** Run `command <in> <out>` over every file in `inDir`, writing
     * outputs as `<outDir>/<file><ext>`. Failures don't abort the run
     * (the reference redelivers them forever — the poison-message

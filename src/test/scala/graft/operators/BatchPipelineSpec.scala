@@ -54,4 +54,28 @@ class BatchPipelineSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(out, "empty.out")))
     assert(Files.exists(Paths.get(out, "a.txt.out")))
   }
+
+  test("quarantine retry: transient failures drain, poison rows exhaust") {
+    val (in, _) = mkInputs()
+    val out = Files.createTempDirectory("graft-out-").toString
+    // transient failure: command refuses empty files
+    val picky = Seq("sh", "-c", """test -s "$1" && cp "$1" "$2"""", "sel")
+    val r0 = BatchPipeline.run(spark, in, out, picky)
+    assert(r0.failed == 1) // the empty file
+    // "fixed" command: plain cp succeeds for everything -> drains
+    val r1 = BatchPipeline.retryQuarantine(spark, in, out, Seq("cp"))
+    assert(r1.processed == 1 && r1.failed == 0)
+    assert(Files.exists(Paths.get(out, "empty.out")))
+    // poison path: rebuild quarantine, then retry with the failing
+    // command until the attempt budget (3) exhausts
+    val out2 = Files.createTempDirectory("graft-out2-").toString
+    BatchPipeline.run(spark, in, out2, picky)
+    BatchPipeline.retryQuarantine(spark, in, out2, picky) // attempts=2
+    val r3 = BatchPipeline.retryQuarantine(spark, in, out2, picky) // =3
+    assert(r3.failed == 1)
+    val r4 = BatchPipeline.retryQuarantine(spark, in, out2, picky)
+    assert(r4.processed == 0 && r4.failed == 1) // exhausted, untouched
+    val rows = spark.read.parquet(out2 + "_quarantine").collect()
+    assert(rows.length == 1 && rows.head.getAs[Int]("attempts") == 3)
+  }
 }
