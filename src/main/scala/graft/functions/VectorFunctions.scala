@@ -40,6 +40,12 @@ object VectorFunctions {
   def shingleHashes(text: Column, n: Int): Column =
     native.shingle_hashes(text, n)
 
+  /** Jaccard over two SORTED distinct long arrays (linear merge,
+    * no hash set) — pairs with shingleHashes' output shape.
+    */
+  def jaccardSorted(a: Column, b: Column): Column =
+    native.jaccard_sorted(a, b)
+
   def l2Norm(v: Column): Column = sqrt(dotProduct(v, v))
 
   // ------------------------------------------------------------------

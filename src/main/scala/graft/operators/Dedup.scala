@@ -104,12 +104,11 @@ object Dedup {
         .withColumnRenamed("shset", "set_a"), Seq("id_a"))
       .join(sets.withColumnRenamed("vid", "id_b")
         .withColumnRenamed("shset", "set_b"), Seq("id_b"))
-      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (size(col("set_a")) + size(col("set_b")) - col("n_inter"))
-            .cast("double"))
-      .select("id_a", "id_b", "jaccard")
+      .select(col("id_a"), col("id_b"),
+        // fused linear merge over the sorted hash arrays (no hash-set
+        // array_intersect, no intermediate array)
+        VectorFunctions.jaccardSorted(col("set_a"), col("set_b"))
+          .as("jaccard"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: deterministic verified pairs

@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "minhash_signature",
       "minhash_signature(hashes, k) - k-permutation MinHash signature",
       { case Seq(h, k) => MinHashSignature(h, toIntLit(k, "minhash_signature")) })
+    register(ext, "jaccard_sorted",
+      "jaccard_sorted(a, b) - Jaccard of two sorted distinct bigint arrays",
+      { case Seq(a, b) => JaccardSorted(a, b) })
   }
 
   private def toIntLit(e: Expression, fn: String): Int = e match {

@@ -16,14 +16,19 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, Row, S
   */
 object Formats {
 
-  /** Formats available in this build, all round-trip tested. */
-  val supported: Seq[String] = Seq("parquet", "orc", "json", "csv", "text")
+  /** Formats available in this build, all round-trip tested.
+    * `xml` is Spark 4's native XML source (spark-xml was merged
+    * upstream in 4.0).
+    */
+  val supported: Seq[String] = Seq(
+    "parquet", "orc", "json", "csv", "text", "xml")
 
   def read(spark: SparkSession, format: String): DataFrameReader = {
     require(supported.contains(format), s"unsupported format: $format")
     val r = spark.read.format(format)
     format match {
       case "csv" => r.option("header", "true").option("inferSchema", "true")
+      case "xml" => r.option("rowTag", "row")
       case _ => r
     }
   }
@@ -33,6 +38,7 @@ object Formats {
     val w = df.write.format(format)
     format match {
       case "csv" => w.option("header", "true")
+      case "xml" => w.option("rowTag", "row")
       case _ => w
     }
   }

@@ -281,6 +281,39 @@ object expressions {
   }
 
   // -------------------------------------------------------------------
+  /** Jaccard similarity of two SORTED long arrays (the shape
+    * ShingleHashes emits) via a single linear merge — no hash set, no
+    * intermediate intersection array. |A∩B| / (|A|+|B|-|A∩B|); 0.0
+    * when both sides are empty; null if either input is null.
+    *
+    * Inputs MUST be sorted ascending and distinct (as produced by
+    * ShingleHashes); unsorted inputs give garbage, which is why this
+    * is exposed as jaccard_sorted, not jaccard.
+    */
+  case class JaccardSorted(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+
+    override def dataType: DataType = DoubleType
+
+    override def prettyName: String = "jaccard_sorted"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      JaccardUtil.evalSorted(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) =>
+        s"${ev.value} = org.apache.spark.sql.graft.JaccardUtil.evalSorted($x, $y);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaccardSorted =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // -------------------------------------------------------------------
   // Column-level API (the engine-facing surface).
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -301,6 +334,10 @@ object expressions {
   def shingle_hashes(text: Column, n: Int): Column =
     ExpressionUtils.column(
       ShingleHashes(ExpressionUtils.expression(text), n))
+
+  def jaccard_sorted(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardSorted(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 /** Top-level (stable-classname) helper shared by SimHash64.eval and
@@ -453,5 +490,30 @@ object ShingleUtil {
       r += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
+  }
+}
+
+/** Top-level helper for JaccardSorted (stable classname for
+  * Janino-generated code).
+  */
+object JaccardUtil {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Linear merge-count over two sorted distinct long arrays. */
+  def evalSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { inter += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
   }
 }
