@@ -676,7 +676,9 @@ object RelationalQueries {
             lpad(col("p_brand"), 12, "*").as("padded"),
             translate(col("p_type"), "aeiou", "AEIOU").as("xlated"),
             length(regexp_replace(col("p_name"), "[aeiou]", "")).as("n_consonants"),
-            levenshtein(col("p_brand"), lit("Brand#00")).as("brand_dist"))
+            levenshtein(col("p_brand"), lit("Brand#00")).as("brand_dist"),
+            // F5 string interpolation (reference's %-format logging)
+            format_string("%s|%d", col("p_brand"), col("p_size")).as("tagged"))
       },
       oracle = Some("""
         SELECT p_partkey,
@@ -685,7 +687,8 @@ object RelationalQueries {
                lpad(p_brand, 12, '*') AS padded,
                translate(p_type, 'aeiou', 'AEIOU') AS xlated,
                length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS n_consonants,
-               levenshtein(p_brand, 'Brand#00') AS brand_dist
+               levenshtein(p_brand, 'Brand#00') AS brand_dist,
+               printf('%s|%d', p_brand, p_size) AS tagged
         FROM part WHERE p_partkey % 7 = 0"""),
       doc = "Scalar string-function registry sweep."),
 
