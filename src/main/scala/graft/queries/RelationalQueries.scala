@@ -697,13 +697,17 @@ object RelationalQueries {
       fn = { (s, dir) =>
         // Order-insensitive array aggregation: sort the collected list
         // so both engines produce identical arrays.
+        // output as a joined string, not a raw array: engine-agnostic
+        // to hash, while still exercising collect_list + array_sort
         T(s, dir).nation
           .groupBy(col("n_regionkey"))
-          .agg(array_sort(collect_list(col("n_name"))).as("nations"),
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"),
             count(lit(1)).as("n"))
       },
       oracle = Some("""
-        SELECT n_regionkey, list_sort(list(n_name)) AS nations,
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
                count(*) AS n
         FROM nation GROUP BY n_regionkey"""),
       doc = "collect_list + deterministic array_sort per group."))
