@@ -80,6 +80,28 @@ class ExpressionSpec extends AnyFunSuite {
     assert(one.getSeq[Long](4).length == 8)
   }
 
+  test("jaccard_sorted: identical, disjoint, partial, empty, null") {
+    val df = Seq(
+      ("ident", Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      ("disjoint", Seq(1L, 2L), Seq(3L, 4L)),
+      ("partial", Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L)),
+      ("emptyL", Seq.empty[Long], Seq(1L)),
+      ("emptyBoth", Seq.empty[Long], Seq.empty[Long]))
+      .toDF("k", "a", "b")
+    val got = df.select($"k",
+      org.apache.spark.sql.graft.expressions.jaccard_sorted($"a", $"b").as("j"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("ident") == 1.0)
+    assert(got("disjoint") == 0.0)
+    assert(got("partial") == 2.0 / 6.0)
+    assert(got("emptyL") == 0.0)
+    assert(got("emptyBoth") == 0.0)
+    val n = Seq((Option(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(org.apache.spark.sql.graft.expressions.jaccard_sorted($"a", $"b"))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   test("codegen path actually compiles (no fallback): project over 1k rows") {
     val n = spark.range(1000).select($"id",
       array_repeat(($"id" % 7).cast("double") + 1.0, 64).as("a"),
