@@ -26,11 +26,17 @@ object BatchPipeline {
     * and rewrites the quarantine with an incremented `attempts`
     * column; rows at `maxAttempts` are left as permanent failures.
     */
+  /** Quarantine location convention, shared by run()/retryQuarantine()
+    * (and JobStream's streaming quarantine partitions live under the
+    * same root).
+    */
+  def quarantineDir(outDir: String): String = s"${outDir}_quarantine"
+
   def retryQuarantine(
       spark: SparkSession, inDir: String, outDir: String,
       command: Seq[String], ext: String = ".out",
       maxAttempts: Int = 3): Result = {
-    val qDir = s"${outDir}_quarantine"
+    val qDir = quarantineDir(outDir)
     val raw = spark.read.parquet(qDir)
     val q = (if (raw.columns.contains("attempts")) raw
       else raw.withColumn("attempts", lit(1)))
@@ -47,24 +53,38 @@ object BatchPipeline {
     try {
       val (ok, bad) = PipeTransform.split(results)
       NamedSink.write(ok, outDir, ext)
-      // keys whose input object has disappeared were not attempted:
-      // keep their quarantine row unchanged rather than dropping it
+      // count BEFORE touching the quarantine files: the persisted
+      // cache is not durable, and recomputation after the swap would
+      // scan quarantine part-files that no longer exist
+      val okCount = ok.count()
+      // attempted keys come from the persisted results (no second
+      // input-dir scan); un-attempted (vanished-input) rows keep
+      // their quarantine entry unchanged
       val notFound = eligible.join(
-        files.select("key").distinct(), Seq("key"), "left_anti")
+        results.select("key").distinct(), Seq("key"), "left_anti")
       val stillFailing = bad.select("key", "exitCode", "error")
         .join(eligible.select(col("key"), col("attempts")), Seq("key"))
         .withColumn("attempts", col("attempts") + 1)
         .unionByName(notFound)
         .unionByName(exhausted)
-      // write-then-swap: the quarantine is both input and output here
-      val tmp = qDir + "_next"
-      stillFailing.write.mode("overwrite").parquet(tmp)
+      // the quarantine is both input and output: write the next
+      // generation aside, then swap via rename-aside + rename-in so
+      // no window exists where the data lives only in a deleted path;
+      // Hadoop rename reports failure via `false`, so check it.
       val fs = new org.apache.hadoop.fs.Path(qDir)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(qDir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(qDir))
-      Result(ok.count(), spark.read.parquet(qDir).count())
+      def path(p: String) = new org.apache.hadoop.fs.Path(p)
+      val next = qDir + "_next"
+      val old = qDir + "_old"
+      stillFailing.write.mode("overwrite").parquet(next)
+      val failedCount = spark.read.parquet(next).count()
+      fs.delete(path(old), true)
+      require(fs.rename(path(qDir), path(old)),
+        s"rename $qDir -> $old failed")
+      require(fs.rename(path(next), path(qDir)),
+        s"rename $next -> $qDir failed; previous quarantine at $old")
+      fs.delete(path(old), true)
+      Result(okCount, failedCount)
     } finally { results.unpersist(); () }
   }
 
@@ -97,7 +117,7 @@ object BatchPipeline {
       val (ok, bad) = PipeTransform.split(results)
       NamedSink.write(ok, outDir, ext)
       bad.select("key", "exitCode", "error")
-        .write.mode("overwrite").parquet(s"${outDir}_quarantine")
+        .write.mode("overwrite").parquet(quarantineDir(outDir))
       Result(ok.count(), bad.count())
     } finally { results.unpersist(); () }
   }

@@ -499,21 +499,35 @@ object ShingleUtil {
 object JaccardUtil {
   import org.apache.spark.sql.catalyst.util.ArrayData
 
-  /** Linear merge-count over two sorted distinct long arrays. */
+  /** Linear merge-count over two sorted distinct long arrays. Null
+    * ELEMENTS are skipped (treated as absent) — the SQL-registered
+    * form can receive array<bigint> with null slots, and an unguarded
+    * getLong would NPE interpreted / read garbage under codegen.
+    */
   def evalSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
-    if (na == 0 && nb == 0) return 0.0
+    var ea = 0
+    var eb = 0
+    var t = 0
+    while (t < na) { if (!a.isNullAt(t)) ea += 1; t += 1 }
+    t = 0
+    while (t < nb) { if (!b.isNullAt(t)) eb += 1; t += 1 }
+    if (ea == 0 && eb == 0) return 0.0
     var i = 0
     var j = 0
     var inter = 0
     while (i < na && j < nb) {
-      val va = a.getLong(i)
-      val vb = b.getLong(j)
-      if (va == vb) { inter += 1; i += 1; j += 1 }
-      else if (va < vb) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val va = a.getLong(i)
+        val vb = b.getLong(j)
+        if (va == vb) { inter += 1; i += 1; j += 1 }
+        else if (va < vb) i += 1
+        else j += 1
+      }
     }
-    inter.toDouble / (na + nb - inter).toDouble
+    inter.toDouble / (ea + eb - inter).toDouble
   }
 }

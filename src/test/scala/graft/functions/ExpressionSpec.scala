@@ -100,6 +100,11 @@ class ExpressionSpec extends AnyFunSuite {
       .select(org.apache.spark.sql.graft.expressions.jaccard_sorted($"a", $"b"))
       .head()
     assert(n.isNullAt(0))
+    // null ELEMENTS are skipped, not NPE'd / misread
+    val withNulls = spark.sql(
+      "SELECT jaccard_sorted(array(1L, CAST(NULL AS BIGINT), 2L), " +
+        "array(1L, 2L)) AS j").head().getDouble(0)
+    assert(withNulls == 1.0, s"got $withNulls")
   }
 
   test("codegen path actually compiles (no fallback): project over 1k rows") {
