@@ -206,19 +206,27 @@ object Dedup {
 
   /** Connected-component representatives from a near-dup pair list:
     * (id, rep) where rep is the minimum id reachable through pairs.
-    * Iterative min-label propagation over the edge list; converges in
-    * O(diameter) rounds (dup clusters are shallow in practice). Each
-    * round is two broadcast-friendly shuffles; `maxIters` bounds
-    * runaway chains.
+    *
+    * Each round combines one-hop min-label propagation with POINTER
+    * DOUBLING (rep := min(rep, neighbor reps, rep(rep))) — the
+    * shortcut halves chain distance every round, so convergence is
+    * O(log diameter) rounds, not O(diameter): a 1000-link dup chain
+    * (common with consecutive-id boilerplate) settles in ~10 rounds.
+    * Each round is a handful of equi-join shuffles on (id) — no
+    * driver-side graph state; `maxIters` bounds runaway inputs.
     */
   def clusterReps(
-      ids: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val spark = ids.sparkSession
+      ids: DataFrame, pairs: DataFrame, maxIters: Int = 12): DataFrame = {
     // undirected edges, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var reps = ids.select(col("id"), col("id").as("rep")).persist()
+    // Lineage MUST be truncated every round (localCheckpoint): each
+    // iteration references `reps` three times, so without truncation
+    // the logical plan grows 3^rounds and the driver dies planning it
+    // long before any data moves. This is the standard discipline for
+    // iterative dataframe algorithms.
+    var reps = ids.select(col("id"), col("id").as("rep")).localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
@@ -227,10 +235,17 @@ object Dedup {
           .withColumnRenamed("rep", "nrep"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("minN"))
+      // pointer doubling: follow the current rep pointer one more hop
+      val repOfRep = reps.as("r1")
+        .join(reps.as("r2"), col("r1.rep") === col("r2.id"))
+        .select(col("r1.id").as("id"), col("r2.rep").as("rrep"))
       val next = reps.join(neighborMin, Seq("id"), "left")
+        .join(repOfRep, Seq("id"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("minN"), col("rep"))).as("rep"))
-        .persist()
+          least(col("rep"),
+            coalesce(col("minN"), col("rep")),
+            coalesce(col("rrep"), col("rep"))).as("rep"))
+        .localCheckpoint()
       val changed = next.join(reps.withColumnRenamed("rep", "oldRep"), "id")
         .filter(col("rep") =!= col("oldRep")).limit(1).count()
       reps.unpersist()

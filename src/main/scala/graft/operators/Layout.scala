@@ -57,9 +57,12 @@ object Layout {
       skewed: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 1, "salts must be > 1")
+    // Any value in [0, salts) works for the big side (the dim side is
+    // replicated across all salts); a per-row round-robin costs no
+    // hashing at all — do NOT hash the whole row (16 cols of xxhash64
+    // per row was the q24 bench outlier in round 1).
     val saltedBig = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(salts))
-        .cast("int"))
+      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedDim, Seq(key, "__salt")).drop("__salt")
@@ -74,8 +77,11 @@ object Layout {
   def saltedSumCount(
       df: DataFrame, key: String, valueCol: String,
       salts: Int): DataFrame = {
+    // Round-robin salt: splits a hot key uniformly across `salts`
+    // partial groups with zero per-row hashing (the salt needs no
+    // relationship to the data — it only has to be uniform).
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts)))
     salted.groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

@@ -34,6 +34,12 @@ import org.apache.spark.sql.types._
   */
 object PipeTransform {
 
+  /** Synthetic exit code for "command exited 0 but wrote no output
+    * file" — a failure (no bytes to publish) that must reach the
+    * quarantine, not the sink. Distinct from -1 (spawn error).
+    */
+  val NoOutputExit: Int = -4
+
   /** Result row per input record. `output` is null iff the command
     * failed (exitCode != 0 or spawn error).
     */
@@ -91,11 +97,18 @@ object PipeTransform {
       val exit = proc.waitFor()
       if (exit == 0 && Files.exists(outF))
         Row(key, Files.readAllBytes(outF), 0, null)
-      else
-        Row(key, null, exit,
+      else {
+        // A command that exits 0 without writing its output file is a
+        // FAILURE (the reference's upload would throw and SQS would
+        // redeliver, GetJobs.py:57-60). Surface it with a synthetic
+        // nonzero exit code so every exitCode!=0 consumer — split(),
+        // quarantine counting — routes it to retry, never to the sink.
+        val syntheticExit = if (exit == 0) NoOutputExit else exit
+        Row(key, null, syntheticExit,
           if (stderr.nonEmpty) stderr.take(4096)
           else if (exit == 0) "command exited 0 but wrote no output"
           else null)
+      }
     } catch {
       case NonFatal(e) => Row(key, null, -1, String.valueOf(e))
     } finally {
@@ -133,7 +146,12 @@ object PipeTransform {
     * successes flow to the sink; failures to quarantine with a
     * retry-count discipline owned by the caller.
     */
-  def split(results: DataFrame): (DataFrame, DataFrame) =
-    (results.filter(results("exitCode") === 0),
-      results.filter(results("exitCode") =!= 0))
+  def split(results: DataFrame): (DataFrame, DataFrame) = {
+    // Belt and braces: success requires BOTH exit 0 AND bytes to
+    // publish. runOne already maps exit-0-no-output to NoOutputExit,
+    // but a null output row from any other producer must never be
+    // silently dropped by the sink — route it to quarantine too.
+    val ok = results("exitCode") === 0 && results("output").isNotNull
+    (results.filter(ok), results.filter(!ok))
+  }
 }

@@ -55,25 +55,32 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 8, tables: Int = 8, probeBits: Int = 1, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"),
+    // ids only through the exploded bucket join and the candidate
+    // distinct(): the vectors would multiply shuffle width by
+    // tables x dim floats; they are re-joined once per side on the
+    // (small) distinct (qid, id) pair set — same pattern as
+    // Dedup.embeddingDupPairs.
+    val c = corpus.select(col(idCol).as("id"),
       posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables, dim)))
-      .select(col("id"), col("cvec"), col("pos").as("table"),
-        col("col").as("bucket"))
-    val qsig = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
+    val qsig = queries.select(col(idCol).as("qid"),
       posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables, dim)))
-      .select(col("qid"), col("qvec"), col("pos").as("table"),
-        col("col").as("qbucket"))
+      .select(col("qid"), col("pos").as("table"), col("col").as("qbucket"))
     // multi-probe: each (table, sig) probes itself plus 1-bit flips
     val probes: Seq[org.apache.spark.sql.Column] =
       col("qbucket") +: (if (probeBits >= 1)
         (0 until bits).map(b => col("qbucket").bitwiseXOR(lit(1L << b)))
       else Seq.empty)
-    val q = qsig.select(col("qid"), col("qvec"), col("table"),
+    val q = qsig.select(col("qid"), col("table"),
       explode(array_distinct(array(probes: _*))).as("bucket"))
     val scored = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), col("cvec"), col("qvec"))
+      .select(col("qid"), col("id"))
       .distinct() // a pair can meet via several tables/probes
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("cvec")),
+        Seq("id"))
+      .join(broadcast(queries.select(col(idCol).as("qid"),
+        col(vecCol).as("qvec"))), Seq("qid"))
       .select(col("qid"), col("id"),
         VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
     val w = Window.partitionBy(col("qid"))

@@ -118,6 +118,92 @@ object DedupQueries {
       doc = "Embedding near-dup pairs (exact cosine >= 0.35)."),
 
     // ------------------------------------------------------------------
+    "d06_embedding_lsh_dups" -> QueryDef(
+      fn = { (s, dir) =>
+        // The SCALE path for embedding dedup: hyperplane-LSH bucketed
+        // candidate generation (ids-only through the exploded
+        // self-join) + exact-cosine verification — replaces d05's
+        // all-pairs crossJoin with a per-bucket slice at 100 TB.
+        // Deterministic (seeded hyperplanes) but not SQL-expressible
+        // -> rows-only; recall vs the exact d05 pair set is asserted
+        // in DedupSpec.
+        val e = T(s, dir).embeddings
+          .repartition(s.sparkContext.defaultParallelism)
+        Dedup.embeddingDupPairs(e, "embedding", "vec_id",
+          threshold = 0.35, bits = 4, tables = 12)
+          .select(col("id_a"), col("id_b"),
+            round(col("cosine"), 4).as("cosine"))
+      },
+      oracle = None,
+      doc = "Embedding near-dup pairs via hyperplane-LSH buckets " +
+        "(scale path for d05; rows-only)."),
+
+    // ------------------------------------------------------------------
+    "d07_cluster_reps" -> QueryDef(
+      fn = { (s, dir) =>
+        // Dedup end-to-end: pair list -> connected components ->
+        // per-doc representative (the keep-set). The pair set here is
+        // chosen SQL-expressible (exact-fingerprint star pairs +
+        // adjacent-id Jaccard>=0.5 pairs) so DuckDB can recompute the
+        // closure with a recursive CTE and hash-check the labels.
+        val d = T(s, dir).documents
+        val fp = d.select(col("doc_id").as("did"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        val exactPairs = fp.withColumn("keep",
+          min(col("did")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+          .filter(col("did") =!= col("keep"))
+          .select(col("keep").as("id_a"), col("did").as("id_b"))
+        val sets = d.select(col("doc_id"),
+          array_distinct(TextFunctions.tokens(col("text"))).as("ts"))
+        val a = sets.select(col("doc_id").as("id_a"), col("ts").as("set_a"))
+        val b = sets.select((col("doc_id") - 1).as("id_a"),
+          col("doc_id").as("id_b"), col("ts").as("set_b"))
+        val jacPairs = a.join(b, Seq("id_a"))
+          .withColumn("n_inter",
+            size(array_intersect(col("set_a"), col("set_b"))))
+          .filter(col("n_inter").cast("double") /
+            (size(col("set_a")) + size(col("set_b")) - col("n_inter"))
+              .cast("double") >= 0.5)
+          .select("id_a", "id_b")
+        val pairs = exactPairs.unionByName(jacPairs).distinct()
+        val ids = d.select(col("doc_id").as("id"))
+        Dedup.clusterReps(ids, pairs)
+      },
+      oracle = Some("""
+        WITH RECURSIVE
+        fps AS (
+          SELECT doc_id AS did,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        exact_pairs AS (
+          SELECT k.id_a, f.did AS id_b
+          FROM fps f JOIN (SELECT fp, min(did) AS id_a FROM fps GROUP BY fp) k
+            USING (fp)
+          WHERE f.did != k.id_a),
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(string_split(text, ' '),
+                   x -> x != '')) AS ts
+          FROM documents),
+        jac_pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+          WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+                CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+                  AS DOUBLE) >= 0.5),
+        pairs AS (SELECT * FROM exact_pairs UNION SELECT * FROM jac_pairs),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+        SELECT id, min(r) AS rep FROM reach GROUP BY id"""),
+      doc = "Dup-cluster representatives: connected components " +
+        "(pointer-doubling min-label) over a SQL-expressible pair set."),
+
+    // ------------------------------------------------------------------
     "s01_topk_bruteforce" -> QueryDef(
       fn = { (s, dir) =>
         // Exact ANN baseline: top-5 neighbors for a deterministic

@@ -328,7 +328,8 @@ object RelationalQueries {
       oracle = Some("""
         SELECT event_type, count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
-               sum(CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT)) AS sum_k
+               CAST(sum(CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT))
+                 AS BIGINT) AS sum_k
         FROM events GROUP BY event_type"""),
       doc = "JSON field extraction (from_json) + agg over events.props."),
 

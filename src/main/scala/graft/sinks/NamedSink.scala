@@ -1,7 +1,9 @@
 package graft.sinks
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -13,9 +15,17 @@ import org.apache.spark.sql.functions._
   * Spark's own writers randomize part-file names, so exact naming
   * needs a `foreachPartition` writer. Idempotence under task retries
   * (the at-least-once story, SURVEY.md §1.4): write to a task-unique
-  * temp file, then atomic rename — a duplicate execution overwrites
-  * with identical bytes instead of interleaving, upgrading the
-  * reference's mid-write clobber race to last-writer-wins-atomically.
+  * temp file, then rename — a duplicate execution overwrites with
+  * identical bytes instead of interleaving, upgrading the reference's
+  * mid-write clobber race to last-writer-wins.
+  *
+  * Filesystem access goes through the Hadoop `FileSystem` API (the
+  * reference's output contract is an object-store PUT), so `outDir`
+  * may be any supported URI — `file:///`, `hdfs://`, `s3a://` — not
+  * just a local path. The driver's Hadoop conf is shipped to
+  * executors as a plain property list (public-API-only equivalent of
+  * SerializableConfiguration), so credentials/endpoint settings
+  * apply on the task side too.
   *
   * Scale note: one output object per record is the REFERENCE's
   * contract (object-store fan-out, no shuffle, embarrassingly
@@ -28,35 +38,82 @@ object NamedSink {
     * runs as a distributed action.
     */
   def write(results: DataFrame, outDir: String, ext: String): Unit = {
-    val out = Paths.get(outDir)
-    Files.createDirectories(out)
-    val dirStr = out.toString
+    val spark = results.sparkSession
+    val driverConf = spark.sessionState.newHadoopConf()
+    // Serialize the conf as (key, value) pairs: Hadoop Configuration
+    // itself is not java-serializable.
+    val confProps: Array[(String, String)] =
+      driverConf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    val dir = new Path(outDir)
+    dir.getFileSystem(driverConf).mkdirs(dir)
+    val dirStr = outDir
     results.select(col("key"), col("output"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val dir = Paths.get(dirStr)
-        it.foreach { row =>
-          val key = row.getString(0)
-          val bytes = row.getAs[Array[Byte]](1)
-          if (bytes != null) writeAtomic(dir, sanitize(key) + ext, bytes)
+        if (it.hasNext) {
+          val conf = new Configuration(false)
+          confProps.foreach { case (k, v) => conf.set(k, v) }
+          val d = new Path(dirStr)
+          val fs = d.getFileSystem(conf)
+          // LocalFileSystem is checksummed by default and would strew
+          // .crc sidecars next to every published object
+          fs.setWriteChecksum(false)
+          fs.setVerifyChecksum(false)
+          it.foreach { row =>
+            val key = row.getString(0)
+            val bytes = row.getAs[Array[Byte]](1)
+            if (bytes != null)
+              writeAtomic(fs, d, sanitize(key) + ext, bytes)
+          }
         }
       }
   }
 
   /** The reference stages/publishes by raw fileName, allowing path
     * traversal via keys containing separators; we percent-encode the
-    * separators (and the escape char itself) — unlike a plain
+    * separators (and every char that is URI-special to Hadoop `Path`,
+    * plus the escape char itself) — unlike a plain
     * replace-with-underscore, encoding is injective, so distinct keys
     * can never collide onto one output file.
     */
-  private def sanitize(key: String): String =
-    key.replace("%", "%25").replace("/", "%2F").replace("\\", "%5C")
+  private[sinks] def sanitize(key: String): String = {
+    val sb = new StringBuilder(key.length)
+    key.foreach {
+      case '%'  => sb.append("%25")
+      case '/'  => sb.append("%2F")
+      case '\\' => sb.append("%5C")
+      case ':'  => sb.append("%3A")
+      case '#'  => sb.append("%23")
+      case '?'  => sb.append("%3F")
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
 
-  private def writeAtomic(dir: Path, name: String, bytes: Array[Byte]): Unit = {
-    val tmp = Files.createTempFile(dir, s".$name.", ".tmp")
+  /** Create under a task-unique temp name, then rename into place.
+    * Hadoop `rename` refuses an existing destination on some
+    * filesystems (HDFS) — delete-and-retry gives last-writer-wins
+    * there; on object stores rename is copy+delete and the PUT itself
+    * is atomic.
+    */
+  private def writeAtomic(
+      fs: FileSystem, dir: Path, name: String, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(dir,
+      s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val dest = new Path(dir, name)
+    var renamed = false
     try {
-      Files.write(tmp, bytes)
-      Files.move(tmp, dir.resolve(name),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    } finally Files.deleteIfExists(tmp)
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      renamed = fs.rename(tmp, dest)
+      if (!renamed) {
+        fs.delete(dest, false)
+        renamed = fs.rename(tmp, dest)
+        if (!renamed)
+          throw new java.io.IOException(s"rename $tmp -> $dest failed")
+      }
+    } finally {
+      if (!renamed) fs.delete(tmp, false)
+      ()
+    }
   }
 }

@@ -74,12 +74,19 @@ object FileIngest {
   def keyed(files: DataFrame, baseDir: Option[String] = None): DataFrame = {
     val key = baseDir match {
       case Some(b) =>
-        // strip everything up to and including the base dir segment;
-        // scan paths are URIs (file:/...), so anchor on the dir name
-        val prefix = b.stripSuffix("/") + "/"
-        val anchored = regexp_replace(col("path"), "^.*" +
-          java.util.regex.Pattern.quote(prefix.dropWhile(_ != '/')), "")
-        anchored
+        // Scan paths are fully-qualified URIs (file:/..., s3a://...).
+        // Qualify baseDir through the same FileSystem so the prefix
+        // matches EXACTLY at position 0 — a relative or repeated
+        // base-dir segment must never cause a mid-path (or greedy
+        // last-occurrence) strip that collapses `a/data.txt` and
+        // `b/data.txt` onto one key.
+        val p = new org.apache.hadoop.fs.Path(b)
+        val fs = p.getFileSystem(
+          files.sparkSession.sessionState.newHadoopConf())
+        val qb = fs.makeQualified(p).toString.stripSuffix("/") + "/"
+        when(col("path").startsWith(qb),
+          col("path").substr(lit(qb.length + 1), length(col("path"))))
+          .otherwise(element_at(split(col("path"), "/"), -1))
       case None => element_at(split(col("path"), "/"), -1)
     }
     files.select(key.as("key"), col("content"))

@@ -41,6 +41,20 @@ class BatchPipelineSpec extends AnyFunSuite {
     assert(produced == files.keySet.map(_ + ".out"))
   }
 
+  test("named sink publishes through Hadoop FS URIs (file:///)") {
+    val (in, files) = mkInputs()
+    val outLocal = Files.createTempDirectory("graft-out-uri-")
+    val out = "file://" + outLocal.toString // scheme-qualified URI path
+    val res = BatchPipeline.run(spark, in, out, Seq("cp"))
+    assert(res.processed == files.size && res.failed == 0)
+    files.foreach { case (n, bytes) =>
+      val got = Files.readAllBytes(outLocal.resolve(n + ".out"))
+      assert(got.toSeq == bytes.toSeq, s"$n differs")
+    }
+    // no temp litter left behind
+    assert(!outLocal.toFile.list().exists(_.endsWith(".tmp")))
+  }
+
   test("failures land in quarantine, successes still publish") {
     val (in, files) = mkInputs()
     val out = Files.createTempDirectory("graft-out-").toString

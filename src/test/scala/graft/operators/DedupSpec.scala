@@ -95,6 +95,16 @@ class DedupSpec extends AnyFunSuite {
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("clusterReps converges on a 30-link chain (pointer doubling)") {
+    val n = 30L
+    val ids = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val reps = Dedup.clusterReps(ids, pairs, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-hop propagation would need 30 rounds; doubling needs ~log2(30)
+    assert(reps.values.toSet == Set(1L), s"non-converged: $reps")
+  }
+
   test("embedding LSH dup pairs ⊆ brute force, high recall at 0.35") {
     val e = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))

@@ -50,8 +50,29 @@ class PipeTransformSpec extends AnyFunSuite {
   test("command exiting 0 without writing output is a failure") {
     val out = PipeTransform.transform(
       df("a" -> "x".getBytes), Seq("true")).collect()
-    assert(out(0).getInt(2) == 0 && out(0).get(1) == null)
+    // synthetic nonzero exit: exit-0-no-output must never classify as
+    // success (it has no bytes to publish — silent-loss hazard)
+    assert(out(0).getInt(2) == PipeTransform.NoOutputExit)
+    assert(out(0).get(1) == null)
     assert(out(0).getString(3).contains("no output"))
+  }
+
+  test("split quarantines exit-0-no-output rows, never drops them") {
+    val mixed = PipeTransform.transform(df("ok" -> "x".getBytes), Seq("cp"))
+      .union(PipeTransform.transform(df("silent" -> "x".getBytes), Seq("true")))
+    val (ok, bad) = PipeTransform.split(mixed)
+    assert(ok.collect().map(_.getString(0)).toSeq == Seq("ok"))
+    assert(bad.collect().map(_.getString(0)).toSeq == Seq("silent"))
+  }
+
+  test("split treats a null-output exit-0 row from any producer as failure") {
+    // direct row injection (not via runOne): belt-and-braces guard
+    val rows = java.util.Arrays.asList(
+      Row("a", "b".getBytes, 0, null), Row("weird", null, 0, null))
+    val d = spark.createDataFrame(rows, PipeTransform.outputSchema)
+    val (ok, bad) = PipeTransform.split(d)
+    assert(ok.collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(bad.collect().map(_.getString(0)).toSeq == Seq("weird"))
   }
 
   test("stderr of failing command is captured") {

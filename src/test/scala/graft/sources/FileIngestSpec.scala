@@ -20,6 +20,33 @@ class FileIngestSpec extends AnyFunSuite {
     assert(got("a.txt").contains(3))
   }
 
+  test("recursive keyed keeps distinct keys for same-name nested files") {
+    val dir = Files.createTempDirectory("graft-scan3-")
+    Files.createDirectories(dir.resolve("a"))
+    Files.createDirectories(dir.resolve("b"))
+    Files.write(dir.resolve("a/data.txt"), "A".getBytes)
+    Files.write(dir.resolve("b/data.txt"), "B".getBytes)
+    val got = FileIngest.keyed(
+      FileIngest.readDir(spark, dir.toString, recursive = true),
+      baseDir = Some(dir.toString))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("a/data.txt", "b/data.txt"))
+  }
+
+  test("keyed strips only the leading base-dir prefix, not a repeated segment") {
+    // base dir name repeats inside the relative path: a greedy
+    // last-occurrence strip would collapse the key to bare "data.txt"
+    val root = Files.createTempDirectory("graft-scan4-")
+    val dir = root.resolve("data")
+    Files.createDirectories(dir.resolve("data"))
+    Files.write(dir.resolve("data/data.txt"), "x".getBytes)
+    val got = FileIngest.keyed(
+      FileIngest.readDir(spark, dir.toString, recursive = true),
+      baseDir = Some(dir.toString))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("data/data.txt"))
+  }
+
   test("glob filter and manifest naming") {
     val dir = Files.createTempDirectory("graft-scan2-")
     Files.write(dir.resolve("x.txt"), "x".getBytes)
