@@ -227,6 +227,7 @@ object Dedup {
     // long before any data moves. This is the standard discipline for
     // iterative dataframe algorithms.
     var reps = ids.select(col("id"), col("id").as("rep")).localCheckpoint()
+    var prevCk = reps // checkpointed frame backing `reps`, for unpersist
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
@@ -239,17 +240,21 @@ object Dedup {
       val repOfRep = reps.as("r1")
         .join(reps.as("r2"), col("r1.rep") === col("r2.id"))
         .select(col("r1.id").as("id"), col("r2.rep").as("rrep"))
+      // carry the old rep through so the convergence probe is a plain
+      // filter over the checkpointed blocks — joining back to the
+      // previous generation would cost one more shuffle per round
       val next = reps.join(neighborMin, Seq("id"), "left")
         .join(repOfRep, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("rep").as("oldRep"),
           least(col("rep"),
             coalesce(col("minN"), col("rep")),
             coalesce(col("rrep"), col("rep"))).as("rep"))
         .localCheckpoint()
-      val changed = next.join(reps.withColumnRenamed("rep", "oldRep"), "id")
-        .filter(col("rep") =!= col("oldRep")).limit(1).count()
-      reps.unpersist()
-      reps = next
+      val changed = next.filter(col("rep") =!= col("oldRep"))
+        .limit(1).count()
+      prevCk.unpersist()
+      prevCk = next
+      reps = next.select(col("id"), col("rep"))
       converged = changed == 0
       i += 1
     }

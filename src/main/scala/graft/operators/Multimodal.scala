@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * library amortizes per-batch setup, Spark only sees a narrow
   * iterator transform, no shuffle, full partition parallelism.
   *
-  * The image codec call is STUBBED (this container ships no image
-  * libs): a deterministic 16-byte header (`MagicBytes` + dims +
-  * format tag) stands in for real encoded bytes. Swapping in a real
-  * decoder means replacing ONLY `ImageDecoder.decode` — schema,
+  * Image decode/resize are REAL for every format the JDK ships
+  * codecs for (png, jpeg, gif, bmp — via `javax.imageio`, zero new
+  * deps). For formats the JVM lacks (e.g. webp), a deterministic
+  * 16-byte GRFT header (`MagicBytes` + dims + format tag) stands in
+  * for encoded bytes; swapping in a native codec means replacing ONLY
+  * the stub branch of `ImageDecoder.decode`/`resizeImages` — schema,
   * batching, partitioning, null handling, and error routing stay
   * as-is and are what the tests pin down. `audioStats` needs no stub
   * at all: raw PCM math is exact.
@@ -48,24 +50,49 @@ object Multimodal {
     bb.array()
   }
 
-  /** STUB decoder — a real build replaces this body with an actual
-    * codec call (e.g. javax.imageio / libvips over JNI). Everything
-    * around it is production plumbing.
+  /** Image decoder. Two paths:
+    *  - REAL: any format the JDK's `javax.imageio` ships readers for
+    *    (png, jpeg, gif, bmp…) — header-only dimension read via
+    *    `ImageReader.getWidth/getHeight(0)`, no full pixel decode, so
+    *    metadata extraction over a 100 TB image column never
+    *    decompresses pixels it doesn't need.
+    *  - STUB: the deterministic GRFT 16-byte header used by fixtures
+    *    (standing in for codecs the JVM lacks, e.g. webp) — replace
+    *    only this branch to plug in libvips/JNI; the batching,
+    *    schema, and error routing around it stay as-is.
     */
   object ImageDecoder {
     def decode(bytes: Array[Byte]): Row = {
-      if (bytes == null || bytes.length < 16 ||
-          !hasMagic(bytes)) {
-        Row(null, null, null,
-          if (bytes == null) 0L else bytes.length.toLong, false)
-      } else {
+      if (bytes == null) Row(null, null, null, 0L, false)
+      else if (bytes.length >= 16 && hasMagic(bytes)) {
         val bb = java.nio.ByteBuffer.wrap(bytes)
         bb.position(4)
         val w = bb.getInt
         val h = bb.getInt
         val f = bb.getInt
         Row(w, h, Formats.lift(f).orNull, (bytes.length - 16).toLong, true)
-      }
+      } else decodeReal(bytes)
+    }
+
+    private def decodeReal(bytes: Array[Byte]): Row = {
+      val invalid = Row(null, null, null, bytes.length.toLong, false)
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) invalid
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Row(r.getWidth(0), r.getHeight(0),
+                r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+                bytes.length.toLong, true)
+            } finally r.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch { case scala.util.control.NonFatal(_) => invalid }
     }
   }
 
@@ -91,9 +118,11 @@ object Multimodal {
     }(enc)
   }
 
-  /** Stub resize: rewrites the header dims, keeps payload (a real
-    * impl transforms payload bytes). Demonstrates binary-in/
-    * binary-out transform plumbing.
+  /** Resize. GRFT stub payloads get their header dims rewritten
+    * (payload untouched — stands in for the codec the JVM lacks);
+    * real JDK-readable images (png/jpeg/gif/bmp) are ACTUALLY
+    * resampled (bilinear) and re-encoded in their source format via
+    * `javax.imageio`. Anything undecodable passes through unchanged.
     */
   def resizeImages(
       df: DataFrame, keyCol: String, binCol: String,
@@ -111,11 +140,49 @@ object Multimodal {
           bb.putInt(newWidth)
           bb.putInt(newHeight)
           bb.array()
+        } else if (bytes != null) {
+          resizeReal(bytes, newWidth, newHeight).getOrElse(bytes)
         } else bytes
         Row(r.get(0), out)
       }
     }(enc)
   }
+
+  private def resizeReal(
+      bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      // format sniff first so we re-encode in the source format
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt =
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val rd = readers.next()
+            try rd.getFormatName.toLowerCase(java.util.Locale.ROOT)
+            finally rd.dispose()
+          } else return None
+        } finally if (iis != null) iis.close()
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      // jpeg has no alpha; use an opaque buffer there
+      val imgType =
+        if (fmt == "jpeg") java.awt.image.BufferedImage.TYPE_INT_RGB
+        else java.awt.image.BufferedImage.TYPE_INT_ARGB
+      val scaled = new java.awt.image.BufferedImage(w, h, imgType)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        ()
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(scaled, fmt, baos)) None
+      else Some(baos.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Stub frame sampler for "video" payloads: treats the payload as
     * fixed-size frames and emits every `everyN`-th as its own row —

@@ -40,6 +40,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!meta(3L).getBoolean(5))     // garbage passes through
   }
 
+  private def realPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("real PNG bytes decode via JDK imageio: dims + format, no stub header") {
+    val df = Seq((10L, realPng(17, 9)), (11L, realPng(3, 5)))
+      .toDF("id", "img")
+    val got = Multimodal.decodeImages(df, "id", "img")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(10L).getInt(1) == 17 && got(10L).getInt(2) == 9)
+    assert(got(10L).getString(3) == "png" && got(10L).getBoolean(5))
+    assert(got(11L).getInt(1) == 3 && got(11L).getInt(2) == 5)
+  }
+
+  test("real PNG resize actually resamples and re-encodes") {
+    val df = Seq((20L, realPng(16, 16))).toDF("id", "img")
+    val resized = Multimodal.resizeImages(df, "id", "img", 8, 4)
+    val meta = Multimodal.decodeImages(resized, "id", "image")
+      .collect().head
+    assert(meta.getInt(1) == 8 && meta.getInt(2) == 4)
+    assert(meta.getString(3) == "png" && meta.getBoolean(5))
+  }
+
   test("frame sampling emits every Nth fixed-size frame") {
     val v = Seq((9L, Multimodal.encodeFakeImage(1, 1, "png",
       Array.tabulate[Byte](100)(_.toByte)))).toDF("id", "vid")
