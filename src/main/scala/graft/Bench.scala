@@ -32,9 +32,16 @@ object Bench {
       ()
     }
 
+    // optional CLI filter: `runMain graft.Bench d07 q01` times only
+    // queries whose name starts with one of the given prefixes
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => args.exists(n.startsWith))
+
     // min of two runs per query: strips GC/JIT/page-cache noise, the
     // standard repeated-measurement discipline for microbenchmarks
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = selected.map { name =>
       val a = runOnce(name)
       val b = runOnce(name)
       name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))

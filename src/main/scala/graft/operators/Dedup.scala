@@ -231,24 +231,23 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
-      val neighborMin = edges
+      // One fused pass per round: augmenting the edge set with the
+      // current rep POINTERS (id -> rep) makes a single
+      // join+groupBy(min) compute BOTH the neighbor minimum and the
+      // pointer-doubling hop rep(rep(id)) — vs. three joins naively.
+      val aug = edges.unionByName(
+        reps.select(col("id").as("src"), col("rep").as("dst")))
+      val neighborMin = aug
         .join(reps.withColumnRenamed("id", "dst")
           .withColumnRenamed("rep", "nrep"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("minN"))
-      // pointer doubling: follow the current rep pointer one more hop
-      val repOfRep = reps.as("r1")
-        .join(reps.as("r2"), col("r1.rep") === col("r2.id"))
-        .select(col("r1.id").as("id"), col("r2.rep").as("rrep"))
       // carry the old rep through so the convergence probe is a plain
       // filter over the checkpointed blocks — joining back to the
       // previous generation would cost one more shuffle per round
       val next = reps.join(neighborMin, Seq("id"), "left")
-        .join(repOfRep, Seq("id"), "left")
         .select(col("id"), col("rep").as("oldRep"),
-          least(col("rep"),
-            coalesce(col("minN"), col("rep")),
-            coalesce(col("rrep"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("minN"), col("rep"))).as("rep"))
         .localCheckpoint()
       val changed = next.filter(col("rep") =!= col("oldRep"))
         .limit(1).count()
