@@ -23,6 +23,7 @@ object SparkEntry {
     graft.queries.RelationalQueries.defs,
     graft.queries.PipelineQueries.defs,
     graft.queries.TextQueries.defs,
+    graft.queries.CurationQueries.defs,
     graft.queries.DedupQueries.defs,
     graft.queries.MultimodalQueries.defs)
 

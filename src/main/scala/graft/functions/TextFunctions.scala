@@ -30,6 +30,17 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
 
+  /** Cleaning pass for corpus prep: strip URLs and e-mail addresses,
+    * collapse whitespace runs, trim. Regexes stay in the common
+    * Java-regex/RE2 subset so any SQL engine reproduces the result.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "https?://\\S+", " "),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", " "),
+      "\\s+", " "))
+
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,;:!?'\"()]", ""))
 

@@ -185,16 +185,33 @@ object Dedup {
   def embeddingDupPairs(
       df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, bits: Int = 4, tables: Int = 12,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
+    // Identical-vector floods are the embedding analog of the LSH
+    // boilerplate flood (same vector => same bucket in EVERY table):
+    // pair them O(n) against the min id up front, so the bucket cap
+    // below can safely drop the saturated buckets.
+    val exactPairs = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("keep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec"))))
+      .filter(col("id") =!= col("keep"))
+      .select(col("keep").as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("cosine"))
     // ids only through the (wide, exploded) bucket self-join — the
     // vectors would multiply the shuffle width by tables x dim floats;
     // they are re-joined once per side on the (small) distinct pair set
     val sigd = df.select(col(idCol).as("id"),
       posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables, dim)))
       .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
-    val l = sigd.select(col("table"), col("bucket"), col("id").as("id_a"))
-    val rt = sigd.select(col("table"), col("bucket"), col("id").as("id_b"))
-    l.join(rt, Seq("table", "bucket"))
+      .localCheckpoint() // 3 consumers below; don't recompute signatures
+    val okBuckets = sigd.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") <= maxBucketSize)
+      .select("table", "bucket")
+    val sized = sigd.join(okBuckets, Seq("table", "bucket"), "left_semi")
+    val l = sized.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val rt = sized.select(col("table"), col("bucket"), col("id").as("id_b"))
+    val lshPairs = l.join(rt, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
       .join(df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
@@ -202,6 +219,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    lshPairs.unionByName(exactPairs)
+      .groupBy("id_a", "id_b").agg(max(col("cosine")).as("cosine"))
   }
 
   /** Connected-component representatives from a near-dup pair list:

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-addressed sampling for training-data
+  * pipelines.
+  *
+  * `df.sample(fraction, seed)` is NOT reproducible across runs whose
+  * partitioning differs (the seed is mixed with the partition index),
+  * which makes train/eval splits drift whenever the upstream layout
+  * changes. Hash sampling keys the decision on the RECORD itself:
+  * a row is in the sample iff a hex prefix of md5(key) falls below
+  * the fraction threshold. Properties that matter at 100 TB:
+  *
+  *  - reproducible: same key => same decision, independent of
+  *    partitioning, cluster size, or engine (the md5-prefix compare
+  *    is plain string ordering — any SQL engine re-derives the split);
+  *  - stable under appends: adding rows never flips existing
+  *    membership (no re-shuffling of an RNG sequence);
+  *  - composable: disjoint fraction BANDS give disjoint train/eval
+  *    splits from one hash (sampleBand below);
+  *  - one codegen'd scan, no shuffle, pushes down nothing extra.
+  */
+object Sampling {
+
+  /** Number of hex chars of the md5 used for the threshold compare.
+    * 6 hex digits = 24 bits: fraction resolution ~6e-8, collision
+    * bias negligible.
+    */
+  private val HexDigits = 6
+  private val Buckets = 1L << (4 * HexDigits)
+
+  /** Lower-cased hex md5 prefix of the key column (string-cast). */
+  def hashPrefix(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, HexDigits)
+
+  /** Hex threshold string for a fraction in [0, 1]: rows with
+    * hashPrefix < threshold are sampled. Exposed so oracle SQL can
+    * inline the same literal.
+    */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction")
+    val t = math.min(Buckets, math.round(fraction * Buckets))
+    // fraction 1.0 would need a 7th hex digit, which breaks the
+    // fixed-width lexicographic compare ("ffffff" > "1000000"); "g"
+    // sorts after every hex string in ASCII, in any engine
+    if (t >= Buckets) "g"
+    else ("%0" + HexDigits + "x").format(t)
+  }
+
+  /** Deterministic `fraction` sample keyed on `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hashPrefix(col(keyCol)) < lit(thresholdHex(fraction)))
+
+  /** Membership in the half-open hash band [lo, hi) — disjoint bands
+    * form leak-free train/eval/test splits from the same key.
+    */
+  def sampleBand(
+      df: DataFrame, keyCol: String, lo: Double, hi: Double): DataFrame = {
+    require(lo <= hi, s"band [$lo, $hi)")
+    val h = hashPrefix(col(keyCol))
+    df.filter(h >= lit(thresholdHex(lo)) && h < lit(thresholdHex(hi)))
+  }
+
+  /** Stratified deterministic sampling: per-stratum fractions (e.g.
+    * downsample boilerplate sources, keep rare languages whole) —
+    * the deterministic analog of `DataFrameStatFunctions.sampleBy`.
+    * Strata absent from `fractions` default to 0 (dropped).
+    */
+  def stratifiedHashSample(
+      df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    val h = hashPrefix(col(keyCol))
+    val thr = fractions.foldLeft(lit(thresholdHex(0.0))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(h < thr)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, QueryDef}
+import graft.functions.TextFunctions
+import graft.operators.Sampling
+
+/** Corpus-curation surface: the composed pipeline a training-data
+  * run actually executes (quality gate -> exact dedup -> keep set)
+  * plus deterministic hash sampling for reproducible train/eval
+  * splits. Everything here is SQL-expressible by construction, so
+  * the whole curation path is oracle-checked end-to-end.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    Engine.Tables(s, dir).documents
+
+  /** DuckDB mirror of TextFunctions.qualityScore (same shape as the
+    * t03 oracle), as a CTE body computing (doc_id, text, quality).
+    */
+  private val qualityCte = """
+    f AS (
+      SELECT doc_id, text,
+        CAST(length(text) AS DOUBLE) AS nc,
+        list_filter(string_split(text, ' '), x -> x != '') AS toks,
+        list_filter(string_split(lower(text), ' '), x -> x != '') AS ltoks,
+        CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))
+          AS DOUBLE) AS np
+      FROM documents),
+    g AS (
+      SELECT doc_id, text, nc, np,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(ltoks,
+                 x -> list_contains(
+                   ['the','a','of','and','to','in','is','it','that','for'], x)))
+               AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+               AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS mtl
+      FROM f),
+    scored AS (
+      SELECT doc_id, text,
+        round(
+          (least(nc / 200.0, 1.0) *
+            (CASE WHEN nc > 20000 THEN 0.5 ELSE 1.0 END)) * 0.3 +
+          least(stop_ratio * 5.0, 1.0) * 0.3 +
+          (CASE WHEN np / greatest(nc, 1.0) > 0.3
+                THEN 0.2 ELSE 1.0 END) * 0.2 +
+          (CASE WHEN mtl BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2,
+          6) AS quality
+      FROM g)"""
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    // ------------------------------------------------------------------
+    "c01_curation" -> QueryDef(
+      fn = { (s, dir) =>
+        // The flagship composed pipeline: quality-gate, then exact
+        // dedup over the survivors, one keep-row per distinct content.
+        // Plan shape at scale: one codegen scan computes quality +
+        // fingerprint, one hash-agg shuffle on the fingerprint — the
+        // same cost as d01 alone; the quality gate is free.
+        val scored = docs(s, dir).select(col("doc_id"), col("text"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+          .filter(col("quality") >= 0.5)
+        scored
+          .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_dups"),
+            max(col("quality")).as("quality"))
+      },
+      oracle = Some(s"""
+        WITH $qualityCte
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_dups,
+               max(quality) AS quality
+        FROM scored WHERE quality >= 0.5
+        GROUP BY 1"""),
+      doc = "Composed curation pipeline: quality gate -> exact dedup " +
+        "keep set (oracle-checked end-to-end)."),
+
+    // ------------------------------------------------------------------
+    "c02_hash_sample" -> QueryDef(
+      fn = { (s, dir) =>
+        // Deterministic 10% sample: membership is a pure function of
+        // doc_id (md5-prefix threshold), so the split is identical on
+        // any engine, partitioning, or cluster size — unlike
+        // df.sample(seed), which drifts with partition layout.
+        Sampling.hashSample(docs(s, dir), "doc_id", 0.10)
+          .select(col("doc_id"), col("source"), col("lang"))
+      },
+      oracle = Some(s"""
+        SELECT doc_id, source, lang
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                < '${Sampling.thresholdHex(0.10)}'"""),
+      doc = "Deterministic content-keyed 10% sample (engine-portable)."),
+
+    // ------------------------------------------------------------------
+    "c03_stratified_sample" -> QueryDef(
+      fn = { (s, dir) =>
+        // Stratified curation sampling: downsample the dominant
+        // language, keep rare ones whole — per-stratum deterministic
+        // thresholds on the same record hash.
+        Sampling.stratifiedHashSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 0.25, "zh" -> 1.0, "es" -> 0.5, "de" -> 0.5,
+            "fr" -> 0.5))
+          .select(col("doc_id"), col("lang"))
+      },
+      oracle = Some(s"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) <
+          CASE lang
+            WHEN 'en' THEN '${Sampling.thresholdHex(0.25)}'
+            WHEN 'zh' THEN '${Sampling.thresholdHex(1.0)}'
+            WHEN 'es' THEN '${Sampling.thresholdHex(0.5)}'
+            WHEN 'de' THEN '${Sampling.thresholdHex(0.5)}'
+            WHEN 'fr' THEN '${Sampling.thresholdHex(0.5)}'
+            ELSE '${Sampling.thresholdHex(0.0)}' END"""),
+      doc = "Stratified deterministic sampling per language " +
+        "(sampleBy analog, reproducible)."))
+}

@@ -121,6 +121,28 @@ object TextQueries {
       doc = "Language-ID heuristic distribution (rows-only check)."),
 
     // ------------------------------------------------------------------
+    "t06_text_clean" -> QueryDef(
+      fn = { (s, dir) =>
+        docs(s, dir).select(col("doc_id"),
+          TextFunctions.cleanText(col("text")).as("clean"),
+          length(TextFunctions.cleanText(col("text"))).as("n_clean_chars"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, 'https?://\S+', ' ', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+                 '\s+', ' ', 'g')) AS clean,
+               length(trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, 'https?://\S+', ' ', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+                 '\s+', ' ', 'g'))) AS n_clean_chars
+        FROM documents"""),
+      doc = "URL/e-mail strip + whitespace collapse (codegen, no shuffle)."),
+
+    // ------------------------------------------------------------------
     "t05_rolling_hash" -> QueryDef(
       fn = { (s, dir) =>
         // Order-sensitive doc fingerprint; int64 wraparound arithmetic

@@ -72,6 +72,23 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: emit only the FIRST occurrence of each
+    * content fingerprint; re-arrivals within the watermark horizon
+    * are dropped. `dropDuplicatesWithinWatermark` is the only shape
+    * that survives an unbounded stream — state for a fingerprint is
+    * evicted once the watermark passes it, so the store holds one
+    * horizon's worth of keys instead of growing forever (plain
+    * `dropDuplicates` would). The streaming twin of `Dedup.exact`.
+    */
+  def dedupStream(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp",
+        graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Gap-based sessions per user (30 min), same semantics as the
     * batch q16_sessionize.
     */

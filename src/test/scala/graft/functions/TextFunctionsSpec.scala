@@ -48,6 +48,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(df.getString(0) == df.getString(1))
   }
 
+  test("cleanText strips urls/emails, collapses whitespace") {
+    val raw = "see https://ex.com/a?b=1 or mail bob.smith+x@ex-mail.org  \t now"
+    val got = Seq(raw).toDF("t")
+      .select(TextFunctions.cleanText($"t")).head().getString(0)
+    assert(got == "see or mail now")
+    val noop = Seq("already clean").toDF("t")
+      .select(TextFunctions.cleanText($"t")).head().getString(0)
+    assert(noop == "already clean")
+  }
+
   test("shingles: n-grams with short-doc guard") {
     val df = Seq(("a b c d", 1), ("a b", 2)).toDF("t", "k")
     val s3 = df.filter($"k" === 1)

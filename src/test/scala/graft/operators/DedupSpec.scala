@@ -105,6 +105,19 @@ class DedupSpec extends AnyFunSuite {
     assert(reps.values.toSet == Set(1L), s"non-converged: $reps")
   }
 
+  test("identical-vector flood beyond bucket cap still pairs via exact path") {
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val other = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val rows = (1L to 30L).map(i => (i, v.toSeq)) :+ ((99L, other.toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(df, "embedding", "vec_id",
+      threshold = 0.9, bits = 2, tables = 4, dim = 8, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((2L to 30L).forall(i => pairs.contains((1L, i))),
+      s"flood pairs missing: ${pairs.size}")
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
   test("embedding LSH dup pairs ⊆ brute force, high recall at 0.35") {
     val e = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ids(n: Int) = (1 to n).map(_.toLong).toDF("id")
+
+  test("hashSample hits the target fraction within tolerance") {
+    val n = 20000
+    val got = Sampling.hashSample(ids(n), "id", 0.1).count()
+    assert(math.abs(got.toDouble / n - 0.1) < 0.02, s"got $got of $n")
+  }
+
+  test("membership is invariant to partitioning (unlike df.sample)") {
+    val df = ids(5000)
+    val a = Sampling.hashSample(df.repartition(3), "id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df.repartition(17), "id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("appending rows never flips existing membership") {
+    val before = Sampling.hashSample(ids(1000), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val after = Sampling.hashSample(ids(2000), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(before.subsetOf(after))
+  }
+
+  test("disjoint bands partition the keyspace with no leak") {
+    val df = ids(3000)
+    val train = Sampling.sampleBand(df, "id", 0.0, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    val eval = Sampling.sampleBand(df, "id", 0.8, 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(train.intersect(eval).isEmpty)
+    assert(train.size + eval.size == 3000)
+  }
+
+  test("stratified rates apply per stratum; missing strata drop") {
+    val df = (1 to 6000).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "xx"))
+      .toDF("id", "lang")
+    val got = Sampling.stratifiedHashSample(df, "id", "lang",
+      Map("en" -> 0.5, "zh" -> 1.0))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("zh") == 2000L)
+    assert(math.abs(got("en") - 1000L) < 100, s"en=${got("en")}")
+    assert(!got.contains("xx"))
+  }
+}

@@ -100,6 +100,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((7L, "2024-01-01 09:30:00.0", 1L)))
   }
 
+  test("streaming dedup emits first occurrence only, within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreams.dedupStream(docs, "text", "ts",
+      watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 10:00:00"), 1L, "alpha doc"),
+      (t("2024-01-01 10:00:30"), 2L, "ALPHA   doc"), // same fingerprint
+      (t("2024-01-01 10:01:00"), 3L, "beta doc"))
+    q.processAllAvailable()
+    // a later duplicate inside the watermark horizon is still dropped
+    mem.addData((t("2024-01-01 10:02:00"), 4L, "alpha doc"))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_out").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(rows == Set(1L, 3L), s"got $rows")
+  }
+
   test("flatMapGroupsWithState running totals emit on threshold crossings") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
