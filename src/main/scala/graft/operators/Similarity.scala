@@ -103,9 +103,19 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxTrainRows: Long = 100000L): DataFrame = {
     val spark = corpus.sparkSession
-    val train = corpus.select(
+    // Train the coarse quantizer on a bounded DETERMINISTIC sample:
+    // k-means over the full corpus is the scale-killer at 100 TB
+    // (centroid quality saturates long before 10^5 points), and the
+    // hash sample keeps the trained cells reproducible run-to-run.
+    // count() over parquet is a stats-only read, not a scan.
+    val n = corpus.count()
+    val trainSrc =
+      if (n <= maxTrainRows) corpus
+      else Sampling.hashSample(corpus, idCol, maxTrainRows.toDouble / n)
+    val train = trainSrc.select(
       array_to_vector(VectorFunctions.asDouble(col(vecCol))).as("features"))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")

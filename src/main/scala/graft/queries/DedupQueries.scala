@@ -204,6 +204,36 @@ object DedupQueries {
         "(pointer-doubling min-label) over a SQL-expressible pair set."),
 
     // ------------------------------------------------------------------
+    "d08_source_signatures" -> QueryDef(
+      fn = { (s, dir) =>
+        // Hierarchical dedup surface: per-doc MinHash signatures fold
+        // into per-SOURCE signatures with the map-side-combinable
+        // MinHashUnion aggregator (signatures form a monoid under
+        // element-wise min), then pairwise source-overlap estimates
+        // come from signature agreement — corpus-vs-corpus similarity
+        // without ever touching doc pairs. At 100 TB: one agg shuffle
+        // on source, then a trivially small signature self-join.
+        val d = T(s, dir).documents
+        val sigs = Dedup.minhashSignatures(d, "text", "doc_id", 128, 3)
+        val bySrc = sigs
+          .join(d.select(col("doc_id").as("id"), col("source")), Seq("id"))
+          .groupBy(col("source"))
+          .agg(graft.functions.MinHashUnion(col("sig"), 128).as("sig"))
+        val a = bySrc.select(col("source").as("src_a"), col("sig").as("sig_a"))
+        val b = bySrc.select(col("source").as("src_b"), col("sig").as("sig_b"))
+        a.join(b, col("src_a") < col("src_b"))
+          .select(col("src_a"), col("src_b"),
+            (aggregate(
+              zip_with(col("sig_a"), col("sig_b"),
+                (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, v) => acc + v).cast("double") / 128.0)
+              .as("est_jaccard"))
+      },
+      oracle = None,
+      doc = "Per-source MinHash union signatures + pairwise overlap " +
+        "estimate (hierarchical dedup; rows-only)."),
+
+    // ------------------------------------------------------------------
     "s01_topk_bruteforce" -> QueryDef(
       fn = { (s, dir) =>
         // Exact ANN baseline: top-5 neighbors for a deterministic

@@ -35,6 +35,24 @@ class MinHashUnionSpec extends AnyFunSuite {
     assert(grouped("g") == expected)
   }
 
+  test("source-level overlap estimate: identical 1.0, disjoint ~0") {
+    val base = "the quick brown fox jumps over the lazy dog by the river"
+    val other = "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    val docs = Seq(
+      (1L, "a", base), (2L, "a", other),
+      (3L, "b", base), (4L, "b", other),   // b == a exactly
+      (5L, "c", "wholly unrelated corpus about columnar engines and code"))
+      .toDF("doc_id", "src", "text")
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 64, 2)
+      .join(docs.select(col("doc_id").as("id"), col("src")), Seq("id"))
+      .groupBy("src").agg(MinHashUnion(col("sig"), 64).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    def est(x: Seq[Long], y: Seq[Long]) =
+      x.zip(y).count { case (p, q) => p == q }.toDouble / x.length
+    assert(est(sigs("a"), sigs("b")) == 1.0)
+    assert(est(sigs("a"), sigs("c")) < 0.2)
+  }
+
   test("map-side combine: result invariant to partitioning") {
     val docs = (1L to 40L).map(i => (i, "g", s"doc number $i with shared words alpha beta gamma"))
       .toDF("doc_id", "grp", "text")
