@@ -711,5 +711,38 @@ object RelationalQueries {
                string_agg(n_name, ',' ORDER BY n_name) AS nations,
                count(*) AS n
         FROM nation GROUP BY n_regionkey"""),
-      doc = "collect_list + deterministic array_sort per group."))
+      doc = "collect_list + deterministic array_sort per group."),
+
+    // ------------------------------------------------------------------
+    "q32_unpivot" -> QueryDef(
+      fn = { (s, dir) =>
+        // Wide-to-long reshaping (unpivot/melt): the inverse of q17's
+        // pivot. Spark plans it as a zero-shuffle Expand (one input
+        // row -> 4 metric rows) feeding the usual partial+final agg —
+        // at scale the reshape itself never exchanges data.
+        T(s, dir).lineitem
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax"))
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "metric", "value")
+          .groupBy(col("l_returnflag"), col("metric"))
+          .agg(round(avg(col("value")), 4).as("avg_value"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value
+          FROM lineitem
+          UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+          FROM lineitem
+          UNION ALL SELECT l_returnflag, 'l_discount', l_discount
+          FROM lineitem
+          UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        SELECT l_returnflag, metric, round(avg(value), 4) AS avg_value,
+               count(*) AS n
+        FROM u GROUP BY 1, 2"""),
+      doc = "Unpivot (wide->long melt) + per-metric aggregation."))
 }

@@ -33,6 +33,20 @@ object Formats {
     }
   }
 
+  /** Read-only formats: no writer exists, so they sit outside
+    * `supported`'s round-trip contract. `image` is Spark's built-in
+    * image datasource (struct<origin,height,width,nChannels,mode,
+    * data>) — the ingestion front door for the multimodal operators;
+    * `binaryFile` is the opaque-object scan (see FileIngest.readDir,
+    * which also fixes its zero-length-file drop).
+    */
+  val readOnly: Seq[String] = Seq("image", "binaryFile")
+
+  def readOnlyReader(spark: SparkSession, format: String): DataFrameReader = {
+    require(readOnly.contains(format), s"not a read-only format: $format")
+    spark.read.format(format)
+  }
+
   def write(df: DataFrame, format: String): DataFrameWriter[Row] = {
     require(supported.contains(format), s"unsupported format: $format")
     val w = df.write.format(format)

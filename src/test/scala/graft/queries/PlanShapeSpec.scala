@@ -60,6 +60,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.limit(5).collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
 
+  test("c01 curation: exactly one exchange (the fingerprint agg shuffle)") {
+    val p = plan("c01_curation")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // AQE may show the same exchange as a shuffle-read stage; what must
+    // NOT happen is a second shuffle for the quality gate
+    assert(exchanges <= 2, s"expected a single shuffle, plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final agg on the fingerprint")
+  }
+
+  test("c02 hash sample: pure scan+filter, no shuffle at all") {
+    val p = plan("c02_hash_sample")
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(p.contains("Filter"), "expected the threshold filter")
+  }
+
+  test("d06 embedding LSH: no float-array column crosses an exchange") {
+    val p = plan("d06_embedding_lsh_dups")
+    val exchangeLines = p.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    // candidate generation and dedup shuffle ids/buckets only; the
+    // wide embedding vectors are re-joined after the distinct
+    assert(!exchangeLines.contains("embedding"),
+      s"vector column in exchange:\n$exchangeLines")
+  }
+
   test("approx_count_distinct is within HLL error bounds") {
     val got = SparkEntry.queries("q23_approx_distinct")(spark, dir).head()
     val li = graft.Engine.Tables(spark, dir).lineitem

@@ -28,4 +28,21 @@ class FormatsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("image datasource reads a PNG dir; dims agree with ImageDecoder") {
+    val dir = Files.createTempDirectory("graft-imgsrc-")
+    val img = new java.awt.image.BufferedImage(
+      13, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    javax.imageio.ImageIO.write(img, "png", dir.resolve("a.png").toFile)
+    val rows = Formats.readOnlyReader(spark, "image").load(dir.toString)
+      .select("image.width", "image.height", "image.nChannels").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getInt(0) == 13 && rows.head.getInt(1) == 7)
+    // and the binaryFile path through our own decoder agrees
+    val viaDecoder = graft.operators.Multimodal.decodeImages(
+      graft.sources.FileIngest.keyed(
+        FileIngest.readDir(spark, dir.toString)).withColumnRenamed("content", "img"),
+      "key", "img").collect().head
+    assert(viaDecoder.getInt(1) == 13 && viaDecoder.getInt(2) == 7)
+  }
 }
