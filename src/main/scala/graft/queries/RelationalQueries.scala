@@ -744,5 +744,38 @@ object RelationalQueries {
         SELECT l_returnflag, metric, round(avg(value), 4) AS avg_value,
                count(*) AS n
         FROM u GROUP BY 1, 2"""),
-      doc = "Unpivot (wide->long melt) + per-metric aggregation."))
+      doc = "Unpivot (wide->long melt) + per-metric aggregation."),
+
+    // ------------------------------------------------------------------
+    "q33_interval_join" -> QueryDef(
+      fn = { (s, dir) =>
+        // Batch twin of EventStreams.intervalJoin (identical join
+        // expression runs under readStream with watermarks): for each
+        // purchase, count the same user's clicks in the preceding 15
+        // minutes. Catalyst plans the equi-key + time-range predicate
+        // as a hash join on user_id with the range as a post-filter —
+        // one shuffle, no BroadcastNestedLoop.
+        val e = T(s, dir).events
+        val f = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("user_id"))
+        val sig = e.filter(col("event_type") === "click")
+          .select(col("ts").as("rts"), col("user_id").as("s_user_id"))
+        f.join(sig, expr(
+          """user_id = s_user_id AND
+             rts BETWEEN ts - INTERVAL 15 MINUTES AND ts"""), "left")
+          .groupBy(col("event_id"))
+          .agg(count(col("rts")).as("n_recent_clicks"))
+      },
+      oracle = Some("""
+        SELECT f.event_id,
+               count(s.rts) AS n_recent_clicks
+        FROM (SELECT event_id, ts, user_id FROM events
+              WHERE event_type = 'purchase') f
+        LEFT JOIN (SELECT ts AS rts, user_id AS s_user_id FROM events
+                   WHERE event_type = 'click') s
+          ON f.user_id = s.s_user_id
+         AND s.rts BETWEEN f.ts - INTERVAL 15 MINUTE AND f.ts
+        GROUP BY f.event_id"""),
+      doc = "Interval join (batch twin of the stream-stream join): " +
+        "clicks within 15 min before each purchase."))
 }

@@ -72,6 +72,27 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream INTERVAL join: each fact row (ts, user_id, …)
+    * joins signal rows (rts, s_user_id, …) for the same user whose
+    * event time falls in [ts - lookback, ts]. Both sides carry
+    * watermarks, so Spark buffers only `lookback + watermark` worth
+    * of state per side and evicts the rest — the bounded-state shape
+    * stream-stream joins need to survive an unbounded feed (an
+    * unconstrained join would buffer both streams forever).
+    */
+  def intervalJoin(
+      facts: DataFrame, signals: DataFrame,
+      lookback: String = "15 minutes",
+      factsWatermark: String = "10 minutes",
+      signalsWatermark: String = "20 minutes"): DataFrame = {
+    val f = facts.withWatermark("ts", factsWatermark)
+    val s = signals.withWatermark("rts", signalsWatermark)
+    f.join(s, expr(
+      s"""user_id = s_user_id AND
+          rts BETWEEN ts - INTERVAL $lookback AND ts"""))
+      .drop("s_user_id")
+  }
+
   /** Streaming exact dedup: emit only the FIRST occurrence of each
     * content fingerprint; re-arrivals within the watermark horizon
     * are dropped. `dropDuplicatesWithinWatermark` is the only shape

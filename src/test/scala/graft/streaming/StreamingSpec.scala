@@ -100,6 +100,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((7L, "2024-01-01 09:30:00.0", 1L)))
   }
 
+  test("stream-stream interval join matches within lookback only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[(Timestamp, Long, Double)]
+    val signals = MemoryStream[(Timestamp, Long, String)]
+    val joined = EventStreams.intervalJoin(
+      facts.toDF().toDF("ts", "user_id", "value"),
+      signals.toDF().toDF("rts", "s_user_id", "label"),
+      lookback = "15 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    signals.addData(
+      (t("2024-01-01 10:00:00"), 1L, "recent"),
+      (t("2024-01-01 09:00:00"), 1L, "stale"),   // outside lookback
+      (t("2024-01-01 10:05:00"), 2L, "otheruser"))
+    facts.addData((t("2024-01-01 10:10:00"), 1L, 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("ij_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("label"))).toSet
+    q.stop()
+    assert(rows == Set((1L, "recent")), s"got $rows")
+  }
+
   test("streaming dedup emits first occurrence only, within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
