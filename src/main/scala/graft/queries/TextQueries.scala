@@ -143,6 +143,37 @@ object TextQueries {
       doc = "URL/e-mail strip + whitespace collapse (codegen, no shuffle)."),
 
     // ------------------------------------------------------------------
+    "t07_top_ngrams" -> QueryDef(
+      fn = { (s, dir) =>
+        // Corpus-wide n-gram vocabulary: explode word trigrams, count,
+        // top-100. The scale shape is explode -> partial+final hash
+        // agg -> TakeOrderedAndProject: the exploded stream never
+        // materializes, map-side combine crushes the heavy hitters
+        // before the shuffle, and top-k avoids a global sort.
+        docs(s, dir)
+          .select(explode(TextFunctions.shingles(col("text"), 3))
+            .as("ngram"))
+          .groupBy(col("ngram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("ngram"))
+          .limit(100)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT list_filter(string_split(text, ' '), x -> x != '') AS ts
+          FROM documents),
+        tri AS (
+          SELECT unnest(CASE WHEN len(ts) >= 3 THEN
+            list_transform(range(1, len(ts) - 1),
+              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+            ELSE CAST([] AS VARCHAR[]) END) AS ngram
+          FROM toks)
+        SELECT ngram, count(*) AS n
+        FROM tri GROUP BY ngram
+        ORDER BY n DESC, ngram LIMIT 100"""),
+      doc = "Corpus top-100 word trigrams (explode + agg + top-k)."),
+
+    // ------------------------------------------------------------------
     "t05_rolling_hash" -> QueryDef(
       fn = { (s, dir) =>
         // Order-sensitive doc fingerprint; int64 wraparound arithmetic

@@ -86,6 +86,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"vector column in exchange:\n$exchangeLines")
   }
 
+  test("q33: interval join is an equi-join on user_id, never BNLJ") {
+    val p = plan("q33_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to BNLJ:\n$p")
+    assert(p.contains("Join"), "expected a join")
+  }
+
+  test("t07 top-ngrams: top-k via TakeOrderedAndProject, not global sort") {
+    val p = plan("t07_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), s"no TOAP in:\n$p")
+  }
+
   test("approx_count_distinct is within HLL error bounds") {
     val got = SparkEntry.queries("q23_approx_distinct")(spark, dir).head()
     val li = graft.Engine.Tables(spark, dir).lineitem
