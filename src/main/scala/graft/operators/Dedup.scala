@@ -240,43 +240,48 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    // Lineage MUST be truncated every round (localCheckpoint): each
-    // iteration references `reps` three times, so without truncation
-    // the logical plan grows 3^rounds and the driver dies planning it
-    // long before any data moves. This is the standard discipline for
-    // iterative dataframe algorithms.
-    var reps = ids.select(col("id"), col("id").as("rep")).localCheckpoint()
-    var prevCk = reps // checkpointed frame backing `reps`, for unpersist
+    // One fused pass per round: augmenting the edge set with the
+    // current rep POINTERS (id -> rep) makes a single join+groupBy(min)
+    // compute BOTH the neighbor minimum and the pointer-doubling hop
+    // rep(rep(id)) — vs. three joins naively. `oldRep` (the label as
+    // of the last materialization) rides along so the convergence
+    // probe is a plain filter over cached blocks, not a join back to
+    // the previous generation.
+    def round(df: DataFrame): DataFrame = {
+      val aug = edges.unionByName(
+        df.select(col("id").as("src"), col("rep").as("dst")))
+      val neighborMin = aug
+        .join(df.select(col("id").as("dst"), col("rep").as("nrep")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nrep")).as("minN"))
+      df.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("oldRep"),
+          least(col("rep"), coalesce(col("minN"), col("rep"))).as("rep"))
+    }
+    // Lineage MUST be truncated periodically (localCheckpoint): each
+    // round references the previous frame three times, so an unchecked
+    // loop grows the logical plan 3^rounds and the driver dies
+    // planning it long before any data moves. Two rounds per
+    // checkpoint keeps the plan at 3^2 references while halving the
+    // materialization/probe actions — labels only ever decrease, so
+    // "no change across a double round" is still exactly convergence.
+    var reps = ids.select(col("id"), col("id").as("oldRep"),
+      col("id").as("rep")).localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
-      // One fused pass per round: augmenting the edge set with the
-      // current rep POINTERS (id -> rep) makes a single
-      // join+groupBy(min) compute BOTH the neighbor minimum and the
-      // pointer-doubling hop rep(rep(id)) — vs. three joins naively.
-      val aug = edges.unionByName(
-        reps.select(col("id").as("src"), col("rep").as("dst")))
-      val neighborMin = aug
-        .join(reps.withColumnRenamed("id", "dst")
-          .withColumnRenamed("rep", "nrep"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nrep")).as("minN"))
-      // carry the old rep through so the convergence probe is a plain
-      // filter over the checkpointed blocks — joining back to the
-      // previous generation would cost one more shuffle per round
-      val next = reps.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("rep").as("oldRep"),
-          least(col("rep"), coalesce(col("minN"), col("rep"))).as("rep"))
+      val next = round(round(
+        reps.select(col("id"), col("rep").as("oldRep"), col("rep"))))
         .localCheckpoint()
       val changed = next.filter(col("rep") =!= col("oldRep"))
         .limit(1).count()
-      prevCk.unpersist()
-      prevCk = next
-      reps = next.select(col("id"), col("rep"))
+      reps.unpersist()
+      reps = next
       converged = changed == 0
-      i += 1
+      i += 2
     }
     edges.unpersist()
-    reps
+    reps.select(col("id"), col("rep"))
   }
 }
