@@ -98,6 +98,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no TOAP in:\n$p")
   }
 
+  test("s01 rank<=k filter plans WindowGroupLimit (per-key top-k pushdown)") {
+    val p = plan("s01_topk_bruteforce")
+    // Spark 3.5+ rewrites rank-filter into a per-group limit BEFORE
+    // the window sort — without it every group fully sorts at scale
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("q25: bucketed join never hash-shuffles a fact side") {
+    // at tiny SF Catalyst may pick BHJ (broadcast, not a shuffle);
+    // what must never appear is a hash-partition exchange — bucketing
+    // already co-located the join key (LayoutSpec pins the SMJ case)
+    val p = plan("q25_bucketed_join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+  }
+
   test("approx_count_distinct is within HLL error bounds") {
     val got = SparkEntry.queries("q23_approx_distinct")(spark, dir).head()
     val li = graft.Engine.Tables(spark, dir).lineitem
