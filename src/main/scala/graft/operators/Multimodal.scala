@@ -184,6 +184,80 @@ object Multimodal {
       else Some(baos.toByteArray)
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Feature schema appended per image row by `imageFeatures`. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("luminance", DoubleType),
+    StructField("valid", BooleanType)))
+
+  /** Image feature extraction: per-channel pixel means + Rec.601
+    * luminance. REAL for JDK-decodable formats (full pixel decode,
+    * integer-exact channel sums); GRFT stub payloads report the mean
+    * payload byte on all channels (deterministic stand-in). The
+    * canonical mapInPandas-shaped feature pass: batch in, narrow
+    * feature columns out, no shuffle.
+    */
+  def imageFeatures(
+      df: DataFrame, keyCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(
+      df.schema(keyCol) +: featureSchema.fields.toSeq)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(keyCol), col(binCol)).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Row.fromSeq(r.get(0) +: featuresOf(bytes).toSeq)
+      }
+    }(enc)
+  }
+
+  private def featuresOf(bytes: Array[Byte]): Row = {
+    val invalid = Row(null, null, null, null, null, null, false)
+    if (bytes == null) invalid
+    else if (bytes.length >= 16 && hasMagic(bytes)) {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.position(4)
+      val w = bb.getInt
+      val h = bb.getInt
+      val n = bytes.length - 16
+      val mean = if (n == 0) 0.0 else {
+        var s = 0L
+        var i = 16
+        while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+        s.toDouble / n
+      }
+      Row(w, h, mean, mean, mean, mean, true)
+    } else {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) invalid
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff
+              sg += (p >> 8) & 0xff
+              sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val (mr, mg, mb) = (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          Row(w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb, true)
+        }
+      } catch { case scala.util.control.NonFatal(_) => invalid }
+    }
+  }
+
   /** Stub frame sampler for "video" payloads: treats the payload as
     * fixed-size frames and emits every `everyN`-th as its own row —
     * the explode-shaped generator a real frame extractor needs.

@@ -79,6 +79,23 @@ object MultimodalQueries {
       doc = "Stub frame sampling: explode-shaped generator over binary."),
 
     // ------------------------------------------------------------------
+    "m04_image_features" -> QueryDef(
+      fn = { (s, dir) =>
+        // Feature extraction over the deterministic fixture images:
+        // GRFT payload mean byte is exact integer math, so the result
+        // is deterministic (rows-only check; the REAL pixel path is
+        // pinned by MultimodalSpec on generated PNGs). Means emitted
+        // as integer micro-units to keep the dump hash-stable.
+        Multimodal.imageFeatures(fakeImages(s, dir), "doc_id", "image")
+          .select(col("doc_id"), col("width"), col("height"),
+            expr("cast(mean_r * 1000000 as bigint)").as("mean_byte_micros"),
+            col("valid"))
+      },
+      oracle = None,
+      doc = "Image feature extraction (channel means / luminance; " +
+        "real pixel path for JDK formats)."),
+
+    // ------------------------------------------------------------------
     "m03_audio_stats" -> QueryDef(
       fn = { (s, dir) =>
         // Payload bytes as little-endian int16 PCM; exact math, no

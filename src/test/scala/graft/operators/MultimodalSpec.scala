@@ -69,6 +69,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.getString(3) == "png" && meta.getBoolean(5))
   }
 
+  test("image features: exact channel means on a two-color PNG") {
+    // left half solid red, right half solid blue, 8x4
+    val img = new java.awt.image.BufferedImage(
+      8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(x => (0 until 4).foreach(y =>
+      img.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val df = Seq((1L, baos.toByteArray)).toDF("id", "img")
+    val r = Multimodal.imageFeatures(df, "id", "img").collect().head
+    assert(r.getInt(1) == 8 && r.getInt(2) == 4)
+    assert(r.getDouble(3) == 127.5)  // mean_r: half 255, half 0
+    assert(r.getDouble(4) == 0.0)    // no green anywhere
+    assert(r.getDouble(5) == 127.5)  // mean_b
+    assert(math.abs(r.getDouble(6) - (0.299 + 0.114) * 127.5) < 1e-9)
+    assert(r.getBoolean(7))
+  }
+
+  test("image features: GRFT stub reports mean payload byte") {
+    val payload = Array[Byte](0, 100, -56) // unsigned: 0, 100, 200
+    val df = Seq((2L, Multimodal.encodeFakeImage(4, 2, "png", payload)))
+      .toDF("id", "img")
+    val r = Multimodal.imageFeatures(df, "id", "img").collect().head
+    assert(r.getInt(1) == 4 && r.getInt(2) == 2)
+    assert(r.getDouble(3) == 100.0)
+    assert(r.getBoolean(7))
+  }
+
   test("frame sampling emits every Nth fixed-size frame") {
     val v = Seq((9L, Multimodal.encodeFakeImage(1, 1, "png",
       Array.tabulate[Byte](100)(_.toByte)))).toDF("id", "vid")
