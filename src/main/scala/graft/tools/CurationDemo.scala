@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sampling}
+
+/** End-to-end corpus-curation pipeline over the documents fixture —
+  * the composed flow a training-data run executes, each stage one of
+  * the library's operators:
+  *
+  *   clean -> quality gate -> exact dedup -> MinHash near-dup pairs
+  *   -> connected components -> keep set -> stratified sample
+  *   -> deterministic train/eval split
+  *
+  * `sbt "runMain graft.tools.CurationDemo [sfDir]"`.
+  */
+object CurationDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Engine.session(appName = "graft-curation-demo")
+
+    val raw = Engine.Tables(spark, sfDir).documents
+    val cleaned = raw.select(col("doc_id"), col("lang"),
+      TextFunctions.cleanText(col("text")).as("text"))
+
+    val gated = cleaned
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .localCheckpoint() // consumed by pair-gen, components, and output
+
+    val pairs = Dedup.nearDupPairs(gated, "text", "doc_id", threshold = 0.5)
+    val reps = Dedup.clusterReps(
+      gated.select(col("doc_id").as("id")), pairs)
+    val kept = gated.join(
+      reps.filter(col("id") === col("rep")).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+    val sampled = Sampling.stratifiedHashSample(kept, "doc_id", "lang",
+      Map("en" -> 0.5, "es" -> 1.0, "de" -> 1.0, "fr" -> 1.0, "zh" -> 1.0))
+    val train = Sampling.sampleBand(sampled, "doc_id", 0.0, 0.9)
+    val eval = Sampling.sampleBand(sampled, "doc_id", 0.9, 1.0)
+
+    val (nRaw, nGated, nKept) = (raw.count(), gated.count(), kept.count())
+    val (nTrain, nEval) = (train.count(), eval.count())
+    println(s"[demo] raw=$nRaw  quality-gated=$nGated  after-dedup=$nKept")
+    println(s"[demo] stratified-sampled=${sampled.count()}  " +
+      s"train=$nTrain  eval=$nEval")
+    println("[demo] kept per lang:")
+    kept.groupBy("lang").count().orderBy("lang").show(false)
+    spark.stop()
+  }
+}
