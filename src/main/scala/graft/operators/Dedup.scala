@@ -180,7 +180,18 @@ object Dedup {
     * of the `tables` signature tables are compared, then filtered on
     * true cosine >= threshold. Tune `bits` to corpus size (bucket
     * occupancy ~ n/2^bits) and `tables` to the recall target
-    * 1-(1-p^bits)^tables.
+    * 1-(1-p^bits)^tables, where p = 1 - theta/pi for the threshold's
+    * angle.
+    *
+    * Scale policy (the knobs are NOT size-free): at n vectors set
+    * bits ≈ log2(n / targetBucketOccupancy) so per-bucket pair work
+    * stays constant as the corpus grows, and recover recall by
+    * raising `tables` (cost is linear in tables; pair work is
+    * quadratic in occupancy). This trade is cheap at real NEAR-DUP
+    * thresholds (cosine ≥ 0.9 keeps p^bits large); loose thresholds
+    * like the fixture's 0.35 need few bits by nature. Whatever the
+    * knobs, `maxBucketSize` hard-bounds worst-case work and the
+    * identical-vector bypass keeps true duplicate floods O(n).
     */
   def embeddingDupPairs(
       df: DataFrame, vecCol: String, idCol: String,

@@ -50,6 +50,12 @@ object Similarity {
     * Candidate fraction per query ~ tables * (1+bits*probeBits) /
     * 2^bits of the corpus — the knob that turns a full scan into a
     * slice at scale.
+    *
+    * Scale policy: grow `bits` with corpus size (candidate work per
+    * query ~ n/2^bits per table) and recover recall with `tables` /
+    * multi-probe — tables cost linearly, occupancy costs linearly in
+    * candidates here (top-k probes, not pairs), so the trade is
+    * gentler than the dedup self-join's.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,

@@ -90,24 +90,45 @@ object JobStream {
     val names = ok.select("fileName").distinct()
       .collect().map(_.getString(0))
     // driver-side existence check: metadata-only, one call per named
-    // file (bounded by the batch size)
+    // file (bounded by the batch size). The stat also captures length:
+    // `binaryFile` silently DROPS zero-length files (no scan splits),
+    // so empty inputs must be re-injected as explicit empty-content
+    // rows — otherwise a job naming an empty object would vanish:
+    // neither published nor quarantined (the same silent-loss family
+    // FileIngest.readDir guards against on the batch path).
     val base = new org.apache.hadoop.fs.Path(inputDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    val (present, absent) = names.partition { n =>
+    val stats = names.map { n =>
       val p = new org.apache.hadoop.fs.Path(base, n)
-      fs.exists(p) && fs.getFileStatus(p).isFile
+      val len =
+        if (fs.exists(p) && fs.getFileStatus(p).isFile)
+          Some(fs.getFileStatus(p).getLen)
+        else None
+      (n, len)
     }
+    val present = stats.collect { case (n, Some(len)) if len > 0 => n }
+    val empties = stats.collect { case (n, Some(0L)) => n }
+    val absent = stats.collect { case (n, None) => n }
     import spark.implicits._
     val missing = absent.toSeq.map(n => (n, -2, "input object not found"))
       .toDF("key", "exitCode", "error")
-    val results =
+    val scanned =
       if (present.isEmpty) None
-      else Some(PipeTransform.transform(
-        graft.sources.FileIngest.keyed(
-          spark.read.format("binaryFile")
-            .load(present.map(n => new org.apache.hadoop.fs.Path(base, n).toString): _*),
-          baseDir = Some(inputDir)),
-        command).persist())
+      else Some(graft.sources.FileIngest.keyed(
+        spark.read.format("binaryFile")
+          .load(present.map(n =>
+            new org.apache.hadoop.fs.Path(base, n).toString): _*),
+        baseDir = Some(inputDir)))
+    val emptyRows =
+      if (empties.isEmpty) None
+      else Some(empties.toSeq.toDF("key")
+        .select(col("key"), lit(Array.empty[Byte]).as("content")))
+    val input = (scanned, emptyRows) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+    val results =
+      input.map(in => PipeTransform.transform(in, command).persist())
     try {
       results.foreach { r =>
         NamedSink.write(PipeTransform.split(r)._1, outputDir, ext)

@@ -20,10 +20,12 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     Files.write(in.resolve("f1.txt"), "hello stream".getBytes)
     Files.write(in.resolve("f2.txt"), "second file".getBytes)
-    // 2 good jobs, 1 unknown action, 1 missing input
+    Files.write(in.resolve("f0.empty"), Array.empty[Byte])
+    // 3 good jobs (one empty input), 1 unknown action, 1 missing input
     Files.write(Paths.get(queue, "batch1.jsonl"),
       ("""["process","b","i/","o/","f1.txt"]""" + "\n" +
         """["process","b","i/","o/","f2.txt"]""" + "\n" +
+        """["process","b","i/","o/","f0.empty"]""" + "\n" +
         """["reboot","b","i/","o/","f1.txt"]""" + "\n" +
         """["process","b","i/","o/","missing.txt"]""").getBytes)
 
@@ -35,6 +37,8 @@ class StreamingSpec extends AnyFunSuite {
       "hello stream")
     assert(new String(Files.readAllBytes(Paths.get(out, "f2.txt.out"))) ==
       "second file")
+    // empty input must be processed (binaryFile alone would drop it)
+    assert(Files.readAllBytes(Paths.get(out, "f0.empty.out")).isEmpty)
     val quar = spark.read.parquet(out + "_quarantine").collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(quar("missing.txt") == -2)
