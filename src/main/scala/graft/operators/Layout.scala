@@ -41,6 +41,18 @@ object Layout {
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Persist `df` hive-partitioned by `partCol` (one directory per
+    * value). At 100 TB this is the other half of layout discipline
+    * next to bucketing: equality/range predicates on the partition
+    * column become PartitionFilters — pruned at PLANNING time, the
+    * non-matching directories are never even listed into the scan.
+    * Use low-cardinality columns (date, source, lang); high-cardinality
+    * partitioning produces the small-files problem instead.
+    */
+  def writePartitioned(
+      df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Salted equi-join for pathological key skew: the skewed (big)
     * side gets a deterministic salt in [0, salts) derived from the
     * whole row; the dim side is replicated `salts` times. The join key

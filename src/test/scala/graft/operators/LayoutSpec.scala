@@ -63,4 +63,29 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     assert(salted == plain)
   }
+
+  test("partitioned layout: equality predicate becomes a PartitionFilter") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-part-").toString + "/t"
+    val df = (1 to 300).map(i => (i.toLong, s"src${i % 3}", i * 1.5))
+      .toDF("id", "source", "v")
+    Layout.writePartitioned(df, dir, "source")
+    val q = spark.read.parquet(dir).filter(col("source") === "src1")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("src1"),
+      s"predicate did not prune partitions:\n$plan")
+    // pruning is planning-time: only the matching directory's files scan
+    def scannedFiles(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect() // drive THIS queryExecution (count() builds another)
+      d.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.get
+    }
+    val pruned = scannedFiles(q)
+    val all = scannedFiles(spark.read.parquet(dir))
+    assert(pruned < all, s"scanned $pruned of $all files — no pruning")
+    assert(q.count() == 100)
+  }
 }
