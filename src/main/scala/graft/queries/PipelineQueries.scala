@@ -81,5 +81,22 @@ object PipelineQueries {
       oracle = Some("""
         SELECT doc_id, 'process' AS action, 'output/' AS output_prefix
         FROM documents"""),
-      doc = "JobSpec positional-JSON envelope round-trip + dispatch."))
+      doc = "JobSpec positional-JSON envelope round-trip + dispatch."),
+
+    // ------------------------------------------------------------------
+    "p04_pipe_lines" -> QueryDef(
+      fn = { (s, dir) =>
+        // The AMORTIZED pipe path (one process per PARTITION, lines
+        // streamed through stdin/stdout) — the shape that replaces
+        // p01/p02's process-per-record spawn at 10^9 records. Safe
+        // here: fixture text is newline-free printable ASCII, so
+        // line-oriented framing is lossless and `tr` is byte-exact.
+        import s.implicits._
+        val lines = T(s, dir).documents.select(col("text")).as[String]
+          .repartition(s.sparkContext.defaultParallelism)
+        PipeTransform.transformLines(lines, Seq("tr", "a-z", "A-Z"))
+          .toDF("line")
+      },
+      oracle = Some("SELECT upper(text) AS line FROM documents"),
+      doc = "Line-oriented pipe (process per partition, tr upper)."))
 }
