@@ -114,30 +114,51 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: deterministic verified pairs
     * with exact Jaccard >= threshold.
     *
-    * Exact duplicates are detected SEPARATELY (fingerprint groupBy)
-    * and unioned in as (keep_id, dup_id, 1.0) pairs: a flood of
-    * >maxBucketSize identical docs saturates every LSH bucket and
-    * would otherwise be dropped by the cap — the exact path is
-    * immune to that (and O(n) per flood instead of O(n^2) pairs).
+    * Canonicalize-first design (the 100 TB shape): exact duplicates
+    * are grouped by fingerprint up front, the LSH + verification
+    * stages run over ONE REPRESENTATIVE per distinct content, and
+    * verified rep-rep pairs are expanded back through group
+    * membership. Consequences:
+    *  - a k-way duplicate flood costs O(k) (star pairs + one rep in
+    *    LSH), never k^2 bucket pairs or k^2 verification joins — at
+    *    20x corpus replication this is the difference between 68 s
+    *    and a few seconds (tools/ScaleSmoke);
+    *  - fingerprint-equal docs (case/whitespace variants) are treated
+    *    as one content: within a group, pairs are emitted in star
+    *    form (keep, member, 1.0); cross-group member pairs inherit
+    *    the representatives' Jaccard.
     */
   def nearDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 32,
       shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
-    val cands = candidatePairs(lshBuckets(sigs, bands, numHashes),
-      maxBucketSize)
-    val lshPairs = verifyJaccard(cands, df, textCol, idCol, shingleSize)
-      .filter(col("jaccard") >= threshold)
-    val exactPairs = df
+    val groups = df
       .select(col(idCol).as("did"),
         TextFunctions.fingerprint(col(textCol)).as("fp"))
       .withColumn("keep", min(col("did")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .filter(col("did") =!= col("keep"))
+    val exactPairs = groups.filter(col("did") =!= col("keep"))
       .select(col("keep").as("id_a"), col("did").as("id_b"),
         lit(1.0).as("jaccard"))
-    lshPairs.unionByName(exactPairs)
+    val reps = df.join(
+      groups.filter(col("did") === col("keep"))
+        .select(col("did").as(idCol)),
+      Seq(idCol), "left_semi")
+    val sigs = minhashSignatures(reps, textCol, idCol, numHashes, shingleSize)
+    val cands = candidatePairs(lshBuckets(sigs, bands, numHashes),
+      maxBucketSize)
+    val repPairs = verifyJaccard(cands, reps, textCol, idCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+    // rep ids ARE the groups' keep ids: expand through membership
+    val members = groups.select(col("keep"), col("did"))
+    val expanded = repPairs
+      .join(members.select(col("keep").as("id_a"), col("did").as("m_a")),
+        Seq("id_a"))
+      .join(members.select(col("keep").as("id_b"), col("did").as("m_b")),
+        Seq("id_b"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+    expanded.unionByName(exactPairs)
       .groupBy("id_a", "id_b").agg(max(col("jaccard")).as("jaccard"))
   }
 

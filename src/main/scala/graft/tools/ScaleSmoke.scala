@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Scale-stress smoke: replicate the documents corpus k times (ids
+  * offset, texts identical => every doc becomes a k-way exact-dup
+  * flood) and run the MinHash near-dup pipeline + the curation agg on
+  * it. This stresses precisely the paths that break naive LSH at
+  * scale — saturated buckets and duplicate floods — and prints
+  * wall-clock per stage so growth can be checked against k.
+  *
+  * `sbt "runMain graft.tools.ScaleSmoke [sfDir] [k]"`.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = Engine.session(appName = "graft-scale-smoke")
+
+    val base = Engine.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val big = (0 until k).map { i =>
+      base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        col("text"))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist()
+    val n = big.count()
+
+    def timed(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      println(f"[smoke] $label%-22s rows=$rows%10d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    println(s"[smoke] corpus: $n docs (k=$k x ${n / k})")
+    timed("exact_dedup") {
+      Dedup.exact(big, "text", "doc_id").count()
+    }
+    timed("minhash_neardups") {
+      Dedup.nearDupPairs(big, "text", "doc_id", threshold = 0.5).count()
+    }
+    timed("quality_gate_agg") {
+      big.withColumn("q", TextFunctions.qualityScore(col("text")))
+        .filter(col("q") >= 0.5)
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")), count(lit(1))).count()
+    }
+    big.unpersist()
+    spark.stop()
+  }
+}
