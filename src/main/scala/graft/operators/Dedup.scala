@@ -166,11 +166,29 @@ object Dedup {
     * `bands` segments for candidate generation (two docs within
     * hamming distance < bands must agree on >= 1 segment), verified
     * with bit_count(a^b) <= maxHamming.
+    *
+    * Canonicalize-first like `nearDupPairs`: identical content would
+    * otherwise saturate every segment bucket k^2-wise; the banded
+    * self-join runs over one representative per fingerprint group,
+    * star pairs (hamming 0) cover within-group, and rep pairs expand
+    * through membership.
     */
   def simhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    val h = df.select(col(idCol).as("id"),
+    val groups = df
+      .select(col(idCol).as("did"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .withColumn("keep", min(col("did")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+    val exactPairs = groups.filter(col("did") =!= col("keep"))
+      .select(col("keep").as("id_a"), col("did").as("id_b"),
+        lit(0).as("hamming"))
+    val reps = df.join(
+      groups.filter(col("did") === col("keep"))
+        .select(col("did").as(idCol)),
+      Seq(idCol), "left_semi")
+    val h = reps.select(col(idCol).as("id"),
       VectorFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sh"))
     val seg = 64 / bands
     // bands is a static small int: unroll the segment extraction into
@@ -188,12 +206,23 @@ object Dedup {
       col("id").as("id_a"), col("sh").as("sh_a"))
     val rt = exploded.select(col("band"), col("segval"),
       col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(rt, Seq("band", "segval"))
+    val repPairs = l.join(rt, Seq("band", "segval"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    // expand rep-rep pairs to member pairs; hamming 0 within groups
+    val members = groups.select(col("keep"), col("did"))
+    val expanded = repPairs
+      .join(members.select(col("keep").as("id_a"), col("did").as("m_a")),
+        Seq("id_a"))
+      .join(members.select(col("keep").as("id_b"), col("did").as("m_b")),
+        Seq("id_b"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("hamming"))
+    expanded.unionByName(exactPairs)
+      .groupBy("id_a", "id_b").agg(min(col("hamming")).as("hamming"))
   }
 
   /** Embedding-cosine near-dup pairs via multi-table hyperplane-LSH
