@@ -126,12 +126,18 @@ object Dedup {
     *  - fingerprint-equal docs (case/whitespace variants) are treated
     *    as one content: within a group, pairs are emitted in star
     *    form (keep, member, 1.0); cross-group member pairs inherit
-    *    the representatives' Jaccard.
+    *    the representatives' Jaccard;
+    *  - `expandGroups = false` skips materializing cross-group member
+    *    pairs and returns star + rep pairs only — the SAME connected
+    *    components (what keep-set pipelines consume) at a fraction of
+    *    the output: a 20x-replicated corpus emits 32M expanded
+    *    simhash pairs vs ~200k compact ones.
     */
   def nearDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 32,
-      shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+      shingleSize: Int = 3, maxBucketSize: Int = 1000,
+      expandGroups: Boolean = true): DataFrame = {
     val groups = df
       .select(col(idCol).as("did"),
         TextFunctions.fingerprint(col(textCol)).as("fp"))
@@ -150,15 +156,19 @@ object Dedup {
     val repPairs = verifyJaccard(cands, reps, textCol, idCol, shingleSize)
       .filter(col("jaccard") >= threshold)
     // rep ids ARE the groups' keep ids: expand through membership
-    val members = groups.select(col("keep"), col("did"))
-    val expanded = repPairs
-      .join(members.select(col("keep").as("id_a"), col("did").as("m_a")),
-        Seq("id_a"))
-      .join(members.select(col("keep").as("id_b"), col("did").as("m_b")),
-        Seq("id_b"))
-      .select(least(col("m_a"), col("m_b")).as("id_a"),
-        greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
-    expanded.unionByName(exactPairs)
+    val pairsOut =
+      if (!expandGroups) repPairs // star + rep pairs: same connectivity
+      else {
+        val members = groups.select(col("keep"), col("did"))
+        repPairs
+          .join(members.select(col("keep").as("id_a"), col("did").as("m_a")),
+            Seq("id_a"))
+          .join(members.select(col("keep").as("id_b"), col("did").as("m_b")),
+            Seq("id_b"))
+          .select(least(col("m_a"), col("m_b")).as("id_a"),
+            greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+      }
+    pairsOut.unionByName(exactPairs)
       .groupBy("id_a", "id_b").agg(max(col("jaccard")).as("jaccard"))
   }
 
@@ -175,7 +185,8 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4,
+      expandGroups: Boolean = true): DataFrame = {
     val groups = df
       .select(col(idCol).as("did"),
         TextFunctions.fingerprint(col(textCol)).as("fp"))
@@ -213,15 +224,19 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
     // expand rep-rep pairs to member pairs; hamming 0 within groups
-    val members = groups.select(col("keep"), col("did"))
-    val expanded = repPairs
-      .join(members.select(col("keep").as("id_a"), col("did").as("m_a")),
-        Seq("id_a"))
-      .join(members.select(col("keep").as("id_b"), col("did").as("m_b")),
-        Seq("id_b"))
-      .select(least(col("m_a"), col("m_b")).as("id_a"),
-        greatest(col("m_a"), col("m_b")).as("id_b"), col("hamming"))
-    expanded.unionByName(exactPairs)
+    val pairsOut =
+      if (!expandGroups) repPairs
+      else {
+        val members = groups.select(col("keep"), col("did"))
+        repPairs
+          .join(members.select(col("keep").as("id_a"), col("did").as("m_a")),
+            Seq("id_a"))
+          .join(members.select(col("keep").as("id_b"), col("did").as("m_b")),
+            Seq("id_b"))
+          .select(least(col("m_a"), col("m_b")).as("id_a"),
+            greatest(col("m_a"), col("m_b")).as("id_b"), col("hamming"))
+      }
+    pairsOut.unionByName(exactPairs)
       .groupBy("id_a", "id_b").agg(min(col("hamming")).as("hamming"))
   }
 
@@ -246,23 +261,28 @@ object Dedup {
   def embeddingDupPairs(
       df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, bits: Int = 4, tables: Int = 12,
-      dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
-    // Identical-vector floods are the embedding analog of the LSH
-    // boilerplate flood (same vector => same bucket in EVERY table):
-    // pair them O(n) against the min id up front, so the bucket cap
-    // below can safely drop the saturated buckets.
-    val exactPairs = df
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("keep", min(col("id")).over(
+      dim: Int = 64, maxBucketSize: Int = 10000,
+      expandGroups: Boolean = true): DataFrame = {
+    // Canonicalize-first (same design as nearDupPairs): identical
+    // vectors land in the same bucket of EVERY table, so a k-way
+    // duplicate flood would cost k^2 in the self-join. Group by the
+    // vector itself, pair members O(n) against the min id, and run
+    // the whole LSH stage over one representative per distinct
+    // vector; rep pairs expand back through membership.
+    val groups = df
+      .select(col(idCol).as("did"), col(vecCol).as("vec"))
+      .withColumn("keep", min(col("did")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec"))))
-      .filter(col("id") =!= col("keep"))
-      .select(col("keep").as("id_a"), col("id").as("id_b"),
+    val exactPairs = groups.filter(col("did") =!= col("keep"))
+      .select(col("keep").as("id_a"), col("did").as("id_b"),
         lit(1.0).as("cosine"))
+    val reps = groups.filter(col("did") === col("keep"))
+      .select(col("did").as("id"), col("vec"))
     // ids only through the (wide, exploded) bucket self-join — the
     // vectors would multiply the shuffle width by tables x dim floats;
     // they are re-joined once per side on the (small) distinct pair set
-    val sigd = df.select(col(idCol).as("id"),
-      posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables, dim)))
+    val sigd = reps.select(col("id"),
+      posexplode(VectorFunctions.hyperplaneSigs(col("vec"), bits, tables, dim)))
       .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
       .localCheckpoint() // 3 consumers below; don't recompute signatures
     val okBuckets = sigd.groupBy(col("table"), col("bucket"))
@@ -272,15 +292,27 @@ object Dedup {
     val sized = sigd.join(okBuckets, Seq("table", "bucket"), "left_semi")
     val l = sized.select(col("table"), col("bucket"), col("id").as("id_a"))
     val rt = sized.select(col("table"), col("bucket"), col("id").as("id_b"))
-    val lshPairs = l.join(rt, Seq("table", "bucket"))
+    val repPairs = l.join(rt, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
-      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
+      .join(reps.select(col("id").as("id_a"), col("vec").as("v_a")), Seq("id_a"))
+      .join(reps.select(col("id").as("id_b"), col("vec").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-    lshPairs.unionByName(exactPairs)
+    val pairsOut =
+      if (!expandGroups) repPairs
+      else {
+        val members = groups.select(col("keep"), col("did"))
+        repPairs
+          .join(members.select(col("keep").as("id_a"), col("did").as("m_a")),
+            Seq("id_a"))
+          .join(members.select(col("keep").as("id_b"), col("did").as("m_b")),
+            Seq("id_b"))
+          .select(least(col("m_a"), col("m_b")).as("id_a"),
+            greatest(col("m_a"), col("m_b")).as("id_b"), col("cosine"))
+      }
+    pairsOut.unionByName(exactPairs)
       .groupBy("id_a", "id_b").agg(max(col("cosine")).as("cosine"))
   }
 

@@ -30,7 +30,11 @@ object CurationDemo {
       .filter(col("quality") >= 0.5)
       .localCheckpoint() // consumed by pair-gen, components, and output
 
-    val pairs = Dedup.nearDupPairs(gated, "text", "doc_id", threshold = 0.5)
+    // compact pair form: star + rep pairs carry the same connected
+    // components as the fully-expanded member pairs, without
+    // materializing k^2 rows per duplicate group
+    val pairs = Dedup.nearDupPairs(gated, "text", "doc_id",
+      threshold = 0.5, expandGroups = false)
     val reps = Dedup.clusterReps(
       gated.select(col("doc_id").as("id")), pairs)
     val kept = gated.join(

@@ -50,7 +50,30 @@ object ScaleSmoke {
         .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")), count(lit(1))).count()
     }
+    // compact form: star + rep pairs (same connectivity). The fully
+    // expanded member-pair output at k=20 is 32M rows (k^2 per dup
+    // group) and its materialization, not the LSH, dominates — which
+    // is the point of expandGroups=false.
+    timed("simhash_compact") {
+      Dedup.simhashPairs(big, "text", "doc_id", maxHamming = 10,
+        expandGroups = false).count()
+    }
     big.unpersist()
+
+    val ebase = Engine.Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val ebig = (0 until k).map { i =>
+      ebase.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist()
+    println(s"[smoke] embeddings: ${ebig.count()} vectors")
+    timed("embedding_lsh_dups") {
+      Dedup.embeddingDupPairs(ebig, "embedding", "vec_id",
+        threshold = 0.35).count()
+    }
+    ebig.unpersist()
     spark.stop()
   }
 }
