@@ -116,7 +116,7 @@ object JobStream {
       if (present.isEmpty) None
       else Some(graft.sources.FileIngest.keyed(
         spark.read.format("binaryFile")
-          .load(present.map(n =>
+          .load(present.toIndexedSeq.map(n =>
             new org.apache.hadoop.fs.Path(base, n).toString): _*),
         baseDir = Some(inputDir)))
     val emptyRows =
