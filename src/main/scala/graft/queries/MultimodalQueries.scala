@@ -91,7 +91,20 @@ object MultimodalQueries {
             expr("cast(mean_r * 1000000 as bigint)").as("mean_byte_micros"),
             col("valid"))
       },
-      oracle = None,
+      // GRFT payload = UTF-8 text bytes and the corpus is ASCII, so
+      // the mean payload byte is recomputable from the text; floor
+      // before CAST because DuckDB's double->bigint cast rounds where
+      // Spark's truncates.
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(64 + doc_id % 512 AS INT) AS width,
+               CAST(48 + doc_id % 256 AS INT) AS height,
+               CAST(floor(
+                 CAST(list_sum(list_transform(range(1, length(text) + 1),
+                   i -> ascii(substring(text, i, 1)))) AS DOUBLE)
+                 / length(text) * 1000000) AS BIGINT) AS mean_byte_micros,
+               true AS valid
+        FROM documents"""),
       doc = "Image feature extraction (channel means / luminance; " +
         "real pixel path for JDK formats)."),
 

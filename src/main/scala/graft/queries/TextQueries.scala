@@ -176,13 +176,21 @@ object TextQueries {
     // ------------------------------------------------------------------
     "t05_rolling_hash" -> QueryDef(
       fn = { (s, dir) =>
-        // Order-sensitive doc fingerprint; int64 wraparound arithmetic
-        // is exact and engine-independent, so this IS oracle-checkable
-        // ... but DuckDB lacks wrapping multiply (hugeint widens).
-        // Rows-only; ExpressionSpec + TextFunctionsSpec cover it.
+        // Order-sensitive doc fingerprint. The mod-prime accumulation
+        // keeps every intermediate < 2^31, so DuckDB's list_reduce
+        // replicates it exactly in BIGINT — fully oracle-checked
+        // (ASCII corpus: ascii() agrees between engines).
         docs(s, dir).select(col("doc_id"),
           TextFunctions.rollingHash(col("text")).as("rh"))
       },
-      oracle = None,
-      doc = "Rolling polynomial hash fingerprint (rows-only check)."))
+      oracle = Some("""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(text) + 1),
+                     i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 2147483647) AS rh
+        FROM documents"""),
+      doc = "Rolling polynomial hash fingerprint (mod-prime, " +
+        "engine-exact)."))
 }
