@@ -316,6 +316,25 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(max(col("cosine")).as("cosine"))
   }
 
+  /** One-call corpus dedup: keep exactly one document per near-dup
+    * cluster (exact + MinHash-LSH at `threshold`, components via
+    * pointer-doubling min-label). The compact pair form feeds the
+    * component step — cross-group member pairs are never
+    * materialized — so the whole path is flood-proof end to end.
+    * Returns `df` filtered to cluster representatives (min id each).
+    */
+  def dedupCorpus(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 128, bands: Int = 32,
+      shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, threshold, numHashes,
+      bands, shingleSize, maxBucketSize, expandGroups = false)
+    val reps = clusterReps(df.select(col(idCol).as("id")), pairs)
+    df.join(
+      reps.filter(col("id") === col("rep")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Connected-component representatives from a near-dup pair list:
     * (id, rep) where rep is the minimum id reachable through pairs.
     *

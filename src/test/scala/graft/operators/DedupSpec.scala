@@ -95,6 +95,14 @@ class DedupSpec extends AnyFunSuite {
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("dedupCorpus keeps one doc per near-dup cluster") {
+    val kept = Dedup.dedupCorpus(corpus, "text", "doc_id",
+      threshold = 0.5, numHashes = 64, bands = 16)
+      .collect().map(_.getLong(0)).toSet
+    // {1,2,5} exact group + 3 near-dups 1 => cluster rep 1; 4 and 6 alone
+    assert(kept == Set(1L, 4L, 6L), s"got $kept")
+  }
+
   test("clusterReps converges on a 30-link chain (pointer doubling)") {
     val n = 30L
     val ids = (1L to n).toDF("id")
