@@ -123,5 +123,22 @@ object CurationQueries {
             WHEN 'fr' THEN '${Sampling.thresholdHex(0.5)}'
             ELSE '${Sampling.thresholdHex(0.0)}' END"""),
       doc = "Stratified deterministic sampling per language " +
-        "(sampleBy analog, reproducible)."))
+        "(sampleBy analog, reproducible)."),
+
+    // ------------------------------------------------------------------
+    "c04_dedup_corpus" -> QueryDef(
+      fn = { (s, dir) =>
+        // The one-call migration API: exact + MinHash-LSH dedup to a
+        // keep set. LSH seeds are not SQL-expressible -> rows-only;
+        // the composition is pinned by DedupSpec and its pieces are
+        // oracle-checked (d01 exact groups, d07 components).
+        graft.operators.Dedup.dedupCorpus(
+          Engine.Tables(s, dir).documents
+            .repartition(s.sparkContext.defaultParallelism),
+          "text", "doc_id", threshold = 0.5)
+          .select(col("doc_id"), col("source"), col("lang"))
+      },
+      oracle = None,
+      doc = "One-call corpus dedup keep set (exact + MinHash LSH + " +
+        "connected components; rows-only)."))
 }
