@@ -348,10 +348,26 @@ object Dedup {
     */
   def clusterReps(
       ids: DataFrame, pairs: DataFrame, maxIters: Int = 12): DataFrame = {
-    // undirected edges, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+    // Materialize the pair list ONCE (it may be a whole LSH pipeline):
+    // three consumers follow — touched ids, edges, and the final
+    // anti-join — and each would otherwise re-evaluate the subtree.
+    // localCheckpoint, not persist: the returned (lazy) union still
+    // references derivations of this frame after we return.
+    val p = pairs.localCheckpoint()
+    // Only ids that appear in a pair can ever change label — iterate
+    // over the DUP GRAPH, not the corpus. At 100 TB the dup graph is
+    // orders of magnitude smaller than the id set; untouched ids are
+    // their own representative and are unioned back at the end.
+    val touched = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id")))
+      .distinct()
+    val loopIds = ids.join(touched, Seq("id"), "left_semi")
+    val untouched = ids.join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("rep"))
+    // undirected edges, both directions (cheap scans of the
+    // checkpointed blocks; no separate persist needed)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     // One fused pass per round: augmenting the edge set with the
     // current rep POINTERS (id -> rep) makes a single join+groupBy(min)
     // compute BOTH the neighbor minimum and the pointer-doubling hop
@@ -378,7 +394,7 @@ object Dedup {
     // checkpoint keeps the plan at 3^2 references while halving the
     // materialization/probe actions — labels only ever decrease, so
     // "no change across a double round" is still exactly convergence.
-    var reps = ids.select(col("id"), col("id").as("oldRep"),
+    var reps = loopIds.select(col("id"), col("id").as("oldRep"),
       col("id").as("rep")).localCheckpoint()
     var i = 0
     var converged = false
@@ -393,7 +409,6 @@ object Dedup {
       converged = changed == 0
       i += 2
     }
-    edges.unpersist()
-    reps.select(col("id"), col("rep"))
+    reps.select(col("id"), col("rep")).unionByName(untouched)
   }
 }
