@@ -138,11 +138,17 @@ object Dedup {
       threshold: Double, numHashes: Int = 128, bands: Int = 32,
       shingleSize: Int = 3, maxBucketSize: Int = 1000,
       expandGroups: Boolean = true): DataFrame = {
+    // (did, keep) is consumed by THREE subtrees (star pairs, rep
+    // filter, membership expansion); materialize the window result
+    // once — measured: without this the fingerprint+window subtree
+    // is physically evaluated five times (no ReusedExchange fires).
     val groups = df
       .select(col(idCol).as("did"),
         TextFunctions.fingerprint(col(textCol)).as("fp"))
       .withColumn("keep", min(col("did")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .select(col("did"), col("keep"))
+      .localCheckpoint()
     val exactPairs = groups.filter(col("did") =!= col("keep"))
       .select(col("keep").as("id_a"), col("did").as("id_b"),
         lit(1.0).as("jaccard"))
@@ -192,6 +198,8 @@ object Dedup {
         TextFunctions.fingerprint(col(textCol)).as("fp"))
       .withColumn("keep", min(col("did")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .select(col("did"), col("keep"))
+      .localCheckpoint() // 3 consumers; see nearDupPairs
     val exactPairs = groups.filter(col("did") =!= col("keep"))
       .select(col("keep").as("id_a"), col("did").as("id_b"),
         lit(0).as("hamming"))
@@ -273,6 +281,7 @@ object Dedup {
       .select(col(idCol).as("did"), col(vecCol).as("vec"))
       .withColumn("keep", min(col("did")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec"))))
+      .localCheckpoint() // 4 consumers (star, reps+vec, members)
     val exactPairs = groups.filter(col("did") =!= col("keep"))
       .select(col("keep").as("id_a"), col("did").as("id_b"),
         lit(1.0).as("cosine"))
