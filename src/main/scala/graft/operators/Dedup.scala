@@ -156,10 +156,26 @@ object Dedup {
       groups.filter(col("did") === col("keep"))
         .select(col("did").as(idCol)),
       Seq(idCol), "left_semi")
-    val sigs = minhashSignatures(reps, textCol, idCol, numHashes, shingleSize)
+    // Shingle-hash each rep ONCE: the same sorted hash array feeds
+    // both the MinHash signature and the exact-Jaccard verification
+    // (minhashSignatures + verifyJaccard would each re-scan and
+    // re-hash the corpus).
+    val hashed = reps.select(col(idCol).as("id"),
+      VectorFunctions.shingleHashes(col(textCol), shingleSize).as("shset"))
+      .localCheckpoint()
+    val sigs = hashed.select(col("id"),
+      when(size(col("shset")) > 0,
+        VectorFunctions.minhashSignature(col("shset"), numHashes)).as("sig"))
     val cands = candidatePairs(lshBuckets(sigs, bands, numHashes),
       maxBucketSize)
-    val repPairs = verifyJaccard(cands, reps, textCol, idCol, shingleSize)
+    val repPairs = cands
+      .join(hashed.select(col("id").as("id_a"), col("shset").as("set_a")),
+        Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("shset").as("set_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.jaccardSorted(col("set_a"), col("set_b"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
     // rep ids ARE the groups' keep ids: expand through membership
     val pairsOut =
