@@ -75,7 +75,7 @@ object NamedSink {
     * replace-with-underscore, encoding is injective, so distinct keys
     * can never collide onto one output file.
     */
-  private[sinks] def sanitize(key: String): String = {
+  private[graft] def sanitize(key: String): String = {
     val sb = new StringBuilder(key.length)
     key.foreach {
       case '%'  => sb.append("%25")

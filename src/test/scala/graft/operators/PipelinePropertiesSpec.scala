@@ -97,4 +97,27 @@ class PipelinePropertiesSpec extends AnyFunSuite {
       assert(first == files.keySet.map(_ + ".out"))
     }
   }
+
+  test("∀ keys: sink name sanitization is injective (no output collisions)") {
+    // adversarial charset: separators, escapes, and the URI-special
+    // chars the Hadoop-Path port added to the encoding set
+    val genKey: Gen[String] = for {
+      n <- Gen.choose(1, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumChar,
+        Gen.oneOf('/', '\\', '%', ':', '#', '?', '.', ' ')))
+    } yield cs.mkString
+    val pairs = (0 until 500).flatMap { i =>
+      for {
+        a <- genKey.apply(Gen.Parameters.default, Seed(1000L + i))
+        b <- genKey.apply(Gen.Parameters.default, Seed(9000L + i))
+      } yield (a, b)
+    }
+    pairs.foreach { case (a, b) =>
+      val (sa, sb) = (graft.sinks.NamedSink.sanitize(a),
+        graft.sinks.NamedSink.sanitize(b))
+      if (a == b) assert(sa == sb)
+      else assert(sa != sb, s"collision: '$a' and '$b' -> '$sa'")
+    }
+  }
 }
