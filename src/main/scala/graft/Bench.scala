@@ -46,11 +46,16 @@ object Bench {
       val b = runOnce(name)
       name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal (ms) precision: full-precision doubles made the r02
+    // JSON line ~3.6 kB, longer than the driver's captured output
+    // tail, so the driver parsed null. ~30 bytes/query keeps the
+    // whole line comfortably inside the tail window.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also write the line to a file: under sbt the stdout line gets an
     // "[info] " prefix that breaks the driver's JSON parse

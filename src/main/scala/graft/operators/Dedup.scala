@@ -295,6 +295,15 @@ object Dedup {
     // vector; rep pairs expand back through membership.
     val groups = df
       .select(col(idCol).as("did"), col(vecCol).as("vec"))
+      // SQL grouping treats NULL = NULL, so null embeddings would all
+      // land in ONE fingerprint group and emit cosine=1.0 "exact dup"
+      // pairs; exclude them up front (the LSH path already did — null
+      // vec -> null sigs -> no candidates). Zero-norm vectors are
+      // excluded for the same consistency reason: cosineSim defines
+      // them as 0-similar to everything, so declaring two of them
+      // exact dups would contradict the verification kernel.
+      .filter(col("vec").isNotNull &&
+        exists(col("vec"), v => v =!= lit(0.0f)))
       .withColumn("keep", min(col("did")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec"))))
       .localCheckpoint() // 4 consumers (star, reps+vec, members)
@@ -429,11 +438,26 @@ object Dedup {
         .localCheckpoint()
       val changed = next.filter(col("rep") =!= col("oldRep"))
         .limit(1).count()
-      reps.unpersist()
+      // Dataset.unpersist only evicts CacheManager entries — a no-op
+      // for localCheckpoint blocks, which live as RDD storage. Free
+      // the superseded generation's blocks through the underlying
+      // checkpoint RDD (LogicalRDD) or a long loop accumulates one
+      // materialized generation per double-round until ContextCleaner
+      // happens to GC them.
+      checkpointRdd(reps).foreach(_.unpersist(blocking = false))
       reps = next
       converged = changed == 0
       i += 2
     }
     reps.select(col("id"), col("rep")).unionByName(untouched)
   }
+
+  /** The RDD backing a localCheckpoint'd frame (None for any other
+    * plan shape) — the handle needed to actually free its blocks.
+    */
+  private def checkpointRdd(
+      df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
 }

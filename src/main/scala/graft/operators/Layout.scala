@@ -69,15 +69,29 @@ object Layout {
       skewed: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 1, "salts must be > 1")
-    // Any value in [0, salts) works for the big side (the dim side is
-    // replicated across all salts); a per-row round-robin costs no
-    // hashing at all — do NOT hash the whole row (16 cols of xxhash64
-    // per row was the q24 bench outlier in round 1).
+    // The salt must be DETERMINISTIC IN ROW CONTENT: a positional
+    // scheme (monotonically_increasing_id, rand) assigns different
+    // salts when a lost map task is recomputed after shuffle-fetch
+    // reordering, silently duplicating/dropping rows across (key,
+    // salt) reduce partitions. Hash the key plus ONE extra column —
+    // enough spread to split a hot key, without round 1's
+    // 16-column-row hash (the q24 bench outlier).
     val saltedBig = skewed.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
+      contentSalt(skewed, key, salts))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Deterministic per-row salt in [0, salts): xxhash64 of the group
+    * key and the first non-key column (content-derived, so task retry
+    * reproduces it — the shuffle-correctness requirement — yet only
+    * two columns wide). Rows identical in both columns share a salt;
+    * that only concedes skew-split uniformity, never correctness.
+    */
+  private def contentSalt(df: DataFrame, key: String, salts: Int) = {
+    val extra = df.columns.filter(_ != key).take(1).map(col).toSeq
+    pmod(xxhash64((col(key) +: extra): _*), lit(salts)).cast("int")
   }
 
   /** Two-phase (salted) aggregation for skewed group keys: partial
@@ -89,11 +103,12 @@ object Layout {
   def saltedSumCount(
       df: DataFrame, key: String, valueCol: String,
       salts: Int): DataFrame = {
-    // Round-robin salt: splits a hot key uniformly across `salts`
-    // partial groups with zero per-row hashing (the salt needs no
-    // relationship to the data — it only has to be uniform).
+    // Content-derived salt (see contentSalt): deterministic under
+    // task retry — a positional round-robin re-deals rows to
+    // different (key, salt) partial groups when a map task is
+    // recomputed, corrupting the partial sums.
     val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts)))
+      pmod(xxhash64(col(key), col(valueCol)), lit(salts)))
     salted.groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

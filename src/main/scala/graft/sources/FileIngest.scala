@@ -84,9 +84,17 @@ object FileIngest {
         val fs = p.getFileSystem(
           files.sparkSession.sessionState.newHadoopConf())
         val qb = fs.makeQualified(p).toString.stripSuffix("/") + "/"
+        // A path outside the qualified base dir means the
+        // qualification disagrees with the scan's URI rendering —
+        // fail LOUDLY. The tempting basename fallback silently
+        // collapses `a/data.txt` and `b/data.txt` onto one key for
+        // EVERY file, and the named sink would then overwrite
+        // distinct outputs.
         when(col("path").startsWith(qb),
           col("path").substr(lit(qb.length + 1), length(col("path"))))
-          .otherwise(element_at(split(col("path"), "/"), -1))
+          .otherwise(raise_error(concat(
+            lit(s"[graft] scan path outside base dir '$qb': "),
+            col("path"))))
       case None => element_at(split(col("path"), "/"), -1)
     }
     files.select(key.as("key"), col("content"))

@@ -126,6 +126,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
   }
 
+  test("null and zero-norm embeddings never pair (not even with each other)") {
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val zero = Array.fill(8)(0.0f)
+    val rows = Seq(
+      (1L, Option(v.toSeq)), (2L, Option(v.toSeq)), // genuine exact dups
+      (3L, Option.empty[Seq[Float]]), (4L, Option.empty[Seq[Float]]),
+      (5L, Option(zero.toSeq)), (6L, Option(zero.toSeq)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(df, "embedding", "vec_id",
+      threshold = 0.9, bits = 2, tables = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SQL grouping treats NULL = NULL: without the isNotNull guard the
+    // two null rows (and the two zero-norm rows, cosine undefined)
+    // would be emitted as cosine=1.0 exact dups
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("embedding LSH dup pairs ⊆ brute force, high recall at 0.35") {
     val e = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))

@@ -47,6 +47,24 @@ class FileIngestSpec extends AnyFunSuite {
     assert(got == Set("data/data.txt"))
   }
 
+  test("keyed fails loudly when a scan path is outside the base dir") {
+    // The silent alternative — falling back to the bare basename —
+    // would collapse every distinct key onto its basename and let the
+    // named sink overwrite outputs. Misconfiguration must throw.
+    val dir = Files.createTempDirectory("graft-scan5-")
+    val other = Files.createTempDirectory("graft-scan6-")
+    Files.write(dir.resolve("a.txt"), "A".getBytes)
+    val ex = intercept[Exception] {
+      FileIngest.keyed(
+        FileIngest.readDir(spark, dir.toString),
+        baseDir = Some(other.toString)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("outside base dir")),
+      s"unexpected failure: $ex")
+  }
+
   test("glob filter and manifest naming") {
     val dir = Files.createTempDirectory("graft-scan2-")
     Files.write(dir.resolve("x.txt"), "x".getBytes)
