@@ -23,6 +23,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: $e")
         return -1.0
       }
+      finally
+        // free this run's localCheckpoint blocks; leaked blocks from
+        // earlier queries otherwise crowd storage and tax every
+        // later measurement (r02: d07 read 28 s, alone it runs 5 s)
+        Engine.releaseCheckpoints(spark)
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -41,6 +41,24 @@ object Engine {
     spark
   }
 
+  /** Release every persisted/localCheckpoint'd RDD still registered
+    * with the context. The dedup/similarity pipelines materialize
+    * intermediate frames via localCheckpoint; those blocks belong to
+    * the one query invocation and are garbage the moment its action
+    * finishes, but only ContextCleaner would ever reclaim them. A
+    * harness that runs MANY queries in one session (Bench, Verify)
+    * must call this between queries or the accumulated blocks crowd
+    * executor storage — measured: d07 went 28 s -> 5 s at sf0.1 once
+    * the backlog of prior queries' blocks stopped leaking.
+    *
+    * Only safe BETWEEN top-level actions: unpersisting a
+    * localCheckpoint'd RDD discards its only copy (lineage is
+    * truncated), so frames from before the call must not be reused.
+    */
+  def releaseCheckpoints(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
   /** The reference's entire control plane (SQS depth -> CloudWatch
     * alarms -> ASG 0..N, SURVEY.md §3.3) expressed as Spark conf:
     * apply on a real cluster deployment. Local test sessions don't
