@@ -381,7 +381,7 @@ object Dedup {
     * driver-side graph state; `maxIters` bounds runaway inputs.
     */
   def clusterReps(
-      ids: DataFrame, pairs: DataFrame, maxIters: Int = 12): DataFrame = {
+      ids: DataFrame, pairs: DataFrame, maxIters: Int = 64): DataFrame = {
     // Materialize the pair list ONCE (it may be a whole LSH pipeline):
     // three consumers follow — touched ids, edges, and the final
     // anti-join — and each would otherwise re-evaluate the subtree.
@@ -433,11 +433,15 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
+      val t0 = System.nanoTime()
       val next = round(round(
         reps.select(col("id"), col("rep").as("oldRep"), col("rep"))))
         .localCheckpoint()
       val changed = next.filter(col("rep") =!= col("oldRep"))
         .limit(1).count()
+      if (sys.env.contains("GRAFT_PROF"))
+        System.err.println(f"[clusterReps] double-round at i=$i: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s, changed=$changed")
       // Dataset.unpersist only evicts CacheManager entries — a no-op
       // for localCheckpoint blocks, which live as RDD storage. Free
       // the superseded generation's blocks through the underlying
@@ -449,6 +453,13 @@ object Dedup {
       converged = changed == 0
       i += 2
     }
+    // Un-converged labels are WRONG answers (some id still points at a
+    // non-minimal rep), and at sf0.1 the fixture graph already needs
+    // 14 rounds — returning silently was a correctness cliff. The
+    // default cap covers pointer-doubling distance ~2^63; hitting it
+    // means a pathological input, not a tuning problem.
+    if (!converged) throw new IllegalStateException(
+      s"clusterReps did not converge within $maxIters rounds")
     reps.select(col("id"), col("rep")).unionByName(untouched)
   }
 
