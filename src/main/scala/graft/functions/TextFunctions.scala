@@ -121,15 +121,17 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
-  /** Word n-gram shingles as strings ("a b c"), empty array when the
-    * doc has fewer than n tokens.
+  /** Word n-gram shingles as strings ("a b c"), document order,
+    * duplicates preserved; empty array when the doc has fewer than n
+    * tokens. Native expression — the obvious HOF composition
+    * (`transform(sequence, i -> concat_ws(slice(tokens(text), ...)))`)
+    * re-evaluates the tokenize subtree once per output element (HOF
+    * lambdas bind expression TREES, not computed values), i.e. an
+    * O(tokens^2) split per document: measured 15 s for a corpus pass
+    * that the native form does in under a second.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.expressions.word_shingles(text, n)
 
   /** Rolling polynomial hash of the whole document (base-31 over
     * chars, mod the Mersenne-ish prime 2^31-1 so the accumulator

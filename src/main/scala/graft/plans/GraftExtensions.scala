@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "jaccard_sorted",
       "jaccard_sorted(a, b) - Jaccard of two sorted distinct bigint arrays",
       { case Seq(a, b) => JaccardSorted(a, b) })
+    register(ext, "word_shingles",
+      "word_shingles(text, n) - word n-grams as strings, document order",
+      { case Seq(t, n) => WordShingles(t, toIntLit(n, "word_shingles")) })
   }
 
   private def toIntLit(e: Expression, fn: String): Int = e match {

@@ -140,5 +140,79 @@ object CurationQueries {
       },
       oracle = None,
       doc = "One-call corpus dedup keep set (exact + MinHash LSH + " +
-        "connected components; rows-only)."))
+        "connected components; rows-only)."),
+
+    // ------------------------------------------------------------------
+    "c05_decontaminate" -> QueryDef(
+      fn = { (s, dir) =>
+        // Benchmark decontamination: flag every training doc sharing a
+        // word trigram with the held-out eval slice (deterministic
+        // slice: doc_id % 97 == 0). Scale shape: the eval n-gram set
+        // is millions of rows even for a large benchmark suite ->
+        // BROADCAST it; the corpus side is explode -> broadcast
+        // semi-join -> partial count, so the 100 TB side is never
+        // shuffled at all.
+        val d = docs(s, dir).select(col("doc_id"),
+          array_distinct(TextFunctions.shingles(col("text"), 3)).as("ng"))
+        val evalNg = d.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("ng")).as("ngram")).distinct()
+        d.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("ng")).as("ngram"))
+          .join(broadcast(evalNg), Seq("ngram"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS ts
+          FROM documents),
+        tri AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN
+            list_transform(range(1, len(ts) - 1),
+              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+            ELSE CAST([] AS VARCHAR[]) END) AS ng
+          FROM toks),
+        ev AS (
+          SELECT DISTINCT unnest(ng) AS ngram FROM tri
+          WHERE doc_id % 97 = 0),
+        corpus AS (
+          SELECT doc_id, unnest(ng) AS ngram FROM tri
+          WHERE doc_id % 97 != 0)
+        SELECT c.doc_id, count(*) AS n_hits
+        FROM corpus c JOIN ev USING (ngram)
+        GROUP BY c.doc_id"""),
+      doc = "Benchmark decontamination: trigram overlap vs a held-out " +
+        "eval slice (broadcast semi-join; corpus side never shuffles)."),
+
+    // ------------------------------------------------------------------
+    "c06_shards" -> QueryDef(
+      fn = { (s, dir) =>
+        // Training-shard assignment: content-keyed shard in [0,16)
+        // from the first md5 hex digit (uniform, engine-portable, and
+        // stable under repartitioning — unlike spark_partition_id),
+        // with per-shard doc/token totals to verify balance. At scale
+        // this is the landing step before
+        // df.repartition(col("shard")).write: one hash-agg shuffle.
+        docs(s, dir)
+          .select(
+            expr("cast(instr('0123456789abcdef', " +
+              "substring(md5(cast(doc_id as string)), 1, 1)) - 1 as int)")
+              .as("shard"),
+            TextFunctions.tokenCount(col("text")).as("ntok"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok").cast("long")).as("n_tokens"))
+      },
+      oracle = Some("""
+        SELECT CAST(strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+               AS INTEGER) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                 x -> x != ''))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY 1"""),
+      doc = "Deterministic training-shard assignment + balance stats " +
+        "(md5-digit sharding, engine-portable)."))
 }

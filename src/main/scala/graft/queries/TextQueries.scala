@@ -192,5 +192,38 @@ object TextQueries {
                  (acc, c) -> (acc * 31 + c) % 2147483647) AS rh
         FROM documents"""),
       doc = "Rolling polynomial hash fingerprint (mod-prime, " +
-        "engine-exact)."))
+        "engine-exact)."),
+
+    // ------------------------------------------------------------------
+    "t08_doc_freq" -> QueryDef(
+      fn = { (s, dir) =>
+        // Corpus document-frequency table (the IDF numerator): tokens
+        // appearing in >= 5% of docs. Scale shape: explode distinct
+        // per-doc tokens -> partial+final hash agg (map-side combine
+        // crushes stopword heavy hitters before the shuffle); the
+        // count(*) scalar joins in as a 1-row broadcast. Integer
+        // outputs only — idf itself is ln(), which is libm-dependent
+        // and would break cross-engine hash equality.
+        val d = docs(s, dir)
+        val df_ = d.select(col("doc_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text"))))
+            .as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        df_.crossJoin(broadcast(d.select(count(lit(1)).as("n_docs"))))
+          .filter(col("df") >= col("n_docs") * 0.05)
+          .select(col("token"), col("df"), col("n_docs"))
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_filter(string_split(text, ' '), x -> x != ''))) AS token
+          FROM documents),
+        dfreq AS (
+          SELECT token, count(*) AS df FROM tok GROUP BY token)
+        SELECT token, df,
+               (SELECT count(*) FROM documents) AS n_docs
+        FROM dfreq
+        WHERE df >= 0.05 * (SELECT count(*) FROM documents)"""),
+      doc = "Document-frequency table at >=5% support (IDF numerator; " +
+        "explode + map-side-combined agg)."))
 }

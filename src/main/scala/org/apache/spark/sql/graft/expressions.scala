@@ -281,6 +281,41 @@ object expressions {
   }
 
   // -------------------------------------------------------------------
+  /** Word n-gram shingles as STRINGS ("a b c"), in document order,
+    * duplicates preserved; empty array when the doc has fewer than n
+    * tokens. The string twin of ShingleHashes for surfaces that need
+    * the n-gram text itself (vocabulary counts, decontamination,
+    * oracle-checkable outputs).
+    *
+    * Exists because the equivalent HOF pipeline —
+    * `transform(sequence(...), i -> concat_ws(' ', slice(tokens(text),
+    * i+1, n)))` — re-evaluates the whole tokenize subtree once PER
+    * ELEMENT (lambda args are expression trees, not bound values), an
+    * O(tokens^2) split per document. This expression tokenizes once
+    * and slices byte spans.
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+
+    override def prettyName: String = "word_shingles"
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleUtil.evalStrings(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = org.apache.spark.sql.graft.ShingleUtil.evalStrings($a, $n);")
+
+    override protected def withNewChildInternal(c: Expression): WordShingles =
+      copy(child = c)
+  }
+
+  // -------------------------------------------------------------------
   /** Jaccard similarity of two SORTED long arrays (the shape
     * ShingleHashes emits) via a single linear merge — no hash set, no
     * intermediate intersection array. |A∩B| / (|A|+|B|-|A∩B|); 0.0
@@ -334,6 +369,10 @@ object expressions {
   def shingle_hashes(text: Column, n: Int): Column =
     ExpressionUtils.column(
       ShingleHashes(ExpressionUtils.expression(text), n))
+
+  def word_shingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      WordShingles(ExpressionUtils.expression(text), n))
 
   def jaccard_sorted(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardSorted(
@@ -490,6 +529,57 @@ object ShingleUtil {
       r += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
+  }
+
+  /** Same tokenization as evalText, but emits each n-token window as
+    * a single-space-joined STRING, in document order with duplicates
+    * preserved (the vocabulary-count / decontamination shape; hash,
+    * sort, dedup are the caller's choice).
+    */
+  def evalStrings(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    var count = 0
+    var i = 0
+    val len = bytes.length
+    var starts = new Array[Int](math.max(8, len / 4))
+    var ends = new Array[Int](starts.length)
+    while (i < len) {
+      while (i < len && bytes(i) == ' ') i += 1
+      if (i < len) {
+        val s0 = i
+        while (i < len && bytes(i) != ' ') i += 1
+        if (count == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, count * 2)
+          ends = java.util.Arrays.copyOf(ends, count * 2)
+        }
+        starts(count) = s0
+        ends(count) = i
+        count += 1
+      }
+    }
+    if (count < n)
+      return new GenericArrayData(Array.empty[AnyRef])
+    val nShingles = count - n + 1
+    val out = new Array[AnyRef](nShingles)
+    var w = 0
+    while (w < nShingles) {
+      var need = n - 1 // single-space joints
+      var t = w
+      while (t < w + n) { need += ends(t) - starts(t); t += 1 }
+      val buf = new Array[Byte](need)
+      var pos = 0
+      t = w
+      while (t < w + n) {
+        if (t > w) { buf(pos) = ' '; pos += 1 }
+        val tl = ends(t) - starts(t)
+        System.arraycopy(bytes, starts(t), buf, pos, tl)
+        pos += tl
+        t += 1
+      }
+      out(w) = UTF8String.fromBytes(buf)
+      w += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
