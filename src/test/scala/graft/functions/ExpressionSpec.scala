@@ -80,6 +80,26 @@ class ExpressionSpec extends AnyFunSuite {
     assert(one.getSeq[Long](4).length == 8)
   }
 
+  test("word_shingles: order, duplicates, multi-space join, short docs") {
+    val df = Seq(
+      ("plain", "a b c d"),
+      ("dup", "x y x y x"),          // repeated windows preserved
+      ("spaces", "  a   b  c "),     // runs of spaces tokenize away
+      ("short", "a b"),              // fewer than n tokens
+      ("empty", "")).toDF("k", "t")
+    val got = df.select($"k",
+      org.apache.spark.sql.graft.expressions.word_shingles($"t", 3).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("plain") == Seq("a b c", "b c d"))
+    assert(got("dup") == Seq("x y x", "y x y", "x y x"))
+    assert(got("spaces") == Seq("a b c")) // joined with SINGLE spaces
+    assert(got("short") == Seq.empty)
+    assert(got("empty") == Seq.empty)
+    // SQL registration
+    assert(spark.sql("SELECT word_shingles('a b c', 2) AS s").head()
+      .getSeq[String](0) == Seq("a b", "b c"))
+  }
+
   test("jaccard_sorted: identical, disjoint, partial, empty, null") {
     val df = Seq(
       ("ident", Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
