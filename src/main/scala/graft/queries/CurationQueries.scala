@@ -214,5 +214,36 @@ object CurationQueries {
         FROM documents
         GROUP BY 1"""),
       doc = "Deterministic training-shard assignment + balance stats " +
-        "(md5-digit sharding, engine-portable)."))
+        "(md5-digit sharding, engine-portable)."),
+
+    // ------------------------------------------------------------------
+    "c07_topk_per_source" -> QueryDef(
+      fn = { (s, dir) =>
+        // Best-k-per-domain selection (keep the 3 highest-quality docs
+        // per source). rank <= k over a window is the declarative
+        // form; Spark 4 plans it as WindowGroupLimit — a per-partition
+        // top-k pushed BELOW the shuffle — so at 100 TB each map task
+        // forwards at most k rows per group instead of sorting whole
+        // partitions (asserted in PlanShapeSpec). Ties broken by
+        // doc_id for cross-engine determinism.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextFunctions.qualityScore(col("text")).as("quality"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+      },
+      oracle = Some(s"""
+        WITH $qualityCte,
+        ranked AS (
+          SELECT s.doc_id, d.source, s.quality,
+                 row_number() OVER (PARTITION BY d.source
+                   ORDER BY s.quality DESC, s.doc_id) AS rk
+          FROM scored s JOIN documents d USING (doc_id))
+        SELECT doc_id, source, quality, rk
+        FROM ranked WHERE rk <= 3"""),
+      doc = "Top-3 docs per source by quality (WindowGroupLimit " +
+        "top-k-per-group, no full partition sort)."))
 }

@@ -105,6 +105,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("c05 decontamination: eval set broadcast, corpus side never shuffles") {
+    val p = plan("c05_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast semi-join in:\n$p")
+    // the only exchanges allowed are for the (tiny) eval n-gram
+    // distinct and the final per-doc agg — never a join shuffle of
+    // the exploded corpus stream
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side shuffled for the join:\n$p")
+  }
+
+  test("c07 top-k per source plans WindowGroupLimit, not full sort") {
+    val p = plan("c07_topk_per_source")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
   test("q25: bucketed join never hash-shuffles a fact side") {
     // at tiny SF Catalyst may pick BHJ (broadcast, not a shuffle);
     // what must never appear is a hash-partition exchange — bucketing
