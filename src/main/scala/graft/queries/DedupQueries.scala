@@ -298,5 +298,38 @@ object DedupQueries {
             round(col("cosine"), 4).as("cosine"), col("rank"))
       },
       oracle = None,
-      doc = "IVF (k-means cells, nprobe=3) ANN top-5 (rows-only)."))
+      doc = "IVF (k-means cells, nprobe=3) ANN top-5 (rows-only)."),
+
+    // ------------------------------------------------------------------
+    "s04_semantic_filter" -> QueryDef(
+      fn = { (s, dir) =>
+        // Semantic curation filter: keep vectors cosine-similar to a
+        // reference probe (vec_id 1). The probe is a 1-row broadcast
+        // — at 100 TB the corpus is scanned once, the similarity is a
+        // fused codegen expression, and nothing shuffles (the plan is
+        // scan -> broadcast NLJ(1 row) -> project/filter).
+        val e = T(s, dir).embeddings
+        val probe = e.filter(col("vec_id") === 1)
+          .select(col("embedding").as("probe"))
+        e.crossJoin(broadcast(probe))
+          .filter(col("vec_id") =!= 1)
+          .select(col("vec_id"),
+            round(VectorFunctions.cosineSim(col("embedding"), col("probe")), 4)
+              .as("sim"))
+          .filter(col("sim") >= 0.15)
+      },
+      oracle = Some("""
+        SELECT vec_id,
+               round(list_cosine_similarity(
+                 CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                  WHERE vec_id = 1)), 4) AS sim
+        FROM embeddings
+        WHERE vec_id != 1
+          AND round(list_cosine_similarity(
+                CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                 WHERE vec_id = 1)), 4) >= 0.15"""),
+      doc = "Semantic filter vs a probe vector (1-row broadcast, " +
+        "single corpus scan, no shuffle)."))
 }
