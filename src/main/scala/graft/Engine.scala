@@ -41,15 +41,16 @@ object Engine {
     spark
   }
 
-  /** Release every persisted/localCheckpoint'd RDD still registered
-    * with the context. The dedup/similarity pipelines materialize
-    * intermediate frames via localCheckpoint; those blocks belong to
-    * the one query invocation and are garbage the moment its action
-    * finishes, but only ContextCleaner would ever reclaim them. A
-    * harness that runs MANY queries in one session (Bench, Verify)
-    * must call this between queries or the accumulated blocks crowd
-    * executor storage — measured: d07 went 28 s -> 5 s at sf0.1 once
-    * the backlog of prior queries' blocks stopped leaking.
+  /** Release every localCheckpoint'd RDD still registered with the
+    * context (caller-managed `persist` caches are left alone). The
+    * dedup/similarity pipelines materialize intermediate frames via
+    * localCheckpoint; those blocks belong to the one query invocation
+    * and are garbage the moment its action finishes, but only
+    * ContextCleaner would ever reclaim them. A harness that runs MANY
+    * queries in one session (Bench, Verify) must call this between
+    * queries or the accumulated blocks crowd executor storage —
+    * measured: d07 went 28 s -> 5 s at sf0.1 once the backlog of
+    * prior queries' blocks stopped leaking.
     *
     * Only safe BETWEEN top-level actions: unpersisting a
     * localCheckpoint'd RDD discards its only copy (lineage is
@@ -57,6 +58,7 @@ object Engine {
     */
   def releaseCheckpoints(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values
+      .filter(org.apache.spark.rdd.GraftRddUtil.isLocallyCheckpointed)
       .foreach(_.unpersist(blocking = false))
 
   /** The reference's entire control plane (SQS depth -> CloudWatch

@@ -89,7 +89,7 @@ object Layout {
     * two columns wide). Rows identical in both columns share a salt;
     * that only concedes skew-split uniformity, never correctness.
     */
-  private def contentSalt(df: DataFrame, key: String, salts: Int) = {
+  private[operators] def contentSalt(df: DataFrame, key: String, salts: Int) = {
     val extra = df.columns.filter(_ != key).take(1).map(col).toSeq
     pmod(xxhash64((col(key) +: extra): _*), lit(salts)).cast("int")
   }

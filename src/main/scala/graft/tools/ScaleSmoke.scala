@@ -35,6 +35,10 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       val rows = body
       println(f"[smoke] $label%-22s rows=$rows%10d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      // free this stage's localCheckpoint blocks (persisted caches
+      // like `big` are untouched) so later stages measure themselves,
+      // not the accumulated storage backlog
+      Engine.releaseCheckpoints(spark)
     }
 
     println(s"[smoke] corpus: $n docs (k=$k x ${n / k})")
@@ -57,6 +61,24 @@ object ScaleSmoke {
     timed("simhash_compact") {
       Dedup.simhashPairs(big, "text", "doc_id", maxHamming = 10,
         expandGroups = false).count()
+    }
+    // decontamination against a held-out slice: eval n-gram set
+    // broadcast, corpus side explode -> semi-join, never shuffled
+    timed("decontaminate") {
+      val d = big.select(col("doc_id"),
+        array_distinct(TextFunctions.shingles(col("text"), 3)).as("ng"))
+      val evalNg = d.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("ng")).as("ngram")).distinct()
+      d.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("ng")).as("ngram"))
+        .join(broadcast(evalNg), Seq("ngram"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1))).count()
+    }
+    // the one-call end-to-end: pairs -> components -> keep set, on a
+    // corpus where EVERY doc is a k-way flood (stresses clusterReps'
+    // graph size as well as the LSH)
+    timed("dedup_corpus_e2e") {
+      Dedup.dedupCorpus(big, "text", "doc_id", threshold = 0.5).count()
     }
     big.unpersist()
 

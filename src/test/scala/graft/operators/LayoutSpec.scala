@@ -45,11 +45,27 @@ class LayoutSpec extends AnyFunSuite {
     val salted = Layout.saltedJoin(big, dim, "k", salts = 8)
     assert(salted.count() == plain.count())
     assert(salted.columns.toSet == plain.columns.toSet)
-    // hot key actually split across salts
+    // hot key actually split across salts (the impl's own salt expr)
     val saltSpread = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(8)))
+      Layout.contentSalt(big, "k", 8))
       .filter($"k" === 1L).select("__salt").distinct().count()
     assert(saltSpread > 4, s"salt spread only $saltSpread")
+  }
+
+  test("salt is a pure function of row content (retry/partitioning-safe)") {
+    import spark.implicits._
+    // monotonically_increasing_id-style salts change with partition
+    // layout — exactly what corrupts a shuffle under partial stage
+    // retry. The content salt must assign every row the same salt no
+    // matter how the input is partitioned.
+    val df = (1 to 2000).map(i => (i.toLong % 7, s"p$i")).toDF("k", "payload")
+    def salts(parts: Int): Seq[(Long, String, Int)] = {
+      val d = df.repartition(parts)
+      d.withColumn("s", Layout.contentSalt(d, "k", 8))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .toSeq.sorted
+    }
+    assert(salts(3) == salts(11))
   }
 
   test("salted sum/count equals plain aggregation") {
