@@ -245,5 +245,176 @@ object CurationQueries {
         SELECT doc_id, source, quality, rk
         FROM ranked WHERE rk <= 3"""),
       doc = "Top-3 docs per source by quality (WindowGroupLimit " +
-        "top-k-per-group, no full partition sort)."))
+        "top-k-per-group, no full partition sort)."),
+
+    // ------------------------------------------------------------------
+    "c08_pii_redact" -> QueryDef(
+      fn = { (s, dir) =>
+        // PII scrubbing pass: e-mail -> <EMAIL>, IPv4 -> <IP>, long
+        // digit runs -> <NUM>, applied in that order (an e-mail
+        // contains digit runs; an IPv4 contains digit runs — ordering
+        // is part of the contract). The fixture corpus is synthetic
+        // word salad with no PII, so the query plants deterministic
+        // PII derived from doc_id first; the redaction then has real
+        // work to undo, and the oracle checks byte-identical output.
+        // Scale shape: pure per-row regex chain, one codegen map pass,
+        // zero shuffle.
+        val aug = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          lit(" ref "), (col("doc_id") + 100000000L).cast("string"))
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+        val numRe = "[0-9]{6,}"
+        val r1 = regexp_replace(aug, emailRe, "<EMAIL>")
+        val r2 = regexp_replace(r1, ipRe, "<IP>")
+        val r3 = regexp_replace(r2, numRe, "<NUM>")
+        docs(s, dir).select(
+          col("doc_id"),
+          r3.as("clean"),
+          size(regexp_extract_all(aug, lit(emailRe), lit(0))).as("n_email"),
+          size(regexp_extract_all(r1, lit(ipRe), lit(0))).as("n_ip"),
+          size(regexp_extract_all(r2, lit(numRe), lit(0))).as("n_num"))
+      },
+      oracle = Some("""
+        WITH aug AS (
+          SELECT doc_id,
+            text ||
+            CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END ||
+            CASE WHEN doc_id % 2 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                 ELSE '' END ||
+            ' ref ' || CAST(doc_id + 100000000 AS VARCHAR) AS t
+          FROM documents),
+        r AS (
+          SELECT doc_id, t,
+            regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g') AS t1
+          FROM aug),
+        r2 AS (
+          SELECT doc_id, t, t1,
+            regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2
+          FROM r)
+        SELECT doc_id,
+          regexp_replace(t2, '[0-9]{6,}', '<NUM>', 'g') AS clean,
+          CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+            AS n_email,
+          CAST(len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
+            AS INTEGER) AS n_ip,
+          CAST(len(regexp_extract_all(t2, '[0-9]{6,}')) AS INTEGER) AS n_num
+        FROM r2"""),
+      doc = "PII redaction (e-mail/IPv4/digit-run -> placeholders, " +
+        "ordered regex chain; byte-identical oracle)."),
+
+    // ------------------------------------------------------------------
+    "c09_quality_rules" -> QueryDef(
+      fn = { (s, dir) =>
+        // Gopher-style rule filter: instead of one blended score (t03),
+        // emit each rule's raw signal plus the pass verdict, so a
+        // curation run can tune thresholds without recomputing
+        // signals. All per-row ratios stay raw IEEE doubles (identical
+        // ops in both engines — see QueryDef float discipline); the
+        // verdict is an INT for hash stability. One codegen map pass,
+        // zero shuffle.
+        val toks = TextFunctions.tokens(col("text"))
+        val nw = size(toks)
+        val mwl = TextFunctions.meanTokenLen(col("text"))
+        val stopHits = TextFunctions.stopwordCount(col("text"))
+        val alphaRatio = when(nw === 0, 0.0).otherwise(
+          size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+            nw.cast("double"))
+        val symRatio = when(nw === 0, 0.0).otherwise(
+          size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+            .cast("double") / nw.cast("double"))
+        docs(s, dir).select(
+          col("doc_id"),
+          nw.as("n_words"),
+          mwl.as("mean_wl"),
+          stopHits.as("stop_hits"),
+          alphaRatio.as("alpha_ratio"),
+          symRatio.as("sym_ratio"),
+          (nw.between(30, 10000) && mwl.between(3.0, 10.0) &&
+            (stopHits >= 2) && (alphaRatio >= 0.8) && (symRatio <= 0.1))
+            .cast("int").as("passes"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x != '') AS toks,
+            list_filter(string_split(lower(text), ' '), x -> x != '') AS ltoks,
+            CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) AS nsym
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+            CAST(len(toks) AS INTEGER) AS n_words,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                   AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS mean_wl,
+            CAST(len(list_filter(ltoks, x -> list_contains(
+              ['the','a','of','and','to','in','is','it','that','for'], x)))
+              AS INTEGER) AS stop_hits,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks,
+                     x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+                   CAST(len(toks) AS DOUBLE) END AS alpha_ratio,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE nsym / CAST(len(toks) AS DOUBLE) END AS sym_ratio
+          FROM f)
+        SELECT doc_id, n_words, mean_wl, stop_hits, alpha_ratio, sym_ratio,
+          CASE WHEN n_words BETWEEN 30 AND 10000
+                AND mean_wl BETWEEN 3.0 AND 10.0
+                AND stop_hits >= 2 AND alpha_ratio >= 0.8
+                AND sym_ratio <= 0.1
+               THEN 1 ELSE 0 END AS passes
+        FROM g"""),
+      doc = "Gopher-style per-rule quality signals + pass verdict " +
+        "(word count, mean word length, stopword hits, alpha ratio, " +
+        "symbol ratio)."),
+
+    // ------------------------------------------------------------------
+    "c10_repetition" -> QueryDef(
+      fn = { (s, dir) =>
+        // Repetition detection: fraction of duplicate word bigrams per
+        // doc — the cheap boilerplate/spam signal (Gopher's repeated
+        // n-gram family). Uses the native word_shingles expression
+        // (tokenize once, slice spans); ratio stays raw double. One
+        // codegen map pass, zero shuffle.
+        val ng = TextFunctions.shingles(col("text"), 2)
+        val total = size(ng)
+        val uniq = size(array_distinct(ng))
+        docs(s, dir).select(
+          col("doc_id"),
+          total.as("n_grams"),
+          uniq.as("n_uniq"),
+          when(total === 0, 0.0).otherwise(
+            (total - uniq).cast("double") / total.cast("double"))
+            .as("rep_ratio"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS ts
+          FROM documents),
+        bi AS (
+          SELECT doc_id, CASE WHEN len(ts) >= 2 THEN
+            list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+            ELSE CAST([] AS VARCHAR[]) END AS ng
+          FROM toks)
+        SELECT doc_id,
+          CAST(len(ng) AS INTEGER) AS n_grams,
+          CAST(len(list_distinct(ng)) AS INTEGER) AS n_uniq,
+          CASE WHEN len(ng) = 0 THEN 0.0
+               ELSE CAST(len(ng) - len(list_distinct(ng)) AS DOUBLE) /
+                 CAST(len(ng) AS DOUBLE) END AS rep_ratio
+        FROM bi"""),
+      doc = "Repeated-bigram fraction per doc (boilerplate/spam " +
+        "signal; native shingles, zero shuffle)."))
 }

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Behavioral pins for the per-document curation passes c08–c10 —
+  * properties the DuckDB oracle can't express (redaction completeness
+  * is "no PII survives", not "matches this output") plus the
+  * zero-shuffle plan shape all three promise.
+  */
+class CurationRulesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("c08: no e-mail, IPv4, or long digit run survives redaction") {
+    val rows = run("c08_pii_redact").collect()
+    assert(rows.nonEmpty)
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}".r
+    val num = "[0-9]{6,}".r
+    rows.foreach { r =>
+      val clean = r.getAs[String]("clean")
+      assert(email.findFirstIn(clean).isEmpty, s"email survived: $clean")
+      assert(ip.findFirstIn(clean).isEmpty, s"ip survived: $clean")
+      assert(num.findFirstIn(clean).isEmpty, s"digit run survived: $clean")
+    }
+  }
+
+  test("c08: redaction counts follow the deterministic injection") {
+    run("c08_pii_redact").collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("n_email") == (if (id % 3 == 0) 1 else 0))
+      assert(r.getAs[Int]("n_ip") == (if (id % 2 == 0) 1 else 0))
+      assert(r.getAs[Int]("n_num") == 1) // the planted 9-digit ref
+    }
+  }
+
+  test("c09: signals are in-range and the verdict matches its rules") {
+    val rows = run("c09_quality_rules").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val alpha = r.getAs[Double]("alpha_ratio")
+      val sym = r.getAs[Double]("sym_ratio")
+      assert(alpha >= 0.0 && alpha <= 1.0)
+      assert(sym >= 0.0)
+      val expect = r.getAs[Int]("n_words") >= 30 &&
+        r.getAs[Int]("n_words") <= 10000 &&
+        r.getAs[Double]("mean_wl") >= 3.0 && r.getAs[Double]("mean_wl") <= 10.0 &&
+        r.getAs[Int]("stop_hits") >= 2 && alpha >= 0.8 && sym <= 0.1
+      assert(r.getAs[Int]("passes") == (if (expect) 1 else 0))
+    }
+    // the rule set must discriminate on real data, not rubber-stamp
+    val passed = rows.count(_.getAs[Int]("passes") == 1)
+    assert(passed > 0 && passed < rows.length,
+      s"verdict is constant ($passed/${rows.length})")
+  }
+
+  test("c10: rep_ratio is exactly (n_grams - n_uniq) / n_grams") {
+    val rows = run("c10_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Int]("n_grams")
+      val uniq = r.getAs[Int]("n_uniq")
+      assert(uniq <= total)
+      val expect = if (total == 0) 0.0 else (total - uniq).toDouble / total
+      assert(r.getAs[Double]("rep_ratio") == expect)
+    }
+  }
+
+  test("c08/c09/c10 are single map passes: no exchange in the plan") {
+    Seq("c08_pii_redact", "c09_quality_rules", "c10_repetition").foreach { q =>
+      val p = run(q).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+}
