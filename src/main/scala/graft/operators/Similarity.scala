@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -106,30 +106,62 @@ object Similarity {
     * partition/sort key so a cell scan is a partition-pruned read —
     * the classic vector-index layout, expressed as plain columns.
     */
+  /** Train the coarse k-means quantizer on a bounded DETERMINISTIC
+    * sample and return the centroids as plain (cell, center) pairs.
+    * k-means over the full corpus is the scale-killer at 100 TB
+    * (centroid quality saturates long before 10^5 points), and the
+    * hash sample keeps the trained cells reproducible run-to-run.
+    * count() over parquet is a stats-only read, not a scan. The
+    * result is driver-resident and tiny (nlist x dim doubles) — small
+    * enough to inline as plan literals (`probeCells`).
+    */
+  def coarseCentroids(
+      df: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, seed: Long, maxTrainRows: Long): Seq[(Int, Seq[Double])] = {
+    val n = df.count()
+    val trainSrc =
+      if (n <= maxTrainRows) df
+      else Sampling.hashSample(df, idCol, maxTrainRows.toDouble / n)
+    val train = trainSrc.select(
+      array_to_vector(VectorFunctions.asDouble(col(vecCol))).as("features"))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
+      .fit(train)
+    model.clusterCenters.zipWithIndex.toSeq.map {
+      case (c, i) => (i, c.toArray.toSeq)
+    }
+  }
+
+  /** The `nprobe` best cells for a vector, computed entirely per-row:
+    * the centroid table is embedded as plan literals, each cell is
+    * scored through the native cosine, and the top-nprobe are taken
+    * by sorting the (score, cell) structs in-register. ZERO shuffle,
+    * zero join — cell assignment of a 100 TB corpus is a map pass.
+    * Ties break toward the lower cell id (deterministic).
+    */
+  def probeCells(
+      vec: Column, centroids: Seq[(Int, Seq[Double])], nprobe: Int): Column = {
+    val scored = array(centroids.map { case (i, c) =>
+      struct(VectorFunctions.cosineSim(vec, lit(c.toArray)).as("csim"),
+        lit(i).as("cell"))
+    }: _*)
+    val best = array_sort(scored, (l, r) =>
+      when(l.getField("csim") > r.getField("csim"), -1)
+        .when(l.getField("csim") < r.getField("csim"), 1)
+        .when(l.getField("cell") < r.getField("cell"), -1)
+        .when(l.getField("cell") > r.getField("cell"), 1)
+        .otherwise(0))
+    transform(slice(best, 1, nprobe), s => s.getField("cell"))
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxTrainRows: Long = 100000L): DataFrame = {
     val spark = corpus.sparkSession
-    // Train the coarse quantizer on a bounded DETERMINISTIC sample:
-    // k-means over the full corpus is the scale-killer at 100 TB
-    // (centroid quality saturates long before 10^5 points), and the
-    // hash sample keeps the trained cells reproducible run-to-run.
-    // count() over parquet is a stats-only read, not a scan.
-    val n = corpus.count()
-    val trainSrc =
-      if (n <= maxTrainRows) corpus
-      else Sampling.hashSample(corpus, idCol, maxTrainRows.toDouble / n)
-    val train = trainSrc.select(
-      array_to_vector(VectorFunctions.asDouble(col(vecCol))).as("features"))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
-      .fit(train)
-    // centroids as plain arrays, broadcast-sized by construction
-    val centroids = model.clusterCenters.zipWithIndex.toSeq.map {
-      case (c, i) => (i, c.toArray.toSeq)
-    }
+    val centroids =
+      coarseCentroids(corpus, vecCol, idCol, nlist, seed, maxTrainRows)
     import spark.implicits._
     val centDf = centroids.toDF("cell", "cvec_center")
     def scoredCells(df: DataFrame, id: String) =

@@ -234,6 +234,25 @@ object DedupQueries {
         "estimate (hierarchical dedup; rows-only)."),
 
     // ------------------------------------------------------------------
+    "d09_semantic_dups" -> QueryDef(
+      fn = { (s, dir) =>
+        // SemDeDup-style semantic dedup: k-means cells + within-cell
+        // exact-cosine verification — the data-adaptive sibling of
+        // d06's LSH path. Trained centroids -> not SQL-expressible ->
+        // rows-only; recall vs the exact d05 pair set is asserted in
+        // DedupSpec.
+        val e = T(s, dir).embeddings
+          .repartition(s.sparkContext.defaultParallelism)
+        Dedup.semanticDupPairs(e, "embedding", "vec_id",
+          threshold = 0.35, nlist = 4, nprobe = 2)
+          .select(col("id_a"), col("id_b"),
+            round(col("cosine"), 4).as("cosine"))
+      },
+      oracle = None,
+      doc = "Embedding near-dup pairs via k-means cells (SemDeDup " +
+        "shape; data-adaptive scale path; rows-only)."),
+
+    // ------------------------------------------------------------------
     "s01_topk_bruteforce" -> QueryDef(
       fn = { (s, dir) =>
         // Exact ANN baseline: top-5 neighbors for a deterministic

@@ -161,4 +161,42 @@ class DedupSpec extends AnyFunSuite {
       assert(recall >= 0.7, s"recall $recall (${lsh.size}/${brute.size})")
     }
   }
+
+  test("semantic (k-means cell) dup pairs ⊆ brute force, high recall at 0.35") {
+    val e = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("c", graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")))
+      .filter(col("c") >= 0.35).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semanticDupPairs(e, "embedding", "vec_id",
+      threshold = 0.35, nlist = 4, nprobe = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification makes the result ⊆ exact; nprobe=2 recovers the
+    // cross-cell boundary pairs (numpy prototype: 0.92-0.96 across
+    // seeds on this fixture — near-orthogonal vectors, the
+    // adversarial case for cell-local dedup)
+    assert(sem.subsetOf(brute))
+    if (brute.nonEmpty) {
+      val recall = sem.size.toDouble / brute.size
+      assert(recall >= 0.8, s"recall $recall (${sem.size}/${brute.size})")
+    }
+  }
+
+  test("semantic dedup: exact-dup flood pairs O(n) via the canonical path") {
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val other = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val rows = (1L to 30L).map(i => (i, v.toSeq)) :+ ((99L, other.toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    // nlist=2 on 2 distinct reps: k-means degenerates gracefully; the
+    // flood must still pair completely through the fingerprint star
+    val pairs = Dedup.semanticDupPairs(df, "embedding", "vec_id",
+      threshold = 0.9, nlist = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((2L to 30L).forall(i => pairs.contains((1L, i))),
+      s"flood pairs missing: ${pairs.size}")
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
+  }
 }
