@@ -154,6 +154,55 @@ object Similarity {
     transform(slice(best, 1, nprobe), s => s.getField("cell"))
   }
 
+  /** Scalar-quantized (int8) top-k with exact rescore — the
+    * memory-bandwidth path: candidate scoring runs over
+    * `array<tinyint>` vectors (4x smaller than float32, so a 100 TB
+    * corpus scans 25 TB), then only the top `k * refine` candidates
+    * per query are rescored against the full-precision vectors.
+    *
+    * Quantization uses ONE global scale (corpus max |x|, a scalar
+    * agg): uniform scaling preserves cosine exactly, so the only
+    * candidate-stage error is int8 rounding (~1e-2 on cosine). A
+    * per-dimension scale would pack range better but is a diagonal
+    * transform — it CHANGES cosine ordering; correctness first.
+    * Returns (qid, id, cosine, rank) like the other top-k paths.
+    */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, refine: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scale = corpus
+      .agg(max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))))
+      .head.getDouble(0)
+    require(scale > 0, "corpus has no nonzero vector component")
+    def quant(v: Column): Column =
+      transform(v, x => round(x.cast("double") / scale * 127).cast("tinyint"))
+    def asFloat(v: Column): Column = transform(v, _.cast("float"))
+    val cq = corpus.select(col(idCol).as("id"), quant(col(vecCol)).as("cvq"))
+    val qq = queries.select(col(idCol).as("qid"), quant(col(vecCol)).as("qvq"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("id"))
+    val cand = cq.crossJoin(broadcast(qq))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(asFloat(col("cvq")), asFloat(col("qvq")))
+          .as("qcos"))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * refine)
+      .select("qid", "id")
+    // rescore the small candidate set at full precision
+    val scored = cand
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("cvec")),
+        Seq("id"))
+      .join(broadcast(queries.select(col(idCol).as("qid"),
+        col(vecCol).as("qvec"))), Seq("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,

@@ -350,5 +350,24 @@ object DedupQueries {
                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
                  WHERE vec_id = 1)), 4) >= 0.15"""),
       doc = "Semantic filter vs a probe vector (1-row broadcast, " +
-        "single corpus scan, no shuffle)."))
+        "single corpus scan, no shuffle)."),
+
+    // ------------------------------------------------------------------
+    "s05_topk_quantized" -> QueryDef(
+      fn = { (s, dir) =>
+        // Memory-bandwidth ANN path: int8 scalar-quantized candidate
+        // scan (4x fewer bytes than float32) + full-precision rescore
+        // of the top k*refine. Quantization scale is data-derived ->
+        // rows-only; recall + exact-rescore equality asserted in
+        // SimilaritySpec.
+        val e = T(s, dir).embeddings
+          .repartition(s.sparkContext.defaultParallelism)
+        Similarity.quantizedTopK(e, e.filter(col("vec_id") % 50 === 0),
+          k = 5, refine = 4)
+          .select(col("qid"), col("id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      oracle = None,
+      doc = "Int8-quantized ANN top-5 with exact rescore (4x scan " +
+        "bytes reduction; rows-only)."))
 }

@@ -55,4 +55,28 @@ class SimilaritySpec extends AnyFunSuite {
       .groupBy("qid").count().collect()
     assert(perQ.forall(_.getLong(1) == 5L))
   }
+
+  test("int8-quantized top-k recall@5 vs brute force is near-exact") {
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(Similarity.bruteForceTopK(emb, q, k = 5))
+    val quant = asSet(Similarity.quantizedTopK(emb, q, k = 5, refine = 4))
+    // uniform int8 rounding perturbs cosine by ~1e-2; a 4x refine
+    // margin then recovers essentially all true top-5
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+    // rescored cosines are full-precision: any overlapping (qid,id)
+    // must carry the identical exact cosine as the brute-force path
+    val bruteCos = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("qid", "id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.quantizedTopK(emb, q, k = 5, refine = 4)
+      .select("qid", "id", "cosine").collect()
+      .foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        bruteCos.get(key).foreach(c => assert(c == r.getDouble(2)))
+      }
+  }
 }
