@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators for the 100 TB story: bucketing (shuffle
@@ -93,6 +93,49 @@ object Layout {
     val extra = df.columns.filter(_ != key).take(1).map(col).toSeq
     pmod(xxhash64((col(key) +: extra): _*), lit(salts)).cast("int")
   }
+
+  /** Spread the low 16 bits of `x` to the even bit positions of a
+    * 32-bit value (the Morton-interleave half, classic magic-mask
+    * ladder). Pure integer bit ops — codegen'd, and reproducible in
+    * any SQL engine for the oracle.
+    */
+  private def spread16(x: Column): Column = {
+    val v0 = x.cast("long")
+    val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton (Z-order) value of two non-negative ints in [0, 2^16):
+    * bits of `x` at even positions, `y` at odd. Nearby (x, y) points
+    * get nearby z-values, so range-partitioning + sorting by zValue
+    * clusters BOTH dimensions at once — the layout that makes
+    * min/max data skipping work for 2-dimensional predicates where a
+    * single-column sort only ever prunes one.
+    */
+  def zValue(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Z-order clustering write: range-partition by zValue (so
+    * partition boundaries cut the space-filling curve into compact
+    * tiles), sort within partitions (so parquet row-group min/max
+    * stats are tight), drop the helper column, write. At 100 TB this
+    * is the landing-zone layout for fact tables queried by TWO
+    * selective dimensions (e.g. part x supplier, user x date): every
+    * file covers a small bounding box in both, so either predicate
+    * prunes most files — see LayoutSpec's bounding-box assertion.
+    * Columns must already be bounded to [0, 2^16); normalize first
+    * (divide by max, as c11's query does) when they aren't.
+    */
+  def zorderWrite(
+      df: DataFrame, path: String, cx: String, cy: String,
+      partitions: Int): Unit =
+    df.withColumn("__z", zValue(col(cx), col(cy)))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 
   /** Two-phase (salted) aggregation for skewed group keys: partial
     * count/sum per (key, salt), then final combine per key. Spark's

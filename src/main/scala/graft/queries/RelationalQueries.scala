@@ -784,5 +784,52 @@ object RelationalQueries {
          AND s.rts BETWEEN f.ts - INTERVAL 15 MINUTE AND f.ts
         GROUP BY f.event_id"""),
       doc = "Interval join (batch twin of the stream-stream join): " +
-        "clicks within 15 min before each purchase."))
+        "clicks within 15 min before each purchase."),
+
+    // ------------------------------------------------------------------
+    "q34_zorder_key" -> QueryDef(
+      fn = { (s, dir) =>
+        // Morton (Z-order) clustering key over (l_partkey, l_suppkey),
+        // both normalized to [0, 2^16) by integer division against the
+        // table max — the layout key Layout.zorderWrite range-
+        // partitions by so min/max skipping prunes files for EITHER
+        // dimension's predicates. Pure integer bit ladder, fully
+        // oracle-reproducible; the clustering EFFECT (bounding-box
+        // shrinkage) is asserted in LayoutSpec.
+        val li = T(s, dir).lineitem
+        val mx = li.agg(max(col("l_partkey")).as("mp"),
+          max(col("l_suppkey")).as("ms")).head()
+        val (mp, ms) = (mx.getLong(0), mx.getLong(1))
+        li.select(
+          col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.zValue(
+            expr(s"l_partkey * 65536 div ${mp + 1}"),
+            expr(s"l_suppkey * 65536 div ${ms + 1}")).as("zval"))
+      },
+      oracle = Some("""
+        WITH n AS (
+          SELECT l_orderkey, l_linenumber,
+            (l_partkey * 65536) // ((SELECT max(l_partkey) + 1 FROM lineitem))
+              AS xb,
+            (l_suppkey * 65536) // ((SELECT max(l_suppkey) + 1 FROM lineitem))
+              AS yb
+          FROM lineitem),
+        s1 AS (SELECT l_orderkey, l_linenumber,
+            ((xb | (xb << 8)) & 16711935) AS x, ((yb | (yb << 8)) & 16711935) AS y
+          FROM n),
+        s2 AS (SELECT l_orderkey, l_linenumber,
+            ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y
+          FROM s1),
+        s3 AS (SELECT l_orderkey, l_linenumber,
+            ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y
+          FROM s2),
+        s4 AS (SELECT l_orderkey, l_linenumber,
+            ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y
+          FROM s3)
+        SELECT l_orderkey, l_linenumber,
+               CAST(x | (y << 1) AS BIGINT) AS zval
+        FROM s4"""),
+      doc = "Morton Z-order clustering key over two normalized " +
+        "dimensions (bit-interleave ladder; layout key for 2-D " +
+        "data skipping)."))
 }

@@ -8,6 +8,61 @@ import graft.TestSpark
 class LayoutSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("zValue matches the reference bit interleave") {
+    import spark.implicits._
+    def ref(x: Int, y: Int): Long = {
+      var z = 0L
+      for (b <- 0 until 16) {
+        z |= ((x >> b) & 1).toLong << (2 * b)
+        z |= ((y >> b) & 1).toLong << (2 * b + 1)
+      }
+      z
+    }
+    val pts = Seq((0, 0), (1, 0), (0, 1), (1, 1), (65535, 0), (0, 65535),
+      (65535, 65535), (12345, 54321), (255, 256))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y), s"($x,$y)")
+    }
+  }
+
+  test("z-order partitioning prunes on BOTH dimensions; x-sort only on x") {
+    import spark.implicits._
+    // 64x64 uniform grid, 8 range partitions. A selective predicate on
+    // y (y < 8) must skip most z-ordered partitions (each is a compact
+    // tile bounded in both dims) but can never skip an x-sorted one
+    // (each spans the full y extent). This partition-level bounding
+    // box IS what parquet min/max file skipping sees at scale.
+    val pts = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
+    val df = pts.toDF("x", "y")
+    def intersecting(d: org.apache.spark.sql.DataFrame): Long =
+      d.groupBy(spark_partition_id())
+        .agg(min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+        .filter(col("ymin") < 8)
+        .count()
+    val byZ = df.repartitionByRange(8,
+      Layout.zValue(col("x"), col("y")))
+    val byX = df.repartitionByRange(8, col("x"))
+    assert(intersecting(byX) == 8, "x-sorted baseline should never prune y")
+    assert(intersecting(byZ) <= 4,
+      s"z-order should bound y per partition (got ${intersecting(byZ)}/8)")
+  }
+
+  test("zorderWrite round-trips the data and drops the helper column") {
+    import spark.implicits._
+    val pts = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.zorderWrite(pts, dir, "x", "y", partitions = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSet == Set("x", "y"))
+    assert(back.count() == 32 * 32)
+    assert(back.select(sum(col("x") * 10000 + col("y"))).head.getLong(0) ==
+      pts.select(sum(col("x") * 10000 + col("y"))).head.getLong(0))
+  }
+
   test("bucketed join on matching buckets plans zero Exchange") {
     val t = graft.Engine.Tables(spark, "/root/testdata/sf0.001")
     Layout.writeBucketed(
