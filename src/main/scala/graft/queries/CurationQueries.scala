@@ -416,5 +416,83 @@ object CurationQueries {
                  CAST(len(ng) AS DOUBLE) END AS rep_ratio
         FROM bi"""),
       doc = "Repeated-bigram fraction per doc (boilerplate/spam " +
-        "signal; native shingles, zero shuffle)."))
+        "signal; native shingles, zero shuffle)."),
+
+    // ------------------------------------------------------------------
+    "c11_upsert" -> QueryDef(
+      fn = { (s, dir) =>
+        // Corpus refresh: a revised slice (deterministic: doc_id % 10
+        // == 0, text re-tagged) overrides the base snapshot by key —
+        // the merge-on-read shape. At 100 TB the base side is NOT
+        // rewritten: left_anti + union is one shuffle on the key (and
+        // with the update set small, the anti-join broadcasts — the
+        // base never shuffles at all). Copy-on-write compaction is
+        // then a background zorderWrite/writePartitioned pass, not
+        // part of the query path.
+        val base = docs(s, dir).select(col("doc_id"), col("text"))
+        val updates = base.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"))
+        base.join(updates, Seq("doc_id"), "left_anti")
+          .withColumn("rev", lit(1))
+          .unionByName(updates.withColumn("rev", lit(2)))
+      },
+      oracle = Some("""
+        WITH upd AS (
+          SELECT doc_id, text || ' [rev2]' AS text
+          FROM documents WHERE doc_id % 10 = 0)
+        SELECT b.doc_id, b.text, 1 AS rev
+        FROM documents b ANTI JOIN upd u ON b.doc_id = u.doc_id
+        UNION ALL
+        SELECT doc_id, text, 2 AS rev FROM upd"""),
+      doc = "Keyed upsert / corpus refresh (merge-on-read: anti-join " +
+        "+ union, base side never rewritten)."),
+
+    // ------------------------------------------------------------------
+    "c12_snapshot_diff" -> QueryDef(
+      fn = { (s, dir) =>
+        // Snapshot diff / CDC between corpus versions: old = the base
+        // table, new = base with a revised slice (doc_id % 10 == 0)
+        // and a deleted slice (doc_id % 17 == 3). Full outer join on
+        // the key, change class from fingerprint comparison. One
+        // shuffle on the key at any scale; fingerprints (not full
+        // text) are what cross the exchange... except the text IS the
+        // fingerprint input, so compare md5s computed before the join.
+        val old = docs(s, dir).select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp_old"))
+        val newSnap = docs(s, dir)
+          .filter(col("doc_id") % 17 =!= 3)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 0,
+              TextFunctions.fingerprint(concat(col("text"), lit(" [rev2]"))))
+              .otherwise(TextFunctions.fingerprint(col("text"))).as("fp_new"))
+        old.join(newSnap, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("fp_old").isNull, "added")
+              .when(col("fp_new").isNull, "removed")
+              .when(col("fp_old") =!= col("fp_new"), "changed")
+              .otherwise("same").as("change"))
+          .filter(col("change") =!= "same")
+      },
+      oracle = Some("""
+        WITH old AS (
+          SELECT doc_id,
+            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_old
+          FROM documents),
+        new_snap AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 10 = 0 THEN
+              md5(trim(regexp_replace(lower(text || ' [rev2]'), '\s+', ' ', 'g')))
+            ELSE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) END
+              AS fp_new
+          FROM documents WHERE doc_id % 17 != 3),
+        j AS (
+          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+            CASE WHEN o.doc_id IS NULL THEN 'added'
+                 WHEN n.doc_id IS NULL THEN 'removed'
+                 WHEN o.fp_old != n.fp_new THEN 'changed'
+                 ELSE 'same' END AS change
+          FROM old o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id)
+        SELECT doc_id, change FROM j WHERE change != 'same'"""),
+      doc = "Snapshot diff / CDC between corpus versions (full outer " +
+        "join on key, fingerprint comparison)."))
 }

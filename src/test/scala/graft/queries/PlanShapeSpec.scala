@@ -121,6 +121,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("c11 upsert: anti-join broadcasts the update set; base never shuffles") {
+    val p = plan("c11_upsert")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti-join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"base side shuffled:\n$p")
+  }
+
   test("q25: bucketed join never hash-shuffles a fact side") {
     // at tiny SF Catalyst may pick BHJ (broadcast, not a shuffle);
     // what must never appear is a hash-partition exchange — bucketing
