@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event-time streaming analytics over an `events`-shaped stream
   * (event_id, ts, user_id, event_type, value, props).
@@ -109,6 +109,53 @@ object EventStreams {
         graft.functions.TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** `runningTotals` on the transformWithState API — Spark 4's
+    * arbitrary-state surface and the successor of
+    * flatMapGroupsWithState: identical emit-on-threshold-crossing
+    * semantics, expressed as a StatefulProcessor with a named, typed
+    * ValueState handle. Requires the RocksDB state store provider
+    * (StreamingSpec sets it per-query), which is the scale point:
+    * state lives off-heap with changelog checkpointing instead of
+    * filling executor heap, and the handle API adds per-state TTL and
+    * schema evolution that the old (buffer, timeout) pair could not
+    * express.
+    */
+  def runningTotalsTws(
+      events: Dataset[(Long, Double)],
+      emitEvery: Double = 100.0): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new ThresholdTotalsProcessor(emitEvery),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  private class ThresholdTotalsProcessor(emitEvery: Double)
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, total) =
+        if (totals.exists()) totals.get() else (0L, 0.0)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      rows.foreach { case (_, v) =>
+        val crossed =
+          (total / emitEvery).toLong != ((total + v) / emitEvery).toLong
+        n += 1
+        total += v
+        if (crossed) out += ((key, n, total))
+      }
+      totals.update((n, total))
+      out.result().iterator
+    }
+  }
 
   /** Gap-based sessions per user (30 min), same semantics as the
     * batch q16_sessionize.

@@ -95,6 +95,16 @@ object ScaleSmoke {
       Dedup.embeddingDupPairs(ebig, "embedding", "vec_id",
         threshold = 0.35).count()
     }
+    // every distinct vector is a k-way exact flood: the canonical
+    // star must absorb it and the k-means cells see one rep each
+    timed("semantic_dups") {
+      Dedup.semanticDupPairs(ebig, "embedding", "vec_id",
+        threshold = 0.35, nlist = 8, nprobe = 2).count()
+    }
+    timed("quantized_topk") {
+      graft.operators.Similarity.quantizedTopK(ebig,
+        ebig.filter(col("vec_id") % 500 === 0), k = 5).count()
+    }
     ebig.unpersist()
     spark.stop()
   }

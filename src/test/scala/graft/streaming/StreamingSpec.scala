@@ -174,4 +174,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((2L, 1L, 250.0)))
     assert(rows.size == 3)
   }
+
+  test("transformWithState running totals match (RocksDB state store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB provider — set it for
+    // queries started inside this test only, restore for the rest of
+    // the suite (the provider is bound at query start)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      val ckpt = Files.createTempDirectory("tws-ckpt").toString
+      val q = EventStreams.runningTotalsTws(mem.toDS(), emitEvery = 100.0)
+        .toDF("user_id", "n_events", "total")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("tws_out").start()
+      mem.addData((1L, 60.0), (1L, 50.0))
+      q.processAllAvailable()
+      mem.addData((1L, 30.0))
+      mem.addData((1L, 70.0))
+      mem.addData((2L, 250.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      q.stop()
+      // identical semantics to the flatMapGroupsWithState twin above
+      assert(rows == Set((1L, 2L, 110.0), (1L, 4L, 210.0), (2L, 1L, 250.0)))
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
