@@ -444,13 +444,24 @@ object Dedup {
     * driver-side graph state; `maxIters` bounds runaway inputs.
     */
   def clusterReps(
-      ids: DataFrame, pairs: DataFrame, maxIters: Int = 64): DataFrame = {
+      ids: DataFrame, pairs: DataFrame, maxIters: Int = 64,
+      smallGraphPairs: Long = 10000000L): DataFrame = {
     // Materialize the pair list ONCE (it may be a whole LSH pipeline):
     // three consumers follow — touched ids, edges, and the final
     // anti-join — and each would otherwise re-evaluate the subtree.
     // localCheckpoint, not persist: the returned (lazy) union still
     // references derivations of this frame after we return.
     val p = pairs.localCheckpoint()
+    // SIZE-ADAPTIVE strategy. The dup GRAPH is orders of magnitude
+    // smaller than the corpus (compact star+rep pairs, k-way floods
+    // collapsed to O(k)): even a 100 TB corpus commonly yields a pair
+    // list that fits one task (10M pairs = 160 MB of longs). Gather
+    // it and run union-find in a single job instead of paying
+    // O(log diameter) iterative rounds of per-job latency; the
+    // pointer-doubling loop below stays the path for graphs that
+    // genuinely exceed single-task memory. count() on the
+    // checkpointed blocks is O(partitions).
+    if (p.count() <= smallGraphPairs) return smallGraphReps(ids, p)
     // Only ids that appear in a pair can ever change label — iterate
     // over the DUP GRAPH, not the corpus. At 100 TB the dup graph is
     // orders of magnitude smaller than the id set; untouched ids are
@@ -524,6 +535,46 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"clusterReps did not converge within $maxIters rounds")
     reps.select(col("id"), col("rep")).unionByName(untouched)
+  }
+
+  /** Single-task connected components for pair lists that fit one
+    * executor's memory: gather the edges (one shuffle to one
+    * partition), union-find with union-by-min (attaching the larger
+    * root under the smaller keeps every tree's root the component
+    * minimum — identical labels to the iterative path), then join the
+    * labels back. One job + one broadcast-sized result instead of
+    * O(log diameter) rounds.
+    */
+  private def smallGraphReps(ids: DataFrame, p: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val labels = p
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        parent.keys.toArray.iterator.map(k => (k, find(k)))
+      }
+      .toDF("id", "rep")
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
   }
 
   /** The RDD backing a localCheckpoint'd frame (None for any other

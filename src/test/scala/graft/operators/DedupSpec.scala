@@ -107,10 +107,29 @@ class DedupSpec extends AnyFunSuite {
     val n = 30L
     val ids = (1L to n).toDF("id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val reps = Dedup.clusterReps(ids, pairs, maxIters = 8)
+    // smallGraphPairs = 0 forces the ITERATIVE path — this test pins
+    // the pointer-doubling loop, not the union-find fast path
+    val reps = Dedup.clusterReps(ids, pairs, maxIters = 8,
+      smallGraphPairs = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // one-hop propagation would need 30 rounds; doubling needs ~log2(30)
     assert(reps.values.toSet == Set(1L), s"non-converged: $reps")
+  }
+
+  test("union-find fast path labels identically to the iterative path") {
+    // chains, a star, singletons, and cross-links — exercise
+    // non-trivial merge order in both strategies
+    val ids = (1L to 40L).toDF("id")
+    val pairs = ((1L until 12L).map(i => (i, i + 1)) ++       // chain
+      Seq((20L, 25L), (25L, 21L), (21L, 24L), (30L, 12L)) ++  // star + bridge
+      Seq((35L, 36L))).toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = asMap(Dedup.clusterReps(ids, pairs))
+    val loop = asMap(Dedup.clusterReps(ids, pairs, smallGraphPairs = 0L))
+    assert(fast == loop)
+    // the bridge (30,12) joins the chain: 12's component min is 1
+    assert(fast(30L) == 1L && fast(20L) == 20L && fast(40L) == 40L)
   }
 
   test("identical-vector flood beyond bucket cap still pairs via exact path") {
