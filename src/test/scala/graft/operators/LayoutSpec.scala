@@ -123,6 +123,39 @@ class LayoutSpec extends AnyFunSuite {
     assert(salts(3) == salts(11))
   }
 
+  test("AQE splits a skewed join partition (skew=true in final plan)") {
+    import spark.implicits._
+    // one hot key with fat payloads vs a uniform remainder — the case
+    // Engine.session's default AQE skew-join must handle WITHOUT
+    // manual salting. Thresholds are lowered to make the tiny local
+    // fixture register as skewed; the knobs under test are the same
+    // ones that act at 100 TB.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pay = "x" * 200
+      val big = ((1 to 50000).map(_ => (1L, pay)) ++
+        (1 to 5000).map(i => (i.toLong % 97 + 2, pay))).toDF("k", "p")
+      val dim = (1L to 100L).map(i => (i, s"d$i")).toDF("k", "name")
+      val joined = big.join(dim, "k")
+      // execute THIS frame (count() would be a separate query
+      // execution and leave this one's adaptive plan unfinalized)
+      assert(joined.collect().length == 55000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not split the skew:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("salted sum/count equals plain aggregation") {
     import spark.implicits._
     val df = ((1 to 5000).map(_ => ("hot", 1.0)) ++
