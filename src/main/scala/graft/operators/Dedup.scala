@@ -310,6 +310,89 @@ object Dedup {
     verifyExpand(groups, reps, cand, threshold, expandGroups)
   }
 
+  /** The persisted dedup index of a corpus: one row per doc with its
+    * sorted shingle-hash array (feeds exact-Jaccard verification) and
+    * MinHash signature (feeds LSH bucketing). Write this once at
+    * ingest next to the corpus; appends then dedup against it with
+    * `incrementalNearDups` without ever touching corpus text again.
+    * Index width is numHashes+|shingles| longs per doc — a few KB —
+    * vs re-reading and re-hashing the documents.
+    */
+  def dedupIndex(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, shingleSize: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+      // the exact fingerprint rides along so cross-boundary EXACT
+      // dups are caught even for docs too short to shingle (null sig)
+      TextFunctions.fingerprint(col(textCol)).as("fp"),
+      VectorFunctions.shingleHashes(col(textCol), shingleSize).as("shset"))
+    hashed.select(col("id"), col("fp"), col("shset"),
+      when(size(col("shset")) > 0,
+        VectorFunctions.minhashSignature(col("shset"), numHashes)).as("sig"))
+  }
+
+  /** Incremental near-dup detection — the daily-append path: verified
+    * pairs of a (small) new batch against an INDEXED corpus, plus
+    * pairs within the batch itself, at identical semantics to running
+    * `nearDupPairs` over corpus+batch (all hashing is deterministic
+    * and seeded, so old and new signatures agree by construction).
+    *
+    * Scale shape: the corpus side derives its bucket keys from the
+    * STORED signatures (one map pass over the index, no text
+    * re-hashing) and then joins the batch's bucket table via
+    * BROADCAST — the corpus is never shuffled, never re-read as text,
+    * and scans once. Verification joins shingle sets only for the
+    * candidate ids. Feed it the post-dedup keep set as the index (the
+    * normal regime) so duplicate floods cannot exist on the corpus
+    * side; within-batch floods are handled by nearDupPairs'
+    * canonicalize-first design.
+    *
+    * Returns (id_a = corpus id, id_b = batch id) pairs for the cross
+    * part, (a < b) within the batch.
+    */
+  def incrementalNearDups(
+      index: DataFrame, newDocs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 128, bands: Int = 32,
+      shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val newIdx = dedupIndex(newDocs, textCol, idCol, numHashes, shingleSize)
+      .localCheckpoint() // consumed by buckets + verification
+    val corpusBuckets = lshBuckets(
+      index.select(col("id"), col("sig")), bands, numHashes)
+    val newBuckets = lshBuckets(
+      newIdx.select(col("id"), col("sig")), bands, numHashes)
+    val cand = corpusBuckets
+      .join(broadcast(newBuckets.select(col("band"), col("bucket"),
+        col("id").as("new_id"))), Seq("band", "bucket"))
+      .filter(col("id") =!= col("new_id")) // re-submitted identical ids
+      .select(col("id").as("id_a"), col("new_id").as("id_b"))
+      .distinct()
+    // verification: the corpus index is the BIG side — stream it and
+    // broadcast the (small) candidate list and batch shingle sets, so
+    // no stage anywhere shuffles or sorts the index
+    val crossPairs = index
+      .select(col("id").as("id_a"), col("shset").as("set_a"))
+      .join(broadcast(cand), Seq("id_a"))
+      .join(broadcast(newIdx.select(col("id").as("id_b"),
+        col("shset").as("set_b"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.jaccardSorted(col("set_a"), col("set_b"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // exact dups across the boundary via the stored fingerprint —
+    // covers docs too short to shingle, which the LSH path can't see
+    val fpPairs = index.select(col("id").as("id_a"), col("fp"))
+      .join(broadcast(newIdx.select(col("id").as("id_b"), col("fp"))),
+        Seq("fp"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    crossPairs.unionByName(fpPairs)
+      .unionByName(
+        nearDupPairs(newDocs, textCol, idCol, threshold, numHashes, bands,
+          shingleSize, maxBucketSize))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
+
   /** SemDeDup-style semantic dedup: a k-means coarse quantizer
     * partitions the embedding space into `nlist` cells; pairs are
     * generated only within shared cells and then exact-cosine

@@ -253,6 +253,31 @@ object DedupQueries {
         "shape; data-adaptive scale path; rows-only)."),
 
     // ------------------------------------------------------------------
+    "d10_incremental_dedup" -> QueryDef(
+      fn = { (s, dir) =>
+        // The daily-append path: dedup a new batch (doc_id % 5 == 0)
+        // against the indexed remainder of the corpus — bucket keys
+        // derive from STORED signatures, the batch's buckets
+        // broadcast, the corpus side never shuffles and its text is
+        // never re-read. Seeded hashing -> rows-only; DedupSpec
+        // asserts exact equality with the full-batch run restricted
+        // to batch-touching pairs.
+        val d = T(s, dir).documents
+          .repartition(s.sparkContext.defaultParallelism)
+        val index = Dedup.dedupIndex(
+          d.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+        Dedup.incrementalNearDups(index,
+          d.filter(col("doc_id") % 5 === 0), "text", "doc_id",
+          threshold = 0.5)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+      },
+      oracle = None,
+      doc = "Incremental near-dup detection of an append batch vs a " +
+        "persisted corpus index (corpus never re-hashed or shuffled; " +
+        "rows-only)."),
+
+    // ------------------------------------------------------------------
     "s01_topk_bruteforce" -> QueryDef(
       fn = { (s, dir) =>
         // Exact ANN baseline: top-5 neighbors for a deterministic

@@ -116,6 +116,43 @@ class DedupSpec extends AnyFunSuite {
     assert(reps.values.toSet == Set(1L), s"non-converged: $reps")
   }
 
+  test("incremental dedup vs index == full-batch pairs touching the batch") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val thr = 0.5
+    val index = Dedup.dedupIndex(existing, "text", "doc_id")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = asSet(
+      Dedup.incrementalNearDups(index, batch, "text", "doc_id", thr))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    // deterministic seeded hashing => the incremental composition must
+    // reproduce exactly the full-run pairs that involve a batch doc
+    val full = asSet(Dedup.nearDupPairs(docs, "text", "doc_id", thr))
+    val fullTouchingBatch =
+      full.filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+    assert(inc == fullTouchingBatch,
+      s"missing=${(fullTouchingBatch -- inc).take(5)} " +
+        s"extra=${(inc -- fullTouchingBatch).take(5)}")
+    assert(inc.nonEmpty)
+  }
+
+  test("incremental dedup catches shingle-less exact dups via fingerprint") {
+    val existing = Seq((1L, "tiny doc"), (2L, "another one"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "tiny doc"), (11L, "fresh content here"))
+      .toDF("doc_id", "text")
+    // "tiny doc" has < 3 tokens -> no shingles, null signature, no
+    // LSH buckets; only the stored fingerprint can pair it
+    val got = Dedup.incrementalNearDups(
+      Dedup.dedupIndex(existing, "text", "doc_id"),
+      batch, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 10L, 1.0)), s"got $got")
+  }
+
   test("union-find fast path labels identically to the iterative path") {
     // chains, a star, singletons, and cross-links — exercise
     // non-trivial merge order in both strategies

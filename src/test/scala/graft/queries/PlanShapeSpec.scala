@@ -121,6 +121,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("d10 incremental dedup: every corpus-side join is a broadcast probe") {
+    val p = plan("d10_incremental_dedup")
+    // bucket probe + candidate verify + fingerprint cross: all three
+    // corpus-side joins carry explicit broadcast hints — the index is
+    // streamed, never shuffled (within-batch LSH joins operate on the
+    // small batch only)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj in:\n$p")
+  }
+
   test("c11 upsert: anti-join broadcasts the update set; base never shuffles") {
     val p = plan("c11_upsert")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
