@@ -63,6 +63,30 @@ object Sampling {
     df.filter(h >= lit(thresholdHex(lo)) && h < lit(thresholdHex(hi)))
   }
 
+  /** Per-row hex threshold for fraction = clamp(rate * weight, 0, 1):
+    * the continuous generalization of `thresholdHex` (floor instead
+    * of round — pick one and mirror it in the oracle). "g" handles
+    * the fraction-1.0 width overflow exactly as thresholdHex does.
+    */
+  def weightedThresholdHex(weight: Column, rate: Double): Column = {
+    val frac = least(greatest(weight * rate, lit(0.0)), lit(1.0))
+    val t = floor(frac * Buckets).cast("long")
+    when(t >= Buckets, lit("g"))
+      .otherwise(lpad(lower(hex(t)), HexDigits, "0"))
+  }
+
+  /** Weight-proportional deterministic sampling: a row is kept iff
+    * hashPrefix(key) < rate * weight, weight in [0, 1] — e.g. keep
+    * documents with probability proportional to quality score, so
+    * curation soft-prefers good data instead of hard-thresholding.
+    * Same guarantees as hashSample: reproducible under any
+    * partitioning, append-stable, engine-portable, zero shuffle.
+    */
+  def weightedHashSample(
+      df: DataFrame, keyCol: String, weight: Column,
+      rate: Double): DataFrame =
+    df.filter(hashPrefix(col(keyCol)) < weightedThresholdHex(weight, rate))
+
   /** Stratified deterministic sampling: per-stratum fractions (e.g.
     * downsample boilerplate sources, keep rare languages whole) —
     * the deterministic analog of `DataFrameStatFunctions.sampleBy`.

@@ -494,5 +494,31 @@ object CurationQueries {
           FROM old o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id)
         SELECT doc_id, change FROM j WHERE change != 'same'"""),
       doc = "Snapshot diff / CDC between corpus versions (full outer " +
-        "join on key, fingerprint comparison)."))
+        "join on key, fingerprint comparison)."),
+
+    // ------------------------------------------------------------------
+    "c13_weighted_sample" -> QueryDef(
+      fn = { (s, dir) =>
+        // Quality-weighted curation sampling: keep probability =
+        // 0.5 x quality (soft preference for good documents instead
+        // of a hard gate). Same determinism guarantees as c02: the
+        // decision is a pure function of (doc_id, quality), stable
+        // under partitioning/appends, reproducible in any engine.
+        val scored = docs(s, dir).select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        Sampling.weightedHashSample(scored, "doc_id", col("quality"),
+          rate = 0.5)
+      },
+      oracle = Some(s"""
+        WITH $qualityCte
+        SELECT doc_id, quality
+        FROM scored
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) <
+          CASE WHEN CAST(floor(least(greatest(quality * 0.5, 0.0), 1.0)
+                     * 16777216) AS BIGINT) >= 16777216 THEN 'g'
+               ELSE lpad(lower(hex(CAST(floor(least(greatest(
+                      quality * 0.5, 0.0), 1.0) * 16777216) AS BIGINT))),
+                      6, '0') END"""),
+      doc = "Quality-weighted deterministic sampling (keep prob = " +
+        "rate x quality; reproducible, append-stable)."))
 }

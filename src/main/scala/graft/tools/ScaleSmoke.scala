@@ -80,6 +80,17 @@ object ScaleSmoke {
     timed("dedup_corpus_e2e") {
       Dedup.dedupCorpus(big, "text", "doc_id", threshold = 0.5).count()
     }
+    // the append path: index 80% of the corpus once, then dedup the
+    // other 20% against it (corpus side never re-hashed or shuffled)
+    val index = Dedup.dedupIndex(
+      big.filter(col("doc_id") % 5 =!= 0), "text", "doc_id").persist()
+    timed("dedup_index_build") { index.count() }
+    timed("incremental_dedup") {
+      Dedup.incrementalNearDups(index,
+        big.filter(col("doc_id") % 5 === 0), "text", "doc_id",
+        threshold = 0.5).count()
+    }
+    index.unpersist()
     big.unpersist()
 
     val ebase = Engine.Tables(spark, sfDir).embeddings

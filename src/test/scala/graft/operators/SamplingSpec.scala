@@ -55,4 +55,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(got("en") - 1000L) < 100, s"en=${got("en")}")
     assert(!got.contains("xx"))
   }
+
+  test("weighted sampling: rate proportional to weight, exact at 0 and 1") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = (1 to 6000).map(i =>
+      (i.toLong, (i % 3) * 0.5)).toDF("id", "w") // weights 0.0/0.5/1.0
+    val got = Sampling.weightedHashSample(df, "id", col("w"), rate = 1.0)
+      .groupBy("w").count()
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(!got.contains(0.0), "weight 0 must drop every row")
+    assert(got(1.0) == 2000L, "weight 1 x rate 1 must keep every row")
+    assert(math.abs(got(0.5) - 1000L) < 100, s"w=0.5 kept ${got(0.5)}")
+    // subset-monotone in rate: halving the rate only removes rows
+    val half = Sampling.weightedHashSample(df, "id", col("w"), rate = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val full = Sampling.weightedHashSample(df, "id", col("w"), rate = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(full))
+  }
 }
