@@ -520,5 +520,90 @@ object CurationQueries {
                       quality * 0.5, 0.0), 1.0) * 16777216) AS BIGINT))),
                       6, '0') END"""),
       doc = "Quality-weighted deterministic sampling (keep prob = " +
-        "rate x quality; reproducible, append-stable)."))
+        "rate x quality; reproducible, append-stable)."),
+
+    // ------------------------------------------------------------------
+    "c14_sequence_pack" -> QueryDef(
+      fn = { (s, dir) =>
+        // GPT-style pack-and-chunk assignment: docs are concatenated
+        // in deterministic order within their shard and cut every
+        // `seqLen` tokens; each doc's pack id and offset fall out of
+        // the running token sum. Scale shape: one window per shard —
+        // the md5-digit shard bounds partition size, so the sort is
+        // shard-local, never global; all integer math (hash-stable).
+        val seqLen = 2048L
+        val t = docs(s, dir).select(
+          col("doc_id"),
+          expr("cast(instr('0123456789abcdef', " +
+            "substring(md5(cast(doc_id as string)), 1, 1)) - 1 as int)")
+            .as("shard"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("doc_id"))
+        t.withColumn("cum", sum(col("ntok")).over(w))
+          .select(col("doc_id"), col("shard"), col("ntok"),
+            expr(s"(cum - ntok) div $seqLen").as("pack_id"),
+            ((col("cum") - col("ntok")) % seqLen).as("pack_off"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+            AS INTEGER) AS shard,
+            CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+              AS BIGINT) AS ntok
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, ntok,
+            sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+          FROM t)
+        SELECT doc_id, shard, ntok,
+          CAST((cum - ntok) // 2048 AS BIGINT) AS pack_id,
+          CAST((cum - ntok) % 2048 AS BIGINT) AS pack_off
+        FROM c"""),
+      doc = "Training-sequence packing: concat-then-chunk pack/offset " +
+        "assignment per shard (shard-local window, integer math)."),
+
+    // ------------------------------------------------------------------
+    "c15_chunk_windows" -> QueryDef(
+      fn = { (s, dir) =>
+        // Overlapping token windows per document (the RAG/embedding
+        // chunking pass): win=32 tokens, stride=24. One generate pass,
+        // zero shuffle; chunk_idx = start/stride is deterministic.
+        // The transform lambda re-evaluates the tokenize subtree per
+        // chunk (HOF lambdas bind trees) — bounded here by chunks ~=
+        // ntok/stride per doc, unlike the O(n^2) shingle case that
+        // forced the native word_shingles expression.
+        val win = 32
+        val stride = 24
+        val toks = TextFunctions.tokens(col("text"))
+        val n = size(toks)
+        val starts = filter(
+          sequence(lit(0), greatest(n - 1, lit(0)), lit(stride)),
+          st => st < n)
+        docs(s, dir)
+          .select(col("doc_id"), posexplode(
+            transform(starts, st => struct(
+              least(lit(win), n - st).as("n_chunk_toks"),
+              concat_ws(" ", slice(toks, st + 1, lit(win))).as("chunk")))))
+          .select(col("doc_id"), col("pos").as("chunk_idx"),
+            col("col.n_chunk_toks").as("n_chunk_toks"),
+            col("col.chunk").as("chunk"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x != '') AS ts
+          FROM documents),
+        st AS (
+          SELECT doc_id, ts, len(ts) AS n, unnest(range(0, len(ts), 24)) AS s
+          FROM t WHERE len(ts) > 0)
+        SELECT doc_id,
+          CAST(s // 24 AS INTEGER) AS chunk_idx,
+          CAST(least(32, n - s) AS INTEGER) AS n_chunk_toks,
+          array_to_string(ts[s + 1 : s + 32], ' ') AS chunk
+        FROM st"""),
+      doc = "Overlapping token windows per doc (RAG/embedding " +
+        "chunking; win=32, stride=24; zero shuffle)."))
 }
