@@ -831,5 +831,57 @@ object RelationalQueries {
         FROM s4"""),
       doc = "Morton Z-order clustering key over two normalized " +
         "dimensions (bit-interleave ladder; layout key for 2-D " +
-        "data skipping)."))
+        "data skipping)."),
+
+    // ------------------------------------------------------------------
+    "q35_lateral_topk" -> QueryDef(
+      fn = { (s, dir) =>
+        // Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
+        // spelling of top-k-per-group. Catalyst decorrelates it into
+        // the same window/group-limit machinery as c07; registered
+        // through spark.sql to pin the LATERAL surface itself.
+        val t = T(s, dir)
+        t.nation.createOrReplaceTempView("nation")
+        t.customer.createOrReplaceTempView("customer")
+        s.sql("""
+          SELECT n.n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+          FROM nation n,
+          LATERAL (SELECT c_name, c_acctbal FROM customer
+                   WHERE c_nationkey = n.n_nationkey
+                   ORDER BY c_acctbal DESC, c_name LIMIT 2) c""")
+      },
+      oracle = Some("""
+        SELECT n.n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) c"""),
+      doc = "Correlated LATERAL top-2-per-nation (decorrelated by " +
+        "Catalyst into group-limit machinery)."),
+
+    // ------------------------------------------------------------------
+    "q36_multiset_ops" -> QueryDef(
+      fn = { (s, dir) =>
+        // Multiset (bag) set operations: EXCEPT ALL / INTERSECT ALL
+        // preserve duplicate counts, unlike q07's distinct-set forms.
+        // One hash shuffle each on the value — count-based, no sort.
+        val li = T(s, dir).lineitem
+        val a = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+        val b = li.filter(col("l_returnflag") === "A").select(col("l_suppkey"))
+        a.exceptAll(b).withColumn("op", lit("except_all"))
+          .unionByName(
+            a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      },
+      oracle = Some("""
+        SELECT l_suppkey, 'except_all' AS op FROM (
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+          EXCEPT ALL
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A')
+        UNION ALL
+        SELECT l_suppkey, 'intersect_all' AS op FROM (
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+          INTERSECT ALL
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A')"""),
+      doc = "Multiset EXCEPT ALL / INTERSECT ALL (duplicate-count " +
+        "preserving set ops)."))
 }
