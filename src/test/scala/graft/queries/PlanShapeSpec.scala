@@ -121,6 +121,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("q35 LATERAL decorrelates to partial WindowGroupLimit + broadcast join") {
+    val p = plan("q35_lateral_topk")
+    // the correlated LATERAL-with-LIMIT must NOT execute per outer row:
+    // Catalyst rewrites it to top-k-per-group (partial group limit
+    // below the shuffle) joined hash-wise to the outer side
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"no partial group limit in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no hash join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "per-row nested loop")
+  }
+
   test("d10 incremental dedup: every corpus-side join is a broadcast probe") {
     val p = plan("d10_incremental_dedup")
     // bucket probe + candidate verify + fingerprint cross: all three
