@@ -175,6 +175,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.size == 3)
   }
 
+  test("streaming curation composes: quality gate + watermarked dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch curation operators compose unchanged under
+    // readStream: one declarative definition, both execution modes
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "it runs far away to the quiet hills for a long rest today"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDS().toDF("doc_id", "text", "ts")
+    val curated = graft.streaming.EventStreams.dedupStream(
+      docs.filter(
+        graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5),
+      "text", "ts")
+    val q = curated.select("doc_id").writeStream.outputMode("append")
+      .format("memory").queryName("curation_out").start()
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    mem.addData(
+      (1L, good, t0),
+      (2L, good, t0),                   // exact dup of 1 -> dropped
+      (3L, "zzz qq xx", t0))            // fails the quality gate
+    q.processAllAvailable()
+    val ids = spark.table("curation_out").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids == Set(1L), s"got $ids")
+  }
+
   test("transformWithState running totals match (RocksDB state store)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
