@@ -158,4 +158,47 @@ object Layout {
       .agg(sum(col("__psum")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).as("n"))
   }
+
+  /** Bloom-prefiltered semi-join: keep the rows of `big` whose
+    * `bigKey` appears in `keys.keyCol`, shuffling ONLY the rows that
+    * survive a Bloom probe.
+    *
+    * Why not just broadcast? A 100M-key banlist is gigabytes as a
+    * broadcast hash relation but ~100 MB as a 1%-fpp Bloom sketch —
+    * the sketch travels in the task closure, the probe is a
+    * codegen'd scan filter (zero shuffle of the 100 TB side), and
+    * only Bloom survivors (true matches + ~fpp false positives) pay
+    * the exact semi-join shuffle. False positives are REMOVED by
+    * that exact join, so the result is identical to a plain
+    * semi-join; false negatives cannot occur.
+    *
+    * The key-set side is scanned twice (count for sizing + filter
+    * build) — negligible next to one avoided big-side shuffle.
+    */
+  def bloomSemiJoin(
+      big: DataFrame, bigKey: String,
+      keys: DataFrame, keyCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    val ks = keys.select(xxhash64(col(keyCol)).as("__k")).distinct()
+    val n = math.max(ks.count(), 1L)
+    val bf = ks.stat.bloomFilter("__k", n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    bloomCandidates(big, bigKey, bytes)
+      .join(keys.select(col(keyCol).as(bigKey)).distinct(),
+        Seq(bigKey), "left_semi")
+  }
+
+  /** The prefilter stage of [[bloomSemiJoin]] alone (candidates may
+    * include ~fpp false positives). Exposed so specs can measure the
+    * Bloom stage's selectivity separately from the exact verify.
+    */
+  private[graft] def bloomCandidates(
+      big: DataFrame, bigKey: String, bloomBytes: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.graft.expressions.bloom_might_contain
+    big.where(bloom_might_contain(xxhash64(col(bigKey)), bloomBytes))
+  }
 }

@@ -605,5 +605,35 @@ object CurationQueries {
           array_to_string(ts[s + 1 : s + 32], ' ') AS chunk
         FROM st"""),
       doc = "Overlapping token windows per doc (RAG/embedding " +
-        "chunking; win=32, stride=24; zero shuffle)."))
+        "chunking; win=32, stride=24; zero shuffle)."),
+
+    // ------------------------------------------------------------------
+    "c16_banlist_scrub" -> QueryDef(
+      fn = { (s, dir) =>
+        // Banlist scrub via Bloom-prefiltered semi-join: the
+        // "takedown list" is the fingerprint of every doc_id % 37
+        // doc; every corpus doc carrying a listed fingerprint (the
+        // listed doc AND any exact duplicate of it) is returned.
+        // Layout.bloomSemiJoin probes a serialized Bloom sketch as a
+        // codegen'd scan filter, so the corpus side shuffles only
+        // Bloom survivors into the exact verify join — the 100 TB
+        // scrub shape when the banlist is too big to broadcast. The
+        // exact join removes Bloom false positives, so the result is
+        // oracle-exact despite the probabilistic prefilter.
+        val d = docs(s, dir).withColumn("fp",
+          TextFunctions.fingerprint(col("text")))
+        val ban = d.where(col("doc_id") % 37 === 0).select(col("fp"))
+        graft.operators.Layout.bloomSemiJoin(d, "fp", ban, "fp")
+          .select(col("doc_id"), col("source"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id, source,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS fp
+          FROM documents)
+        SELECT doc_id, source FROM f
+        WHERE fp IN (SELECT fp FROM f WHERE doc_id % 37 = 0)"""),
+      doc = "Banlist scrub: Bloom-sketch prefilter (zero corpus " +
+        "shuffle) + exact semi-join verify on survivors."))
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch
 
 /** Native Catalyst expressions for the engine's hot paths.
   *
@@ -349,6 +350,53 @@ object expressions {
   }
 
   // -------------------------------------------------------------------
+  /** Membership probe against a pre-built Bloom filter
+    * (`org.apache.spark.util.sketch.BloomFilter`, serialized). The
+    * filter bytes ride inside the expression — a few hundred KB in
+    * the task closure — so the probe runs as a plain codegen'd scan
+    * filter with NO join and NO shuffle of the probed side.
+    *
+    * This is the join-reduction primitive for 100 TB scrubs: when the
+    * key set is too large to broadcast as a hash relation but its
+    * Bloom sketch is not, prefilter the big side down to candidates
+    * and run the exact (shuffle) semi-join on survivors only. False
+    * positives are possible (callers MUST verify exactly); false
+    * negatives are not.
+    */
+  case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+
+    override def dataType: DataType = BooleanType
+
+    override def prettyName: String = "bloom_might_contain"
+
+    @transient private lazy val filter: sketch.BloomFilter =
+      sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+
+    /** Public for generated code (referenced via addReferenceObj). */
+    def mightContain(v: Long): Boolean = filter.mightContainLong(v)
+
+    override def nullSafeEval(v: Any): Any =
+      filter.mightContainLong(v.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // Reference the expression itself, not the deserialized filter:
+      // the expression is Serializable by construction and rebuilds
+      // its transient filter once per executor.
+      val ref = ctx.addReferenceObj("bloomProbe", this,
+        "org.apache.spark.sql.graft.expressions.BloomMightContain")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = $ref.mightContain($v);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): BloomMightContain =
+      copy(child = c)
+  }
+
+  // -------------------------------------------------------------------
   // Column-level API (the engine-facing surface).
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -377,6 +425,10 @@ object expressions {
   def jaccard_sorted(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardSorted(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def bloom_might_contain(hashed: Column, bloomBytes: Array[Byte]): Column =
+    ExpressionUtils.column(BloomMightContain(
+      ExpressionUtils.expression(hashed), bloomBytes))
 }
 
 /** Top-level (stable-classname) helper shared by SimHash64.eval and

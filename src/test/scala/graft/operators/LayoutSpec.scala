@@ -192,4 +192,41 @@ class LayoutSpec extends AnyFunSuite {
     assert(pruned < all, s"scanned $pruned of $all files — no pruning")
     assert(q.count() == 100)
   }
+
+  test("bloomSemiJoin matches the exact semi-join bit for bit") {
+    import spark.implicits._
+    val big = (0 until 20000).map(i => (s"k${i % 5000}", i)).toDF("key", "v")
+    val keys = (0 until 5000 by 7).map(i => s"k$i").toDF("key")
+    val got = Layout.bloomSemiJoin(big, "key", keys, "key")
+      .as[(String, Int)].collect().sorted
+    val want = big.join(keys, Seq("key"), "left_semi")
+      .as[(String, Int)].collect().sorted
+    assert(got.length == want.length && got.sameElements(want))
+  }
+
+  test("bloom prefilter: zero false negatives, bounded FPs, no shuffle") {
+    import spark.implicits._
+    val members = (0 until 1000).map(i => s"m$i")
+    val ks = members.toDF("key").select(xxhash64(col("key")).as("__k"))
+    val bf = ks.stat.bloomFilter("__k", 1000, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    // parquet-backed probe: over a LocalRelation the optimizer folds
+    // the whole filter at planning time and there is no plan to assert
+    val probeDir = java.nio.file.Files.createTempDirectory("bloom").toString
+    (members ++ (0 until 20000).map(i => s"x$i")).toDF("key")
+      .write.mode("overwrite").parquet(probeDir)
+    val probe = spark.read.parquet(probeDir)
+    val cands = Layout.bloomCandidates(probe, "key", bos.toByteArray)
+    val kept = cands.as[String].collect().toSet
+    assert(members.forall(kept.contains),
+      "a Bloom filter must never drop a member")
+    val fps = kept.size - members.size
+    assert(fps < 20000 * 0.05, s"$fps false positives of 20000 probes")
+    // the probe is a scan-level filter: the candidate stage plans with
+    // no Exchange at all — that's the whole point at 100 TB
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
