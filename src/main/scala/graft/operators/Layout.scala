@@ -201,4 +201,44 @@ object Layout {
     import org.apache.spark.sql.graft.expressions.bloom_might_contain
     big.where(bloom_might_contain(xxhash64(col(bigKey)), bloomBytes))
   }
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes` each (post-compression), optionally re-clustered
+    * on `sortCols` so min/max file skipping survives the rewrite.
+    *
+    * The small-files problem is the dominant ingest pathology at
+    * 100 TB: a streaming or per-job producer (the reference writes
+    * one output object per input object — GetJobs.py:57-60) lands
+    * millions of KB-sized files, and every downstream scan pays a
+    * task + open + footer-read per file. Compaction is the standing
+    * repair: size the output file count from the INPUT's on-disk
+    * bytes (already compressed, so the estimate transfers), then
+    * one shuffle rewrites the directory.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(
+      spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val summary = fs.getContentSummary(p)
+    val nOut = math.max(1L,
+      (summary.getLength + targetBytes - 1) / targetBytes).toInt
+    val in = spark.read.parquet(inDir)
+    val shaped =
+      if (sortCols.nonEmpty)
+        // range-partition on the cluster key: each output file covers
+        // a compact key range -> parquet min/max skipping still prunes
+        in.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else in.repartition(nOut)
+    shaped.write.mode("overwrite").parquet(outDir)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+    val inFiles = fs.listStatus(p)
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+    (inFiles.toLong, outFiles.toLong)
+  }
 }

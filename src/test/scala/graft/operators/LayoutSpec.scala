@@ -229,4 +229,46 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan.contains("bloom_might_contain"), plan)
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("compact rewrites many small files into the computed target count") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("frag").toString
+    val outDir = java.nio.file.Files.createTempDirectory("compacted").toString
+    (0 until 20000).map(i => (i, s"doc $i payload"))
+      .toDF("id", "text").repartition(64)
+      .write.mode("overwrite").parquet(inDir)
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inBytes = fs.getContentSummary(p).getLength
+    val target = inBytes / 4 + 1 // aim for ~4 output files
+    val (before, after) = Layout.compact(spark, inDir, outDir, target)
+    assert(before == 64)
+    assert(after == (inBytes + target - 1) / target, s"got $after files")
+    assert(after < 8)
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == 20000)
+    assert(back.agg(sum(col("id"))).head.getLong(0) == 20000L * 19999 / 2)
+  }
+
+  test("compact with sortCols keeps files range-disjoint (skipping survives)") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("frag2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("compacted2").toString
+    (0 until 20000).map(i => (i, s"doc $i")).toDF("id", "text")
+      .repartition(32).write.mode("overwrite").parquet(inDir)
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inBytes = fs.getContentSummary(p).getLength
+    Layout.compact(spark, inDir, outDir, inBytes / 4 + 1, sortCols = Seq("id"))
+    // per-FILE id ranges must not overlap: that is what parquet
+    // min/max footer skipping sees after the rewrite
+    val ranges = spark.read.parquet(outDir)
+      .groupBy(input_file_name()).agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, ranges.mkString(","))
+      case _ =>
+    }
+  }
 }
