@@ -121,6 +121,13 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** The fingerprint's pre-hash form (case-folded, whitespace-
+    * collapsed) — the canonical text for character-level comparisons
+    * (edit-distance kernels) that must agree with [[fingerprint]].
+    */
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Word n-gram shingles as strings ("a b c"), document order,
     * duplicates preserved; empty array when the doc has fewer than n
     * tokens. Native expression — the obvious HOF composition

@@ -394,5 +394,45 @@ object DedupQueries {
       },
       oracle = None,
       doc = "Int8-quantized ANN top-5 with exact rescore (4x scan " +
-        "bytes reduction; rows-only)."))
+        "bytes reduction; rows-only)."),
+
+    // ------------------------------------------------------------------
+    "d11_fuzzy_pairs" -> QueryDef(
+      fn = { (s, dir) =>
+        // Edit-distance near-dup kernel with blocking: candidates are
+        // same-language docs in the same 16-char length band (id_a <
+        // id_b), verified by levenshtein over the first 64 canonical
+        // chars. Spark's thresholded levenshtein(l, r, t) is O(len*t)
+        // and returns -1 past t — the kernel cost is bounded even on
+        // long docs. At corpus scale the candidate generator would be
+        // LSH (d03) instead of length-band blocking (whose blocks
+        // grow O(n) with corpus size); this registers the exact,
+        // oracle-checkable kernel + blocking shape.
+        val f = T(s, dir).documents.select(
+          col("doc_id"), col("lang"),
+          (col("n_chars") / 16).cast("int").as("band"),
+          substring(TextFunctions.normText(col("text")), 1, 64).as("nt"))
+        val a = f.select(col("doc_id").as("id_a"), col("lang"),
+          col("band"), col("nt").as("nt_a"))
+        val b = f.select(col("doc_id").as("id_b"), col("lang"),
+          col("band"), col("nt").as("nt_b"))
+        a.join(b, Seq("lang", "band"))
+          .where(col("id_b") > col("id_a"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("nt_a"), col("nt_b"), 16).as("edit_dist"))
+          .where(col("edit_dist") >= 0)
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id, lang, n_chars // 16 AS band,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g'))[1:64]
+                   AS nt
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.nt, b.nt) AS INTEGER) AS edit_dist
+        FROM f a JOIN f b
+          ON a.lang = b.lang AND a.band = b.band AND b.doc_id > a.doc_id
+        WHERE levenshtein(a.nt, b.nt) <= 16"""),
+      doc = "Edit-distance near-dup pairs: (lang, length-band) " +
+        "blocking + thresholded levenshtein kernel."))
 }
