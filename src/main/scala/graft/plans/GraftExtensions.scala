@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "word_shingles",
       "word_shingles(text, n) - word n-grams as strings, document order",
       { case Seq(t, n) => WordShingles(t, toIntLit(n, "word_shingles")) })
+    ext.injectOptimizerRule(_ => LevenshteinThresholdRule)
   }
 
   private def toIntLit(e: Expression, fn: String): Int = e match {
