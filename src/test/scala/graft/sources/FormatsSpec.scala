@@ -45,4 +45,38 @@ class FormatsSpec extends AnyFunSuite {
       "key", "img").collect().head
     assert(viaDecoder.getInt(1) == 13 && viaDecoder.getInt(2) == 7)
   }
+
+  test("gzip-compressed text/json/csv read transparently by extension") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-gz-").toString
+    val lines = (0 until 100).map(i => s"""{"id":$i,"v":"row $i"}""")
+    val gz = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/part-0.json.gz")))
+    lines.foreach(gz.println)
+    gz.close()
+    // codec picked from the .gz extension: no options, no special path.
+    // (At 100 TB the flip side matters too: gzip splits per FILE, not
+    // per block — a single giant .gz is one task; land many medium
+    // files or recompress. Layout.compact is the repair.)
+    assert(spark.read.text(dir).count() == 100)
+    val js = spark.read.json(dir)
+    assert(js.count() == 100 &&
+      js.agg(sum("id")).head.getLong(0) == 4950L)
+  }
+
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evo-").toString
+    // v1 files lack the column a later producer added
+    Seq((1L, "a")).toDF("id", "text")
+      .write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", "en")).toDF("id", "text", "lang")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "text", "lang", "batch"))
+    // old rows surface the new column as null, not an error
+    val v1 = merged.filter(col("id") === 1).select("lang").head
+    assert(v1.isNullAt(0))
+    assert(merged.count() == 2)
+  }
 }
