@@ -225,5 +225,40 @@ object TextQueries {
         FROM dfreq
         WHERE df >= 0.05 * (SELECT count(*) FROM documents)"""),
       doc = "Document-frequency table at >=5% support (IDF numerator; " +
-        "explode + map-side-combined agg)."))
+        "explode + map-side-combined agg)."),
+
+    // ------------------------------------------------------------------
+    "t09_heavy_hitters" -> QueryDef(
+      fn = { (s, dir) =>
+        import org.apache.spark.sql.graft.expressions.cms_estimate
+        // Sketch-based heavy hitters at 0.5% support: one pass builds
+        // a 224 KB Count-Min sketch (mergeable partials — the
+        // tree-aggregated 100 TB shape, vs t07/t08's exact groupBy
+        // whose shuffle carries the whole vocabulary); the second
+        // pass probes it as a codegen'd scan filter, so only
+        // occurrences of heavy CANDIDATES reach the distinct's
+        // shuffle. CMS never undercounts -> the result is a superset
+        // of the true heavy hitters (bounded overcount asserted in
+        // SketchSpec); seeded -> deterministic, but not
+        // SQL-expressible -> rows-only.
+        val toks = docs(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+          .select(col("token"), xxhash64(col("token")).as("h"))
+        val cms = toks.stat.countMinSketch(
+          "h", eps = 0.0005, confidence = 0.99, seed = 17)
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          cms.writeTo(bos)
+          bos.toByteArray
+        }
+        val support = math.max(1L, cms.totalCount / 200)
+        toks.where(cms_estimate(col("h"), bytes) >= support)
+          .distinct()
+          .select(col("token"),
+            cms_estimate(col("h"), bytes).as("est"))
+      },
+      oracle = None,
+      doc = "Count-Min heavy hitters at 0.5% support (sketch pass + " +
+        "probe prefilter; superset of exact, bounded overcount)."))
 }

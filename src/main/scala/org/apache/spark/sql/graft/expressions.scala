@@ -397,6 +397,46 @@ object expressions {
   }
 
   // -------------------------------------------------------------------
+  /** Point estimate against a pre-built Count-Min sketch
+    * (`org.apache.spark.util.sketch.CountMinSketch`, serialized).
+    * Same deployment shape as [[BloomMightContain]]: the sketch rides
+    * in the expression, the probe is a codegen'd per-row lookup with
+    * no join and no shuffle. Estimates NEVER undercount; they
+    * overcount by at most eps*totalCount (w.p. >= confidence), so a
+    * `cms_estimate(x) >= T` filter keeps a superset of the true
+    * heavy hitters — exactly the prefilter contract.
+    */
+  case class CmsEstimate(child: Expression, cmsBytes: Array[Byte])
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+
+    override def dataType: DataType = LongType
+
+    override def prettyName: String = "cms_estimate"
+
+    @transient private lazy val cms: sketch.CountMinSketch =
+      sketch.CountMinSketch.readFrom(cmsBytes)
+
+    /** Public for generated code (referenced via addReferenceObj). */
+    def estimate(v: Long): Long =
+      cms.estimateCount(java.lang.Long.valueOf(v))
+
+    override def nullSafeEval(v: Any): Any =
+      estimate(v.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cmsProbe", this,
+        "org.apache.spark.sql.graft.expressions.CmsEstimate")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = $ref.estimate($v);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): CmsEstimate =
+      copy(child = c)
+  }
+
+  // -------------------------------------------------------------------
   // Column-level API (the engine-facing surface).
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -429,6 +469,10 @@ object expressions {
   def bloom_might_contain(hashed: Column, bloomBytes: Array[Byte]): Column =
     ExpressionUtils.column(BloomMightContain(
       ExpressionUtils.expression(hashed), bloomBytes))
+
+  def cms_estimate(hashed: Column, cmsBytes: Array[Byte]): Column =
+    ExpressionUtils.column(CmsEstimate(
+      ExpressionUtils.expression(hashed), cmsBytes))
 }
 
 /** Top-level (stable-classname) helper shared by SimHash64.eval and

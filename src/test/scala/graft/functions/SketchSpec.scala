@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the Count-Min sketch surface: the native cms_estimate probe
+  * and the t09 heavy-hitters query's contract vs exact counts.
+  */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cms_estimate never undercounts; exact on a wide-enough sketch") {
+    import org.apache.spark.sql.graft.expressions.cms_estimate
+    import spark.implicits._
+    // item i appears i+1 times, i in [0, 100)
+    val rows = (0 until 100).flatMap(i => Seq.fill(i + 1)(i.toLong))
+    val df = rows.toDF("v")
+    val cms = df.stat.countMinSketch("v", eps = 0.0001, confidence = 0.999,
+      seed = 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    val est = df.distinct()
+      .select(col("v"), cms_estimate(col("v"), bos.toByteArray).as("e"))
+      .as[(Long, Long)].collect().toMap
+    (0 until 100).foreach { i =>
+      assert(est(i.toLong) >= i + 1, s"undercount at $i")
+      // eps 1e-4 over 5050 adds < 1: estimates are exact here
+      assert(est(i.toLong) == i + 1, s"overcount at $i on a wide sketch")
+    }
+  }
+
+  test("t09 heavy hitters: superset of exact, est >= exact, bounded size") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.SparkEntry.queries("t09_heavy_hitters")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val toks = graft.Engine.Tables(spark, dir).documents
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val total = toks.count()
+    val exact = toks.groupBy("token").count()
+      .as[(String, Long)].collect().toMap
+    val support = math.max(1L, total / 200)
+    val trueHeavy = exact.filter(_._2 >= support)
+    assert(trueHeavy.nonEmpty)
+    trueHeavy.keys.foreach { t =>
+      assert(got.contains(t), s"CMS dropped true heavy hitter '$t'")
+    }
+    got.foreach { case (t, est) =>
+      assert(est >= exact.getOrElse(t, 0L), s"undercount for '$t'")
+    }
+    // overcount can pull near-threshold tokens in, but not the tail
+    assert(got.size <= 2 * trueHeavy.size + 10,
+      s"${got.size} results for ${trueHeavy.size} true heavy hitters")
+  }
+}
