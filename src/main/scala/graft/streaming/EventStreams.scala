@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event-time streaming analytics over an `events`-shaped stream
   * (event_id, ts, user_id, event_type, value, props).
@@ -153,6 +153,97 @@ object EventStreams {
         if (crossed) out += ((key, n, total))
       }
       totals.update((n, total))
+      out.result().iterator
+    }
+  }
+
+  /** Streaming MinHash-LSH near-dup detection — the unbounded-ingest
+    * twin of `Dedup.nearDupPairs`. Each arriving doc is banded into
+    * `bands` (band, bucket) keys exactly as the batch `lshBuckets`
+    * (same shingle/minhash/xxhash64 construction, so batch and stream
+    * agree on candidates); per-bucket ListState holds the (id,
+    * signature) of docs seen in that bucket, and a new arrival emits
+    * one candidate pair per stored bucket-mate whose SIGNATURE
+    * agreement fraction >= `threshold` (the MinHash estimate of
+    * Jaccard — the streaming-honest choice: exact verification would
+    * need full shingle sets in state, ~doc-sized; signatures are
+    * fixed 1 KB).
+    *
+    * A pair that collides in several bands is emitted once per band
+    * with the SAME estimate — `.dropDuplicates` downstream (or a
+    * foreachBatch sink) collapses them, mirroring the batch
+    * pipeline's bucket-union.
+    *
+    * State is bounded two ways: signatures are fixed-size, and `ttl`
+    * (processing-time) expires bucket entries so the store holds one
+    * horizon of docs — "dedup against the recent corpus", the only
+    * tractable contract on an unbounded stream. Requires the RocksDB
+    * state store provider, where a 100 TB-scale horizon lives
+    * off-heap with changelog checkpointing.
+    */
+  def nearDupStream(
+      docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 128, bands: Int = 32,
+      shingleSize: Int = 3,
+      ttl: Option[java.time.Duration] = None): Dataset[(Long, Long, Double)] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import docs.sparkSession.implicits._
+    val r = numHashes / bands
+    val sigs = docs.select(col(idCol).cast("long").as("id"),
+      graft.functions.VectorFunctions.minhashSignature(
+        graft.functions.VectorFunctions.shingleHashes(
+          col(textCol), shingleSize), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    val banded = sigs
+      .select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
+      .select(col("pos").as("band"), col("col").as("bucket"),
+        col("id"), col("sig"))
+      .as[(Int, Long, Long, Seq[Long])]
+    banded.groupByKey(t => (t._1, t._2))
+      .transformWithState(new LshBucketProcessor(threshold, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  private class LshBucketProcessor(
+      threshold: Double, ttl: Option[java.time.Duration])
+      extends StatefulProcessor[
+        (Int, Long), (Int, Long, Long, Seq[Long]), (Long, Long, Double)] {
+    @transient private var seen: ListState[(Long, Array[Long])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[(Long, Array[Long])]("seen",
+        org.apache.spark.sql.Encoders.product[(Long, Array[Long])],
+        ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(
+        key: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long])],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val stored = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+      if (seen.exists()) seen.get().foreach(stored += _)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      rows.foreach { case (_, _, id, sigSeq) =>
+        val sig = sigSeq.toArray
+        // at-least-once replays re-deliver a doc: never pair an id
+        // with itself, and don't store a second copy
+        if (!stored.exists(_._1 == id)) {
+          stored.foreach { case (oid, osig) =>
+            var eq = 0
+            var i = 0
+            while (i < sig.length) {
+              if (sig(i) == osig(i)) eq += 1
+              i += 1
+            }
+            val est = eq.toDouble / sig.length
+            if (est >= threshold)
+              out += ((math.min(id, oid), math.max(id, oid), est))
+          }
+          stored += ((id, sig))
+          seen.appendValue((id, sig))
+        }
+      }
       out.result().iterator
     }
   }

@@ -90,6 +90,30 @@ object ScaleSmoke {
         big.filter(col("doc_id") % 5 === 0), "text", "doc_id",
         threshold = 0.5).count()
     }
+    // banlist scrub: Bloom sketch of ~1/37 of the corpus's
+    // fingerprints probes the whole corpus with zero shuffle; only
+    // survivors (here: every doc, since each is a k-way flood of a
+    // listed-or-unlisted fingerprint) pay the exact semi-join
+    timed("bloom_scrub") {
+      val fp = big.withColumn("fp", TextFunctions.fingerprint(col("text")))
+      graft.operators.Layout.bloomSemiJoin(fp, "fp",
+        fp.filter(col("doc_id") % 37 === 0).select(col("fp")), "fp").count()
+    }
+    // sketch-pass heavy hitters over the replicated token stream:
+    // the CMS build is one tree-aggregated pass; replication must not
+    // change the heavy set (relative frequencies are k-invariant)
+    timed("cms_heavy_hitters") {
+      import org.apache.spark.sql.graft.expressions.cms_estimate
+      val toks = big.select(
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+        .select(col("token"), xxhash64(col("token")).as("h"))
+      val cms = toks.stat.countMinSketch("h", 0.0005, 0.99, 17)
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      toks.where(cms_estimate(col("h"), bos.toByteArray)
+          >= math.max(1L, cms.totalCount / 200))
+        .distinct().count()
+    }
     index.unpersist()
     big.unpersist()
 

@@ -238,4 +238,56 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming LSH near-dup finds planted pairs across batches (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // per-group disjoint vocab: group g's doc is 30 distinct tokens;
+      // the variant swaps token 15 (changes 3 of 31 distinct shingles,
+      // true Jaccard ~0.8 — comfortably above threshold 0.5; cross-
+      // group docs share nothing)
+      def doc(g: Int, variant: Boolean): String =
+        (0 until 30).map { i =>
+          if (variant && i == 15) s"CHANGED$g" else s"w${g}_$i"
+        }.mkString(" ")
+      val mem = MemoryStream[(Long, String)]
+      val ckpt = Files.createTempDirectory("lsh-ckpt").toString
+      val q = graft.streaming.EventStreams.nearDupStream(
+        mem.toDS().toDF("doc_id", "text"), "text", "doc_id",
+        threshold = 0.5)
+        .toDF("id_a", "id_b", "est")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("lsh_out").start()
+      mem.addData((0 until 6).map(g => (10L * g, doc(g, variant = false)))
+        :+ (100L, doc(0, variant = true)): _*) // in-batch near-dup of 0
+      q.processAllAvailable()
+      mem.addData(
+        (101L, doc(1, variant = true)),   // cross-batch near-dup of 10
+        (102L, doc(2, variant = true)),   // cross-batch near-dup of 20
+        (103L, doc(6, variant = false)))  // fresh group, no pair
+      q.processAllAvailable()
+      val rows = spark.table("lsh_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      q.stop()
+      // band-collision repeats collapse to one (id_a, id_b, est) —
+      // the estimate comes from the full signature, so it's identical
+      // in every band
+      val pairs = rows.toSet
+      assert(pairs.map(p => (p._1, p._2)) ==
+        Set((0L, 100L), (10L, 101L), (20L, 102L)), s"got $pairs")
+      assert(pairs.forall(_._3 >= 0.5))
+      assert(pairs.forall(_._3 < 1.0), "variants are near-dups, not exact")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
