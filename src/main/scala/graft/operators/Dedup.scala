@@ -264,6 +264,69 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min(col("hamming")).as("hamming"))
   }
 
+  /** Generic banded hamming self-join over ANY 64-bit hash column —
+    * the simhashPairs core, decoupled from text so other modalities
+    * (image perceptual hashes, audio fingerprints) reuse it. Pairs
+    * (id_a < id_b) with bit_count(h_a ^ h_b) <= maxHamming; the
+    * segment guarantee needs maxHamming < bands.
+    *
+    * Canonicalize-first on the hash VALUE: identical hashes (exact
+    * duplicate floods) cost O(k) star pairs + one rep in the banded
+    * join, never k^2 bucket pairs.
+    */
+  def hammingPairs64(
+      hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, bands: Int = 8,
+      expandGroups: Boolean = true): DataFrame = {
+    require(maxHamming < bands, "segment guarantee needs maxHamming < bands")
+    require(64 % bands == 0, "bands must divide 64")
+    val groups = hashes
+      .filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("did"), col(hashCol).as("sh"))
+      .withColumn("keep", min(col("did")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .localCheckpoint() // 3 consumers; see nearDupPairs
+    val exactPairs = groups.filter(col("did") =!= col("keep"))
+      .select(col("keep").as("id_a"), col("did").as("id_b"),
+        lit(0).as("hamming"))
+    val reps = groups.filter(col("did") === col("keep"))
+      .select(col("did").as("id"), col("sh"))
+    val seg = 64 / bands
+    val segs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * seg)
+          .bitwiseAND(lit((1L << seg) - 1)).as("segval"))
+    }
+    val exploded = reps.select(col("id"), col("sh"),
+      explode(array(segs: _*)).as("s"))
+      .select(col("id"), col("sh"), col("s.band").as("band"),
+        col("s.segval").as("segval"))
+    val l = exploded.select(col("band"), col("segval"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val rt = exploded.select(col("band"), col("segval"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val repPairs = l.join(rt, Seq("band", "segval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val pairsOut =
+      if (!expandGroups) repPairs
+      else {
+        val members = groups.select(col("keep"), col("did"))
+        repPairs
+          .join(members.select(col("keep").as("id_a"), col("did").as("m_a")),
+            Seq("id_a"))
+          .join(members.select(col("keep").as("id_b"), col("did").as("m_b")),
+            Seq("id_b"))
+          .select(least(col("m_a"), col("m_b")).as("id_a"),
+            greatest(col("m_a"), col("m_b")).as("id_b"), col("hamming"))
+      }
+    pairsOut.unionByName(exactPairs)
+      .groupBy("id_a", "id_b").agg(min(col("hamming")).as("hamming"))
+  }
+
   /** Embedding-cosine near-dup pairs via multi-table hyperplane-LSH
     * bucketing + exact verification: vectors sharing a bucket in ANY
     * of the `tables` signature tables are compared, then filtered on

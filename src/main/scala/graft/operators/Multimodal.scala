@@ -329,6 +329,101 @@ object Multimodal {
     }(enc)
   }
 
+  /** 8x8 average perceptual hash (aHash): decode to grayscale,
+    * average into an 8x8 grid, bit k set when cell k exceeds the grid
+    * mean. Near-identical images (recompress, small edit, resize)
+    * land within a few bits of each other, so image dedup is
+    * `Dedup.hammingPairs64` over this column — the multimodal twin of
+    * SimHash-on-text.
+    *
+    * REAL for JDK-decodable formats (single pixel pass accumulating
+    * block sums). GRFT stub payloads hash their payload bytes
+    * resampled into 64 cells — deterministic, and equal payloads
+    * (duplicate source docs) hash identically, which is what the
+    * fixture dedup exercises. Returns (key, ahash BIGINT|null).
+    */
+  def imageAHash(
+      df: DataFrame, keyCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(keyCol), StructField("ahash", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(keyCol), col(binCol)).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(r.get(0), aHashOf(bytes))
+      }
+    }(enc)
+  }
+
+  private def bitsFromCells(cells: Array[Double]): java.lang.Long = {
+    val mean = cells.sum / 64.0
+    var h = 0L
+    var k = 0
+    while (k < 64) {
+      if (cells(k) > mean) h |= (1L << k)
+      k += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  private def aHashOf(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null) null
+    else if (bytes.length >= 16 && hasMagic(bytes)) {
+      val payload = bytes.drop(16)
+      val n = payload.length
+      if (n == 0) null
+      else {
+        // resample payload bytes into 64 cells (1-D "pixels")
+        val cells = new Array[Double](64)
+        var k = 0
+        while (k < 64) {
+          val from = k * n / 64
+          val to = math.max(from + 1, (k + 1) * n / 64)
+          var s = 0L
+          var i = from
+          while (i < to && i < n) { s += payload(i) & 0xff; i += 1 }
+          cells(k) = s.toDouble / math.max(1, math.min(to, n) - from)
+          k += 1
+        }
+        bitsFromCells(cells)
+      }
+    } else {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) null
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = new Array[Long](64)
+          val counts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val cy = math.min(7, y * 8 / h)
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val gray = (((p >> 16) & 0xff) * 299 +
+                ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+              val c = cy * 8 + math.min(7, x * 8 / w)
+              sums(c) += gray
+              counts(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val cells = new Array[Double](64)
+          var k = 0
+          while (k < 64) {
+            cells(k) = if (counts(k) == 0) 0.0
+              else sums(k).toDouble / counts(k)
+            k += 1
+          }
+          bitsFromCells(cells)
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+  }
+
   private def hasMagic(a: Array[Byte]): Boolean =
     a.length >= MagicBytes.length && {
       var i = 0
