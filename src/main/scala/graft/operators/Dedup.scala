@@ -607,7 +607,21 @@ object Dedup {
     // pointer-doubling loop below stays the path for graphs that
     // genuinely exceed single-task memory. count() on the
     // checkpointed blocks is O(partitions).
-    if (p.count() <= smallGraphPairs) return smallGraphReps(ids, p)
+    //
+    // The fast path runs over primitive longs, so it is gated on the
+    // id columns being integral: string/UUID ids would either fail
+    // the long cast or alias distinct ids ("01" vs "1"). Non-integral
+    // ids take the iterative path, which is type-generic (min/least).
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq(p.schema("id_a").dataType, p.schema("id_b").dataType,
+        ids.schema("id").dataType).forall {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    if (integralIds && p.count() <= smallGraphPairs)
+      return smallGraphReps(ids, p)
     // Only ids that appear in a pair can ever change label — iterate
     // over the DUP GRAPH, not the corpus. At 100 TB the dup graph is
     // orders of magnitude smaller than the id set; untouched ids are
@@ -694,12 +708,18 @@ object Dedup {
   private def smallGraphReps(ids: DataFrame, p: DataFrame): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
+    val idType = ids.schema("id").dataType
     val labels = p
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        // Primitive open-addressing map, not HashMap[Long,Long]: boxed
+        // entries cost ~100 B each (~2 GB at 20M nodes — executor OOM
+        // well under the advertised threshold); this is 17 B/slot,
+        // ~550 MB worst case for the default 10M-pair bound. NOTE the
+        // bound is ENTRIES (nodes ≤ 2×pairs), not raw long bytes.
+        val parent = new LongLongMap(1 << 16)
         def find(x: Long): Long = {
           var r = x
           while (parent(r) != r) r = parent(r)
@@ -716,11 +736,67 @@ object Dedup {
             if (ra < rb) parent(rb) = ra else parent(ra) = rb
           }
         }
-        parent.keys.toArray.iterator.map(k => (k, find(k)))
+        val out = Array.newBuilder[(Long, Long)]
+        parent.foreachKey(k => out += ((k, find(k))))
+        out.result().iterator
       }
       .toDF("id", "rep")
+    // cast rep back to the caller's id type so both strategies return
+    // the same schema (the fast path computed in long)
     ids.join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+      .select(col("id"),
+        coalesce(col("rep").cast(idType), col("id")).as("rep"))
+  }
+
+  /** Minimal primitive long→long open-addressing hash map (linear
+    * probing, power-of-two capacity, 0.7 max load). Exists because
+    * the single-task union-find must hold up to ~2×smallGraphPairs
+    * entries in one executor: a boxed mutable.HashMap costs ~100
+    * bytes/entry where this costs 17 bytes/slot.
+    */
+  private final class LongLongMap(initCap: Int) {
+    private var mask = Integer.highestOneBit(math.max(initCap, 16)) * 2 - 1
+    private var keys = new Array[Long](mask + 1)
+    private var vals = new Array[Long](mask + 1)
+    private var used = new Array[Boolean](mask + 1)
+    private var sz = 0
+    private def slot(k: Long): Int = {
+      var h = k * 0x9E3779B97F4A7C15L
+      h ^= h >>> 32
+      var i = h.toInt & mask
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    def contains(k: Long): Boolean = used(slot(k))
+    /** parent(k) — returns k itself if absent (safe for union-find). */
+    def apply(k: Long): Long = {
+      val i = slot(k)
+      if (used(i)) vals(i) else k
+    }
+    def update(k: Long, v: Long): Unit = {
+      var i = slot(k)
+      if (!used(i)) {
+        if ((sz + 1) * 10 > (mask + 1) * 7) { grow(); i = slot(k) }
+        used(i) = true
+        keys(i) = k
+        sz += 1
+      }
+      vals(i) = v
+    }
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) { if (used(i)) f(keys(i)); i += 1 }
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val ou = used
+      mask = mask * 2 + 1
+      keys = new Array[Long](mask + 1)
+      vals = new Array[Long](mask + 1)
+      used = new Array[Boolean](mask + 1)
+      sz = 0
+      var i = 0
+      while (i < ok.length) { if (ou(i)) update(ok(i), ov(i)); i += 1 }
+    }
   }
 
   /** The RDD backing a localCheckpoint'd frame (None for any other

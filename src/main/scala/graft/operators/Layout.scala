@@ -149,9 +149,18 @@ object Layout {
     // Content-derived salt (see contentSalt): deterministic under
     // task retry — a positional round-robin re-deals rows to
     // different (key, salt) partial groups when a map task is
-    // recomputed, corrupting the partial sums.
+    // recomputed, corrupting the partial sums. The hash mixes in a
+    // third column beyond (key, value) because the common count-style
+    // skew case has a CONSTANT value (e.g. 1) on the hot key — hashed
+    // on (key, value) alone every hot row would land in one (key,
+    // salt) group, silently defeating the split. Rows identical in
+    // all three columns still share a salt: that only concedes
+    // spread for fully-duplicate floods (dedup upstream), never
+    // correctness.
+    val extra = df.columns.filter(c => c != key && c != valueCol)
+      .take(1).map(col).toSeq
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(col(key), col(valueCol)), lit(salts)))
+      pmod(xxhash64((col(key) +: col(valueCol) +: extra): _*), lit(salts)))
     salted.groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

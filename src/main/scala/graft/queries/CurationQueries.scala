@@ -635,5 +635,38 @@ object CurationQueries {
         SELECT doc_id, source FROM f
         WHERE fp IN (SELECT fp FROM f WHERE doc_id % 37 = 0)"""),
       doc = "Banlist scrub: Bloom-sketch prefilter (zero corpus " +
-        "shuffle) + exact semi-join verify on survivors."))
+        "shuffle) + exact semi-join verify on survivors."),
+
+    // ------------------------------------------------------------------
+    "c17_compaction" -> QueryDef(
+      fn = { (s, dir) =>
+        // Small-file compaction end-to-end under the driver's eye:
+        // deliberately fragment a copy of `documents` into exactly 16
+        // files (round-robin repartition spreads rows evenly, so all
+        // 16 are non-empty), then Layout.compact with a 1 TB target —
+        // ceil(bytes / 1 TB) = 1 output file regardless of
+        // compression, so the measured counts are deterministic and
+        // the oracle can pin them. n_rows re-reads the COMPACTED
+        // directory: a compaction that drops or duplicates rows
+        // breaks the hash.
+        import s.implicits._
+        val frag = java.nio.file.Files
+          .createTempDirectory("graft-c17-frag").toString
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-c17-out").toString
+        docs(s, dir).repartition(16)
+          .write.mode("overwrite").parquet(frag)
+        val (before, after) = graft.operators.Layout.compact(
+          s, frag, out, targetBytes = 1L << 40, sortCols = Seq("doc_id"))
+        val nRows = s.read.parquet(out).count()
+        Seq((before, after, nRows))
+          .toDF("files_before", "files_after", "n_rows")
+      },
+      oracle = Some("""
+        SELECT CAST(16 AS BIGINT) AS files_before,
+               CAST(1 AS BIGINT) AS files_after,
+               count(*) AS n_rows
+        FROM documents"""),
+      doc = "Small-file compaction: 16 fragments -> 1 file " +
+        "(measured counts + row-preservation, oracle-pinned)."))
 }

@@ -39,8 +39,13 @@ object DedupQueries {
         // (consecutive doc ids) — the verification kernel of the LSH
         // pipeline, oracle-checked in isolation.
         val d = T(s, dir).documents
+        // localCheckpoint: `sets` feeds BOTH sides of the self-join
+        // and Spark fires no ReusedExchange on a derived-frame
+        // self-join, so without it the corpus is tokenized twice
+        // (r03's slowest non-composite query at 4.7 s).
         val sets = d.select(col("doc_id"),
           array_distinct(TextFunctions.tokens(col("text"))).as("ts"))
+          .localCheckpoint()
         val a = sets.select(col("doc_id").as("id_a"), col("ts").as("set_a"))
         val b = sets.select((col("doc_id") - 1).as("id_a"),
           col("doc_id").as("id_b"), col("ts").as("set_b"))
@@ -154,8 +159,10 @@ object DedupQueries {
             org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
           .filter(col("did") =!= col("keep"))
           .select(col("keep").as("id_a"), col("did").as("id_b"))
+        // localCheckpoint for the same double-tokenize reason as d02
         val sets = d.select(col("doc_id"),
           array_distinct(TextFunctions.tokens(col("text"))).as("ts"))
+          .localCheckpoint()
         val a = sets.select(col("doc_id").as("id_a"), col("ts").as("set_a"))
         val b = sets.select((col("doc_id") - 1).as("id_a"),
           col("doc_id").as("id_b"), col("ts").as("set_b"))

@@ -797,14 +797,19 @@ object RelationalQueries {
         // oracle-reproducible; the clustering EFFECT (bounding-box
         // shrinkage) is asserted in LayoutSpec.
         val li = T(s, dir).lineitem
-        val mx = li.agg(max(col("l_partkey")).as("mp"),
-          max(col("l_suppkey")).as("ms")).head()
-        val (mp, ms) = (mx.getLong(0), mx.getLong(1))
-        li.select(
-          col("l_orderkey"), col("l_linenumber"),
-          graft.operators.Layout.zValue(
-            expr(s"l_partkey * 65536 div ${mp + 1}"),
-            expr(s"l_suppkey * 65536 div ${ms + 1}")).as("zval"))
+        // The normalizers ride along as a broadcast 1-row frame
+        // instead of a driver-side .head(): one distributed plan, no
+        // synchronous extra pass before the main query (at 100 TB a
+        // driver collect here is two full-column scans on the
+        // critical path).
+        val mx = li.agg((max(col("l_partkey")) + 1).as("__mp1"),
+          (max(col("l_suppkey")) + 1).as("__ms1"))
+        li.crossJoin(broadcast(mx))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            graft.operators.Layout.zValue(
+              expr("l_partkey * 65536 div __mp1"),
+              expr("l_suppkey * 65536 div __ms1")).as("zval"))
       },
       oracle = Some("""
         WITH n AS (

@@ -185,7 +185,8 @@ object EventStreams {
       docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 32,
       shingleSize: Int = 3,
-      ttl: Option[java.time.Duration] = None): Dataset[(Long, Long, Double)] = {
+      ttl: Option[java.time.Duration] = None,
+      maxBucketSize: Int = 1000): Dataset[(Long, Long, Double)] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     import docs.sparkSession.implicits._
     val r = numHashes / bands
@@ -202,13 +203,15 @@ object EventStreams {
         col("id"), col("sig"))
       .as[(Int, Long, Long, Seq[Long])]
     banded.groupByKey(t => (t._1, t._2))
-      .transformWithState(new LshBucketProcessor(threshold, ttl),
+      .transformWithState(
+        new LshBucketProcessor(threshold, ttl, maxBucketSize),
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
 
   private class LshBucketProcessor(
-      threshold: Double, ttl: Option[java.time.Duration])
+      threshold: Double, ttl: Option[java.time.Duration],
+      maxBucketSize: Int)
       extends StatefulProcessor[
         (Int, Long), (Int, Long, Long, Seq[Long]), (Long, Long, Double)] {
     @transient private var seen: ListState[(Long, Array[Long])] = _
@@ -224,11 +227,26 @@ object EventStreams {
       val stored = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
       if (seen.exists()) seen.get().foreach(stored += _)
       val out = Seq.newBuilder[(Long, Long, Double)]
+      var warnedFull = false
       rows.foreach { case (_, _, id, sigSeq) =>
         val sig = sigSeq.toArray
-        // at-least-once replays re-deliver a doc: never pair an id
-        // with itself, and don't store a second copy
-        if (!stored.exists(_._1 == id)) {
+        // Hot-bucket cap, mirroring the batch path's maxBucketSize: a
+        // boilerplate flood without TTL would otherwise grow ListState
+        // unboundedly and emit O(n) pairs per arrival (O(n^2)
+        // cumulative). Past the cap the doc is neither paired nor
+        // stored in THIS bucket — other (band, bucket) keys still
+        // carry it, same recall trade the batch path makes. Safe for
+        // exact-duplicate floods because exact dedup runs upstream.
+        if (stored.length >= maxBucketSize) {
+          if (!warnedFull) {
+            System.err.println(
+              s"[nearDupStream] bucket $key at maxBucketSize=" +
+                s"$maxBucketSize; arrivals skipped in this bucket")
+            warnedFull = true
+          }
+        } else if (!stored.exists(_._1 == id)) {
+          // at-least-once replays re-deliver a doc: never pair an id
+          // with itself, and don't store a second copy
           stored.foreach { case (oid, osig) =>
             var eq = 0
             var i = 0

@@ -169,6 +169,21 @@ class DedupSpec extends AnyFunSuite {
     assert(fast(30L) == 1L && fast(20L) == 20L && fast(40L) == 40L)
   }
 
+  test("clusterReps with string ids takes the type-generic path, " +
+    "rep keeps the id type") {
+    // string/UUID-style ids must NOT hit the long-cast fast path:
+    // "01" and "1" are distinct ids that cast to the same long. The
+    // gate routes them to the iterative min/least path.
+    val ids = Seq("01", "1", "2", "b", "a").toDF("id")
+    val pairs = Seq(("a", "b"), ("1", "2")).toDF("id_a", "id_b")
+    val got = Dedup.clusterReps(ids, pairs)
+    assert(got.schema("rep").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val m = got.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("01" -> "01", "1" -> "1", "2" -> "1",
+      "a" -> "a", "b" -> "a"), s"got $m")
+  }
+
   test("identical-vector flood beyond bucket cap still pairs via exact path") {
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
     val other = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)

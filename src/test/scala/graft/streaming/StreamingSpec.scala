@@ -290,4 +290,106 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming LSH near-dup survives a kill + restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def doc(g: Int, variant: Boolean): String =
+        (0 until 30).map { i =>
+          if (variant && i == 15) s"CHANGED$g" else s"w${g}_$i"
+        }.mkString(" ")
+      val mem = MemoryStream[(Long, String)]
+      val ckpt = Files.createTempDirectory("lsh-restart-ckpt").toString
+      // the memory sink refuses checkpoint recovery; foreachBatch
+      // into a driver-side set supports it (and at-least-once replays
+      // collapse in the set, same as the production dropDuplicates)
+      val seen = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Long, Long)]()
+      def startQuery() = graft.streaming.EventStreams.nearDupStream(
+        mem.toDS().toDF("doc_id", "text"), "text", "doc_id",
+        threshold = 0.5)
+        .toDF("id_a", "id_b", "est")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => seen.add((r.getLong(0), r.getLong(1))))
+        }
+        .start()
+
+      val q1 = startQuery()
+      mem.addData((0 until 6).map(g => (10L * g, doc(g, variant = false)))
+        :+ (100L, doc(0, variant = true)): _*)
+      q1.processAllAvailable()
+      val run1 = Set.empty[(Long, Long)] ++
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          seen.iterator()).asScala
+      q1.stop()
+
+      // arrivals while the query is down; replayed on restart from
+      // the checkpoint. (101, 102) only pair if the RESTORED RocksDB
+      // state still holds docs 10 and 20 from before the kill.
+      mem.addData(
+        (101L, doc(1, variant = true)),
+        (102L, doc(2, variant = true)),
+        (103L, doc(6, variant = false)))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      val all = Set.empty[(Long, Long)] ++
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          seen.iterator()).asScala
+      q2.stop()
+
+      // pre-kill emissions, then the union after restart must equal
+      // the uninterrupted run's pair set (the previous test feeds the
+      // same data without a kill)
+      assert(run1 == Set((0L, 100L)), s"run1 got $run1")
+      assert(all == Set((0L, 100L), (10L, 101L), (20L, 102L)),
+        s"after restart got $all")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("streaming LSH near-dup caps hot buckets at maxBucketSize") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 5 identical docs flood every (band, bucket) they hash to; with
+      // the cap at 2 only the first two are stored, so exactly ONE
+      // pair emerges instead of C(5,2) = 10
+      val text = (0 until 30).map(i => s"flood_$i").mkString(" ")
+      val mem = MemoryStream[(Long, String)]
+      val ckpt = Files.createTempDirectory("lsh-cap-ckpt").toString
+      val q = graft.streaming.EventStreams.nearDupStream(
+        mem.toDS().toDF("doc_id", "text"), "text", "doc_id",
+        threshold = 0.5, maxBucketSize = 2)
+        .toDF("id_a", "id_b", "est")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("lsh_cap_out").start()
+      mem.addData((1L to 5L).map(i => (i, text)): _*)
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_cap_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      q.stop()
+      assert(pairs == Set((1L, 2L)), s"got $pairs")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
