@@ -14,13 +14,16 @@ import org.apache.spark.sql.types._
   *
   * Image decode/resize are REAL for every format the JDK ships
   * codecs for (png, jpeg, gif, bmp — via `javax.imageio`, zero new
-  * deps). For formats the JVM lacks (e.g. webp), a deterministic
-  * 16-byte GRFT header (`MagicBytes` + dims + format tag) stands in
-  * for encoded bytes; swapping in a native codec means replacing ONLY
-  * the stub branch of `ImageDecoder.decode`/`resizeImages` — schema,
-  * batching, partitioning, null handling, and error routing stay
-  * as-is and are what the tests pin down. `audioStats` needs no stub
-  * at all: raw PCM math is exact.
+  * deps), and webp METADATA is real too: dimensions parse straight
+  * from the RIFF container header (`webpDims`, all three chunk
+  * variants), no codec needed. Only webp PIXEL decode still uses the
+  * deterministic 16-byte GRFT stub header (`MagicBytes` + dims +
+  * format tag) standing in for encoded bytes; swapping in a native
+  * codec means replacing ONLY the stub branch of
+  * `ImageDecoder.decode`/`resizeImages` — schema, batching,
+  * partitioning, null handling, and error routing stay as-is and are
+  * what the tests pin down. `audioStats` needs no stub at all: raw
+  * PCM math is exact.
   */
 object Multimodal {
 
@@ -81,7 +84,11 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) invalid
+          if (!readers.hasNext) webpDims(bytes) match {
+            case Some((w, h)) =>
+              Row(w, h, "webp", bytes.length.toLong, true)
+            case None => invalid
+          }
           else {
             val r = readers.next()
             try {
@@ -422,6 +429,44 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => null }
     }
+  }
+
+  /** WebP dimensions from the container header alone (RFC 9649 — the
+    * public RIFF/WebP bitstream layout). The JDK ships no webp
+    * ImageReader, but the DIMENSIONS live in the first chunk header,
+    * so metadata extraction (the `decodeImages` path) is fully real
+    * for webp without a codec; only pixel decode (resize / features)
+    * still needs one. Handles all three first-chunk variants:
+    *  - "VP8 " (lossy): 14-bit width/height at frame-header bytes 6/8,
+    *    after the 0x9D 0x01 0x2A sync code;
+    *  - "VP8L" (lossless): 0x2F signature then two 14-bit dims-minus-1
+    *    packed little-endian;
+    *  - "VP8X" (extended): 24-bit little-endian canvas dims-minus-1 at
+    *    payload bytes 4..9.
+    */
+  private[operators] def webpDims(a: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = a(i) & 0xff
+    def fourCC(i: Int, s: String) =
+      a.length >= i + 4 && (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    if (a.length < 25 || !fourCC(0, "RIFF") || !fourCC(8, "WEBP")) None
+    else if (fourCC(12, "VP8 ") && a.length >= 30) {
+      // payload at 20: 3-byte frame tag, sync code, then dims (lossy
+      // dims are the low 14 bits of the two LE u16s that follow)
+      if (u8(23) != 0x9d || u8(24) != 0x01 || u8(25) != 0x2a) None
+      else Some((
+        (u8(26) | (u8(27) << 8)) & 0x3fff,
+        (u8(28) | (u8(29) << 8)) & 0x3fff))
+    } else if (fourCC(12, "VP8L")) {
+      if (u8(20) != 0x2f) None
+      else {
+        val bits = u8(21) | (u8(22) << 8) | (u8(23) << 16) | (u8(24) << 24)
+        Some(((bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1))
+      }
+    } else if (fourCC(12, "VP8X") && a.length >= 30) {
+      Some((
+        (u8(24) | (u8(25) << 8) | (u8(26) << 16)) + 1,
+        (u8(27) | (u8(28) << 8) | (u8(29) << 16)) + 1))
+    } else None
   }
 
   private def hasMagic(a: Array[Byte]): Boolean =

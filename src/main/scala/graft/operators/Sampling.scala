@@ -87,6 +87,39 @@ object Sampling {
       rate: Double): DataFrame =
     df.filter(hashPrefix(col(keyCol)) < weightedThresholdHex(weight, rate))
 
+  /** Domain-mix rebalancing: downsample every domain whose share of
+    * the corpus exceeds `cap` to exactly that share (in expectation),
+    * leaving under-represented domains whole — the standard LLM
+    * training-mix repair ("CommonCrawl is 60% of tokens, cap it at
+    * 25%"). rate_d = min(1, cap * N / n_d); a row survives iff
+    * hashPrefix(key) clears the per-domain rate, so membership is a
+    * pure function of (key, rate) — partitioning- and engine-stable —
+    * and samples NEST across rate changes: when an append shifts a
+    * domain's rate down, the new keep-set is a subset of the old one
+    * (rows are only removed, never swapped), the property that keeps
+    * incremental re-curation monotone.
+    *
+    * Scale shape: one groupBy over the domain column (tiny result:
+    * one row per domain), rates broadcast back, corpus filtered in a
+    * single scan — the 100 TB side never shuffles.
+    */
+  def capDomainShare(
+      df: DataFrame, keyCol: String, domainCol: String,
+      cap: Double): DataFrame = {
+    require(cap > 0 && cap <= 1, s"cap $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy() // the frame is one row per domain — tiny
+    val rates = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rate",
+        least(lit(1.0), lit(cap) * sum(col("__n")).over(w) / col("__n")))
+      .drop("__n")
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashPrefix(col(keyCol)) <
+        weightedThresholdHex(col("__rate"), 1.0))
+      .drop("__rate")
+  }
+
   /** Stratified deterministic sampling: per-stratum fractions (e.g.
     * downsample boilerplate sources, keep rare languages whole) —
     * the deterministic analog of `DataFrameStatFunctions.sampleBy`.

@@ -668,5 +668,35 @@ object CurationQueries {
                count(*) AS n_rows
         FROM documents"""),
       doc = "Small-file compaction: 16 fragments -> 1 file " +
-        "(measured counts + row-preservation, oracle-pinned)."))
+        "(measured counts + row-preservation, oracle-pinned)."),
+
+    // ------------------------------------------------------------------
+    "c18_domain_mix" -> QueryDef(
+      fn = { (s, dir) =>
+        // Training-mix rebalance: cap any language at 25% of the
+        // corpus (the fixture is en-heavy at ~44%, so the cap binds
+        // on en and leaves the rest whole). Per-domain rates are
+        // computed from the corpus itself, broadcast back, and
+        // applied as a deterministic hash threshold — one corpus
+        // scan, zero corpus shuffle, append-stable membership.
+        Sampling.capDomainShare(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", cap = 0.25)
+          .select(col("doc_id"), col("lang"))
+      },
+      oracle = Some("""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        r AS (SELECT lang,
+                least(1.0, 0.25 * (SELECT sum(n) FROM c) / n) AS rate
+              FROM c)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN r USING (lang)
+        WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) <
+          CASE WHEN CAST(floor(least(greatest(rate * 1.0, 0.0), 1.0)
+                     * 16777216) AS BIGINT) >= 16777216 THEN 'g'
+               ELSE lpad(lower(hex(CAST(floor(least(greatest(
+                      rate * 1.0, 0.0), 1.0) * 16777216) AS BIGINT))),
+                      6, '0') END"""),
+      doc = "Domain-mix rebalance: cap over-represented domains at a " +
+        "target corpus share via per-domain deterministic hash rates."))
 }

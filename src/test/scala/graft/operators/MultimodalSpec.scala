@@ -60,6 +60,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(11L).getInt(1) == 3 && got(11L).getInt(2) == 5)
   }
 
+  // hand-built WebP container headers (RFC 9649 layout) — the JDK has
+  // no webp codec, so these exercise the header-parse path
+  private def webpBytes(variant: String, w: Int, h: Int): Array[Byte] = {
+    val payload: Array[Byte] = variant match {
+      case "VP8 " =>
+        // 3-byte frame tag, sync code 9D 01 2A, LE u16 dims
+        Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+          (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
+          (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte)
+      case "VP8L" =>
+        val bits = (w - 1) | ((h - 1) << 14)
+        Array[Byte](0x2f,
+          (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+          ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte)
+      case "VP8X" =>
+        Array[Byte](0, 0, 0, 0,
+          ((w - 1) & 0xff).toByte, (((w - 1) >> 8) & 0xff).toByte,
+          (((w - 1) >> 16) & 0xff).toByte,
+          ((h - 1) & 0xff).toByte, (((h - 1) >> 8) & 0xff).toByte,
+          (((h - 1) >> 16) & 0xff).toByte)
+    }
+    val bb = java.nio.ByteBuffer.allocate(20 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(12 + payload.length)
+    bb.put("WEBP".getBytes("US-ASCII"))
+    bb.put(variant.getBytes("US-ASCII"))
+    bb.putInt(payload.length)
+    bb.put(payload)
+    bb.array()
+  }
+
+  test("webp dims parse from the RIFF header: lossy, lossless, extended") {
+    val df = Seq(
+      (30L, webpBytes("VP8 ", 320, 240)),
+      (31L, webpBytes("VP8L", 1, 16383)),
+      (32L, webpBytes("VP8X", 65536, 7))).toDF("id", "img")
+    val got = Multimodal.decodeImages(df, "id", "img")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, w, h) <- Seq((30L, 320, 240), (31L, 1, 16383),
+        (32L, 65536, 7))) {
+      assert(got(id).getInt(1) == w && got(id).getInt(2) == h,
+        s"id=$id got ${got(id)}")
+      assert(got(id).getString(3) == "webp" && got(id).getBoolean(5))
+    }
+    // corrupt sync code -> invalid, not thrown
+    val bad = webpBytes("VP8 ", 10, 10)
+    bad(23) = 0
+    val badRow = Multimodal.decodeImages(
+      Seq((33L, bad)).toDF("id", "img"), "id", "img").collect().head
+    assert(!badRow.getBoolean(5))
+  }
+
   test("real PNG resize actually resamples and re-encodes") {
     val df = Seq((20L, realPng(16, 16))).toDF("id", "img")
     val resized = Multimodal.resizeImages(df, "id", "img", 8, 4)

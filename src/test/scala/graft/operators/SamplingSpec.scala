@@ -73,4 +73,24 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(half.subsetOf(full))
   }
+
+  test("capDomainShare: over-cap domain downsampled to cap, rest whole") {
+    // 8000 rows: domain A has 6000 (75%), B 1500, C 500
+    val df = (1 to 8000).map { i =>
+      (i.toLong, if (i <= 6000) "A" else if (i <= 7500) "B" else "C")
+    }.toDF("id", "domain")
+    val kept = Sampling.capDomainShare(df, "id", "domain", cap = 0.25)
+      .groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate_A = 0.25 * 8000 / 6000 = 1/3 -> ~2000 of 6000 kept
+    assert(math.abs(kept("A") - 2000L) < 150, s"A kept ${kept("A")}")
+    // B (18.75%) and C (6.25%) are under the cap: kept whole
+    assert(kept("B") == 1500L && kept("C") == 500L, s"got $kept")
+    // nested under a tighter cap: only removals, never swaps
+    val tight = Sampling.capDomainShare(df, "id", "domain", cap = 0.10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val loose = Sampling.capDomainShare(df, "id", "domain", cap = 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(tight.subsetOf(loose))
+  }
 }
