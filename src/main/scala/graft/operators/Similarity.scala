@@ -249,4 +249,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** SPARSE similarity: TF-IDF cosine over token vectors via an
+    * inverted-index self-join — the text-side complement of the dense
+    * ANN paths above, and the shape that scales: documents never meet
+    * unless they SHARE a (surviving) token, so the join is a shuffle
+    * on token followed by a partial-aggregating sum of weight
+    * products, not an all-pairs scan.
+    *
+    * The quadratic hazard is hot posting lists: a token in f% of docs
+    * contributes (f*n)^2 pairs. `maxDfFrac` drops tokens whose
+    * document frequency exceeds that corpus fraction — the classic
+    * stop-token prune, which simultaneously caps the blowup AND
+    * removes the tokens with the least discriminative weight (their
+    * idf -> 0 anyway). Cosine is computed over the pruned vocabulary
+    * on both sides of the normalization, so results are exact for
+    * the pruned space; tf, idf = ln(N/df), and L2 normalization are
+    * the standard construction, every step a hash agg or broadcast.
+    *
+    * Returns (id_a, id_b, cosine) for id_a < id_b, cosine > minSim.
+    */
+  def tfidfPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      maxDfFrac: Double = 0.2, minSim: Double = 0.0): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("token"))
+    val tf = toks.groupBy(col("doc"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs") * maxDfFrac)
+      .select(col("doc"), col("token"),
+        (col("tf") * log(col("n_docs") / col("df"))).as("w"))
+    val nrm = w.groupBy(col("doc"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val wn = w.join(nrm, Seq("doc"))
+      .select(col("doc"), col("token"), (col("w") / col("nrm")).as("wn"))
+      // feeds both sides of the self-join: materialize once
+      .localCheckpoint()
+    val a = wn.select(col("token"), col("doc").as("id_a"), col("wn").as("wa"))
+    val b = wn.select(col("token"), col("doc").as("id_b"), col("wn").as("wb"))
+    a.join(b, Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("wa") * col("wb")).as("cosine"))
+      .filter(col("cosine") > minSim)
+  }
 }

@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "word_shingles",
       "word_shingles(text, n) - word n-grams as strings, document order",
       { case Seq(t, n) => WordShingles(t, toIntLit(n, "word_shingles")) })
+    register(ext, "byte_entropy",
+      "byte_entropy(text) - Shannon entropy (bits) of the byte distribution",
+      { case Seq(t) => ByteEntropy(t) })
     ext.injectOptimizerRule(_ => LevenshteinThresholdRule)
   }
 

@@ -404,6 +404,50 @@ object DedupQueries {
         "bytes reduction; rows-only)."),
 
     // ------------------------------------------------------------------
+    "s06_topk_sparse" -> QueryDef(
+      fn = { (s, dir) =>
+        // Sparse TF-IDF cosine top-50 pairs via inverted-index join —
+        // the text-side similarity path: docs only meet on shared
+        // surviving tokens (df <= 20% of corpus), so the plan is
+        // token-shuffle + partial-agg, never all-pairs. Rounded to 6
+        // decimals BEFORE the >0 filter and the ordering so both
+        // engines select the identical top-50 (sum order and libm ln
+        // differ by ~1 ulp between engines).
+        val pairs = Similarity.tfidfPairs(
+          T(s, dir).documents, "text", "doc_id", maxDfFrac = 0.2)
+        pairs.select(col("id_a"), col("id_b"),
+          round(col("cosine"), 6).as("cosine"))
+          .filter(col("cosine") > 0)
+          .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id AS doc,
+                 unnest(list_filter(string_split(text, ' '),
+                   x -> x != '')) AS token
+          FROM documents),
+        tf AS (SELECT doc, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        w AS (SELECT doc, tf.token,
+                     tf * ln((SELECT n_docs FROM nd) / df) AS w
+              FROM tf JOIN dfq USING (token)
+              WHERE df <= (SELECT n_docs FROM nd) * 0.2),
+        nrm AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        wn AS (SELECT doc, token, w / nrm AS wn
+               FROM w JOIN nrm USING (doc)),
+        p AS (SELECT a.doc AS id_a, b.doc AS id_b,
+                     round(sum(a.wn * b.wn), 6) AS cosine
+              FROM wn a JOIN wn b
+                ON a.token = b.token AND a.doc < b.doc
+              GROUP BY 1, 2)
+        SELECT id_a, id_b, cosine FROM p WHERE cosine > 0
+        ORDER BY cosine DESC, id_a, id_b LIMIT 50"""),
+      doc = "Sparse TF-IDF cosine top-50 doc pairs via inverted-" +
+        "index join (df-pruned vocabulary, never all-pairs)."),
+
+    // ------------------------------------------------------------------
     "d11_fuzzy_pairs" -> QueryDef(
       fn = { (s, dir) =>
         // Edit-distance near-dup kernel with blocking: candidates are

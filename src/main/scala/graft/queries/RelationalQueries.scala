@@ -888,5 +888,37 @@ object RelationalQueries {
           INTERSECT ALL
           SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A')"""),
       doc = "Multiset EXCEPT ALL / INTERSECT ALL (duplicate-count " +
-        "preserving set ops)."))
+        "preserving set ops)."),
+
+    // ------------------------------------------------------------------
+    "q37_histogram" -> QueryDef(
+      fn = { (s, dir) =>
+        // Data profiling: fixed-width value histogram of a measure
+        // column — one hash-agg shuffle of (bucket) partials, the
+        // ANALYZE-style distribution summary every lakehouse needs
+        // before choosing layouts/filters. Fixed bucket edges (width
+        // 5000 from 0) rather than min/max-derived ones: no pre-pass
+        // over the data, and bucket ids are stable across snapshots
+        // so histograms diff cleanly between corpus versions. Sum
+        // runs through exact DECIMAL (order-independent), per the
+        // oracle float discipline.
+        T(s, dir).lineitem
+          .groupBy(floor(col("l_extendedprice") / 5000).cast("long")
+            .as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo"),
+            max(col("l_extendedprice")).as("hi"),
+            sum(col("l_extendedprice").cast("decimal(12,2)"))
+              .cast("double").as("sum_price"))
+      },
+      oracle = Some("""
+        SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+               count(*) AS n,
+               min(l_extendedprice) AS lo,
+               max(l_extendedprice) AS hi,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem GROUP BY 1"""),
+      doc = "Fixed-width value histogram of a measure column " +
+        "(profiling pass: stable bucket ids, decimal-exact sums)."))
 }

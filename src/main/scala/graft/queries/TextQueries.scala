@@ -260,5 +260,27 @@ object TextQueries {
       },
       oracle = None,
       doc = "Count-Min heavy hitters at 0.5% support (sketch pass + " +
-        "probe prefilter; superset of exact, bounded overcount)."))
+        "probe prefilter; superset of exact, bounded overcount)."),
+
+    // ------------------------------------------------------------------
+    "t10_char_entropy" -> QueryDef(
+      fn = { (s, dir) =>
+        // Shannon entropy of each doc's character distribution — the
+        // cheap perplexity proxy: natural prose ~4.0-4.5 bits/char,
+        // base64/hex junk higher, repeated boilerplate lower. Native
+        // one-pass codegen expression (byte histogram + fixed-order
+        // fold); on the ASCII fixture byte entropy == char entropy,
+        // which is what DuckDB's entropy() recomputes. round(6):
+        // summation order differs between engines by ~1 ulp.
+        import org.apache.spark.sql.graft.expressions.byte_entropy
+        docs(s, dir).select(col("doc_id"),
+          round(byte_entropy(col("text")), 6).as("entropy_bits"))
+      },
+      oracle = Some("""
+        SELECT doc_id, round(entropy(c), 6) AS entropy_bits
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents)
+        GROUP BY doc_id"""),
+      doc = "Per-doc character-distribution Shannon entropy (native " +
+        "codegen expression; quality/perplexity proxy)."))
 }

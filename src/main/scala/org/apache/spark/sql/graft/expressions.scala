@@ -437,7 +437,40 @@ object expressions {
   }
 
   // -------------------------------------------------------------------
+  /** Shannon entropy (bits) of the byte-value distribution of a
+    * string — a cheap, language-agnostic quality signal: natural text
+    * sits ~4.0–4.5 bits/byte, base64/hex blobs higher, repeated
+    * boilerplate lower. On ASCII corpora byte entropy IS character
+    * entropy. One pass over the raw bytes into a 256-cell histogram,
+    * then a fixed ascending-index fold (deterministic summation
+    * order). Empty string -> 0.0; null -> null.
+    */
+  case class ByteEntropy(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+    override def dataType: DataType = DoubleType
+
+    override def prettyName: String = "byte_entropy"
+
+    override def nullSafeEval(s: Any): Any =
+      ByteEntropyUtil.entropy(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"""${ev.value} =
+           org.apache.spark.sql.graft.ByteEntropyUtil.entropy($v);""")
+
+    override protected def withNewChildInternal(c: Expression): ByteEntropy =
+      copy(child = c)
+  }
+
+  // -------------------------------------------------------------------
   // Column-level API (the engine-facing surface).
+
+  def byte_entropy(text: Column): Column =
+    ExpressionUtils.column(ByteEntropy(ExpressionUtils.expression(text)))
 
   def cosine_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
@@ -473,6 +506,36 @@ object expressions {
   def cms_estimate(hashed: Column, cmsBytes: Array[Byte]): Column =
     ExpressionUtils.column(CmsEstimate(
       ExpressionUtils.expression(hashed), cmsBytes))
+}
+
+/** Top-level (stable-classname) helper shared by ByteEntropy.eval and
+  * its generated code — Janino references it by literal name.
+  */
+object ByteEntropyUtil {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Log2 = math.log(2.0)
+
+  def entropy(s: UTF8String): Double = {
+    val b = s.getBytes
+    val n = b.length
+    if (n == 0) return 0.0
+    val hist = new Array[Int](256)
+    var i = 0
+    while (i < n) { hist(b(i) & 0xff) += 1; i += 1 }
+    val dn = n.toDouble
+    var ent = 0.0
+    var k = 0
+    while (k < 256) {
+      val c = hist(k)
+      if (c > 0) {
+        val p = c / dn
+        ent -= p * (math.log(p) / Log2)
+      }
+      k += 1
+    }
+    ent
+  }
 }
 
 /** Top-level (stable-classname) helper shared by SimHash64.eval and

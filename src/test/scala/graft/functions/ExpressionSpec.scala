@@ -137,4 +137,23 @@ class ExpressionSpec extends AnyFunSuite {
     assert(math.abs(out.getDouble(0) - 1.0) < 1e-12)
     assert(math.abs(out.getDouble(1) - 1.0) < 1e-12)
   }
+
+  test("byte_entropy: known distributions, empty, null, SQL form") {
+    import org.apache.spark.sql.graft.expressions.byte_entropy
+    val df = Seq(
+      (1L, "aaaa"),      // one symbol -> 0 bits
+      (2L, "abca"),      // p = .5/.25/.25 -> 1.5 bits
+      (3L, "abcd"),      // uniform over 4 -> 2 bits
+      (4L, "")           // empty -> 0 by convention
+    ).toDF("id", "t")
+    val got = df.select($"id", byte_entropy($"t").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0 && got(4L) == 0.0)
+    assert(math.abs(got(2L) - 1.5) < 1e-12, s"got ${got(2L)}")
+    assert(math.abs(got(3L) - 2.0) < 1e-12)
+    val nul = df.select(byte_entropy(lit(null).cast("string"))).head()
+    assert(nul.isNullAt(0))
+    val viaSql = spark.sql("SELECT byte_entropy('abca')").head().getDouble(0)
+    assert(math.abs(viaSql - 1.5) < 1e-12)
+  }
 }

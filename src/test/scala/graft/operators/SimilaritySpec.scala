@@ -79,4 +79,29 @@ class SimilaritySpec extends AnyFunSuite {
         bruteCos.get(key).foreach(c => assert(c == r.getDouble(2)))
       }
   }
+
+  test("tfidf pairs: identical docs cosine 1, disjoint docs absent, " +
+    "df prune kills stop tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana cherry"),     // identical to 1
+      (3L, "dog bone yard"),           // disjoint from 1/2
+      (4L, "apple dog")                // bridges both
+    ).toDF("doc_id", "text")
+    val got = Similarity
+      .tfidfPairs(docs, "text", "doc_id", maxDfFrac = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-9, s"got $got")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+    assert(got.contains((1L, 4L)) && got.contains((3L, 4L)))
+    // with maxDfFrac = 0.5, "apple" (df 3 of 4 docs) is pruned: doc 4
+    // no longer shares any token with docs 1/2
+    val pruned = Similarity
+      .tfidfPairs(docs, "text", "doc_id", maxDfFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pruned.contains((1L, 4L)), s"got $pruned")
+    assert(pruned.contains((1L, 2L)) && pruned.contains((3L, 4L)))
+  }
 }
