@@ -920,5 +920,97 @@ object RelationalQueries {
                  AS sum_price
         FROM lineitem GROUP BY 1"""),
       doc = "Fixed-width value histogram of a measure column " +
-        "(profiling pass: stable bucket ids, decimal-exact sums)."))
+        "(profiling pass: stable bucket ids, decimal-exact sums)."),
+
+    // ------------------------------------------------------------------
+    "q38_recursive_cte" -> QueryDef(
+      fn = { (s, dir) =>
+        // WITH RECURSIVE (new in Spark 4) — the SQL spelling of
+        // iterative closure: every doc's ancestor chain in the
+        // implicit binary-tree hierarchy parent = id div 2. Each
+        // recursion step is one self-join; the recursion terminates
+        // naturally when the chain reaches the root (ancestor < 2
+        // stops recursing), after O(log n) rounds — the same
+        // convergence shape clusterReps implements programmatically.
+        // Spark requires the UNION ALL form; output is DISTINCT
+        // (doc_id, ancestor) so the bag semantics can't diverge.
+        T(s, dir).documents.createOrReplaceTempView("documents")
+        s.sql("""
+          WITH RECURSIVE anc AS (
+            SELECT doc_id, doc_id DIV 2 AS ancestor
+            FROM documents WHERE doc_id >= 2
+            UNION ALL
+            SELECT a.doc_id, a.ancestor DIV 2 AS ancestor
+            FROM anc a WHERE a.ancestor >= 2)
+          SELECT DISTINCT doc_id, ancestor FROM anc""")
+      },
+      oracle = Some("""
+        WITH RECURSIVE anc AS (
+          SELECT doc_id, doc_id // 2 AS ancestor
+          FROM documents WHERE doc_id >= 2
+          UNION ALL
+          SELECT a.doc_id, a.ancestor // 2 AS ancestor
+          FROM anc a WHERE a.ancestor >= 2)
+        SELECT DISTINCT doc_id, ancestor FROM anc"""),
+      doc = "Recursive CTE ancestor closure (Spark 4 WITH RECURSIVE; " +
+        "O(log n) self-join rounds)."),
+
+    // ------------------------------------------------------------------
+    "q39_gapfill" -> QueryDef(
+      fn = { (s, dir) =>
+        // Time-series repair: densify daily order stats per priority
+        // onto a complete calendar (generated from the data's own
+        // min/max — a 1-row agg exploded, no driver action), then
+        // forward-fill the price through missing days with
+        // last(IGNORE NULLS) over an ordered window. The calendar
+        // cross join is tiny-by-tiny; the fact side contributes one
+        // hash agg — nothing here scales with anything but
+        // days x priorities.
+        val o = T(s, dir).orders
+        val daily = o.groupBy(col("o_orderpriority").as("prio"),
+            date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(12,2)"))
+              .cast("double").as("day_price"))
+        val cal = o
+          .agg(date_trunc("day", min(col("o_orderdate"))).as("d0"),
+            date_trunc("day", max(col("o_orderdate"))).as("d1"))
+          .select(explode(
+            sequence(col("d0"), col("d1"), expr("interval 1 day")))
+            .as("day"))
+          .crossJoin(o.select(col("o_orderpriority").as("prio")).distinct())
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prio")).orderBy(col("day"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        cal.join(daily, Seq("prio", "day"), "left")
+          .select(col("prio"), unix_micros(col("day")).as("day_us"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            last(col("day_price"), ignoreNulls = true).over(w)
+              .as("ffill_price"))
+      },
+      oracle = Some("""
+        WITH b AS (SELECT date_trunc('day', min(o_orderdate)) AS d0,
+                          date_trunc('day', max(o_orderdate)) AS d1
+                   FROM orders),
+        cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                  AS day FROM b),
+        p AS (SELECT DISTINCT o_orderpriority AS prio FROM orders),
+        daily AS (SELECT o_orderpriority AS prio,
+                         date_trunc('day', o_orderdate) AS day,
+                         count(*) AS n_orders,
+                         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                           AS DOUBLE) AS day_price
+                  FROM orders GROUP BY 1, 2)
+        SELECT p.prio, epoch_us(c.day) AS day_us,
+               coalesce(d.n_orders, 0) AS n_orders,
+               last_value(d.day_price IGNORE NULLS) OVER (
+                 PARTITION BY p.prio ORDER BY c.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS ffill_price
+        FROM cal c CROSS JOIN p
+        LEFT JOIN daily d ON d.prio = p.prio AND d.day = c.day"""),
+      doc = "Calendar gap-fill + forward-fill (densify daily series, " +
+        "last IGNORE NULLS window carry)."))
 }
