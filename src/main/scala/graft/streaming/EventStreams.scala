@@ -157,6 +157,43 @@ object EventStreams {
     }
   }
 
+  /** Streaming heavy hitters — the unbounded twin of the batch CMS
+    * pass (t09): per-token cumulative counts in ValueState, emitting
+    * (token, count) exactly ONCE, at the moment a token's running
+    * count first reaches `minCount`. Append-friendly (each key emits
+    * at most one row ever), so the sink sees a monotonically growing
+    * heavy set — the alerting contract ("tell me when a term becomes
+    * hot"), not a changelog. State is one long per distinct token;
+    * with the RocksDB provider that is the same budget as a streaming
+    * distinct, and a TTL-horizon variant would bound it further.
+    */
+  def heavyHittersStream(
+      tokens: Dataset[String], minCount: Long): Dataset[(String, Long)] = {
+    import tokens.sparkSession.implicits._
+    tokens.groupByKey(identity)
+      .transformWithState(new HeavyHitterProcessor(minCount),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  private class HeavyHitterProcessor(minCount: Long)
+      extends StatefulProcessor[String, String, (String, Long)] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[String],
+        timerValues: TimerValues): Iterator[(String, Long)] = {
+      val before = if (count.exists()) count.get() else 0L
+      val after = before + rows.size
+      count.update(after)
+      if (before < minCount && after >= minCount) Iterator((key, after))
+      else Iterator.empty
+    }
+  }
+
   /** Streaming MinHash-LSH near-dup detection — the unbounded-ingest
     * twin of `Dedup.nearDupPairs`. Each arriving doc is banded into
     * `bands` (band, bucket) keys exactly as the batch `lshBuckets`

@@ -166,4 +166,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(math.abs(got.getLong(0) - exactParts).toDouble / exactParts < 0.1)
     assert(math.abs(got.getLong(1) - exactOrders).toDouble / exactOrders < 0.1)
   }
+
+  test("s06 sparse tfidf: inverted-index equi-join, never cartesian") {
+    val p = plan("s06_topk_sparse")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in sparse similarity:\n$p")
+    // final selection is top-k machinery, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
+  test("c18 domain mix: per-domain rates broadcast back to the corpus") {
+    val p = plan("c18_domain_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates not broadcast — corpus would shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+  }
+
+  test("q37 histogram: single partial+final hash agg, no extra exchange") {
+    val p = plan("q37_histogram")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$p")
+  }
 }

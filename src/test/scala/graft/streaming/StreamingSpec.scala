@@ -358,6 +358,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming heavy hitters emit once, on the crossing batch (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[String]
+      val docs = mem.toDF().toDF("text")
+      val toks = docs.select(
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token")).as[String]
+      val q = EventStreams.heavyHittersStream(toks, minCount = 3)
+        .toDF("token", "n")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("hh_out").start()
+      mem.addData("alpha alpha beta", "alpha beta")
+      q.processAllAvailable()
+      // alpha crossed 3 in batch 1; beta sits at 2
+      val afterB1 = spark.table("hh_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(afterB1 == Set(("alpha", 3L)), s"got $afterB1")
+      mem.addData("beta gamma", "alpha")
+      q.processAllAvailable()
+      val afterB2 = spark.table("hh_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      q.stop()
+      // beta crossed 3 cross-batch; alpha (now 4) does NOT re-emit
+      assert(afterB2 == Set(("alpha", 3L), ("beta", 3L)), s"got $afterB2")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming LSH near-dup caps hot buckets at maxBucketSize") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
