@@ -1012,5 +1012,44 @@ object RelationalQueries {
         FROM cal c CROSS JOIN p
         LEFT JOIN daily d ON d.prio = p.prio AND d.day = c.day"""),
       doc = "Calendar gap-fill + forward-fill (densify daily series, " +
-        "last IGNORE NULLS window carry)."))
+        "last IGNORE NULLS window carry)."),
+
+    // ------------------------------------------------------------------
+    "q40_column_profile" -> QueryDef(
+      fn = { (s, dir) =>
+        // ANALYZE-style column profile in one query: per-column null
+        // counts, exact distinct cardinalities, min/max/avg — the
+        // stats pass that drives layout and join-strategy choices.
+        // Multiple COUNT(DISTINCT) in one aggregate plan via
+        // Catalyst's Expand rewrite (rows x #distinct-columns — fine
+        // for a profiling pass; the HLL variant q23 is the
+        // sketch-budget alternative at 100 TB).
+        T(s, dir).lineitem.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_partkey")).as("n_partkey"),
+          countDistinct(col("l_partkey")).as("d_partkey"),
+          countDistinct(col("l_returnflag")).as("d_returnflag"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          // l_shipdate reads as TIMESTAMP_NTZ; the session tz is UTC,
+          // so the cast to TIMESTAMP is identity on the epoch value
+          unix_micros(min(col("l_shipdate")).cast("timestamp"))
+            .as("min_ship_us"),
+          unix_micros(max(col("l_shipdate")).cast("timestamp"))
+            .as("max_ship_us"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n_rows,
+               count(l_partkey) AS n_partkey,
+               count(DISTINCT l_partkey) AS d_partkey,
+               count(DISTINCT l_returnflag) AS d_returnflag,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty,
+               round(avg(l_quantity), 4) AS avg_qty,
+               epoch_us(min(l_shipdate)) AS min_ship_us,
+               epoch_us(max(l_shipdate)) AS max_ship_us
+        FROM lineitem"""),
+      doc = "One-pass column profile: nulls, exact distincts (Expand " +
+        "rewrite), min/max/avg, integer-micros date bounds."))
 }
