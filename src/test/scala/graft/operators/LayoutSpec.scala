@@ -193,6 +193,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(q.count() == 100)
   }
 
+  test("dynamic partition pruning fires on a partitioned fact x " +
+    "filtered dim join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dpp-").toString + "/fact"
+    val fact = (1 to 3000).map(i => (i.toLong, i % 20, i * 2.0))
+      .toDF("id", "part_key", "v")
+    Layout.writePartitioned(fact, dir, "part_key")
+    // selective dim: only 2 of 20 partition values survive the filter.
+    // The partition predicate is only knowable at RUNTIME (it comes
+    // through the join), so static pruning can't help — DPP inserts a
+    // dynamicpruning subquery on the scan, the lever that keeps a
+    // 100 TB partitioned fact from full-scanning under star joins.
+    // The dim must be source-backed: on a LocalRelation the filter
+    // constant-folds away at planning and DPP sees no selective
+    // predicate to justify the subquery.
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft-dpp-dim-").toString + "/dim"
+    (0 until 20).map(k => (k, if (k < 2) "keep" else "drop"))
+      .toDF("part_key", "tag").write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = spark.read.parquet(dir)
+      .join(dim.filter(col("tag") === "keep"), Seq("part_key"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no DPP subquery on the fact scan:\n$plan")
+    assert(joined.count() == 300)
+  }
+
   test("bloomSemiJoin matches the exact semi-join bit for bit") {
     import spark.implicits._
     val big = (0 until 20000).map(i => (s"k${i % 5000}", i)).toDF("key", "v")
