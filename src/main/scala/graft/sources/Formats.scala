@@ -10,9 +10,13 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, Row, S
   * is the thin, discoverable catalog of them (plus the `binaryFile`
   * opaque-object scan in FileIngest, which IS the reference's model).
   *
-  * `avro` is excluded: the spark-avro external module is not on this
-  * build's classpath (zero-egress container); on a normal deployment
-  * add org.apache.spark:spark-avro and it slots into the same API.
+  * `avro` is served by [[AvroFormat]]: the spark-avro *module* is not
+  * on this zero-egress classpath, but avro + avro-mapred ship inside
+  * Spark's own distribution, so the format is implemented first-class
+  * over `AvroKeyInputFormat` (splittable) / `AvroKeyOutputFormat`
+  * (committer-safe). It routes through [[load]]/[[save]] like every
+  * other format; only the `DataFrameReader`-shaped accessors below
+  * exclude it (avro-mapred has no DataFrameReader surface).
   */
 object Formats {
 
@@ -21,10 +25,11 @@ object Formats {
     * upstream in 4.0).
     */
   val supported: Seq[String] = Seq(
-    "parquet", "orc", "json", "csv", "text", "xml")
+    "parquet", "orc", "json", "csv", "text", "xml", "avro")
 
   def read(spark: SparkSession, format: String): DataFrameReader = {
-    require(supported.contains(format), s"unsupported format: $format")
+    require(supported.contains(format) && format != "avro",
+      s"unsupported format: $format")
     val r = spark.read.format(format)
     format match {
       case "csv" => r.option("header", "true").option("inferSchema", "true")
@@ -32,6 +37,17 @@ object Formats {
       case _ => r
     }
   }
+
+  /** Unified load: every `supported` format through one entry point
+    * (avro dispatches to [[AvroFormat.read]]). */
+  def load(spark: SparkSession, format: String, path: String): DataFrame =
+    if (format == "avro") AvroFormat.read(spark, path)
+    else read(spark, format).load(path)
+
+  /** Unified save (avro dispatches to [[AvroFormat.write]]). */
+  def save(df: DataFrame, format: String, path: String): Unit =
+    if (format == "avro") AvroFormat.write(df, path)
+    else write(df, format).save(path)
 
   /** Read-only formats: no writer exists, so they sit outside
     * `supported`'s round-trip contract. `image` is Spark's built-in
@@ -48,7 +64,8 @@ object Formats {
   }
 
   def write(df: DataFrame, format: String): DataFrameWriter[Row] = {
-    require(supported.contains(format), s"unsupported format: $format")
+    require(supported.contains(format) && format != "avro",
+      s"unsupported format: $format")
     val w = df.write.format(format)
     format match {
       case "csv" => w.option("header", "true")

@@ -19,14 +19,55 @@ class FormatsSpec extends AnyFunSuite {
       val df = if (fmt == "text")
         src.select(concat_ws("|", src.columns.map(col): _*).as("value"))
       else src
-      Formats.write(df, fmt).save(out)
-      val back = Formats.read(spark, fmt).load(out)
+      Formats.save(df, fmt, out)
+      val back = Formats.load(spark, fmt, out)
       assert(back.count() == src.count(), s"format=$fmt")
       if (fmt == "parquet" || fmt == "orc") {
         // columnar formats preserve schema exactly
         assert(back.schema == src.schema, s"format=$fmt schema")
       }
+      if (fmt == "avro") {
+        // avro preserves names/types; values must round-trip exactly
+        assert(back.schema.map(f => (f.name, f.dataType)) ==
+          src.schema.map(f => (f.name, f.dataType)), "avro schema")
+        assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+          "avro values")
+      }
     }
+  }
+
+  test("avro round-trips the full type surface incl. nulls and nesting") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-avro-types-").toString
+    val df = Seq(
+      (1L, Some(3.5), "a", Seq(1, 2, 3),
+        java.sql.Date.valueOf("2026-08-12"),
+        java.sql.Timestamp.valueOf("2026-08-12 10:20:30.123456"),
+        Array[Byte](1, 2, 3), Some(("x", 7))),
+      (2L, None, "b", Seq.empty[Int],
+        java.sql.Date.valueOf("1969-12-31"),
+        java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5"),
+        Array.empty[Byte], None)
+    ).toDF("id", "score", "name", "xs", "d", "ts", "bin", "nested")
+    AvroFormat.write(df, s"$dir/t")
+    val back = AvroFormat.read(spark, s"$dir/t")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("avro read parallelizes across files (splittable input format)") {
+    val src = graft.Engine.Tables(spark, "/root/testdata/sf0.001")
+      .lineitem.repartition(4)
+    val dir = Files.createTempDirectory("graft-avro-split-").toString
+    AvroFormat.write(src, s"$dir/t")
+    val back = AvroFormat.read(spark, s"$dir/t")
+    // 4 part files -> at least 4 input partitions; counts and a
+    // numeric aggregate must agree exactly
+    assert(back.rdd.getNumPartitions >= 4)
+    val a = back.agg(sum("l_quantity")).head.get(0)
+    val b = src.agg(sum("l_quantity")).head.get(0)
+    assert(a == b && back.count() == src.count())
   }
 
   test("image datasource reads a PNG dir; dims agree with ImageDecoder") {
