@@ -485,5 +485,46 @@ object DedupQueries {
           ON a.lang = b.lang AND a.band = b.band AND b.doc_id > a.doc_id
         WHERE levenshtein(a.nt, b.nt) <= 16"""),
       doc = "Edit-distance near-dup pairs: (lang, length-band) " +
-        "blocking + thresholded levenshtein kernel."))
+        "blocking + thresholded levenshtein kernel."),
+
+    // ------------------------------------------------------------------
+    "d12_span_dedup" -> QueryDef(
+      fn = { (s, dir) =>
+        // Repeated-substring detection (the span-level dedup building
+        // block of Lee et al. 2022, "Deduplicating Training Data Makes
+        // Language Models Better"): every 8-token window is hashed and
+        // windows appearing in >= 2 distinct docs surface as cross-doc
+        // boilerplate. Scale shape: the explode emits (doc_id, md5)
+        // only — the shuffle carries 32-byte hashes, never span text —
+        // and count(distinct doc_id) expands to the standard two-phase
+        // partial agg. At 100 TB this is the exact complement of d03:
+        // MinHash finds whole-doc near-dups, this finds shared SPANS
+        // inside otherwise-distinct docs (licence headers, templates).
+        import graft.functions.TextFunctions
+        T(s, dir).documents
+          .select(col("doc_id"),
+            explode(TextFunctions.shingles(col("text"), 8)).as("span"))
+          .select(col("doc_id"), md5(col("span")).as("span_hash"))
+          .groupBy(col("span_hash"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("n_docs") >= 2)
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS ts
+          FROM documents),
+        sp AS (
+          SELECT doc_id, unnest(CASE WHEN len(ts) >= 8 THEN
+            list_transform(range(1, len(ts) - 6),
+              i -> array_to_string(ts[i:i+7], ' '))
+            ELSE CAST([] AS VARCHAR[]) END) AS span
+          FROM tok)
+        SELECT md5(span) AS span_hash,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occ
+        FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2"""),
+      doc = "Cross-doc repeated 8-token spans (substring-level dedup; " +
+        "hash-only shuffle)."))
 }

@@ -1051,5 +1051,66 @@ object RelationalQueries {
                epoch_us(max(l_shipdate)) AS max_ship_us
         FROM lineitem"""),
       doc = "One-pass column profile: nulls, exact distincts (Expand " +
-        "rewrite), min/max/avg, integer-micros date bounds."))
+        "rewrite), min/max/avg, integer-micros date bounds."),
+
+    // ------------------------------------------------------------------
+    "q41_anomaly" -> QueryDef(
+      fn = { (s, dir) =>
+        // Trailing-window z-score anomaly detection per user: a 20-row
+        // ROWS frame, |z| > 2.5. One shuffle (the window partition),
+        // then a single ordered pass per key — the standard streaming-
+        // friendly anomaly shape. Engine-exactness: stddev_samp's
+        // internal accumulation differs between engines, so the
+        // variance is derived from DECIMAL window sums (exact, order-
+        // free): var = (s2 - n*m*m)/(n-1) in an identical double
+        // expression tree; sqrt is IEEE correctly-rounded in both.
+        // The frame orders by integer micros (not raw ts): events.ts
+        // is TIMESTAMP(NANOS) floored to micros on the Spark side, so
+        // ordering by the raw ts could disagree within a microsecond.
+        import org.apache.spark.sql.expressions.Window
+        val vd = dec(col("value"))
+        val win = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+          .rowsBetween(-19, 0)
+        val w = T(s, dir).events.select(
+          col("user_id"), col("event_id"), col("ts"), vd.as("v"),
+          sum(vd).over(win).as("s1"),
+          sum(vd * vd).over(win).as("s2"),
+          count(lit(1)).over(win).as("n"))
+        val mean = col("s1").cast("double") / col("n")
+        val vvar = (col("s2").cast("double") -
+          ((col("n") * mean) * mean)) / (col("n") - 1)
+        val z = (col("v").cast("double") - mean) / sqrt(vvar)
+        w.filter(col("n") === 20)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            round(z, 6).as("z"), vvar.as("vr"), z.as("zraw"))
+          .filter(col("vr") > 0 && abs(col("zraw")) > 2.5)
+          .drop("vr", "zraw")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT user_id, event_id, ts,
+                 CAST(value AS DECIMAL(12,2)) AS v,
+                 sum(CAST(value AS DECIMAL(12,2))) OVER win AS s1,
+                 sum(CAST(value AS DECIMAL(12,2)) *
+                     CAST(value AS DECIMAL(12,2))) OVER win AS s2,
+                 count(*) OVER win AS n
+          FROM events
+          WINDOW win AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        z AS (
+          SELECT user_id, event_id, ts, v, n,
+                 CAST(s1 AS DOUBLE) / n AS m,
+                 (CAST(s2 AS DOUBLE) -
+                  ((n * (CAST(s1 AS DOUBLE) / n)) *
+                   (CAST(s1 AS DOUBLE) / n))) / (n - 1) AS vr
+          FROM w WHERE n = 20)
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               round((CAST(v AS DOUBLE) - m) / sqrt(vr), 6) AS z
+        FROM z
+        WHERE vr > 0 AND abs((CAST(v AS DOUBLE) - m) / sqrt(vr)) > 2.5"""),
+      doc = "Trailing 20-row z-score anomalies per user (decimal-exact " +
+        "moments, engine-identical double tree)."))
 }

@@ -282,5 +282,74 @@ object TextQueries {
               FROM documents)
         GROUP BY doc_id"""),
       doc = "Per-doc character-distribution Shannon entropy (native " +
-        "codegen expression; quality/perplexity proxy)."))
+        "codegen expression; quality/perplexity proxy)."),
+
+    // ------------------------------------------------------------------
+    "t11_bm25" -> QueryDef(
+      fn = { (s, dir) =>
+        // BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query —
+        // the lexical-search complement of s06's TF-IDF cosine. Scale
+        // shape: the query-term filter is a codegen'd In() applied
+        // BEFORE the shuffle, so only occurrences of the ~8 query
+        // terms ever leave the scan; df and corpus stats are 1-row /
+        // tiny broadcasts. Engine-exactness discipline: the classic
+        // ln() idf is libm-dependent, so this uses the rational idf
+        // (N - df + 0.5)/(df + 0.5) (same ranking for any fixed df
+        // ordering); per-term contributions are bitwise-deterministic
+        // double chains, summed as DECIMAL(18,8) so the per-doc sum
+        // is order-independent and hash-green against DuckDB.
+        val d = docs(s, dir)
+        val qterms = Seq("data", "model", "system", "learning",
+          "training", "quality", "random", "sample")
+        val base = d.select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("dl"),
+            explode(col("toks")).as("token"))
+          .filter(col("token").isInCollection(qterms))
+        val tf = base.groupBy(col("doc_id"), col("dl"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy(col("token"))
+          .agg(count(lit(1)).as("df"))
+        val stats = d.agg(count(lit(1)).as("n_docs"),
+          avg(TextFunctions.tokenCount(col("text"))).as("avgdl"))
+        val contrib =
+          ((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+        tf.join(broadcast(dfq), "token")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            contrib.cast("decimal(18,8)").as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).cast("double").as("score"),
+            count(lit(1)).as("n_terms"))
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS ts
+          FROM documents),
+        base AS (
+          SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM tok),
+        tf AS (
+          SELECT doc_id, dl, token, count(*) AS tf FROM base
+          WHERE token IN ('data','model','system','learning',
+                          'training','quality','random','sample')
+          GROUP BY 1, 2, 3),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl
+                  FROM tok)
+        SELECT doc_id,
+               CAST(sum(CAST(
+                 ((n_docs - df + 0.5) / (df + 0.5)) *
+                 ((tf * 2.2) /
+                  (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+                 AS DECIMAL(18,8))) AS DOUBLE) AS score,
+               count(*) AS n_terms
+        FROM tf JOIN dfq USING (token), stats
+        GROUP BY doc_id"""),
+      doc = "BM25 ranked retrieval for a fixed query (rational idf, " +
+        "decimal-summed contributions; broadcast df/stats)."))
 }

@@ -270,4 +270,28 @@ class DedupSpec extends AnyFunSuite {
       s"flood pairs missing: ${pairs.size}")
     assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
   }
+
+  test("span dedup surfaces planted cross-doc boilerplate, skips unique text") {
+    // three docs share an 8+-token licence header; bodies are disjoint
+    val header = "this file is licensed under the apache license version two"
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma delta content one"),
+      (2L, s"$header epsilon zeta eta theta content two"),
+      (3L, s"$header iota kappa lambda mu content three"),
+      (4L, "entirely unrelated document with no shared spans at all here"))
+      .toDF("doc_id", "text")
+    val spans = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 8)).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("span_hash"))
+      .groupBy("span_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .collect()
+    // the 10-token header yields 3 distinct 8-gram windows fully inside
+    // it, each present in all 3 docs; nothing else repeats cross-doc
+    assert(spans.length == 3, s"expected 3 shared spans, got ${spans.toSeq}")
+    assert(spans.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L))
+  }
 }

@@ -188,4 +188,44 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$p")
   }
+
+  test("t11 bm25: query-term filter precedes the shuffle; df/stats broadcast") {
+    val p = plan("t11_bm25")
+    // df table and corpus stats must come in as broadcasts — the big
+    // (doc, term) side never re-shuffles for them
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
+      p.contains("BroadcastNestedLoopJoin"), // 1-row stats cross join
+      s"df/stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+    // the In() filter on query terms runs in the scan stage, upstream
+    // of the tf shuffle: plans print top-down, so the filter must sit
+    // AFTER (deeper than) the doc_id/token hash Exchange in the string
+    val tfShuffle = p.indexOf("Exchange hashpartitioning(doc_id")
+    val termFilter = p.indexOf("IN (data,model")
+    assert(tfShuffle > 0 && termFilter > tfShuffle,
+      s"query-term filter not below the tf shuffle:\n$p")
+  }
+
+  test("d12 span dedup: shuffle carries hashes, not span text") {
+    val q = SparkEntry.queries("d12_span_dedup")(spark, dir)
+    val p = q.queryExecution.executedPlan.toString
+    // the md5 projection happens in the scan stage: everything
+    // downstream of the shuffle (printed ABOVE the Exchange) may only
+    // reference span_hash#, never the raw span# string attribute
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(exchangeIdx > 0)
+    val downstream = p.substring(0, exchangeIdx)
+    assert(!downstream.contains("span#") && downstream.contains("span_hash"),
+      s"span text crosses the shuffle:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final agg for countDistinct")
+  }
+
+  test("q41 anomaly: one window shuffle, no join, no extra exchange") {
+    val p = plan("q41_anomaly")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected exactly the window partition shuffle, got $exchanges:\n$p")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+  }
 }
