@@ -362,6 +362,103 @@ object Multimodal {
     }(enc)
   }
 
+  /** Difference hash (dHash): like [[imageAHash]] but each bit
+    * compares ADJACENT cells instead of cell-vs-global-mean. The
+    * comparison `mean(k) > mean(k+1)` is evaluated as the integer
+    * cross-multiplication `s(k)*c(k+1) > s(k+1)*c(k)` — no floating
+    * point anywhere, so the GRFT-path hash is bit-exactly
+    * recomputable by any engine (the m05 oracle recomputes it in
+    * DuckDB SQL). GRFT payloads hash 64 1-D cells -> 63 bits (always
+    * non-negative, so SQL BIGINT shifts never overflow); real JDK
+    * images hash a 9x8 grayscale grid -> 64 bits, the classic dHash.
+    */
+  def imageDHash(
+      df: DataFrame, keyCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(keyCol), StructField("dhash", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(keyCol), col(binCol)).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(r.get(0), dHashOf(bytes))
+      }
+    }(enc)
+  }
+
+  private def dHashOf(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null) null
+    else if (bytes.length >= 16 && hasMagic(bytes)) {
+      val payload = bytes.drop(16)
+      val n = payload.length
+      if (n == 0) null
+      else {
+        // 64 1-D cells; integer sum + count per cell (same slicing
+        // as aHashOf, kept in exact integer form)
+        val s = new Array[Long](64)
+        val c = new Array[Long](64)
+        var k = 0
+        while (k < 64) {
+          val from = k * n / 64
+          val to = math.max(from + 1, (k + 1) * n / 64)
+          var i = from
+          while (i < to && i < n) { s(k) += payload(i) & 0xff; i += 1 }
+          c(k) = math.max(1, math.min(to, n) - from)
+          k += 1
+        }
+        var h = 0L
+        k = 0
+        while (k < 63) {
+          // mean(k) > mean(k+1), cross-multiplied: exact in Long
+          if (s(k) * c(k + 1) > s(k + 1) * c(k)) h |= (1L << k)
+          k += 1
+        }
+        java.lang.Long.valueOf(h)
+      }
+    } else {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) null
+        else {
+          // classic dHash: 9 columns x 8 rows of integer gray sums,
+          // bit (row,colPair) set iff cell(row,col) > cell(row,col+1)
+          val (w, h0) = (img.getWidth, img.getHeight)
+          val sums = Array.ofDim[Long](8, 9)
+          val counts = Array.ofDim[Long](8, 9)
+          var y = 0
+          while (y < h0) {
+            val cy = math.min(7, y * 8 / h0)
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val gray = (((p >> 16) & 0xff) * 299 +
+                ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+              val cx = math.min(8, x * 9 / w)
+              sums(cy)(cx) += gray
+              counts(cy)(cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var hsh = 0L
+          var row = 0
+          while (row < 8) {
+            var cp = 0
+            while (cp < 8) {
+              val cl = math.max(1L, counts(row)(cp))
+              val cr = math.max(1L, counts(row)(cp + 1))
+              if (sums(row)(cp) * cr > sums(row)(cp + 1) * cl)
+                hsh |= (1L << (row * 8 + cp))
+              cp += 1
+            }
+            row += 1
+          }
+          java.lang.Long.valueOf(hsh)
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+  }
+
   private def bitsFromCells(cells: Array[Double]): java.lang.Long = {
     val mean = cells.sum / 64.0
     var h = 0L

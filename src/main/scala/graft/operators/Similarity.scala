@@ -250,6 +250,157 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization top-k (PQ + ADC scan + exact rescore) —
+    * the memory-layout endgame of the ANN ladder: each corpus vector
+    * is stored as `m` sub-codebook codes (8 bytes at m=8 vs 256 for
+    * float32 dim-64 — a 32x scan-byte reduction, vs int8's 4x), and
+    * candidate scoring is `m` lookup-table reads per pair instead of
+    * `dim` multiplies (asymmetric distance computation, Jégou et al.
+    * 2011, "Product Quantization for Nearest Neighbor Search").
+    *
+    * Spark mapping of the classic pieces:
+    *  - training: Lloyd's on the driver over a bounded deterministic
+    *    hash-sample (same policy as d09's SemDeDup cells) — at 100 TB
+    *    the codebook trains on a sample by definition; centroids
+    *    embed as plan literals, so encode is a ZERO-shuffle map pass.
+    *  - encode: per subspace, argmax of (s·c - |c|²/2) over the 16
+    *    centroid literals (equivalent to min L2), sorted in-register —
+    *    the `probeCells` pattern, no UDF.
+    *  - ADC: each (broadcast) query row precomputes its m x ksub
+    *    lookup table ONCE from the same literals; the scan then does
+    *    `aggregate(zip_with(codes, luts, lut[code]))` per pair —
+    *    m array reads, the true ADC inner loop, inside codegen.
+    *  - rescore: top k*refine by approximate dot are re-scored with
+    *    the exact native cosine; both sides L2-normalized first so
+    *    PQ's dot-product approximation IS the cosine approximation.
+    * Returns (qid, id, cosine, rank); rows-only at the driver (the
+    * codebook is data-derived), recall + exact-rescore pinned in
+    * SimilaritySpec.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, refine: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, maxTrainRows: Long = 20000L): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+
+    // ---- normalized working frames (dot == cosine on unit vectors)
+    def unitized(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        VectorFunctions.asDouble(col(vecCol)).as("dv"))
+        .withColumn("nrm", VectorFunctions.l2Norm(col("dv")))
+        .filter(col("nrm") > 0)
+        .select(col(outId), transform(col("dv"), x => x / col("nrm")).as("uv"))
+    val cU = unitized(corpus, "id")
+    val qU = unitized(queries, "qid")
+
+    // ---- codebook: Lloyd's per subspace on a bounded driver sample
+    val n = corpus.count()
+    val sampled =
+      if (n <= maxTrainRows) cU
+      else Sampling.hashSample(cU, "id", maxTrainRows.toDouble / n)
+    val train: Array[Array[Double]] = sampled.select(col("uv"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(train.length >= ksub, s"training sample ${train.length} < ksub")
+    val codebook: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(sub => lloyd(
+        train.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)),
+        ksub, iters = 10, seed = seed + sub))
+
+    // ---- encode: argmax (s·c - |c|²/2) per subspace, in-register
+    def subVec(v: Column, sub: Int): Column = slice(v, sub * dsub + 1, dsub)
+    def encodeExpr(v: Column): Column = array((0 until m).map { sub =>
+      val scored = array(codebook(sub).zipWithIndex.map { case (c, i) =>
+        val half = c.map(x => x * x).sum / 2.0
+        struct((VectorFunctions.dotProduct(subVec(v, sub), lit(c)) - half)
+          .as("score"), lit(i).as("idx"))
+      }: _*)
+      val best = array_sort(scored, (l, r) =>
+        when(l.getField("score") > r.getField("score"), -1)
+          .when(l.getField("score") < r.getField("score"), 1)
+          .when(l.getField("idx") < r.getField("idx"), -1)
+          .when(l.getField("idx") > r.getField("idx"), 1)
+          .otherwise(0))
+      element_at(best, 1).getField("idx")
+    }: _*)
+    val codes = cU.select(col("id"), encodeExpr(col("uv")).as("codes"))
+
+    // ---- per-query ADC lookup tables from the same literals
+    def lutExpr(v: Column): Column = array((0 until m).map { sub =>
+      array(codebook(sub).map(c =>
+        VectorFunctions.dotProduct(subVec(v, sub), lit(c))): _*)
+    }: _*)
+    val qLut = qU.select(col("qid"), lutExpr(col("uv")).as("luts"))
+
+    // ---- ADC scan: m lookup-table reads per pair
+    val approx = codes.crossJoin(broadcast(qLut))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        aggregate(zip_with(col("codes"), col("luts"),
+          (cd, lut) => element_at(lut, cd + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adot"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("adot").desc, col("id"))
+    val cand = approx.withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * refine)
+      .select("qid", "id")
+
+    // ---- exact rescore of the candidate slice
+    val scored = cand
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("cvec")),
+        Seq("id"))
+      .join(broadcast(queries.select(col(idCol).as("qid"),
+        col(vecCol).as("qvec"))), Seq("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic driver-side Lloyd's iteration (bounded input by
+    * construction — see pqTopK's sampling). Empty clusters keep their
+    * previous centroid; init is a seeded shuffle of the sample.
+    */
+  private def lloyd(
+      pts: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val d = pts.head.length
+    val rnd = new scala.util.Random(seed)
+    val cents = rnd.shuffle(pts.indices.toVector).take(k)
+      .map(i => pts(i).clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dd = 0.0; var j = 0
+          while (j < d) { val t = p(j) - cents(c)(j); dd += t * t; j += 1 }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** SPARSE similarity: TF-IDF cosine over token vectors via an
     * inverted-index self-join — the text-side complement of the dense
     * ANN paths above, and the shape that scales: documents never meet

@@ -404,6 +404,25 @@ object DedupQueries {
         "bytes reduction; rows-only)."),
 
     // ------------------------------------------------------------------
+    "s07_topk_pq" -> QueryDef(
+      fn = { (s, dir) =>
+        // Product-quantization ANN (Jégou et al. ADC): 8-byte codes
+        // (32x scan-byte reduction), per-query lookup tables, m array
+        // reads per pair, exact rescore of top k*refine. Codebook is
+        // data-derived (driver Lloyd's on a bounded hash-sample) ->
+        // rows-only; recall + exact-rescore pinned in SimilaritySpec.
+        val e = T(s, dir).embeddings
+          .repartition(s.sparkContext.defaultParallelism)
+        Similarity.pqTopK(e, e.filter(col("vec_id") % 50 === 0),
+          k = 5, m = 16, refine = 8)
+          .select(col("qid"), col("id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      oracle = None,
+      doc = "Product-quantization ANN top-5 (ADC lookup-table scan, " +
+        "32x scan bytes reduction; rows-only)."),
+
+    // ------------------------------------------------------------------
     "s06_topk_sparse" -> QueryDef(
       fn = { (s, dir) =>
         // Sparse TF-IDF cosine top-50 pairs via inverted-index join —

@@ -128,5 +128,48 @@ object MultimodalQueries {
                ((octet_length(encode(text)) // 2) * 1000000) // 16000
                  AS duration_us
         FROM documents"""),
-      doc = "PCM audio stats over binary payloads (exact, codec-free)."))
+      doc = "PCM audio stats over binary payloads (exact, codec-free)."),
+
+    // ------------------------------------------------------------------
+    "m05_image_dhash" -> QueryDef(
+      fn = { (s, dir) =>
+        // Perceptual dHash per image — the extraction half of image
+        // near-dup detection. Pure integer math (cross-multiplied
+        // cell-mean comparisons, no floating point), so DuckDB
+        // recomputes the GRFT-path hash bit-for-bit: a fully
+        // hash-checked perceptual hash. The pairing half is
+        // Dedup.hammingPairs64 over this column (banded; EXACT at
+        // maxHamming < bands by pigeonhole) — pinned by
+        // MultimodalSpec on real PNGs and a planted duplicate flood,
+        // because this fixture has no image-level dups (its text
+        // near-dups sit at hamming >= 13: byte-boundary avalanche).
+        graft.operators.Multimodal.imageDHash(
+          fakeImages(s, dir), "doc_id", "image")
+      },
+      oracle = Some("""
+        WITH la AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) + 1),
+                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS bs,
+                 length(text) AS n
+          FROM documents WHERE length(text) > 0),
+        sc AS (
+          SELECT doc_id, n,
+                 list_transform(range(0, 64), k -> struct_pack(
+                   s := coalesce(list_sum(
+                     bs[(k*n)//64 + 1 :
+                        least(greatest((k*n)//64 + 1, ((k+1)*n)//64), n)]),
+                     0),
+                   c := greatest(1,
+                     least(greatest((k*n)//64 + 1, ((k+1)*n)//64), n)
+                       - (k*n)//64))) AS cells
+          FROM la)
+        SELECT doc_id,
+               list_sum(list_transform(range(0, 63), k ->
+                 CASE WHEN cells[k+1].s * cells[k+2].c
+                         > cells[k+2].s * cells[k+1].c
+                      THEN 1::BIGINT << k ELSE 0::BIGINT END)) AS dhash
+        FROM sc"""),
+      doc = "Integer-exact perceptual dHash per image (bit-for-bit " +
+        "oracle-checked; pairing via hammingPairs64 pinned in spec)."))
 }

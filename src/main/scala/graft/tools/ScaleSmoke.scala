@@ -102,6 +102,19 @@ object ScaleSmoke {
     // sketch-pass heavy hitters over the replicated token stream:
     // the CMS build is one tree-aggregated pass; replication must not
     // change the heavy set (relative frequencies are k-invariant)
+    // span-level dedup: every 8-token window of the replicated corpus
+    // hashes in the scan stage (the shuffle carries md5s only); on a
+    // k-way flood EVERY span is repeated, so the agg sees the maximal
+    // load the shape can produce
+    timed("span_dedup") {
+      big.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 8)).as("span"))
+        .select(col("doc_id"), md5(col("span")).as("span_hash"))
+        .groupBy(col("span_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2).count()
+    }
     timed("cms_heavy_hitters") {
       import org.apache.spark.sql.graft.expressions.cms_estimate
       val toks = big.select(
@@ -139,6 +152,14 @@ object ScaleSmoke {
     timed("quantized_topk") {
       graft.operators.Similarity.quantizedTopK(ebig,
         ebig.filter(col("vec_id") % 500 === 0), k = 5).count()
+    }
+    // PQ/ADC: codebook trains on a BOUNDED sample regardless of k
+    // (fixed driver cost); the scan does m lookup reads per pair over
+    // 4-bit codes, so growth must track the candidate count only
+    timed("pq_topk") {
+      graft.operators.Similarity.pqTopK(ebig,
+        ebig.filter(col("vec_id") % 500 === 0), k = 5,
+        m = 16, refine = 8).count()
     }
     ebig.unpersist()
     spark.stop()

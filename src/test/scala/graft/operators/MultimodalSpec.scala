@@ -179,4 +179,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r1.getInt(4) == 32767)
     assert(!got(2L).getBoolean(5))
   }
+
+  test("dHash: near-identical real PNGs pair, different image does not") {
+    import javax.imageio.ImageIO
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // base: deterministic textured pattern (dense dHash bits); near:
+    // same pattern with a tiny corner blemish; diff: different seed
+    def textured(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        72, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      for (y <- 0 until 48; x <- 0 until 72) {
+        val v = rnd.nextInt(256)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val base = textured(7)
+    val near = textured(7)
+    for (y <- 0 until 3; x <- 0 until 3) near.setRGB(x, y, 0xffffff)
+    val diff = textured(99)
+    val df = Seq((1L, png(base)), (2L, png(near)), (3L, png(diff)))
+      .toDF("id", "img")
+    val hashes = Multimodal.imageDHash(df, "id", "img")
+    val pairs = graft.operators.Dedup.hammingPairs64(
+      hashes, "id", "dhash", maxHamming = 6, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missed: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"structurally different image paired: $pairs")
+  }
+
+  test("dHash GRFT path is pure integer math and deterministic") {
+    val payload = (0 until 400).map(i => ((i * 37 + 11) % 251).toByte).toArray
+    val bytes = Multimodal.encodeFakeImage(10, 10, "png", payload)
+    val df = Seq((1L, bytes), (2L, bytes)).toDF("id", "img")
+    val hs = Multimodal.imageDHash(df, "id", "img")
+      .collect().map(_.getLong(1)).toSet
+    assert(hs.size == 1, "identical payloads must hash identically")
+    assert(hs.head >= 0L, "GRFT dHash is 63-bit, never negative")
+  }
+
+  test("dHash pairing: planted duplicate flood stars; unrelated stays out") {
+    // 10 identical images + 1 unrelated: the flood must collapse
+    // through the canonicalize-first star (keep = min id, hamming 0)
+    // without any quadratic within-group pairing
+    val payloadA = (0 until 600).map(i => ((i * 131 + 7) % 250).toByte).toArray
+    val payloadB = (0 until 600).map(i => ((i * 17 + 201) % 250).toByte).toArray
+    val rows = (1L to 10L).map(i =>
+      (i, Multimodal.encodeFakeImage(8, 8, "png", payloadA))) :+
+      ((99L, Multimodal.encodeFakeImage(8, 8, "png", payloadB)))
+    val hashes = Multimodal.imageDHash(
+      rows.toDF("id", "img"), "id", "img")
+    val pairs = graft.operators.Dedup.hammingPairs64(
+      hashes, "id", "dhash", maxHamming = 6, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert((2L to 10L).forall(i => pairs.get((1L, i)).contains(0)),
+      s"flood star incomplete: $pairs")
+    assert(pairs.size == 9, s"expected exactly the 9 star pairs: $pairs")
+  }
 }
