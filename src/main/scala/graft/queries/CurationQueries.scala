@@ -698,5 +698,40 @@ object CurationQueries {
                       rate * 1.0, 0.0), 1.0) * 16777216) AS BIGINT))),
                       6, '0') END"""),
       doc = "Domain-mix rebalance: cap over-represented domains at a " +
-        "target corpus share via per-domain deterministic hash rates."))
+        "target corpus share via per-domain deterministic hash rates."),
+
+    // ------------------------------------------------------------------
+    "c19_fuzzy_decontam" -> QueryDef(
+      fn = { (s, dir) =>
+        // Fuzzy benchmark decontamination: c05 removes docs CONTAINING
+        // exact eval n-grams; this flags docs NEAR-DUPLICATE to an
+        // eval doc (excerpted/paraphrased leakage survives exact
+        // containment checks). The eval set is derived as 80%-prefix
+        // excerpts of a corpus slice — the realistic leak: a benchmark
+        // quoting most of a training document (trigram Jaccard ~0.8
+        // to its source). The shape is incremental-dedup reversed:
+        // the corpus is indexed once and STREAMS (never shuffles,
+        // never sorts — the d10 plan assertion), the small eval set
+        // broadcasts into bucket generation and verification;
+        // candidates are exact-Jaccard verified. LSH candidate
+        // generation -> rows-only; recall pinned by
+        // CurationRulesSpec's planted leak.
+        import graft.operators.Dedup
+        val d = docs(s, dir)
+        val toks = TextFunctions.tokens(col("text"))
+        val evalSet = d.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1),
+              greatest(lit(1), (size(toks) * 0.8).cast("int")))).as("text"))
+        val idx = Dedup.dedupIndex(d, "text", "doc_id")
+        Dedup.incrementalNearDups(idx, evalSet, "text", "doc_id",
+          threshold = 0.5)
+          .filter(col("id_a") < 10000000L) // corpus-vs-eval hits only
+          .select(col("id_a").as("doc_id"),
+            (col("id_b") - lit(10000000L)).as("eval_id"),
+            round(col("jaccard"), 6).as("jaccard"))
+      },
+      oracle = None,
+      doc = "Fuzzy decontamination: corpus docs near-duplicate to a " +
+        "held-out eval set (broadcast eval, corpus never shuffles)."))
 }

@@ -351,5 +351,48 @@ object TextQueries {
         FROM tf JOIN dfq USING (token), stats
         GROUP BY doc_id"""),
       doc = "BM25 ranked retrieval for a fixed query (rational idf, " +
-        "decimal-summed contributions; broadcast df/stats)."))
+        "decimal-summed contributions; broadcast df/stats)."),
+
+    // ------------------------------------------------------------------
+    "t12_readability" -> QueryDef(
+      fn = { (s, dir) =>
+        // Flesch reading ease from three integer counts (words,
+        // sentence-final punctuation runs, vowel-group "syllables") —
+        // the classic curation readability gate, as one codegen map
+        // pass with zero shuffle. Engine-exact: the counts are
+        // identical regex integers in both engines and the score is
+        // one fixed double expression tree over them (no libm).
+        val w = TextFunctions.tokenCount(col("text")).cast("double")
+        val sen = greatest(lit(1),
+          regexp_count(col("text"), lit("[.!?]+"))).cast("double")
+        val syl = greatest(lit(1),
+          regexp_count(lower(col("text")), lit("[aeiouy]+"))).cast("double")
+        docs(s, dir)
+          .select(col("doc_id"), w.as("w"), sen.as("sen"), syl.as("syl"))
+          .filter(col("w") > 0)
+          .select(col("doc_id"),
+            col("w").cast("long").as("n_words"),
+            col("sen").cast("long").as("n_sentences"),
+            col("syl").cast("long").as("n_syllables"),
+            (lit(206.835) - lit(1.015) * (col("w") / col("sen")) -
+              lit(84.6) * (col("syl") / col("w"))).as("flesch"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> x != '')) AS DOUBLE) AS w,
+                 CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                   AS DOUBLE) AS sen,
+                 CAST(greatest(1, len(regexp_extract_all(lower(text),
+                   '[aeiouy]+'))) AS DOUBLE) AS syl
+          FROM documents)
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS n_words,
+               CAST(sen AS BIGINT) AS n_sentences,
+               CAST(syl AS BIGINT) AS n_syllables,
+               206.835 - 1.015 * (w / sen) - 84.6 * (syl / w) AS flesch
+        FROM f WHERE w > 0"""),
+      doc = "Flesch reading ease from integer word/sentence/syllable " +
+        "counts (single codegen pass, engine-exact doubles)."))
 }

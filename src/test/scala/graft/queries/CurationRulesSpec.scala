@@ -76,4 +76,25 @@ class CurationRulesSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
     }
   }
+
+  test("c19: every eval excerpt is traced back to its source doc") {
+    // the eval set is by construction an 80%-token excerpt of each
+    // %97 corpus doc: fuzzy decon must flag AT LEAST the (source,
+    // its-own-excerpt) pair for every eval doc, at high jaccard
+    val d = graft.Engine.Tables(spark, dir).documents
+    val evalIds = d.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hits = run("c19_fuzzy_decontam").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val selfHits = hits.filter { case (src, ev, _) => src == ev }
+    assert(selfHits.map(_._1).toSet == evalIds,
+      s"sources not all traced: got ${selfHits.map(_._1).toSet}, " +
+        s"want $evalIds")
+    // an 80% prefix excerpt shares ~80% of trigram shingles
+    selfHits.foreach { case (_, _, j) => assert(j >= 0.5, s"jaccard $j") }
+    // and nothing is flagged against an eval doc it doesn't resemble:
+    // all hits must verify at the threshold
+    hits.foreach { case (_, _, j) => assert(j >= 0.5) }
+  }
 }

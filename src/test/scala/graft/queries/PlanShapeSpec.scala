@@ -142,6 +142,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj in:\n$p")
   }
 
+  test("c19 fuzzy decon: corpus index streams through broadcast probes") {
+    // same operator contract as d10 (the eval set is the broadcast
+    // batch side); the corpus index must never shuffle or sort
+    val p = plan("c19_fuzzy_decontam")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ:\n$p")
+  }
+
+  test("t12 readability: single codegen map pass, no shuffle") {
+    val p = plan("t12_readability")
+    assert(!p.contains("Exchange"), s"t12 shuffles:\n$p")
+  }
+
   test("c11 upsert: anti-join broadcasts the update set; base never shuffles") {
     val p = plan("c11_upsert")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
