@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -118,18 +116,23 @@ object Similarity {
   def coarseCentroids(
       df: DataFrame, vecCol: String, idCol: String,
       nlist: Int, seed: Long, maxTrainRows: Long): Seq[(Int, Seq[Double])] = {
+    // Bounded deterministic sample -> ONE collect -> driver-side
+    // Lloyd's. The previous ml.KMeans.fit ran ~10 Spark jobs over the
+    // same bounded sample — pure scheduler overhead at any scale,
+    // since the sample is capped regardless of corpus size (it
+    // dominated d09/s03 wall-clock at sf0.1). Same algorithm, same
+    // determinism, zero jobs beyond the sample scan.
     val n = df.count()
     val trainSrc =
       if (n <= maxTrainRows) df
       else Sampling.hashSample(df, idCol, maxTrainRows.toDouble / n)
-    val train = trainSrc.select(
-      array_to_vector(VectorFunctions.asDouble(col(vecCol))).as("features"))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
-      .fit(train)
-    model.clusterCenters.zipWithIndex.toSeq.map {
-      case (c, i) => (i, c.toArray.toSeq)
-    }
+    val train = trainSrc
+      .select(VectorFunctions.asDouble(col(vecCol)).as("dv"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(train.length >= nlist,
+      s"training sample ${train.length} < nlist $nlist")
+    lloyd(train, nlist, iters = 10, seed = seed)
+      .zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
   }
 
   /** The `nprobe` best cells for a vector, computed entirely per-row:

@@ -1112,5 +1112,60 @@ object RelationalQueries {
         FROM z
         WHERE vr > 0 AND abs((CAST(v AS DOUBLE) - m) / sqrt(vr)) > 2.5"""),
       doc = "Trailing 20-row z-score anomalies per user (decimal-exact " +
-        "moments, engine-identical double tree)."))
+        "moments, engine-identical double tree)."),
+
+    // ------------------------------------------------------------------
+    "q42_funnel" -> QueryDef(
+      fn = { (s, dir) =>
+        // Ordered funnel attribution (view -> click -> purchase, each
+        // stage strictly after the previous): ONE shuffle (the per-user
+        // groupBy), then a codegen'd fold over the time-sorted event
+        // list — vs the declarative 3-join form the oracle uses (and
+        // which would shuffle events three times). The per-user list
+        // is bounded by the user's event count; production funnels
+        // window it first (q15's window() composes in front). Strict
+        // '>' comparisons at equal micros match the oracle's MIN
+        // semantics; sort key (us, event_id) is fully deterministic.
+        val evs = T(s, dir).events.select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type"))
+        val lists = evs.groupBy(col("user_id"))
+          .agg(array_sort(collect_list(struct(
+            col("us"), col("event_id"), col("event_type")))).as("evs"))
+        val nullL = lit(null).cast("long")
+        val state = aggregate(col("evs"),
+          struct(nullL.as("v"), nullL.as("c"), nullL.as("p")),
+          (acc, ev) => {
+            val us = ev.getField("us")
+            val t = ev.getField("event_type")
+            val v = acc.getField("v")
+            val c = acc.getField("c")
+            val p = acc.getField("p")
+            struct(
+              when(v.isNull && t === "view", us).otherwise(v).as("v"),
+              when(c.isNull && v.isNotNull && t === "click" && us > v, us)
+                .otherwise(c).as("c"),
+              when(p.isNull && c.isNotNull && t === "purchase" && us > c, us)
+                .otherwise(p).as("p"))
+          })
+        lists.select(col("user_id"), state.as("f"))
+          .select(col("user_id"), col("f.v").as("view_us"),
+            col("f.c").as("click_us"), col("f.p").as("purchase_us"))
+          .filter(col("view_us").isNotNull)
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        v AS (SELECT user_id, min(us) AS view_us
+              FROM e WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(us) AS click_us
+              FROM e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND us > view_us GROUP BY 1),
+        p AS (SELECT e.user_id, min(us) AS purchase_us
+              FROM e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND us > click_us GROUP BY 1)
+        SELECT v.user_id, view_us, click_us, purchase_us
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""),
+      doc = "Ordered view->click->purchase funnel per user: one " +
+        "shuffle + sorted-list fold (vs the oracle's 3-join form)."))
 }
