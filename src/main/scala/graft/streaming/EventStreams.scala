@@ -303,6 +303,58 @@ object EventStreams {
     }
   }
 
+  /** Streaming funnel attribution — the unbounded twin of the batch
+    * q42 fold: a per-user state machine (view -> click -> purchase,
+    * each stage strictly after the previous in event time) that emits
+    * one (user, stage, us) row the moment each stage is first
+    * reached. State is three longs per user (0 = unreached), so the
+    * store budget is that of a streaming distinct on user_id.
+    *
+    * Ordering contract: rows are sorted by (us, event_id) WITHIN each
+    * micro-batch before folding, so the result equals the batch fold
+    * whenever delivery is event-time-ordered across batches (the
+    * job-queue contract here). Cross-batch late data would need the
+    * watermark + ListState buffering pattern instead — that variant
+    * trades the O(1) state for a horizon buffer; this one is the
+    * arrival-order contract made explicit.
+    */
+  def funnelStream(
+      events: Dataset[(Long, Long, Long, String)])
+      : Dataset[(Long, String, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new FunnelProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  private class FunnelProcessor extends StatefulProcessor[
+      Long, (Long, Long, Long, String), (Long, String, Long)] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("funnel",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long, String)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      var (v, c, p) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      val out = Seq.newBuilder[(Long, String, Long)]
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, t) =>
+        if (v == 0L && t == "view") {
+          v = us; out += ((key, "view", us))
+        } else if (v != 0L && c == 0L && t == "click" && us > v) {
+          c = us; out += ((key, "click", us))
+        } else if (c != 0L && p == 0L && t == "purchase" && us > c) {
+          p = us; out += ((key, "purchase", us))
+        }
+      }
+      st.update((v, c, p))
+      out.result().iterator
+    }
+  }
+
   /** Gap-based sessions per user (30 min), same semantics as the
     * batch q16_sessionize.
     */

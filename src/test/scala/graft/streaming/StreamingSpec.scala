@@ -430,4 +430,54 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming funnel equals the batch q42 fold on ordered delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      // the whole fixture, delivered in event-time order across three
+      // micro-batches (the job-queue contract the operator documents)
+      val evs = graft.Engine.Tables(spark, dir).events
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val ckpt = Files.createTempDirectory("funnel-ckpt").toString
+      val q = graft.streaming.EventStreams.funnelStream(mem.toDS())
+        .toDF("user_id", "stage", "us")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("funnel_out").start()
+      evs.grouped(evs.length / 3 + 1).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      q.stop()
+      val batch = graft.SparkEntry.queries("q42_funnel")(spark, dir).collect()
+      assert(batch.nonEmpty)
+      batch.foreach { r =>
+        val u = r.getLong(0)
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        assert(got.get((u, "view")) == opt(1), s"user $u view")
+        assert(got.get((u, "click")) == opt(2), s"user $u click")
+        assert(got.get((u, "purchase")) == opt(3), s"user $u purchase")
+      }
+      // no user reaches a stage in the stream that batch says it didn't
+      assert(got.keySet.map(_._1) == batch.map(_.getLong(0)).toSet)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
