@@ -373,6 +373,63 @@ object Dedup {
     verifyExpand(groups, reps, cand, threshold, expandGroups)
   }
 
+  /** Persisted embedding-dedup index — the vector twin of
+    * [[dedupIndex]]: one row per vector with its hyperplane-LSH
+    * signature array. The signatures are seeded deterministic hashes
+    * of the vector alone, so an index written last month and a batch
+    * signed today agree on buckets by construction — the "index is
+    * just a column" property that makes the append path work with no
+    * model state. Write once at ingest; probe with
+    * [[incrementalVecDups]].
+    */
+  def vecDedupIndex(
+      df: DataFrame, vecCol: String, idCol: String,
+      bits: Int = 4, tables: Int = 12, dim: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(col("vec").isNotNull &&
+        exists(col("vec"), v => v =!= lit(0.0f)))
+      .withColumn("sigs",
+        VectorFunctions.hyperplaneSigs(col("vec"), bits, tables, dim))
+
+  /** Dedup an append batch of vectors against a persisted
+    * [[vecDedupIndex]] — the embedding-side daily-append contract
+    * (d10's shape): the corpus index STREAMS (it is never shuffled,
+    * sorted, or re-signed), the small batch broadcasts into bucket
+    * probing and verification, and batch-internal dups come from the
+    * ordinary self-join path. Returns (id_a, id_b, cosine) with
+    * id_a < id_b, every pair exact-cosine verified.
+    */
+  def incrementalVecDups(
+      index: DataFrame, newVecs: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, bits: Int = 4, tables: Int = 12,
+      dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
+    val newIdx = vecDedupIndex(newVecs, vecCol, idCol, bits, tables, dim)
+      .localCheckpoint() // consumed by buckets + verification
+    def buckets(d: DataFrame) =
+      d.select(col("id"), posexplode(col("sigs")))
+        .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
+    val cand = buckets(index)
+      .join(broadcast(buckets(newIdx)
+        .select(col("table"), col("bucket"), col("id").as("new_id"))),
+        Seq("table", "bucket"))
+      .filter(col("id") =!= col("new_id"))
+      .select(col("id").as("ix_id"), col("new_id")).distinct()
+    val crossPairs = index
+      .select(col("id").as("ix_id"), col("vec").as("v_a"))
+      .join(broadcast(cand), Seq("ix_id"))
+      .join(broadcast(newIdx.select(col("id").as("new_id"),
+        col("vec").as("v_b"))), Seq("new_id"))
+      .select(least(col("ix_id"), col("new_id")).as("id_a"),
+        greatest(col("ix_id"), col("new_id")).as("id_b"),
+        VectorFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    crossPairs
+      .unionByName(embeddingDupPairs(newVecs, vecCol, idCol, threshold,
+        bits, tables, dim, maxBucketSize))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
+  }
+
   /** The persisted dedup index of a corpus: one row per doc with its
     * sorted shingle-hash array (feeds exact-Jaccard verification) and
     * MinHash signature (feeds LSH bucketing). Write this once at

@@ -545,5 +545,31 @@ object DedupQueries {
                count(*) AS n_occ
         FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2"""),
       doc = "Cross-doc repeated 8-token spans (substring-level dedup; " +
-        "hash-only shuffle)."))
+        "hash-only shuffle)."),
+
+    // ------------------------------------------------------------------
+    "d13_incremental_vec_dedup" -> QueryDef(
+      fn = { (s, dir) =>
+        // The embedding-side daily-append path (vector twin of d10):
+        // dedup a new vector batch (vec_id % 5 == 0) against the
+        // indexed remainder. Bucket keys derive from STORED seeded
+        // hyperplane signatures, so last month's index and today's
+        // batch agree on buckets with no model state; the corpus index
+        // streams (never shuffled or re-signed), the batch broadcasts,
+        // every pair exact-cosine verified. Seeded LSH -> rows-only;
+        // DedupSpec pins subset-of-brute-force + planted-dup recall.
+        val e = T(s, dir).embeddings
+          .repartition(s.sparkContext.defaultParallelism)
+        val index = Dedup.vecDedupIndex(
+          e.filter(col("vec_id") % 5 =!= 0), "embedding", "vec_id")
+        Dedup.incrementalVecDups(index,
+          e.filter(col("vec_id") % 5 === 0), "embedding", "vec_id",
+          threshold = 0.35)
+          .select(col("id_a"), col("id_b"),
+            round(col("cosine"), 4).as("cosine"))
+      },
+      oracle = None,
+      doc = "Incremental embedding dedup of an append batch vs a " +
+        "persisted hyperplane-signature index (corpus streams, batch " +
+        "broadcasts)."))
 }

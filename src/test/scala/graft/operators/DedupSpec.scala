@@ -271,6 +271,44 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
   }
 
+  test("incremental vec dedup: cross-boundary dups found, pairs verified") {
+    val emb = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val index = Dedup.vecDedupIndex(
+      emb.filter(col("vec_id") % 5 =!= 0), "embedding", "vec_id")
+    val inc = Dedup.incrementalVecDups(index,
+      emb.filter(col("vec_id") % 5 === 0), "embedding", "vec_id",
+      threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair is exact-verified, so it must appear in the
+    // brute-force >= threshold pair set, and must touch the batch
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions
+          .cosineSim(col("va"), col("vb")).as("c"))
+      .filter(col("c") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.subsetOf(brute), s"unverified pairs: ${inc -- brute}")
+    assert(inc.forall { case (x, y) => x % 5 == 0 || y % 5 == 0 })
+    // recall vs the brute-force pairs that touch the batch
+    val bruteTouch = brute.filter { case (x, y) => x % 5 == 0 || y % 5 == 0 }
+    val recall = (inc & bruteTouch).size.toDouble / bruteTouch.size
+    assert(recall >= 0.7, s"recall $recall (${inc.size}/${bruteTouch.size})")
+    // planted: an identical copy of an indexed vector must be caught
+    // at cosine 1 through the stored signatures
+    val donor = emb.filter(col("vec_id") === 1).head.getSeq[Float](1)
+    import spark.implicits._
+    val batch = Seq((100000L, donor)).toDF("vec_id", "embedding")
+    val hit = Dedup.incrementalVecDups(
+      Dedup.vecDedupIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "embedding", "vec_id"),
+      batch, "embedding", "vec_id", threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(hit.exists { case ((x, y), c) =>
+      x == 1L && y == 100000L && math.abs(c - 1.0) < 1e-9 }, s"got $hit")
+  }
+
   test("span dedup surfaces planted cross-doc boilerplate, skips unique text") {
     // three docs share an 8+-token licence header; bodies are disjoint
     val header = "this file is licensed under the apache license version two"
