@@ -142,6 +142,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj in:\n$p")
   }
 
+  test("d13 incremental vec dedup: index side never sort-merge-joins") {
+    val p = plan("d13_incremental_vec_dedup")
+    // cross-boundary candidates + verification come in as broadcasts;
+    // the persisted index is streamed (d10's contract, vector side)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected broadcast probes:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"index-side SMJ:\n$p")
+  }
+
   test("c19 fuzzy decon: corpus index streams through broadcast probes") {
     // same operator contract as d10 (the eval set is the broadcast
     // batch side); the corpus index must never shuffle or sort
