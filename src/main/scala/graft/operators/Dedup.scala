@@ -26,6 +26,25 @@ import graft.functions.{TextFunctions, VectorFunctions}
   */
 object Dedup {
 
+  /** Repeated-substring detection (the span-level dedup building
+    * block of Lee et al. 2022): every `n`-token window is hashed in
+    * the scan stage — the shuffle carries 32-byte md5s, never span
+    * text — and windows appearing in >= `minDocs` distinct docs
+    * surface as cross-doc boilerplate. Complements nearDupPairs:
+    * MinHash finds whole-doc near-dups, this finds shared SPANS
+    * inside otherwise-distinct docs (licence headers, templates).
+    */
+  def spanDups(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame =
+    df.select(col(idCol).as("did"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("span"))
+      .select(col("did"), md5(col("span")).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("did")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Exact dedup on the normalized-text fingerprint. One row per
     * distinct content: (fingerprint, keep_id = min id, n_dups).
     */
@@ -408,7 +427,18 @@ object Dedup {
     def buckets(d: DataFrame) =
       d.select(col("id"), posexplode(col("sigs")))
         .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
-    val cand = buckets(index)
+    val ixBuckets = buckets(index).localCheckpoint() // sized + probed below
+    // cap saturated index buckets exactly as embeddingDupPairs does:
+    // a flood of near-identical indexed vectors would otherwise turn
+    // one bucket into an unbounded candidate set (and the candidate
+    // list below is BROADCAST — it must stay small). The count agg
+    // shuffles only (table, bucket, count) triples, never vectors.
+    val okBuckets = ixBuckets.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") <= maxBucketSize)
+      .select("table", "bucket")
+    val cand = ixBuckets
+      .join(okBuckets, Seq("table", "bucket"), "left_semi")
       .join(broadcast(buckets(newIdx)
         .select(col("table"), col("bucket"), col("id").as("new_id"))),
         Seq("table", "bucket"))

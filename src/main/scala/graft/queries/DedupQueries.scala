@@ -519,15 +519,8 @@ object DedupQueries {
         // partial agg. At 100 TB this is the exact complement of d03:
         // MinHash finds whole-doc near-dups, this finds shared SPANS
         // inside otherwise-distinct docs (licence headers, templates).
-        import graft.functions.TextFunctions
-        T(s, dir).documents
-          .select(col("doc_id"),
-            explode(TextFunctions.shingles(col("text"), 8)).as("span"))
-          .select(col("doc_id"), md5(col("span")).as("span_hash"))
-          .groupBy(col("span_hash"))
-          .agg(countDistinct(col("doc_id")).as("n_docs"),
-            count(lit(1)).as("n_occ"))
-          .filter(col("n_docs") >= 2)
+        Dedup.spanDups(T(s, dir).documents, "text", "doc_id",
+          n = 8, minDocs = 2)
       },
       oracle = Some("""
         WITH tok AS (

@@ -143,8 +143,13 @@ object MultimodalQueries {
         // MultimodalSpec on real PNGs and a planted duplicate flood,
         // because this fixture has no image-level dups (its text
         // near-dups sit at hamming >= 13: byte-boundary avalanche).
+        // null hashes (empty payloads) are dropped to mirror the
+        // oracle's length(text) > 0 guard; the byte-vs-codepoint
+        // equivalence in the oracle assumes the ASCII fixture (the
+        // same assumption t05's rolling hash documents)
         graft.operators.Multimodal.imageDHash(
           fakeImages(s, dir), "doc_id", "image")
+          .filter(col("dhash").isNotNull)
       },
       oracle = Some("""
         WITH la AS (

@@ -39,14 +39,18 @@ object AvroFormat {
 
   // ---------------------------------------------------------------- read
 
-  /** Read a directory (or glob) of `.avro` container files. The writer
-    * schema is taken from the first file's header on the driver; all
-    * files are then scanned in parallel with split-by-sync-marker.
+  /** Read a DIRECTORY of `.avro` container files (globs are not
+    * expanded — point this at the directory a writer produced). The
+    * writer schema is taken from the first file's header on the
+    * driver; all files are then scanned in parallel with
+    * split-by-sync-marker.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
+    require(fs.getFileStatus(dir).isDirectory,
+      s"AvroFormat.read expects a directory of .avro files, got: $path")
     val firstFile = {
       val it = fs.listStatus(dir).iterator
         .map(_.getPath)
@@ -72,8 +76,13 @@ object AvroFormat {
       classOf[AvroKey[GenericRecord]],
       classOf[NullWritable],
       job.getConfiguration)
+    // ship the writer schema as JSON (avro Schema serializability
+    // varies across versions) so value conversion can honor per-field
+    // logical types (timestamp-millis vs -micros) inside the task
+    val schemaJson = avroSchema.toString
     val rows = rdd.mapPartitions { it =>
-      it.map { case (k, _) => avroToRow(k.datum(), struct) }
+      val ws = new Schema.Parser().parse(schemaJson)
+      it.map { case (k, _) => avroToRow(k.datum(), struct, ws) }
     }
     spark.createDataFrame(rows, struct)
   }
@@ -203,17 +212,19 @@ object AvroFormat {
 
   // -------------------------------------------------- value conversion
 
-  private def avroToRow(rec: GenericRecord, struct: StructType): Row = {
+  private def avroToRow(rec: GenericRecord, struct: StructType,
+      schema: Schema): Row = {
     val vals = new Array[Any](struct.length)
     var i = 0
     while (i < struct.length) {
-      vals(i) = avroToSpark(rec.get(i), struct(i).dataType)
+      vals(i) = avroToSpark(rec.get(i), struct(i).dataType,
+        nonNullBranch(schema.getFields.get(i).schema()))
       i += 1
     }
     Row.fromSeq(vals.toIndexedSeq)
   }
 
-  private def avroToSpark(v: Any, dt: DataType): Any =
+  private def avroToSpark(v: Any, dt: DataType, s: Schema): Any =
     if (v == null) null
     else dt match {
       case StringType => v.toString
@@ -227,12 +238,18 @@ object AvroFormat {
         java.sql.Date.valueOf(
           java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
       case TimestampType =>
-        val micros = v.asInstanceOf[Long]
+        // honor the writer's logical type: -millis longs scale to micros
+        val micros =
+          if (isLogical(s, "timestamp-millis")) v.asInstanceOf[Long] * 1000L
+          else v.asInstanceOf[Long]
         val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
         ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
         ts
       case TimestampNTZType =>
-        val micros = v.asInstanceOf[Long]
+        val micros =
+          if (isLogical(s, "local-timestamp-millis"))
+            v.asInstanceOf[Long] * 1000L
+          else v.asInstanceOf[Long]
         java.time.LocalDateTime.ofEpochSecond(
           Math.floorDiv(micros, 1000000L),
           (Math.floorMod(micros, 1000000L) * 1000L).toInt,
@@ -245,13 +262,16 @@ object AvroFormat {
         }
         new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale)
       case ArrayType(et, _) =>
+        val el = nonNullBranch(s.getElementType)
         v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq
-          .map(avroToSpark(_, et))
+          .map(avroToSpark(_, et, el))
       case MapType(_, vt, _) =>
+        val mv0 = nonNullBranch(s.getValueType)
         v.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
-          case (k, mv) => k.toString -> avroToSpark(mv, vt)
+          case (k, mv) => k.toString -> avroToSpark(mv, vt, mv0)
         }.toMap
-      case st: StructType => avroToRow(v.asInstanceOf[GenericRecord], st)
+      case st: StructType =>
+        avroToRow(v.asInstanceOf[GenericRecord], st, s)
       case _ => v // boolean/int/long/float/double pass through
     }
 

@@ -28,8 +28,9 @@ object Formats {
     "parquet", "orc", "json", "csv", "text", "xml", "avro")
 
   def read(spark: SparkSession, format: String): DataFrameReader = {
-    require(supported.contains(format) && format != "avro",
-      s"unsupported format: $format")
+    require(format != "avro",
+      "avro has no DataFrameReader surface here - use Formats.load/save")
+    require(supported.contains(format), s"unsupported format: $format")
     val r = spark.read.format(format)
     format match {
       case "csv" => r.option("header", "true").option("inferSchema", "true")
@@ -64,8 +65,9 @@ object Formats {
   }
 
   def write(df: DataFrame, format: String): DataFrameWriter[Row] = {
-    require(supported.contains(format) && format != "avro",
-      s"unsupported format: $format")
+    require(format != "avro",
+      "avro has no DataFrameWriter surface here - use Formats.load/save")
+    require(supported.contains(format), s"unsupported format: $format")
     val w = df.write.format(format)
     format match {
       case "csv" => w.option("header", "true")

@@ -339,14 +339,19 @@ object EventStreams {
     override def handleInputRows(
         key: Long, rows: Iterator[(Long, Long, Long, String)],
         timerValues: TimerValues): Iterator[(Long, String, Long)] = {
-      var (v, c, p) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      // Long.MinValue = stage unreached: 0 or negative micros are
+      // legal event times (epoch 1970 / pre-epoch), so they cannot
+      // double as the sentinel without diverging from the batch
+      // fold's null semantics
+      val U = Long.MinValue
+      var (v, c, p) = if (st.exists()) st.get() else (U, U, U)
       val out = Seq.newBuilder[(Long, String, Long)]
       rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, t) =>
-        if (v == 0L && t == "view") {
+        if (v == U && t == "view") {
           v = us; out += ((key, "view", us))
-        } else if (v != 0L && c == 0L && t == "click" && us > v) {
+        } else if (v != U && c == U && t == "click" && us > v) {
           c = us; out += ((key, "click", us))
-        } else if (c != 0L && p == 0L && t == "purchase" && us > c) {
+        } else if (c != U && p == U && t == "purchase" && us > c) {
           p = us; out += ((key, "purchase", us))
         }
       }

@@ -107,13 +107,7 @@ object ScaleSmoke {
     // k-way flood EVERY span is repeated, so the agg sees the maximal
     // load the shape can produce
     timed("span_dedup") {
-      big.select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), 8)).as("span"))
-        .select(col("doc_id"), md5(col("span")).as("span_hash"))
-        .groupBy(col("span_hash"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_occ"))
-        .filter(col("n_docs") >= 2).count()
+      Dedup.spanDups(big, "text", "doc_id").count()
     }
     timed("cms_heavy_hitters") {
       import org.apache.spark.sql.graft.expressions.cms_estimate

@@ -318,15 +318,7 @@ class DedupSpec extends AnyFunSuite {
       (3L, s"$header iota kappa lambda mu content three"),
       (4L, "entirely unrelated document with no shared spans at all here"))
       .toDF("doc_id", "text")
-    val spans = docs
-      .select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), 8)).as("span"))
-      .select(col("doc_id"), md5(col("span")).as("span_hash"))
-      .groupBy("span_hash")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"))
-      .filter(col("n_docs") >= 2)
-      .collect()
+    val spans = Dedup.spanDups(docs, "text", "doc_id").collect()
     // the 10-token header yields 3 distinct 8-gram windows fully inside
     // it, each present in all 3 docs; nothing else repeats cross-doc
     assert(spans.length == 3, s"expected 3 shared spans, got ${spans.toSeq}")

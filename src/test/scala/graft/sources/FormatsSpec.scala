@@ -56,6 +56,35 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("avro honors an external writer's timestamp-millis logical type") {
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // simulate a foreign system (Kafka Connect / Hive style) writing
+    // long + timestamp-millis — NOT the micros this engine writes
+    val ts = Schema.create(Schema.Type.LONG)
+    LogicalTypes.timestampMillis().addToSchema(ts)
+    val schema = SchemaBuilder.record("ext").fields()
+      .requiredLong("id")
+      .name("t").`type`(ts).noDefault()
+      .endRecord()
+    val dir = Files.createTempDirectory("graft-avro-millis-")
+    val f = dir.resolve("part-0.avro").toFile
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    val rec = new GenericData.Record(schema)
+    rec.put("id", 1L)
+    rec.put("t", 1765000000123L) // epoch MILLIS
+    w.append(rec)
+    w.close()
+    val back = AvroFormat.read(spark, dir.toString).collect()
+    assert(back.length == 1)
+    val got = back.head.getTimestamp(1)
+    assert(got.getTime == 1765000000123L,
+      s"millis mis-scaled: ${got.getTime}")
+  }
+
   test("avro read parallelizes across files (splittable input format)") {
     val src = graft.Engine.Tables(spark, "/root/testdata/sf0.001")
       .lineitem.repartition(4)
