@@ -733,5 +733,67 @@ object CurationQueries {
       },
       oracle = None,
       doc = "Fuzzy decontamination: corpus docs near-duplicate to a " +
-        "held-out eval set (broadcast eval, corpus never shuffles)."))
+        "held-out eval set (broadcast eval, corpus never shuffles)."),
+
+    // ------------------------------------------------------------------
+    "c20_token_budget" -> QueryDef(
+      fn = { (s, dir) =>
+        // Token-budget curation: fill half the corpus's token budget
+        // with the highest-quality docs (greedy by quality bucket,
+        // then doc_id within the boundary bucket) — the "select the
+        // best N tokens for this training run" primitive. Scale
+        // shape: NO global sort — docs are coarse-bucketed by
+        // floor(quality*100) (~100 buckets), the running bucket
+        // offsets are a window over that driver-tiny bucket table,
+        // and the only per-doc window partitions BY BUCKET (~1% of
+        // the corpus each), with offsets and the total joining back
+        // as broadcasts. A naive quality-ordered cumsum would move
+        // the whole corpus to one partition.
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          floor(TextFunctions.qualityScore(col("text")) * 100)
+            .cast("long").as("bucket"))
+        val buckets = d.groupBy(col("bucket"))
+          .agg(sum(col("n_tokens")).as("btoks"))
+        val wOff = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = buckets
+          .withColumn("start", coalesce(sum(col("btoks")).over(wOff), lit(0L)))
+          .select(col("bucket"), col("start"))
+        val tot = d.agg(sum(col("n_tokens")).as("total"))
+        val wCum = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        d.join(broadcast(offs), Seq("bucket"))
+          .crossJoin(broadcast(tot))
+          .withColumn("cum", sum(col("n_tokens")).over(wCum))
+          .filter(col("start") + col("cum") <= expr("total div 2"))
+          .select(col("doc_id"), col("bucket"), col("n_tokens"))
+      },
+      oracle = Some(s"""
+        WITH $qualityCte,
+        t AS (
+          SELECT s.doc_id,
+                 CAST(len(list_filter(string_split(s.text, ' '),
+                   x -> x != '')) AS BIGINT) AS n_tokens,
+                 CAST(floor(s.quality * 100) AS BIGINT) AS bucket
+          FROM scored s),
+        b AS (SELECT bucket, sum(n_tokens) AS btoks FROM t GROUP BY 1),
+        o AS (SELECT bucket,
+                     coalesce(sum(btoks) OVER (ORDER BY bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start
+              FROM b),
+        tot AS (SELECT sum(n_tokens) AS total FROM t),
+        sel AS (SELECT t.doc_id, t.bucket, t.n_tokens, o.start,
+                       sum(t.n_tokens) OVER (PARTITION BY t.bucket
+                         ORDER BY t.doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum
+                FROM t JOIN o USING (bucket))
+        SELECT doc_id, bucket, n_tokens
+        FROM sel, tot WHERE start + cum <= total // 2"""),
+      doc = "Greedy quality-ranked token-budget fill (half the corpus " +
+        "tokens) without a global sort: bucket offsets broadcast, " +
+        "per-doc window partitions by bucket."))
 }

@@ -165,6 +165,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"t12 shuffles:\n$p")
   }
 
+  test("c20 token budget: corpus window partitions by bucket, no global sort") {
+    val p = plan("c20_token_budget")
+    // SinglePartition exchanges allowed only for the tiny sides: the
+    // ~100-row bucket-offset window and the 1-row total agg; the
+    // per-doc cumsum must partition by bucket
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single <= 2, s"corpus-wide single-partition window:\n$p")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"per-doc window not bucket-partitioned:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"offsets/total not broadcast:\n$p")
+  }
+
   test("c11 upsert: anti-join broadcasts the update set; base never shuffles") {
     val p = plan("c11_upsert")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
