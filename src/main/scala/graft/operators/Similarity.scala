@@ -363,6 +363,69 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** MMR (maximal-marginal-relevance) diversified top-k: rerank each
+    * query's candidate slice so results trade relevance against
+    * redundancy — score(x) = lambda*rel(x) - (1-lambda)*max sim(x, s)
+    * over already-selected s (Carbonell & Goldstein 1998). The RAG
+    * retrieval staple: plain top-k returns k near-copies of the best
+    * match; MMR spends the same k across distinct regions.
+    *
+    * Scale shape: candidates come from the exact top-(k*fetch) pass
+    * (swap in lshTopK/pqTopK upstream at corpus scale — any
+    * (qid, id, cosine) candidate frame works), so the greedy
+    * quadratic runs over <= k*fetch items PER QUERY inside
+    * flatMapGroups — bounded work per key, distributed across
+    * queries, never an all-pairs stage. Deterministic: ties break on
+    * id at both the candidate cut and the greedy argmax.
+    */
+  def mmrTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      fetch: Int = 4, lambda: Double = 0.7,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cand = bruteForceTopK(corpus, queries, k * fetch, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("id"),
+        VectorFunctions.asDouble(col(vecCol)).as("cvec")), Seq("id"))
+      .select(col("qid"), col("id"), col("cosine"), col("cvec"))
+      .as[(Long, Long, Double, Seq[Double])]
+    cand.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val items = it.toArray.sortBy(c => (-c._3, c._2))
+      def sim(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+      }
+      val vecs = items.map(_._4.toArray)
+      val selected = scala.collection.mutable.ArrayBuffer[Int]()
+      while (selected.size < math.min(k, items.length)) {
+        var bestIdx = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < items.length) {
+          if (!selected.contains(i)) {
+            var maxSim = 0.0
+            selected.foreach { s =>
+              val sv = sim(vecs(i), vecs(s))
+              if (sv > maxSim) maxSim = sv
+            }
+            val score = lambda * items(i)._3 - (1 - lambda) * maxSim
+            // strict > with ascending scan = lowest id wins ties
+            // (items are (-rel, id)-sorted)
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+          }
+          i += 1
+        }
+        selected += bestIdx
+      }
+      selected.iterator.zipWithIndex.map { case (idx, r) =>
+        (qid, items(idx)._2, items(idx)._3, r + 1)
+      }
+    }.toDF("qid", "id", "cosine", "rank")
+  }
+
   /** Deterministic driver-side Lloyd's iteration (bounded input by
     * construction — see pqTopK's sampling). Empty clusters keep their
     * previous centroid; init is a seeded shuffle of the sample.

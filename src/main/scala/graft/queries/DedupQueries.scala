@@ -423,6 +423,25 @@ object DedupQueries {
         "32x scan bytes reduction; rows-only)."),
 
     // ------------------------------------------------------------------
+    "s08_topk_mmr" -> QueryDef(
+      fn = { (s, dir) =>
+        // MMR diversified top-5: greedy lambda*rel - (1-lambda)*maxSim
+        // rerank over the exact top-20 candidate slice per query.
+        // Greedy selection is order-dependent (not SQL-expressible as
+        // one query) -> rows-only; diversity + determinism pinned in
+        // SimilaritySpec.
+        val e = T(s, dir).embeddings
+          .repartition(s.sparkContext.defaultParallelism)
+        Similarity.mmrTopK(e, e.filter(col("vec_id") % 50 === 0),
+          k = 5, fetch = 4, lambda = 0.7)
+          .select(col("qid"), col("id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      oracle = None,
+      doc = "MMR diversified ANN top-5 (bounded greedy rerank per " +
+        "query over the top-20 slice; rows-only)."),
+
+    // ------------------------------------------------------------------
     "s06_topk_sparse" -> QueryDef(
       fn = { (s, dir) =>
         // Sparse TF-IDF cosine top-50 pairs via inverted-index join —

@@ -107,6 +107,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pqSet == asSet(Similarity.pqTopK(emb, q, k = 5, m = 16, refine = 8)))
   }
 
+  test("MMR top-k: diversity beats redundancy, deterministic, bounded") {
+    import spark.implicits._
+    // query sits between two clusters, marginally closer to A. Plain
+    // top-4 is all six-near-copy cluster A; MMR at lambda 0.5 must
+    // spend slots on the almost-as-relevant but distinct cluster B
+    // (rel_B - maxSim_B ~ +0.44 vs rel_A - maxSim_A ~ -0.14 once one
+    // A member is taken).
+    def vA(eps: Float) = Seq(1.0f, 0.25f + eps, 0.0f, 0.0f)
+    def vB(eps: Float) = Seq(0.2f + eps, 1.0f, 0.0f, 0.0f)
+    val corpus = ((1L to 6L).map(i => (i, vA(0.001f * i))) ++
+      (11L to 13L).map(i => (i, vB(0.001f * (i - 10))))
+      ).toDF("vec_id", "embedding")
+    val query = Seq((100L, Seq(1.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val plain = ids(Similarity.bruteForceTopK(corpus, query, k = 4))
+    assert(plain.forall(_ <= 6L), s"expected all-A top-k, got $plain")
+    val mmr = Similarity.mmrTopK(corpus, query, k = 4,
+      fetch = 2, lambda = 0.5)
+    val mmrIds = ids(mmr)
+    assert(mmrIds.exists(_ >= 11L), s"no diversity in $mmrIds")
+    // exactly k rows, rank 1 = most relevant, deterministic
+    val rows = mmr.collect()
+    assert(rows.length == 4)
+    assert(rows.find(_.getInt(3) == 1).get.getLong(1) <= 6L)
+    assert(ids(Similarity.mmrTopK(corpus, query, k = 4,
+      fetch = 2, lambda = 0.5)) == mmrIds)
+    // results always come from the candidate slice
+    val cand = ids(Similarity.bruteForceTopK(corpus, query, k = 8))
+    assert(mmrIds.subsetOf(cand))
+  }
+
   test("tfidf pairs: identical docs cosine 1, disjoint docs absent, " +
     "df prune kills stop tokens") {
     import spark.implicits._
