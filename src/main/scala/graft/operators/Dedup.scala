@@ -427,7 +427,12 @@ object Dedup {
     def buckets(d: DataFrame) =
       d.select(col("id"), posexplode(col("sigs")))
         .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
-    val ixBuckets = buckets(index).localCheckpoint() // sized + probed below
+    // NOT checkpointed: unlike embeddingDupPairs (whose signatures
+    // are freshly computed), the index's sigs are STORED — the
+    // explode is a cheap projection, and pinning an index-sized
+    // bucket table in block storage would contradict the streaming
+    // contract and break recompute-on-executor-loss
+    val ixBuckets = buckets(index)
     // cap saturated index buckets exactly as embeddingDupPairs does:
     // a flood of near-identical indexed vectors would otherwise turn
     // one bucket into an unbounded candidate set (and the candidate

@@ -370,59 +370,90 @@ object Similarity {
     * retrieval staple: plain top-k returns k near-copies of the best
     * match; MMR spends the same k across distinct regions.
     *
-    * Scale shape: candidates come from the exact top-(k*fetch) pass
-    * (swap in lshTopK/pqTopK upstream at corpus scale — any
-    * (qid, id, cosine) candidate frame works), so the greedy
-    * quadratic runs over <= k*fetch items PER QUERY inside
-    * flatMapGroups — bounded work per key, distributed across
-    * queries, never an all-pairs stage. Deterministic: ties break on
-    * id at both the candidate cut and the greedy argmax.
+    * Scale shape: `mmrTopK` takes its candidates from the exact
+    * top-(k*fetch) pass; at corpus scale call [[mmrRerank]] directly
+    * with `lshTopK`/`pqTopK` output — any (qid, id, cosine) frame.
+    * Either way the greedy runs over <= the candidate slice PER
+    * QUERY inside flatMapGroups (incremental maxSim: O(k*n*d)) —
+    * bounded work per key, distributed across queries, never an
+    * all-pairs stage. Deterministic: ties break on id at both the
+    * candidate cut and the greedy argmax.
     */
   def mmrTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       fetch: Int = 4, lambda: Double = 0.7,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    mmrRerank(bruteForceTopK(corpus, queries, k * fetch, idCol, vecCol),
+      corpus, k, lambda, idCol, vecCol)
+
+  /** Rerank an arbitrary (qid, id, cosine) candidate frame with MMR —
+    * the composition point the scale path needs: feed `lshTopK` /
+    * `pqTopK` output here instead of paying `mmrTopK`'s exact scan.
+    */
+  def mmrRerank(
+      candidates: DataFrame, corpus: DataFrame, k: Int,
+      lambda: Double = 0.7,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cand = bruteForceTopK(corpus, queries, k * fetch, idCol, vecCol)
+    val cand = candidates
       .join(corpus.select(col(idCol).as("id"),
         VectorFunctions.asDouble(col(vecCol)).as("cvec")), Seq("id"))
       .select(col("qid"), col("id"), col("cosine"), col("cvec"))
       .as[(Long, Long, Double, Seq[Double])]
     cand.groupByKey(_._1).flatMapGroups { (qid, it) =>
       val items = it.toArray.sortBy(c => (-c._3, c._2))
-      def sim(a: Array[Double], b: Array[Double]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) {
-          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-        }
-        if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
-      }
+      val n = items.length
       val vecs = items.map(_._4.toArray)
-      val selected = scala.collection.mutable.ArrayBuffer[Int]()
-      while (selected.size < math.min(k, items.length)) {
+      // norms once; maxSim updated incrementally against only the
+      // NEWEST selection each round -> O(k*n*d), not O(k^2*n*d)
+      val norms = vecs.map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      def sim(a: Int, b: Int): Double =
+        if (norms(a) == 0 || norms(b) == 0) 0.0
+        else {
+          val va = vecs(a); val vb = vecs(b)
+          var dot = 0.0; var i = 0
+          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+          dot / (norms(a) * norms(b))
+        }
+      val taken = new Array[Boolean](n)
+      val maxSim = new Array[Double](n)
+      val out = Seq.newBuilder[(Long, Long, Double, Int)]
+      var rank = 0
+      var done = false
+      while (rank < math.min(k, n) && !done) {
         var bestIdx = -1
         var bestScore = Double.NegativeInfinity
         var i = 0
-        while (i < items.length) {
-          if (!selected.contains(i)) {
-            var maxSim = 0.0
-            selected.foreach { s =>
-              val sv = sim(vecs(i), vecs(s))
-              if (sv > maxSim) maxSim = sv
-            }
-            val score = lambda * items(i)._3 - (1 - lambda) * maxSim
+        while (i < n) {
+          if (!taken(i)) {
+            val score = lambda * items(i)._3 - (1 - lambda) * maxSim(i)
             // strict > with ascending scan = lowest id wins ties
             // (items are (-rel, id)-sorted)
             if (score > bestScore) { bestScore = score; bestIdx = i }
           }
           i += 1
         }
-        selected += bestIdx
+        if (bestIdx < 0) done = true // all remaining scores NaN
+        else {
+          taken(bestIdx) = true
+          rank += 1
+          out += ((qid, items(bestIdx)._2, items(bestIdx)._3, rank))
+          var j = 0
+          while (j < n) {
+            if (!taken(j)) {
+              val sv = sim(j, bestIdx)
+              if (sv > maxSim(j)) maxSim(j) = sv
+            }
+            j += 1
+          }
+        }
       }
-      selected.iterator.zipWithIndex.map { case (idx, r) =>
-        (qid, items(idx)._2, items(idx)._3, r + 1)
-      }
+      out.result().iterator
     }.toDF("qid", "id", "cosine", "rank")
   }
 

@@ -51,20 +51,29 @@ object AvroFormat {
     val fs = dir.getFileSystem(conf)
     require(fs.getFileStatus(dir).isDirectory,
       s"AvroFormat.read expects a directory of .avro files, got: $path")
-    val firstFile = {
-      val it = fs.listStatus(dir).iterator
-        .map(_.getPath)
-        .filter(_.getName.endsWith(".avro"))
-      require(it.hasNext, s"no .avro files under $path")
-      it.next()
-    }
-    val avroSchema = {
-      val in = fs.open(firstFile)
+    val avroFiles = fs.listStatus(dir).iterator
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".avro"))
+      .toSeq.sortBy(_.getName)
+    require(avroFiles.nonEmpty, s"no .avro files under $path")
+    def headerSchema(f: Path): Schema = {
+      val in = fs.open(f)
       try {
         val s = new DataFileStream[GenericRecord](
           in, new GenericDatumReader[GenericRecord]())
         try s.getSchema finally s.close()
       } finally in.close()
+    }
+    val avroSchema = headerSchema(avroFiles.head)
+    // Per-field value conversion (e.g. timestamp-millis vs -micros
+    // scaling) is driven by ONE writer schema — a directory mixing
+    // writers with different schemas would be silently mis-decoded,
+    // so fail loudly instead. Header reads are a few hundred bytes
+    // per file on the driver (the parquet-footer cost model).
+    avroFiles.tail.foreach { f =>
+      val other = headerSchema(f)
+      require(other == avroSchema,
+        s"mixed avro writer schemas in $path: ${avroFiles.head} vs $f")
     }
     val struct = toSparkSchema(avroSchema)
 

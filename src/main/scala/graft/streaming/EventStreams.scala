@@ -307,8 +307,12 @@ object EventStreams {
     * q42 fold: a per-user state machine (view -> click -> purchase,
     * each stage strictly after the previous in event time) that emits
     * one (user, stage, us) row the moment each stage is first
-    * reached. State is three longs per user (0 = unreached), so the
-    * store budget is that of a streaming distinct on user_id.
+    * reached. State is three longs per user (Long.MinValue =
+    * unreached — 0 and negative micros are legal event times), so
+    * the store budget is that of a streaming distinct on user_id.
+    * Changing this sentinel encoding is a state-format change:
+    * checkpoints written under a different encoding must be
+    * discarded or migrated, not resumed.
     *
     * Ordering contract: rows are sorted by (us, event_id) WITHIN each
     * micro-batch before folding, so the result equals the batch fold
