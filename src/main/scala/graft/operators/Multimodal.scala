@@ -299,6 +299,68 @@ object Multimodal {
     * image decode this needs NO codec — raw PCM math is exact — so
     * this operator is fully real: n_samples, duration, RMS, peak.
     */
+  /** Audio fingerprint: dHash over the PCM energy profile — the
+    * audio member of the perceptual-hash family (imageDHash's exact
+    * integer discipline applied to sound). The int16 sample stream
+    * is cut into 64 windows; each bit compares ADJACENT window
+    * energies by integer cross-multiplication
+    * `e(w)*c(w+1) > e(w+1)*c(w)` — no floating point, so DuckDB
+    * recomputes the hash bit-for-bit from the raw bytes (the m06
+    * oracle). 63 bits, never negative. Near-dup pairing =
+    * Dedup.hammingPairs64 over this column, same as images.
+    *
+    * Overflow envelope: e <= 2^30 * samplesPerWindow and the
+    * cross-product multiplies by another window count, so payloads
+    * up to ~2^20 samples (2 MB PCM) stay inside Long exactly; the
+    * GRFT fixtures are KBs. Null for non-GRFT/empty payloads.
+    */
+  def audioDHash(
+      df: DataFrame, keyCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(keyCol), StructField("adhash", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(keyCol), col(binCol)).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(r.get(0), audioDHashOf(bytes))
+      }
+    }(enc)
+  }
+
+  private def audioDHashOf(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.length < 16 || !hasMagic(bytes)) null
+    else {
+      val n = (bytes.length - 16) / 2
+      if (n == 0) null
+      else {
+        val e = new Array[Long](64)
+        val c = new Array[Long](64)
+        var w = 0
+        while (w < 64) {
+          val from = w * n / 64
+          val to = math.max(from + 1, (w + 1) * n / 64)
+          var i = from
+          while (i < to && i < n) {
+            val lo = bytes(16 + 2 * i) & 0xff
+            val hi = bytes(16 + 2 * i + 1)
+            val s = (hi << 8) | lo // sign from hi byte
+            e(w) += s.toLong * s
+            i += 1
+          }
+          c(w) = math.max(1, math.min(to, n) - from)
+          w += 1
+        }
+        var h = 0L
+        w = 0
+        while (w < 63) {
+          if (e(w) * c(w + 1) > e(w + 1) * c(w)) h |= (1L << w)
+          w += 1
+        }
+        java.lang.Long.valueOf(h)
+      }
+    }
+  }
+
   def audioStats(
       df: DataFrame, keyCol: String, binCol: String,
       sampleRate: Int = 16000): DataFrame = {

@@ -176,5 +176,51 @@ object MultimodalQueries {
                       THEN 1::BIGINT << k ELSE 0::BIGINT END)) AS dhash
         FROM sc"""),
       doc = "Integer-exact perceptual dHash per image (bit-for-bit " +
-        "oracle-checked; pairing via hammingPairs64 pinned in spec)."))
+        "oracle-checked; pairing via hammingPairs64 pinned in spec)."),
+
+    // ------------------------------------------------------------------
+    "m06_audio_dhash" -> QueryDef(
+      fn = { (s, dir) =>
+        // Audio fingerprint: dHash over the int16 PCM energy profile —
+        // integer cross-multiplied window comparisons like m05, so
+        // DuckDB rebuilds every hash from the raw bytes. With m05 and
+        // the text family, near-dup detection now spans all three
+        // modalities through ONE pairing operator (hammingPairs64).
+        // ASCII fixture => hi byte is never negative; the Spark path
+        // handles signed hi bytes for real PCM.
+        graft.operators.Multimodal.audioDHash(
+          fakeImages(s, dir), "doc_id", "image")
+          .filter(col("adhash").isNotNull)
+      },
+      oracle = Some("""
+        WITH la AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) + 1),
+                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS bs,
+                 length(text) // 2 AS n
+          FROM documents WHERE length(text) >= 2),
+        sm AS (
+          SELECT doc_id, n,
+                 list_transform(range(0, n),
+                   i -> bs[2*i + 2] * 256 + bs[2*i + 1]) AS s
+          FROM la),
+        sc AS (
+          SELECT doc_id, n,
+                 list_transform(range(0, 64), w -> struct_pack(
+                   e := coalesce(list_sum(list_transform(
+                     s[(w*n)//64 + 1 :
+                       least(greatest((w*n)//64 + 1, ((w+1)*n)//64), n)],
+                     x -> x * x)), 0),
+                   c := greatest(1,
+                     least(greatest((w*n)//64 + 1, ((w+1)*n)//64), n)
+                       - (w*n)//64))) AS cells
+          FROM sm)
+        SELECT doc_id,
+               list_sum(list_transform(range(0, 63), w ->
+                 CASE WHEN cells[w+1].e * cells[w+2].c
+                         > cells[w+2].e * cells[w+1].c
+                      THEN 1::BIGINT << w ELSE 0::BIGINT END)) AS adhash
+        FROM sc"""),
+      doc = "Integer-exact audio fingerprint over PCM window energies " +
+        "(bit-for-bit oracle-checked; pairs via hammingPairs64)."))
 }

@@ -224,6 +224,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hs.head >= 0L, "GRFT dHash is 63-bit, never negative")
   }
 
+  test("audio dHash: near-identical PCM pairs, different profile does not") {
+    // base: deterministic pseudo-signal; near: same with a short
+    // dropout; diff: energy ramp reversed (profile flipped)
+    def pcm(f: Int => Int): Array[Byte] =
+      (0 until 2000).flatMap { i =>
+        val s = f(i)
+        Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+      }.toArray
+    def base(i: Int) = ((i % 97) - 48) * (40 + (i * 7) % 300)
+    val near = pcm(i => if (i >= 100 && i < 110) 0 else base(i))
+    val diffSig = pcm(i => base(1999 - i) * (if (i < 1000) 3 else 1))
+    val df = Seq(
+      (1L, Multimodal.encodeFakeImage(1, 1, "png", pcm(base))),
+      (2L, Multimodal.encodeFakeImage(1, 1, "png", near)),
+      (3L, Multimodal.encodeFakeImage(1, 1, "png", diffSig)))
+      .toDF("id", "audio")
+    val hashes = Multimodal.audioDHash(df, "id", "audio")
+    val byId = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(byId(1L), byId(2L)) <= 6,
+      s"dropout changed hash too much: ${ham(byId(1L), byId(2L))}")
+    assert(ham(byId(1L), byId(3L)) > 6,
+      s"flipped profile too close: ${ham(byId(1L), byId(3L))}")
+    // and through the shared pairing operator
+    val pairs = graft.operators.Dedup.hammingPairs64(
+      hashes, "id", "adhash", maxHamming = 6, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("dHash pairing: planted duplicate flood stars; unrelated stays out") {
     // 10 identical images + 1 unrelated: the flood must collapse
     // through the canonicalize-first star (keep = min id, hamming 0)
