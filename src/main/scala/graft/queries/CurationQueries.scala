@@ -795,5 +795,44 @@ object CurationQueries {
         FROM sel, tot WHERE start + cum <= total // 2"""),
       doc = "Greedy quality-ranked token-budget fill (half the corpus " +
         "tokens) without a global sort: bucket offsets broadcast, " +
-        "per-doc window partitions by bucket."))
+        "per-doc window partitions by bucket."),
+
+    // ------------------------------------------------------------------
+    "c21_leakfree_split" -> QueryDef(
+      fn = { (s, dir) =>
+        // Leakage-free train/eval split: a doc-level hash split (c02)
+        // puts duplicate CONTENT on both sides — the eval set then
+        // scores memorization, not generalization. Splitting on the
+        // dup-cluster REPRESENTATIVE's hash moves whole clusters to
+        // one side. This registers the exact-dup (fingerprint-group)
+        // core, which is fully oracle-checkable; the near-dup variant
+        // is the same operator over Dedup.clusterReps output (d07)
+        // instead of the fingerprint rep. Shape: one window over the
+        // fingerprint groups (the d01 shuffle), then the split is a
+        // pure map on md5(rep) — deterministic under repartitioning
+        // and appends, like every sampling primitive here.
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir).select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        val withRep = d.withColumn("rep",
+          min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        withRep.select(col("doc_id"), col("rep"),
+          when(substring(md5(col("rep").cast("string")), 1, 6) <
+            lit("e66666"), lit("train")).otherwise(lit("eval"))
+            .as("split"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+                   AS rep
+          FROM documents)
+        SELECT doc_id, rep,
+               CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 6)
+                      < 'e66666' THEN 'train' ELSE 'eval' END AS split
+        FROM g"""),
+      doc = "Leakage-free 90/10 split: hash the dup-cluster " +
+        "representative, not the doc, so duplicate content never " +
+        "straddles train/eval."))
 }

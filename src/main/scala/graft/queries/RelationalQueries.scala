@@ -1167,5 +1167,41 @@ object RelationalQueries {
         SELECT v.user_id, view_us, click_us, purchase_us
         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""),
       doc = "Ordered view->click->purchase funnel per user: one " +
-        "shuffle + sorted-list fold (vs the oracle's 3-join form)."))
+        "shuffle + sorted-list fold (vs the oracle's 3-join form)."),
+
+    // ------------------------------------------------------------------
+    "q43_cohort_retention" -> QueryDef(
+      fn = { (s, dir) =>
+        // Cohort retention: users grouped by first-activity week, then
+        // distinct-active counts per (cohort, week offset) — the
+        // product-analytics staple. Scale shape: one groupBy(user) for
+        // cohorts, then the activity groupBy joins it back ON THE SAME
+        // KEY (co-partitioned, no extra exchange under AQE), then a
+        // small (cohort, week) agg. Weeks as integer micros
+        // throughout; the offset is exact integer division by the
+        // week's micros.
+        val wk = date_trunc("week", col("ts"))
+        val e = T(s, dir).events.select(col("user_id"),
+          unix_micros(wk).as("week_us"))
+        val cohorts = e.groupBy(col("user_id"))
+          .agg(min(col("week_us")).as("cohort_us"))
+        e.join(cohorts, Seq("user_id"))
+          .groupBy(col("cohort_us"),
+            ((col("week_us") - col("cohort_us")) / lit(604800000000L))
+              .cast("long").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(date_trunc('week', ts)) AS week_us
+          FROM events),
+        c AS (SELECT user_id, min(week_us) AS cohort_us
+              FROM e GROUP BY 1)
+        SELECT cohort_us,
+               (week_us - cohort_us) // 604800000000 AS week_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM e JOIN c USING (user_id)
+        GROUP BY 1, 2"""),
+      doc = "Weekly cohort retention (first-activity cohorts, exact " +
+        "integer week offsets, co-partitioned joins)."))
 }

@@ -77,6 +77,21 @@ class CurationRulesSpec extends AnyFunSuite {
     }
   }
 
+  test("c21: no duplicate cluster straddles the train/eval boundary") {
+    val rows = run("c21_leakfree_split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // every member of a rep-group carries the group's single split
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._3).toSet.size == 1,
+        s"cluster $rep straddles: ${members.toSeq}")
+    }
+    // the hash band is ~90/10 over distinct clusters
+    val byRep = rows.groupBy(_._2).map { case (_, ms) => ms.head._3 }
+    val evalFrac = byRep.count(_ == "eval").toDouble / byRep.size
+    assert(evalFrac > 0.02 && evalFrac < 0.3, s"eval fraction $evalFrac")
+  }
+
   test("c19: every eval excerpt is traced back to its source doc") {
     // the eval set is by construction an 80%-token excerpt of each
     // %97 corpus doc: fuzzy decon must flag AT LEAST the (source,
