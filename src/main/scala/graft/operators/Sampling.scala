@@ -135,4 +135,20 @@ object Sampling {
     }
     df.filter(h < thr)
   }
+
+  /** Leakage-free train/eval split: hash the dup-cluster
+    * REPRESENTATIVE column, not the row key, so duplicate content
+    * never straddles the boundary (a row-level split lets the eval
+    * set score memorization). `repCol` must map every row to its
+    * cluster representative — the fingerprint-group min id for exact
+    * dups (c21's registration), or `Dedup.clusterReps` output for
+    * near-dup clusters. Deterministic under repartitioning/appends
+    * like every primitive here.
+    */
+  def leakFreeSplit(
+      df: DataFrame, repCol: String,
+      trainFrac: Double = 0.9): DataFrame =
+    df.withColumn("split",
+      when(hashPrefix(col(repCol)) < lit(thresholdHex(trainFrac)),
+        lit("train")).otherwise(lit("eval")))
 }

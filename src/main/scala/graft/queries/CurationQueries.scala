@@ -816,21 +816,20 @@ object CurationQueries {
           TextFunctions.fingerprint(col("text")).as("fp"))
         val withRep = d.withColumn("rep",
           min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-        withRep.select(col("doc_id"), col("rep"),
-          when(substring(md5(col("rep").cast("string")), 1, 6) <
-            lit("e66666"), lit("train")).otherwise(lit("eval"))
-            .as("split"))
+        Sampling.leakFreeSplit(
+          withRep.select(col("doc_id"), col("rep")), "rep", 0.9)
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH g AS (
           SELECT doc_id,
                  min(doc_id) OVER (PARTITION BY
-                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
                    AS rep
           FROM documents)
         SELECT doc_id, rep,
                CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 6)
-                      < 'e66666' THEN 'train' ELSE 'eval' END AS split
+                      < '${Sampling.thresholdHex(0.9)}'
+                    THEN 'train' ELSE 'eval' END AS split
         FROM g"""),
       doc = "Leakage-free 90/10 split: hash the dup-cluster " +
         "representative, not the doc, so duplicate content never " +
