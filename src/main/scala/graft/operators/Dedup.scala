@@ -404,11 +404,19 @@ object Dedup {
   def vecDedupIndex(
       df: DataFrame, vecCol: String, idCol: String,
       bits: Int = 4, tables: Int = 12, dim: Int = 64): DataFrame =
+    // Canonicalize at BUILD time (the one shuffle the index pays,
+    // once): identical vectors collapse to a keep = min-id group, and
+    // signatures are materialized for REPRESENTATIVES only. Probing
+    // then works rep-level — a k-way duplicate flood in the corpus
+    // contributes ONE row to every bucket instead of k (the
+    // embeddingDupPairs canonicalize-first discipline, persisted).
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .filter(col("vec").isNotNull &&
         exists(col("vec"), v => v =!= lit(0.0f)))
-      .withColumn("sigs",
-        VectorFunctions.hyperplaneSigs(col("vec"), bits, tables, dim))
+      .withColumn("keep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec"))))
+      .withColumn("sigs", when(col("id") === col("keep"),
+        VectorFunctions.hyperplaneSigs(col("vec"), bits, tables, dim)))
 
   /** Dedup an append batch of vectors against a persisted
     * [[vecDedupIndex]] — the embedding-side daily-append contract
@@ -422,7 +430,19 @@ object Dedup {
       index: DataFrame, newVecs: DataFrame, vecCol: String, idCol: String,
       threshold: Double, bits: Int = 4, tables: Int = 12,
       dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
-    val newIdx = vecDedupIndex(newVecs, vecCol, idCol, bits, tables, dim)
+    // Rep-level end to end: identical vectors on BOTH sides collapse
+    // to one probe each (index reps are stored — see vecDedupIndex;
+    // batch reps come from the same vecGroups canonicalization the
+    // self-join path uses), so candidate volume tracks DISTINCT
+    // content, not flood size — a 20x-replicated corpus probes like
+    // the base corpus. Member pairs expand afterwards through the two
+    // membership tables with the rep pair's exact cosine (identical
+    // vectors => identical cosine).
+    val newGroups = vecGroups(newVecs, vecCol, idCol)
+    val newIdx = newGroups.filter(col("did") === col("keep"))
+      .select(col("did").as("id"), col("vec"))
+      .withColumn("sigs",
+        VectorFunctions.hyperplaneSigs(col("vec"), bits, tables, dim))
       .localCheckpoint() // consumed by buckets + verification
     def buckets(d: DataFrame) =
       d.select(col("id"), posexplode(col("sigs")))
@@ -432,12 +452,13 @@ object Dedup {
     // explode is a cheap projection, and pinning an index-sized
     // bucket table in block storage would contradict the streaming
     // contract and break recompute-on-executor-loss
-    val ixBuckets = buckets(index)
-    // cap saturated index buckets exactly as embeddingDupPairs does:
-    // a flood of near-identical indexed vectors would otherwise turn
-    // one bucket into an unbounded candidate set (and the candidate
-    // list below is BROADCAST — it must stay small). The count agg
-    // shuffles only (table, bucket, count) triples, never vectors.
+    val ixBuckets = buckets(index.filter(col("id") === col("keep")))
+    // cap saturated rep buckets exactly as embeddingDupPairs does:
+    // a flood of NEAR-identical (distinct-content) indexed vectors
+    // would otherwise turn one bucket into an unbounded candidate
+    // set (and the candidate list below is BROADCAST — it must stay
+    // small). The count agg shuffles only (table, bucket, count)
+    // triples, never vectors.
     val okBuckets = ixBuckets.groupBy(col("table"), col("bucket"))
       .agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") <= maxBucketSize)
@@ -448,16 +469,30 @@ object Dedup {
         .select(col("table"), col("bucket"), col("id").as("new_id"))),
         Seq("table", "bucket"))
       .filter(col("id") =!= col("new_id"))
-      .select(col("id").as("ix_id"), col("new_id")).distinct()
-    val crossPairs = index
-      .select(col("id").as("ix_id"), col("vec").as("v_a"))
-      .join(broadcast(cand), Seq("ix_id"))
-      .join(broadcast(newIdx.select(col("id").as("new_id"),
-        col("vec").as("v_b"))), Seq("new_id"))
-      .select(least(col("ix_id"), col("new_id")).as("id_a"),
-        greatest(col("ix_id"), col("new_id")).as("id_b"),
+      .select(col("id").as("ix_rep"), col("new_id").as("n_rep")).distinct()
+    val repPairs = index
+      .filter(col("id") === col("keep"))
+      .select(col("id").as("ix_rep"), col("vec").as("v_a"))
+      .join(broadcast(cand), Seq("ix_rep"))
+      .join(broadcast(newIdx.select(col("id").as("n_rep"),
+        col("vec").as("v_b"))), Seq("n_rep"))
+      .select(col("ix_rep"), col("n_rep"),
         VectorFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .localCheckpoint() // small (rep pairs); joined twice below
+    // expansion: index members stream once against the broadcast rep
+    // pairs; batch members are driver-small
+    val crossPairs = index
+      .select(col("keep").as("ix_rep"), col("id").as("m_a"))
+      .join(broadcast(repPairs), Seq("ix_rep"))
+      .join(broadcast(newGroups.select(col("keep").as("n_rep"),
+        col("did").as("m_b"))), Seq("n_rep"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("cosine"))
+    // identical-content pairs ACROSS the boundary (batch vec equal to
+    // an indexed vec): same rep-level machinery, cosine exactly 1 —
+    // the LSH buckets find these too (identical sigs), so repPairs
+    // already covers them at any threshold <= 1.
     crossPairs
       .unionByName(embeddingDupPairs(newVecs, vecCol, idCol, threshold,
         bits, tables, dim, maxBucketSize))

@@ -147,6 +147,18 @@ object ScaleSmoke {
       graft.operators.Similarity.quantizedTopK(ebig,
         ebig.filter(col("vec_id") % 500 === 0), k = 5).count()
     }
+    // vector append path: index 80% once, probe the other 20% against
+    // it (index never re-signed or shuffled; on a k-way flood every
+    // batch vector hits a saturated bucket — the cap must hold)
+    val vIndex = graft.operators.Dedup.vecDedupIndex(
+      ebig.filter(col("vec_id") % 5 =!= 0), "embedding", "vec_id").persist()
+    timed("vec_index_build") { vIndex.count() }
+    timed("incremental_vec_dedup") {
+      graft.operators.Dedup.incrementalVecDups(vIndex,
+        ebig.filter(col("vec_id") % 5 === 0), "embedding", "vec_id",
+        threshold = 0.35).count()
+    }
+    vIndex.unpersist()
     // PQ/ADC: codebook trains on a BOUNDED sample regardless of k
     // (fixed driver cost); the scan does m lookup reads per pair over
     // 4-bit codes, so growth must track the candidate count only

@@ -431,6 +431,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel survives a kill + restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val ckpt = Files.createTempDirectory("funnel-restart-ckpt").toString
+      val seen = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Long, String, Long)]()
+      def startQuery() = graft.streaming.EventStreams.funnelStream(mem.toDS())
+        .toDF("user_id", "stage", "us")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            seen.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        }
+        .start()
+      // user 1 reaches view+click before the kill; the purchase
+      // arrives while the query is down and must chain off the
+      // RESTORED click state after restart
+      val q1 = startQuery()
+      mem.addData((1L, 100L, 1L, "view"), (1L, 200L, 2L, "click"),
+        (2L, 150L, 3L, "view"))
+      q1.processAllAvailable()
+      q1.stop()
+      mem.addData((1L, 300L, 4L, "purchase"), (2L, 250L, 5L, "click"))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val all = Set.empty[(Long, String, Long)] ++
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          seen.iterator()).asScala
+      assert(all == Set(
+        (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+        (2L, "view", 150L), (2L, "click", 250L)), s"got $all")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming funnel equals the batch q42 fold on ordered delivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
