@@ -393,13 +393,19 @@ object Dedup {
   }
 
   /** Persisted embedding-dedup index — the vector twin of
-    * [[dedupIndex]]: one row per vector with its hyperplane-LSH
-    * signature array. The signatures are seeded deterministic hashes
-    * of the vector alone, so an index written last month and a batch
-    * signed today agree on buckets by construction — the "index is
-    * just a column" property that makes the append path work with no
-    * model state. Write once at ingest; probe with
-    * [[incrementalVecDups]].
+    * [[dedupIndex]]: one row per vector with its vec-group
+    * representative (`keep` = min id over identical vectors) and,
+    * for REPRESENTATIVES only, the hyperplane-LSH signature array.
+    * Signatures are seeded deterministic hashes of the vector alone,
+    * so an index written last month and a batch signed today agree
+    * on buckets by construction — the "index is just a column"
+    * property that makes the append path work with no model state.
+    * Write once at ingest; probe with [[incrementalVecDups]].
+    *
+    * Index-format note: the (keep, rep-only sigs) layout replaced an
+    * earlier all-rows-signed layout; indexes written by that layout
+    * lack `keep` and must be rebuilt (one call over the stored
+    * vectors) — probing them fails loudly on the missing column.
     */
   def vecDedupIndex(
       df: DataFrame, vecCol: String, idCol: String,
@@ -487,6 +493,10 @@ object Dedup {
       .join(broadcast(repPairs), Seq("ix_rep"))
       .join(broadcast(newGroups.select(col("keep").as("n_rep"),
         col("did").as("m_b"))), Seq("n_rep"))
+      // a replayed/duplicate-ingested id appears on BOTH sides of the
+      // boundary (index member and batch member of the same content):
+      // drop the degenerate self-pair the expansion would emit
+      .filter(col("m_a") =!= col("m_b"))
       .select(least(col("m_a"), col("m_b")).as("id_a"),
         greatest(col("m_a"), col("m_b")).as("id_b"), col("cosine"))
     // identical-content pairs ACROSS the boundary (batch vec equal to

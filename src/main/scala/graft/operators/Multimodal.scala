@@ -311,8 +311,9 @@ object Multimodal {
     *
     * Overflow envelope: e <= 2^30 * samplesPerWindow and the
     * cross-product multiplies by another window count, so payloads
-    * up to ~2^20 samples (2 MB PCM) stay inside Long exactly; the
-    * GRFT fixtures are KBs. Null for non-GRFT/empty payloads.
+    * up to ~2^20 samples (2 MB PCM) stay inside Long exactly — the
+    * guard is ENFORCED: longer payloads hash to null (chunk or
+    * downsample first), like non-GRFT/empty payloads.
     */
   def audioDHash(
       df: DataFrame, keyCol: String, binCol: String): DataFrame = {
@@ -331,7 +332,12 @@ object Multimodal {
     if (bytes == null || bytes.length < 16 || !hasMagic(bytes)) null
     else {
       val n = (bytes.length - 16) / 2
-      if (n == 0) null
+      // enforce the documented exact-arithmetic envelope instead of
+      // silently wrapping Long: beyond ~2^20 samples the
+      // cross-product e(w)*c(w+1) can exceed 2^63 at full amplitude
+      // (e <= 2^30 * n/64, c ~ n/64). Long clips -> null, like any
+      // other undecodable payload; chunk or downsample first.
+      if (n == 0 || n > (1 << 20)) null
       else {
         val e = new Array[Long](64)
         val c = new Array[Long](64)

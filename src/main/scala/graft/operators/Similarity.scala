@@ -389,6 +389,13 @@ object Similarity {
   /** Rerank an arbitrary (qid, id, cosine) candidate frame with MMR —
     * the composition point the scale path needs: feed `lshTopK` /
     * `pqTopK` output here instead of paying `mmrTopK`'s exact scan.
+    *
+    * Precondition: every candidate id must resolve in `corpus` (the
+    * vectors are re-joined for the diversity term). Candidates whose
+    * ids are absent — a stale candidate set or a differently-filtered
+    * corpus snapshot — are dropped by the inner join and the query
+    * returns fewer than k rows; verify the frames come from the same
+    * snapshot.
     */
   def mmrRerank(
       candidates: DataFrame, corpus: DataFrame, k: Int,

@@ -69,11 +69,14 @@ object AvroFormat {
     // scaling) is driven by ONE writer schema — a directory mixing
     // writers with different schemas would be silently mis-decoded,
     // so fail loudly instead. Header reads are a few hundred bytes
-    // per file on the driver (the parquet-footer cost model).
-    avroFiles.tail.foreach { f =>
-      val other = headerSchema(f)
-      require(other == avroSchema,
-        s"mixed avro writer schemas in $path: ${avroFiles.head} vs $f")
+    // per file (the parquet-footer cost model) and run PARALLEL on
+    // the driver so a many-thousand-file object-store directory pays
+    // round-trip latency once, not once per file.
+    java.util.Arrays.stream(avroFiles.tail.toArray).parallel().forEach {
+      f =>
+        val other = headerSchema(f)
+        require(other == avroSchema,
+          s"mixed avro writer schemas in $path: ${avroFiles.head} vs $f")
     }
     val struct = toSparkSchema(avroSchema)
 

@@ -309,6 +309,24 @@ class DedupSpec extends AnyFunSuite {
       x == 1L && y == 100000L && math.abs(c - 1.0) < 1e-9 }, s"got $hit")
   }
 
+  test("incremental vec dedup: replayed id never emits a self-pair") {
+    // daily-append replay: the batch re-ingests an id the index
+    // already holds (same id, same vector). The rep-level expansion
+    // must not emit the degenerate (id, id) pair, while genuine
+    // cross-boundary dups of the same content still surface.
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1)).toSeq
+    val other = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f).toSeq
+    val indexed = Seq((1L, v), (2L, v), (9L, other))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((2L, v)).toDF("vec_id", "embedding") // replay of id 2
+    val got = Dedup.incrementalVecDups(
+      Dedup.vecDedupIndex(indexed, "embedding", "vec_id"),
+      batch, "embedding", "vec_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists { case (a, b) => a == b }, s"self-pair in $got")
+    assert(got.contains((1L, 2L)), s"cross pair missing: $got")
+  }
+
   test("span dedup surfaces planted cross-doc boilerplate, skips unique text") {
     // three docs share an 8+-token licence header; bodies are disjoint
     val header = "this file is licensed under the apache license version two"

@@ -254,6 +254,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("audio dHash enforces the exact-arithmetic envelope (null past it)") {
+    val small = Multimodal.encodeFakeImage(1, 1, "png",
+      new Array[Byte](1000))
+    // > 2^20 samples => > 2^21 payload bytes: must be null, not a
+    // silently overflowed hash
+    val big = Multimodal.encodeFakeImage(1, 1, "png",
+      new Array[Byte]((1 << 21) + 2))
+    val rows = Multimodal.audioDHash(
+      Seq((1L, small), (2L, big)).toDF("id", "a"), "id", "a")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(rows(1L).isDefined)
+    assert(rows(2L).isEmpty, "oversized payload must hash to null")
+  }
+
   test("dHash pairing: planted duplicate flood stars; unrelated stays out") {
     // 10 identical images + 1 unrelated: the flood must collapse
     // through the canonicalize-first star (keep = min id, hamming 0)
