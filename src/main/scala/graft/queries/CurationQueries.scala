@@ -242,7 +242,7 @@ object CurationQueries {
                  row_number() OVER (PARTITION BY d.source
                    ORDER BY s.quality DESC, s.doc_id) AS rk
           FROM scored s JOIN documents d USING (doc_id))
-        SELECT doc_id, source, quality, rk
+        SELECT doc_id, source, quality, CAST(rk AS INTEGER) AS rk
         FROM ranked WHERE rk <= 3"""),
       doc = "Top-3 docs per source by quality (WindowGroupLimit " +
         "top-k-per-group, no full partition sort)."),

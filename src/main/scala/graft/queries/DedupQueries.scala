@@ -318,7 +318,8 @@ object DedupQueries {
                  row_number() OVER (PARTITION BY qid
                    ORDER BY cosine DESC, id) AS rank
           FROM scored)
-        SELECT qid, id, cosine, rank FROM ranked WHERE rank <= 5"""),
+        SELECT qid, id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5"""),
       doc = "Brute-force cosine top-5 per sampled query vector."),
 
     // ------------------------------------------------------------------

@@ -170,10 +170,11 @@ object MultimodalQueries {
                        - (k*n)//64))) AS cells
           FROM la)
         SELECT doc_id,
-               list_sum(list_transform(range(0, 63), k ->
+               CAST(list_sum(list_transform(range(0, 63), k ->
                  CASE WHEN cells[k+1].s * cells[k+2].c
                          > cells[k+2].s * cells[k+1].c
-                      THEN 1::BIGINT << k ELSE 0::BIGINT END)) AS dhash
+                      THEN 1::BIGINT << k ELSE 0::BIGINT END))
+                 AS BIGINT) AS dhash
         FROM sc"""),
       doc = "Integer-exact perceptual dHash per image (bit-for-bit " +
         "oracle-checked; pairing via hammingPairs64 pinned in spec)."),
@@ -198,7 +199,8 @@ object MultimodalQueries {
                  list_transform(range(1, length(text) + 1),
                    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS bs,
                  length(text) // 2 AS n
-          FROM documents WHERE length(text) >= 2),
+          FROM documents
+          WHERE length(text) >= 2 AND length(text) // 2 <= 1048576),
         sm AS (
           SELECT doc_id, n,
                  list_transform(range(0, n),
@@ -216,10 +218,11 @@ object MultimodalQueries {
                        - (w*n)//64))) AS cells
           FROM sm)
         SELECT doc_id,
-               list_sum(list_transform(range(0, 63), w ->
+               CAST(list_sum(list_transform(range(0, 63), w ->
                  CASE WHEN cells[w+1].e * cells[w+2].c
                          > cells[w+2].e * cells[w+1].c
-                      THEN 1::BIGINT << w ELSE 0::BIGINT END)) AS adhash
+                      THEN 1::BIGINT << w ELSE 0::BIGINT END))
+                 AS BIGINT) AS adhash
         FROM sc"""),
       doc = "Integer-exact audio fingerprint over PCM window energies " +
         "(bit-for-bit oracle-checked; pairs via hammingPairs64)."))

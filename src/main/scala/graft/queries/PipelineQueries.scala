@@ -43,7 +43,8 @@ object PipelineQueries {
             col("exitCode").as("exit_code"))
       },
       oracle = Some("""
-        SELECT doc_id, length(text) AS n_chars_rt, 0 AS exit_code
+        SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_rt,
+               0 AS exit_code
         FROM documents"""),
       doc = "External-command pipe (cp identity) — reference T1."),
 

@@ -151,10 +151,11 @@ object RelationalQueries {
       },
       oracle = Some("""
         SELECT o_orderkey, o_custkey,
-               row_number() OVER w_date AS rn,
-               rank() OVER w_spend AS spend_rank,
-               dense_rank() OVER w_spend AS spend_dense_rank,
-               ntile(4) OVER w_date AS quartile,
+               CAST(row_number() OVER w_date AS INTEGER) AS rn,
+               CAST(rank() OVER w_spend AS INTEGER) AS spend_rank,
+               CAST(dense_rank() OVER w_spend AS INTEGER)
+                 AS spend_dense_rank,
+               CAST(ntile(4) OVER w_date AS INTEGER) AS quartile,
                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -694,8 +695,10 @@ object RelationalQueries {
                substring(p_name, 1, 5) AS prefix5,
                lpad(p_brand, 12, '*') AS padded,
                translate(p_type, 'aeiou', 'AEIOU') AS xlated,
-               length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS n_consonants,
-               levenshtein(p_brand, 'Brand#00') AS brand_dist,
+               CAST(length(regexp_replace(p_name, '[aeiou]', '', 'g'))
+                 AS INTEGER) AS n_consonants,
+               CAST(levenshtein(p_brand, 'Brand#00') AS INTEGER)
+                 AS brand_dist,
                printf('%s|%d', p_brand, p_size) AS tagged
         FROM part WHERE p_partkey % 7 = 0"""),
       doc = "Scalar string-function registry sweep."),

@@ -38,10 +38,11 @@ object TextQueries {
                  list_filter(string_split(text, ' '), x -> x != '') AS toks
           FROM documents)
         SELECT doc_id,
-               len(toks) AS n_tokens,
-               length(text) AS n_chars,
-               length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))
-                 AS n_punct,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(length(text)
+                 - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))
+                 AS INTEGER) AS n_punct,
                CASE WHEN len(toks) = 0 THEN 0.0
                     ELSE CAST(len(list_filter(
                         list_filter(string_split(lower(text), ' '), x -> x != ''),
@@ -64,8 +65,8 @@ object TextQueries {
       oracle = Some("""
         SELECT doc_id,
                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
-                 AS n_bpeish
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpeish
         FROM documents"""),
       doc = "Canonical md5 fingerprint + BPE-ish subword count."),
 
@@ -134,11 +135,12 @@ object TextQueries {
                    regexp_replace(text, 'https?://\S+', ' ', 'g'),
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
                  '\s+', ' ', 'g')) AS clean,
-               length(trim(regexp_replace(
+               CAST(length(trim(regexp_replace(
                  regexp_replace(
                    regexp_replace(text, 'https?://\S+', ' ', 'g'),
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
-                 '\s+', ' ', 'g'))) AS n_clean_chars
+                 '\s+', ' ', 'g')))
+                 AS INTEGER) AS n_clean_chars
         FROM documents"""),
       doc = "URL/e-mail strip + whitespace collapse (codegen, no shuffle)."),
 

@@ -40,6 +40,27 @@ def norm(v):
     return v
 
 
+def type_lint(con, name, sql, out_dir):
+    """The driver's hash compare is TYPE-sensitive even when norm()
+    below would equate the values (round-4 lesson: a bare list_sum
+    types as HUGEINT and every row goes red driver-side while this
+    harness stays green). Describe both sides and fail on HUGEINT or
+    any spark-vs-oracle type divergence, so the class dies locally.
+    """
+    errs = []
+    g = dict(
+        (r[0], r[1]) for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+        ).fetchall())
+    e = dict((r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall())
+    for col, typ in sorted(e.items()):
+        if "HUGEINT" in typ.upper():
+            errs.append(f"oracle col {col} is {typ} (cast it in the SQL)")
+        elif col in g and g[col] != typ:
+            errs.append(f"col {col}: spark {g[col]} != oracle {typ}")
+    return errs
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -49,6 +70,11 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            lint = type_lint(con, name, sql, out_dir)
+            if lint:
+                print(f"FAIL {name}: type lint: {'; '.join(lint)}")
+                n_fail += 1
+                continue
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             g_cols = [d[0] for d in got.description]
