@@ -406,10 +406,19 @@ object Dedup {
     * earlier all-rows-signed layout; indexes written by that layout
     * lack `keep` and must be rebuilt (one call over the stored
     * vectors) — probing them fails loudly on the missing column.
+    * The (bits, tables, dim) the signatures were computed with are
+    * recorded as metadata on the `sigs` column (parquet round-trips
+    * StructField metadata), so a probe with drifted parameters fails
+    * loudly instead of silently landing in disjoint buckets.
     */
   def vecDedupIndex(
       df: DataFrame, vecCol: String, idCol: String,
-      bits: Int = 4, tables: Int = 12, dim: Int = 64): DataFrame =
+      bits: Int = 4, tables: Int = 12, dim: Int = 64): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.lsh.bits", bits.toLong)
+      .putLong("graft.lsh.tables", tables.toLong)
+      .putLong("graft.lsh.dim", dim.toLong)
+      .build()
     // Canonicalize at BUILD time (the one shuffle the index pays,
     // once): identical vectors collapse to a keep = min-id group, and
     // signatures are materialized for REPRESENTATIVES only. Probing
@@ -421,8 +430,11 @@ object Dedup {
         exists(col("vec"), v => v =!= lit(0.0f)))
       .withColumn("keep", min(col("id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec"))))
-      .withColumn("sigs", when(col("id") === col("keep"),
-        VectorFunctions.hyperplaneSigs(col("vec"), bits, tables, dim)))
+      .select(col("id"), col("vec"), col("keep"),
+        when(col("id") === col("keep"),
+          VectorFunctions.hyperplaneSigs(col("vec"), bits, tables, dim))
+          .as("sigs", md))
+  }
 
   /** Dedup an append batch of vectors against a persisted
     * [[vecDedupIndex]] — the embedding-side daily-append contract
@@ -436,6 +448,24 @@ object Dedup {
       index: DataFrame, newVecs: DataFrame, vecCol: String, idCol: String,
       threshold: Double, bits: Int = 4, tables: Int = 12,
       dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
+    // Fail loudly on parameter drift: signatures computed with
+    // different (bits, tables, dim) land in disjoint buckets and the
+    // probe would silently return near-zero recall. Indexes written
+    // by vecDedupIndex carry the parameters as sigs-column metadata;
+    // a legacy index without it is at least arity-checked below.
+    val sigsField = index.schema.fields.find(_.name == "sigs").getOrElse(
+      throw new IllegalArgumentException(
+        "index has no `sigs` column — not a vecDedupIndex (rebuild it)"))
+    val meta = sigsField.metadata
+    if (meta.contains("graft.lsh.bits")) {
+      val stored = (meta.getLong("graft.lsh.bits"),
+        meta.getLong("graft.lsh.tables"), meta.getLong("graft.lsh.dim"))
+      require(stored == ((bits.toLong, tables.toLong, dim.toLong)),
+        s"vecDedupIndex was built with (bits, tables, dim) = $stored " +
+          s"but probed with (${(bits, tables, dim)}) — buckets would be " +
+          "disjoint and recall near zero; rebuild the index or probe " +
+          "with the stored parameters")
+    }
     // Rep-level end to end: identical vectors on BOTH sides collapse
     // to one probe each (index reps are stored — see vecDedupIndex;
     // batch reps come from the same vecGroups canonicalization the
@@ -453,12 +483,25 @@ object Dedup {
     def buckets(d: DataFrame) =
       d.select(col("id"), posexplode(col("sigs")))
         .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
+    // legacy (pre-metadata) index: enforce signature arity per rep
+    // row — catches tables-drift at probe time instead of returning
+    // empty joins; bits/dim drift on a legacy index is unverifiable,
+    // which is why new indexes carry the metadata
+    val ixReps = {
+      val base = index.filter(col("id") === col("keep"))
+      if (meta.contains("graft.lsh.bits")) base
+      else base.withColumn("sigs",
+        when(assert_true(size(col("sigs")) === tables,
+          lit(s"legacy vecDedupIndex: size(sigs) != tables=$tables — " +
+            "probe parameter drift; rebuild the index")).isNull,
+          col("sigs")))
+    }
     // NOT checkpointed: unlike embeddingDupPairs (whose signatures
     // are freshly computed), the index's sigs are STORED — the
     // explode is a cheap projection, and pinning an index-sized
     // bucket table in block storage would contradict the streaming
     // contract and break recompute-on-executor-loss
-    val ixBuckets = buckets(index.filter(col("id") === col("keep")))
+    val ixBuckets = buckets(ixReps)
     // cap saturated rep buckets exactly as embeddingDupPairs does:
     // a flood of NEAR-identical (distinct-content) indexed vectors
     // would otherwise turn one bucket into an unbounded candidate
@@ -476,8 +519,7 @@ object Dedup {
         Seq("table", "bucket"))
       .filter(col("id") =!= col("new_id"))
       .select(col("id").as("ix_rep"), col("new_id").as("n_rep")).distinct()
-    val repPairs = index
-      .filter(col("id") === col("keep"))
+    val lshRepPairs = ixReps
       .select(col("id").as("ix_rep"), col("vec").as("v_a"))
       .join(broadcast(cand), Seq("ix_rep"))
       .join(broadcast(newIdx.select(col("id").as("n_rep"),
@@ -485,6 +527,22 @@ object Dedup {
       .select(col("ix_rep"), col("n_rep"),
         VectorFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    // Cap-exempt exact path across the boundary: a batch vector
+    // byte-identical to an indexed one is a GUARANTEED duplicate
+    // (cosine 1.0 by construction), but its LSH candidates pass
+    // through the maxBucketSize cap above — a flood of near-identical
+    // DISTINCT indexed vectors could saturate every bucket its rep
+    // sits in and silently drop it. Mirror verifyExpand's exact-star
+    // bypass: join reps on vector equality, cap-free. The index
+    // still streams; the batch-rep side broadcasts.
+    val exactBoundary = ixReps
+      .select(col("id").as("ix_rep"), col("vec"))
+      .join(broadcast(newIdx.select(col("id").as("n_rep"), col("vec"))),
+        Seq("vec"))
+      .select(col("ix_rep"), col("n_rep"), lit(1.0).as("cosine"))
+    val repPairs = lshRepPairs.unionByName(exactBoundary)
+      .groupBy(col("ix_rep"), col("n_rep"))
+      .agg(max(col("cosine")).as("cosine"))
       .localCheckpoint() // small (rep pairs); joined twice below
     // expansion: index members stream once against the broadcast rep
     // pairs; batch members are driver-small
@@ -499,10 +557,9 @@ object Dedup {
       .filter(col("m_a") =!= col("m_b"))
       .select(least(col("m_a"), col("m_b")).as("id_a"),
         greatest(col("m_a"), col("m_b")).as("id_b"), col("cosine"))
-    // identical-content pairs ACROSS the boundary (batch vec equal to
-    // an indexed vec): same rep-level machinery, cosine exactly 1 —
-    // the LSH buckets find these too (identical sigs), so repPairs
-    // already covers them at any threshold <= 1.
+    // identical-content pairs ACROSS the boundary are covered by the
+    // cap-exempt exactBoundary leg above (not just by LSH bucket
+    // luck), so they expand through the same membership machinery.
     crossPairs
       .unionByName(embeddingDupPairs(newVecs, vecCol, idCol, threshold,
         bits, tables, dim, maxBucketSize))

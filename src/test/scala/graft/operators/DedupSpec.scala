@@ -327,6 +327,51 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)), s"cross pair missing: $got")
   }
 
+  test("incremental vec dedup: exact boundary dup survives saturated buckets") {
+    // 21 DISTINCT indexed vectors sharing one direction (vi = v * k):
+    // hyperplane signatures are sign-based, so all land in the same
+    // bucket of every table, saturating it past maxBucketSize = 5 —
+    // every LSH candidate is dropped. An exact batch copy of one of
+    // them is a GUARANTEED dup and must still surface through the
+    // cap-exempt vector-equality path.
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val indexed = (1L to 21L)
+      .map(i => (i, v.map(x => x * (1.0f + 0.01f * i)).toSeq))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((500L, v.map(_ * 1.03f).toSeq)) // exact copy of id 3
+      .toDF("vec_id", "embedding")
+    val got = Dedup.incrementalVecDups(
+      Dedup.vecDedupIndex(indexed, "embedding", "vec_id"),
+      batch, "embedding", "vec_id", threshold = 0.9, maxBucketSize = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.exists { case ((a, b), c) =>
+      a == 3L && b == 500L && math.abs(c - 1.0) < 1e-9 },
+      s"exact boundary dup dropped by bucket cap: ${got.toSeq}")
+  }
+
+  test("incremental vec dedup: parameter drift fails loudly across parquet") {
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1)).toSeq
+    val other = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f).toSeq
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vecidx-").toString
+    Dedup.vecDedupIndex(
+      Seq((1L, v), (9L, other)).toDF("vec_id", "embedding"),
+      "embedding", "vec_id")
+      .write.mode("overwrite").parquet(path)
+    val stored = spark.read.parquet(path) // metadata survives parquet
+    val batch = Seq((100L, v)).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.incrementalVecDups(stored, batch, "embedding", "vec_id",
+        threshold = 0.9, bits = 5)
+    }
+    assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+    // matching parameters probe fine and catch the planted exact dup
+    val ok = Dedup.incrementalVecDups(stored, batch, "embedding",
+      "vec_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok.contains((1L, 100L)), s"got $ok")
+  }
+
   test("span dedup surfaces planted cross-doc boilerplate, skips unique text") {
     // three docs share an 8+-token licence header; bodies are disjoint
     val header = "this file is licensed under the apache license version two"
