@@ -349,15 +349,45 @@ object EventStreams {
       // fold's null semantics
       val U = Long.MinValue
       var (v, c, p) = if (st.exists()) st.get() else (U, U, U)
-      val out = Seq.newBuilder[(Long, String, Long)]
-      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, t) =>
-        if (v == U && t == "view") {
-          v = us; out += ((key, "view", us))
-        } else if (v != U && c == U && t == "click" && us > v) {
-          c = us; out += ((key, "click", us))
-        } else if (c != U && p == U && t == "purchase" && us > c) {
-          p = us; out += ((key, "purchase", us))
+      // Hot-key flood bound (the funnel's analog of nearDupStream's
+      // maxBucketSize): a completed funnel drains arrivals with ZERO
+      // buffering, and an incomplete one buffers only (stage, us)
+      // pairs for stages still unreached — a bot replaying a finished
+      // user or flooding one event type costs O(1) memory, not a
+      // batch-slice sort. The sorted fold is replaced by the
+      // equivalent min-scan: v = min(view us), c = min(click us > v),
+      // p = min(purchase us > c) — first-reach semantics make the two
+      // forms identical (each stage's fold value is the minimal
+      // qualifying timestamp), which the batch-parity spec pins.
+      if (p != U) return Iterator.empty
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      rows.foreach { case (_, us, _, t) =>
+        t match {
+          case "view" if v == U     => buf += ((0, us))
+          case "click" if c == U    => buf += ((1, us))
+          case "purchase" if p == U => buf += ((2, us))
+          case _                    => ()
         }
+      }
+      def minOf(stage: Int, after: Long): Long = {
+        var m = U
+        buf.foreach { case (s, us) =>
+          if (s == stage && us > after && (m == U || us < m)) m = us
+        }
+        m
+      }
+      val out = Seq.newBuilder[(Long, String, Long)]
+      if (v == U) {
+        val m = minOf(0, U)
+        if (m != U) { v = m; out += ((key, "view", v)) }
+      }
+      if (v != U && c == U) {
+        val m = minOf(1, v)
+        if (m != U) { c = m; out += ((key, "click", c)) }
+      }
+      if (c != U && p == U) {
+        val m = minOf(2, c)
+        if (m != U) { p = m; out += ((key, "purchase", p)) }
       }
       st.update((v, c, p))
       out.result().iterator

@@ -527,4 +527,56 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming funnel drains hot-key floods with bounded buffering") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the funnel's bounded-state guarantee under a hot-key flood
+      // (nearDupStream's cap test, funnel-shaped): a COMPLETED user
+      // replayed 20k times emits nothing and buffers nothing (events
+      // for reached stages are dropped before buffering); an
+      // incomplete user flooded with out-of-order clicks advances
+      // exactly once, to the minimal qualifying timestamp
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val ckpt = Files.createTempDirectory("funnel-flood-ckpt").toString
+      val q = graft.streaming.EventStreams.funnelStream(mem.toDS())
+        .toDF("user_id", "stage", "us")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("funnel_flood_out").start()
+      mem.addData((1L, 100L, 1L, "view"), (1L, 200L, 2L, "click"),
+        (1L, 300L, 3L, "purchase"), (2L, 150L, 4L, "view"))
+      q.processAllAvailable()
+      // flood: bot replays of finished user 1 + a click storm on
+      // user 2 (descending us, all after the view, plus decoys at or
+      // before it that must NOT win)
+      val replays = (0 until 20000).map(i =>
+        (1L, 400L + i, 10L + i, Seq("view", "click", "purchase")(i % 3)))
+      val storm = (0 until 20000).map(i =>
+        (2L, 5000L - i.toLong, 40000L + i, "click")) :+
+        ((2L, 150L, 99990L, "click")) :+ ((2L, 90L, 99991L, "click"))
+      mem.addData(scala.util.Random.shuffle(replays ++ storm): _*)
+      q.processAllAvailable()
+      val got = spark.table("funnel_flood_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      q.stop()
+      // user 1: exactly its original 3 rows, nothing from the replay;
+      // user 2: one click at min us > view(150) = 5000 - 19999 .. the
+      // storm's smallest qualifying value
+      val minQualifying = (0 until 20000).map(5000L - _).filter(_ > 150L).min
+      assert(got == Set(
+        (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+        (2L, "view", 150L), (2L, "click", minQualifying)), s"got $got")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
