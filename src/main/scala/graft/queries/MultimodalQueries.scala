@@ -225,5 +225,53 @@ object MultimodalQueries {
                  AS BIGINT) AS adhash
         FROM sc"""),
       doc = "Integer-exact audio fingerprint over PCM window energies " +
-        "(bit-for-bit oracle-checked; pairs via hammingPairs64)."))
+        "(bit-for-bit oracle-checked; pairs via hammingPairs64)."),
+
+    // ------------------------------------------------------------------
+    "m07_crossmodal_pairs" -> QueryDef(
+      fn = { (s, dir) =>
+        // The PAIRING half of multimodal near-dup detection (m05/m06
+        // are the extraction halves): the fixture has no image-level
+        // near-dups (its text near-dups sit at byte-cell hamming >=
+        // 13), so near-dup partners are PLANTED deterministically —
+        // every 20th doc gets a copy with one payload bit flipped,
+        // which moves one dHash cell sum / one PCM window energy by
+        // at most 1 and leaves the planted pair within hamming <= 2
+        // on both hashes. Both modalities then pair through the ONE
+        // banded hammingPairs64 operator (EXACT at maxHamming <
+        // bands by pigeonhole; identical-hash floods collapse via
+        // the canonicalize-first star). Rows-only at the driver; the
+        // planted pairs are asserted one-by-one in MultimodalSpec.
+        val base = fakeImages(s, dir)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("image", BinaryType)))
+        val planted = base.filter(col("doc_id") % 20 === 0)
+          .mapPartitions { it =>
+            it.map { r =>
+              val img = r.getAs[Array[Byte]](1).clone()
+              if (img.length > 17) {
+                val pos = 16 + (img.length - 16) / 2
+                img(pos) = (img(pos) ^ 1).toByte
+              }
+              Row(r.getLong(0) + 1000000L, img)
+            }
+          }(RowEncoder.encoderFor(schema))
+        val all = base.unionByName(planted)
+        val img = graft.operators.Dedup.hammingPairs64(
+          graft.operators.Multimodal.imageDHash(all, "doc_id", "image"),
+          "doc_id", "dhash", maxHamming = 4)
+          .select(lit("image").as("modality"),
+            col("id_a"), col("id_b"), col("hamming"))
+        val aud = graft.operators.Dedup.hammingPairs64(
+          graft.operators.Multimodal.audioDHash(all, "doc_id", "image"),
+          "doc_id", "adhash", maxHamming = 4)
+          .select(lit("audio").as("modality"),
+            col("id_a"), col("id_b"), col("hamming"))
+        img.unionByName(aud)
+      },
+      oracle = None,
+      doc = "Cross-modal near-dup pairing: planted image/audio " +
+        "near-dups found via the shared banded hammingPairs64 " +
+        "(exact at maxHamming < bands); spec-pinned recall."))
 }

@@ -269,6 +269,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2L).isEmpty, "oversized payload must hash to null")
   }
 
+  test("m07 cross-modal pairing finds every planted near-dup, both modalities") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("m07_crossmodal_pairs")(spark, dir)
+      .collect()
+    val byMod = rows.groupBy(_.getString(0)).map { case (m, rs) =>
+      m -> rs.map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
+    }
+    // every planted partner (doc_id % 20 == 0, payload long enough to
+    // hash and perturb) must pair with its source within the planted
+    // hamming budget, through BOTH perceptual hashes
+    val planted = graft.Engine.Tables(spark, dir).documents
+      .filter(col("doc_id") % 20 === 0 &&
+        org.apache.spark.sql.functions.length(col("text")) >= 2)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(byMod("image").get((id, id + 1000000L)).exists(_ <= 4),
+        s"image planted pair missing for $id")
+      assert(byMod("audio").get((id, id + 1000000L)).exists(_ <= 4),
+        s"audio planted pair missing for $id")
+    }
+  }
+
   test("dHash pairing: planted duplicate flood stars; unrelated stays out") {
     // 10 identical images + 1 unrelated: the flood must collapse
     // through the canonicalize-first star (keep = min id, hamming 0)
