@@ -20,6 +20,8 @@ object CurationQueries {
   private def docs(s: SparkSession, dir: String) =
     Engine.Tables(s, dir).documents
 
+  private def T(s: SparkSession, dir: String) = Engine.Tables(s, dir)
+
   /** DuckDB mirror of TextFunctions.qualityScore (same shape as the
     * t03 oracle), as a CTE body computing (doc_id, text, quality).
     */
@@ -833,5 +835,102 @@ object CurationQueries {
         FROM g"""),
       doc = "Leakage-free 90/10 split: hash the dup-cluster " +
         "representative, not the doc, so duplicate content never " +
-        "straddles train/eval."))
+        "straddles train/eval."),
+
+    // ------------------------------------------------------------------
+    "c22_overlap_report" -> QueryDef(
+      fn = { (s, dir) =>
+        // Contamination MEASUREMENT to c05/c19's removal: per eval
+        // doc (deterministic doc_id % 31 slice), how many of its
+        // 8-token spans also occur anywhere in the train split —
+        // the "what fraction of eval is in train" report run
+        // before deciding what to scrub. Exact span-string
+        // membership (no hash collisions in the measurement), d12's
+        // tokenization. Scale shape: the train side streams through
+        // ONE left-semi shuffle keyed on span; no distinct() on the
+        // train spans (semi join absorbs duplicates); eval side is
+        // 1/31 of the corpus. Counts are per-doc, so the final agg
+        // is narrow.
+        val d = docs(s, dir)
+        def spans(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"),
+            explode(TextFunctions.shingles(col("text"), 8)).as("span"))
+        val ev = spans(d.filter(col("doc_id") % 31 === 0))
+        val tr = spans(d.filter(col("doc_id") % 31 =!= 0))
+          .select(col("span"))
+        val leaked = ev.join(tr, Seq("span"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("span")).as("n_leaked"))
+        ev.groupBy(col("doc_id"))
+          .agg(countDistinct(col("span")).as("n_spans"))
+          .join(leaked, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_leaked"))
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS ts
+          FROM documents),
+        sp AS (
+          SELECT doc_id, unnest(CASE WHEN len(ts) >= 8 THEN
+            list_transform(range(1, len(ts) - 6),
+              i -> array_to_string(ts[i:i+7], ' '))
+            ELSE CAST([] AS VARCHAR[]) END) AS span
+          FROM tok),
+        ev AS (SELECT * FROM sp WHERE doc_id % 31 = 0),
+        tr AS (SELECT DISTINCT span FROM sp WHERE doc_id % 31 != 0)
+        SELECT ev.doc_id,
+               count(DISTINCT ev.span) AS n_spans,
+               count(DISTINCT CASE WHEN tr.span IS NOT NULL
+                                   THEN ev.span END) AS n_leaked
+        FROM ev LEFT JOIN tr USING (span)
+        GROUP BY 1"""),
+      doc = "Cross-corpus contamination report: per-eval-doc 8-gram " +
+        "overlap counts vs the train split (exact span membership)."),
+
+    // ------------------------------------------------------------------
+    "c23_integrity_report" -> QueryDef(
+      fn = { (s, dir) =>
+        // Data-quality gate for the warehouse side: referential
+        // integrity (orphan orders / lineitems), key uniqueness, and
+        // null checks, as ONE narrow report row. Each check is the
+        // minimal distributed shape: anti joins for orphans (shuffle
+        // on the key, no data movement beyond ids), a groupBy-count
+        // for dup keys, partial-agg null counts. At 100 TB this is
+        // the pre-publish contract check run on every snapshot; every
+        // count is exact and the row is hash-checked.
+        val t = T(s, dir)
+        val orphanOrders = t.orders.join(t.customer,
+          col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(col("n").as("n_orphan_orders"))
+        val orphanLines = t.lineitem.join(t.orders,
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(col("n").as("n_orphan_lineitems"))
+        val dupKeys = t.orders.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(count(lit(1)).as("n")).select(col("n").as("n_dup_orderkeys"))
+        val nulls = t.customer.agg(
+          sum(when(col("c_name").isNull, 1L).otherwise(0L))
+            .as("n_null_custnames"))
+        val totals = t.orders.agg(count(lit(1)).as("n_orders"))
+        totals.crossJoin(orphanOrders).crossJoin(orphanLines)
+          .crossJoin(dupKeys).crossJoin(nulls)
+      },
+      oracle = Some("""
+        SELECT
+          (SELECT count(*) FROM orders) AS n_orders,
+          (SELECT count(*) FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey
+           WHERE c.c_custkey IS NULL) AS n_orphan_orders,
+          (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+             ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderkey IS NULL) AS n_orphan_lineitems,
+          (SELECT count(*) FROM (
+             SELECT o_orderkey FROM orders GROUP BY 1
+             HAVING count(*) > 1)) AS n_dup_orderkeys,
+          (SELECT CAST(coalesce(sum(CASE WHEN c_name IS NULL THEN 1
+                                         ELSE 0 END), 0) AS BIGINT)
+             FROM customer) AS n_null_custnames"""),
+      doc = "Snapshot integrity report: orphan keys, duplicate " +
+        "primary keys, null checks — one exact hash-checked row."))
 }

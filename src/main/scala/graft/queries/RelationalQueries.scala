@@ -1206,5 +1206,103 @@ object RelationalQueries {
         FROM e JOIN c USING (user_id)
         GROUP BY 1, 2"""),
       doc = "Weekly cohort retention (first-activity cohorts, exact " +
-        "integer week offsets, co-partitioned joins)."))
+        "integer week offsets, co-partitioned joins)."),
+
+    // ------------------------------------------------------------------
+    "q44_range_window" -> QueryDef(
+      fn = { (s, dir) =>
+        // Time-RANGE window frames (the piece q05's ROWS frames left
+        // out): trailing 7-day spend + order count per customer. The
+        // frame is ordered by INTEGER micros (the float/oracle
+        // discipline for timestamps) and money sums run in DECIMAL.
+        // RANGE includes ALL peers of the current timestamp, so the
+        // result is deterministic without an order tiebreak. One
+        // shuffle (partitionBy customer); the frame scan is linear
+        // per partition — the 100 TB shape for trailing-window
+        // features.
+        val o = T(s, dir).orders
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("us"))
+          .rangeBetween(-604800000000L, 0L)
+        // o_orderdate is TIMESTAMP_NTZ; the session runs UTC, so the
+        // cast to TIMESTAMP yields the same micros DuckDB's epoch_us
+        // reads off the naive parquet value
+        o.select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+          col("o_totalprice"))
+          .select(col("o_orderkey"), col("o_custkey"), col("us"),
+            sum(dec(col("o_totalprice"))).over(w)
+              .cast("double").as("trail7d_spend"),
+            count(lit(1)).over(w).as("n_trail7d"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey,
+               epoch_us(o_orderdate) AS us,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w
+                 AS DOUBLE) AS trail7d_spend,
+               count(*) OVER w AS n_trail7d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)"""),
+      doc = "Time-RANGE window frames over integer micros (trailing " +
+        "7-day spend; DECIMAL-summed, tie-safe)."),
+
+    // ------------------------------------------------------------------
+    "q45_window_complete" -> QueryDef(
+      fn = { (s, dir) =>
+        // The rest of the SQL window-function surface: percent_rank /
+        // cume_dist (exact rationals — both engines divide the same
+        // integers in double, so the hash compare holds bitwise) and
+        // first/last/nth_value over an explicit full frame with a
+        // UNIQUE order (totalprice, orderkey) so value-functions are
+        // deterministic. Same single-shuffle shape as q05.
+        val o = T(s, dir).orders
+        val byPrice = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val full = byPrice.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            percent_rank().over(byPrice).as("pr"),
+            cume_dist().over(byPrice).as("cd"),
+            first_value(col("o_orderkey")).over(full).as("cheapest_key"),
+            last_value(col("o_orderkey")).over(full).as("dearest_key"),
+            nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               first_value(o_orderkey) OVER wf AS cheapest_key,
+               last_value(o_orderkey) OVER wf AS dearest_key,
+               nth_value(o_orderkey, 2) OVER wf AS second_key
+        FROM orders
+        WINDOW w  AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey),
+               wf AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)"""),
+      doc = "percent_rank / cume_dist / first / last / nth_value " +
+        "with explicit frames and a unique order."),
+
+    // ------------------------------------------------------------------
+    "q46_approx_quantiles" -> QueryDef(
+      fn = { (s, dir) =>
+        // The quantile SKETCH to q28's exact percentiles — at 100 TB
+        // exact quantiles need a full sort or two passes;
+        // percentile_approx (Greenwald-Khanna) is one partial-agg
+        // pass with a mergeable summary, rank error <= n/accuracy.
+        // Sketch output is merge-order-dependent -> rows-only; the
+        // rank-error bound vs the exact sorted values is pinned in
+        // SketchSpec.
+        T(s, dir).lineitem.agg(
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+            .as("approx_q"),
+          count(lit(1)).as("n"))
+      },
+      oracle = None,
+      doc = "Greenwald-Khanna approximate quantiles (mergeable one-" +
+        "pass sketch; rank-error spec vs exact percentiles)."))
 }

@@ -396,5 +396,65 @@ object TextQueries {
                206.835 - 1.015 * (w / sen) - 84.6 * (syl / w) AS flesch
         FROM f WHERE w > 0"""),
       doc = "Flesch reading ease from integer word/sentence/syllable " +
-        "counts (single codegen pass, engine-exact doubles)."))
+        "counts (single codegen pass, engine-exact doubles)."),
+
+    // ------------------------------------------------------------------
+    "t13_collocations" -> QueryDef(
+      fn = { (s, dir) =>
+        // Collocation extraction (pointwise-mutual-information family,
+        // kept exact): lift(a,b) = n_ab * N / (n_a * n_b) — the
+        // log-free PMI core, computed as ONE double division of exact
+        // integer products so both engines agree bitwise (the same
+        // rational-form discipline as t11's idf; products stay far
+        // under 2^53 here, and the 100 TB variant would emit the
+        // integer triple and defer division). Shape: two token
+        // explodes feeding partial-agg counts, a min-support filter
+        // (n_ab >= 5) BEFORE the unigram joins so the join input is
+        // the small surviving bigram set, and the corpus-total N as a
+        // broadcast 1-row cross join.
+        val d = docs(s, dir)
+        val uni = d.select(
+          explode(TextFunctions.shingles(col("text"), 1)).as("w"))
+        val un = uni.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        val tot = uni.agg(count(lit(1)).as("n_total"))
+        d.select(explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+          .select(split(col("bg"), " ").getItem(0).as("w1"),
+            split(col("bg"), " ").getItem(1).as("w2"), col("n_ab"))
+          .join(un.select(col("w").as("w1"), col("n").as("n_a")), Seq("w1"))
+          .join(un.select(col("w").as("w2"), col("n").as("n_b")), Seq("w2"))
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("n_ab"), col("n_a"),
+            col("n_b"),
+            ((col("n_ab") * col("n_total")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS ts
+          FROM documents),
+        uni AS (SELECT unnest(ts) AS w FROM tok),
+        un AS (SELECT w, count(*) AS n FROM uni GROUP BY 1),
+        tot AS (SELECT count(*) AS n_total FROM uni),
+        bg AS (
+          SELECT unnest(CASE WHEN len(ts) >= 2 THEN
+            list_transform(range(1, len(ts)),
+              i -> array_to_string(ts[i:i+1], ' '))
+            ELSE CAST([] AS VARCHAR[]) END) AS bg
+          FROM tok),
+        bn AS (SELECT bg, count(*) AS n_ab FROM bg
+               GROUP BY 1 HAVING count(*) >= 5)
+        SELECT string_split(bn.bg, ' ')[1] AS w1,
+               string_split(bn.bg, ' ')[2] AS w2,
+               bn.n_ab, a.n AS n_a, b.n AS n_b,
+               CAST(bn.n_ab * tot.n_total AS DOUBLE)
+                 / CAST(a.n * b.n AS DOUBLE) AS lift
+        FROM bn
+        JOIN un a ON a.w = string_split(bn.bg, ' ')[1]
+        JOIN un b ON b.w = string_split(bn.bg, ' ')[2]
+        CROSS JOIN tot"""),
+      doc = "Bigram collocation lift (exact-rational PMI core; " +
+        "min-support before joins, broadcast total)."))
 }

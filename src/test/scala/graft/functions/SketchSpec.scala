@@ -54,4 +54,26 @@ class SketchSpec extends AnyFunSuite {
     assert(got.size <= 2 * trueHeavy.size + 10,
       s"${got.size} results for ${trueHeavy.size} true heavy hitters")
   }
+
+  test("q46 approximate quantiles stay within the GK rank-error bound") {
+    val dir = "/root/testdata/sf0.001"
+    val row = graft.SparkEntry.queries("q46_approx_quantiles")(spark, dir)
+      .head()
+    val approx = row.getSeq[Double](0)
+    val n = row.getLong(1)
+    val sorted = graft.Engine.Tables(spark, dir).lineitem
+      .select(col("l_extendedprice")).orderBy(col("l_extendedprice"))
+      .collect().map(_.getDouble(0))
+    assert(sorted.length == n)
+    // accuracy 10000 => rank error <= n/10000; allow one extra rank
+    // for the floor/ceil convention at the target rank itself
+    val tol = n / 10000 + 2
+    Seq(0.5, 0.9, 0.99).zipWithIndex.foreach { case (p, i) =>
+      val target = (p * n).toLong
+      val lo = sorted(math.max(0L, target - tol).toInt)
+      val hi = sorted(math.min(n - 1, target + tol).toInt)
+      assert(approx(i) >= lo && approx(i) <= hi,
+        s"p=$p approx=${approx(i)} outside rank window [$lo, $hi]")
+    }
+  }
 }
