@@ -71,6 +71,48 @@ object DedupQueries {
       doc = "Exact n-gram(1) Jaccard kernel on adjacent-id pairs."),
 
     // ------------------------------------------------------------------
+    "d14_containment_adjacent" -> QueryDef(
+      fn = { (s, dir) =>
+        // ASYMMETRIC containment |A∩B| / |A| — the excerpt/subset
+        // detector Jaccard misses: a short doc fully quoted inside a
+        // long one has low Jaccard (union is large) but containment
+        // 1.0 from the short side. Same deterministic adjacent-pair
+        // kernel as d02 so the measure itself is oracle-checked
+        // exactly; the scale path pairs via the same LSH candidates
+        // as d03 (candidates are symmetric; only the verify measure
+        // changes). Both directions emitted per pair.
+        val d = T(s, dir).documents
+        val sets = d.select(col("doc_id"),
+          array_distinct(TextFunctions.tokens(col("text"))).as("ts"))
+          .localCheckpoint()
+        val a = sets.select(col("doc_id").as("id_a"), col("ts").as("set_a"))
+        val b = sets.select((col("doc_id") - 1).as("id_a"),
+          col("doc_id").as("id_b"), col("ts").as("set_b"))
+        a.join(b, Seq("id_a"))
+          .withColumn("n_inter",
+            size(array_intersect(col("set_a"), col("set_b"))))
+          .select(col("id_a"), col("id_b"),
+            (col("n_inter").cast("double") /
+              size(col("set_a")).cast("double")).as("containment_ab"),
+            (col("n_inter").cast("double") /
+              size(col("set_b")).cast("double")).as("containment_ba"))
+      },
+      oracle = Some("""
+        WITH sets AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(string_split(text, ' '),
+                   x -> x != '')) AS ts
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+                 CAST(len(a.ts) AS DOUBLE) AS containment_ab,
+               CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+                 CAST(len(b.ts) AS DOUBLE) AS containment_ba
+        FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1"""),
+      doc = "Asymmetric set containment on adjacent-id pairs (the " +
+        "excerpt detector; both directions)."),
+
+    // ------------------------------------------------------------------
     "d03_minhash_neardups" -> QueryDef(
       fn = { (s, dir) =>
         // Full MinHash(128)+LSH(32 bands) near-dup pipeline with

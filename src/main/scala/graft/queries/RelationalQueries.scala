@@ -1304,5 +1304,65 @@ object RelationalQueries {
       },
       oracle = None,
       doc = "Greenwald-Khanna approximate quantiles (mergeable one-" +
-        "pass sketch; rank-error spec vs exact percentiles)."))
+        "pass sketch; rank-error spec vs exact percentiles)."),
+
+    // ------------------------------------------------------------------
+    "q47_null_semantics" -> QueryDef(
+      fn = { (s, dir) =>
+        // NOT IN tri-valued logic, exercised in PREDICATE position
+        // where Catalyst's null-aware anti join implements the
+        // standard exactly: a NULL planted in the subquery (nullif
+        // against min(o_custkey), deterministic at every SF) makes
+        // x NOT IN (S ∪ {NULL}) non-TRUE for every x, so the
+        // with-null anti leg must count 0 — the classic trap for
+        // engines that blindly rewrite NOT IN to plain anti join.
+        // Projection position is deliberately avoided: Spark 4.1
+        // rewrites a SELECT-list InSubquery through an existence
+        // join that yields FALSE where the standard (and DuckDB)
+        // yield NULL — found while building this query; the
+        // predicate form is the one both engines agree the standard
+        // on, and the one 100 TB filters actually use.
+        T(s, dir).orders.createOrReplaceTempView("graft_orders")
+        T(s, dir).customer.createOrReplaceTempView("graft_customer")
+        s.sql("""
+          SELECT 'in_plain' AS probe, count(*) AS n FROM graft_customer
+          WHERE c_custkey IN (SELECT o_custkey FROM graft_orders
+                              WHERE o_totalprice > 150000)
+          UNION ALL
+          SELECT 'not_in_plain', count(*) FROM graft_customer
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM graft_orders
+                                  WHERE o_totalprice > 150000)
+          UNION ALL
+          SELECT 'in_with_null', count(*) FROM graft_customer
+          WHERE c_custkey IN (
+            SELECT nullif(o_custkey,
+                     (SELECT min(o_custkey) FROM graft_orders))
+            FROM graft_orders)
+          UNION ALL
+          SELECT 'not_in_with_null', count(*) FROM graft_customer
+          WHERE c_custkey NOT IN (
+            SELECT nullif(o_custkey,
+                     (SELECT min(o_custkey) FROM graft_orders))
+            FROM graft_orders)""")
+      },
+      oracle = Some("""
+        SELECT 'in_plain' AS probe, count(*) AS n FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 150000)
+        UNION ALL
+        SELECT 'not_in_plain', count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 150000)
+        UNION ALL
+        SELECT 'in_with_null', count(*) FROM customer
+        WHERE c_custkey IN (
+          SELECT nullif(o_custkey, (SELECT min(o_custkey) FROM orders))
+          FROM orders)
+        UNION ALL
+        SELECT 'not_in_with_null', count(*) FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT nullif(o_custkey, (SELECT min(o_custkey) FROM orders))
+          FROM orders)"""),
+      doc = "IN / NOT IN tri-valued null semantics in predicate " +
+        "position (null-aware anti join; with-null anti leg counts 0)."))
 }

@@ -93,6 +93,30 @@ object EventStreams {
       .drop("s_user_id")
   }
 
+  /** Left-outer stream-stream interval join: every fact row emits.
+    * Matched rows stream out immediately; an UNMATCHED fact emits
+    * with null signal columns only once BOTH watermarks pass the
+    * point where a matching signal could still arrive — outer
+    * results are proofs of absence, and the state eviction that
+    * produces them is the same mechanism that keeps join state
+    * bounded at 100 TB/day rates (each side holds one watermark
+    * horizon). Same join expression as [[intervalJoin]]; watermarks
+    * are REQUIRED (an outer stream-stream join without them would
+    * hold state forever and never emit the null side).
+    */
+  def intervalJoinOuter(
+      facts: DataFrame, signals: DataFrame,
+      lookback: String = "15 minutes",
+      factsWatermark: String = "10 minutes",
+      signalsWatermark: String = "20 minutes"): DataFrame = {
+    val f = facts.withWatermark("ts", factsWatermark)
+    val s = signals.withWatermark("rts", signalsWatermark)
+    f.join(s, expr(
+      s"""user_id = s_user_id AND
+          rts BETWEEN ts - INTERVAL $lookback AND ts"""), "left_outer")
+      .drop("s_user_id")
+  }
+
   /** Streaming exact dedup: emit only the FIRST occurrence of each
     * content fingerprint; re-arrivals within the watermark horizon
     * are dropped. `dropDuplicatesWithinWatermark` is the only shape

@@ -128,6 +128,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, "recent")), s"got $rows")
   }
 
+  test("outer interval join emits null-side rows after watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[(Timestamp, Long, Double)]
+    val signals = MemoryStream[(Timestamp, Long, String)]
+    val joined = EventStreams.intervalJoinOuter(
+      facts.toDF().toDF("ts", "user_id", "value"),
+      signals.toDF().toDF("rts", "s_user_id", "label"),
+      lookback = "15 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ijo_out").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    signals.addData((t("2024-01-01 10:00:00"), 1L, "recent"))
+    facts.addData(
+      (t("2024-01-01 10:10:00"), 1L, 5.0),   // matched
+      (t("2024-01-01 10:10:00"), 2L, 7.0))   // no signal: outer row
+    q.processAllAvailable()
+    // the unmatched fact must NOT have emitted yet: a matching signal
+    // could still arrive until the watermarks pass its window
+    val early = spark.table("ijo_out").collect()
+      .map(r => r.getAs[Long]("user_id")).toSet
+    assert(early == Set(1L), s"outer row emitted too early: $early")
+    // advance both watermarks far past the window end -> eviction
+    // proves absence and the null-side row emits
+    signals.addData((t("2024-01-01 12:00:00"), 99L, "wm"))
+    facts.addData((t("2024-01-01 12:00:00"), 99L, 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("ijo_out").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        Option(r.getAs[String]("label")))).toSet
+    q.stop()
+    assert(rows.contains((1L, Some("recent"))), s"got $rows")
+    assert(rows.contains((2L, None)), s"outer row missing: $rows")
+  }
+
   test("streaming dedup emits first occurrence only, within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
