@@ -932,5 +932,37 @@ object CurationQueries {
                                          ELSE 0 END), 0) AS BIGINT)
              FROM customer) AS n_null_custnames"""),
       doc = "Snapshot integrity report: orphan keys, duplicate " +
-        "primary keys, null checks — one exact hash-checked row."))
+        "primary keys, null checks — one exact hash-checked row."),
+
+    // ------------------------------------------------------------------
+    "c24_cdc_apply" -> QueryDef(
+      fn = { (s, dir) =>
+        // CDC-apply through the TableSync snapshot+pointer sink: the
+        // orders feed replays as two update batches (even / odd
+        // orderkeys) into a keyed table where the highest version per
+        // customer wins; the read resolves the _CURRENT pointer to
+        // ONE consistent snapshot. The same applyBatch drives the
+        // streaming upsertSink (TableSyncSpec pins restart-replay
+        // idempotence); this registration oracle-checks the merge
+        // semantics end-to-end: the result must equal latest-order-
+        // per-customer computed relationally.
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-cdc-").toString
+        val ups = T(s, dir).orders.select(col("o_custkey").as("k"),
+          col("o_orderkey").as("ver"), col("o_totalprice").as("price"))
+        graft.streaming.TableSync.applyBatch(
+          ups.filter(col("ver") % 2 === 0), path, "k", "ver", 0L)
+        graft.streaming.TableSync.applyBatch(
+          ups.filter(col("ver") % 2 =!= 0), path, "k", "ver", 1L)
+        graft.streaming.TableSync.readCurrent(s, path)
+      },
+      oracle = Some("""
+        SELECT o_custkey AS k, o_orderkey AS ver, o_totalprice AS price
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1"""),
+      doc = "CDC upsert-apply via the snapshot+pointer table sink " +
+        "(highest version per key wins; consistent snapshot read)."))
 }
