@@ -109,4 +109,19 @@ object VectorFunctions {
       v: Column, bits: Int, tables: Int, dim: Int, seed: Int = 7): Column =
     array((0 until tables).map(t =>
       hyperplaneSig(v, bits, dim, seed * 1009 + t)): _*)
+
+  /** Achlioptas (+-1) random projection into `projDim` dimensions —
+    * the Johnson-Lindenstrauss sketch with integer-deterministic
+    * planes: component p = dot(v, r_p) where r_p is the same literal
+    * +-1 plane family hyperplaneSig signs. Keeping the MAGNITUDE
+    * (not just the sign bit) preserves cosine geometry in
+    * expectation with variance ~1/projDim, so a 64-dim corpus scans
+    * as 16 doubles. No scaling factor: cosine is scale-invariant.
+    * Planes are driver-computed plan literals — no executor
+    * randomness, stable across runs/JVMs.
+    */
+  def randProj(
+      v: Column, projDim: Int, dim: Int, seed: Int = 11): Column =
+    array((0 until projDim).map(p =>
+      dotProduct(v, planeLit(dim, seed.toLong * 15485863L + p))): _*)
 }

@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "byte_entropy",
       "byte_entropy(text) - Shannon entropy (bits) of the byte distribution",
       { case Seq(t) => ByteEntropy(t) })
+    register(ext, "jaro_winkler",
+      "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings",
+      { case Seq(a, b) => JaroWinkler(a, b) })
     ext.injectOptimizerRule(_ => LevenshteinThresholdRule)
   }
 

@@ -964,5 +964,38 @@ object CurationQueries {
               FROM orders)
         WHERE rn = 1"""),
       doc = "CDC upsert-apply via the snapshot+pointer table sink " +
-        "(highest version per key wins; consistent snapshot read)."))
+        "(highest version per key wins; consistent snapshot read)."),
+
+    // ------------------------------------------------------------------
+    "c25_corpus_shuffle" -> QueryDef(
+      fn = { (s, dir) =>
+        // Deterministic seeded training-order shuffle WITHOUT a global
+        // sort: key = md5(seed || doc_id) is a pure content function
+        // (identical on any engine/partitioning), the first hex char
+        // IS the shard (16-way here; widen the prefix for 256/4096
+        // shards at corpus scale), and training position is the rank
+        // of the key within its shard only. The plan is one shuffle
+        // on shard + a per-shard sort — each shard sorts
+        // independently, so at 100 TB this is 4096 bounded sorts, not
+        // one global total order. Epoch reshuffle = change the seed.
+        docs(s, dir)
+          .withColumn("key",
+            md5(concat(lit("shuf42:"), col("doc_id").cast("string"))))
+          .withColumn("shard", substring(col("key"), 1, 1))
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("shard")).orderBy(col("key"))))
+          .select(col("doc_id"), col("shard"),
+            col("pos").cast("int").as("pos"))
+      },
+      oracle = Some("""
+        SELECT doc_id, substring(key, 1, 1) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY substring(key, 1, 1) ORDER BY key)
+                 AS INTEGER) AS pos
+        FROM (SELECT doc_id,
+                md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS key
+              FROM documents)"""),
+      doc = "Seeded deterministic corpus shuffle into sharded " +
+        "training order (per-shard rank, no global sort)."))
 }

@@ -485,6 +485,29 @@ object DedupQueries {
         "query over the top-20 slice; rows-only)."),
 
     // ------------------------------------------------------------------
+    "s09_topk_randproj" -> QueryDef(
+      fn = { (s, dir) =>
+        // Johnson-Lindenstrauss two-stage ANN: coarse scan in a
+        // 16-dim +-1-projection sketch (4x cheaper per comparison),
+        // top-20 shortlist per query, exact rescore in 64-dim.
+        // Seeded plan-literal planes -> deterministic but not
+        // SQL-expressible. Recall is pinned in SimilaritySpec on
+        // PLANTED clusters: this fixture's neighbors sit ~0.03
+        // cosine above bulk, which no fixed-dim sketch separates —
+        // a sketch preserves separations that exist; `oversample`
+        // is the recall lever on weakly-separated corpora.
+        val e = T(s, dir).embeddings
+          .repartition(s.sparkContext.defaultParallelism)
+        Similarity.randProjTopK(e, e.filter(col("vec_id") % 50 === 0),
+          k = 5, projDim = 16, oversample = 4)
+          .select(col("qid"), col("id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      oracle = None,
+      doc = "Random-projection (JL sketch) two-stage ANN top-5: " +
+        "16-dim coarse scan + exact rescore (rows-only)."),
+
+    // ------------------------------------------------------------------
     "s06_topk_sparse" -> QueryDef(
       fn = { (s, dir) =>
         // Sparse TF-IDF cosine top-50 pairs via inverted-index join —
@@ -626,5 +649,53 @@ object DedupQueries {
       oracle = None,
       doc = "Incremental embedding dedup of an append batch vs a " +
         "persisted hyperplane-signature index (corpus streams, batch " +
-        "broadcasts)."))
+        "broadcasts)."),
+
+    // ------------------------------------------------------------------
+    "d15_jaro_linkage" -> QueryDef(
+      fn = { (s, dir) =>
+        // Record linkage with the Jaro-Winkler kernel (the classic
+        // choice for short entity strings) over 32-char normalized
+        // title prefixes: candidates are same-language docs whose
+        // titles share a 2-byte prefix (standard prefix blocking —
+        // near-linear candidate growth vs the lang-only join's
+        // quadratic blowup; 107k vs 3.2M pairs at sf0.1), verified by
+        // the native codegen jaro_winkler Expression at >= 0.93. The
+        // similarity column is emitted RAW: JaroWinklerUtil pins the
+        // canonical evaluation order, so the double is bit-for-bit
+        // reproducible cross-engine and the oracle hash-checks it.
+        // Blocking recall is declared, not hidden: a near-dup pair
+        // differing in its first two bytes is out of scope here
+        // (d03/d11 cover order-robust candidates).
+        import org.apache.spark.sql.graft.expressions.jaro_winkler
+        val f = T(s, dir).documents.select(
+          col("doc_id"), col("lang"),
+          substring(TextFunctions.normText(col("text")), 1, 32)
+            .as("title"))
+          .withColumn("blk", substring(col("title"), 1, 2))
+        val a = f.select(col("doc_id").as("id_a"), col("lang"),
+          col("blk"), col("title").as("t_a"))
+        val b = f.select(col("doc_id").as("id_b"), col("lang"),
+          col("blk"), col("title").as("t_b"))
+        a.join(b, Seq("lang", "blk"))
+          .where(col("id_b") > col("id_a"))
+          .select(col("id_a"), col("id_b"),
+            jaro_winkler(col("t_a"), col("t_b")).as("sim"))
+          .where(col("sim") >= 0.93)
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id, lang,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g'))[1:32]
+                   AS title
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               jaro_winkler_similarity(a.title, b.title) AS sim
+        FROM f a JOIN f b
+          ON a.lang = b.lang AND a.title[1:2] = b.title[1:2]
+         AND b.doc_id > a.doc_id
+        WHERE jaro_winkler_similarity(a.title, b.title) >= 0.93"""),
+      doc = "Record linkage: (lang, 2-byte title prefix) blocking + " +
+        "Jaro-Winkler >= 0.93 on normalized 32-char titles; raw " +
+        "double hash-checked cross-engine."))
 }

@@ -156,4 +156,34 @@ class ExpressionSpec extends AnyFunSuite {
     val viaSql = spark.sql("SELECT byte_entropy('abca')").head().getDouble(0)
     assert(math.abs(viaSql - 1.5) < 1e-12)
   }
+
+  test("jaro_winkler: textbook values bitwise-equal to the reference engine") {
+    import org.apache.spark.sql.graft.expressions.jaro_winkler
+    // Expected doubles captured from DuckDB 1.x jaro_winkler_similarity
+    // (byte-level, p=0.1, prefix<=4, boost iff jaro>0.7) — the d15
+    // oracle hash-checks raw doubles, so these must be EXACT (==).
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("abcd", "abcd", 1.0),
+      // non-ASCII: byte-level window/matching, same as the oracle
+      ("héllo wörld", "hello world", 0.8531468531468531),
+      ("ñandú", "ñandu", 0.9095238095238095),
+      // either side empty -> 0.0 (NOT textbook both-empty 1.0)
+      ("", "", 0.0), ("", "abc", 0.0), ("abc", "", 0.0),
+      // below the 0.7 boost threshold: plain jaro, no prefix bonus
+      ("abcdef", "abdpqr", 0.6666666666666666))
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(jaro_winkler($"a", $"b")).collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b, exp), g) =>
+      assert(g == exp, s"jw($a, $b): got $g want $exp")
+    }
+    // null propagation + SQL registration
+    val nul = df.limit(1)
+      .select(jaro_winkler($"a", lit(null).cast("string"))).head()
+    assert(nul.isNullAt(0))
+    val viaSql = spark.sql("SELECT jaro_winkler('martha', 'marhta')")
+      .head().getDouble(0)
+    assert(viaSql == 0.9611111111111111)
+  }
 }
