@@ -508,6 +508,54 @@ object DedupQueries {
         "16-dim coarse scan + exact rescore (rows-only)."),
 
     // ------------------------------------------------------------------
+    "s10_hard_negatives" -> QueryDef(
+      fn = { (s, dir) =>
+        // Contrastive hard-negative mining: for each anchor, the
+        // top-5 most-similar vectors with a DIFFERENT label — the
+        // negatives that actually move a contrastive loss (random
+        // negatives are trivially separable; same-label lookalikes
+        // are positives, not negatives). Same broadcast-scan shape
+        // as s01 with the label guard fused into the scan filter; at
+        // corpus scale swap the exact scan for lshTopK/pqTopK
+        // candidates and keep the label anti-filter + rescore.
+        val e = T(s, dir).embeddings
+          .repartition(s.sparkContext.defaultParallelism)
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel"))
+        val scored = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid") &&
+            col("label") =!= col("qlabel"))
+          .select(col("qid"), col("vec_id").as("id"),
+            round(VectorFunctions.cosineSim(col("embedding"), col("qvec")), 4)
+              .as("cosine"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS id,
+                 round(list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+          FROM embeddings q JOIN embeddings c
+            ON c.vec_id != q.vec_id AND c.label != q.label
+          WHERE q.vec_id % 50 = 0),
+        ranked AS (
+          SELECT qid, id, cosine,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cosine DESC, id) AS rank
+          FROM scored)
+        SELECT qid, id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5"""),
+      doc = "Contrastive hard-negative mining: top-5 cross-label " +
+        "near-neighbors per anchor (exact, label guard fused into " +
+        "the scan)."),
+
+    // ------------------------------------------------------------------
     "s06_topk_sparse" -> QueryDef(
       fn = { (s, dir) =>
         // Sparse TF-IDF cosine top-50 pairs via inverted-index join —

@@ -456,5 +456,79 @@ object TextQueries {
         JOIN un b ON b.w = string_split(bn.bg, ' ')[2]
         CROSS JOIN tot"""),
       doc = "Bigram collocation lift (exact-rational PMI core; " +
-        "min-support before joins, broadcast total)."))
+        "min-support before joins, broadcast total)."),
+
+    // ------------------------------------------------------------------
+    "t14_bigram_quality" -> QueryDef(
+      fn = { (s, dir) =>
+        // CCNet-style LM quality scoring with a character-bigram
+        // model: train counts on the even-doc_id half, score the odd
+        // half by how familiar its bigrams are (freq_sum) and how
+        // many it has the model never saw (oov). The held-out split
+        // gives real generalization semantics: gibberish/base64 docs
+        // score near-zero freq and high oov. All-INTEGER outputs by
+        // design — the log transform a production scorer would apply
+        // is monotone per-term and engine-divergent in the last ulp,
+        // so the exactness gate scores frequencies, not log-probs.
+        // Scale: the model is vocabulary-bounded (<= charset^2 rows)
+        // -> broadcast; scoring is explode + broadcast-join + one
+        // groupBy on doc_id.
+        val nt = docs(s, dir).select(col("doc_id"),
+          TextFunctions.normText(col("text")).as("t"))
+        val bg = nt.select(col("doc_id"),
+          explode(when(length(col("t")) >= 2,
+            transform(sequence(lit(1), length(col("t")) - 1),
+              i => col("t").substr(i, lit(2))))
+            .otherwise(array().cast("array<string>"))).as("b"))
+        val model = bg.filter(col("doc_id") % 2 === 0)
+          .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+        bg.filter(col("doc_id") % 2 === 1)
+          .join(broadcast(model), Seq("b"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(coalesce(col("cnt"), lit(0L))).as("freq_sum"),
+            sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("oov"))
+      },
+      oracle = Some("""
+        WITH nt AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents),
+        bg AS (
+          SELECT doc_id, unnest(CASE WHEN length(t) >= 2 THEN
+            list_transform(range(1, length(t)), i -> t[i:i+1])
+            ELSE CAST([] AS VARCHAR[]) END) AS b
+          FROM nt),
+        model AS (
+          SELECT b, count(*) AS cnt FROM bg
+          WHERE doc_id % 2 = 0 GROUP BY b)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(coalesce(m.cnt, 0)) AS BIGINT) AS freq_sum,
+               CAST(sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS oov
+        FROM bg s LEFT JOIN model m USING (b)
+        WHERE s.doc_id % 2 = 1
+        GROUP BY s.doc_id"""),
+      doc = "Char-bigram LM quality scoring vs a held-out-half " +
+        "model (integer-exact familiarity + OOV counts; bounded " +
+        "broadcast model)."),
+
+    // ------------------------------------------------------------------
+    "t15_bpe_merges" -> QueryDef(
+      fn = { (s, dir) =>
+        // Tokenizer induction: learn the corpus's top-20 BPE merges.
+        // One distributed word-count shuffle; the merge loop runs on
+        // the bounded word histogram (the standard trainer split —
+        // pair statistics over a histogram equal pair statistics
+        // over the corpus). Iterative greedy induction is not
+        // SQL-expressible -> rows-only; BpeSpec pins the exact merge
+        // sequence on a planted corpus + determinism here.
+        graft.operators.Bpe.learnMerges(
+          docs(s, dir), "text", numMerges = 20)
+      },
+      oracle = None,
+      doc = "BPE tokenizer induction: top-20 learned merges " +
+        "(distributed word histogram + bounded driver merge loop; " +
+        "rows-only)."))
 }
