@@ -997,5 +997,74 @@ object CurationQueries {
                 md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS key
               FROM documents)"""),
       doc = "Seeded deterministic corpus shuffle into sharded " +
-        "training order (per-shard rank, no global sort)."))
+        "training order (per-shard rank, no global sort)."),
+
+    // ------------------------------------------------------------------
+    "c26_epoch_mix" -> QueryDef(
+      fn = { (s, dir) =>
+        // Mixture-with-repetition (the Llama/Pile data recipe): hit
+        // target per-language token weights against a global budget
+        // of 1.2x the corpus by REPEATING docs — repeat rate r_d =
+        // w_d * budget / domain_tokens, realized per doc as
+        // floor(r_d) copies plus one more iff the doc's md5-derived
+        // uniform u < frac(r_d) (deterministic stochastic rounding:
+        // the expected token count hits the target exactly, and
+        // membership is a pure content function — no RNG state, no
+        // partition sensitivity). Output is the expanded training
+        // list (doc_id, copy). Scale: two stats aggregates broadcast
+        // as scalars; the expansion is a per-row sequence explode —
+        // no shuffle beyond the tiny per-lang aggregate.
+        val d = docs(s, dir)
+        val w = typedLit(Map(
+          "en" -> 0.5, "zh" -> 0.2, "es" -> 0.1, "de" -> 0.1,
+          "fr" -> 0.1))
+        val perLang = d.groupBy(col("lang"))
+          .agg(sum(col("n_chars")).as("t_d"))
+        val total = d.agg(sum(col("n_chars")).as("t_all"))
+        val rated = d
+          .join(broadcast(perLang), Seq("lang"))
+          .crossJoin(broadcast(total))
+          .withColumn("r",
+            (w(col("lang")) * (col("t_all").cast("double") * 1.2)) /
+              col("t_d").cast("double"))
+          .withColumn("u",
+            conv(substring(md5(concat(lit("mix7:"),
+              col("doc_id").cast("string"))), 1, 15), 16, 10)
+              .cast("long").cast("double") / lit(1152921504606846976.0))
+          .withColumn("n_copies",
+            floor(col("r")).cast("long") +
+              when(col("u") < col("r") - floor(col("r")), 1L)
+                .otherwise(0L))
+        rated.filter(col("n_copies") >= 1)
+          .select(col("doc_id"),
+            explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      },
+      oracle = Some("""
+        WITH per_lang AS (
+          SELECT lang, sum(n_chars) AS t_d FROM documents GROUP BY 1),
+        total AS (SELECT sum(n_chars) AS t_all FROM documents),
+        rated AS (
+          SELECT d.doc_id,
+                 (CASE d.lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
+                              WHEN 'es' THEN 0.1 WHEN 'de' THEN 0.1
+                              WHEN 'fr' THEN 0.1 END
+                  * (CAST(t.t_all AS DOUBLE) * 1.2))
+                   / CAST(p.t_d AS DOUBLE) AS r,
+                 CAST(CAST(('0x' || substr(md5('mix7:' ||
+                     CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                   AS DOUBLE) / 1152921504606846976.0 AS u
+          FROM documents d
+          JOIN per_lang p ON p.lang = d.lang
+          CROSS JOIN total t),
+        counted AS (
+          SELECT doc_id,
+                 CAST(floor(r) AS BIGINT) +
+                   (CASE WHEN u < r - floor(r) THEN 1 ELSE 0 END)
+                   AS n_copies
+          FROM rated)
+        SELECT doc_id, unnest(range(1, n_copies + 1)) AS copy
+        FROM counted WHERE n_copies >= 1"""),
+      doc = "Mixture-with-repetition epoch expansion: per-language " +
+        "repeat rates vs a 1.2x token budget, deterministic " +
+        "stochastic rounding per doc."))
 }

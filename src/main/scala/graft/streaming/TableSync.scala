@@ -79,6 +79,35 @@ object TableSync {
       .foreach(fs.delete(_, true))
   }
 
+  /** Retained snapshot versions (ascending). The retention policy
+    * keeps the current snapshot plus the two before it; older
+    * versions are GC'd by the next applyBatch.
+    */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(path))) Seq.empty
+    else fs.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(_.getPath.getName.drop(1).toLongOption)
+      .sorted.toSeq
+  }
+
+  /** Time-travel read of a specific retained snapshot — the audit /
+    * reproduce-yesterday's-training-set path. Fails loudly when the
+    * version fell out of retention (a silent fallback to current
+    * would un-reproduce the run it exists to reproduce).
+    */
+  def readVersion(
+      spark: SparkSession, path: String, version: Long): DataFrame = {
+    val dir = new Path(path, s"v$version")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) throw new IllegalStateException(
+      s"snapshot v$version not retained under $path " +
+        s"(have: ${versions(spark, path).mkString(", ")})")
+    spark.read.parquet(dir.toString)
+  }
+
   /** The current consistent snapshot (empty-schema errors if the
     * table was never written — callers own bootstrap).
     */

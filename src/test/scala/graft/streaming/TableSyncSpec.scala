@@ -94,4 +94,25 @@ class TableSyncSpec extends AnyFunSuite {
     val cur = TableSync.readCurrent(spark, path).collect()
     assert(cur.length == 1 && cur.head.getString(2) == "v5")
   }
+
+  test("time travel: retained versions readable, GC'd versions fail loudly") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-tt-").toString
+    (0L to 4L).foreach { b =>
+      TableSync.applyBatch(
+        Seq((1L, b, s"state$b"), (b + 10L, 0L, "born"))
+          .toDF("k", "ver", "attr"),
+        path, "k", "ver", batchId = b)
+    }
+    assert(TableSync.versions(spark, path) == Seq(2L, 3L, 4L))
+    // v2 reproduces the table AS OF batch 2: key 1 at its then-latest
+    // version, and only the keys born by then
+    val v2 = TableSync.readVersion(spark, path, 2L).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v2 == Map(1L -> "state2", 10L -> "born", 11L -> "born",
+      12L -> "born"), s"got $v2")
+    val ex = intercept[IllegalStateException](
+      TableSync.readVersion(spark, path, 0L))
+    assert(ex.getMessage.contains("not retained"))
+  }
 }
