@@ -415,6 +415,50 @@ object Multimodal {
     }(enc)
   }
 
+  /** Fixed-window PCM energy profile: one row per FULL `window`-
+    * sample window, energy = sum of squared int16 samples as exact
+    * BIGINT (max |s| = 32768 -> s^2 <= 2^30, so a window overflows
+    * long only past 2^33 samples — unreachable). The trailing
+    * partial window is dropped (its energy isn't comparable to full
+    * windows). The localization primitive under silence trimming,
+    * onset detection and loudest-segment sampling; downstream tops /
+    * thresholds stay integer-exact and engine-portable.
+    */
+  def audioWindowEnergies(
+      df: DataFrame, keyCol: String, binCol: String,
+      window: Int = 256): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val outSchema = StructType(Seq(
+      df.schema(keyCol),
+      StructField("win", IntegerType),
+      StructField("energy", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(keyCol), col(binCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.length < 16 || !hasMagic(bytes))
+          Iterator.empty
+        else {
+          val n = (bytes.length - 16) / 2
+          val nWin = n / window
+          (0 until nWin).iterator.map { w =>
+            var e = 0L
+            var i = w * window
+            val end = i + window
+            while (i < end) {
+              val lo = bytes(16 + 2 * i) & 0xff
+              val hi = bytes(16 + 2 * i + 1).toInt
+              val s = (hi << 8) | lo
+              e += s.toLong * s.toLong
+              i += 1
+            }
+            Row(r.get(0), w, e)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** 8x8 average perceptual hash (aHash): decode to grayscale,
     * average into an 8x8 grid, bit k set when cell k exceeds the grid
     * mean. Near-identical images (recompress, small edit, resize)

@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings",
       { case Seq(a, b) => JaroWinkler(a, b) })
     ext.injectOptimizerRule(_ => LevenshteinThresholdRule)
+    ext.injectOptimizerRule(_ => JaroWinklerThresholdRule)
   }
 
   private def toIntLit(e: Expression, fn: String): Int = e match {

@@ -273,5 +273,54 @@ object MultimodalQueries {
       oracle = None,
       doc = "Cross-modal near-dup pairing: planted image/audio " +
         "near-dups found via the shared banded hammingPairs64 " +
-        "(exact at maxHamming < bands); spec-pinned recall."))
+        "(exact at maxHamming < bands); spec-pinned recall."),
+
+    // ------------------------------------------------------------------
+    "m08_loudest_windows" -> QueryDef(
+      fn = { (s, dir) =>
+        // Energy localization: the 3 loudest 256-sample PCM windows
+        // per doc — the primitive under silence trimming / onset
+        // detection / loudest-segment sampling. Window energies are
+        // exact BIGINT sums of squared int16 samples, so DuckDB
+        // rebuilds every energy bit-for-bit from the raw bytes; the
+        // top-3 cut ranks on (energy desc, win) for a total order.
+        val en = graft.operators.Multimodal.audioWindowEnergies(
+          fakeImages(s, dir), "doc_id", "image", window = 256)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("energy").desc, col("win"))
+        en.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+      },
+      oracle = Some("""
+        WITH la AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) + 1),
+                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS bs,
+                 length(text) // 2 AS n
+          FROM documents
+          WHERE length(text) >= 2),
+        sm AS (
+          SELECT doc_id, n,
+                 list_transform(range(0, n),
+                   i -> bs[2*i + 2] * 256 + bs[2*i + 1]) AS s
+          FROM la),
+        wins AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, n // 256),
+                   w -> struct_pack(
+                     win := CAST(w AS INTEGER),
+                     energy := CAST(list_sum(list_transform(
+                       s[w*256 + 1 : (w+1)*256],
+                       x -> x * x)) AS BIGINT)))) AS u
+          FROM sm WHERE n >= 256),
+        ranked AS (
+          SELECT doc_id, u.win AS win, u.energy AS energy,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY u.energy DESC, u.win) AS rank
+          FROM wins)
+        SELECT doc_id, win, energy, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3"""),
+      doc = "Top-3 loudest PCM windows per doc (exact integer window " +
+        "energies; localization primitive for trimming/sampling)."))
 }

@@ -483,7 +483,9 @@ object expressions {
     * are bit-for-bit reproducible across engines that follow the
     * same definition — d15's oracle hash-checks the raw double.
     */
-  case class JaroWinkler(left: Expression, right: Expression)
+  case class JaroWinkler(
+      left: Expression, right: Expression,
+      threshold: Option[Double] = None)
       extends BinaryExpression with ExpectsInputTypes {
 
     override def inputTypes: Seq[AbstractDataType] =
@@ -493,14 +495,23 @@ object expressions {
 
     override def prettyName: String = "jaro_winkler"
 
+    // threshold = Some(t): the expression only feeds a `>= t`
+    // comparison (JaroWinklerThresholdRule installs it), so pairs the
+    // length-ratio bound proves can't reach t return 0.0 WITHOUT
+    // running the O(|a|*|b|) match loop. Bound (see
+    // JaroWinklerUtil.similarityBounded): jw >= t requires
+    // min(l1,l2)/max(l1,l2) >= 5t - 4.
+    private val thr: Double = threshold.getOrElse(Double.NaN)
+
     override def nullSafeEval(a: Any, b: Any): Any =
-      JaroWinklerUtil.similarity(
-        a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+      JaroWinklerUtil.similarityBounded(
+        a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], thr)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"""${ev.value} =
-           org.apache.spark.sql.graft.JaroWinklerUtil.similarity($a, $b);""")
+           org.apache.spark.sql.graft.JaroWinklerUtil.similarityBounded(
+             $a, $b, ${if (thr.isNaN) "Double.NaN" else s"${thr}d"});""")
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): JaroWinkler =
@@ -558,6 +569,30 @@ object expressions {
   */
 object JaroWinklerUtil {
   import org.apache.spark.unsafe.types.UTF8String
+
+  /** Threshold-aware entry: when `thr` is set (non-NaN) the caller
+    * only cares whether the similarity reaches `thr`, so pairs the
+    * length bound disqualifies skip the match loop entirely.
+    *
+    * Bound derivation: every match m <= min(l1,l2), so
+    *   jaro <= (min/l1 + min/l2 + 1)/3 = (2 + min/max)/3,
+    * and the Winkler boost (prefix <= 4, p = 0.1) gives
+    *   jw <= jaro + 0.4*(1 - jaro) = 0.6*jaro + 0.4.
+    * Chaining: jw >= t  ==>  min/max >= 5t - 4 (useful for t > 0.8).
+    * The 1e-12 slack absorbs the double rounding of 5t-4 so the
+    * guard can only under-prune, never drop a qualifying pair.
+    */
+  def similarityBounded(
+      a: UTF8String, b: UTF8String, thr: Double): Double = {
+    if (!thr.isNaN && thr > 0.8) {
+      val l1 = a.numBytes()
+      val l2 = b.numBytes()
+      val mn = if (l1 < l2) l1 else l2
+      val mx = if (l1 < l2) l2 else l1
+      if (mn.toDouble < (5.0 * thr - 4.0 - 1e-12) * mx) return 0.0
+    }
+    similarity(a, b)
+  }
 
   def similarity(a: UTF8String, b: UTF8String): Double = {
     val s1 = a.getBytes

@@ -180,6 +180,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got(2L).getBoolean(5))
   }
 
+  test("audio window energies: exact sums, partial window dropped, top ranks") {
+    import spark.implicits._
+    // 5 samples with window=2: windows (3,4) and (5,12); sample 13
+    // falls in the dropped partial window
+    val pcm = Array[Int](3, 4, 5, 12, 13).flatMap { s =>
+      Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+    }
+    val df = Seq(
+      (1L, Multimodal.encodeFakeImage(1, 1, "png", pcm)),
+      (2L, "nomagic".getBytes),
+      (3L, Multimodal.encodeFakeImage(1, 1, "png", Array[Byte](7, 0))))
+      .toDF("id", "a")
+    val got = Multimodal.audioWindowEnergies(df, "id", "a", window = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // doc 1: win 0 = 9+16 = 25, win 1 = 25+144 = 169; doc 2 invalid;
+    // doc 3 has 1 sample < window -> no full window
+    assert(got.toSet == Set((1L, 0, 25L), (1L, 1, 169L)), s"got ${got.toSeq}")
+  }
+
   test("dHash: near-identical real PNGs pair, different image does not") {
     import javax.imageio.ImageIO
     def png(img: java.awt.image.BufferedImage): Array[Byte] = {

@@ -265,4 +265,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly the window partition shuffle, got $exchanges:\n$p")
     assert(p.contains("Window"), s"no window operator:\n$p")
   }
+
+  test("d15: the threshold rule reaches the filter through the alias") {
+    // the registered query filters on the PROJECTED sim column; the
+    // optimizer must collapse the alias so JaroWinklerThresholdRule
+    // sees `jaro_winkler(a,b) >= 0.93` and installs the length-bound
+    // early exit in the filter's kernel call
+    val q = SparkEntry.queries("d15_jaro_linkage")(spark, dir)
+    val opt = q.queryExecution.optimizedPlan
+    val bounded = opt.collect { case node => node.expressions }.flatten
+      .flatMap(_.collect {
+        case org.apache.spark.sql.graft.expressions
+          .JaroWinkler(_, _, Some(t)) => t
+      })
+    assert(bounded == Seq(0.93), s"no bounded jaro_winkler in:\n$opt")
+  }
 }
