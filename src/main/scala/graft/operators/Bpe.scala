@@ -102,4 +102,45 @@ object Bpe {
     import spark.implicits._
     rows.toDF("rank", "left", "right", "pair_count")
   }
+
+  /** Apply a learned merge list (in rank order — the standard BPE
+    * apply) and return one row per doc with its subword tokens and
+    * count. The merge table rides the closure (it is tokenizer-sized:
+    * tens of KB for real vocabularies), so tokenization is a single
+    * embarrassingly-parallel map over the corpus — no shuffle, no
+    * state, deterministic.
+    */
+  def tokenize(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mergeList = merges.toArray
+    df.select(col(idCol).cast("long"),
+      split(TextFunctions.normText(col(textCol)), " ").as("ws"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        val toks = Vector.newBuilder[String]
+        ws.iterator.filter(_.nonEmpty).foreach { w =>
+          var syms: Array[String] =
+            w.map(_.toString).toArray :+ EndOfWord
+          mergeList.foreach { case (l, r) =>
+            if (syms.length >= 2) {
+              val out = Array.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                  out += (l + r); i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              syms = out.result()
+            }
+          }
+          toks ++= syms
+        }
+        val ts = toks.result()
+        (id, ts, ts.length.toLong)
+      }
+      .toDF(idCol, "bpe_tokens", "n_bpe_tokens")
+  }
 }

@@ -1066,5 +1066,86 @@ object CurationQueries {
         FROM counted WHERE n_copies >= 1"""),
       doc = "Mixture-with-repetition epoch expansion: per-language " +
         "repeat rates vs a 1.2x token budget, deterministic " +
-        "stochastic rounding per doc."))
+        "stochastic rounding per doc."),
+
+    // ------------------------------------------------------------------
+    "c27_dsir_select" -> QueryDef(
+      fn = { (s, dir) =>
+        // DSIR-style importance resampling toward a target domain:
+        // score every doc by how much more its char bigrams resemble
+        // the TARGET model (bigram counts over the 'en' slice) than
+        // the CORPUS model, w = (tf/tt) / (cf/ct) as a ratio of
+        // familiarity rates, then keep iff the doc's md5-uniform
+        // u < w/2 — deterministic importance sampling whose
+        // acceptance rate tracks target-likeness. Integer count sums
+        // make w engine-exact (one pinned double expression at the
+        // end); the uniform is the same md5->60-bit->double
+        // construction as c26. Scale: both models are vocabulary-
+        // bounded broadcasts; scoring is one explode + broadcast
+        // join + per-doc sum — the DSIR shape (hashed n-gram
+        // features, linear scan, no pairwise work).
+        val d = docs(s, dir)
+        val nt = d.select(col("doc_id"), col("lang"),
+          TextFunctions.normText(col("text")).as("t"))
+        val bg = nt.select(col("doc_id"), col("lang"),
+          explode(when(length(col("t")) >= 2,
+            transform(sequence(lit(1), length(col("t")) - 1),
+              i => col("t").substr(i, lit(2))))
+            .otherwise(array().cast("array<string>"))).as("b"))
+        val target = bg.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("tf"))
+        val corpus = bg.groupBy(col("b")).agg(count(lit(1)).as("cf"))
+        val totals = target.agg(sum(col("tf")).as("tt"))
+          .crossJoin(corpus.agg(sum(col("cf")).as("ct")))
+        val scored = bg
+          .join(broadcast(target), Seq("b"), "left")
+          .join(broadcast(corpus), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(sum(coalesce(col("tf"), lit(0L))).as("tf_sum"),
+            sum(col("cf")).as("cf_sum"))
+          .crossJoin(broadcast(totals))
+          .withColumn("w",
+            (col("tf_sum").cast("double") * col("ct").cast("double")) /
+              (col("cf_sum").cast("double") * col("tt").cast("double")))
+          .withColumn("u",
+            conv(substring(md5(concat(lit("dsir3:"),
+              col("doc_id").cast("string"))), 1, 15), 16, 10)
+              .cast("long").cast("double") / lit(1152921504606846976.0))
+        scored.filter(col("u") < col("w") * 0.5)
+          .select(col("doc_id"), col("w"))
+      },
+      oracle = Some("""
+        WITH nt AS (
+          SELECT doc_id, lang,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents),
+        bg AS (
+          SELECT doc_id, lang, unnest(CASE WHEN length(t) >= 2 THEN
+            list_transform(range(1, length(t)), i -> t[i:i+1])
+            ELSE CAST([] AS VARCHAR[]) END) AS b
+          FROM nt),
+        target AS (
+          SELECT b, count(*) AS tf FROM bg WHERE lang = 'en' GROUP BY b),
+        corpus AS (SELECT b, count(*) AS cf FROM bg GROUP BY b),
+        totals AS (
+          SELECT (SELECT sum(tf) FROM target) AS tt,
+                 (SELECT sum(cf) FROM corpus) AS ct),
+        scored AS (
+          SELECT s.doc_id,
+                 (CAST(sum(coalesce(tg.tf, 0)) AS DOUBLE)
+                    * CAST(t.ct AS DOUBLE)) /
+                 (CAST(sum(c.cf) AS DOUBLE)
+                    * CAST(t.tt AS DOUBLE)) AS w,
+                 CAST(CAST(('0x' || substr(md5('dsir3:' ||
+                     CAST(s.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                   AS DOUBLE) / 1152921504606846976.0 AS u
+          FROM bg s
+          LEFT JOIN target tg ON tg.b = s.b
+          JOIN corpus c ON c.b = s.b
+          CROSS JOIN totals t
+          GROUP BY s.doc_id, t.tt, t.ct)
+        SELECT doc_id, w FROM scored WHERE u < w * 0.5"""),
+      doc = "DSIR-style importance resampling toward the 'en' target " +
+        "model: bigram familiarity-rate ratio weights, deterministic " +
+        "md5-uniform acceptance."))
 }

@@ -530,5 +530,26 @@ object TextQueries {
       oracle = None,
       doc = "BPE tokenizer induction: top-20 learned merges " +
         "(distributed word histogram + bounded driver merge loop; " +
-        "rows-only)."))
+        "rows-only)."),
+
+    // ------------------------------------------------------------------
+    "t16_bpe_tokenize" -> QueryDef(
+      fn = { (s, dir) =>
+        // The apply half of the tokenizer story: induce 20 merges
+        // (t15), then segment every doc and report its subword
+        // count — the number that actually prices a doc against a
+        // token budget. The merge table rides the closure; the
+        // tokenize pass is map-only. Iterative merge application is
+        // not SQL-expressible -> rows-only; BpeSpec pins exact
+        // segmentations.
+        val merges = graft.operators.Bpe
+          .learnMerges(docs(s, dir), "text", numMerges = 20)
+          .collect().sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Bpe.tokenize(docs(s, dir), "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_bpe_tokens"))
+      },
+      oracle = None,
+      doc = "BPE tokenization with corpus-induced merges: per-doc " +
+        "subword counts (map-only apply; rows-only)."))
 }

@@ -38,6 +38,26 @@ class BpeSpec extends AnyFunSuite {
     assert(got.length == 2)
   }
 
+  test("tokenize applies merges in rank order (textbook segmentations)") {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val corpus = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(corpus, "text", numMerges = 5)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val probe = Seq((1L, "low"), (2L, "newest"), (3L, "lowest"))
+      .toDF("doc_id", "text")
+    val got = Bpe.tokenize(probe, "doc_id", "text", merges)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // after merges es, est, est</w>, lo, low:
+    assert(got(1L) == List("low", "</w>"))
+    assert(got(2L) == List("n", "e", "w", "est</w>"))
+    // "lowest": l o w e s t </w> -> es -> est -> est</w> -> lo ->
+    // (lo,w) fuses -> low, est</w>
+    assert(got(3L) == List("low", "est</w>"))
+  }
+
   test("deterministic on the real fixture (run-to-run equality)") {
     val docs = graft.Engine
       .Tables(spark, "/root/testdata/sf0.001").documents
