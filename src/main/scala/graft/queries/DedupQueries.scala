@@ -715,21 +715,16 @@ object DedupQueries {
         // Blocking recall is declared, not hidden: a near-dup pair
         // differing in its first two bytes is out of scope here
         // (d03/d11 cover order-robust candidates).
-        import org.apache.spark.sql.graft.expressions.jaro_winkler
+        // Dedup.jaroLinkage canonicalizes identical titles before the
+        // quadratic kernel (flood discipline; no-op on this fixture,
+        // which has no exact-title dups) — ScaleSmoke's k=20 replica
+        // flood measured 208 s naive vs kernel-flat canonicalized.
         val f = T(s, dir).documents.select(
           col("doc_id"), col("lang"),
           substring(TextFunctions.normText(col("text")), 1, 32)
             .as("title"))
-          .withColumn("blk", substring(col("title"), 1, 2))
-        val a = f.select(col("doc_id").as("id_a"), col("lang"),
-          col("blk"), col("title").as("t_a"))
-        val b = f.select(col("doc_id").as("id_b"), col("lang"),
-          col("blk"), col("title").as("t_b"))
-        a.join(b, Seq("lang", "blk"))
-          .where(col("id_b") > col("id_a"))
-          .select(col("id_a"), col("id_b"),
-            jaro_winkler(col("t_a"), col("t_b")).as("sim"))
-          .where(col("sim") >= 0.93)
+        graft.operators.Dedup.jaroLinkage(
+          f, "doc_id", "lang", "title", threshold = 0.93)
       },
       oracle = Some("""
         WITH f AS (

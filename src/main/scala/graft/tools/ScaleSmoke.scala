@@ -121,6 +121,52 @@ object ScaleSmoke {
           >= math.max(1L, cms.totalCount / 200))
         .distinct().count()
     }
+    // BPE induction: the histogram is VOCABULARY-bounded — replication
+    // multiplies counts, not rows, so the driver loop's input is
+    // k-invariant and wall-clock must stay flat
+    timed("bpe_merges") {
+      graft.operators.Bpe.learnMerges(big, "text", numMerges = 20).count()
+    }
+    // seeded corpus shuffle: 16 independent per-shard sorts, no global
+    // total order — growth must track n log(n/16), not n log n with a
+    // single-partition sort bottleneck
+    timed("corpus_shuffle") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("key"))
+      big.withColumn("key",
+        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))))
+        .withColumn("shard", substring(col("key"), 1, 1))
+        .withColumn("pos", row_number().over(w)).count()
+    }
+    // held-out bigram LM scoring: the model stays charset^2-bounded
+    // under replication (broadcast), scoring is one linear pass
+    timed("bigram_quality") {
+      val nt = big.select(col("doc_id"),
+        TextFunctions.normText(col("text")).as("t"))
+      val bg = nt.select(col("doc_id"),
+        explode(when(length(col("t")) >= 2,
+          transform(sequence(lit(1), length(col("t")) - 1),
+            i => col("t").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("b"))
+      val model = bg.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      bg.filter(col("doc_id") % 2 === 1)
+        .join(broadcast(model), Seq("b"), "left")
+        .groupBy(col("doc_id")).agg(count(lit(1))).count()
+    }
+    // Jaro-Winkler linkage on a k-way flood: the OUTPUT grows k^2 by
+    // definition (every replica pairs with every other), but
+    // canonicalize-first keeps the KERNEL k-invariant — jw runs once
+    // per distinct title pair; only membership expansion scales with
+    // the flood. The naive member-pair join measured 208 s here
+    // (single-block quadratic skew); this is the operator d15 ships.
+    timed("jaro_linkage_flood") {
+      val f = big.select(col("doc_id"), lit("xx").as("lang"),
+        substring(TextFunctions.normText(col("text")), 1, 32)
+          .as("title"))
+      Dedup.jaroLinkage(f, "doc_id", "lang", "title",
+        threshold = 0.93).count()
+    }
     index.unpersist()
     big.unpersist()
 
@@ -166,6 +212,12 @@ object ScaleSmoke {
       graft.operators.Similarity.pqTopK(ebig,
         ebig.filter(col("vec_id") % 500 === 0), k = 5,
         m = 16, refine = 8).count()
+    }
+    // JL sketch ANN: one linear 16-dim scan + shortlist rescore —
+    // growth must be linear in corpus size per query
+    timed("randproj_topk") {
+      graft.operators.Similarity.randProjTopK(ebig,
+        ebig.filter(col("vec_id") % 500 === 0), k = 5).count()
     }
     ebig.unpersist()
     spark.stop()

@@ -387,4 +387,45 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.length == 3, s"expected 3 shared spans, got ${spans.toSeq}")
     assert(spans.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L))
   }
+
+  test("jaroLinkage: canonicalized form equals the naive blocked join on a flood") {
+    import org.apache.spark.sql.graft.expressions.jaro_winkler
+    // planted flood: two near-dup titles x3 exact copies each, one
+    // same-block stranger, one different-block title, one empty
+    val rows = Seq(
+      (1L, "en", "record linkage target"),
+      (2L, "en", "record linkage target"),
+      (3L, "en", "record linkage target"),
+      (4L, "en", "record linkage targez"),
+      (5L, "en", "record linkage targez"),
+      (6L, "en", "record linkage targez"),
+      (7L, "en", "reclusive otherness xx"),
+      (8L, "en", "zz different block yy"),
+      (9L, "en", ""), (10L, "en", ""),
+      (11L, "fr", "record linkage target")) // other lang: never pairs
+      .toDF("id", "lang", "title")
+    val got = Dedup.jaroLinkage(rows, "id", "lang", "title",
+      threshold = 0.93)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // naive reference: blocked member-pair join, same semantics
+    val f = rows.withColumn("blk", substring(col("title"), 1, 2))
+    val naive = f.select(col("id").as("id_a"), col("lang"), col("blk"),
+      col("title").as("t_a"))
+      .join(f.select(col("id").as("id_b"), col("lang"), col("blk"),
+        col("title").as("t_b")), Seq("lang", "blk"))
+      .where(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        jaro_winkler(col("t_a"), col("t_b")).as("sim"))
+      .where(col("sim") >= 0.93)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == naive, s"got $got\nwant $naive")
+    // shape sanity: the two flood groups star internally (3 pairs
+    // each at exactly 1.0) and cross-pair 3x3 at the kernel value;
+    // empty titles and the cross-lang copy never appear
+    assert(got.count(_._3 == 1.0) == 6)
+    assert(got.size == 15)
+    assert(!got.exists(p => p._1 >= 9L || p._2 >= 9L))
+  }
 }
