@@ -782,7 +782,9 @@ object Dedup {
       df: DataFrame, idCol: String, langCol: String, titleCol: String,
       threshold: Double, blockLen: Int = 2): DataFrame = {
     import org.apache.spark.sql.graft.expressions.jaro_winkler
-    require(threshold > 0.0, "threshold must be positive")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold outside (0, 1] — jw never exceeds 1, so " +
+        "a higher cut silently returns only the identical-title star")
     val base = df.select(col(idCol).as("id"), col(langCol).as("lang"),
       col(titleCol).as("title"))
       .withColumn("blk", substring(col("title"), 1, blockLen))

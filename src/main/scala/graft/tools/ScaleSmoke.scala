@@ -133,10 +133,14 @@ object ScaleSmoke {
     timed("corpus_shuffle") {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("shard")).orderBy(col("key"))
+      // filter on pos so the count can't prune the window (an
+      // unreferenced window column folds away and the stage would
+      // measure an empty plan)
       big.withColumn("key",
         md5(concat(lit("shuf42:"), col("doc_id").cast("string"))))
         .withColumn("shard", substring(col("key"), 1, 1))
-        .withColumn("pos", row_number().over(w)).count()
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") > 0).count()
     }
     // held-out bigram LM scoring: the model stays charset^2-bounded
     // under replication (broadcast), scoring is one linear pass
