@@ -740,5 +740,50 @@ object DedupQueries {
         WHERE jaro_winkler_similarity(a.title, b.title) >= 0.93"""),
       doc = "Record linkage: (lang, 2-byte title prefix) blocking + " +
         "Jaro-Winkler >= 0.93 on normalized 32-char titles; raw " +
-        "double hash-checked cross-engine."))
+        "double hash-checked cross-engine."),
+
+    // ------------------------------------------------------------------
+    "d16_entity_resolution" -> QueryDef(
+      fn = { (s, dir) =>
+        // Entity resolution end-to-end: d15's linkage pairs close
+        // into connected components and every doc gets a canonical
+        // representative (min id reachable through links) — the full
+        // match->cluster->survivorship pipeline, and the proof that
+        // the linkage operator composes with the component machinery.
+        // Deterministic pair set -> DuckDB recomputes the closure
+        // with a recursive CTE and hash-checks every label (d07's
+        // pattern, over the jw edge set).
+        val d = T(s, dir).documents
+        val f = d.select(col("doc_id"), col("lang"),
+          substring(TextFunctions.normText(col("text")), 1, 32)
+            .as("title"))
+        val pairs = graft.operators.Dedup.jaroLinkage(
+          f, "doc_id", "lang", "title", threshold = 0.93)
+          .select(col("id_a"), col("id_b"))
+        graft.operators.Dedup.clusterReps(
+          d.select(col("doc_id").as("id")), pairs)
+      },
+      oracle = Some("""
+        WITH RECURSIVE
+        f AS (
+          SELECT doc_id, lang,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g'))[1:32]
+                   AS title
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM f a JOIN f b
+            ON a.lang = b.lang AND a.title[1:2] = b.title[1:2]
+           AND b.doc_id > a.doc_id
+          WHERE jaro_winkler_similarity(a.title, b.title) >= 0.93),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+        SELECT id, min(r) AS rep FROM reach GROUP BY id"""),
+      doc = "Entity resolution: Jaro-Winkler linkage pairs -> " +
+        "connected components -> canonical representative per doc " +
+        "(closure hash-checked via recursive CTE)."))
 }
