@@ -1364,5 +1364,33 @@ object RelationalQueries {
           SELECT nullif(o_custkey, (SELECT min(o_custkey) FROM orders))
           FROM orders)"""),
       doc = "IN / NOT IN tri-valued null semantics in predicate " +
-        "position (null-aware anti join; with-null anti leg counts 0)."))
+        "position (null-aware anti join; with-null anti leg counts 0)."),
+
+    // ------------------------------------------------------------------
+    "q48_percentile_disc" -> QueryDef(
+      fn = { (s, dir) =>
+        // Discrete (inverse-distribution) percentiles: the smallest
+        // actual value whose cume_dist reaches p — an ORDER STATISTIC,
+        // not an interpolation, so the result is a real DECIMAL(12,2)
+        // from the data and the compare is exact with NO rounding
+        // (q28's continuous form needs round(4) to absorb the
+        // interpolation arithmetic). Both engines implement the same
+        // lower-bound rule (probed: {1,2,3,4} p=.5 -> 2, p=.25 -> 1).
+        T(s, dir).orders
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+              .as("p50"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+              .as("p90"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority,
+               quantile_disc(o_totalprice, 0.5) AS p50,
+               quantile_disc(o_totalprice, 0.9) AS p90,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderpriority"""),
+      doc = "Discrete percentiles per group (exact order statistics, " +
+        "no interpolation, no rounding)."))
 }
