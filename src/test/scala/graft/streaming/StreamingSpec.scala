@@ -563,6 +563,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE tokenize runs unchanged on a stream (map-only, no state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the apply half of the tokenizer is a pure map, so the SAME
+    // operator call tokenizes an unbounded feed with no state, no
+    // watermark, and batch-identical output — the cheap proof that
+    // corpus tokenization deploys as a streaming ingest stage
+    val corpus = Seq((0L, "low lower newest newest widest low"))
+      .toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.learnMerges(corpus, "text", 5)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Bpe.tokenize(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", merges)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_stream_out").start()
+    mem.addData((1L, "low"), (2L, "newest"))
+    q.processAllAvailable()
+    mem.addData((3L, "lowest"))
+    q.processAllAvailable()
+    val got = spark.table("bpe_stream_out").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    q.stop()
+    val batch = graft.operators.Bpe.tokenize(
+      Seq((1L, "low"), (2L, "newest"), (3L, "lowest"))
+        .toDF("doc_id", "text"), "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList)
+      .toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got(3L) == List("low", "est</w>"))
+  }
+
   test("streaming funnel drains hot-key floods with bounded buffering") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
