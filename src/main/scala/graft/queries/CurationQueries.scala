@@ -1153,5 +1153,47 @@ object CurationQueries {
         SELECT doc_id, w FROM scored WHERE u < w * 0.5"""),
       doc = "DSIR-style importance resampling toward the 'en' target " +
         "model: bigram familiarity-rate ratio weights, deterministic " +
-        "md5-uniform acceptance."))
+        "md5-uniform acceptance."),
+
+    // ------------------------------------------------------------------
+    "c28_shard_manifest" -> QueryDef(
+      fn = { (s, dir) =>
+        // Verified shard emission — the handoff artifact to a
+        // training job: write the corpus as 16 hash-sharded parquet
+        // partitions, then RE-READ the written files and compute the
+        // manifest (per-shard doc count + order-free content
+        // checksum) from DISK. The oracle computes the same manifest
+        // from the source table, so a write that drops, duplicates,
+        // or corrupts any row breaks the hash — integrity of the
+        // emitted artifact, not just of the plan that produced it.
+        // Checksum = exact DECIMAL(38,0) sum of each doc's 60-bit
+        // md5 integer: order-free (addition commutes), overflow-free
+        // (2^60 * rowcount << 10^38), engine-portable.
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-c28-shards").toString
+        docs(s, dir)
+          .withColumn("shard",
+            concat(lit("s"), substring(
+              md5(concat(lit("shard:"), col("doc_id").cast("string"))),
+              1, 1)))
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+        s.read.parquet(out)
+          .withColumn("h",
+            conv(substring(md5(col("text")), 1, 15), 16, 10)
+              .cast("long").cast("decimal(38,0)"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("h")).cast("decimal(38,0)").as("checksum"))
+      },
+      oracle = Some("""
+        SELECT 's' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                 1, 1) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(('0x' || substr(md5(text), 1, 15))
+                 AS UBIGINT)) AS DECIMAL(38,0)) AS checksum
+        FROM documents
+        GROUP BY 1"""),
+      doc = "Verified training-shard emission: 16 hash-sharded " +
+        "parquet partitions, manifest (counts + order-free content " +
+        "checksums) recomputed FROM THE WRITTEN FILES."))
 }
