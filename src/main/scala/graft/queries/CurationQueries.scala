@@ -1087,27 +1087,30 @@ object CurationQueries {
         val d = docs(s, dir)
         val nt = d.select(col("doc_id"), col("lang"),
           TextFunctions.normText(col("text")).as("t"))
-        // localCheckpoint: the exploded bigram stream feeds THREE
-        // consumers (target model, corpus model, scoring) and Spark
-        // fires no ReusedExchange across derived frames — without it
-        // the corpus is exploded three times (4.4 s -> the explode
-        // happens once)
+        // localCheckpoint: bg feeds model-build AND scoring, and the
+        // explode itself is the expensive part (measured: dropping
+        // the checkpoint re-explodes twice, 2.8 -> 4.7 s even with
+        // the single-pass model below). At 100 TB you'd persist the
+        // tiny MODEL between the two passes instead of caching the
+        // exploded stream — same two-scan plan, no cache.
         val bg = nt.select(col("doc_id"), col("lang"),
           explode(when(length(col("t")) >= 2,
             transform(sequence(lit(1), length(col("t")) - 1),
               i => col("t").substr(i, lit(2))))
             .otherwise(array().cast("array<string>"))).as("b"))
           .localCheckpoint()
-        val target = bg.filter(col("lang") === "en")
-          .groupBy(col("b")).agg(count(lit(1)).as("tf"))
-        val corpus = bg.groupBy(col("b")).agg(count(lit(1)).as("cf"))
-        val totals = target.agg(sum(col("tf")).as("tt"))
-          .crossJoin(corpus.agg(sum(col("cf")).as("ct")))
+        // BOTH models from ONE aggregation (conditional sum for the
+        // target slice): every bigram has cf >= 1 by construction, so
+        // the scoring join is inner and needs no null handling.
+        val model = bg.groupBy(col("b")).agg(
+          count(lit(1)).as("cf"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tf"))
+        val totals = model.agg(sum(col("tf")).as("tt"),
+          sum(col("cf")).as("ct"))
         val scored = bg
-          .join(broadcast(target), Seq("b"), "left")
-          .join(broadcast(corpus), Seq("b"))
+          .join(broadcast(model), Seq("b"))
           .groupBy(col("doc_id"))
-          .agg(sum(coalesce(col("tf"), lit(0L))).as("tf_sum"),
+          .agg(sum(col("tf")).as("tf_sum"),
             sum(col("cf")).as("cf_sum"))
           .crossJoin(broadcast(totals))
           .withColumn("w",
@@ -1130,24 +1133,23 @@ object CurationQueries {
             list_transform(range(1, length(t)), i -> t[i:i+1])
             ELSE CAST([] AS VARCHAR[]) END) AS b
           FROM nt),
-        target AS (
-          SELECT b, count(*) AS tf FROM bg WHERE lang = 'en' GROUP BY b),
-        corpus AS (SELECT b, count(*) AS cf FROM bg GROUP BY b),
+        model AS (
+          SELECT b, count(*) AS cf,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tf
+          FROM bg GROUP BY b),
         totals AS (
-          SELECT (SELECT sum(tf) FROM target) AS tt,
-                 (SELECT sum(cf) FROM corpus) AS ct),
+          SELECT sum(tf) AS tt, sum(cf) AS ct FROM model),
         scored AS (
           SELECT s.doc_id,
-                 (CAST(sum(coalesce(tg.tf, 0)) AS DOUBLE)
+                 (CAST(sum(m.tf) AS DOUBLE)
                     * CAST(t.ct AS DOUBLE)) /
-                 (CAST(sum(c.cf) AS DOUBLE)
+                 (CAST(sum(m.cf) AS DOUBLE)
                     * CAST(t.tt AS DOUBLE)) AS w,
                  CAST(CAST(('0x' || substr(md5('dsir3:' ||
                      CAST(s.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
                    AS DOUBLE) / 1152921504606846976.0 AS u
           FROM bg s
-          LEFT JOIN target tg ON tg.b = s.b
-          JOIN corpus c ON c.b = s.b
+          JOIN model m ON m.b = s.b
           CROSS JOIN totals t
           GROUP BY s.doc_id, t.tt, t.ct)
         SELECT doc_id, w FROM scored WHERE u < w * 0.5"""),
