@@ -56,6 +56,65 @@ class TableSyncSpec extends AnyFunSuite {
     assert(snap.count() == 2, "replay must not duplicate rows")
   }
 
+  test("crash-forced batch REPLAY recomputes the same snapshot (exactly-once)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the restart test above stops cleanly (every commit durable);
+    // here we simulate a crash BETWEEN the sink's side effect and the
+    // checkpoint commit by deleting the last commit marker — on
+    // restart the engine re-executes the SAME batchId over the same
+    // offsets, and applyBatch must overwrite v<batchId> with
+    // identical content instead of double-applying
+    val mem = MemoryStream[(Long, Long, String)]
+    val path = Files.createTempDirectory("tsync-cr-").toString
+    val ckpt = Files.createTempDirectory("tsync-cr-ckpt-").toString
+    def start(cp: String) = TableSync.upsertSink(
+      mem.toDF().toDF("k", "ver", "attr"), path, "k", "ver", cp)
+    val q1 = start(ckpt)
+    mem.addData((1L, 1L, "a1"), (2L, 1L, "b1"))
+    q1.processAllAvailable()
+    mem.addData((1L, 2L, "a2"))
+    q1.processAllAvailable()
+    q1.stop()
+    // crash simulation: batch 1 ran (v1 written, pointer at v1) but
+    // its commit never became durable. Spark 4 guards a checkpoint's
+    // commit log against same-session reuse, so recovery runs from a
+    // COPY of the checkpoint with the last commit marker dropped —
+    // i.e. exactly what a restarted process would see after the crash
+    val ckpt2 = Files.createTempDirectory("tsync-cr-ckpt2-").toString
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Paths.get(ckpt)
+    java.nio.file.Files.walk(src).iterator().asScala
+      // skip Hadoop checksum shadows: a stale .crc next to a
+      // rewritten metadata-log entry fails the rewrite
+      .filterNot(_.getFileName.toString.endsWith(".crc"))
+      .foreach { p =>
+        val dst = java.nio.file.Paths.get(ckpt2)
+          .resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    val commit1 = new java.io.File(s"$ckpt2/commits/1")
+    assert(commit1.exists(), "expected commit marker for batch 1")
+    assert(commit1.delete())
+    val q2 = start(ckpt2)
+    q2.processAllAvailable()
+    // post-replay new data must land as the NEXT batch
+    mem.addData((3L, 1L, "c1"))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == Map(
+      1L -> (2L, "a2"), 2L -> (1L, "b1"), 3L -> (1L, "c1")), s"got $got")
+    assert(TableSync.readCurrent(spark, path).count() == 3,
+      "replayed batch must not duplicate rows")
+    // the replay rewrote v1 in place: version trail stays 0,1,2
+    assert(TableSync.versions(spark, path) == Seq(0L, 1L, 2L))
+  }
+
   test("enriched() re-resolves the dimension pointer per batch") {
     import spark.implicits._
     val path = Files.createTempDirectory("tsync-dim-").toString
