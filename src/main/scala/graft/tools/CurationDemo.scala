@@ -13,6 +13,8 @@ import graft.operators.{Dedup, Sampling}
   *   clean -> quality gate -> exact dedup -> MinHash near-dup pairs
   *   -> connected components -> keep set -> stratified sample
   *   -> deterministic train/eval split
+  *   -> BPE tokenizer induction + per-doc token pricing
+  *   -> seeded training-order shuffle -> verified shard emission
   *
   * `sbt "runMain graft.tools.CurationDemo [sfDir]"`.
   */
@@ -53,6 +55,31 @@ object CurationDemo {
       s"train=$nTrain  eval=$nEval")
     println("[demo] kept per lang:")
     kept.groupBy("lang").count().orderBy("lang").show(false)
+
+    // tokenizer induction on the TRAIN split only (eval must not
+    // shape the vocabulary), then price every train doc in subwords
+    val merges = graft.operators.Bpe.learnMerges(train, "text", 32)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val priced = graft.operators.Bpe
+      .tokenize(train, "doc_id", "text", merges)
+    val nTok = priced.agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+    println(s"[demo] learned ${merges.size} BPE merges on train; " +
+      s"train corpus = $nTok subword tokens")
+
+    // seeded training order + verified shard handoff: 16 hash shards,
+    // manifest recomputed FROM the written files
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-demo-shards").toString
+    train
+      .withColumn("key",
+        md5(concat(lit("epoch0:"), col("doc_id").cast("string"))))
+      .withColumn("shard", substring(col("key"), 1, 1))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val manifest = spark.read.parquet(out)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("shard"))
+    println(s"[demo] emitted ${manifest.count()} training shards -> $out")
     spark.stop()
   }
 }
