@@ -76,6 +76,46 @@ class JaroWinklerPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("jaroLinkage equals the naive blocked join on random corpora") {
+    // operator-level property: canonicalize-first + membership
+    // expansion is EQUAL to the naive per-member-pair join on
+    // arbitrary inputs — duplicate groups, shared prefixes, empty
+    // titles, multi-lang, single-char titles
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.expressions.jaro_winkler
+    val genCorpus: Gen[List[(Long, String, String)]] = for {
+      n <- Gen.choose(2, 30)
+      rows <- Gen.listOfN(n, for {
+        lang <- Gen.oneOf("en", "fr")
+        len <- Gen.choose(0, 10)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', ' '))
+      } yield (lang, cs.mkString))
+    } yield rows.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+    (0 until 6).foreach { i =>
+      val rows = sample(genCorpus, 5000L + i)
+      val df = rows.toDF("id", "lang", "title")
+      val got = graft.operators.Dedup
+        .jaroLinkage(df, "id", "lang", "title", threshold = 0.85)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val f = df.withColumn("blk", substring(col("title"), 1, 2))
+      val naive = f.select(col("id").as("id_a"), col("lang"), col("blk"),
+        col("title").as("t_a"))
+        .join(f.select(col("id").as("id_b"), col("lang"), col("blk"),
+          col("title").as("t_b")), Seq("lang", "blk"))
+        .where(col("id_b") > col("id_a"))
+        .select(col("id_a"), col("id_b"),
+          jaro_winkler(col("t_a"), col("t_b")).as("sim"))
+        .where(col("sim") >= 0.85)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == naive,
+        s"case $i: extra=${got -- naive} missing=${naive -- got}")
+    }
+  }
+
   test("threshold guard is sound: bounded says 0 only when full < t") {
     // the optimizer rule's contract — similarityBounded(a, b, t)
     // differs from similarity(a, b) ONLY on pairs provably below t
