@@ -58,10 +58,20 @@ object TableSync {
       case None      => batch
     }
     val w = Window.partitionBy(col(keyCol)).orderBy(col(verCol).desc)
-    val snap = merged
+    val snapPlan = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val snapDir = s"$path/v$batchId"
+    // Replay hazard: after a crash between the pointer swap and the
+    // checkpoint commit, the replayed batch READS v<batchId> (it is
+    // the current snapshot) while OVERWRITING the same directory.
+    // Whether that lazily-read-then-overwritten plan survives depends
+    // on the writer's internal delete ordering — so on this path the
+    // merged snapshot is materialized (localCheckpoint) BEFORE the
+    // write starts. Dimension-scale tables (the sink's declared
+    // domain) fit comfortably; the common no-crash path pays nothing.
+    val replayInPlace = currentName(spark, path).contains(s"v$batchId")
+    val snap = if (replayInPlace) snapPlan.localCheckpoint() else snapPlan
     snap.write.mode("overwrite").parquet(snapDir)
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -117,7 +127,12 @@ object TableSync {
         s"no _CURRENT pointer under $path — table never initialized"))
 
   private def readCurrentOpt(
-      spark: SparkSession, path: String): Option[DataFrame] = {
+      spark: SparkSession, path: String): Option[DataFrame] =
+    currentName(spark, path).map(n => spark.read.parquet(s"$path/$n"))
+
+  /** The snapshot-directory name the `_CURRENT` pointer resolves to. */
+  private def currentName(
+      spark: SparkSession, path: String): Option[String] = {
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val cur = new Path(path, "_CURRENT")
@@ -127,8 +142,7 @@ object TableSync {
       val buf = new Array[Byte](len)
       val in = fs.open(cur)
       try in.readFully(0, buf) finally in.close()
-      val name = new String(buf, "UTF-8").trim
-      Some(spark.read.parquet(s"$path/$name"))
+      Some(new String(buf, "UTF-8").trim)
     }
   }
 
