@@ -40,6 +40,11 @@ object PipeTransform {
     */
   val NoOutputExit: Int = -4
 
+  /** Synthetic exit code for a command that exceeded the per-record
+    * timeout and was force-killed.
+    */
+  val TimeoutExit: Int = -5
+
   /** Result row per input record. `output` is null iff the command
     * failed (exitCode != 0 or spawn error).
     */
@@ -53,8 +58,18 @@ object PipeTransform {
     * content: Binary) row of `in`. Mirrors GetJobs.process(): the
     * command reads its input file and must write the output file;
     * exit 0 = success.
+    *
+    * `timeoutSec` bounds each record's wall-clock (default 60 s —
+    * the reference's SQS VisibilityTimeout, doEverything.sh:40: a
+    * job still running past it is reclaimed). A command that
+    * exceeds it is force-killed and the record routes to the
+    * failure path with [[TimeoutExit]] — one hung binary must never
+    * wedge an executor slot forever.
     */
-  def transform(in: DataFrame, command: Seq[String]): DataFrame = {
+  def transform(
+      in: DataFrame, command: Seq[String],
+      timeoutSec: Int = 60): DataFrame = {
+    require(timeoutSec >= 1, "timeoutSec must be >= 1")
     val enc = Encoders.row(outputSchema)
     in.select("key", "content").mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
@@ -63,7 +78,7 @@ object PipeTransform {
         onTaskDone(() => deleteRecursive(dir))
         it.map { row =>
           runOne(dir, command, row.getString(0),
-            row.getAs[Array[Byte]](1))
+            row.getAs[Array[Byte]](1), timeoutSec)
         }
       }
     }(enc)
@@ -71,7 +86,7 @@ object PipeTransform {
 
   private def runOne(
       dir: Path, command: Seq[String], key: String,
-      content: Array[Byte]): Row = {
+      content: Array[Byte], timeoutSec: Int): Row = {
     // Stage by a content-independent local name, not the raw key: keys
     // may contain separators/.. (the reference staged by bare fileName
     // and was traversal-unsafe, GetJobs.py:44).
@@ -91,10 +106,28 @@ object PipeTransform {
       pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       proc.getOutputStream.close()
+      // stderr drains on a daemon thread: reading it inline would
+      // block forever on a hung child (no EOF), and NOT reading it
+      // deadlocks any child that writes >64KB of stderr
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val drainer = new Thread(() => {
+        try proc.getErrorStream.transferTo(errBuf)
+        catch { case NonFatal(_) => () }
+      })
+      drainer.setDaemon(true)
+      drainer.start()
+      val finished = proc.waitFor(
+        timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        proc.destroyForcibly()
+        proc.waitFor()
+        return Row(key, null, TimeoutExit,
+          s"command timed out after ${timeoutSec}s and was killed")
+      }
+      drainer.join(5000)
       val stderr = new String(
-        proc.getErrorStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val exit = proc.waitFor()
+        errBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      val exit = proc.exitValue()
       if (exit == 0 && Files.exists(outF))
         Row(key, Files.readAllBytes(outF), 0, null)
       else {

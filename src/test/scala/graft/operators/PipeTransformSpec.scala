@@ -90,4 +90,24 @@ class PipeTransformSpec extends AnyFunSuite {
     assert(ok.collect().map(_.getString(0)).toSeq == Seq("ok"))
     assert(bad.collect().map(_.getString(0)).toSeq == Seq("bad"))
   }
+
+  test("hung command is killed at the timeout and routes to failure") {
+    // a command that sleeps far past the 1 s timeout: the record must
+    // come back as a TimeoutExit failure in ~1 s, not wedge the task
+    // (the reference's VisibilityTimeout reclaim, as a kill)
+    val t0 = System.nanoTime()
+    val out = PipeTransform.transform(
+      df("hang" -> "x".getBytes),
+      Seq("sh", "-c", "sleep 600", "t"), timeoutSec = 1).collect()
+    val elapsedS = (System.nanoTime() - t0) / 1e9
+    assert(out(0).getInt(2) == PipeTransform.TimeoutExit)
+    assert(out(0).isNullAt(1))
+    assert(out(0).getString(3).contains("timed out"))
+    assert(elapsedS < 30, s"kill took ${elapsedS}s — timeout not enforced")
+    // and split() quarantines it like any other failure
+    val (ok, bad) = PipeTransform.split(PipeTransform.transform(
+      df("hang" -> "x".getBytes),
+      Seq("sh", "-c", "sleep 600", "t"), timeoutSec = 1))
+    assert(ok.isEmpty && bad.collect().map(_.getString(0)).toSeq == Seq("hang"))
+  }
 }
