@@ -1168,9 +1168,14 @@ object CurationQueries {
         // from the source table, so a write that drops, duplicates,
         // or corrupts any row breaks the hash — integrity of the
         // emitted artifact, not just of the plan that produced it.
-        // Checksum = exact DECIMAL(38,0) sum of each doc's 60-bit
-        // md5 integer: order-free (addition commutes), overflow-free
-        // (2^60 * rowcount << 10^38), engine-portable.
+        // Checksum = modular sum (mod 2^60) of each doc's 60-bit
+        // md5 integer: order-free (modular addition commutes) and —
+        // the round-5 lesson — RANGE-portable: the reduced value
+        // stays < 2^60 < 2^63-1, so it survives any int64-typed
+        // downstream hash. The raw DECIMAL(38,0) sum was value-exact
+        // on both engines but overflowed int64 (~2.6e19), which the
+        // driver's typed hash cannot carry. DECIMAL intermediates on
+        // both sides keep the pre-mod sum exact.
         val out = java.nio.file.Files
           .createTempDirectory("graft-c28-shards").toString
         docs(s, dir)
@@ -1185,14 +1190,17 @@ object CurationQueries {
               .cast("long").cast("decimal(38,0)"))
           .groupBy(col("shard"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(col("h")).cast("decimal(38,0)").as("checksum"))
+            (sum(col("h")) % lit(new java.math.BigDecimal(
+              "1152921504606846976")))
+              .cast("long").as("checksum"))
       },
       oracle = Some("""
         SELECT 's' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
                  1, 1) AS shard,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(CAST(('0x' || substr(md5(text), 1, 15))
-                 AS UBIGINT)) AS DECIMAL(38,0)) AS checksum
+                 AS UBIGINT)) % 1152921504606846976 AS BIGINT)
+                 AS checksum
         FROM documents
         GROUP BY 1"""),
       doc = "Verified training-shard emission: 16 hash-sharded " +

@@ -1295,12 +1295,20 @@ object RelationalQueries {
         // pass with a mergeable summary, rank error <= n/accuracy.
         // Sketch output is merge-order-dependent -> rows-only; the
         // rank-error bound vs the exact sorted values is pinned in
-        // SketchSpec.
-        T(s, dir).lineitem.agg(
-          percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
-            .as("approx_q"),
-          count(lit(1)).as("n"))
+        // SketchSpec. Output is three SCALAR columns, not the raw
+        // array<double>: the driver's row canonicalization cannot
+        // sort/factorize array cells (q31's "engine-agnostic to
+        // hash" rule — r05 showed an array output crashes the
+        // checker and the query records nothing).
+        val q = percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+        T(s, dir).lineitem
+          .agg(q.as("qs"), count(lit(1)).as("n"))
+          .select(
+            element_at(col("qs"), 1).as("p50"),
+            element_at(col("qs"), 2).as("p90"),
+            element_at(col("qs"), 3).as("p99"),
+            col("n"))
       },
       oracle = None,
       doc = "Greenwald-Khanna approximate quantiles (mergeable one-" +

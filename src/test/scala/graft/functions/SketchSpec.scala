@@ -59,8 +59,8 @@ class SketchSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val row = graft.SparkEntry.queries("q46_approx_quantiles")(spark, dir)
       .head()
-    val approx = row.getSeq[Double](0)
-    val n = row.getLong(1)
+    val approx = Seq(row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    val n = row.getLong(3)
     val sorted = graft.Engine.Tables(spark, dir).lineitem
       .select(col("l_extendedprice")).orderBy(col("l_extendedprice"))
       .collect().map(_.getDouble(0))

@@ -13,6 +13,8 @@ views, sort columns by name and rows by value, and compare cell-wise.
 """
 import json
 import math
+import os
+import re
 import sys
 
 import duckdb
@@ -61,6 +63,59 @@ def type_lint(con, name, sql, out_dir):
     return errs
 
 
+INT64_MAX = 9223372036854775807
+EXACT_DOUBLE = 9007199254740992  # 2^53
+
+
+def rep_lint(con, name, out_dir):
+    """Shape/range lint on the SPARK OUTPUT itself (round-5 lessons).
+    The driver's typed hash fails on VALUES outside int64 even when
+    both engines agree on type and value (c28: DECIMAL(38,0)
+    checksums ~2.6e19 went red while the cells compared identical),
+    and its pandas row canonicalization crashes outright on array
+    cells, recording nothing at all for the query (q46). Both classes
+    are invisible to the oracle compare below, so lint every dumped
+    query dir — including rows-only queries with no oracle entry.
+    """
+    errs = []
+    path = f"{out_dir}/{name}/*.parquet"
+    desc = con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{path}')").fetchall()
+    for row in desc:
+        col, typ = row[0], row[1]
+        t = typ.upper()
+        if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+            errs.append(
+                f"col {col} is {typ}: array/nested output crashes the "
+                "driver's row sort (emit scalars or array_join)")
+            continue
+        m = re.match(r"DECIMAL\((\d+)", t)
+        if m and int(m.group(1)) > 18:
+            errs.append(f"col {col} is {typ}: wider than int64-safe "
+                        "DECIMAL(18) — reduce the range (mod 2^60 / "
+                        "bit_xor) or cast")
+        if (("INT" in t and "INTERVAL" not in t) or "DECIMAL" in t
+                or "DOUBLE" in t or "FLOAT" in t):
+            mx = con.execute(
+                f'SELECT max(abs("{col}")) FROM read_parquet(\'{path}\') '
+                f'WHERE "{col}" IS NOT NULL').fetchone()[0]
+            if mx is None:
+                continue
+            if float(mx) > float(INT64_MAX):
+                errs.append(f"col {col}: max |value| {mx} exceeds int64")
+            elif "DOUBLE" in t or "FLOAT" in t:
+                all_int = con.execute(
+                    f'SELECT bool_and("{col}" = trunc("{col}")) FROM '
+                    f"read_parquet('{path}') "
+                    f'WHERE "{col}" IS NOT NULL AND NOT isnan("{col}")'
+                ).fetchone()[0]
+                if all_int and float(mx) > float(EXACT_DOUBLE):
+                    errs.append(
+                        f"col {col}: integer-valued double with max "
+                        f"|value| {mx} beyond exact-double 2^53")
+    return errs
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -68,7 +123,24 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Representation lint over EVERY dumped query (oracle'd or not):
+    # the two round-5 driver failures (c28 range, q46 array) were both
+    # invisible to the oracle compare.
+    dumped = sorted(d for d in os.listdir(out_dir)
+                    if os.path.isdir(os.path.join(out_dir, d)))
+    lint_failed = set()
+    for name in dumped:
+        try:
+            errs = rep_lint(con, name, out_dir)
+        except Exception as ex:
+            errs = [f"rep lint exec error: {ex}"]
+        if errs:
+            print(f"FAIL {name}: rep lint: {'; '.join(errs)}")
+            lint_failed.add(name)
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
+        if name in lint_failed:
+            continue
         try:
             lint = type_lint(con, name, sql, out_dir)
             if lint:
