@@ -119,10 +119,26 @@ object PipeTransform {
       val finished = proc.waitFor(
         timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
       if (!finished) {
+        // Kill the WHOLE tree, not just the direct child: a wrapper
+        // (sh -c, interpreter, launcher script) that spawned the real
+        // binary would otherwise leave the grandchild running —
+        // consuming CPU and possibly still writing the staged output
+        // file after the record was reported TimeoutExit. Snapshot
+        // descendants BEFORE killing the parent (the ProcessHandle
+        // stream goes empty once the parent dies and children are
+        // reparented to init), kill them, then the parent, then
+        // re-sweep for any child that raced a fork with the kill.
+        import scala.jdk.CollectionConverters._
+        val kids = proc.toHandle.descendants().iterator().asScala.toList
+        kids.foreach(_.destroyForcibly())
         proc.destroyForcibly()
         proc.waitFor()
+        proc.toHandle.descendants().iterator().asScala
+          .foreach(_.destroyForcibly())
         return Row(key, null, TimeoutExit,
-          s"command timed out after ${timeoutSec}s and was killed")
+          s"command timed out after ${timeoutSec}s and was killed" +
+            (if (kids.nonEmpty) s" (with ${kids.size} descendant(s))"
+             else ""))
       }
       drainer.join(5000)
       val stderr = new String(

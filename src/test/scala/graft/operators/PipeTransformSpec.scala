@@ -110,4 +110,22 @@ class PipeTransformSpec extends AnyFunSuite {
       Seq("sh", "-c", "sleep 600", "t"), timeoutSec = 1))
     assert(ok.isEmpty && bad.collect().map(_.getString(0)).toSeq == Seq("hang"))
   }
+
+  test("timeout kill takes down the whole process tree, not just the wrapper") {
+    // the trailing `; echo` forces sh to FORK sleep instead of exec'ing
+    // it, so the tree is sh(child) -> sleep(grandchild); killing only
+    // the direct child reparents a live sleep to init — the hung binary
+    // the timeout exists to stop would survive it
+    val marker = "601.2345" // unique sleep arg: findable in ps, no collisions
+    val out = PipeTransform.transform(
+      df("tree" -> "x".getBytes),
+      Seq("sh", "-c", s"sleep $marker; echo done", "t"),
+      timeoutSec = 1).collect()
+    assert(out(0).getInt(2) == PipeTransform.TimeoutExit)
+    Thread.sleep(500) // let SIGKILL land and the entry leave the table
+    val ps = new String(new ProcessBuilder("ps", "-eo", "args")
+      .start().getInputStream.readAllBytes())
+    assert(!ps.contains(s"sleep $marker"),
+      "grandchild survived the timeout kill")
+  }
 }

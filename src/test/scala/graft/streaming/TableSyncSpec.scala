@@ -111,8 +111,77 @@ class TableSyncSpec extends AnyFunSuite {
       1L -> (2L, "a2"), 2L -> (1L, "b1"), 3L -> (1L, "c1")), s"got $got")
     assert(TableSync.readCurrent(spark, path).count() == 3,
       "replayed batch must not duplicate rows")
-    // the replay rewrote v1 in place: version trail stays 0,1,2
+    // the replay wrote a fresh v1r1 variant (never in place); the
+    // batch-id trail still reads 0,1,2 with variants deduped
     assert(TableSync.versions(spark, path) == Seq(0L, 1L, 2L))
+  }
+
+  test("replayed batch writes a fresh directory, never the pointed-to one") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-fresh-").toString
+    TableSync.applyBatch(Seq((1L, 1L, "a1")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L)
+    // same batchId again = crash-after-swap replay: the pointer names
+    // v0, so the rewrite must land in v0r1 while v0 stays intact for
+    // in-flight readers
+    TableSync.applyBatch(Seq((1L, 1L, "a1")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    assert(dirs == Seq("v0", "v0r1"), s"got $dirs")
+    // a third replay chains the suffix
+    TableSync.applyBatch(Seq((1L, 1L, "a1")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "v0r2")))
+    assert(TableSync.versions(spark, path) == Seq(0L))
+    val got = TableSync.readCurrent(spark, path).collect()
+    assert(got.length == 1 && got.head.getString(2) == "a1")
+    // time travel to the replayed batch resolves the pointed variant
+    assert(TableSync.readVersion(spark, path, 0L).count() == 1)
+  }
+
+  test("concurrent writer is detected and fails loudly, not last-swap-wins") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-cw-").toString
+    // writer A merges from the initial state (no pointer)...
+    // ...but writer B lands its whole batch first
+    TableSync.applyBatch(Seq((2L, 1L, "b1")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L)
+    // writer A's commit must now refuse: its merge never saw B's rows,
+    // so a silent swap would discard them
+    val ex = intercept[java.util.ConcurrentModificationException](
+      TableSync.commitPointer(spark, path, expectedPrev = None, "v99"))
+    assert(ex.getMessage.contains("concurrent writer"))
+    // B's state survives untouched
+    val got = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(2L -> "b1"), s"got $got")
+  }
+
+  test("missing pointer with surviving snapshots fails loudly, not rebuild-from-batch") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-nptr-").toString
+    TableSync.applyBatch(Seq((1L, 1L, "a1")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L)
+    // two batches so a batch>0 snapshot exists: a missing pointer is
+    // then provably corruption, not a batch-0 bootstrap in progress
+    TableSync.applyBatch(Seq((1L, 2L, "a2")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 1L)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(path, "_CURRENT"), false))
+    // both the reader and the next batch's merge must refuse — the old
+    // delete-then-rename swap hit exactly this state on crash, and the
+    // next applyBatch silently rebuilt the table from its own rows
+    val ex = intercept[IllegalStateException](
+      TableSync.readCurrent(spark, path))
+    assert(ex.getMessage.contains("refusing to guess"))
+    val ex2 = intercept[IllegalStateException](
+      TableSync.applyBatch(Seq((9L, 1L, "x")).toDF("k", "ver", "attr"),
+        path, "k", "ver", batchId = 1L))
+    assert(ex2.getMessage.contains("refusing to guess"))
   }
 
   test("enriched() re-resolves the dimension pointer per batch") {
