@@ -78,8 +78,18 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
         .filter(n => args.exists(n.startsWith))
 
+    // Interleaved probes every 20 queries, not just before/after: r05's
+    // endpoint probes both read idle (~0.72) while a mid-suite block
+    // ran 4-10x contaminated — an unlocalizable artifact. With the
+    // series, entry k was taken after query 20*(k+1) (sorted order),
+    // so any contaminated block is self-evident from the JSON alone:
+    // compare each entry against the before/after constant.
     val calibBefore = calibrate()
-    val results = selected.map(name => name -> measure(name))
+    val calibSeries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = selected.zipWithIndex.map { case (name, i) =>
+      if (i > 0 && i % 20 == 0) calibSeries += calibrate()
+      name -> measure(name)
+    }
     val calibAfter = calibrate()
     // 3-decimal (ms) precision: full-precision doubles made the r02
     // JSON line ~3.6 kB, longer than the driver's captured output
@@ -89,8 +99,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val series = calibSeries.map(f).mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
       s""""calib_before":${f(calibBefore)},"calib_after":${f(calibAfter)},""" +
+      s""""calib_series":$series,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also write the line to a file: under sbt the stdout line gets an

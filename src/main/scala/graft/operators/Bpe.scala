@@ -32,6 +32,25 @@ object Bpe {
   /** End-of-word marker symbol (kept distinct from any character). */
   val EndOfWord = "</w>"
 
+  /** Initial symbol sequence of a word: one symbol per Unicode CODE
+    * POINT plus the terminal marker. Splitting by UTF-16 unit (the
+    * naive `String.map`) would break supplementary-plane characters
+    * (emoji, rare CJK) into unpaired surrogate halves — deterministic
+    * but malformed symbols that corrupt on write-out or cross-engine
+    * compare. learnMerges and tokenize MUST share this alphabet.
+    */
+  private def symbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.result()
+  }
+
   /** Learn `numMerges` merges; returns (rank, left, right,
     * pair_count) with rank 1..n in merge order.
     */
@@ -54,7 +73,7 @@ object Bpe {
 
     // bounded driver loop over the histogram
     var vocab: Array[(Array[String], Long)] = hist.map { r =>
-      (r.getString(0).map(_.toString).toArray :+ EndOfWord, r.getLong(1))
+      (symbols(r.getString(0)), r.getLong(1))
     }
     val merges = Vector.newBuilder[(Int, String, String, Long)]
     var rank = 1
@@ -122,8 +141,7 @@ object Bpe {
       .map { case (id, ws) =>
         val toks = Vector.newBuilder[String]
         ws.iterator.filter(_.nonEmpty).foreach { w =>
-          var syms: Array[String] =
-            w.map(_.toString).toArray :+ EndOfWord
+          var syms: Array[String] = symbols(w)
           mergeList.foreach { case (l, r) =>
             if (syms.length >= 2) {
               val out = Array.newBuilder[String]

@@ -1205,5 +1205,55 @@ object CurationQueries {
         GROUP BY 1"""),
       doc = "Verified training-shard emission: 16 hash-sharded " +
         "parquet partitions, manifest (counts + order-free content " +
-        "checksums) recomputed FROM THE WRITTEN FILES."))
+        "checksums) recomputed FROM THE WRITTEN FILES."),
+
+    // ------------------------------------------------------------------
+    "c29_bpe_token_budget" -> QueryDef(
+      fn = { (s, dir) =>
+        // c20's greedy quality-ranked budget fill, priced in the unit
+        // a training run actually consumes: BPE subwords from the
+        // corpus-induced tokenizer (t15/t16), not whitespace words.
+        // Long words cost more subwords under a small merge table, so
+        // the fill boundary genuinely moves vs c20 — this closes the
+        // loop between the tokenizer and the curation operators that
+        // exist to feed one. Same no-global-sort shape as c20
+        // (bucket offsets broadcast, per-doc window partitions by
+        // bucket); the only addition is one doc_id-keyed join of the
+        // map-only tokenize output against the quality buckets.
+        // Iterative merge application is not SQL-expressible ->
+        // rows-only; CurationRulesSpec pins selection parity vs c20
+        // on a planted corpus where BPE and whitespace pricing agree,
+        // and divergence where they don't.
+        import org.apache.spark.sql.expressions.Window
+        val merges = graft.operators.Bpe
+          .learnMerges(docs(s, dir), "text", numMerges = 20)
+          .collect().sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val priced = graft.operators.Bpe
+          .tokenize(docs(s, dir), "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+        val d = docs(s, dir).select(col("doc_id"),
+          floor(TextFunctions.qualityScore(col("text")) * 100)
+            .cast("long").as("bucket"))
+          .join(priced, Seq("doc_id"))
+        val buckets = d.groupBy(col("bucket"))
+          .agg(sum(col("n_tokens")).as("btoks"))
+        val wOff = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = buckets
+          .withColumn("start", coalesce(sum(col("btoks")).over(wOff), lit(0L)))
+          .select(col("bucket"), col("start"))
+        val tot = d.agg(sum(col("n_tokens")).as("total"))
+        val wCum = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        d.join(broadcast(offs), Seq("bucket"))
+          .crossJoin(broadcast(tot))
+          .withColumn("cum", sum(col("n_tokens")).over(wCum))
+          .filter(col("start") + col("cum") <= expr("total div 2"))
+          .select(col("doc_id"), col("bucket"), col("n_tokens"))
+      },
+      oracle = None,
+      doc = "Greedy token-budget fill priced in BPE subwords from the " +
+        "corpus-induced tokenizer (rows-only; spec pins parity and " +
+        "divergence vs whitespace pricing)."))
 }

@@ -187,8 +187,9 @@ object MultimodalQueries {
         // DuckDB rebuilds every hash from the raw bytes. With m05 and
         // the text family, near-dup detection now spans all three
         // modalities through ONE pairing operator (hammingPairs64).
-        // ASCII fixture => hi byte is never negative; the Spark path
-        // handles signed hi bytes for real PCM.
+        // The oracle decodes signed little-endian int16 exactly like
+        // the engine (hi >= 0x80 -> s - 65536), so agreement doesn't
+        // hinge on the fixture being ASCII-only.
         graft.operators.Multimodal.audioDHash(
           fakeImages(s, dir), "doc_id", "image")
           .filter(col("adhash").isNotNull)
@@ -202,9 +203,15 @@ object MultimodalQueries {
           FROM documents
           WHERE length(text) >= 2 AND length(text) // 2 <= 1048576),
         sm AS (
+          -- signed little-endian int16, mirroring the engine's decode:
+          -- a high byte >= 0x80 is a negative sample (s - 65536), not
+          -- an unsigned reconstruction that happens to agree on the
+          -- ASCII fixture
           SELECT doc_id, n,
                  list_transform(range(0, n),
-                   i -> bs[2*i + 2] * 256 + bs[2*i + 1]) AS s
+                   i -> CASE WHEN bs[2*i + 2] >= 128
+                        THEN bs[2*i + 2] * 256 + bs[2*i + 1] - 65536
+                        ELSE bs[2*i + 2] * 256 + bs[2*i + 1] END) AS s
           FROM la),
         sc AS (
           SELECT doc_id, n,
@@ -301,9 +308,15 @@ object MultimodalQueries {
           FROM documents
           WHERE length(text) >= 2),
         sm AS (
+          -- signed little-endian int16, mirroring the engine's decode:
+          -- a high byte >= 0x80 is a negative sample (s - 65536), not
+          -- an unsigned reconstruction that happens to agree on the
+          -- ASCII fixture
           SELECT doc_id, n,
                  list_transform(range(0, n),
-                   i -> bs[2*i + 2] * 256 + bs[2*i + 1]) AS s
+                   i -> CASE WHEN bs[2*i + 2] >= 128
+                        THEN bs[2*i + 2] * 256 + bs[2*i + 1] - 65536
+                        ELSE bs[2*i + 2] * 256 + bs[2*i + 1] END) AS s
           FROM la),
         wins AS (
           SELECT doc_id,

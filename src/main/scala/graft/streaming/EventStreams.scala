@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event-time streaming analytics over an `events`-shaped stream
   * (event_id, ts, user_id, event_type, value, props).
@@ -414,6 +414,129 @@ object EventStreams {
         if (m != U) { p = m; out += ((key, "purchase", p)) }
       }
       st.update((v, c, p))
+      out.result().iterator
+    }
+  }
+
+  /** The LATE-DATA funnel: batch-equal answers under arbitrary
+    * cross-batch disorder, where [[funnelStream]] is the O(1)-state
+    * arrival-order contract. The trade is explicit and the reason
+    * both variants exist: this one BUFFERS until the event-time
+    * watermark closes the user's conversion window, so results are
+    * emitted once per user at close (not eagerly per stage).
+    *
+    * Semantics: a user's funnel closes `windowMs` after their FIRST
+    * view (the product-analytics conversion window). At close the
+    * buffered events fold exactly like the batch q42: v = min(view),
+    * c = min(click > v), p = min(purchase > c) — order-independent,
+    * so ANY arrival order within the watermark yields the batch
+    * answer. Events after close (or a replay of a closed user) are
+    * dropped against a tombstone.
+    *
+    * Bounded state, by construction, not hope: the view slot stores
+    * ONLY the running min (a late earlier view just lowers it);
+    * clicks and purchases keep the `maxBuffered` SMALLEST timestamps
+    * each (insertion keeps them sorted, the tail is dropped). The
+    * fold is exact whenever a user has fewer than `maxBuffered`
+    * clicks preceding their first view / purchases preceding their
+    * first click — the pathological bot case beyond that degrades to
+    * "stage unreached", never to a wrong earlier timestamp. Per-user
+    * state is therefore <= 2*maxBuffered + 4 longs, the same flood
+    * bound discipline as nearDupStream's maxBucketSize.
+    */
+  def funnelStreamLate(
+      events: Dataset[(Long, Long, Long, String)],
+      lateness: String = "10 minutes",
+      windowMs: Long = 1000L,
+      maxBuffered: Int = 64): Dataset[(Long, String, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .toDF("user_id", "us", "event_id", "stage")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", lateness)
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new LateFunnelProcessor(windowMs, maxBuffered),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** State: (done, minViewUs, closeAtMs, clicksUs, purchasesUs) —
+    * clicks/purchases sorted ascending, capped at maxBuffered.
+    */
+  private class LateFunnelProcessor(windowMs: Long, maxBuffered: Int)
+      extends StatefulProcessor[
+        Long, (Long, Long, Long, String, java.sql.Timestamp),
+        (Long, String, Long)] {
+    private val U = Long.MinValue
+    @transient private var st
+        : ValueState[(Boolean, Long, Long, Seq[Long], Seq[Long])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[
+        (Boolean, Long, Long, Seq[Long], Seq[Long])]("lateFunnel",
+        org.apache.spark.sql.Encoders
+          .product[(Boolean, Long, Long, Seq[Long], Seq[Long])],
+        TTLConfig.NONE)
+
+    /** Insert keeping the smallest maxBuffered values, ascending. */
+    private def bounded(xs: Seq[Long], v: Long): Seq[Long] = {
+      if (xs.contains(v)) xs // at-least-once replay of the same event
+      else {
+        val (lo, hi) = xs.span(_ < v)
+        ((lo :+ v) ++ hi).take(maxBuffered)
+      }
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      var (done, v, closeAt, clicks, purchases) =
+        if (st.exists()) st.get()
+        else (false, U, U, Seq.empty[Long], Seq.empty[Long])
+      if (done) return Iterator.empty // tombstone: closed funnels drain
+      rows.foreach { case (_, us, _, stage, _) =>
+        stage match {
+          case "view"     => if (v == U || us < v) v = us
+          case "click"    => clicks = bounded(clicks, us)
+          case "purchase" => purchases = bounded(purchases, us)
+          case _          => ()
+        }
+      }
+      if (v != U) {
+        // conversion window opens at the (possibly lowered) first
+        // view; a LATE earlier view only moves the close EARLIER, so
+        // re-registering is safe — the later stale timer finds the
+        // tombstone and emits nothing
+        val newClose = v / 1000L + windowMs
+        if (closeAt == U || newClose < closeAt) {
+          if (closeAt != U) getHandle.deleteTimer(closeAt)
+          getHandle.registerTimer(newClose)
+          closeAt = newClose
+        }
+      }
+      st.update((false, v, closeAt, clicks, purchases))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo)
+        : Iterator[(Long, String, Long)] = {
+      if (!st.exists()) return Iterator.empty
+      val (done, v, _, clicks, purchases) = st.get()
+      if (done || v == U) return Iterator.empty
+      // the batch q42 fold, order-independent over the buffer
+      val out = Seq.newBuilder[(Long, String, Long)]
+      out += ((key, "view", v))
+      val c = clicks.find(_ > v)
+      c.foreach(cv => out += ((key, "click", cv)))
+      val p = c.flatMap(cv => purchases.find(_ > cv))
+      p.foreach(pv => out += ((key, "purchase", pv)))
+      // tombstone (cheap: 4 longs, no buffers) so replays and
+      // post-close stragglers drain without re-emitting
+      st.update((true, v, U, Seq.empty, Seq.empty))
       out.result().iterator
     }
   }

@@ -31,6 +31,45 @@ class BpeSpec extends AnyFunSuite {
       (5, "lo", "w", 7L)))
   }
 
+  test("supplementary-plane characters stay whole symbols (no surrogate halves)") {
+    // 🎉 (U+1F389) and 𝕏 (U+1D54F) are outside the BMP: two UTF-16
+    // units each. UTF-16-unit splitting would make the symbol alphabet
+    // unpaired surrogate halves — malformed strings on write-out.
+    // Code-point splitting keeps each emoji one symbol: in "🎉🎉🎉"×4
+    // the pair (🎉,🎉) counts 8 (two per word) vs 4 for (🎉,</w>),
+    // strictly the top merge — no tie-break subtleties.
+    val text = (Seq.fill(4)("🎉🎉🎉") ++
+      Seq.fill(2)("𝕏!")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(df, "text", numMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(merges(0) == ((1, "🎉", "🎉", 8L)), s"got ${merges.toSeq}")
+    // every learned symbol must be well-formed: no code point in the
+    // surrogate range, and exact UTF-8 round-trip
+    merges.foreach { case (_, l, r, _) =>
+      Seq(l, r).foreach { s =>
+        assert(s.codePoints().toArray.forall(cp => cp < 0xD800 || cp > 0xDFFF),
+          s"lone surrogate in symbol '$s'")
+        assert(new String(s.getBytes("UTF-8"), "UTF-8") == s,
+          s"symbol '$s' corrupts through UTF-8")
+      }
+    }
+    // tokenize shares the alphabet: merge 1 fuses the first two emoji
+    // ([🎉,🎉,🎉,</w>] -> [🎉🎉, 🎉, </w>]) and all emitted tokens
+    // survive a UTF-8 round trip
+    val toks = Bpe.tokenize(df, "doc_id", "text",
+      merges.map(m => (m._2, m._3)).toSeq)
+      .collect().head.getSeq[String](1)
+    toks.foreach { t =>
+      assert(t.codePoints().toArray.forall(cp => cp < 0xD800 || cp > 0xDFFF),
+        s"lone surrogate in token '$t'")
+      assert(new String(t.getBytes("UTF-8"), "UTF-8") == t,
+        s"token '$t' corrupts through UTF-8")
+    }
+    assert(toks.contains("🎉🎉"), s"expected fused emoji token, got $toks")
+  }
+
   test("merge loop stops early when no pairs remain") {
     // single word "ab": (a,b) then (ab,</w>) exhausts every pair
     val df = Seq((1L, "ab")).toDF("doc_id", "text")

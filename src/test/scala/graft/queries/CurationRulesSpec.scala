@@ -112,4 +112,49 @@ class CurationRulesSpec extends AnyFunSuite {
     // all hits must verify at the threshold
     hits.foreach { case (_, _, j) => assert(j >= 0.5) }
   }
+
+  test("c29: BPE-priced budget fill equals c20 when pricing agrees, " +
+    "and long rare words genuinely cost more subwords") {
+    import spark.implicits._
+    // Planted corpus over four 2-char words: 20 merges fully fuse
+    // every word ((x,y) then (xy,</w>) per word = 8 merges), so
+    // n_bpe_tokens == whitespace tokenCount for EVERY doc and the
+    // BPE-priced fill must select exactly c20's doc set.
+    val words = Array("ab", "cd", "ef", "gh")
+    val planted = (1L to 24L).map { i =>
+      val n = 3 + (i % 7).toInt * 4
+      val text = (0 until n).map(j => words(((i + j) % 4).toInt))
+        .mkString(" ")
+      (i, text, "en", "planted", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-c29-").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def ids(name: String) = SparkEntry.queries(name)(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bpeSel = ids("c29_bpe_token_budget")
+    val wsSel = ids("c20_token_budget")
+    assert(bpeSel.nonEmpty, "fill selected nothing")
+    assert(bpeSel == wsSel,
+      s"fully-fused pricing must reproduce c20: $bpeSel vs $wsSel")
+
+    // Divergence half: a rare 20-char word stays unfused under merges
+    // learned from a corpus dominated by the short words, so its BPE
+    // price is several subwords where whitespace counts 1 — the
+    // boundary genuinely moves at scale.
+    val rare = "abcdefghijklmnopqrst"
+    val mixed = planted.union(
+      Seq((99L, s"$rare $rare $rare", "en", "planted", 62L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val merges = graft.operators.Bpe
+      .learnMerges(mixed, "text", numMerges = 20)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val priced = graft.operators.Bpe
+      .tokenize(mixed, "doc_id", "text", merges)
+      .filter($"doc_id" === 99L).head()
+    assert(priced.getLong(2) > 3L,
+      s"rare long word should cost >1 subword per use, " +
+        s"got ${priced.getLong(2)} for 3 uses")
+  }
 }

@@ -513,6 +513,105 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("late funnel: stages delivered across batches in REVERSE order " +
+    "still fold to the batch answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val ckpt = Files.createTempDirectory("latefunnel-ckpt").toString
+      val q = graft.streaming.EventStreams.funnelStreamLate(mem.toDS())
+        .toDF("user_id", "stage", "us")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("late_funnel_out").start()
+      // user 1's funnel arrives purchase -> click -> view, one stage
+      // per micro-batch — the exact pattern the arrival-order variant
+      // documents as out of contract; user 2 never views, so the
+      // close must emit nothing for them
+      mem.addData((1L, 300000000L, 1L, "purchase"),
+        (2L, 150000000L, 4L, "click"))
+      q.processAllAvailable()
+      mem.addData((1L, 200000000L, 2L, "click"))
+      q.processAllAvailable()
+      mem.addData((1L, 100000000L, 3L, "view"))
+      q.processAllAvailable()
+      // user 1's window closes at view(100s) + 1s = 101s event time;
+      // with 10 min lateness the watermark needs maxTs >= 701s. The
+      // watermark advances at batch END, and timers fire the batch
+      // AFTER it passes the close — hence two nudges.
+      mem.addData((999L, 800000000L, 9L, "view"))
+      q.processAllAvailable()
+      mem.addData((999L, 900000000L, 10L, "view"))
+      q.processAllAvailable()
+      // post-close straggler (inside the watermark, after the close):
+      // tombstone must drain it without re-emitting
+      mem.addData((1L, 250000000L, 5L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("late_funnel_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      q.stop()
+      assert(got == Set(
+        (1L, "view", 100000000L), (1L, "click", 200000000L),
+        (1L, "purchase", 300000000L)), s"got $got")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("late funnel: a click flood stays inside the bounded buffer and " +
+    "the fold stays exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val ckpt = Files.createTempDirectory("latefunnel-fl-ckpt").toString
+      val q = graft.streaming.EventStreams.funnelStreamLate(mem.toDS())
+        .toDF("user_id", "stage", "us")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("late_funnel_flood").start()
+      // 200 clicks (3x maxBuffered=64) land BEFORE the view and the
+      // purchase; the buffer keeps only the 64 smallest click times,
+      // which must still contain the true min-click-after-view
+      val clicks = (0 until 200).map(i =>
+        (5L, 2000000L + i * 1000L, 100L + i, "click"))
+      mem.addData(clicks: _*)
+      q.processAllAvailable()
+      mem.addData((5L, 3000000L, 301L, "purchase"),
+        (5L, 1000000L, 302L, "view"))
+      q.processAllAvailable()
+      // close: view at 1s + 1s window = 2s; watermark needs 602s
+      mem.addData((999L, 700000000L, 9L, "view"))
+      q.processAllAvailable()
+      mem.addData((999L, 800000000L, 10L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("late_funnel_flood").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .filter(_._1 == 5L).toSet
+      q.stop()
+      assert(got == Set(
+        (5L, "view", 1000000L), (5L, "click", 2000000L),
+        (5L, "purchase", 3000000L)), s"got $got")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming funnel equals the batch q42 fold on ordered delivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
