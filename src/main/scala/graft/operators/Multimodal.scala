@@ -305,6 +305,53 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame-to-frame L1 differences — the shot-boundary / scene-cut
+    * primitive under video clip extraction: a boundary between frames
+    * i and i+1 scores sum_j |f(i+1)[j] - f(i)[j]| over unsigned
+    * bytes, and a cut is a boundary whose score clears the caller's
+    * threshold. Integer-exact (sum of <= frameBytes * 255 fits Long
+    * far beyond any real frame size), so thresholds are
+    * engine-portable. One sequential pass per payload inside
+    * mapPartitions — embarrassingly parallel, no shuffle; downstream
+    * cut selection is a plain filter.
+    *
+    * Emits (key, boundary_idx, diff) for EVERY interior boundary
+    * (boundary_idx = i+1 in 1..nFrames-1); thresholding stays in the
+    * query so one pass serves cut detection, motion profiling, and
+    * static-scene collapse alike.
+    */
+  def frameDiffs(
+      df: DataFrame, keyCol: String, binCol: String,
+      frameBytes: Int): DataFrame = {
+    require(frameBytes >= 1, "frameBytes must be >= 1")
+    val outSchema = StructType(Seq(
+      df.schema(keyCol),
+      StructField("boundary_idx", IntegerType),
+      StructField("diff", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(keyCol), col(binCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.length < 16 ||
+            !hasMagic(bytes)) Iterator.empty
+        else {
+          val payload = bytes.drop(16)
+          val nFrames = payload.length / frameBytes
+          (1 until nFrames).iterator.map { i =>
+            var d = 0L
+            var j = 0
+            while (j < frameBytes) {
+              d += math.abs((payload(i * frameBytes + j) & 0xff) -
+                (payload((i - 1) * frameBytes + j) & 0xff))
+              j += 1
+            }
+            Row(r.get(0), i, d)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Audio-stats metadata for a PCM payload: the payload after the
     * header is interpreted as little-endian int16 samples. Unlike the
     * image decode this needs NO codec — raw PCM math is exact — so

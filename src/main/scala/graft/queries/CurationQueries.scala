@@ -1255,5 +1255,51 @@ object CurationQueries {
       oracle = None,
       doc = "Greedy token-budget fill priced in BPE subwords from the " +
         "corpus-induced tokenizer (rows-only; spec pins parity and " +
-        "divergence vs whitespace pricing)."))
+        "divergence vs whitespace pricing)."),
+
+    // ------------------------------------------------------------------
+    "c30_curriculum" -> QueryDef(
+      fn = { (s, dir) =>
+        // Curriculum schedule: three epochs of increasingly
+        // quality-selective membership — epoch 0 sees the whole
+        // corpus, epoch 1 keeps a doc with probability q (its quality
+        // score), epoch 2 with q^2, so later epochs concentrate on
+        // the best data (quality ramp, anneal-to-clean). Membership
+        // is the same deterministic md5-uniform acceptance as
+        // c26/c27 — u and q are both IEEE-bitwise-equal cross-engine
+        // and q*q is one multiply of identical operands, so the
+        // acceptance BOUNDARY itself hash-checks; integer powers
+        // only, no libm pow. Scale: pure per-row map over a
+        // broadcast 3-row epoch table — no shuffle at all.
+        val d = docs(s, dir).select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        val epochs = s.range(0, 3)
+          .select(col("id").cast("int").as("epoch"))
+        d.crossJoin(broadcast(epochs))
+          .withColumn("u",
+            conv(substring(md5(concat(lit("curr:"),
+              col("epoch").cast("string"), lit(":"),
+              col("doc_id").cast("string"))), 1, 15), 16, 10)
+              .cast("long").cast("double") / lit(1152921504606846976.0))
+          .filter(col("epoch") === 0 ||
+            (col("epoch") === 1 && col("u") < col("q")) ||
+            (col("epoch") === 2 && col("u") < col("q") * col("q")))
+          .select(col("epoch"), col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH $qualityCte,
+        e AS (SELECT unnest([0, 1, 2]) AS epoch),
+        u AS (
+          SELECT s.doc_id, s.quality, e.epoch,
+                 CAST(CAST(('0x' || substr(md5('curr:'
+                   || CAST(e.epoch AS VARCHAR) || ':'
+                   || CAST(s.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                   AS DOUBLE) / 1152921504606846976.0 AS u
+          FROM scored s CROSS JOIN e)
+        SELECT epoch, doc_id FROM u
+        WHERE epoch = 0 OR (epoch = 1 AND u < quality)
+           OR (epoch = 2 AND u < quality * quality)"""),
+      doc = "Quality-ramped curriculum: per-epoch md5-uniform " +
+        "acceptance at probability q^epoch (deterministic, " +
+        "hash-checked boundary; zero-shuffle map)."))
 }

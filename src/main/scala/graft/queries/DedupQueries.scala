@@ -556,6 +556,64 @@ object DedupQueries {
         "the scan)."),
 
     // ------------------------------------------------------------------
+    "s11_filtered_ann" -> QueryDef(
+      fn = { (s, dir) =>
+        // FILTERED vector search — the production ANN pattern where
+        // the predicate lives in a METADATA table, not on the vector
+        // row: top-5 cosine neighbors among candidates whose joined
+        // document is English. Strategy is PRE-filter (restrict the
+        // candidate set before scoring), the right side of the
+        // pre/post-filter trade whenever the predicate is selective —
+        // post-filtering a top-k retrieved blind would under-fill k.
+        // Scale shape: the lang predicate pushes to the documents
+        // parquet scan; the surviving ids semi-join the embedding
+        // scan BEFORE any distance math; queries broadcast as in s01.
+        // At corpus scale the scored scan swaps for lshTopK/pqTopK
+        // candidates exactly like s10's note.
+        val enIds = T(s, dir).documents
+          .filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"))
+        val e = T(s, dir).embeddings
+          .join(enIds, Seq("vec_id"), "left_semi")
+          .repartition(s.sparkContext.defaultParallelism)
+        val q = T(s, dir).embeddings
+          .filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val scored = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("id"),
+            round(VectorFunctions.cosineSim(col("embedding"), col("qvec")), 4)
+              .as("cosine"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+      },
+      oracle = Some("""
+        WITH en AS (
+          SELECT doc_id FROM documents WHERE lang = 'en'),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS id,
+                 round(list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+          FROM embeddings q
+          JOIN embeddings c ON c.vec_id != q.vec_id
+          JOIN en ON en.doc_id = c.vec_id
+          WHERE q.vec_id % 50 = 0),
+        ranked AS (
+          SELECT qid, id, cosine,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cosine DESC, id) AS rank
+          FROM scored)
+        SELECT qid, id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5"""),
+      doc = "Metadata-filtered vector search: pre-filter the candidate " +
+        "set through a semi-join on the documents table, then exact " +
+        "top-5 cosine."),
+
+    // ------------------------------------------------------------------
     "s06_topk_sparse" -> QueryDef(
       fn = { (s, dir) =>
         // Sparse TF-IDF cosine top-50 pairs via inverted-index join —

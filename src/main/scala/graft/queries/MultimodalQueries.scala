@@ -335,5 +335,47 @@ object MultimodalQueries {
         SELECT doc_id, win, energy, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3"""),
       doc = "Top-3 loudest PCM windows per doc (exact integer window " +
-        "energies; localization primitive for trimming/sampling)."))
+        "energies; localization primitive for trimming/sampling)."),
+
+    // ------------------------------------------------------------------
+    "m09_scene_cuts" -> QueryDef(
+      fn = { (s, dir) =>
+        // Shot-boundary detection over the frame stream — the
+        // primitive under video clip extraction for multimodal
+        // training: a cut is a frame boundary whose L1 byte diff
+        // clears the threshold (1050 ~ p85 of the fixture's boundary
+        // diffs, so cuts are selective, not everything/nothing).
+        // Integer-exact -> engine-portable threshold. Both sides
+        // scope to single-byte (ASCII) docs EXPLICITLY — the oracle
+        // indexes text by CHAR while the engine walks payload BYTES,
+        // so the envelope is a predicate both engines apply, not a
+        // fixture assumption (the m06/m08 lesson, made structural).
+        val asciiIds = Engine.Tables(s, dir).documents
+          .filter(length(col("text")) === octet_length(col("text")))
+          .select(col("doc_id"))
+        graft.operators.Multimodal.frameDiffs(
+          fakeImages(s, dir), "doc_id", "image", frameBytes = 32)
+          .filter(col("diff") >= 1050)
+          .join(asciiIds, Seq("doc_id"))
+      },
+      oracle = Some("""
+        WITH la AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) + 1),
+                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS bs,
+                 octet_length(encode(text)) // 32 AS nf
+          FROM documents
+          WHERE length(text) = octet_length(encode(text))
+            AND octet_length(encode(text)) >= 64),
+        d AS (
+          SELECT doc_id, unnest(list_transform(range(1, nf),
+            i -> struct_pack(b := CAST(i AS INTEGER),
+              diff := CAST(list_sum(list_transform(range(0, 32),
+                j -> abs(bs[i*32 + j + 1] - bs[(i-1)*32 + j + 1])))
+                AS BIGINT)))) AS u
+          FROM la)
+        SELECT doc_id, u.b AS boundary_idx, u.diff AS diff
+        FROM d WHERE u.diff >= 1050"""),
+      doc = "Scene-cut detection: L1 frame-to-frame byte diffs over " +
+        "the thresholded boundary stream (integer-exact, map-only)."))
 }

@@ -555,5 +555,61 @@ object TextQueries {
       },
       oracle = None,
       doc = "BPE tokenization with corpus-induced merges: per-doc " +
-        "subword counts (map-only apply; rows-only)."))
+        "subword counts (map-only apply; rows-only)."),
+
+    // ------------------------------------------------------------------
+    "t17_tfidf_keywords" -> QueryDef(
+      fn = { (s, dir) =>
+        // Per-doc keyword extraction: top-3 tokens by TF-IDF. The
+        // score is (tf * n_docs) / df — the ln() is monotone, so
+        // ranking by the RATIO is ranking by idf-weighted tf without
+        // libm (t08's rule). Exact-long product cast once to double
+        // for ONE division: identical operand trees on both engines
+        // -> bitwise-equal doubles -> identical ranks; ties break on
+        // token for a total order. No df support cut: the fixture's
+        // vocabulary is 31 dense tokens (df ~80% across the corpus),
+        // so any stopword-style threshold empties the output — the
+        // idf weight itself already demotes near-universal tokens,
+        // which is the point of the score.
+        // Scale shape: tf is one (doc_id, token) agg; the df table is
+        // vocabulary-bounded and BROADCASTS; the only per-doc window
+        // partitions by doc_id. Output stays all-integer.
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+        val tf = d.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(((col("tf") * col("n_docs")).cast("double") /
+            col("df").cast("double")).desc, col("token"))
+        tf.join(broadcast(dfreq), Seq("token"))
+          .crossJoin(broadcast(n))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            col("rank"))
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+            x -> x != '')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        ranked AS (
+          SELECT t.doc_id, t.token, t.tf, d.df, n.n_docs,
+                 row_number() OVER (PARTITION BY t.doc_id
+                   ORDER BY CAST(t.tf * n.n_docs AS DOUBLE)
+                              / CAST(d.df AS DOUBLE) DESC,
+                            t.token) AS rank
+          FROM tf t JOIN dfreq d USING (token) CROSS JOIN n)
+        SELECT doc_id, token, tf, df, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3"""),
+      doc = "Top-3 TF-IDF keywords per doc: rational idf-weighted " +
+        "ranking (no libm), broadcast df table, all-integer output."))
 }

@@ -162,6 +162,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f3.head == 30.toByte) // payload offset preserved
   }
 
+  test("frame diffs: exact L1 over unsigned bytes, every interior boundary") {
+    // 3 frames of 4 bytes: [0,10,20,30], [10,10,20,30], [255,0,20,30]
+    // boundary 1: |10-0| = 10; boundary 2: |255-10| + |0-10| = 255
+    val payload = Array[Int](0, 10, 20, 30, 10, 10, 20, 30,
+      255, 0, 20, 30).map(_.toByte)
+    val v = Seq((7L, Multimodal.encodeFakeImage(1, 1, "png", payload)))
+      .toDF("id", "vid")
+    val got = Multimodal.frameDiffs(v, "id", "vid", frameBytes = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    // 255 is a NEGATIVE Java byte: the & 0xff decode must read it as
+    // unsigned 255, giving |255-10|+|0-10| = 255, not a signed mess
+    assert(got.toSeq == Seq((1, 10L), (2, 255L)), s"got ${got.toSeq}")
+    // trailing partial frame is dropped, not diffed
+    val odd = Seq((8L, Multimodal.encodeFakeImage(1, 1, "png",
+      Array.tabulate[Byte](10)(_.toByte)))).toDF("id", "vid")
+    assert(Multimodal.frameDiffs(odd, "id", "vid", frameBytes = 4)
+      .collect().map(_.getInt(1)).toSeq == Seq(1))
+  }
+
   test("audio stats: exact int16 PCM math") {
     // samples: 0, +1000, -1000, 32767 (LE int16)
     val pcm = Array[Int](0, 1000, -1000, 32767).flatMap { s =>

@@ -280,4 +280,46 @@ class PlanShapeSpec extends AnyFunSuite {
       })
     assert(bounded == Seq(0.93), s"no bounded jaro_winkler in:\n$opt")
   }
+
+  test("s11 filtered ANN: lang filter pushed to the documents scan; " +
+    "pre-filter semi-join and query side both broadcast") {
+    val p = plan("s11_filtered_ann")
+    // predicate pushdown: the lang filter must reach the parquet scan
+    assert(p.contains("PushedFilters:") && p.contains("lang"),
+      s"lang filter not pushed in:\n$p")
+    // the metadata restriction is a semi-join BEFORE scoring, and both
+    // small sides (en ids, query vectors) broadcast — the embedding
+    // scan itself must never shuffle for this plan
+    assert(p.contains("LeftSemi"), s"no semi-join in:\n$p")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(p).size >= 2, s"expected 2 broadcast joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "embedding side shuffled")
+  }
+
+  test("t17 keywords: df table and corpus count broadcast; the only " +
+    "exchanges are the tf agg and the per-doc window") {
+    val p = plan("t17_tfidf_keywords")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
+      "BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"df/n_docs not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ in:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=3 not pushed into the window in:\n$p")
+  }
+
+  test("c30 curriculum: zero-shuffle map over a broadcast epoch table") {
+    val p = plan("c30_curriculum")
+    // the 3-row epoch table broadcasts; the corpus scan itself must
+    // not exchange at all — membership is a pure per-row predicate
+    assert(!p.contains("SortMergeJoin"), s"SMJ in:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 0, s"corpus shuffled ($exchanges):\n$p")
+  }
+
+  test("m09 scene cuts: ascii-id restriction joins as broadcast, " +
+    "frame pass stays map-only") {
+    val p = plan("m09_scene_cuts")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ in:\n$p")
+  }
 }
