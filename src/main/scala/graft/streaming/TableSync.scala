@@ -79,8 +79,17 @@ object TableSync {
       batchId: Long): Unit = {
     val spark = batch.sparkSession
     val prevName = currentName(spark, path)
+    // Schema evolution, the additive half CDC streams actually hit:
+    // an upstream that grows a column must not wedge the sink, so the
+    // union tolerates missing columns on EITHER side (old snapshot
+    // rows null-fill a new column; a source that dropped a column
+    // null-fills it going forward rather than silently truncating
+    // the table's history). Each snapshot is a fresh parquet write,
+    // so the widened schema simply becomes the new table schema —
+    // no in-place file surgery.
     val merged = prevName match {
-      case Some(n) => spark.read.parquet(s"$path/$n").unionByName(batch)
+      case Some(n) => spark.read.parquet(s"$path/$n")
+        .unionByName(batch, allowMissingColumns = true)
       case None    => batch
     }
     val w = Window.partitionBy(col(keyCol)).orderBy(col(verCol).desc)

@@ -171,6 +171,86 @@ object ScaleSmoke {
       Dedup.jaroLinkage(f, "doc_id", "lang", "title",
         threshold = 0.93).count()
     }
+    // TF-IDF keywords: tf agg + vocabulary-bounded broadcast df +
+    // per-doc window — growth must track the tf shuffle (linear),
+    // never a corpus-side SMJ
+    timed("tfidf_keywords") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(((col("tf") * col("n_docs")).cast("double") /
+          col("df").cast("double")).desc, col("token"))
+      val tf = big.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), Seq("token"))
+        .crossJoin(broadcast(big.agg(count(lit(1)).as("n_docs"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).count()
+    }
+    // curriculum acceptance: pure per-row predicate over a broadcast
+    // 3-row epoch table — wall-clock must be a linear scan, 0 shuffles
+    timed("curriculum") {
+      val epochs = spark.range(0, 3)
+        .select(col("id").cast("int").as("epoch"))
+      big.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+        .crossJoin(broadcast(epochs))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("curr:"),
+            col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long").cast("double") / lit(1152921504606846976.0))
+        .filter(col("epoch") === 0 ||
+          (col("epoch") === 1 && col("u") < col("q")) ||
+          (col("epoch") === 2 && col("u") < col("q") * col("q")))
+        .count()
+    }
+    // BPE-priced budget fill (c29's shape): ONE histogram shuffle for
+    // the merges (k-invariant), a map-only tokenize, a doc_id join
+    // and the bucketed fill — no global sort anywhere
+    timed("bpe_token_budget") {
+      val merges = graft.operators.Bpe
+        .learnMerges(big, "text", numMerges = 20)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val priced = graft.operators.Bpe
+        .tokenize(big, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+      val d = big.select(col("doc_id"),
+        floor(TextFunctions.qualityScore(col("text")) * 100)
+          .cast("long").as("bucket"))
+        .join(priced, Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      d.crossJoin(broadcast(d.agg(sum(col("n_tokens")).as("total"))))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .filter(col("cum") <= expr("total div 2")).count()
+    }
+    // scene cuts over the replicated corpus-as-video: encode + frame
+    // diff are both map-only, so the ladder must be flat-per-row
+    // (pure linear scan, zero shuffles)
+    timed("scene_cuts") {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.catalyst.encoders.RowEncoder
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("image", BinaryType)))
+      val imgs = big
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("p"))
+        .mapPartitions { it =>
+          it.map { r =>
+            Row(r.getLong(0), graft.operators.Multimodal.encodeFakeImage(
+              64, 48, "png", r.getAs[Array[Byte]](1)))
+          }
+        }(RowEncoder.encoderFor(schema))
+      graft.operators.Multimodal
+        .frameDiffs(imgs, "doc_id", "image", frameBytes = 32)
+        .filter(col("diff") >= 1050).count()
+    }
     index.unpersist()
     big.unpersist()
 

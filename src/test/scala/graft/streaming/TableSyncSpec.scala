@@ -160,6 +160,35 @@ class TableSyncSpec extends AnyFunSuite {
     assert(got == Map(2L -> "b1"), s"got $got")
   }
 
+  test("additive schema evolution: a new column widens the snapshot, " +
+    "old rows null-fill") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-evo-").toString
+    TableSync.applyBatch(
+      Seq((1L, 1L, "a1"), (2L, 1L, "b1")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L)
+    // the upstream grows a `tier` column mid-stream
+    TableSync.applyBatch(
+      Seq((2L, 2L, "b2", "gold"), (3L, 1L, "c1", "silver"))
+        .toDF("k", "ver", "attr", "tier"),
+      path, "k", "ver", batchId = 1L)
+    val snap = TableSync.readCurrent(spark, path)
+    assert(snap.columns.toSeq == Seq("k", "ver", "attr", "tier"))
+    val got = snap.collect().map(r => r.getLong(0) ->
+      ((r.getString(2), Option(r.getAs[String]("tier"))))).toMap
+    assert(got == Map(
+      1L -> (("a1", None)), 2L -> (("b2", Some("gold"))),
+      3L -> (("c1", Some("silver")))), s"got $got")
+    // and the next narrow batch (without the column) still folds —
+    // its rows null-fill tier instead of failing the union
+    TableSync.applyBatch(
+      Seq((4L, 1L, "d1")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 2L)
+    val got2 = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("tier"))).toMap
+    assert(got2(4L).isEmpty && got2(2L).contains("gold"))
+  }
+
   test("missing pointer with surviving snapshots fails loudly, not rebuild-from-batch") {
     import spark.implicits._
     val path = Files.createTempDirectory("tsync-nptr-").toString
