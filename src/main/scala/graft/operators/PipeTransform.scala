@@ -178,17 +178,125 @@ object PipeTransform {
     }
 
   /** Line-oriented pipe: ONE process per PARTITION, text lines
-    * streamed through stdin/stdout (`RDD.pipe`). This is the scale
-    * path for line-shaped text commands: at 10^9 records,
-    * process-per-record spawning (the reference's model, `transform`
-    * above) costs ~ms x rows; process-per-partition amortizes it to
+    * streamed through stdin/stdout. This is the scale path for
+    * line-shaped text commands: at 10^9 records, process-per-record
+    * spawning (the reference's model, `transform` above) costs
+    * ~ms x rows; process-per-partition amortizes it to
     * ~ms x partitions. Not binary-safe and no per-record exit code —
     * use `transform` when those semantics matter.
+    *
+    * Timeout parity with `transform` (the VisibilityTimeout rule:
+    * one hung binary must never wedge an executor slot): the child
+    * must produce SOME stdout line every `idleTimeoutSec` while work
+    * is pending. On a stall the whole process tree is killed and the
+    * TASK fails — per-partition piping has no per-record failure row
+    * to emit, and a failed task is exactly the reference's
+    * redelivery semantics (the partition re-runs elsewhere). A
+    * nonzero exit at EOF fails the task the same way; `RDD.pipe`
+    * (which this replaces) offered neither.
     */
-  def transformLines(in: Dataset[String], command: Seq[String]): Dataset[String] = {
+  def transformLines(
+      in: Dataset[String], command: Seq[String],
+      idleTimeoutSec: Int = 60,
+      okExitCodes: Set[Int] = Set(0)): Dataset[String] = {
+    require(idleTimeoutSec >= 1, "idleTimeoutSec must be >= 1")
     val spark = in.sparkSession
     import spark.implicits._
-    spark.createDataset(in.rdd.pipe(command))
+    in.mapPartitions { lines =>
+      if (lines.isEmpty) Iterator.empty
+      else pipePartition(lines, command, idleTimeoutSec, okExitCodes)
+    }
+  }
+
+  /** One partition through one child process, watchdogged. The
+    * consumer polls a bounded queue fed by a reader thread; a poll
+    * that comes up empty for idleTimeoutSec IS the stall detector —
+    * no separate watchdog thread. The writer feeding stdin gets an
+    * IOException when the tree dies and exits; all threads are
+    * daemons, so a killed task leaks nothing.
+    */
+  private def pipePartition(
+      lines: Iterator[String], command: Seq[String],
+      idleTimeoutSec: Int, okExitCodes: Set[Int]): Iterator[String] = {
+    import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+    val proc = new ProcessBuilder(command: _*).start()
+    onTaskDone { () =>
+      // belt & braces for task kill/abort: reap the tree
+      import scala.jdk.CollectionConverters._
+      proc.toHandle.descendants().iterator().asScala
+        .foreach(_.destroyForcibly())
+      proc.destroyForcibly(); ()
+    }
+    val errT = new Thread(() => {
+      try proc.getErrorStream.transferTo(System.err)
+      catch { case NonFatal(_) => () }
+    })
+    errT.setDaemon(true); errT.start()
+    val writer = new Thread(() => {
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+      try { lines.foreach { l => w.write(l); w.newLine() }; w.close() }
+      catch { case NonFatal(_) => () } // child died; the consumer reports
+    })
+    writer.setDaemon(true); writer.start()
+    val Eof = new Object
+    val queue = new LinkedBlockingQueue[AnyRef](1024)
+    val reader = new Thread(() => {
+      try {
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+          proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        var l = r.readLine()
+        while (l != null) { queue.put(l); l = r.readLine() }
+      } catch { case NonFatal(_) => () }
+      finally queue.put(Eof)
+    })
+    reader.setDaemon(true); reader.start()
+
+    def killTree(): Unit = {
+      import scala.jdk.CollectionConverters._
+      val kids = proc.toHandle.descendants().iterator().asScala.toList
+      kids.foreach(_.destroyForcibly())
+      proc.destroyForcibly()
+      proc.waitFor()
+      proc.toHandle.descendants().iterator().asScala
+        .foreach(_.destroyForcibly())
+    }
+
+    new Iterator[String] {
+      private var nextLine: String = _
+      private var finished = false
+      private def advance(): Unit = {
+        if (nextLine != null || finished) return
+        val got = queue.poll(idleTimeoutSec.toLong, TimeUnit.SECONDS)
+        if (got == null) {
+          killTree()
+          throw new java.io.IOException(
+            s"pipe command ${command.head} idle for ${idleTimeoutSec}s " +
+              "— process tree killed, task fails for redelivery")
+        } else if (got eq Eof) {
+          finished = true
+          // stdout closed but the child may still refuse to exit —
+          // bound the reap with the same idle window, then kill
+          if (!proc.waitFor(idleTimeoutSec.toLong, TimeUnit.SECONDS)) {
+            killTree()
+            throw new java.io.IOException(
+              s"pipe command ${command.head} closed stdout but did " +
+                s"not exit within ${idleTimeoutSec}s — tree killed")
+          }
+          val exit = proc.exitValue()
+          // okExitCodes: filters like grep exit 1 on a no-match
+          // partition — legal, not a failure
+          if (!okExitCodes.contains(exit)) throw new java.io.IOException(
+            s"pipe command ${command.head} exited $exit")
+        } else nextLine = got.asInstanceOf[String]
+      }
+      override def hasNext: Boolean = { advance(); !finished }
+      override def next(): String = {
+        advance()
+        if (finished) throw new NoSuchElementException
+        val l = nextLine; nextLine = null; l
+      }
+    }
   }
 
   /** Success/failure split (P3, reference GetJobs.py:54-56 + 37-39):
