@@ -152,12 +152,85 @@ class TableSyncSpec extends AnyFunSuite {
     // writer A's commit must now refuse: its merge never saw B's rows,
     // so a silent swap would discard them
     val ex = intercept[java.util.ConcurrentModificationException](
-      TableSync.commitPointer(spark, path, expectedPrev = None, "v99"))
+      TableSync.commitPointer(spark, path, expectedPrev = None,
+        TableSync.Manifest("v99", 16, Map(0 -> "v99"))))
     assert(ex.getMessage.contains("concurrent writer"))
     // B's state survives untouched
     val got = TableSync.readCurrent(spark, path).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(got == Map(2L -> "b1"), s"got $got")
+  }
+
+  test("stale commit lock fails loudly and names the lock file") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-lock-").toString
+    TableSync.applyBatch(Seq((1L, 1L, "a1")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L)
+    // a writer crashed inside its commit window: _LOCK left behind
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lock = new org.apache.hadoop.fs.Path(path, "_LOCK")
+    assert(fs.createNewFile(lock))
+    val ex = intercept[java.util.ConcurrentModificationException](
+      TableSync.applyBatch(Seq((2L, 1L, "b1")).toDF("k", "ver", "attr"),
+        path, "k", "ver", batchId = 1L))
+    assert(ex.getMessage.contains("_LOCK"))
+    // loud recovery: operator verifies no writer is alive, deletes it
+    assert(fs.delete(lock, false))
+    TableSync.applyBatch(Seq((2L, 1L, "b1")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 1L)
+    assert(TableSync.readCurrent(spark, path).count() == 2)
+  }
+
+  test("untouched buckets are carried by reference: files byte-identical, " +
+    "zero rewrite IO") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-bkt-").toString
+    // 40 keys spread across buckets
+    TableSync.applyBatch(
+      (1L to 40L).map(k => (k, 1L, s"init$k")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def bucketFiles(snap: String): Map[String, (Long, Long, Array[Byte])] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/$snap"), true)
+      val out = scala.collection.mutable.Map[String, (Long, Long, Array[Byte])]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !st.getPath.getName.startsWith("_")) {
+          val in = fs.open(st.getPath)
+          val buf = new Array[Byte](st.getLen.toInt)
+          try in.readFully(0, buf) finally in.close()
+          out(st.getPath.toString) =
+            (st.getModificationTime, st.getLen, buf)
+        }
+      }
+      out.toMap
+    }
+    val before = bucketFiles("v0")
+    assert(before.nonEmpty)
+    // a 1-key update: only that key's bucket may be rewritten
+    TableSync.applyBatch(Seq((7L, 2L, "updated")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 1L)
+    // v0's files are untouched — same length, mtime, and BYTES
+    val after = bucketFiles("v0")
+    assert(after.keySet == before.keySet,
+      "batch 1 must not add/remove files under v0")
+    before.foreach { case (p, (mt, len, bytes)) =>
+      val (mt2, len2, bytes2) = after(p)
+      assert(mt2 == mt && len2 == len && java.util.Arrays.equals(bytes, bytes2),
+        s"untouched file $p changed across batch 1")
+    }
+    // v1 holds ONLY the touched bucket's directory
+    val v1Buckets = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v1"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSeq
+    assert(v1Buckets.length == 1 && v1Buckets.head.startsWith("__bucket="),
+      s"v1 should hold exactly the touched bucket, got $v1Buckets")
+    // and the merged view is still exactly right
+    val got = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 40 && got(7L) == "updated" && got(8L) == "init8",
+      s"got size ${got.size}")
   }
 
   test("additive schema evolution: a new column widens the snapshot, " +
