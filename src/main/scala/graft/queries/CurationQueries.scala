@@ -130,19 +130,61 @@ object CurationQueries {
     // ------------------------------------------------------------------
     "c04_dedup_corpus" -> QueryDef(
       fn = { (s, dir) =>
-        // The one-call migration API: exact + MinHash-LSH dedup to a
-        // keep set. LSH seeds are not SQL-expressible -> rows-only;
-        // the composition is pinned by DedupSpec and its pieces are
-        // oracle-checked (d01 exact groups, d07 components).
         graft.operators.Dedup.dedupCorpus(
           Engine.Tables(s, dir).documents
             .repartition(s.sparkContext.defaultParallelism),
           "text", "doc_id", threshold = 0.5)
           .select(col("doc_id"), col("source"), col("lang"))
       },
-      oracle = None,
+      // Mirrors the engine's pipeline stage by stage (d16's closure
+      // form): fingerprint groups -> star edges, rep-rep pairs by
+      // exact distinct-shingle Jaccard >= 0.5 (the oracle scores ALL
+      // rep pairs where the engine scores LSH candidates — equal
+      // whenever banding recall is total, so a recall miss goes RED
+      // here instead of hiding), recursive-CTE closure, min-id keep
+      // set. The all-pairs rep join is oracle-side only.
+      oracle = Some("""
+        WITH RECURSIVE
+        fp AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+          FROM documents),
+        grp AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS keep FROM fp),
+        star AS (
+          SELECT keep AS id_a, doc_id AS id_b FROM grp WHERE doc_id <> keep),
+        sh AS (
+          SELECT d.doc_id,
+                 list_distinct(CASE WHEN len(ts) >= 3 THEN
+                   list_transform(range(1, len(ts) - 1),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                   ELSE [] END) AS s
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS ts
+                FROM documents JOIN grp USING (doc_id)
+                WHERE grp.doc_id = grp.keep) d(doc_id, ts)),
+        reppairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+          WHERE len(a.s) > 0 AND len(b.s) > 0
+            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= 0.5),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM star
+          UNION SELECT id_b, id_a FROM star
+          UNION SELECT id_a, id_b FROM reppairs
+          UNION SELECT id_b, id_a FROM reppairs),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        keepset AS (
+          SELECT id FROM reach GROUP BY id HAVING id = min(r))
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d JOIN keepset k ON d.doc_id = k.id"""),
       doc = "One-call corpus dedup keep set (exact + MinHash LSH + " +
-        "connected components; rows-only)."),
+        "connected components), closure hash-checked end to end."),
 
     // ------------------------------------------------------------------
     "c05_decontaminate" -> QueryDef(

@@ -353,10 +353,15 @@ object MultimodalQueries {
         val asciiIds = Engine.Tables(s, dir).documents
           .filter(length(col("text")) === octet_length(col("text")))
           .select(col("doc_id"))
+        // The restriction semi-joins the FRAME SOURCE, below the
+        // byte-diff pass: frameDiffs is an operator boundary Catalyst
+        // cannot push a predicate through, so filtering after it
+        // would run the expensive scan on rows the join discards
+        // (PlanShapeSpec pins the join below the MapPartitions).
         graft.operators.Multimodal.frameDiffs(
-          fakeImages(s, dir), "doc_id", "image", frameBytes = 32)
+          fakeImages(s, dir).join(asciiIds, Seq("doc_id"), "left_semi"),
+          "doc_id", "image", frameBytes = 32)
           .filter(col("diff") >= 1050)
-          .join(asciiIds, Seq("doc_id"))
       },
       oracle = Some("""
         WITH la AS (

@@ -111,15 +111,42 @@ object TextQueries {
     // ------------------------------------------------------------------
     "t04_lang_id" -> QueryDef(
       fn = { (s, dir) =>
-        // Heuristic (charset beacons + stopword-profile argmax); not
-        // SQL-expressible compactly -> rows-only driver check; unit
-        // tests cover the semantics on multilingual samples.
         docs(s, dir).select(col("doc_id"),
           TextFunctions.langId(col("text")).as("lang_pred"))
-          .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
       },
-      oracle = None,
-      doc = "Language-ID heuristic distribution (rows-only check)."),
+      // Full per-doc mirror of the heuristic: charset beacons are
+      // regexp_matches (RE2 \x{...} = Java \uXXXX, all-BMP ranges);
+      // the stopword argmax encodes (score, lang) as a zero-padded
+      // sortable string so VARCHAR greatest() reproduces Spark's
+      // struct array_max ordering (score, then lang) exactly —
+      // profiles hold 10 words, so two digits never saturate.
+      oracle = Some(raw"""
+        WITH toks AS (
+          SELECT doc_id, text,
+                 list_distinct(list_filter(
+                   string_split(lower(text), ' '), x -> x <> '')) AS tk
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, text,
+                 greatest(
+                   printf('%02d', len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein','mit','zu','auf']))) || 'de',
+                   printf('%02d', len(list_intersect(tk, ['the','a','of','and','to','in','is','it','that','for']))) || 'en',
+                   printf('%02d', len(list_intersect(tk, ['el','la','los','y','es','un','una','en','que','por']))) || 'es',
+                   printf('%02d', len(list_intersect(tk, ['le','la','les','et','est','un','une','dans','que','pour']))) || 'fr'
+                 ) AS best
+          FROM toks
+        )
+        SELECT doc_id,
+          CASE
+            WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+            WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+            WHEN regexp_matches(text, '[\x{ac00}-\x{d7af}]') THEN 'ko'
+            WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+            WHEN regexp_matches(text, '[\x{0600}-\x{06ff}]') THEN 'ar'
+            WHEN CAST(substr(best, 1, 2) AS INT) > 0 THEN substr(best, 3)
+            ELSE 'und' END AS lang_pred
+        FROM scored"""),
+      doc = "Per-doc language-ID heuristic, hash-checked end to end."),
 
     // ------------------------------------------------------------------
     "t06_text_clean" -> QueryDef(

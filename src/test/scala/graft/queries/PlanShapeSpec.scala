@@ -316,10 +316,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 0, s"corpus shuffled ($exchanges):\n$p")
   }
 
-  test("m09 scene cuts: ascii-id restriction joins as broadcast, " +
-    "frame pass stays map-only") {
+  test("m09 scene cuts: ascii-id restriction joins BELOW the frame-diff " +
+    "pass (no byte-diff work on rows the predicate discards)") {
     val p = plan("m09_scene_cuts")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
     assert(!p.contains("SortMergeJoin"), s"SMJ in:\n$p")
+    // plans print root-first: the MapPartitions (frameDiffs) must
+    // consume the join's output, i.e. the join prints DEEPER (later)
+    val mp = p.indexOf("MapPartitions")
+    val join = p.indexOf("BroadcastHashJoin")
+    assert(mp >= 0 && join > mp,
+      s"ascii semi-join sits above frameDiffs (filter-after-scan):\n$p")
   }
 }
