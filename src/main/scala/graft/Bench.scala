@@ -49,20 +49,38 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // 1/10-size calibration probe, scaled to calibrate() units: cheap
+    // enough (~75 ms) to run before EVERY query, so each measurement
+    // carries its own machine-load reading instead of inheriting the
+    // nearest of six suite-level probes (r06: a sustained-load window
+    // between probes inflated t04 5x with both best-of-2 runs slow).
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0L
+      var i = 0
+      while (i < 40000000) { x ^= (x + i) * 0x9E3779B97F4A7C15L; i += 1 }
+      if (x == 42L) System.err.println("") // keep the loop live
+      (System.nanoTime() - t0) / 1e9 * 10.0
+    }
+
     // Best-of-2 normally; when the two runs disagree by >3x one of
     // them was load-contaminated, so take a third and keep the min.
     // min-of-n strips GC/JIT/page-cache noise (standard repeated-
     // measurement discipline); the outlier re-run defends against
-    // sustained machine contention that min-of-2 cannot.
-    def measure(name: String): Double = {
+    // transient contention. SUSTAINED contention (both runs slow, no
+    // disagreement) is what the per-query probe catches: the caller
+    // re-measures probe-contaminated queries after the suite and the
+    // artifact flags whatever never got a clean window.
+    def measure(name: String): (Double, Double) = {
+      val p = probe()
       val a = runOnce(name)
       val b = runOnce(name)
-      if (a < 0 || b < 0) return math.max(a, b)
+      if (a < 0 || b < 0) return (math.max(a, b), p)
       val lo = math.min(a, b)
       if (math.max(a, b) / lo > 3.0) {
         val c = runOnce(name)
-        if (c < 0) lo else math.min(lo, c)
-      } else lo
+        (if (c < 0) lo else math.min(lo, c), p)
+      } else (lo, p)
     }
 
     // Warm the JVM/codegen/file-listing paths once, untimed.
@@ -86,23 +104,49 @@ object Bench {
     // compare each entry against the before/after constant.
     val calibBefore = calibrate()
     val calibSeries = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val results = selected.zipWithIndex.map { case (name, i) =>
+    val firstPass = selected.zipWithIndex.map { case (name, i) =>
       if (i > 0 && i % 20 == 0) calibSeries += calibrate()
       name -> measure(name)
     }
     val calibAfter = calibrate()
+    // Contamination defense, second pass: the idle reference is the
+    // best window ANY probe saw this run; a query whose own probe read
+    // >2x that was measured under sustained load, so re-measure it at
+    // suite end (load bursts are shorter than the suite). A clean-probe
+    // re-run either beats the number (keep the re-run) or confirms it
+    // (keep it, unflag — a clean window reproduced it, so it is not
+    // load-inflated). Whatever never sees a clean window stays in
+    // `flagged`: the artifact self-reports exactly which entries an
+    // idle re-measure could still move.
+    val idleRef = (Seq(calibBefore, calibAfter) ++ calibSeries ++
+      firstPass.map(_._2._2)).min
+    def contaminated(p: Double): Boolean = p / idleRef > 2.0
+    val results = firstPass.map { case (name, (t, p)) =>
+      if (t < 0 || !contaminated(p)) (name, t, p)
+      else {
+        val p2 = probe()
+        val t2 = runOnce(name)
+        if (t2 >= 0 && t2 < t) (name, t2, p2)
+        else (name, t, math.min(p, p2))
+      }
+    }
+    val flagged = results.collect {
+      case (name, t, p) if t >= 0 && contaminated(p) => name
+    }
     // 3-decimal (ms) precision: full-precision doubles made the r02
     // JSON line ~3.6 kB, longer than the driver's captured output
     // tail, so the driver parsed null. ~30 bytes/query keeps the
     // whole line comfortably inside the tail window.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val series = calibSeries.map(f).mkString("[", ",", "]")
+    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
       s""""calib_before":${f(calibBefore)},"calib_after":${f(calibAfter)},""" +
-      s""""calib_series":$series,""" +
+      s""""calib_series":$series,"probe_idle":${f(idleRef)},""" +
+      s""""flagged":$flaggedJson,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also write the line to a file: under sbt the stdout line gets an
