@@ -186,14 +186,28 @@ object PipeTransform {
     * use `transform` when those semantics matter.
     *
     * Timeout parity with `transform` (the VisibilityTimeout rule:
-    * one hung binary must never wedge an executor slot): the child
-    * must produce SOME stdout line every `idleTimeoutSec` while work
-    * is pending. On a stall the whole process tree is killed and the
-    * TASK fails — per-partition piping has no per-record failure row
-    * to emit, and a failed task is exactly the reference's
-    * redelivery semantics (the partition re-runs elsewhere). A
-    * nonzero exit at EOF fails the task the same way; `RDD.pipe`
-    * (which this replaces) offered neither.
+    * one hung binary must never wedge an executor slot): SOME
+    * progress — a stdout line produced, or a stdin line consumed
+    * (a highly selective filter legitimately reads for minutes
+    * without a match) — must happen every `idleTimeoutSec` while
+    * work is pending. On a stall the whole process tree is killed
+    * and the TASK fails — per-partition piping has no per-record
+    * failure row to emit, and a failed task is exactly the
+    * reference's redelivery semantics (the partition re-runs
+    * elsewhere). A nonzero exit at EOF fails the task the same way;
+    * `RDD.pipe` (which this replaces) offered neither. One window a
+    * caller must still size for: a buffering command (`sort`) is
+    * silent between stdin EOF and its first output line — set
+    * `idleTimeoutSec` to the worst-case length of that post-EOF
+    * phase, exactly as the reference sizes VisibilityTimeout to its
+    * worst-case job.
+    *
+    * Failure visibility: an exception from the UPSTREAM iterator
+    * (corrupt input, shuffle fetch failure) fails the task even when
+    * the child tolerates truncated stdin and exits 0 — partial input
+    * must never look complete. Only a child that closed stdin early
+    * (head-like) is treated as benign, and its exit code remains the
+    * verdict.
     */
   def transformLines(
       in: Dataset[String], command: Seq[String],
@@ -227,16 +241,53 @@ object PipeTransform {
         .foreach(_.destroyForcibly())
       proc.destroyForcibly(); ()
     }
+    // Threads that touch the UPSTREAM iterator need the task's
+    // TaskContext installed (PipedRDD does the same): shuffle-reading
+    // and spilling iterators call TaskContext.get() internally and
+    // would NPE on a bare thread — and that NPE must surface as the
+    // task failure it is, not vanish into a daemon thread.
+    val taskContext = TaskContext.get()
+    // Upstream failures recorded off-thread, rethrown by the consumer:
+    // a child that tolerates truncated stdin (head-like, exit 0) must
+    // not turn a genuine upstream read failure into silent data loss.
+    val upstreamFailure =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    // Progress clock for the stall detector: bumped on every stdin
+    // line written AND every stdout line read, so a selective filter
+    // that consumes input for minutes without emitting a match is
+    // alive, not stalled.
+    val lastProgress =
+      new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     val errT = new Thread(() => {
+      if (taskContext != null)
+        org.apache.spark.graft.TaskContextBridge.set(taskContext)
       try proc.getErrorStream.transferTo(System.err)
       catch { case NonFatal(_) => () }
     })
     errT.setDaemon(true); errT.start()
     val writer = new Thread(() => {
+      if (taskContext != null)
+        org.apache.spark.graft.TaskContextBridge.set(taskContext)
       val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
         proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
-      try { lines.foreach { l => w.write(l); w.newLine() }; w.close() }
-      catch { case NonFatal(_) => () } // child died; the consumer reports
+      try {
+        var open = true
+        while (open && lines.hasNext) {
+          val l = lines.next() // upstream pull OUTSIDE the write try:
+          // a failure here is genuine and must fail the task
+          try {
+            w.write(l); w.newLine()
+            lastProgress.set(System.nanoTime())
+          } catch {
+            // write-side IOException = child closed stdin early
+            // (head-like). Benign by itself; the exit code decides.
+            case _: java.io.IOException => open = false
+          }
+        }
+      } catch { case NonFatal(e) => upstreamFailure.set(e) }
+      finally {
+        try w.close() catch { case NonFatal(_) => () }
+      }
     })
     writer.setDaemon(true); writer.start()
     val Eof = new Object
@@ -246,7 +297,10 @@ object PipeTransform {
         val r = new java.io.BufferedReader(new java.io.InputStreamReader(
           proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
         var l = r.readLine()
-        while (l != null) { queue.put(l); l = r.readLine() }
+        while (l != null) {
+          lastProgress.set(System.nanoTime())
+          queue.put(l); l = r.readLine()
+        }
       } catch { case NonFatal(_) => () }
       finally queue.put(Eof)
     })
@@ -267,14 +321,43 @@ object PipeTransform {
       private var finished = false
       private def advance(): Unit = {
         if (nextLine != null || finished) return
-        val got = queue.poll(idleTimeoutSec.toLong, TimeUnit.SECONDS)
+        // Poll in 1 s slices against the shared progress clock: the
+        // queue being empty for a while is NOT a stall when the
+        // writer is still feeding stdin (selective filter) — only
+        // idleTimeoutSec with neither a line in nor a line out is.
+        var got: AnyRef = queue.poll(1L, TimeUnit.SECONDS)
+        while (got == null &&
+            System.nanoTime() - lastProgress.get() <
+              idleTimeoutSec * 1000000000L) {
+          got = queue.poll(1L, TimeUnit.SECONDS)
+        }
         if (got == null) {
           killTree()
-          throw new java.io.IOException(
-            s"pipe command ${command.head} idle for ${idleTimeoutSec}s " +
-              "— process tree killed, task fails for redelivery")
+          val idle = new java.io.IOException(
+            s"pipe command ${command.head} idle (no stdin consumed, no " +
+              s"stdout produced) for ${idleTimeoutSec}s — process tree " +
+              "killed, task fails for redelivery")
+          // if the real story is an upstream failure that starved the
+          // child, surface THAT, not a misleading idle kill
+          val up = upstreamFailure.get()
+          if (up != null) idle.initCause(up)
+          throw idle
         } else if (got eq Eof) {
           finished = true
+          // The writer may not have observed an upstream failure YET
+          // (it could be mid-pull when the child exited): join it —
+          // prompt, since once the child is dead every write throws
+          // and the writer stops pulling — so the check below sees
+          // the final verdict, not a race window.
+          writer.join()
+          val up = upstreamFailure.get()
+          if (up != null) {
+            killTree()
+            throw new java.io.IOException(
+              "upstream input failed while feeding pipe stdin — " +
+                "failing the task: partial input must never look " +
+                "complete even when the child exits 0", up)
+          }
           // stdout closed but the child may still refuse to exit —
           // bound the reap with the same idle window, then kill
           if (!proc.waitFor(idleTimeoutSec.toLong, TimeUnit.SECONDS)) {

@@ -57,6 +57,39 @@ class PipeLinesSpec extends AnyFunSuite {
       !ps.contains("sh -c sleep 600"), "pipe child survived")
   }
 
+  test("line pipe: upstream iterator failure fails the task even when " +
+    "the child tolerates truncated stdin and exits 0") {
+    // head -1 closes stdin after one line and exits 0 — a child that
+    // makes PARTIAL input look complete. An upstream read failure
+    // (corrupt record, fetch failure) must still fail the task, not
+    // vanish into the writer thread (silent data loss).
+    val in = spark.createDataset((1 to 100).toSeq).repartition(1)
+      .map(i => if (i == 50)
+        throw new RuntimeException("corrupt upstream record")
+      else s"line$i")
+    val ex = intercept[org.apache.spark.SparkException] {
+      PipeTransform.transformLines(in, Seq("head", "-1")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(String.valueOf(_)).toSeq
+    assert(chain(ex).exists(_.contains("corrupt upstream record")),
+      s"upstream failure not propagated: ${chain(ex)}")
+  }
+
+  test("line pipe: a selective filter consuming stdin without emitting " +
+    "is progress, not a stall") {
+    // six records trickling in at ~0.9 s each against a 2 s idle
+    // window: grep matches nothing, so stdout is silent for ~5.4 s —
+    // but stdin IS being consumed, and the progress clock must count
+    // it (the old stdout-only detector killed exactly this shape)
+    val in = spark.createDataset((1 to 6).toSeq).repartition(1)
+      .map { i => Thread.sleep(900); s"nomatch$i" }
+    val out = PipeTransform.transformLines(in, Seq("grep", "ZZZ"),
+      idleTimeoutSec = 2, okExitCodes = Set(0, 1)).collect()
+    assert(out.isEmpty)
+  }
+
   test("line pipe: nonzero exit fails the task loudly") {
     val in = spark.createDataset(Seq("x", "y")).repartition(1)
     val ex = intercept[org.apache.spark.SparkException] {
