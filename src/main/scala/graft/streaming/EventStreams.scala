@@ -443,12 +443,29 @@ object EventStreams {
     * "stage unreached", never to a wrong earlier timestamp. Per-user
     * state is therefore <= 2*maxBuffered + 4 longs, the same flood
     * bound discipline as nearDupStream's maxBucketSize.
+    *
+    * TOTAL state is bounded too, not just per-key — an unbounded key
+    * space must not accumulate rows forever:
+    *  - A key with no view yet is evicted when the watermark passes
+    *    `max(buffered event) + windowMs`. Exactness survives the
+    *    eviction: a view accepted after that point has
+    *    `ts > every evicted click/purchase`, and the fold only
+    *    counts clicks AFTER the view — the evicted buffer could
+    *    never have contributed to that view's funnel.
+    *  - A closed funnel's tombstone lives `tombstoneTtlMs` past the
+    *    close, then the key is deleted entirely. Within the TTL,
+    *    post-close stragglers and replays drain silently; after it,
+    *    only a fresh VIEW at least `tombstoneTtlMs` newer than the
+    *    close could re-open the key (the one bounded deviation from
+    *    batch, traded for total-state eviction — size the TTL to the
+    *    sink's dedup horizon).
     */
   def funnelStreamLate(
       events: Dataset[(Long, Long, Long, String)],
       lateness: String = "10 minutes",
       windowMs: Long = 1000L,
-      maxBuffered: Int = 64): Dataset[(Long, String, Long)] = {
+      maxBuffered: Int = 64,
+      tombstoneTtlMs: Long = 3600000L): Dataset[(Long, String, Long)] = {
     import events.sparkSession.implicits._
     events
       .toDF("user_id", "us", "event_id", "stage")
@@ -457,14 +474,19 @@ object EventStreams {
       .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .transformWithState(
-        new LateFunnelProcessor(windowMs, maxBuffered),
+        new LateFunnelProcessor(windowMs, maxBuffered, tombstoneTtlMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
-  /** State: (done, minViewUs, closeAtMs, clicksUs, purchasesUs) —
-    * clicks/purchases sorted ascending, capped at maxBuffered.
+  /** State: (done, minViewUs, timerAtMs, clicksUs, purchasesUs) —
+    * clicks/purchases sorted ascending, capped at maxBuffered. The
+    * timer slot holds whichever single timer the key owns: the close
+    * (view seen), the view-less eviction deadline, or the tombstone
+    * TTL (done) — `handleExpiredTimer` branches on the state, and a
+    * firing that doesn't match the slot is a stale timer to ignore.
     */
-  private class LateFunnelProcessor(windowMs: Long, maxBuffered: Int)
+  private class LateFunnelProcessor(
+      windowMs: Long, maxBuffered: Int, tombstoneTtlMs: Long)
       extends StatefulProcessor[
         Long, (Long, Long, Long, String, java.sql.Timestamp),
         (Long, String, Long)] {
@@ -492,10 +514,11 @@ object EventStreams {
         key: Long,
         rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
         timerValues: TimerValues): Iterator[(Long, String, Long)] = {
-      var (done, v, closeAt, clicks, purchases) =
+      var (done, v, timerAt, clicks, purchases) =
         if (st.exists()) st.get()
         else (false, U, U, Seq.empty[Long], Seq.empty[Long])
       if (done) return Iterator.empty // tombstone: closed funnels drain
+      val hadView = v != U
       rows.foreach { case (_, us, _, stage, _) =>
         stage match {
           case "view"     => if (v == U || us < v) v = us
@@ -504,19 +527,30 @@ object EventStreams {
           case _          => ()
         }
       }
-      if (v != U) {
-        // conversion window opens at the (possibly lowered) first
-        // view; a LATE earlier view only moves the close EARLIER, so
-        // re-registering is safe — the later stale timer finds the
-        // tombstone and emits nothing
-        val newClose = v / 1000L + windowMs
-        if (closeAt == U || newClose < closeAt) {
-          if (closeAt != U) getHandle.deleteTimer(closeAt)
-          getHandle.registerTimer(newClose)
-          closeAt = newClose
+      val wantTimer: Long =
+        if (v != U) {
+          // conversion window opens at the (possibly lowered) first
+          // view; a LATE earlier view only moves the close EARLIER.
+          // A view arriving on a key whose timer was the view-less
+          // eviction deadline replaces it unconditionally.
+          val close = v / 1000L + windowMs
+          if (hadView && timerAt != U && timerAt < close) timerAt
+          else close
+        } else {
+          // no view yet: evict when the watermark passes the newest
+          // BUFFERED event + windowMs (+1 ms for the us->ms floor).
+          // Any view accepted later is newer than everything evicted,
+          // so nothing in this buffer could have counted for it.
+          val mb = math.max(clicks.lastOption.getOrElse(U),
+            purchases.lastOption.getOrElse(U))
+          if (mb == U) U else mb / 1000L + windowMs + 1L
         }
+      if (wantTimer != timerAt) {
+        if (timerAt != U) getHandle.deleteTimer(timerAt)
+        if (wantTimer != U) getHandle.registerTimer(wantTimer)
+        timerAt = wantTimer
       }
-      st.update((false, v, closeAt, clicks, purchases))
+      st.update((false, v, timerAt, clicks, purchases))
       Iterator.empty
     }
 
@@ -525,8 +559,13 @@ object EventStreams {
         expiredTimerInfo: ExpiredTimerInfo)
         : Iterator[(Long, String, Long)] = {
       if (!st.exists()) return Iterator.empty
-      val (done, v, _, clicks, purchases) = st.get()
-      if (done || v == U) return Iterator.empty
+      val (done, v, timerAt, clicks, purchases) = st.get()
+      // only the timer the state currently owns acts; anything else
+      // is a superseded registration racing its deleteTimer
+      if (expiredTimerInfo.getExpiryTimeInMs() != timerAt)
+        return Iterator.empty
+      if (done) { st.clear(); return Iterator.empty } // tombstone TTL up
+      if (v == U) { st.clear(); return Iterator.empty } // view-less evict
       // the batch q42 fold, order-independent over the buffer
       val out = Seq.newBuilder[(Long, String, Long)]
       out += ((key, "view", v))
@@ -535,8 +574,11 @@ object EventStreams {
       val p = c.flatMap(cv => purchases.find(_ > cv))
       p.foreach(pv => out += ((key, "purchase", pv)))
       // tombstone (cheap: 4 longs, no buffers) so replays and
-      // post-close stragglers drain without re-emitting
-      st.update((true, v, U, Seq.empty, Seq.empty))
+      // post-close stragglers drain without re-emitting — deleted
+      // for good when the TTL timer fires
+      val ttlAt = timerAt + tombstoneTtlMs
+      getHandle.registerTimer(ttlAt)
+      st.update((true, v, ttlAt, Seq.empty, Seq.empty))
       out.result().iterator
     }
   }

@@ -612,6 +612,63 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("late funnel: view-less keys are evicted and tombstones expire — " +
+    "total state stays bounded over an unbounded key space") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val ckpt = Files.createTempDirectory("latefunnel-ev-ckpt").toString
+      val q = graft.streaming.EventStreams
+        .funnelStreamLate(mem.toDS(), tombstoneTtlMs = 5000L)
+        .toDF("user_id", "stage", "us")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("late_funnel_evict").start()
+      // user 7 never views (click only) — must be EVICTED, not kept
+      // forever; user 8 completes a funnel at ~101 s whose tombstone
+      // (TTL 5 s) must be deleted once the watermark passes ~106 s
+      mem.addData((7L, 100000000L, 1L, "click"),
+        (8L, 100000000L, 2L, "view"), (8L, 100500000L, 3L, "click"))
+      q.processAllAvailable()
+      // watermark nudges: 800 s - 10 min lateness = 200 s passes both
+      // the close (101 s) and, a batch later, the tombstone TTL
+      mem.addData((999L, 800000000L, 9L, "view"))
+      q.processAllAvailable()
+      mem.addData((998L, 900000000L, 10L, "view"))
+      q.processAllAvailable()
+      mem.addData((997L, 950000000L, 11L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("late_funnel_evict").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .filter(t => t._1 == 7L || t._1 == 8L).toSet
+      q.stop()
+      // outputs: eviction is invisible by construction (that's the
+      // exactness argument), the closed funnel emitted exactly once
+      assert(got == Set((8L, "view", 100000000L),
+        (8L, "click", 100500000L)), s"got $got")
+      // state: read the store itself — users 7 (view-less) and 8
+      // (expired tombstone) must be GONE; the nudgers' open funnels
+      // remain, which proves the reader sees live state
+      val state = spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", "lateFunnel")
+        .load()
+      val keys = state.select("key.value").as[Long].collect().toSet
+      assert(!keys.contains(7L), s"view-less key 7 still in state: $keys")
+      assert(!keys.contains(8L), s"expired tombstone 8 still in state: $keys")
+      assert(keys.contains(997L), s"open funnel missing from state: $keys")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming funnel equals the batch q42 fold on ordered delivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -11,6 +11,7 @@ For each <verifyOutDir>/<name> parquet dir with an entry in
 oracle_sql.json: run the SQL in DuckDB against <sfDir>/<table>.parquet
 views, sort columns by name and rows by value, and compare cell-wise.
 """
+import glob
 import json
 import math
 import os
@@ -125,11 +126,19 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     # Representation lint over EVERY dumped query (oracle'd or not):
     # the two round-5 driver failures (c28 range, q46 array) were both
-    # invisible to the oracle compare.
+    # invisible to the oracle compare. Only directories that actually
+    # hold a parquet dump are query results — a _temporary leftover or
+    # other non-query dir is a skip-with-warning, not a FAIL (a lint
+    # whose own sweep can fail the run on a non-result is a false
+    # gate).
     dumped = sorted(d for d in os.listdir(out_dir)
                     if os.path.isdir(os.path.join(out_dir, d)))
     lint_failed = set()
     for name in dumped:
+        if not glob.glob(os.path.join(out_dir, name, "*.parquet")):
+            print(f"WARN {name}: no parquet parts, not a query dump "
+                  "— skipping rep lint")
+            continue
         try:
             errs = rep_lint(con, name, out_dir)
         except Exception as ex:
