@@ -1400,5 +1400,75 @@ object RelationalQueries {
                CAST(count(*) AS BIGINT) AS n
         FROM orders GROUP BY o_orderpriority"""),
       doc = "Discrete percentiles per group (exact order statistics, " +
-        "no interpolation, no rounding)."))
+        "no interpolation, no rounding)."),
+
+    // ------------------------------------------------------------------
+    "q49_hll_sketch" -> QueryDef(
+      fn = { (s, dir) =>
+        // A HASH-CHECKED HyperLogLog — the cross-engine-exact twin of
+        // q23's rows-only approx_count_distinct. Every ingredient is
+        // deterministic and bitwise-portable: the item hash is the
+        // md5-prefix 60-bit uniform (c26/c27's trick), the register is
+        // a BIT LENGTH (length(bin(w)) — both engines print binary
+        // without leading zeros), and the register SUM is kept exact
+        // in int64 as sum(2^(53-rho)) <= 2^61, so the one double
+        // division at the end is the same IEEE operation on the same
+        // integers in both engines. The raw LogLog estimator is
+        // emitted WITHOUT the small-range linear-counting correction
+        // (it needs ln — libm, excluded by the oracle-exactness
+        // rules); RelationalSpec pins the error bound instead. Scale
+        // shape: two partial-agg shuffles carrying (group, bucket,
+        // rho) then (group, 256-row register sets) — constant-size
+        // state per group at any SF, the whole point of HLL.
+        val m = 256
+        val h = conv(substring(
+          md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val w = expr(s"h div $m")
+        val rho = when(w === 0L, lit(53))
+          .otherwise(lit(53) - length(bin(w))).cast("int")
+        val regs = T(s, dir).lineitem
+          .select(col("l_returnflag"), col("l_orderkey"))
+          .withColumn("h", h)
+          .withColumn("bucket", pmod(col("h"), lit(m)))
+          .withColumn("rho", rho)
+          .groupBy(col("l_returnflag"), col("bucket"))
+          .agg(max(col("rho")).as("reg"))
+        val twoP53 = 9007199254740992L // 2^53 == rho 0 (absent bucket)
+        regs.groupBy(col("l_returnflag"))
+          .agg(
+            (sum(expr("shiftleft(1L, 53 - reg)")) +
+              (lit(m.toLong) - count(lit(1))) * lit(twoP53))
+              .as("reg_sum"),
+            (lit(m.toLong) - count(lit(1))).as("n_zero_buckets"))
+          .withColumn("est_raw",
+            lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(65536.0) /
+              (col("reg_sum").cast("double") / lit(9007199254740992.0)))
+          .select(col("l_returnflag"), col("reg_sum"),
+            col("n_zero_buckets"), col("est_raw"))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT l_returnflag,
+                 ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                   ::UBIGINT::BIGINT AS hv
+          FROM lineitem),
+        r AS (
+          SELECT l_returnflag, hv % 256 AS bucket,
+                 max(CASE WHEN hv // 256 = 0 THEN 53
+                     ELSE 53 - length(bin(hv // 256)) END) AS reg
+          FROM h GROUP BY 1, 2)
+        SELECT l_returnflag,
+               CAST(sum(1::BIGINT << (53 - reg)) +
+                    (256 - count(*)) * 9007199254740992 AS BIGINT)
+                 AS reg_sum,
+               CAST(256 - count(*) AS BIGINT) AS n_zero_buckets,
+               (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 /
+                 (CAST(CAST(sum(1::BIGINT << (53 - reg)) +
+                       (256 - count(*)) * 9007199254740992 AS BIGINT)
+                       AS DOUBLE) / 9007199254740992.0) AS est_raw
+        FROM r GROUP BY l_returnflag"""),
+      doc = "Hash-checked HyperLogLog (m=256): md5-uniform hash, " +
+        "bin()-derived registers, exact int64 register sums — the " +
+        "sketch itself is cross-engine bitwise-reproducible."))
 }

@@ -76,4 +76,30 @@ class SketchSpec extends AnyFunSuite {
         s"p=$p approx=${approx(i)} outside rank window [$lo, $hi]")
     }
   }
+
+  test("q49 hash-checked HLL: raw estimator within the m=256 error " +
+    "envelope of the exact distinct count") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val est = graft.SparkEntry.queries("q49_hll_sketch")(spark, dir)
+      .select(col("l_returnflag"), col("est_raw"))
+      .as[(String, Double)].collect().toMap
+    val exact = graft.Engine.Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (flag, n) =>
+      // HLL standard error at m=256 is 1.04/sqrt(256) ~ 6.5%; the RAW
+      // LogLog estimator (no small-range correction — ln is excluded
+      // by the oracle-exactness rules) carries extra bias, so pin a
+      // conservative 3-sigma-ish envelope. Cardinalities here are
+      // ~10^4 per flag — far from the small-range regime where the
+      // missing correction would matter.
+      assert(n > 2000, s"fixture drift: flag $flag only $n distinct")
+      val rel = math.abs(est(flag) - n) / n.toDouble
+      assert(rel < 0.20,
+        s"flag $flag: est ${est(flag)} vs exact $n (rel err $rel)")
+    }
+  }
 }
