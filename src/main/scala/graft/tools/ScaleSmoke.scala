@@ -127,6 +127,34 @@ object ScaleSmoke {
     timed("bpe_merges") {
       graft.operators.Bpe.learnMerges(big, "text", numMerges = 20).count()
     }
+    // realistic tokenizer vocabulary: the distributed cost is the SAME
+    // one histogram shuffle as above (k-invariant), and the
+    // incremental driver loop (stats deltas + pair->word index + lazy
+    // max-heap) prices 4096 merges at O(affected words) per merge —
+    // the stage must read within noise of bpe_merges, proving merge
+    // count is a driver-side afterthought, not a scale axis
+    timed("bpe_merges_4096") {
+      graft.operators.Bpe.learnMerges(big, "text", numMerges = 4096).count()
+    }
+    // ...but the FIXTURE vocabulary saturates after ~107 merges (the
+    // synthetic docs reuse a small word set), so the stage above
+    // can't exercise the loop at tokenizer scale. Price the driver
+    // loop honestly: a synthetic Zipfian histogram at the full
+    // maxVocab bound (65536 distinct words) driven for 8192 merges —
+    // exactly the driver-side work a 100 TB natural-language corpus
+    // would hand the loop after its (k-invariant) histogram shuffle.
+    // The naive recount-everything loop this replaced prices each
+    // merge at O(vocab * word length); incremental is O(affected
+    // words) — the difference between hours and seconds here.
+    timed("bpe_loop_8192_synth") {
+      val rnd = new scala.util.Random(7)
+      val hist = (0 until 65536).map { i =>
+        val w = (0 until 3 + rnd.nextInt(10))
+          .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        (w, math.max(1L, (65536.0 / (i + 1)).toLong))
+      }
+      graft.operators.Bpe.learnMergesFromHist(hist, 8192).length.toLong
+    }
     // seeded corpus shuffle: 16 independent per-shard sorts, no global
     // total order — growth must track n log(n/16), not n log n with a
     // single-partition sort bottleneck
@@ -207,12 +235,16 @@ object ScaleSmoke {
           (col("epoch") === 2 && col("u") < col("q") * col("q")))
         .count()
     }
-    // BPE-priced budget fill (c29's shape): ONE histogram shuffle for
-    // the merges (k-invariant), a map-only tokenize, a doc_id join
-    // and the bucketed fill — no global sort anywhere
+    // BPE-priced budget fill (c29's shape) at a REALISTIC merge-table
+    // size (1024 — where BPE pricing genuinely diverges from
+    // whitespace pricing): ONE histogram shuffle for the merges
+    // (k-invariant), a map-only tokenize whose per-word cost is
+    // merge-count-independent (greedy-by-rank + per-partition
+    // distinct-word memoization), a doc_id join and the bucketed
+    // fill — no global sort anywhere
     timed("bpe_token_budget") {
       val merges = graft.operators.Bpe
-        .learnMerges(big, "text", numMerges = 20)
+        .learnMerges(big, "text", numMerges = 1024)
         .collect().sortBy(_.getInt(0))
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val priced = graft.operators.Bpe
@@ -276,6 +308,23 @@ object ScaleSmoke {
     timed("quantized_topk") {
       graft.operators.Similarity.quantizedTopK(ebig,
         ebig.filter(col("vec_id") % 500 === 0), k = 5).count()
+    }
+    // metadata-filtered ANN (s11's production shape) under a
+    // selectivity sweep: the predicate lives in a metadata table, the
+    // keep set PRE-filters candidates through a semi-join BEFORE any
+    // distance math, and scoring runs the lshTopK scale path (the
+    // documented swap for s11's exact oracle anchor). At fixed k the
+    // three stages must order by SELECTIVITY (10% < 50% < 90% of the
+    // corpus surviving), and each fixed selectivity must grow with
+    // the ladder — cost tracks surviving candidates, never raw corpus
+    Seq(1, 5, 9).foreach { sel =>
+      timed(s"filtered_ann_${sel}0pct") {
+        val keep = ebig.filter(pmod(col("vec_id"), lit(10)) < sel)
+          .select(col("vec_id"))
+        val cand = ebig.join(keep, Seq("vec_id"), "left_semi")
+        graft.operators.Similarity.lshTopK(cand,
+          ebig.filter(col("vec_id") % 500 === 0), k = 5).count()
+      }
     }
     // vector append path: index 80% once, probe the other 20% against
     // it (index never re-signed or shuffled; on a k-way flood every

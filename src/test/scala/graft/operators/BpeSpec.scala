@@ -97,6 +97,84 @@ class BpeSpec extends AnyFunSuite {
     assert(got(3L) == List("low", "est</w>"))
   }
 
+  test("incremental merge loop == naive recount-everything reference " +
+    "on random histograms (exact sequence, counts included)") {
+    // the naive loop this spec pins against is the pre-round-7
+    // implementation: full pair recount + full vocab rewrite per merge
+    def naiveSymbols(w: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out += Bpe.EndOfWord
+      out.result()
+    }
+    def naive(hist: Seq[(String, Long)],
+        numMerges: Int): Vector[(Int, String, String, Long)] = {
+      var vocab: Array[(Array[String], Long)] =
+        hist.map { case (w, c) => (naiveSymbols(w), c) }.toArray
+      val merges = Vector.newBuilder[(Int, String, String, Long)]
+      var rank = 1
+      var exhausted = false
+      while (rank <= numMerges && !exhausted) {
+        val counts = scala.collection.mutable.HashMap
+          .empty[(String, String), Long]
+        vocab.foreach { case (syms, cnt) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + cnt)
+            i += 1
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+          merges += ((rank, l, r, c))
+          val fused = l + r
+          vocab = vocab.map { case (syms, cnt) =>
+            if (syms.length < 2) (syms, cnt)
+            else {
+              val out = Array.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                  out += fused; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              (out.result(), cnt)
+            }
+          }
+          rank += 1
+        }
+      }
+      merges.result()
+    }
+    // tiny alphabet -> dense shared pairs and constant count ties, the
+    // regime where a selection-order bug would surface; supplementary-
+    // plane char mixed in to exercise multi-unit symbols
+    val rnd = new scala.util.Random(42)
+    val alphabet = Array("a", "b", "c", "🎉")
+    (0 until 15).foreach { trial =>
+      val words = (0 until 40).map { _ =>
+        (0 until 1 + rnd.nextInt(6))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val hist = words.groupBy(identity).toSeq
+        .map { case (w, g) => (w, (g.size + rnd.nextInt(5)).toLong) }
+        .sortBy(_._1)
+      val n = 5 + rnd.nextInt(46)
+      val got = Bpe.learnMergesFromHist(hist, n)
+      val want = naive(hist, n)
+      assert(got == want,
+        s"trial $trial (numMerges=$n): incremental ${got.take(8)}... " +
+          s"!= naive ${want.take(8)}...")
+    }
+  }
+
   test("deterministic on the real fixture (run-to-run equality)") {
     val docs = graft.Engine
       .Tables(spark, "/root/testdata/sf0.001").documents
