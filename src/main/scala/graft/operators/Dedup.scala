@@ -45,6 +45,70 @@ object Dedup {
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Asymmetric-containment pairs over the whole corpus: (small_id,
+    * big_id, n_common, n_small) for every pair where at least
+    * `thresholdNum`/`thresholdDen` of the SMALLER doc's distinct
+    * shingles appear in the bigger doc's — the excerpt/quotation
+    * detector symmetric Jaccard structurally misses (a 50-word
+    * excerpt inside a 5000-word doc has Jaccard ~0.01 but containment
+    * 1.0). d14 oracle-checks this measure on a toy adjacent-id
+    * pairing; THIS is the operator form: candidates meet through an
+    * inverted shingle index (exact — containment > 0 requires at
+    * least one shared shingle), the threshold compares as pure
+    * integer arithmetic (n_common * den >= num * n_small: no doubles
+    * anywhere, so the whole output is cross-engine hash-exact), and
+    * "small" is the side with fewer distinct shingles (ties break to
+    * the smaller id).
+    *
+    * Scale: the inverted-index join is the sparse-similarity shape
+    * (docs meet only on shared shingles, never all-pairs), but
+    * corpus-frequent shingles make hot postings lists — at 100 TB
+    * prune postings above a df cap the way tfidfPairs does (a shingle
+    * in >maxDf docs contributes candidates that almost surely also
+    * meet on a rarer shingle; recall loss is confined to pairs whose
+    * EVERY shared shingle is corpus-frequent), or feed LSH candidates
+    * (d03's) into the same verify kernel. The verify join carries ids
+    * + shingle arrays for candidate pairs only.
+    */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      thresholdNum: Int = 8, thresholdDen: Int = 10,
+      shingleSize: Int = 3): DataFrame = {
+    // one shingle scan feeds the inverted index AND both verify sides
+    val sh = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleSize))
+        .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+    val cand = inv.as("a").join(inv.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
+      // id_a < id_b by construction, so <= ties the small side to the
+      // smaller id
+      .withColumn("small_is_a", col("n_a") <= col("n_b"))
+      .select(
+        when(col("small_is_a"), col("id_a")).otherwise(col("id_b"))
+          .as("small_id"),
+        when(col("small_is_a"), col("id_b")).otherwise(col("id_a"))
+          .as("big_id"),
+        col("n_common"),
+        when(col("small_is_a"), col("n_a")).otherwise(col("n_b"))
+          .as("n_small"))
+      .filter(col("n_common") * thresholdDen >=
+        lit(thresholdNum.toLong) * col("n_small"))
+  }
+
   /** Exact dedup on the normalized-text fingerprint. One row per
     * distinct content: (fingerprint, keep_id = min id, n_dups).
     */

@@ -843,5 +843,72 @@ object DedupQueries {
         SELECT id, min(r) AS rep FROM reach GROUP BY id"""),
       doc = "Entity resolution: Jaro-Winkler linkage pairs -> " +
         "connected components -> canonical representative per doc " +
-        "(closure hash-checked via recursive CTE)."))
+        "(closure hash-checked via recursive CTE)."),
+
+    // ------------------------------------------------------------------
+    "d17_containment_dedup" -> QueryDef(
+      fn = { (s, dir) =>
+        // The operator form of d14's containment measure: inverted
+        // shingle index -> candidate pairs -> integer-exact verify
+        // over the WHOLE corpus (d14 pairs adjacent ids only, a toy
+        // pairing that oracle-checks the kernel). The fixture has no
+        // natural excerpts (memory: near-dups sit at hamming >= 13),
+        // so excerpts are PLANTED inside the query, both engines
+        // identically: docs with doc_id % 7 == 0 contribute a second
+        // doc (+1000000) holding their first 40% of tokens — each
+        // must surface as a contained pair at containment >= 8/10.
+        // Output is all-integer (ids + counts): hash-exact with no
+        // float discipline needed at all.
+        val d = T(s, dir).documents
+          .withColumn("ts", filter(split(col("text"), " "),
+            x => x =!= ""))
+        val planted = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            array_join(expr(
+              "slice(ts, 1, greatest(1, (size(ts)*2) div 5))"), " ")
+              .as("text"))
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(planted)
+        graft.operators.Dedup.containmentPairs(
+          corpus, "text", "doc_id", thresholdNum = 8, thresholdDen = 10)
+      },
+      oracle = Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 array_to_string(
+                   list_slice(ts, 1, greatest(1, (len(ts)*2)//5)), ' ')
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '')
+                         AS ts
+                FROM documents WHERE doc_id % 7 = 0)),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(ts) >= 3 THEN
+                   list_transform(range(1, len(ts) - 1),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                   ELSE [] END) AS s
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '')
+                         AS ts
+                FROM corpus) t),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
+                   AS n_common,
+                 CAST(len(a.s) AS BIGINT) AS n_a,
+                 CAST(len(b.s) AS BIGINT) AS n_b
+          FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+          WHERE len(a.s) > 0 AND len(b.s) > 0)
+        SELECT CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS small_id,
+               CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS big_id,
+               n_common,
+               CASE WHEN n_a <= n_b THEN n_a ELSE n_b END AS n_small
+        FROM pairs
+        WHERE n_common * 10 >= 8 *
+              (CASE WHEN n_a <= n_b THEN n_a ELSE n_b END)"""),
+      doc = "Corpus-wide asymmetric-containment dedup (excerpt " +
+        "detection): inverted shingle index -> integer-exact verify; " +
+        "planted 40%-prefix excerpts must all surface."))
 }

@@ -388,6 +388,48 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L))
   }
 
+  test("containmentPairs: planted excerpts all surface oriented " +
+    "small->big; disjoint docs never pair") {
+    // excerpt 10 = the full first half of doc 1 (containment 1.0 from
+    // the excerpt side, low Jaccard); doc 4 shares nothing
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, d1),
+      (4L, "wholly different tokens speaking about columnar engines " +
+        "and shuffle free aggregation pipelines running fast"),
+      (10L, d1.split(" ").take(10).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // excerpt: 10 tokens -> 8 distinct trigram shingles, every one in
+    // doc 1 (20 tokens, 18 shingles): (10, 1, 8, 8) and nothing else
+    assert(got.toSeq == Seq((10L, 1L, 8L, 8L)), s"got ${got.toSeq}")
+    // the full-corpus query construction: every planted 40%-prefix
+    // excerpt must pair with its source at threshold 8/10
+    val fixture = graft.Engine
+      .Tables(spark, "/root/testdata/sf0.001").documents
+      .withColumn("ts", filter(split(col("text"), " "), x => x =!= ""))
+    val planted = fixture.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        array_join(expr(
+          "slice(ts, 1, greatest(1, (size(ts)*2) div 5))"), " ")
+          .as("text"))
+    val nPlanted = planted.count()
+    val all = fixture.select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    // orientation is by shingle-set size (an excerpt of repetitive
+    // text can tie its source's distinct-shingle count), so accept
+    // the planted pair in either direction
+    val pairs = Dedup.containmentPairs(all, "text", "doc_id")
+      .filter(col("big_id") === col("small_id") - 1000000L ||
+        col("small_id") === col("big_id") - 1000000L)
+      .count()
+    assert(nPlanted > 0 && pairs == nPlanted,
+      s"planted $nPlanted excerpts, only $pairs paired with sources")
+  }
+
   test("jaroLinkage: canonicalized form equals the naive blocked join on a flood") {
     import org.apache.spark.sql.graft.expressions.jaro_winkler
     // planted flood: two near-dup titles x3 exact copies each, one
