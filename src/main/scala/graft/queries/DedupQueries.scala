@@ -614,6 +614,94 @@ object DedupQueries {
         "top-5 cosine."),
 
     // ------------------------------------------------------------------
+    "s12_bitext_margin" -> QueryDef(
+      fn = { (s, dir) =>
+        // Margin-based bitext mining (Artetxe & Schwenk): raw cosine
+        // over-pairs hub vectors (points similar to EVERYTHING), so
+        // score each (x, y) by its cosine RELATIVE to both sides'
+        // neighborhoods: margin = cos(x,y) / ((avgTop4(x) +
+        // avgTop4(y)) / 2), emitting the best cross-"language"
+        // candidate per query (labels stand in for the two language
+        // sides). Float discipline: cosines round to 4 first (s10's
+        // rule), neighborhood sums go through DECIMAL(8,4) so
+        // summation order can't matter, and the margin is ONE
+        // identical double expression tree both engines evaluate on
+        // identical inputs — (c4 * 8.0) / (sx + sy), the /4 and /2
+        // folded into a power-of-two multiply. Scale: neighborhoods
+        // and the scored pairs are the same broadcast-scan as s01
+        // (queries broadcast, one linear pass over the corpus side);
+        // at corpus scale both neighborhoods come from lshTopK
+        // candidates (s10's swap) and the margin normalizer is
+        // computed over the SAME candidate sets.
+        val e = T(s, dir).embeddings
+        val qs = e.filter(col("label") === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val cs = e.filter(col("label") =!= 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+          .repartition(s.sparkContext.defaultParallelism)
+        // one scored frame feeds forward ranks, backward ranks, and
+        // the final margin join
+        val scored = cs.crossJoin(broadcast(qs))
+          .select(col("qid"), col("cid"),
+            round(VectorFunctions.cosineSim(col("cvec"), col("qvec")), 4)
+              .as("c4"))
+          .localCheckpoint()
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("c4").desc, col("cid"))
+        val fwd = scored.withColumn("r", row_number().over(wf))
+          .filter(col("r") <= 4).groupBy(col("qid"))
+          .agg(sum(col("c4").cast("decimal(8,4)")).cast("double").as("sx"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid")).orderBy(col("c4").desc, col("qid"))
+        val bwd = scored.withColumn("r", row_number().over(wb))
+          .filter(col("r") <= 4).groupBy(col("cid"))
+          .agg(sum(col("c4").cast("decimal(8,4)")).cast("double").as("sy"))
+        val m = scored
+          .join(broadcast(fwd), Seq("qid"))
+          .join(bwd, Seq("cid"))
+          .withColumn("margin",
+            (col("c4") * lit(8.0)) / (col("sx") + col("sy")))
+        val wm = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("margin").desc, col("cid"))
+        m.withColumn("rk", row_number().over(wm)).filter(col("rk") === 1)
+          .select(col("qid"), col("cid"), col("c4"), col("margin"))
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE label = 0),
+        c AS (
+          SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE label <> 0),
+        s AS (
+          SELECT qid, cid,
+                 round(list_cosine_similarity(
+                   CAST(cv AS DOUBLE[]), CAST(qv AS DOUBLE[])), 4) AS c4
+          FROM c, q),
+        f AS (
+          SELECT qid, CAST(sum(CAST(c4 AS DECIMAL(8,4))) AS DOUBLE) AS sx
+          FROM (SELECT qid, c4, row_number() OVER (PARTITION BY qid
+                  ORDER BY c4 DESC, cid) AS r FROM s) t
+          WHERE r <= 4 GROUP BY qid),
+        b AS (
+          SELECT cid, CAST(sum(CAST(c4 AS DECIMAL(8,4))) AS DOUBLE) AS sy
+          FROM (SELECT cid, c4, row_number() OVER (PARTITION BY cid
+                  ORDER BY c4 DESC, qid) AS r FROM s) t
+          WHERE r <= 4 GROUP BY cid),
+        m AS (
+          SELECT s.qid, s.cid, s.c4,
+                 (s.c4 * 8.0) / (f.sx + b.sy) AS margin
+          FROM s JOIN f USING (qid) JOIN b USING (cid))
+        SELECT qid, cid, c4, margin
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY margin DESC, cid) AS rk FROM m) t
+        WHERE rk = 1"""),
+      doc = "Margin-based bitext mining: cosine normalized by both " +
+        "sides' top-4 neighborhood averages (hub correction), best " +
+        "cross-label candidate per query — margins hash-check via " +
+        "decimal-summed neighborhoods and one shared expression tree."),
+
+    // ------------------------------------------------------------------
     "s06_topk_sparse" -> QueryDef(
       fn = { (s, dir) =>
         // Sparse TF-IDF cosine top-50 pairs via inverted-index join —
