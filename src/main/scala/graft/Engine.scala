@@ -95,16 +95,35 @@ object Engine {
     def orders: DataFrame     = t("orders")
     def lineitem: DataFrame   = t("lineitem")
 
-    /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no
-      * native type for. Read it as raw nanos (legacy conf) and floor
-      * to microsecond TimestampType with integer `div` — float
-      * division would lose precision at 1e18 nanos. DuckDB's reader
-      * floors ns→µs the same way, so oracle compares stay exact.
+    /** `events.ts` has shipped as several parquet vintages:
+      * TIMESTAMP(NANOS) (no native Spark type), TIMESTAMP(MICROS)
+      * adjusted-to-UTC (reads as TimestampType), and TIMESTAMP(MICROS)
+      * isAdjustedToUTC=false (reads as TimestampNTZType by default).
+      * Normalize all three to microsecond TimestampType so window/
+      * session_window/unix_micros downstream resolve:
+      *  - nanos: read raw longs (legacy conf) and floor ns→µs with
+      *    integer `div` — float division would lose precision at 1e18
+      *    nanos; DuckDB floors the same way, so oracles stay exact.
+      *  - NTZ: inferTimestampNTZ=false makes the reader decode the
+      *    micros as TimestampType directly (session tz is pinned UTC,
+      *    so the stored micros are byte-identical to what DuckDB's
+      *    epoch_us sees).
       */
     def events: DataFrame = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t("events").withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      val raw = t("events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // reached only if a caller flipped the infer conf back on
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     }
     def documents: DataFrame  = t("documents")
     def embeddings: DataFrame = t("embeddings")
