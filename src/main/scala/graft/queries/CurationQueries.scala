@@ -1343,5 +1343,58 @@ object CurationQueries {
            OR (epoch = 2 AND u < quality * quality)"""),
       doc = "Quality-ramped curriculum: per-epoch md5-uniform " +
         "acceptance at probability q^epoch (deterministic, " +
-        "hash-checked boundary; zero-shuffle map)."))
+        "hash-checked boundary; zero-shuffle map)."),
+
+    // ------------------------------------------------------------------
+    "c31_incremental_agg" -> QueryDef(
+      fn = { (s, dir) =>
+        // Incremental materialized-view maintenance: fold a CDC batch
+        // into a per-status (count, revenue) rollup WITHOUT rescanning
+        // the base — the delta side aggregates only the changed rows,
+        // and IncrementalAgg.mergeCountSum is a key-local full-outer
+        // merge handling births/updates/deletes/deaths. The oracle
+        // recomputes the post-batch state from scratch, so hash-green
+        // here proves state + fold(delta) == recompute(final) exactly
+        // (sums kept in DECIMAL through the merge; double only at the
+        // output). Deterministic CDC batch: orders with key%13==0 are
+        // DELETEd, surviving key%7==0 rows get price += 1.00.
+        // Scale: delta agg shuffles |changed rows|; the merge
+        // shuffles |groups| — base is read once to SEED the state
+        // (standing in for the already-materialized table) and never
+        // again.
+        val money = (c: org.apache.spark.sql.Column) =>
+          c.cast("decimal(12,2)")
+        val ord = T(s, dir).orders
+        val state = ord.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(money(col("o_totalprice"))).as("tot"))
+        val deletes = ord
+          .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+          .select(col("o_orderstatus"), lit(-1L).as("dn"),
+            (-money(col("o_totalprice"))).as("ds"))
+        val updates = ord
+          .filter(pmod(col("o_orderkey"), lit(7)) === 0 &&
+            pmod(col("o_orderkey"), lit(13)) =!= 0)
+          .select(col("o_orderstatus"), lit(0L).as("dn"),
+            lit("1.00").cast("decimal(12,2)").as("ds"))
+        val delta = deletes.unionByName(updates)
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+        graft.operators.IncrementalAgg
+          .mergeCountSum(state, delta, "o_orderstatus")
+          .select(col("o_orderstatus"), col("n"),
+            col("tot").cast("double").as("total"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))
+                 + CASE WHEN o_orderkey % 7 = 0
+                        THEN CAST(1.00 AS DECIMAL(12,2))
+                        ELSE CAST(0.00 AS DECIMAL(12,2)) END)
+                 AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 13 != 0
+        GROUP BY o_orderstatus"""),
+      doc = "Incremental aggregate maintenance: CDC delta batch " +
+        "(deletes + price updates) folded into a count/sum rollup by " +
+        "key-local merge; hash-proven equal to full recompute."))
 }

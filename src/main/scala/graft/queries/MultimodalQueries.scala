@@ -382,5 +382,75 @@ object MultimodalQueries {
         SELECT doc_id, u.b AS boundary_idx, u.diff AS diff
         FROM d WHERE u.diff >= 1050"""),
       doc = "Scene-cut detection: L1 frame-to-frame byte diffs over " +
-        "the thresholded boundary stream (integer-exact, map-only)."))
+        "the thresholded boundary stream (integer-exact, map-only)."),
+
+    // ------------------------------------------------------------------
+    "m10_caption_align" -> QueryDef(
+      fn = { (s, dir) =>
+        // Cross-modal temporal alignment — the join that builds
+        // (frame, caption) training pairs for VLM data: each caption
+        // is matched to the LAST video frame at-or-before its
+        // timestamp (as-of semantics). The frame track comes off the
+        // binary column via the real sampleFrames plumbing (25 fps ->
+        // 40 ms cadence); the caption track is a deterministic
+        // 97 ms grid so the two tracks interleave irregularly.
+        // Shape: q26's single-shuffle union+sort as-of (no join
+        // operator at all) — both tracks union into one stream,
+        // one window pass per doc carries the latest frame_idx
+        // forward; at 100 TB that is one partition-by-doc shuffle,
+        // vs. a per-caption range probe. Frames order BEFORE
+        // captions on (impossible-here) ts ties so the match is
+        // at-or-before, mirroring ASOF JOIN's >=.
+        val frames = graft.operators.Multimodal.sampleFrames(
+            fakeImages(s, dir), "doc_id", "image",
+            frameBytes = 32, everyN = 1)
+          .select(col("doc_id"), col("frame_idx"),
+            (col("frame_idx").cast("long") * 40000L).as("ts_us"))
+        val captions = Engine.Tables(s, dir).documents
+          .filter(octet_length(col("text")) > 0)
+          .select(col("doc_id"),
+            explode(sequence(lit(0),
+              expr("(octet_length(text) + 99) div 100 - 1")
+                .cast("int"))).as("cap_idx"))
+          .select(col("doc_id"), col("cap_idx"),
+            (col("cap_idx").cast("long") * 97000L + 13L).as("ts_us"))
+        val tagged = frames
+          .select(col("doc_id"), col("ts_us"), col("frame_idx"),
+            lit(null).cast("int").as("cap_idx"))
+          .unionByName(captions
+            .select(col("doc_id"), col("ts_us"),
+              lit(null).cast("int").as("frame_idx"), col("cap_idx")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("ts_us"), col("frame_idx").isNull.cast("int"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        tagged
+          .withColumn("f", last(col("frame_idx"), ignoreNulls = true).over(w))
+          .filter(col("cap_idx").isNotNull && col("f").isNotNull)
+          .select(col("doc_id"), col("cap_idx"),
+            col("ts_us").as("cap_ts_us"), col("f").as("frame_idx"),
+            (col("f").cast("long") * 40000L).as("frame_ts_us"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                 CAST(i * 40000 AS BIGINT) AS f_ts
+          FROM (SELECT doc_id,
+                       unnest(range(0, octet_length(encode(text)) // 32)) AS i
+                FROM documents)),
+        c AS (
+          SELECT doc_id, CAST(k AS INT) AS cap_idx,
+                 CAST(k * 97000 + 13 AS BIGINT) AS c_ts
+          FROM (SELECT doc_id,
+                       unnest(range(0,
+                         (octet_length(encode(text)) + 99) // 100)) AS k
+                FROM documents WHERE octet_length(encode(text)) > 0))
+        SELECT c.doc_id, c.cap_idx, c.c_ts AS cap_ts_us,
+               f.frame_idx, f.f_ts AS frame_ts_us
+        FROM c ASOF JOIN f
+          ON c.doc_id = f.doc_id AND c.c_ts >= f.f_ts"""),
+      doc = "Cross-modal caption-to-frame as-of alignment (25 fps " +
+        "frame track off the binary column vs a 97 ms caption grid; " +
+        "single-shuffle union+sort as-of, oracled by ASOF JOIN)."))
 }

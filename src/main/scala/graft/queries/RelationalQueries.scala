@@ -1470,5 +1470,77 @@ object RelationalQueries {
         FROM r GROUP BY l_returnflag"""),
       doc = "Hash-checked HyperLogLog (m=256): md5-uniform hash, " +
         "bin()-derived registers, exact int64 register sums — the " +
-        "sketch itself is cross-engine bitwise-reproducible."))
+        "sketch itself is cross-engine bitwise-reproducible."),
+
+    // ------------------------------------------------------------------
+    "q50_kmv_sketch" -> QueryDef(
+      fn = { (s, dir) =>
+        // KMV (k-minimum-values / bottom-k) distinct sketch WITH a
+        // real sketch MERGE, all hash-checked — the third member of
+        // the sketch family (q49 HLL = register max, t09 CMS = count
+        // min, q50 KMV = order statistics). Every ingredient is
+        // cross-engine exact: the md5-prefix 60-bit uniform hash
+        // (q49's trick), the k-th minimum as an int64, bit_xor as an
+        // order-free membership checksum, and one double division on
+        // identical integers for the estimate (k-1) * 2^60 / kth_min.
+        // The 'ALL' row is computed FROM the per-group sketches, not
+        // from the data — KMV's union property (bottom-k of a union
+        // equals bottom-k of the union of bottom-k sets) is what
+        // makes it mergeable in a tree-agg at 100 TB, and the oracle
+        // recomputing the same rows from scratch proves the merge
+        // lossless. Scale shape: one distinct shuffle carrying
+        // (group, hash), then a rank-over-window cut that
+        // WindowGroupLimit prunes to k rows per partition BEFORE the
+        // window's sort (same plan q06/c07 assert); the merge input
+        // is <= groups * k rows — driver-free, constant-size state.
+        val k = 64
+        val h = conv(substring(
+          md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val hashes = T(s, dir).lineitem
+          .select(col("l_returnflag").as("grp"), h.as("hv"))
+          .distinct()
+        val perGroup = hashes
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("grp")).orderBy(col("hv"))))
+          .filter(col("rn") <= k)
+          .select(col("grp"), col("hv"))
+        // sketch merge: <= groups * k rows, no second pass over data
+        val merged = perGroup.select(col("hv")).distinct()
+          .withColumn("rn", row_number().over(Window.orderBy(col("hv"))))
+          .filter(col("rn") <= k)
+          .select(lit("ALL").as("grp"), col("hv"))
+        val twoP60 = 1.152921504606846976e18 // 2^60, exact in double
+        perGroup.unionByName(merged)
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).cast("int").as("k_used"),
+            max(col("hv")).as("kth_min"),
+            expr("bit_xor(hv)").as("xor_check"))
+          .withColumn("est_raw",
+            (col("k_used") - 1).cast("double") * lit(twoP60) /
+              col("kth_min").cast("double"))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT DISTINCT l_returnflag AS grp,
+                 ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                   ::UBIGINT::BIGINT AS hv
+          FROM lineitem),
+        bk AS (
+          SELECT grp, hv FROM (
+            SELECT grp, hv,
+                   row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+            FROM h) WHERE rn <= 64),
+        mg AS (
+          SELECT 'ALL' AS grp, hv FROM (
+            SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+            FROM (SELECT DISTINCT hv FROM bk)) WHERE rn <= 64),
+        u AS (SELECT grp, hv FROM bk UNION ALL SELECT grp, hv FROM mg)
+        SELECT grp, CAST(count(*) AS INT) AS k_used,
+               max(hv) AS kth_min, bit_xor(hv) AS xor_check,
+               CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0 /
+                 CAST(max(hv) AS DOUBLE) AS est_raw
+        FROM u GROUP BY grp"""),
+      doc = "Hash-checked KMV bottom-k distinct sketch (md5-uniform " +
+        "60-bit hash) with a lossless sketch merge for the union row."))
 }

@@ -102,4 +102,61 @@ class SketchSpec extends AnyFunSuite {
         s"flag $flag: est ${est(flag)} vs exact $n (rel err $rel)")
     }
   }
+
+  test("q50 KMV: merge row is lossless vs a from-data bottom-k, and " +
+    "estimates sit in the k=64 error envelope") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.SparkEntry.queries("q50_kmv_sketch")(spark, dir)
+      .select(col("grp"), col("k_used"), col("kth_min"),
+        col("xor_check"), col("est_raw"))
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // The 'ALL' row was merged from per-group sketches; recompute the
+    // global bottom-64 straight from the data — kth_min and the
+    // membership xor must agree bit-for-bit (KMV's union property).
+    val li = graft.Engine.Tables(spark, dir).lineitem
+    val hv = conv(substring(
+      md5(col("l_partkey").cast("string")), 1, 15), 16, 10).cast("long")
+    val global = li.select(hv.as("hv")).distinct()
+      .orderBy(col("hv")).limit(64)
+      .as[Long].collect()
+    val (kUsed, kth, xor, est) = out("ALL")
+    assert(kUsed == 64 && kth == global.max &&
+      xor == global.reduce(_ ^ _),
+      "merged ALL sketch differs from the from-data bottom-64")
+    // KMV std err ~ 1/sqrt(k-2) = 12.7% at k=64; pin ~3 sigma.
+    val exactAll = li.select(col("l_partkey")).distinct().count()
+    assert(math.abs(est - exactAll) / exactAll.toDouble < 0.38,
+      s"ALL est $est vs exact $exactAll")
+    out.filterNot(_._1 == "ALL").foreach { case (g, (_, _, _, e)) =>
+      val exact = li.filter(col("l_returnflag") === g)
+        .select(col("l_partkey")).distinct().count()
+      assert(math.abs(e - exact) / exact.toDouble < 0.38,
+        s"grp $g est $e vs exact $exact")
+    }
+  }
+
+  test("m10 caption alignment matches the closed-form frame grid") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("m10_caption_align")(spark, dir)
+      .select(col("doc_id"), col("cap_idx"), col("cap_ts_us"),
+        col("frame_idx"))
+      .as[(Long, Int, Long, Int)].collect()
+    assert(out.nonEmpty)
+    val nf = graft.Engine.Tables(spark, dir).documents
+      .select(col("doc_id"), (octet_length(col("text")) / 32).cast("int"))
+      .as[(Long, Int)].collect().toMap
+    out.foreach { case (doc, k, ts, f) =>
+      assert(ts == k * 97000L + 13L)
+      // regular 40 ms grid -> the as-of answer has a closed form:
+      // floor(ts / 40000) clamped to the last existing frame
+      val expect = math.min(ts / 40000L, nf(doc) - 1L)
+      assert(f.toLong == expect,
+        s"doc $doc cap $k: frame $f, expected $expect (nf=${nf(doc)})")
+    }
+    // and docs with zero frames contribute no pairs
+    assert(out.forall { case (doc, _, _, _) => nf(doc) >= 1 })
+  }
 }
