@@ -1,5 +1,7 @@
 package graft.tools
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.Engine
@@ -353,6 +355,41 @@ object ScaleSmoke {
         ebig.filter(col("vec_id") % 500 === 0), k = 5).count()
     }
     ebig.unpersist()
+
+    // TableSync write amplification: seed the full replica corpus as
+    // batch 0 (256 buckets), then apply a 10-key CDC batch. The v1
+    // rewrite must touch <= 10 buckets, so its bytes must stay a few
+    // percent of v0's AT EVERY k — the sub-table-rewrite property the
+    // r06 verdict demanded, measured rather than asserted.
+    locally {
+      val dir = java.nio.file.Files
+        .createTempDirectory("smoke_tsync").toString
+      val seed = big.withColumn("ver", lit(0L))
+      timed("tsync_seed_batch0") {
+        graft.streaming.TableSync.applyBatch(
+          seed, dir, "doc_id", "ver", batchId = 0L, numBuckets = 256)
+        n
+      }
+      val delta = big.filter(col("doc_id") % (n / 10) === 3)
+        .withColumn("text", concat(col("text"), lit(" [updated]")))
+        .withColumn("ver", lit(1L))
+      timed("tsync_small_batch1") {
+        graft.streaming.TableSync.applyBatch(
+          delta, dir, "doc_id", "ver", batchId = 1L)
+        delta.count()
+      }
+      def dirBytes(name: String): Long = {
+        val d = new java.io.File(dir, name)
+        if (!d.isDirectory) 0L
+        else java.nio.file.Files.walk(d.toPath).iterator().asScala
+          .map(_.toFile).filter(_.isFile).map(_.length()).sum
+      }
+      val (b0, b1) = (dirBytes("v0"), dirBytes("v1"))
+      println(f"[smoke] tsync_amplification   v0=$b0%d bytes  " +
+        f"v1=$b1%d bytes  ratio=${b1.toDouble / b0}%.4f " +
+        "(<= ~10/256 + parquet floor)")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     spark.stop()
   }
 }

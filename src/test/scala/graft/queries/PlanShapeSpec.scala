@@ -328,4 +328,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(mp >= 0 && join > mp,
       s"ascii semi-join sits above frameDiffs (filter-after-scan):\n$p")
   }
+
+  test("q50 KMV: per-group bottom-k cut plans WindowGroupLimit") {
+    val p = plan("q50_kmv_sketch")
+    // the rank<=k filter over the per-group window must prune to k
+    // rows per partition BEFORE the window sort — at 100 TB the
+    // distinct-hash stream per group is unbounded, the sketch is not
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("c31 incremental agg: base table is scanned exactly once") {
+    val p = plan("c31_incremental_agg")
+    // state seed reads orders once; the delta side reuses the same
+    // scan via two filters — a second full scan would mean the fold
+    // rescans the base, defeating incremental maintenance. Parquet
+    // scans print one 'Scan parquet' block per physical read.
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 3, s"expected <= 3 parquet scans (state + 2 delta " +
+      s"branches), got $scans:\n$p")
+  }
 }
