@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.IncrementalAgg
+
+/** Continuously-maintained count/sum rollup — the streaming twin of
+  * c31's batch fold, stored through TableSync so the view inherits
+  * the bucketed snapshot+manifest machinery (atomic commit pointer,
+  * crash replay, time travel, sub-table rewrite).
+  *
+  * Per micro-batch the work is proportional to the BATCH, never the
+  * view: the batch delta-aggregates locally (map-side combine), the
+  * current state is read for the touched keys' buckets only
+  * (TableSync.readCurrentForKeys — <= min(|batch keys|, numBuckets)
+  * bucket dirs), and the key-local merge upserts only those keys'
+  * buckets back. At 100 TB of accumulated view this is the difference
+  * between a rollup you can afford per micro-batch and one you
+  * cannot: O(|delta| + touched buckets), not O(table).
+  *
+  * Exactly-once: the fold is NOT idempotent (re-folding a batch
+  * double-counts), so the manifest's batch id is the commit point. A
+  * foreachBatch replay after crash-after-swap finds its own id (or a
+  * later one) already applied and skips; a replay after
+  * crash-BEFORE-swap finds state at batchId-1 and folds normally —
+  * the same discipline as the reference's visibility-timeout redelivery
+  * (GetJobs.py:39 deletes the message only after the work committed).
+  */
+object AggSync {
+
+  /** Start the maintenance sink over a streaming `events` frame. */
+  def countSumSink(events: DataFrame, path: String, keyCol: String,
+      valCol: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDelta(batch, path, keyCol, valCol, batchId)
+      }
+      .start()
+
+  /** One fold step; also the batch/backfill entry. Safe to call again
+    * with an already-applied batchId (no-op).
+    */
+  def applyDelta(batch: DataFrame, path: String, keyCol: String,
+      valCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val applied = TableSync.versions(spark, path)
+    if (applied.exists(_ >= batchId)) return // replayed after commit
+    val delta = batch.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("dn"),
+        sum(col(valCol).cast("decimal(12,2)")).as("ds"))
+    val state =
+      if (applied.isEmpty)
+        delta.select(col(keyCol), col("dn").as("n"), col("ds").as("tot"))
+          .limit(0)
+      else
+        TableSync.readCurrentForKeys(
+            spark, path, delta.select(col(keyCol)), keyCol)
+          .join(delta.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .select(col(keyCol), col("n"), col("tot"))
+    val merged = IncrementalAgg
+      .mergeCountSum(state, delta, keyCol, keepDeaths = true)
+    TableSync.applyBatch(merged.withColumn("ver", lit(batchId)),
+      path, keyCol, "ver", batchId)
+  }
+
+  /** The live view: tombstoned (count-zero) groups filtered out, the
+    * storage version column dropped.
+    */
+  def readView(spark: SparkSession, path: String): DataFrame =
+    TableSync.readCurrent(spark, path)
+      .filter(col("n") > 0L)
+      .drop("ver")
+}

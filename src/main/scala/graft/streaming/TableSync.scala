@@ -337,6 +337,34 @@ object TableSync {
       .getOrElse(throw new IllegalStateException(
         s"no _CURRENT pointer under $path — table never initialized"))
 
+  /** Current rows for the BUCKETS the given keys hash to — the
+    * sub-table READ that pairs with applyBatch's sub-table write: a
+    * maintenance fold touching k keys scans <= min(k, numBuckets)
+    * bucket directories, never the table. The result is a superset of
+    * the requested keys (a bucket holds other keys too) — callers
+    * key-filter it. The bucket collect is bounded by numBuckets, the
+    * same bounded driver set applyBatch already collects.
+    */
+  def readCurrentForKeys(spark: SparkSession, path: String,
+      keys: DataFrame, keyCol: String): DataFrame = {
+    val m = currentManifest(spark, path)
+      .getOrElse(throw new IllegalStateException(
+        s"no _CURRENT pointer under $path — table never initialized"))
+    val touched = keys
+      .select(bucketExpr(keyCol, m.numBuckets).as(BucketCol))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val groups = m.entries.toSeq
+      .filter { case (b, _) => touched(b) }
+      .groupBy(_._2).toSeq
+      .sortBy { case (snap, _) => snapOrder(snap) }.reverse
+      .map { case (snap, bs) =>
+        spark.read.parquet(
+          bs.map { case (b, _) => s"$path/$snap/$BucketCol=$b" }: _*)
+      }
+    if (groups.isEmpty) readCurrent(spark, path).limit(0)
+    else groups.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Union the bucket directories a manifest references. Buckets
     * served by the same snapshot write share a schema and batch into
     * one multi-path scan (the common all-buckets-current case is a

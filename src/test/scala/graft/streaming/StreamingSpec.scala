@@ -803,4 +803,50 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("AggSync maintained rollup equals the batch groupBy across " +
+    "micro-batches (foreachBatch + TableSync storage)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("aggsync-t").toString
+    val ckpt = Files.createTempDirectory("aggsync-c").toString
+    val mem = MemoryStream[(String, Double)]
+    val events = mem.toDF().toDF("k", "v")
+    val q = AggSync.countSumSink(events, path, "k", "v", ckpt)
+    try {
+      mem.addData(("a", 1.0), ("a", 2.5), ("b", 10.0))
+      q.processAllAvailable()
+      mem.addData(("b", 0.5), ("c", 7.0))
+      q.processAllAvailable()
+      mem.addData(("a", 1.0))
+      q.processAllAvailable()
+      val view = AggSync.readView(spark, path)
+        .select(col("k"), col("n"), col("tot").cast("string"))
+        .as[(String, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(view == Map(
+        "a" -> ((3L, "4.50")),
+        "b" -> ((2L, "10.50")),
+        "c" -> ((1L, "7.00"))), s"maintained view diverged: $view")
+    } finally q.stop()
+  }
+
+  test("AggSync replay of a committed batch is a no-op (the fold " +
+    "never double-counts)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("aggsync-r").toString
+    val b0 = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val b1 = Seq(("a", 4.0)).toDF("k", "v")
+    AggSync.applyDelta(b0, path, "k", "v", batchId = 0L)
+    AggSync.applyDelta(b1, path, "k", "v", batchId = 1L)
+    // crash-after-swap replay: foreachBatch re-delivers batch 1
+    AggSync.applyDelta(b1, path, "k", "v", batchId = 1L)
+    val view = AggSync.readView(spark, path)
+      .select(col("k"), col("n"), col("tot").cast("string"))
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(view == Map(
+      "a" -> ((2L, "5.00")),
+      "b" -> ((1L, "2.00"))), s"replay double-counted: $view")
+  }
 }
