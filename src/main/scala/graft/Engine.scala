@@ -56,6 +56,18 @@ object Engine {
     * localCheckpoint'd RDD discards its only copy (lineage is
     * truncated), so frames from before the call must not be reused.
     */
+  def widenIfNarrow(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // Widen tiny local scans to the session parallelism WITHOUT
+    // forcing an exchange on an already-parallel input: the fixture
+    // parquet is one file (one split), which would serialize a
+    // brute-force or explode-heavy scan on one core; a 100 TB table
+    // arrives in thousands of splits and must NOT pay a full shuffle
+    // here. getNumPartitions plans the query but runs no job.
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def releaseCheckpoints(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values
       .filter(org.apache.spark.rdd.GraftRddUtil.isLocallyCheckpointed)

@@ -131,8 +131,7 @@ object CurationQueries {
     "c04_dedup_corpus" -> QueryDef(
       fn = { (s, dir) =>
         graft.operators.Dedup.dedupCorpus(
-          Engine.Tables(s, dir).documents
-            .repartition(s.sparkContext.defaultParallelism),
+          Engine.widenIfNarrow(Engine.Tables(s, dir).documents),
           "text", "doc_id", threshold = 0.5)
           .select(col("doc_id"), col("source"), col("lang"))
       },

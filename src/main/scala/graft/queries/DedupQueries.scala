@@ -120,7 +120,7 @@ object DedupQueries {
         // xxhash64) but not SQL-expressible -> rows-only; recall vs
         // brute force is asserted in DedupSpec.
         Dedup.nearDupPairs(
-          T(s, dir).documents.repartition(s.sparkContext.defaultParallelism),
+          Engine.widenIfNarrow(T(s, dir).documents),
           "text", "doc_id", threshold = 0.5)
       },
       oracle = None,
@@ -141,8 +141,7 @@ object DedupQueries {
         // Brute-force cosine pair scan through the native codegen'd
         // expression — the exact baseline the LSH path is measured
         // against; DuckDB recomputes it bit-for-bit (double math).
-        val e = T(s, dir).embeddings
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
         val a = e.select(col("vec_id").as("id_a"),
           col("embedding").as("v_a"))
         val b = e.select(col("vec_id").as("id_b"),
@@ -174,8 +173,7 @@ object DedupQueries {
         // Deterministic (seeded hyperplanes) but not SQL-expressible
         // -> rows-only; recall vs the exact d05 pair set is asserted
         // in DedupSpec.
-        val e = T(s, dir).embeddings
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
         Dedup.embeddingDupPairs(e, "embedding", "vec_id",
           threshold = 0.35, bits = 4, tables = 12)
           .select(col("id_a"), col("id_b"),
@@ -290,8 +288,7 @@ object DedupQueries {
         // d06's LSH path. Trained centroids -> not SQL-expressible ->
         // rows-only; recall vs the exact d05 pair set is asserted in
         // DedupSpec.
-        val e = T(s, dir).embeddings
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
         Dedup.semanticDupPairs(e, "embedding", "vec_id",
           threshold = 0.35, nlist = 4, nprobe = 2)
           .select(col("id_a"), col("id_b"),
@@ -311,8 +308,7 @@ object DedupQueries {
         // never re-read. Seeded hashing -> rows-only; DedupSpec
         // asserts exact equality with the full-batch run restricted
         // to batch-touching pairs.
-        val d = T(s, dir).documents
-          .repartition(s.sparkContext.defaultParallelism)
+        val d = Engine.widenIfNarrow(T(s, dir).documents)
         val index = Dedup.dedupIndex(
           d.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
         Dedup.incrementalNearDups(index,
@@ -332,8 +328,7 @@ object DedupQueries {
         // Exact ANN baseline: top-5 neighbors for a deterministic
         // query sample. Ranking on (rounded cosine, id) so both
         // engines order identically.
-        val e = T(s, dir).embeddings
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
         val q = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val scored = e.crossJoin(broadcast(q))
@@ -370,8 +365,7 @@ object DedupQueries {
         // The scale path: hyperplane-LSH bucketed ANN with 1-bit
         // multi-probe. Deterministic; recall vs s01 asserted in
         // SimilaritySpec (rows-only driver check).
-        val e = T(s, dir).embeddings
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
         Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0), k = 5)
           .select(col("qid"), col("id"),
             round(col("cosine"), 4).as("cosine"), col("rank"))
@@ -435,8 +429,7 @@ object DedupQueries {
         // of the top k*refine. Quantization scale is data-derived ->
         // rows-only; recall + exact-rescore equality asserted in
         // SimilaritySpec.
-        val e = T(s, dir).embeddings
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
         Similarity.quantizedTopK(e, e.filter(col("vec_id") % 50 === 0),
           k = 5, refine = 4)
           .select(col("qid"), col("id"),
@@ -454,8 +447,7 @@ object DedupQueries {
         // reads per pair, exact rescore of top k*refine. Codebook is
         // data-derived (driver Lloyd's on a bounded hash-sample) ->
         // rows-only; recall + exact-rescore pinned in SimilaritySpec.
-        val e = T(s, dir).embeddings
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
         Similarity.pqTopK(e, e.filter(col("vec_id") % 50 === 0),
           k = 5, m = 16, refine = 8)
           .select(col("qid"), col("id"),
@@ -473,8 +465,7 @@ object DedupQueries {
         // Greedy selection is order-dependent (not SQL-expressible as
         // one query) -> rows-only; diversity + determinism pinned in
         // SimilaritySpec.
-        val e = T(s, dir).embeddings
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
         Similarity.mmrTopK(e, e.filter(col("vec_id") % 50 === 0),
           k = 5, fetch = 4, lambda = 0.7)
           .select(col("qid"), col("id"),
@@ -496,8 +487,7 @@ object DedupQueries {
         // cosine above bulk, which no fixed-dim sketch separates —
         // a sketch preserves separations that exist; `oversample`
         // is the recall lever on weakly-separated corpora.
-        val e = T(s, dir).embeddings
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
         Similarity.randProjTopK(e, e.filter(col("vec_id") % 50 === 0),
           k = 5, projDim = 16, oversample = 4)
           .select(col("qid"), col("id"),
@@ -518,8 +508,7 @@ object DedupQueries {
         // as s01 with the label guard fused into the scan filter; at
         // corpus scale swap the exact scan for lshTopK/pqTopK
         // candidates and keep the label anti-filter + rescore.
-        val e = T(s, dir).embeddings
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
         val q = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
             col("label").as("qlabel"))
@@ -573,9 +562,8 @@ object DedupQueries {
         val enIds = T(s, dir).documents
           .filter(col("lang") === "en")
           .select(col("doc_id").as("vec_id"))
-        val e = T(s, dir).embeddings
-          .join(enIds, Seq("vec_id"), "left_semi")
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings
+          .join(enIds, Seq("vec_id"), "left_semi"))
         val q = T(s, dir).embeddings
           .filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -636,9 +624,8 @@ object DedupQueries {
         val e = T(s, dir).embeddings
         val qs = e.filter(col("label") === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val cs = e.filter(col("label") =!= 0)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-          .repartition(s.sparkContext.defaultParallelism)
+        val cs = Engine.widenIfNarrow(e.filter(col("label") =!= 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
         // one scored frame feeds forward ranks, backward ranks, and
         // the final margin join
         val scored = cs.crossJoin(broadcast(qs))
@@ -830,8 +817,7 @@ object DedupQueries {
         // streams (never shuffled or re-signed), the batch broadcasts,
         // every pair exact-cosine verified. Seeded LSH -> rows-only;
         // DedupSpec pins subset-of-brute-force + planted-dup recall.
-        val e = T(s, dir).embeddings
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
         val index = Dedup.vecDedupIndex(
           e.filter(col("vec_id") % 5 =!= 0), "embedding", "vec_id")
         Dedup.incrementalVecDups(index,

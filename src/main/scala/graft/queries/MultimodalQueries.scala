@@ -452,5 +452,83 @@ object MultimodalQueries {
           ON c.doc_id = f.doc_id AND c.c_ts >= f.f_ts"""),
       doc = "Cross-modal caption-to-frame as-of alignment (25 fps " +
         "frame track off the binary column vs a 97 ms caption grid; " +
-        "single-shuffle union+sort as-of, oracled by ASOF JOIN)."))
+        "single-shuffle union+sort as-of, oracled by ASOF JOIN)."),
+
+    // ------------------------------------------------------------------
+    "m11_vad_segments" -> QueryDef(
+      fn = { (s, dir) =>
+        // Voice-activity segments — the primitive under silence
+        // trimming and speech-clip extraction for audio training
+        // data: an ACTIVE window clears the energy threshold (~p55 of
+        // the fixture's 16-sample window energies, so activity is
+        // selective), and a SEGMENT is a maximal run of consecutive
+        // active windows (gaps-and-islands: win - row_number is
+        // constant exactly within a run). Energies are exact BIGINT
+        // sums of squared signed int16 samples (m08's decode), so
+        // every segment boundary is engine-portable. ASCII envelope
+        // applied structurally on both sides, below the decode
+        // (the m09 pattern). Scale: decode is map-only; the one
+        // shuffle partitions by doc_id for the run numbering, then
+        // the segment agg reuses the same partitioning — no second
+        // exchange.
+        val asciiIds = Engine.Tables(s, dir).documents
+          .filter(length(col("text")) === octet_length(col("text")))
+          .select(col("doc_id"))
+        val en = graft.operators.Multimodal.audioWindowEnergies(
+          fakeImages(s, dir).join(asciiIds, Seq("doc_id"), "left_semi"),
+          "doc_id", "image", window = 16)
+        val active = en.filter(col("energy") >= 10500000000L)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("win"))
+        active
+          .withColumn("g", col("win") - row_number().over(w))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(min(col("win")).as("seg_start"),
+            max(col("win")).as("seg_end"),
+            count(lit(1)).cast("int").as("n_windows"),
+            sum(col("energy")).as("seg_energy"))
+          .select(col("doc_id"), col("seg_start"), col("seg_end"),
+            col("n_windows"), col("seg_energy"))
+      },
+      oracle = Some("""
+        WITH la AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) + 1),
+                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS bs,
+                 length(text) // 2 AS n
+          FROM documents
+          WHERE length(text) = octet_length(encode(text))
+            AND length(text) >= 32),
+        sm AS (
+          SELECT doc_id, n,
+                 list_transform(range(0, n),
+                   i -> CASE WHEN bs[2*i + 2] >= 128
+                        THEN bs[2*i + 2] * 256 + bs[2*i + 1] - 65536
+                        ELSE bs[2*i + 2] * 256 + bs[2*i + 1] END) AS s
+          FROM la),
+        wins AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, n // 16),
+                   w -> struct_pack(
+                     win := CAST(w AS INTEGER),
+                     energy := CAST(list_sum(list_transform(
+                       s[w*16 + 1 : (w+1)*16],
+                       x -> x * x)) AS BIGINT)))) AS u
+          FROM sm WHERE n >= 16),
+        act AS (
+          SELECT doc_id, u.win AS win, u.energy AS energy
+          FROM wins WHERE u.energy >= 10500000000),
+        grp AS (
+          SELECT doc_id, win, energy,
+                 win - row_number() OVER (PARTITION BY doc_id
+                   ORDER BY win) AS g
+          FROM act)
+        SELECT doc_id, CAST(min(win) AS INT) AS seg_start,
+               CAST(max(win) AS INT) AS seg_end,
+               CAST(count(*) AS INT) AS n_windows,
+               CAST(sum(energy) AS BIGINT) AS seg_energy
+        FROM grp GROUP BY doc_id, g"""),
+      doc = "Voice-activity segments: maximal runs of " +
+        "above-threshold PCM windows (gaps-and-islands over exact " +
+        "integer energies; silence-trim primitive)."))
 }

@@ -25,10 +25,9 @@ object PipelineQueries {
     * this repartition is the caller's knob, BatchPipeline.partitions).
     */
   private def docsAsFiles(s: SparkSession, dir: String) =
-    T(s, dir).documents.select(
+    Engine.widenIfNarrow(T(s, dir).documents.select(
       col("doc_id").cast("string").as("key"),
-      encode(col("text"), "UTF-8").as("content"))
-      .repartition(s.sparkContext.defaultParallelism)
+      encode(col("text"), "UTF-8").as("content")))
 
   val defs: ListMap[String, QueryDef] = ListMap(
     // ------------------------------------------------------------------

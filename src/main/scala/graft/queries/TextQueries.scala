@@ -270,8 +270,7 @@ object TextQueries {
         // of the true heavy hitters (bounded overcount asserted in
         // SketchSpec); seeded -> deterministic, but not
         // SQL-expressible -> rows-only.
-        val toks = docs(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
+        val toks = Engine.widenIfNarrow(docs(s, dir))
           .select(explode(TextFunctions.tokens(col("text"))).as("token"))
           .select(col("token"), xxhash64(col("token")).as("h"))
         val cms = toks.stat.countMinSketch(
