@@ -98,5 +98,39 @@ object PipelineQueries {
           .toDF("line")
       },
       oracle = Some("SELECT upper(text) AS line FROM documents"),
-      doc = "Line-oriented pipe (process per partition, tr upper)."))
+      doc = "Line-oriented pipe (process per partition, tr upper)."),
+
+    // ------------------------------------------------------------------
+    "p05_tar_shards" -> QueryDef(
+      fn = { (s, dir) =>
+        // WebDataset round-trip: the corpus packs into 8 USTAR shards
+        // (executor-side, one tar per task, deterministic bytes),
+        // reads back shard-parallel, and the emitted metadata is
+        // hash-checked against the source table — proving the
+        // container held every member byte. The shard key is the
+        // md5-free doc_id mod (shard sizing is the caller's knob;
+        // c06 is the content-hashed variant). Scale: one shuffle to
+        // group by shard in, zero shuffles out.
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-tar-").toString
+        val src = T(s, dir).documents
+          .select(
+            concat(lit("doc_"), col("doc_id"), lit(".txt")).as("name"),
+            encode(col("text"), "UTF-8").as("bytes"),
+            pmod(col("doc_id"), lit(8)).cast("string").as("shard"))
+        graft.sources.TarShards
+          .writeShards(src, "name", "bytes", "shard", tmp).count()
+        graft.sources.TarShards.readShards(s, tmp)
+          .select(
+            regexp_extract(col("name"), "doc_(\\d+)\\.txt", 1)
+              .cast("long").as("doc_id"),
+            col("shard").cast("int").as("shard"),
+            octet_length(col("content")).as("n_bytes"))
+      },
+      oracle = Some("""
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        FROM documents"""),
+      doc = "WebDataset-style tar shard round-trip (pure-JVM USTAR " +
+        "pack/unpack, shard-per-task, hash-checked vs source)."))
 }

@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the USTAR container: byte-level pack/unpack round-trip
+  * (binary payloads, empty members, 512-block padding edges),
+  * corruption detection, determinism, system-tar interop, and the
+  * distributed write/read path.
+  */
+class TarShardsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val entries = Seq(
+    "empty.bin" -> Array.empty[Byte],
+    "exact.bin" -> Array.fill[Byte](512)(7), // exact block, no padding
+    "tiny.txt" -> "hello".getBytes("UTF-8"),
+    "bytes.bin" -> Array.tabulate[Byte](1000)(i => (i % 251).toByte))
+
+  test("pack/unpack round-trips binary members exactly") {
+    val tar = TarShards.pack(entries.iterator)
+    assert(tar.length % 512 == 0)
+    val back = TarShards.unpack(tar).toSeq
+    assert(back.map(_._1) == entries.map(_._1))
+    back.zip(entries).foreach { case ((_, b), (_, e)) =>
+      assert(java.util.Arrays.equals(b, e))
+    }
+  }
+
+  test("pack is deterministic; a flipped header byte fails loudly") {
+    val t1 = TarShards.pack(entries.iterator)
+    val t2 = TarShards.pack(entries.iterator)
+    assert(java.util.Arrays.equals(t1, t2))
+    val corrupt = t1.clone()
+    corrupt(0) = 'X'.toByte // name byte inside the checksummed header
+    val e = intercept[IllegalArgumentException] {
+      TarShards.unpack(corrupt).toSeq
+    }
+    assert(e.getMessage.contains("checksum"))
+  }
+
+  test("system tar lists and extracts our archives (interop)") {
+    val which = new ProcessBuilder("sh", "-c", "command -v tar")
+      .start()
+    assume(which.waitFor() == 0, "no system tar on PATH")
+    val dir = Files.createTempDirectory("tarspec-")
+    val f = dir.resolve("t.tar")
+    Files.write(f, TarShards.pack(entries.iterator))
+    val p = new ProcessBuilder("tar", "-tf", f.toString)
+      .redirectErrorStream(true).start()
+    val listed = scala.io.Source.fromInputStream(p.getInputStream)
+      .getLines().toSeq
+    assert(p.waitFor() == 0, s"tar -tf failed: $listed")
+    assert(listed == entries.map(_._1), s"tar listed: $listed")
+    val x = new ProcessBuilder("tar", "-xf", f.toString,
+      "-C", dir.toString).start()
+    assert(x.waitFor() == 0)
+    entries.foreach { case (n, b) =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(dir.resolve(n)), b), s"member $n differs")
+    }
+  }
+
+  test("writeShards/readShards round-trip the fixture corpus with " +
+    "correct shard routing") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("tarshards-").toString
+    val src = graft.Engine.Tables(spark, dir).documents
+      .select(concat(lit("doc_"), col("doc_id"), lit(".txt")).as("name"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        pmod(col("doc_id"), lit(4)).cast("string").as("shard"))
+    val manifest = TarShards.writeShards(src, "name", "bytes", "shard", out)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(manifest.keySet == Set("0", "1", "2", "3"))
+    val back = TarShards.readShards(spark, out)
+    assert(back.count() == src.count())
+    // every member's bytes survive, and each landed in its shard
+    val joined = back
+      .withColumn("doc_id",
+        regexp_extract(col("name"), "doc_(\\d+)\\.txt", 1).cast("long"))
+      .join(graft.Engine.Tables(spark, dir).documents, Seq("doc_id"))
+    assert(joined.filter(
+      col("content") =!= encode(col("text"), "UTF-8")).count() == 0)
+    assert(joined.filter(
+      col("shard") =!= pmod(col("doc_id"), lit(4)).cast("string"))
+      .count() == 0)
+  }
+}
