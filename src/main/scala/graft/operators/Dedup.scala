@@ -81,9 +81,29 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
     val inv = sh.select(col("id"), explode(col("sh")).as("g"))
-    val cand = inv.as("a").join(inv.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // EXACT prefix filter (PPJoin's, adapted to containment): under a
+    // global (df asc, g) shingle order, a pair with containment >=
+    // t = num/den shares >= ceil(t * n_small) shingles, so the small
+    // side's FIRST n - ceil(t*n) + 1 ordered shingles must hit the
+    // other doc (pigeonhole) — joining every doc's PREFIX against the
+    // full index in both directions keeps every qualifying pair while
+    // collapsing the frequent-shingle blowup: per-shingle join cost
+    // falls from df(g)^2 to df_prefix(g) * df(g), and df-ascending
+    // ordering makes frequent shingles almost never prefix members.
+    val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefix = inv.join(dfreq, Seq("g"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .join(sh.select(col("id"), size(col("sh")).as("nsh")), Seq("id"))
+      .filter(col("rk") <= col("nsh") -
+        expr(s"(nsh * $thresholdNum + $thresholdDen - 1) " +
+          s"div $thresholdDen") + 1)
+      .select(col("id"), col("g"))
+    val cand = prefix.as("a").join(inv.as("b"),
+        col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")),

@@ -129,8 +129,8 @@ object DedupQueries {
     // ------------------------------------------------------------------
     "d04_simhash_neardups" -> QueryDef(
       fn = { (s, dir) =>
-        Dedup.simhashPairs(T(s, dir).documents, "text", "doc_id",
-          maxHamming = 10)
+        Dedup.simhashPairs(Engine.widenIfNarrow(T(s, dir).documents),
+          "text", "doc_id", maxHamming = 10)
       },
       oracle = None,
       doc = "SimHash banded near-dup pairs, hamming<=10 (rows-only)."),

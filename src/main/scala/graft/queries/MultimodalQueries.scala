@@ -247,9 +247,19 @@ object MultimodalQueries {
         // on both hashes. Both modalities then pair through the ONE
         // banded hammingPairs64 operator (EXACT at maxHamming <
         // bands by pigeonhole; identical-hash floods collapse via
-        // the canonicalize-first star). Rows-only at the driver; the
-        // planted pairs are asserted one-by-one in MultimodalSpec.
+        // the canonicalize-first star). Hash-checked (round 8): both
+        // hashes are pure integer arithmetic over payload bytes, the
+        // banded join is EXACT below maxHamming, and the star/expand
+        // output shape is deterministic -- so DuckDB rebuilds the
+        // whole thing (hashes, planted copies, star-within /
+        // bipartite-across pairing) from the documents table. ASCII
+        // envelope structural on both sides (the m09 lesson); planted
+        // pairs additionally asserted one-by-one in MultimodalSpec.
+        val asciiIds = Engine.Tables(s, dir).documents
+          .filter(length(col("text")) === octet_length(col("text")))
+          .select(col("doc_id"))
         val base = fakeImages(s, dir)
+          .join(asciiIds, Seq("doc_id"), "left_semi")
         val schema = StructType(Seq(
           StructField("doc_id", LongType),
           StructField("image", BinaryType)))
@@ -277,10 +287,109 @@ object MultimodalQueries {
             col("id_a"), col("id_b"), col("hamming"))
         img.unionByName(aud)
       },
-      oracle = None,
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) + 1),
+                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS bs
+          FROM documents
+          WHERE length(text) = octet_length(encode(text))),
+        pl AS (
+          SELECT doc_id + 1000000 AS doc_id,
+                 CASE WHEN len(bs) >= 2
+                      THEN list_concat(list_concat(
+                             bs[1 : len(bs) // 2],
+                             [CAST(xor(bs[len(bs) // 2 + 1], 1) AS BIGINT)]),
+                             bs[len(bs) // 2 + 2 : len(bs)])
+                      ELSE bs END AS bs
+          FROM d WHERE doc_id % 20 = 0),
+        allp AS (SELECT * FROM d UNION ALL SELECT * FROM pl),
+        icell AS (
+          SELECT doc_id,
+                 list_transform(range(0, 64), k -> struct_pack(
+                   s := coalesce(list_sum(
+                     bs[(k * len(bs)) // 64 + 1 :
+                        least(greatest((k * len(bs)) // 64 + 1,
+                                       ((k + 1) * len(bs)) // 64), len(bs))]),
+                     0),
+                   c := greatest(1,
+                     least(greatest((k * len(bs)) // 64 + 1,
+                                    ((k + 1) * len(bs)) // 64), len(bs))
+                       - (k * len(bs)) // 64))) AS cl
+          FROM allp WHERE len(bs) >= 1),
+        ih AS (
+          SELECT doc_id, CAST(list_sum(list_transform(range(0, 63),
+                   k -> CASE WHEN cl[k + 1].s * cl[k + 2].c >
+                                  cl[k + 2].s * cl[k + 1].c
+                        THEN (1::BIGINT << k) ELSE 0::BIGINT END))
+                 AS BIGINT) AS h
+          FROM icell),
+        sm AS (
+          SELECT doc_id, len(bs) // 2 AS n2,
+                 list_transform(range(0, len(bs) // 2),
+                   i -> CASE WHEN bs[2 * i + 2] >= 128
+                        THEN bs[2 * i + 2] * 256 + bs[2 * i + 1] - 65536
+                        ELSE bs[2 * i + 2] * 256 + bs[2 * i + 1] END) AS sp
+          FROM allp WHERE len(bs) // 2 >= 1),
+        acell AS (
+          SELECT doc_id,
+                 list_transform(range(0, 64), w -> struct_pack(
+                   s := coalesce(list_sum(list_transform(
+                     sp[(w * n2) // 64 + 1 :
+                        least(greatest((w * n2) // 64 + 1,
+                                       ((w + 1) * n2) // 64), n2)],
+                     x -> x * x)), 0),
+                   c := greatest(1,
+                     least(greatest((w * n2) // 64 + 1,
+                                    ((w + 1) * n2) // 64), n2)
+                       - (w * n2) // 64))) AS cl
+          FROM sm),
+        ah AS (
+          SELECT doc_id, CAST(list_sum(list_transform(range(0, 63),
+                   k -> CASE WHEN cl[k + 1].s * cl[k + 2].c >
+                                  cl[k + 2].s * cl[k + 1].c
+                        THEN (1::BIGINT << k) ELSE 0::BIGINT END))
+                 AS BIGINT) AS h
+          FROM acell),
+        ig AS (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS keep
+               FROM ih),
+        iex AS (SELECT keep AS id_a, doc_id AS id_b, 0 AS hamming
+                FROM ig WHERE doc_id != keep),
+        irep AS (SELECT doc_id AS id, h FROM ig WHERE doc_id = keep),
+        irp AS (SELECT a.id AS ra, b.id AS rb,
+                       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+                FROM irep a, irep b
+                WHERE a.id < b.id AND bit_count(xor(a.h, b.h)) <= 4),
+        iexp AS (SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+                        greatest(ma.doc_id, mb.doc_id) AS id_b, rp.hamming
+                 FROM irp rp JOIN ig ma ON ma.keep = rp.ra
+                             JOIN ig mb ON mb.keep = rp.rb),
+        ipairs AS (
+          SELECT 'image' AS modality, id_a, id_b, min(hamming) AS hamming
+          FROM (SELECT * FROM iex UNION ALL SELECT * FROM iexp)
+          GROUP BY id_a, id_b),
+        ag AS (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS keep
+               FROM ah),
+        aex AS (SELECT keep AS id_a, doc_id AS id_b, 0 AS hamming
+                FROM ag WHERE doc_id != keep),
+        arep AS (SELECT doc_id AS id, h FROM ag WHERE doc_id = keep),
+        arp AS (SELECT a.id AS ra, b.id AS rb,
+                       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+                FROM arep a, arep b
+                WHERE a.id < b.id AND bit_count(xor(a.h, b.h)) <= 4),
+        aexp AS (SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+                        greatest(ma.doc_id, mb.doc_id) AS id_b, rp.hamming
+                 FROM arp rp JOIN ag ma ON ma.keep = rp.ra
+                             JOIN ag mb ON mb.keep = rp.rb),
+        apairs AS (
+          SELECT 'audio' AS modality, id_a, id_b, min(hamming) AS hamming
+          FROM (SELECT * FROM aex UNION ALL SELECT * FROM aexp)
+          GROUP BY id_a, id_b)
+        SELECT modality, id_a, id_b, CAST(hamming AS INT) AS hamming
+        FROM (SELECT * FROM ipairs UNION ALL SELECT * FROM apairs)"""),
       doc = "Cross-modal near-dup pairing: planted image/audio " +
         "near-dups found via the shared banded hammingPairs64 " +
-        "(exact at maxHamming < bands); spec-pinned recall."),
+        "(exact at maxHamming < bands); hash-checked end-to-end."),
 
     // ------------------------------------------------------------------
     "m08_loudest_windows" -> QueryDef(
