@@ -390,6 +390,28 @@ object ScaleSmoke {
         "(<= ~10/256 + parquet floor)")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+
+    // WebDataset tar shards: pack the replica corpus into 64 shards
+    // (one tar per task, shard-parallel write), read it all back.
+    // Growth must be linear in k with flat per-shard cost — the
+    // container adds framing, never a shuffle beyond the one
+    // partition-by-shard exchange.
+    locally {
+      val dir = java.nio.file.Files
+        .createTempDirectory("smoke_tar").toString
+      val src = big.select(
+        concat(lit("doc_"), col("doc_id"), lit(".txt")).as("name"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        pmod(col("doc_id"), lit(64)).cast("string").as("shard"))
+      timed("tar_write_64shards") {
+        graft.sources.TarShards
+          .writeShards(src, "name", "bytes", "shard", dir).count()
+      }
+      timed("tar_read_back") {
+        graft.sources.TarShards.readShards(spark, dir).count()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     spark.stop()
   }
 }
