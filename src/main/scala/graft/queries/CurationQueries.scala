@@ -1395,5 +1395,47 @@ object CurationQueries {
         GROUP BY o_orderstatus"""),
       doc = "Incremental aggregate maintenance: CDC delta batch " +
         "(deletes + price updates) folded into a count/sum rollup by " +
-        "key-local merge; hash-proven equal to full recompute."))
+        "key-local merge; hash-proven equal to full recompute."),
+
+    // ------------------------------------------------------------------
+    "c32_data_card" -> QueryDef(
+      fn = { (s, dir) =>
+        // The dataset card — the standard artifact shipped alongside
+        // a training corpus: per (source, lang) strata it reports
+        // volume (docs, tokens, bytes), exact-dup mass (distinct
+        // fingerprints vs rows), and the quality-gate pass count.
+        // ALL-INTEGER by construction (counts and exact sums), so
+        // the card is hash-exact with no float discipline — the
+        // quality threshold is the only double and it's a boundary
+        // both engines compute identically (t03's oracle-proven
+        // score). One groupBy over the corpus; count_distinct on the
+        // md5 fingerprint is the same partial-agg shape as c01's
+        // dedup shuffle — at 100 TB this is a single pass.
+        docs(s, dir)
+          .withColumn("fp", TextFunctions.fingerprint(col("text")))
+          .withColumn("q", TextFunctions.qualityScore(col("text")))
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("fp")).as("n_distinct"),
+            sum(size(TextFunctions.tokens(col("text"))).cast("long"))
+              .as("total_tokens"),
+            sum(octet_length(col("text")).cast("long")).as("total_bytes"),
+            sum(when(col("q") >= 0.5, 1L).otherwise(0L))
+              .as("n_quality_pass"))
+      },
+      oracle = Some(s"""
+        WITH $qualityCte
+        SELECT d.source, d.lang, count(*) AS n_docs,
+               count(DISTINCT md5(trim(regexp_replace(lower(sc.text),
+                 '\\s+', ' ', 'g')))) AS n_distinct,
+               CAST(sum(len(list_filter(string_split(sc.text, ' '),
+                 x -> x != ''))) AS BIGINT) AS total_tokens,
+               CAST(sum(octet_length(encode(sc.text))) AS BIGINT)
+                 AS total_bytes,
+               CAST(sum(CASE WHEN sc.quality >= 0.5 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_quality_pass
+        FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+        GROUP BY d.source, d.lang"""),
+      doc = "Per-(source, lang) dataset card: volume, exact-dup " +
+        "mass, quality-gate pass counts — all-integer, hash-exact."))
 }

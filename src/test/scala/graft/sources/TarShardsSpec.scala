@@ -43,6 +43,13 @@ class TarShardsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("checksum"))
   }
 
+  test("a member name beyond ustar's 100 bytes fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      TarShards.pack(Iterator(("x" * 101) -> Array.empty[Byte]))
+    }
+    assert(e.getMessage.contains("100 bytes"))
+  }
+
   test("system tar lists and extracts our archives (interop)") {
     val which = new ProcessBuilder("sh", "-c", "command -v tar")
       .start()
