@@ -154,6 +154,30 @@ object TarShards {
       .toDF()
   }
 
+  /** Streaming shard sink: each micro-batch packs into its own tar
+    * generation (`shard-<value>.b<batchId>.tar`), so a batch is
+    * re-written idempotently under foreachBatch replay (same batchId
+    * -> same file names -> overwrite, never duplicate members) and
+    * the reader unions generations by glob. This is the WebDataset
+    * INGEST path for streams: samples accumulate as append-only tar
+    * generations, and a later `Layout.compact`-style pass can merge
+    * small generations offline without touching the stream.
+    */
+  def shardSink(events: org.apache.spark.sql.DataFrame, nameCol: String,
+      binCol: String, shardCol: String, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeShards(
+          batch.withColumn(shardCol,
+            concat(col(shardCol).cast("string"), lit(s".b$batchId"))),
+          nameCol, binCol, shardCol, outDir)
+          .collect() // force the per-shard writes; manifest is tiny
+        ()
+      }
+      .start()
+
   /** Read every `*.tar` under `dir` back into (shard, name, content):
     * one input partition per shard file (binaryFiles), members
     * streamed in archive order — the WebDataset access pattern.

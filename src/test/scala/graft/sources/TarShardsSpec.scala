@@ -72,6 +72,46 @@ class TarShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("shardSink: micro-batches land as idempotent tar generations " +
+    "and read back equal to the input") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("tarsink-").toString
+    val ckpt = Files.createTempDirectory("tarsink-c").toString
+    val mem = MemoryStream[(String, Array[Byte], String)]
+    val events = mem.toDF().toDF("name", "bytes", "shard")
+    val q = TarShards.shardSink(events, "name", "bytes", "shard", out, ckpt)
+    try {
+      mem.addData(("a.txt", "alpha".getBytes, "0"),
+        ("b.txt", "beta".getBytes, "1"))
+      q.processAllAvailable()
+      mem.addData(("c.txt", "gamma".getBytes, "0"))
+      q.processAllAvailable()
+      val files = new java.io.File(out).list().filter(_.endsWith(".tar"))
+        .sorted.toSeq
+      // one generation per (shard, batch) touched
+      assert(files == Seq("shard-0.b0.tar", "shard-0.b1.tar",
+        "shard-1.b0.tar"), s"unexpected generations: $files")
+      val back = TarShards.readShards(spark, out)
+        .select(col("name"), col("content").cast("string"))
+        .as[(String, String)].collect().toMap
+      assert(back == Map("a.txt" -> "alpha", "b.txt" -> "beta",
+        "c.txt" -> "gamma"))
+    } finally q.stop()
+  }
+
+  test("writeShards overwrites its own output (replay-idempotent)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("tarrw-").toString
+    val df = Seq(("a.txt", "x".getBytes, "7")).toDF("name", "bytes", "shard")
+    TarShards.writeShards(df, "name", "bytes", "shard", out).collect()
+    TarShards.writeShards(df, "name", "bytes", "shard", out).collect()
+    val files = new java.io.File(out).list().filter(_.endsWith(".tar"))
+    assert(files.toSeq == Seq("shard-7.tar"))
+    assert(TarShards.readShards(spark, out).count() == 1)
+  }
+
   test("writeShards/readShards round-trip the fixture corpus with " +
     "correct shard routing") {
     val dir = "/root/testdata/sf0.001"
