@@ -39,5 +39,6 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    all.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql.trim }
+    all.collect { case (k, d) if d.oracle.isDefined =>
+      k -> d.oracle.get.trim }
 }

@@ -34,9 +34,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static oracles verbatim; data-dependent ones (oracleGen — IVF /
+    // PQ / SemDeDup trained-model literals) resolved HERE with the
+    // same (session, sfDir) the queries ran with, so the frozen model
+    // in the SQL is byte-identical to the one the query trained.
+    val json = SparkEntry.all
       .filter { case (k, _) => selected.contains(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .flatMap { case (k, d) =>
+        val sql = d.oracle.orElse(d.oracleGen.map { g =>
+          try g(spark, sfDir)
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[verify] $k oracleGen failed: ${e.getMessage}")
+            null
+          }
+        }).filter(_ != null)
+        sql.map(s => s"${q(k)}: ${q(s.trim)}")
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -26,6 +26,51 @@ import graft.functions.{TextFunctions, VectorFunctions}
   */
 object Dedup {
 
+  /** Pluggable shingle-hash/permutation family for the MinHash
+    * pipeline. The PIPELINE (canonicalize-first groups, LSH banding,
+    * bucket caps, exact-Jaccard verification, membership expansion)
+    * is hash-agnostic; only the two hash ingredients vary:
+    *  - [[MinHashFamily.Xx]] — the hot path: native fused xxhash64
+    *    expressions (ShingleHashes / MinHashSignature), zero string
+    *    materialization, codegen'd. Not replayable outside the JVM.
+    *  - [[MinHashFamily.Md5]] — the oracle-replayable path: the
+    *    q49/q50 md5-prefix 60-bit hash ([[graft.functions
+    *    .PortableHash]]), so DuckDB recomputes signatures, bands,
+    *    candidates and verification bit-for-bit. ~5-10x the hash
+    *    cost; used by the driver-checked twin queries, which run the
+    *    SAME pipeline code with this family.
+    * Both produce a sorted-distinct `array<long>` of shingle hashes
+    * (what `jaccardSorted` consumes) and a length-`numHashes`
+    * signature of per-permutation minima.
+    */
+  sealed trait MinHashFamily {
+    def shingleHashes(text: Column, n: Int): Column
+    def signature(shingleHashes: Column, numHashes: Int): Column
+  }
+  object MinHashFamily {
+    case object Xx extends MinHashFamily {
+      def shingleHashes(text: Column, n: Int): Column =
+        VectorFunctions.shingleHashes(text, n)
+      def signature(hashes: Column, numHashes: Int): Column =
+        VectorFunctions.minhashSignature(hashes, numHashes)
+    }
+    case object Md5 extends MinHashFamily {
+      import graft.functions.PortableHash
+      def shingleHashes(text: Column, n: Int): Column =
+        array_sort(array_distinct(transform(
+          TextFunctions.shingles(text, n),
+          g => PortableHash.uniform60(g))))
+      // NOTE: the outer lambda references the `hashes` tree once per
+      // permutation — materialize the shingle-hash column (project +
+      // localCheckpoint, as nearDupPairs/dedupIndex do) before calling
+      // this, or the shingle scan re-runs numHashes times.
+      def signature(hashes: Column, numHashes: Int): Column =
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(hashes,
+            h => PortableHash.permute60(h, i))))
+    }
+  }
+
   /** Repeated-substring detection (the span-level dedup building
     * block of Lee et al. 2022): every `n`-token window is hashed in
     * the scan stage — the shuffle carries 32-byte md5s, never span
@@ -144,13 +189,14 @@ object Dedup {
     */
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 128, shingleSize: Int = 3): DataFrame = {
-    // Both stages are native fused expressions (ShingleHashes,
+      numHashes: Int = 128, shingleSize: Int = 3,
+      hasher: MinHashFamily = MinHashFamily.Xx): DataFrame = {
+    // Both Xx stages are native fused expressions (ShingleHashes,
     // MinHashSignature); the equivalent HOF composition allocates a
     // string per shingle and an array per permutation -- ~30x slower.
-    val hashes = VectorFunctions.shingleHashes(col(textCol), shingleSize)
+    val hashes = hasher.shingleHashes(col(textCol), shingleSize)
     val sig = when(size(hashes) > 0,
-      graft.functions.VectorFunctions.minhashSignature(hashes, numHashes))
+      hasher.signature(hashes, numHashes))
     df.select(col(idCol).as("id"), sig.as("sig"))
   }
 
@@ -240,7 +286,8 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 32,
       shingleSize: Int = 3, maxBucketSize: Int = 1000,
-      expandGroups: Boolean = true): DataFrame = {
+      expandGroups: Boolean = true,
+      hasher: MinHashFamily = MinHashFamily.Xx): DataFrame = {
     // (did, keep) is consumed by THREE subtrees (star pairs, rep
     // filter, membership expansion); materialize the window result
     // once — measured: without this the fingerprint+window subtree
@@ -264,11 +311,17 @@ object Dedup {
     // (minhashSignatures + verifyJaccard would each re-scan and
     // re-hash the corpus).
     val hashed = reps.select(col(idCol).as("id"),
-      VectorFunctions.shingleHashes(col(textCol), shingleSize).as("shset"))
+      hasher.shingleHashes(col(textCol), shingleSize).as("shset"))
       .localCheckpoint()
-    val sigs = hashed.select(col("id"),
+    val sigs0 = hashed.select(col("id"),
       when(size(col("shset")) > 0,
-        VectorFunctions.minhashSignature(col("shset"), numHashes)).as("sig"))
+        hasher.signature(col("shset"), numHashes)).as("sig"))
+    // Md5's signature is a per-permutation HOF over the shingle
+    // hashes; lshBuckets' band slices would each inline (and
+    // re-evaluate) that tree — materialize once. Xx's native
+    // expression is cheap enough to recompute per band.
+    val sigs =
+      if (hasher == MinHashFamily.Xx) sigs0 else sigs0.localCheckpoint()
     val cands = candidatePairs(lshBuckets(sigs, bands, numHashes),
       maxBucketSize)
     val repPairs = cands
@@ -661,15 +714,16 @@ object Dedup {
     */
   def dedupIndex(
       df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 128, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 128, shingleSize: Int = 3,
+      hasher: MinHashFamily = MinHashFamily.Xx): DataFrame = {
     val hashed = df.select(col(idCol).as("id"),
       // the exact fingerprint rides along so cross-boundary EXACT
       // dups are caught even for docs too short to shingle (null sig)
       TextFunctions.fingerprint(col(textCol)).as("fp"),
-      VectorFunctions.shingleHashes(col(textCol), shingleSize).as("shset"))
+      hasher.shingleHashes(col(textCol), shingleSize).as("shset"))
     hashed.select(col("id"), col("fp"), col("shset"),
       when(size(col("shset")) > 0,
-        VectorFunctions.minhashSignature(col("shset"), numHashes)).as("sig"))
+        hasher.signature(col("shset"), numHashes)).as("sig"))
   }
 
   /** Incremental near-dup detection — the daily-append path: verified
@@ -694,8 +748,10 @@ object Dedup {
   def incrementalNearDups(
       index: DataFrame, newDocs: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 32,
-      shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val newIdx = dedupIndex(newDocs, textCol, idCol, numHashes, shingleSize)
+      shingleSize: Int = 3, maxBucketSize: Int = 1000,
+      hasher: MinHashFamily = MinHashFamily.Xx): DataFrame = {
+    val newIdx = dedupIndex(newDocs, textCol, idCol, numHashes, shingleSize,
+      hasher)
       .localCheckpoint() // consumed by buckets + verification
     val corpusBuckets = lshBuckets(
       index.select(col("id"), col("sig")), bands, numHashes)
@@ -729,7 +785,7 @@ object Dedup {
     crossPairs.unionByName(fpPairs)
       .unionByName(
         nearDupPairs(newDocs, textCol, idCol, threshold, numHashes, bands,
-          shingleSize, maxBucketSize))
+          shingleSize, maxBucketSize, hasher = hasher))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard")).as("jaccard"))
   }

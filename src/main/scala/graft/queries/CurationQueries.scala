@@ -766,17 +766,43 @@ object CurationQueries {
           .select((col("doc_id") + lit(10000000L)).as("doc_id"),
             concat_ws(" ", slice(toks, lit(1),
               greatest(lit(1), (size(toks) * 0.8).cast("int")))).as("text"))
-        val idx = Dedup.dedupIndex(d, "text", "doc_id")
+        // HASH-CHECKED (round 9): md5-portable hash family — the
+        // oracle rebuilds the eval excerpts, replays both indexes,
+        // the band-key candidate join, exact-Jaccard verification
+        // and the fingerprint leg. Within-eval pairs need no replay:
+        // both ids sit above the 10M offset and die in the id_a
+        // filter. The xxhash64 fast path keeps its planted-leak
+        // recall spec in CurationRulesSpec.
+        val idx = Dedup.dedupIndex(d, "text", "doc_id",
+          numHashes = 24, hasher = Dedup.MinHashFamily.Md5)
+          .localCheckpoint() // consumed by buckets + verify + fp legs
         Dedup.incrementalNearDups(idx, evalSet, "text", "doc_id",
-          threshold = 0.5)
+          threshold = 0.5, numHashes = 24, bands = 8,
+          hasher = Dedup.MinHashFamily.Md5)
           .filter(col("id_a") < 10000000L) // corpus-vs-eval hits only
           .select(col("id_a").as("doc_id"),
             (col("id_b") - lit(10000000L)).as("eval_id"),
             round(col("jaccard"), 6).as("jaccard"))
       },
-      oracle = None,
+      oracle = Some(s"""
+        WITH corpus AS (SELECT doc_id AS did, text FROM documents),
+        evals AS (
+          SELECT did + 10000000 AS did,
+                 array_to_string(list_slice(ts, 1,
+                   greatest(1, CAST(floor(len(ts) * 0.8) AS BIGINT))), ' ')
+                   AS text
+          FROM (SELECT doc_id AS did, ${OracleSql.tsExpr} AS ts
+                FROM documents WHERE doc_id % 97 = 0)),
+        ${OracleSql.incrementalCrossCtes("x", "corpus", "evals",
+          numHashes = 24, bands = 8, threshold = 0.5)}
+        SELECT id_a AS doc_id, id_b - 10000000 AS eval_id,
+               round(max(jaccard), 6) AS jaccard
+        FROM x_cross
+        WHERE id_a < 10000000
+        GROUP BY 1, 2"""),
       doc = "Fuzzy decontamination: corpus docs near-duplicate to a " +
-        "held-out eval set (broadcast eval, corpus never shuffles)."),
+        "held-out eval set (broadcast eval, corpus never shuffles; " +
+        "md5-portable hash family, full-pipeline oracle replay)."),
 
     // ------------------------------------------------------------------
     "c20_token_budget" -> QueryDef(

@@ -304,12 +304,22 @@ object DedupQueries {
         // come from signature agreement — corpus-vs-corpus similarity
         // without ever touching doc pairs. At 100 TB: one agg shuffle
         // on source, then a trivially small signature self-join.
+        // HASH-CHECKED (round 9): the md5-portable hash family — the
+        // oracle recomputes each source signature as the min over all
+        // (doc, shingle) permutation hashes, which equals the
+        // element-wise-min union by the monoid property; the xxhash64
+        // fast path stays spec-pinned in DedupSpec.
+        val numHashes = 24
         val d = T(s, dir).documents
-        val sigs = Dedup.minhashSignatures(d, "text", "doc_id", 128, 3)
-        val bySrc = sigs
-          .join(d.select(col("doc_id").as("id"), col("source")), Seq("id"))
-          .groupBy(col("source"))
-          .agg(graft.functions.MinHashUnion(col("sig"), 128).as("sig"))
+        val hashed = d.select(col("doc_id").as("id"), col("source"),
+          Dedup.MinHashFamily.Md5.shingleHashes(col("text"), 3).as("shset"))
+          .localCheckpoint() // signature HOF would re-run the shingle scan
+        val sigs = hashed.filter(size(col("shset")) > 0)
+          .select(col("source"),
+            Dedup.MinHashFamily.Md5.signature(col("shset"), numHashes)
+              .as("sig"))
+        val bySrc = sigs.groupBy(col("source"))
+          .agg(graft.functions.MinHashUnion(col("sig"), numHashes).as("sig"))
         val a = bySrc.select(col("source").as("src_a"), col("sig").as("sig_a"))
         val b = bySrc.select(col("source").as("src_b"), col("sig").as("sig_b"))
         a.join(b, col("src_a") < col("src_b"))
@@ -317,12 +327,36 @@ object DedupQueries {
             (aggregate(
               zip_with(col("sig_a"), col("sig_b"),
                 (x, y) => when(x === y, 1).otherwise(0)),
-              lit(0), (acc, v) => acc + v).cast("double") / 128.0)
+              lit(0), (acc, v) => acc + v).cast("double") / numHashes)
               .as("est_jaccard"))
       },
-      oracle = None,
+      oracle = Some(s"""
+        WITH sh AS (
+          SELECT did, source, ${OracleSql.hvExpr} AS hv
+          FROM (SELECT doc_id AS did, source, ${OracleSql.tsExpr} AS ts
+                FROM documents)),
+        srch AS (
+          SELECT DISTINCT source, h
+          FROM (SELECT source, unnest(hv) AS h
+                FROM sh WHERE len(hv) > 0)),
+        sig AS (
+          SELECT source, i.i AS i,
+                 min(${graft.functions.PortableHash.sqlPermute60("h", "i.i")})
+                   AS m
+          FROM srch, (SELECT unnest(range(0, 24)) AS i) i
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)
+                   AS BIGINT) AS agree
+          FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b,
+               CAST(agree AS DOUBLE) / 24 AS est_jaccard
+        FROM pairs"""),
       doc = "Per-source MinHash union signatures + pairwise overlap " +
-        "estimate (hierarchical dedup; rows-only)."),
+        "estimate (hierarchical dedup; md5-portable hash family, " +
+        "oracle recomputes the union signatures from scratch)."),
 
     // ------------------------------------------------------------------
     "d09_semantic_dups" -> QueryDef(
@@ -349,22 +383,41 @@ object DedupQueries {
         // against the indexed remainder of the corpus — bucket keys
         // derive from STORED signatures, the batch's buckets
         // broadcast, the corpus side never shuffles and its text is
-        // never re-read. Seeded hashing -> rows-only; DedupSpec
-        // asserts exact equality with the full-batch run restricted
-        // to batch-touching pairs.
+        // never re-read. HASH-CHECKED (round 9): the md5-portable
+        // hash family; the oracle replays BOTH sides' indexes, the
+        // band-key candidate join, exact-Jaccard verification, the
+        // stored-fingerprint exact leg AND the within-batch
+        // nearDupPairs composite. DedupSpec still asserts the
+        // xxhash64 fast path equals the full-batch run restricted to
+        // batch-touching pairs.
         val d = Engine.widenIfNarrow(T(s, dir).documents)
         val index = Dedup.dedupIndex(
-          d.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+          d.filter(col("doc_id") % 5 =!= 0), "text", "doc_id",
+          numHashes = 24, hasher = Dedup.MinHashFamily.Md5)
+          .localCheckpoint() // consumed by buckets + verify + fp legs
         Dedup.incrementalNearDups(index,
           d.filter(col("doc_id") % 5 === 0), "text", "doc_id",
-          threshold = 0.5)
+          threshold = 0.5, numHashes = 24, bands = 8,
+          hasher = Dedup.MinHashFamily.Md5)
           .select(col("id_a"), col("id_b"),
             round(col("jaccard"), 4).as("jaccard"))
       },
-      oracle = None,
+      oracle = Some(s"""
+        WITH corpus AS (
+          SELECT doc_id AS did, text FROM documents WHERE doc_id % 5 <> 0),
+        batch AS (
+          SELECT doc_id AS did, text FROM documents WHERE doc_id % 5 = 0),
+        ${OracleSql.incrementalCrossCtes("x", "corpus", "batch",
+          numHashes = 24, bands = 8, threshold = 0.5)},
+        ${OracleSql.nearDupPairsCtes("w", "batch",
+          numHashes = 24, bands = 8, threshold = 0.5,
+          maxBucketSize = 1000)}
+        SELECT id_a, id_b, round(max(jaccard), 4) AS jaccard
+        FROM (SELECT * FROM x_cross UNION ALL SELECT * FROM w_out)
+        GROUP BY id_a, id_b"""),
       doc = "Incremental near-dup detection of an append batch vs a " +
         "persisted corpus index (corpus never re-hashed or shuffled; " +
-        "rows-only)."),
+        "md5-portable hash family, full-pipeline oracle replay)."),
 
     // ------------------------------------------------------------------
     "s01_topk_bruteforce" -> QueryDef(
@@ -1265,5 +1318,105 @@ object DedupQueries {
               (CASE WHEN n_a <= n_b THEN n_a ELSE n_b END)"""),
       doc = "Corpus-wide asymmetric-containment dedup (excerpt " +
         "detection): inverted shingle index -> integer-exact verify; " +
-        "planted 40%-prefix excerpts must all surface."))
+        "planted 40%-prefix excerpts must all surface."),
+
+    // ------------------------------------------------------------------
+    "d18_minhash_md5" -> QueryDef(
+      fn = { (s, dir) =>
+        // The HASH-CHECKED twin of d03 (the q49/q50 pattern): the
+        // IDENTICAL nearDupPairs pipeline — canonicalize-first
+        // groups, LSH banding, bucket cap, exact-Jaccard verify,
+        // membership expansion — run with the md5-portable hash
+        // family, so DuckDB replays signatures, bands, candidates
+        // and verification from scratch. d03 keeps the native
+        // xxhash64 family (codegen'd, ~5-10x cheaper hashing) as the
+        // registered fast path with its recall spec; a parameter
+        // drift anywhere in the shared pipeline breaks THIS compare
+        // loudly.
+        Dedup.nearDupPairs(
+          Engine.widenIfNarrow(T(s, dir).documents),
+          "text", "doc_id", threshold = 0.5, numHashes = 24, bands = 8,
+          hasher = Dedup.MinHashFamily.Md5)
+      },
+      oracle = Some(s"""
+        WITH corpus AS (SELECT doc_id AS did, text FROM documents),
+        ${OracleSql.nearDupPairsCtes("m", "corpus",
+          numHashes = 24, bands = 8, threshold = 0.5,
+          maxBucketSize = 1000)}
+        SELECT id_a, id_b, jaccard FROM m_out"""),
+      doc = "MinHash+LSH near-dup pairs on the md5-portable hash " +
+        "family — the hash-checked twin of d03; the oracle replays " +
+        "the entire LSH pipeline in DuckDB."),
+
+    // ------------------------------------------------------------------
+    "d19_simhash_md5" -> QueryDef(
+      fn = { (s, dir) =>
+        // The HASH-CHECKED twin of d04: a 60-bit md5-portable SimHash
+        // (bit j of the signature = majority vote of token-hash bit j,
+        // ties to 1, multiplicity preserved) fed through the SAME
+        // banded-hamming core d04's simhashPairs uses
+        // (Dedup.hammingPairs64: canonicalize-on-value, segment
+        // buckets, bit_count verify, star + membership expansion).
+        // bands=8 (seg=8) keeps 64 % bands == 0 with the top segment
+        // carrying the 4 zero pad bits; maxHamming=7 < bands keeps
+        // the pigeonhole guarantee, so the oracle can verify with a
+        // plain all-pairs hamming filter over the reps — provably the
+        // same pair set the banded join finds.
+        import graft.functions.PortableHash
+        val d = Engine.widenIfNarrow(T(s, dir).documents)
+        val hvs = d.select(col("doc_id").as("did"),
+          transform(TextFunctions.tokens(col("text")),
+            t => PortableHash.uniform60(t)).as("hvs"))
+          .filter(size(col("hvs")) > 0)
+          .localCheckpoint() // 60 bit-majority aggregates read it below
+        val sh = (0 until 60).map { j =>
+          when(lit(2) * aggregate(col("hvs"), lit(0L),
+            (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L))) >=
+              size(col("hvs")).cast("long"),
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        Dedup.hammingPairs64(
+          hvs.select(col("did"), sh.as("sh")),
+          "did", "sh", maxHamming = 7, bands = 8)
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT did,
+                 ${graft.functions.PortableHash.sqlUniform60("t")} AS hv
+          FROM (SELECT doc_id AS did, unnest(${OracleSql.tsExpr}) AS t
+                FROM documents)),
+        bits AS (
+          SELECT did, j.j AS j,
+                 CAST(sum((hv >> j.j) & 1) AS BIGINT) AS sj,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM tok, (SELECT unnest(range(0, 60)) AS j) j
+          GROUP BY 1, 2),
+        sh AS (
+          SELECT did,
+                 CAST(sum(CASE WHEN 2 * sj >= n THEN (1::BIGINT << j)
+                          ELSE 0::BIGINT END) AS BIGINT) AS sh
+          FROM bits GROUP BY did),
+        g AS (SELECT did, sh, min(did) OVER (PARTITION BY sh) AS keep
+              FROM sh),
+        star AS (
+          SELECT keep AS id_a, did AS id_b, 0 AS hamming
+          FROM g WHERE did <> keep),
+        reps AS (SELECT did, sh FROM g WHERE did = keep),
+        rp AS (
+          SELECT a.did AS id_a, b.did AS id_b,
+                 CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+          FROM reps a JOIN reps b ON a.did < b.did
+          WHERE bit_count(xor(a.sh, b.sh)) <= 7),
+        exp AS (
+          SELECT least(ma.did, mb.did) AS id_a,
+                 greatest(ma.did, mb.did) AS id_b, rp.hamming
+          FROM rp JOIN g ma ON ma.keep = rp.id_a
+                  JOIN g mb ON mb.keep = rp.id_b)
+        SELECT id_a, id_b, CAST(min(hamming) AS INTEGER) AS hamming
+        FROM (SELECT * FROM exp UNION ALL SELECT * FROM star)
+        GROUP BY id_a, id_b"""),
+      doc = "SimHash near-dup pairs on a 60-bit md5-portable " +
+        "signature through the shared banded-hamming core — the " +
+        "hash-checked twin of d04 (oracle: all-pairs hamming filter, " +
+        "equivalent by the segment pigeonhole)."))
 }

@@ -259,36 +259,73 @@ object TextQueries {
     // ------------------------------------------------------------------
     "t09_heavy_hitters" -> QueryDef(
       fn = { (s, dir) =>
-        import org.apache.spark.sql.graft.expressions.cms_estimate
+        import graft.functions.PortableHash
         // Sketch-based heavy hitters at 0.5% support: one pass builds
-        // a 224 KB Count-Min sketch (mergeable partials — the
-        // tree-aggregated 100 TB shape, vs t07/t08's exact groupBy
-        // whose shuffle carries the whole vocabulary); the second
-        // pass probes it as a codegen'd scan filter, so only
-        // occurrences of heavy CANDIDATES reach the distinct's
-        // shuffle. CMS never undercounts -> the result is a superset
-        // of the true heavy hitters (bounded overcount asserted in
-        // SketchSpec); seeded -> deterministic, but not
-        // SQL-expressible -> rows-only.
+        // a depth-4 x width-2048 Count-Min sketch as a RELATIONAL agg
+        // (mergeable map-side-combined partials — the tree-aggregated
+        // 100 TB shape, vs t07/t08's exact groupBy whose shuffle
+        // carries the whole vocabulary); the 64 KB counter matrix
+        // then inlines as array literals so the probe runs as a
+        // codegen'd SCAN FILTER — only occurrences of heavy
+        // CANDIDATES reach the distinct's shuffle. CMS never
+        // undercounts -> the result is a superset of the true heavy
+        // hitters (bounded overcount asserted in SketchSpec for the
+        // binary-sketch path, which stays the drop-in alternative).
+        // HASH-CHECKED (round 9): row hashes are the md5-portable
+        // 60-bit family, so the oracle rebuilds the same counters and
+        // min-probe in DuckDB — estimates AND collisions replay
+        // exactly. The collect is sketch-sized (depth x width longs),
+        // corpus-independent.
+        val depth = 4; val width = 2048
+        def bucket(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          pmod(PortableHash.uniform60(
+            concat(col("token"), lit("#"), r.cast("string"))), lit(width))
         val toks = Engine.widenIfNarrow(docs(s, dir))
           .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-          .select(col("token"), xxhash64(col("token")).as("h"))
-        val cms = toks.stat.countMinSketch(
-          "h", eps = 0.0005, confidence = 0.99, seed = 17)
-        val bytes = {
-          val bos = new java.io.ByteArrayOutputStream()
-          cms.writeTo(bos)
-          bos.toByteArray
-        }
-        val support = math.max(1L, cms.totalCount / 200)
-        toks.where(cms_estimate(col("h"), bytes) >= support)
-          .distinct()
+        val counters = toks
           .select(col("token"),
-            cms_estimate(col("h"), bytes).as("est"))
+            explode(sequence(lit(0), lit(depth - 1))).as("r"))
+          .select(col("r"), bucket(col("r")).as("bucket"))
+          .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+          .collect()
+        val cmat = Array.fill(depth)(new Array[Long](width))
+        counters.foreach { row =>
+          cmat(row.getInt(0))(row.getLong(1).toInt) = row.getLong(2) }
+        val total = cmat(0).sum // row sums == token occurrence count
+        val support = math.max(1L, total / 200)
+        val est = (0 until depth).map { r =>
+          element_at(typedlit(cmat(r).toSeq),
+            (bucket(lit(r)) + 1).cast("int"))
+        }.reduce(least(_, _))
+        toks.where(est >= support)
+          .distinct()
+          .select(col("token"), est.as("est"))
       },
-      oracle = None,
-      doc = "Count-Min heavy hitters at 0.5% support (sketch pass + " +
-        "probe prefilter; superset of exact, bounded overcount)."),
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT unnest(${graft.queries.OracleSql.tsExpr}) AS token
+          FROM documents),
+        occ AS (
+          SELECT token, r.r AS r,
+                 ${graft.functions.PortableHash.sqlUniform60(
+                   "token || '#' || CAST(r.r AS VARCHAR)")} % 2048
+                   AS bucket
+          FROM tok, (SELECT unnest(range(0, 4)) AS r) r),
+        cnt AS (
+          SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+          FROM occ GROUP BY r, bucket),
+        total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+        est AS (
+          SELECT o.token, min(cnt.c) AS est
+          FROM (SELECT DISTINCT token, r, bucket FROM occ) o
+            JOIN cnt ON cnt.r = o.r AND cnt.bucket = o.bucket
+          GROUP BY o.token)
+        SELECT token, est FROM est, total
+        WHERE est >= greatest(1, total.n // 200)"""),
+      doc = "Count-Min heavy hitters at 0.5% support (relational " +
+        "sketch agg + literal-matrix probe as a codegen scan filter; " +
+        "superset of exact, bounded overcount; md5-portable hashes, " +
+        "oracle rebuilds the sketch)."),
 
     // ------------------------------------------------------------------
     "t10_char_entropy" -> QueryDef(
