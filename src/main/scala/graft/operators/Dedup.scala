@@ -850,7 +850,7 @@ object Dedup {
     * defines them as 0-similar to everything, so declaring two of
     * them exact dups would contradict the verification kernel.
     */
-  private def vecGroups(
+  private[graft] def vecGroups(
       df: DataFrame, vecCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("did"), col(vecCol).as("vec"))
       .filter(col("vec").isNotNull &&

@@ -299,17 +299,8 @@ object Similarity {
     val qU = unitized(queries, "qid")
 
     // ---- codebook: Lloyd's per subspace on a bounded driver sample
-    val n = corpus.count()
-    val sampled =
-      if (n <= maxTrainRows) cU
-      else Sampling.hashSample(cU, "id", maxTrainRows.toDouble / n)
-    val train: Array[Array[Double]] = sampled.select(col("uv"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(train.length >= ksub, s"training sample ${train.length} < ksub")
-    val codebook: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(sub => lloyd(
-        train.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)),
-        ksub, iters = 10, seed = seed + sub))
+    val codebook = pqCodebook(corpus, m, ksub, seed, maxTrainRows,
+      idCol, vecCol, dim)
 
     // ---- encode: argmax (s·c - |c|²/2) per subspace, in-register
     def subVec(v: Column, sub: Int): Column = slice(v, sub * dsub + 1, dsub)
@@ -361,6 +352,35 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** The trained PQ codebook alone — [[pqTopK]]'s training stage,
+    * exposed so the Verify-time oracle generator can re-derive the
+    * SAME frozen codebook (training is seeded, bounded, and collect-
+    * order deterministic) and inline it as SQL literals. Shape:
+    * codebook(sub)(centroid)(dim/m).
+    */
+  def pqCodebook(
+      corpus: DataFrame, m: Int, ksub: Int, seed: Long,
+      maxTrainRows: Long, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64)
+      : Array[Array[Array[Double]]] = {
+    val dsub = dim / m
+    val cU = corpus.select(col(idCol).as("id"),
+      VectorFunctions.asDouble(col(vecCol)).as("dv"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("dv")))
+      .filter(col("nrm") > 0)
+      .select(col("id"), transform(col("dv"), x => x / col("nrm")).as("uv"))
+    val n = corpus.count()
+    val sampled =
+      if (n <= maxTrainRows) cU
+      else Sampling.hashSample(cU, "id", maxTrainRows.toDouble / n)
+    val train: Array[Array[Double]] = sampled.select(col("uv"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(train.length >= ksub, s"training sample ${train.length} < ksub")
+    Array.tabulate(m)(sub => lloyd(
+      train.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)),
+      ksub, iters = 10, seed = seed + sub))
   }
 
   /** Johnson-Lindenstrauss two-stage top-k: scan in a `projDim`-dim

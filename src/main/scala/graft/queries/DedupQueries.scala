@@ -363,9 +363,15 @@ object DedupQueries {
       fn = { (s, dir) =>
         // SemDeDup-style semantic dedup: k-means cells + within-cell
         // exact-cosine verification — the data-adaptive sibling of
-        // d06's LSH path. Trained centroids -> not SQL-expressible ->
-        // rows-only; recall vs the exact d05 pair set is asserted in
-        // DedupSpec.
+        // d06's LSH path. HASH-CHECKED (round 9) via oracleGen: the
+        // trained centroids are tiny, seeded, and collect-order
+        // deterministic, so the Verify-time generator re-trains the
+        // SAME frozen centroids and inlines them as SQL literals —
+        // DuckDB then replays cell assignment (top-nprobe with the
+        // exact tie order), the cell-size cap, candidate join,
+        // exact-cosine verification, star pairs and membership
+        // expansion. Recall vs the exact d05 pair set additionally
+        // asserted in DedupSpec.
         val e = Engine.widenIfNarrow(T(s, dir).embeddings)
         Dedup.semanticDupPairs(e, "embedding", "vec_id",
           threshold = 0.35, nlist = 4, nprobe = 2)
@@ -373,8 +379,60 @@ object DedupQueries {
             round(col("cosine"), 4).as("cosine"))
       },
       oracle = None,
+      oracleGen = Some { (s, dir) =>
+        // EXACTLY the query's training path: same frames, same
+        // canonicalization, same seed -> same collect order -> the
+        // same centroids the query trained.
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        val reps = Dedup.vecGroups(e, "embedding", "vec_id")
+          .filter(col("did") === col("keep"))
+          .select(col("did").as("id"), col("vec"))
+        val cents = Similarity.coarseCentroids(
+          reps, "vec", "id", nlist = 4, seed = 42L, maxTrainRows = 100000L)
+        val m = OracleSql.sqlDoubleArr2(cents.sortBy(_._1).map(_._2))
+        s"""
+        WITH ct AS (SELECT $m::DOUBLE[][] AS m),
+        g0 AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x != 0)) > 0),
+        g AS (SELECT did, vec, min(did) OVER (PARTITION BY vec) AS keep
+              FROM g0),
+        reps AS (SELECT did AS id, vec FROM g WHERE did = keep),
+        ascore AS (
+          SELECT r.id, c.c AS cell,
+                 list_cosine_similarity(ct.m[c.c + 1], r.vec) AS csim
+          FROM reps r, ct, (SELECT unnest(range(0, 4)) AS c) c),
+        cells AS (
+          SELECT id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore) WHERE rn <= 2),
+        ok AS (SELECT cell FROM cells
+               GROUP BY cell HAVING count(*) <= 10000),
+        sized AS (SELECT c.* FROM cells c
+                  SEMI JOIN ok ON c.cell = ok.cell),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM sized a JOIN sized b
+                   ON a.cell = b.cell AND a.id < b.id),
+        rp AS (SELECT c.id_a, c.id_b,
+                      list_cosine_similarity(ra.vec, rb.vec) AS cosine
+               FROM cand c JOIN reps ra ON ra.id = c.id_a
+                           JOIN reps rb ON rb.id = c.id_b
+               WHERE list_cosine_similarity(ra.vec, rb.vec) >= 0.35),
+        expd AS (SELECT least(ma.did, mb.did) AS id_a,
+                        greatest(ma.did, mb.did) AS id_b, rp.cosine
+                 FROM rp JOIN g ma ON ma.keep = rp.id_a
+                         JOIN g mb ON mb.keep = rp.id_b),
+        star AS (SELECT keep AS id_a, did AS id_b, 1.0 AS cosine
+                 FROM g WHERE did != keep),
+        u AS (SELECT * FROM expd UNION ALL SELECT * FROM star)
+        SELECT id_a, id_b, round(max(cosine), 4) AS cosine
+        FROM u GROUP BY id_a, id_b"""
+      },
       doc = "Embedding near-dup pairs via k-means cells (SemDeDup " +
-        "shape; data-adaptive scale path; rows-only)."),
+        "shape; data-adaptive scale path; hash-checked — trained " +
+        "centroids inlined as oracle literals at Verify time)."),
 
     // ------------------------------------------------------------------
     "d10_incremental_dedup" -> QueryDef(
@@ -510,8 +568,12 @@ object DedupQueries {
     "s03_topk_ivf" -> QueryDef(
       fn = { (s, dir) =>
         // IVF variant: k-means coarse quantizer + nprobe cell scan.
-        // Not oracle-expressible (trained centroids); recall vs s01
-        // asserted in SimilaritySpec.
+        // HASH-CHECKED (round 9) via oracleGen: the 16x64 trained
+        // centroids inline as SQL literals, so DuckDB replays corpus
+        // cell assignment (argmax with the exact (csim, -cell) tie
+        // order), query probing (top-3 cells), the cell join and the
+        // exact-cosine ranking. Recall vs s01 stays asserted in
+        // SimilaritySpec.
         val e = T(s, dir).embeddings
         Similarity.ivfTopK(e, e.filter(col("vec_id") % 50 === 0),
           k = 5, nlist = 16, nprobe = 3)
@@ -519,7 +581,50 @@ object DedupQueries {
             round(col("cosine"), 4).as("cosine"), col("rank"))
       },
       oracle = None,
-      doc = "IVF (k-means cells, nprobe=3) ANN top-5 (rows-only)."),
+      oracleGen = Some { (s, dir) =>
+        // ivfTopK's exact training call: same frame, same defaults
+        // (seed 42, maxTrainRows 100000) -> the same centroids.
+        val e = T(s, dir).embeddings
+        val cents = Similarity.coarseCentroids(
+          e, "embedding", "vec_id", nlist = 16, seed = 42L,
+          maxTrainRows = 100000L)
+        val m = OracleSql.sqlDoubleArr2(cents.sortBy(_._1).map(_._2))
+        s"""
+        WITH ct AS (SELECT $m::DOUBLE[][] AS m),
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+        ascore AS (
+          SELECT v.id, c.c AS cell,
+                 list_cosine_similarity(ct.m[c.c + 1], v.vec) AS csim
+          FROM v, ct, (SELECT unnest(range(0, 16)) AS c) c),
+        cells AS (
+          SELECT id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore) WHERE rn = 1),
+        probed AS (
+          SELECT id AS qid, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore WHERE id % 50 = 0) WHERE rn <= 3),
+        scored AS (
+          SELECT DISTINCT p.qid, c.id,
+                 list_cosine_similarity(cv.vec, qv.vec) AS cosine
+          FROM probed p
+            JOIN cells c ON c.cell = p.cell AND c.id != p.qid
+            JOIN v cv ON cv.id = c.id
+            JOIN v qv ON qv.id = p.qid)
+        SELECT qid, id, round(cosine, 4) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT qid, id, cosine,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, id) AS rank
+              FROM scored)
+        WHERE rank <= 5"""
+      },
+      doc = "IVF (k-means cells, nprobe=3) ANN top-5 (hash-checked " +
+        "— trained centroids inlined as oracle literals at Verify " +
+        "time)."),
 
     // ------------------------------------------------------------------
     "s04_semantic_filter" -> QueryDef(
@@ -612,9 +717,14 @@ object DedupQueries {
       fn = { (s, dir) =>
         // Product-quantization ANN (Jégou et al. ADC): 8-byte codes
         // (32x scan-byte reduction), per-query lookup tables, m array
-        // reads per pair, exact rescore of top k*refine. Codebook is
-        // data-derived (driver Lloyd's on a bounded hash-sample) ->
-        // rows-only; recall + exact-rescore pinned in SimilaritySpec.
+        // reads per pair, exact rescore of top k*refine.
+        // HASH-CHECKED (round 9) via oracleGen: the 16x16x4 trained
+        // codebook (and the Scala-computed |c|^2/2 offsets) inline as
+        // SQL literals; DuckDB replays unitization, per-subspace
+        // argmax encoding with the exact tie order, the ADC
+        // lookup-table sum in the same left-fold order, the
+        // candidate cut and the exact rescore. Recall +
+        // exact-rescore stay pinned in SimilaritySpec.
         val e = Engine.widenIfNarrow(T(s, dir).embeddings)
         Similarity.pqTopK(e, e.filter(col("vec_id") % 50 === 0),
           k = 5, m = 16, refine = 8)
@@ -622,8 +732,75 @@ object DedupQueries {
             round(col("cosine"), 4).as("cosine"), col("rank"))
       },
       oracle = None,
+      oracleGen = Some { (s, dir) =>
+        // pqTopK's exact training call (same frame, m=16, ksub=16,
+        // seed 42, maxTrainRows 20000) -> the same codebook; the
+        // half-norm offsets replicate encodeExpr's Scala expression.
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        val cb = Similarity.pqCodebook(e, m = 16, ksub = 16,
+          seed = 42L, maxTrainRows = 20000L)
+        val halfs = cb.map(_.map(c => c.map(x => x * x).sum / 2.0).toSeq)
+        val mLit = OracleSql.sqlDoubleArr3(
+          cb.map(_.map(_.toSeq).toSeq).toSeq)
+        val hLit = OracleSql.sqlDoubleArr2(halfs.toSeq)
+        s"""
+        WITH cb AS (SELECT $mLit::DOUBLE[][][] AS m),
+        hb AS (SELECT $hLit::DOUBLE[][] AS h),
+        u1 AS (SELECT vec_id AS id, dv,
+                      sqrt(list_dot_product(dv, dv)) AS nrm
+               FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+                     FROM embeddings)),
+        u AS (SELECT id, list_transform(dv, x -> x / nrm) AS uv
+              FROM u1 WHERE nrm > 0),
+        qu AS (SELECT id AS qid, uv FROM u WHERE id % 50 = 0),
+        subsc AS (
+          SELECT u.id, s.s AS sub, i.i AS i,
+                 list_dot_product(
+                   list_slice(u.uv, s.s * 4 + 1, s.s * 4 + 4),
+                   cb.m[s.s + 1][i.i + 1]) - hb.h[s.s + 1][i.i + 1]
+                   AS score
+          FROM u, cb, hb,
+               (SELECT unnest(range(0, 16)) AS s) s,
+               (SELECT unnest(range(0, 16)) AS i) i),
+        enc AS (
+          SELECT id, sub, i FROM (
+            SELECT id, sub, i, row_number() OVER (PARTITION BY id, sub
+                     ORDER BY score DESC, i) AS rn
+            FROM subsc) WHERE rn = 1),
+        codes AS (
+          SELECT id, list(i ORDER BY sub) AS codes FROM enc GROUP BY id),
+        approx AS (
+          SELECT q.qid, c.id,
+                 list_sum(list_transform(range(0, 16), sub ->
+                   list_dot_product(
+                     list_slice(q.uv, sub * 4 + 1, sub * 4 + 4),
+                     cb.m[sub + 1][c.codes[sub + 1] + 1]))) AS adot
+          FROM codes c, qu q, cb
+          WHERE c.id != q.qid),
+        cand AS (
+          SELECT qid, id FROM (
+            SELECT qid, id, row_number() OVER (PARTITION BY qid
+                     ORDER BY adot DESC, id) AS qrank
+            FROM approx) WHERE qrank <= 40),
+        scored AS (
+          SELECT cand.qid, cand.id,
+                 list_cosine_similarity(
+                   CAST(ce.embedding AS DOUBLE[]),
+                   CAST(qe.embedding AS DOUBLE[])) AS cosine
+          FROM cand
+          JOIN embeddings ce ON ce.vec_id = cand.id
+          JOIN embeddings qe ON qe.vec_id = cand.qid)
+        SELECT qid, id, round(cosine, 4) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT qid, id, cosine,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, id) AS rank
+              FROM scored)
+        WHERE rank <= 5"""
+      },
       doc = "Product-quantization ANN top-5 (ADC lookup-table scan, " +
-        "32x scan bytes reduction; rows-only)."),
+        "32x scan bytes reduction; hash-checked — trained codebook " +
+        "inlined as oracle literals at Verify time)."),
 
     // ------------------------------------------------------------------
     "s08_topk_mmr" -> QueryDef(

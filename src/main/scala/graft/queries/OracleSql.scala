@@ -13,6 +13,26 @@ import graft.functions.PortableHash.{sqlPermute60, sqlUniform60}
   */
 private[queries] object OracleSql {
 
+  /** Render a double so DuckDB parses back the identical IEEE value:
+    * Java's shortest round-trip decimal (`Double.toString`), which
+    * any correctly-rounding strtod (DuckDB's is) maps to the same
+    * bits. Used to inline trained-model parameters (k-means
+    * centroids, PQ codebooks) into oracle SQL at Verify-dump time.
+    */
+  def sqlDouble(d: Double): String = {
+    require(!d.isNaN && !d.isInfinite, s"non-finite model parameter $d")
+    java.lang.Double.toString(d)
+  }
+
+  def sqlDoubleArr(a: Seq[Double]): String =
+    a.map(sqlDouble).mkString("[", ", ", "]")
+
+  def sqlDoubleArr2(m: Seq[Seq[Double]]): String =
+    m.map(sqlDoubleArr).mkString("[", ", ", "]")
+
+  def sqlDoubleArr3(t: Seq[Seq[Seq[Double]]]): String =
+    t.map(sqlDoubleArr2).mkString("[", ", ", "]")
+
   /** Token list of `text` — TextFunctions.tokens replay. */
   val tsExpr: String =
     "list_filter(string_split(text, ' '), x -> x <> '')"
