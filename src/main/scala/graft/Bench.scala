@@ -49,17 +49,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // 1/10-size calibration probe, scaled to calibrate() units: cheap
-    // enough (~75 ms) to run before EVERY query, so each measurement
-    // carries its own machine-load reading instead of inheriting the
-    // nearest of six suite-level probes (r06: a sustained-load window
-    // between probes inflated t04 5x with both best-of-2 runs slow).
+    // Per-query machine-load probe, PARALLEL (round 9): one Spark
+    // stage of `cpus` copies of the busy loop through the scheduler,
+    // wall-clock timed. The old single-thread probe provably missed
+    // many-core contention — a load eating 30 of 32 cores inflates
+    // one thread ~1.5x (it still gets scheduled) but a 32-way
+    // parallel query ~24x, so the >2x threshold never fired (r08:
+    // c19 captured at 50.8 s vs 2.1 s idle with `flagged` EMPTY).
+    // A 32-task stage multiplexes onto the free cores exactly like
+    // the queries do, so its wall time inflates in the same
+    // proportion. On an idle box each task runs its own core at
+    // full speed, so the x10 scaling keeps the reading in the same
+    // ~0.75 units as calibrate() for artifact continuity.
+    val probeTasks = spark.sparkContext.defaultParallelism
     def probe(): Double = {
       val t0 = System.nanoTime()
-      var x = 0L
-      var i = 0
-      while (i < 40000000) { x ^= (x + i) * 0x9E3779B97F4A7C15L; i += 1 }
-      if (x == 42L) System.err.println("") // keep the loop live
+      spark.sparkContext.parallelize(1 to probeTasks, probeTasks)
+        .foreach { _ =>
+          var x = 0L
+          var i = 0
+          while (i < 40000000) { x ^= (x + i) * 0x9E3779B97F4A7C15L; i += 1 }
+          if (x == 42L) System.err.println("") // keep the loop live
+        }
       (System.nanoTime() - t0) / 1e9 * 10.0
     }
 
@@ -88,6 +99,7 @@ object Bench {
       runOnce("q01_pricing_summary")
       ()
     }
+    probe() // warm the probe stage's closure/scheduler path, untimed
 
     // optional CLI filter: `runMain graft.Bench d07 q01` times only
     // queries whose name starts with one of the given prefixes
@@ -109,20 +121,47 @@ object Bench {
       name -> measure(name)
     }
     val calibAfter = calibrate()
-    // Contamination defense, second pass: the idle reference is the
-    // best window ANY probe saw this run; a query whose own probe read
-    // >2x that was measured under sustained load, so re-measure it at
-    // suite end (load bursts are shorter than the suite). A clean-probe
-    // re-run either beats the number (keep the re-run) or confirms it
-    // (keep it, unflag — a clean window reproduced it, so it is not
-    // load-inflated). Whatever never sees a clean window stays in
-    // `flagged`: the artifact self-reports exactly which entries an
-    // idle re-measure could still move.
-    val idleRef = (Seq(calibBefore, calibAfter) ++ calibSeries ++
-      firstPass.map(_._2._2)).min
+    // Contamination defense, second pass, two detectors:
+    //  (1) RELATIVE probe: the idle reference is the best window ANY
+    //      probe saw this run; a query whose own probe read >2x that
+    //      was measured under sustained load. Catches load bursts
+    //      shorter than the suite. (Probe readings only: calibrate()
+    //      is single-thread — kept for cross-round artifact
+    //      continuity — and no longer unit-compatible with the
+    //      parallel probe under load.)
+    //  (2) LAST-CAPTURE reference: detector (1) is blind to load
+    //      spanning the WHOLE run (every probe inflates, the min
+    //      normalizes it away — r08's failure mode). The committed
+    //      capture (SPARK_GRAFT_BENCH_REF, default bench_out.json;
+    //      only consulted when its "sf" matches) is an idle
+    //      historical baseline: any query >3x its captured time is
+    //      re-measured, and if it stays >3x it is flagged — either
+    //      still-contaminated or a genuine regression; both deserve
+    //      a human eyeball, and the artifact says which entries.
+    // A re-run either beats the number (keep the re-run) or confirms
+    // it under a clean probe (keep it; a clean window reproduced it).
+    val idleRef = firstPass.map(_._2._2).min
     def contaminated(p: Double): Boolean = p / idleRef > 2.0
+    val refTimes: Map[String, Double] = {
+      val refFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_out.json")
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refFile)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) Map.empty
+        else """"([a-z][a-z0-9_]+)"\s*:\s*(-?[0-9.]+)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => k.length > 3 } // query names, not keys
+          .toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    def refSlow(name: String, t: Double): Boolean =
+      refTimes.get(name).exists(r => r > 0 && t > 3.0 * r)
     val results = firstPass.map { case (name, (t, p)) =>
-      if (t < 0 || !contaminated(p)) (name, t, p)
+      if (t < 0 || (!contaminated(p) && !refSlow(name, t))) (name, t, p)
       else {
         val p2 = probe()
         val t2 = runOnce(name)
@@ -131,7 +170,8 @@ object Bench {
       }
     }
     val flagged = results.collect {
-      case (name, t, p) if t >= 0 && contaminated(p) => name
+      case (name, t, p) if t >= 0 && (contaminated(p) || refSlow(name, t)) =>
+        name
     }
     // 3-decimal (ms) precision: full-precision doubles made the r02
     // JSON line ~3.6 kB, longer than the driver's captured output
