@@ -24,6 +24,23 @@ object PipelineQueries {
     * task slots first (at real scale the input arrives pre-split and
     * this repartition is the caller's knob, BatchPipeline.partitions).
     */
+  /** One temp shard dir per sfDir, cleaned up at JVM exit. */
+  private val p05Dirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def p05TmpDir(dir: String): String =
+    p05Dirs.getOrElseUpdate(dir, {
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-tar-p05-${Integer.toHexString(dir.hashCode)}")
+      f.mkdirs()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val fs = Option(f.listFiles()).getOrElse(Array.empty)
+        fs.foreach(_.delete())
+        f.delete()
+        ()
+      }))
+      f.toString
+    })
+
   private def docsAsFiles(s: SparkSession, dir: String) =
     Engine.widenIfNarrow(T(s, dir).documents.select(
       col("doc_id").cast("string").as("key"),
@@ -111,8 +128,12 @@ object PipelineQueries {
         // md5-free doc_id mod (shard sizing is the caller's knob;
         // c06 is the content-hashed variant). Scale: one shuffle to
         // group by shard in, zero shuffles out.
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-tar-").toString
+        // Deterministic per-sfDir temp location: re-invocations
+        // overwrite the same 8 shard files (writeShards creates with
+        // overwrite=true) instead of leaking a fresh corpus-sized dir
+        // each call, and a one-time shutdown hook removes it at JVM
+        // exit.
+        val tmp = p05TmpDir(dir)
         val src = T(s, dir).documents
           .select(
             concat(lit("doc_"), col("doc_id"), lit(".txt")).as("name"),

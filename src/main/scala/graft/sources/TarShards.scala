@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.ByteArrayOutputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, EOFException, InputStream, OutputStream}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -17,6 +17,15 @@ import org.apache.spark.sql.types._
   * direction, so a 100 TB corpus moves as independent multi-GB tars
   * with zero shuffle beyond the one partitioning by shard key.
   *
+  * Memory contract (round 9): both directions STREAM — `pack` writes
+  * member-at-a-time to an OutputStream and `unpack` reads
+  * header-by-header from an InputStream, so per-task heap is ONE
+  * member, not the shard (the multi-GB-shard design the scaladoc
+  * promises is now real, not aspirational). `writeShards` feeds pack
+  * from a (shard, name)-sorted iterator — no group materialization —
+  * and enforces a configurable `maxShardBytes` cap that fails loudly
+  * naming the shard instead of dying as an executor OOM downstream.
+  *
   * Reference scope: the reference ships whole files through S3
   * PUT/GET one job per file (SendJobs.py:31, GetJobs.py:51); tar
   * shards are the same blob-in/blob-out contract batched to
@@ -27,109 +36,198 @@ object TarShards {
 
   private val BlockSize = 512
 
-  /** Serialize (name, bytes) entries into one deterministic USTAR
-    * archive: mode 0644, uid/gid 0, mtime 0, no prefix (names must
-    * fit 100 bytes), two zero blocks at the end — byte-identical for
-    * identical input order.
+  /** Write one USTAR member (header + payload + padding) to `out`:
+    * mode 0644, uid/gid 0, mtime 0, no prefix (names must fit 100
+    * bytes), deterministic bytes for identical input. Returns the
+    * bytes written (BlockSize + padded payload).
     */
+  def writeMember(out: OutputStream, name: String, bytes: Array[Byte]): Long = {
+    val nameB = name.getBytes("UTF-8")
+    require(nameB.length <= 100,
+      s"tar member name exceeds ustar's 100 bytes: $name")
+    val h = new Array[Byte](BlockSize)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    System.arraycopy(nameB, 0, h, 0, nameB.length)
+    put(100, "0000644")            // mode
+    put(108, "0000000")            // uid
+    put(116, "0000000")            // gid
+    put(124, f"${bytes.length}%011o") // size, octal
+    put(136, "00000000000")        // mtime
+    h(156) = '0'                   // typeflag: regular file
+    put(257, "ustar")              // magic (NUL-terminated by zero fill)
+    put(263, "00")                 // version
+    // checksum: header summed with the checksum field as spaces
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0
+    var i = 0
+    while (i < BlockSize) { sum += h(i) & 0xff; i += 1 }
+    put(148, f"$sum%06o")
+    h(154) = 0
+    h(155) = ' '
+    out.write(h)
+    out.write(bytes)
+    val pad = (BlockSize - bytes.length % BlockSize) % BlockSize
+    if (pad > 0) out.write(new Array[Byte](pad))
+    BlockSize.toLong + bytes.length + pad
+  }
+
+  /** End-of-archive marker (two zero blocks). Returns bytes written. */
+  def writeTrailer(out: OutputStream): Long = {
+    out.write(new Array[Byte](2 * BlockSize))
+    2L * BlockSize
+  }
+
+  /** Stream (name, bytes) entries into `out` as one deterministic
+    * USTAR archive, member-at-a-time — per-call heap is ONE member
+    * regardless of archive size. Returns total bytes written.
+    */
+  def pack(entries: Iterator[(String, Array[Byte])], out: OutputStream): Long = {
+    var total = 0L
+    entries.foreach { case (name, bytes) =>
+      total += writeMember(out, name, bytes)
+    }
+    total + writeTrailer(out)
+  }
+
+  /** Convenience form materializing the archive (tests, tiny shards). */
   def pack(entries: Iterator[(String, Array[Byte])]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    entries.foreach { case (name, bytes) =>
-      val nameB = name.getBytes("UTF-8")
-      require(nameB.length <= 100,
-        s"tar member name exceeds ustar's 100 bytes: $name")
-      val h = new Array[Byte](BlockSize)
-      def put(off: Int, s: String): Unit = {
-        val b = s.getBytes("UTF-8")
-        System.arraycopy(b, 0, h, off, b.length)
-      }
-      System.arraycopy(nameB, 0, h, 0, nameB.length)
-      put(100, "0000644")            // mode
-      put(108, "0000000")            // uid
-      put(116, "0000000")            // gid
-      put(124, f"${bytes.length}%011o") // size, octal
-      put(136, "00000000000")        // mtime
-      h(156) = '0'                   // typeflag: regular file
-      put(257, "ustar")              // magic (NUL-terminated by zero fill)
-      put(263, "00")                 // version
-      // checksum: header summed with the checksum field as spaces
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-      var sum = 0
-      var i = 0
-      while (i < BlockSize) { sum += h(i) & 0xff; i += 1 }
-      put(148, f"$sum%06o")
-      h(154) = 0
-      h(155) = ' '
-      out.write(h)
-      out.write(bytes)
-      val pad = (BlockSize - bytes.length % BlockSize) % BlockSize
-      if (pad > 0) out.write(new Array[Byte](pad))
-    }
-    out.write(new Array[Byte](2 * BlockSize)) // end-of-archive
+    pack(entries, out)
     out.toByteArray
   }
 
-  /** Stream (name, bytes) members out of a USTAR archive. Tolerates a
+  /** Stream (name, bytes) members out of a USTAR archive,
+    * header-by-header — per-step heap is ONE member. Tolerates a
     * truncated trailer (some writers skip the zero blocks) but fails
-    * loudly on a corrupt header checksum — a half-written shard must
-    * not silently yield half a training set.
+    * loudly on a corrupt header checksum or a truncated member — a
+    * half-written shard must not silently yield half a training set.
+    *
+    * Foreign-archive compatibility (system/ustar tar writers):
+    *  - the ustar `prefix` field (offset 345) is honored — long paths
+    *    split as prefix/name come back joined;
+    *  - only regular-file entries (typeflag '0' or NUL) are emitted;
+    *    directories, links, and PAX/GNU metadata entries are skipped
+    *    (their payloads are consumed and discarded).
     */
-  def unpack(tar: Array[Byte]): Iterator[(String, Array[Byte])] =
+  def unpack(in: InputStream): Iterator[(String, Array[Byte])] =
     new Iterator[(String, Array[Byte])] {
-      private var off = 0
-      private def headerAt(o: Int): Boolean =
-        o + BlockSize <= tar.length && tar(o) != 0
-      override def hasNext: Boolean = headerAt(off)
+      private val din = new DataInputStream(in)
+      private var offset = 0L
+      private var ready: (String, Array[Byte]) = null
+      private var done = false
+
+      private def readBlock(h: Array[Byte]): Boolean = {
+        var read = 0
+        while (read < BlockSize) {
+          val n = din.read(h, read, BlockSize - read)
+          if (n < 0) return false // EOF: tolerated at a header boundary
+          read += n
+        }
+        true
+      }
+
+      private def skipFully(n: Long, what: String): Unit = {
+        var left = n
+        while (left > 0) {
+          val s = din.skip(left)
+          if (s <= 0) {
+            if (din.read() < 0)
+              throw new IllegalArgumentException(
+                s"tar member $what truncated (need $left more bytes)")
+            left -= 1
+          } else left -= s
+        }
+      }
+
+      private def advance(): Unit = {
+        while (ready == null && !done) {
+          val h = new Array[Byte](BlockSize)
+          if (!readBlock(h) || h(0) == 0) { done = true; return }
+          val headerOff = offset
+          offset += BlockSize
+          var stored = 0
+          var i = 148
+          while (i < 156) {
+            val c = h(i) & 0xff
+            if (c >= '0' && c <= '7') stored = stored * 8 + (c - '0')
+            i += 1
+          }
+          java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+          var sum = 0
+          i = 0
+          while (i < BlockSize) { sum += h(i) & 0xff; i += 1 }
+          require(sum == stored,
+            s"tar header checksum mismatch at offset $headerOff " +
+              s"($sum != $stored)")
+          def field(off: Int, max: Int): String = {
+            var e = 0
+            while (e < max && h(off + e) != 0) e += 1
+            new String(h, off, e, "UTF-8")
+          }
+          val rawName = field(0, 100)
+          val prefix = field(345, 155)
+          val name = if (prefix.isEmpty) rawName else s"$prefix/$rawName"
+          var size = 0L
+          i = 124
+          while (i < 136) {
+            val c = h(i) & 0xff
+            if (c >= '0' && c <= '7') size = size * 8 + (c - '0')
+            i += 1
+          }
+          val padded = size + (BlockSize - size % BlockSize) % BlockSize
+          val typeflag = h(156)
+          if (typeflag == '0'.toByte || typeflag == 0.toByte) {
+            require(size <= Int.MaxValue,
+              s"tar member $name exceeds 2 GiB (single-member limit)")
+            val bytes = new Array[Byte](size.toInt)
+            try din.readFully(bytes)
+            catch { case _: EOFException =>
+              throw new IllegalArgumentException(
+                s"tar member $name truncated (need $size bytes)")
+            }
+            skipFully(padded - size, name)
+            offset += padded
+            ready = (name, bytes)
+          } else {
+            // non-file entry (dir/link/PAX metadata): consume, skip
+            skipFully(padded, name)
+            offset += padded
+          }
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); ready != null }
       override def next(): (String, Array[Byte]) = {
-        val h = java.util.Arrays.copyOfRange(tar, off, off + BlockSize)
-        var stored = 0
-        var i = 148
-        while (i < 156) {
-          val c = h(i) & 0xff
-          if (c >= '0' && c <= '7') stored = stored * 8 + (c - '0')
-          i += 1
-        }
-        java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-        var sum = 0
-        i = 0
-        while (i < BlockSize) { sum += h(i) & 0xff; i += 1 }
-        require(sum == stored,
-          s"tar header checksum mismatch at offset $off ($sum != $stored)")
-        val nameEnd = {
-          var e = 0
-          while (e < 100 && h(e) != 0) e += 1
-          e
-        }
-        val name = new String(h, 0, nameEnd, "UTF-8")
-        var size = 0L
-        i = 124
-        while (i < 136) {
-          val c = h(i) & 0xff
-          if (c >= '0' && c <= '7') size = size * 8 + (c - '0')
-          i += 1
-        }
-        val dataOff = off + BlockSize
-        require(dataOff + size <= tar.length,
-          s"tar member $name truncated (need $size bytes)")
-        val bytes = java.util.Arrays.copyOfRange(
-          tar, dataOff, dataOff + size.toInt)
-        off = dataOff + size.toInt +
-          ((BlockSize - size.toInt % BlockSize) % BlockSize)
-        (name, bytes)
+        advance()
+        if (ready == null) throw new NoSuchElementException("tar exhausted")
+        val r = ready
+        ready = null
+        r
       }
     }
+
+  /** Convenience form over in-memory bytes (tests, small archives). */
+  def unpack(tar: Array[Byte]): Iterator[(String, Array[Byte])] =
+    unpack(new ByteArrayInputStream(tar))
 
   /** Write one tar per distinct `shardCol` value under `outDir`
     * (shard-<value>.tar), members sorted by name for deterministic
     * bytes. Executor-side IO through the Hadoop FS API — no driver
-    * collect; one task per shard. A shard must fit a task's memory:
-    * callers size shards the same way they size TableSync buckets
-    * (thousands of shards of a few GB at 100 TB).
+    * collect; one shard per task, STREAMED: rows arrive
+    * (shard, name)-sorted from the exchange and flow member-at-a-time
+    * into the FS output, so per-task heap is one member even for
+    * multi-GB shards. `maxShardBytes` fails loudly (naming the shard)
+    * instead of letting a mis-keyed flood OOM an executor or produce
+    * an unreadably large archive.
     *
     * Returns the shard manifest (shard, n_members, n_bytes).
     */
   def writeShards(df: DataFrame, nameCol: String, binCol: String,
-      shardCol: String, outDir: String): DataFrame = {
+      shardCol: String, outDir: String,
+      maxShardBytes: Long = 8L << 30): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -140,16 +238,39 @@ object TarShards {
       StructField("n_bytes", LongType)))
     df.select(col(shardCol).cast("string").as("shard"),
         col(nameCol).cast("string").as("name"), col(binCol).as("bytes"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("name"))
       .as[(String, String, Array[Byte])]
-      .groupByKey(_._1)
-      .mapGroups { (shard, it) =>
-        val members = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
-        val tar = pack(members.iterator)
-        val p = new Path(outDir, s"shard-$shard.tar")
-        val fs = p.getFileSystem(conf.value)
-        val o = fs.create(p, true)
-        try o.write(tar) finally o.close()
-        Row(shard, members.length, tar.length.toLong)
+      .mapPartitions { rows =>
+        new Iterator[Row] {
+          private var pending: (String, String, Array[Byte]) =
+            if (rows.hasNext) rows.next() else null
+          override def hasNext: Boolean = pending != null
+          override def next(): Row = {
+            val shard = pending._1
+            val p = new Path(outDir, s"shard-$shard.tar")
+            val fs = p.getFileSystem(conf.value)
+            val o = fs.create(p, true)
+            var members = 0
+            var bytes = 0L
+            try {
+              var more = true
+              while (more) {
+                val (_, name, payload) = pending
+                bytes += writeMember(o, name, payload)
+                require(bytes <= maxShardBytes,
+                  s"shard $shard exceeds maxShardBytes=$maxShardBytes " +
+                    s"at member $name — re-key to smaller shards or " +
+                    "raise the cap")
+                members += 1
+                pending = if (rows.hasNext) rows.next() else null
+                more = pending != null && pending._1 == shard
+              }
+              bytes += writeTrailer(o)
+            } finally o.close()
+            Row(shard, members, bytes)
+          }
+        }
       }(RowEncoder.encoderFor(schema))
       .toDF()
   }
@@ -178,23 +299,49 @@ object TarShards {
       }
       .start()
 
-  /** Read every `*.tar` under `dir` back into (shard, name, content):
-    * one input partition per shard file (binaryFiles), members
-    * streamed in archive order — the WebDataset access pattern.
+  /** Read every `*.tar` under `dir` back into (shard, batch_id, name,
+    * content): one input partition per shard file (binaryFiles),
+    * members STREAMED in archive order off the open file — the
+    * WebDataset access pattern; per-task heap is one member.
+    * `shardSink` generations (`shard-<v>.b<id>.tar`) come back with
+    * the generation parsed into `batch_id` (null for plain
+    * `writeShards` output), so `shard` is always the caller's
+    * original key — a shard key whose own text ends in `.b<digits>`
+    * is indistinguishable from a generation and would be split.
     */
   def readShards(spark: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("shard", StringType),
+      StructField("batch_id", LongType, nullable = true),
       StructField("name", StringType),
       StructField("content", BinaryType)))
     val rows = spark.sparkContext
       .binaryFiles(s"$dir/*.tar")
       .flatMap { case (path, stream) =>
-        val shard = {
+        val base = {
           val f = path.substring(path.lastIndexOf('/') + 1)
           f.stripPrefix("shard-").stripSuffix(".tar")
         }
-        unpack(stream.toArray()).map { case (n, b) => Row(shard, n, b) }
+        val genAt = base.lastIndexOf(".b")
+        val (shard, batchId) =
+          if (genAt >= 0 && genAt + 2 < base.length &&
+              base.substring(genAt + 2).forall(_.isDigit))
+            (base.substring(0, genAt),
+              java.lang.Long.valueOf(base.substring(genAt + 2)))
+          else (base, null)
+        val in = stream.open()
+        val it = unpack(in)
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) in.close()
+            h
+          }
+          override def next(): Row = {
+            val (n, b) = it.next()
+            Row(shard, batchId, n, b)
+          }
+        }
       }
     spark.createDataFrame(rows, schema)
   }

@@ -98,7 +98,107 @@ class TarShardsSpec extends AnyFunSuite {
         .as[(String, String)].collect().toMap
       assert(back == Map("a.txt" -> "alpha", "b.txt" -> "beta",
         "c.txt" -> "gamma"))
+      // generation suffix parses into its own column: shard is the
+      // caller's original key, batch_id the foreachBatch generation
+      val meta = TarShards.readShards(spark, out)
+        .select(col("name"), col("shard"), col("batch_id"))
+        .as[(String, String, Long)].collect()
+        .map { case (n, s, b) => n -> ((s, b)) }.toMap
+      assert(meta == Map("a.txt" -> ("0", 0L), "b.txt" -> ("1", 0L),
+        "c.txt" -> ("0", 1L)), s"parsed generations: $meta")
     } finally q.stop()
+  }
+
+  test("pack streams member-at-a-time (no whole-archive buffering)") {
+    // Proof by interleaving: the sink must have received member i's
+    // bytes BEFORE the iterator yields member i+1 — impossible if
+    // pack buffered members or the archive. Memory-independent, so
+    // it pins the multi-GB-shard contract without heap games.
+    var written = 0L
+    val sink = new java.io.OutputStream {
+      override def write(b: Int): Unit = written += 1
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        written += len
+    }
+    val sizes = Seq(700, 512, 10)
+    var yielded = 0
+    val lazyEntries = sizes.iterator.zipWithIndex.map { case (n, i) =>
+      if (i > 0) {
+        val expect = sizes.take(i).map(s => 512L + s + (512 - s % 512) % 512).sum
+        assert(written >= expect,
+          s"member $i yielded before member ${i - 1} hit the sink " +
+            s"($written < $expect)")
+      }
+      yielded += 1
+      s"m$i.bin" -> Array.fill[Byte](n)(i.toByte)
+    }
+    val total = TarShards.pack(lazyEntries, sink)
+    assert(yielded == sizes.length)
+    assert(total == written)
+  }
+
+  test("unpack streams lazily off the input (reads only what's taken)") {
+    val tar = TarShards.pack(Seq(
+      "a.bin" -> Array.fill[Byte](2048)(1),
+      "b.bin" -> Array.fill[Byte](2048)(2)).iterator)
+    var consumed = 0
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(tar)
+      override def read(): Int = { val r = in.read(); if (r >= 0) consumed += 1; r }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val r = in.read(b, off, len); if (r > 0) consumed += r; r
+      }
+    }
+    val it = TarShards.unpack(counting)
+    val first = it.next()
+    assert(first._1 == "a.bin")
+    // after one member: its header+payload (+ maybe the lookahead
+    // header) — far less than the whole archive
+    assert(consumed <= 512 + 2048 + 512,
+      s"unpack read $consumed bytes for one member of a ${tar.length}-byte archive")
+  }
+
+  test("writeShards enforces maxShardBytes loudly, naming the shard") {
+    import spark.implicits._
+    val df = Seq(
+      ("a.bin", Array.fill[Byte](4096)(1), "big"),
+      ("b.bin", Array.fill[Byte](4096)(2), "big"))
+      .toDF("name", "bytes", "shard")
+    val out = Files.createTempDirectory("tarcap-").toString
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.writeShards(df, "name", "bytes", "shard", out,
+        maxShardBytes = 5000).collect()
+    }
+    val msg = e.getCause match {
+      case null => e.getMessage
+      case c    => c.getMessage + e.getMessage
+    }
+    assert(msg.contains("big") && msg.contains("maxShardBytes"),
+      s"expected a loud shard-named cap failure, got: $msg")
+  }
+
+  test("unpack honors the ustar prefix field and skips non-file " +
+    "entries (system-tar interop, read direction)") {
+    val which = new ProcessBuilder("sh", "-c", "command -v tar").start()
+    assume(which.waitFor() == 0, "no system tar on PATH")
+    val dir = Files.createTempDirectory("tarpre-")
+    // a path long enough that --format=ustar must split it into
+    // prefix + name (full path > 100 bytes, components < 100)
+    val deep = dir.resolve("d" * 60).resolve("e" * 60)
+    Files.createDirectories(deep)
+    val payload = "prefixed".getBytes("UTF-8")
+    Files.write(deep.resolve("f.txt"), payload)
+    val f = dir.resolve("t.tar")
+    val p = new ProcessBuilder("tar", "--format=ustar", "-cf",
+      f.toString, "-C", dir.toString,
+      s"${"d" * 60}/${"e" * 60}/f.txt").redirectErrorStream(true).start()
+    assert(p.waitFor() == 0)
+    val members = TarShards.unpack(Files.readAllBytes(f)).toSeq
+    // GNU tar may or may not emit directory entries; only the regular
+    // file must come back, with prefix+name joined
+    assert(members.map(_._1) == Seq(s"${"d" * 60}/${"e" * 60}/f.txt"),
+      s"members: ${members.map(_._1)}")
+    assert(java.util.Arrays.equals(members.head._2, payload))
   }
 
   test("writeShards overwrites its own output (replay-idempotent)") {
