@@ -118,34 +118,19 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, textCol: String, idCol: String,
       thresholdNum: Int = 8, thresholdDen: Int = 10,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3, prefixFilter: Boolean = true): DataFrame = {
     // one shingle scan feeds the inverted index AND both verify sides
-    val sh = df.select(col(idCol).cast("long").as("id"),
-      array_distinct(TextFunctions.shingles(col(textCol), shingleSize))
-        .as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint()
+    val sh = containmentShingles(df, textCol, idCol, shingleSize)
     val inv = sh.select(col("id"), explode(col("sh")).as("g"))
-    // EXACT prefix filter (PPJoin's, adapted to containment): under a
-    // global (df asc, g) shingle order, a pair with containment >=
-    // t = num/den shares >= ceil(t * n_small) shingles, so the small
-    // side's FIRST n - ceil(t*n) + 1 ordered shingles must hit the
-    // other doc (pigeonhole) — joining every doc's PREFIX against the
-    // full index in both directions keeps every qualifying pair while
-    // collapsing the frequent-shingle blowup: per-shingle join cost
-    // falls from df(g)^2 to df_prefix(g) * df(g), and df-ascending
-    // ordering makes frequent shingles almost never prefix members.
-    val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val prefix = inv.join(dfreq, Seq("g"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("df"), col("g"))))
-      .join(sh.select(col("id"), size(col("sh")).as("nsh")), Seq("id"))
-      .filter(col("rk") <= col("nsh") -
-        expr(s"(nsh * $thresholdNum + $thresholdDen - 1) " +
-          s"div $thresholdDen") + 1)
-      .select(col("id"), col("g"))
-    val cand = prefix.as("a").join(inv.as("b"),
+    // `prefixFilter = false` is the naive inverted-index join — every
+    // co-shingled pair becomes a candidate. Kept (and spec-proven
+    // output-identical) as the ladder baseline the prefix filter's
+    // df_prefix(g)*df(g) claim is measured against; never the shape
+    // to run at scale.
+    val probe =
+      if (prefixFilter) containmentPrefix(sh, thresholdNum, thresholdDen)
+      else inv
+    val cand = probe.as("a").join(inv.as("b"),
         col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
@@ -172,6 +157,48 @@ object Dedup {
           .as("n_small"))
       .filter(col("n_common") * thresholdDen >=
         lit(thresholdNum.toLong) * col("n_small"))
+  }
+
+  /** The distinct-shingle scan [[containmentPairs]] builds everything
+    * from: (id, sh: sorted-distinct shingle array), localCheckpointed
+    * so the index and both verify sides share one materialization.
+    */
+  private[graft] def containmentShingles(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleSize))
+        .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+
+  /** EXACT prefix filter (PPJoin's, adapted to containment): under a
+    * global (df asc, g) shingle order, a pair with containment >=
+    * t = num/den shares >= ceil(t * n_small) shingles, so the small
+    * side's FIRST n - ceil(t*n) + 1 ordered shingles must hit the
+    * other doc (pigeonhole) — joining every doc's PREFIX against the
+    * full index in both directions keeps every qualifying pair while
+    * collapsing the frequent-shingle blowup: per-shingle join cost
+    * falls from df(g)^2 to df_prefix(g) * df(g), and df-ascending
+    * ordering makes frequent shingles almost never prefix members.
+    * Returns the (id, g) prefix postings; exposed for the ladder's
+    * candidate-count accounting (ScaleSmoke derives both joins' exact
+    * candidate multiset sizes from the df/prefix histograms without
+    * running either join).
+    */
+  private[graft] def containmentPrefix(
+      sh: DataFrame, thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+    val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    inv.join(dfreq, Seq("g"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .join(sh.select(col("id"), size(col("sh")).as("nsh")), Seq("id"))
+      .filter(col("rk") <= col("nsh") -
+        expr(s"(nsh * $thresholdNum + $thresholdDen - 1) " +
+          s"div $thresholdDen") + 1)
+      .select(col("id"), col("g"))
   }
 
   /** Exact dedup on the normalized-text fingerprint. One row per

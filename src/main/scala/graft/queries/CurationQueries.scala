@@ -1463,5 +1463,64 @@ object CurationQueries {
         FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
         GROUP BY d.source, d.lang"""),
       doc = "Per-(source, lang) dataset card: volume, exact-dup " +
-        "mass, quality-gate pass counts — all-integer, hash-exact."))
+        "mass, quality-gate pass counts — all-integer, hash-exact."),
+
+    // ------------------------------------------------------------------
+    "c33_kmv_distinct_view" -> QueryDef(
+      fn = { (s, dir) =>
+        // Maintained DISTINCT-count view (AggSync.kmvDistinctSink's
+        // batch kernel): distinct count is the textbook non-additive
+        // aggregate — c31's count/sum fold cannot maintain it — and
+        // the KMV bottom-k set (q50) is its textbook mergeable state.
+        // Two CDC batches (orderkey even, then odd) fold one at a
+        // time through IncrementalAgg.mergeKmv; the oracle recomputes
+        // the per-status sketch FROM SCRATCH over all orders, so
+        // hash-green proves the fold lossless: bottom-k(bottom-k(A) ∪
+        // bottom-k(B)) = bottom-k(A ∪ B). 'P' status saturates below
+        // k at this SF and exercises the exact (size < k) path; est
+        // is one double division on exact int64s. Scale: each fold
+        // shuffles |batch| once for the distinct, the merge is
+        // key-local on <= k longs per key — O(|delta| + touched keys)
+        // per batch, never a rescan of accumulated data.
+        val k = 64
+        val ord = T(s, dir).orders
+          .select(col("o_orderkey"), col("o_orderstatus").as("grp"),
+            col("o_custkey"))
+        def deltaOf(half: org.apache.spark.sql.DataFrame) =
+          graft.operators.IncrementalAgg
+            .kmvDelta(half, "grp", "o_custkey", k)
+        val d1 = deltaOf(ord.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+        val d2 = deltaOf(ord.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+        val s0 = d1.select(col("grp"), col("dkmv").as("kmv")).limit(0)
+        val s1 = graft.operators.IncrementalAgg.mergeKmv(s0, d1, "grp", k)
+        val s2 = graft.operators.IncrementalAgg.mergeKmv(s1, d2, "grp", k)
+        s2.select(col("grp"),
+          size(col("kmv")).as("n_seen"),
+          when(size(col("kmv")) >= k, element_at(col("kmv"), k))
+            .as("kth_min"),
+          expr("aggregate(kmv, 0L, (a, x) -> a ^ x)").as("xor_check"),
+          graft.operators.IncrementalAgg.kmvEstimate(col("kmv"), k)
+            .as("est"))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT DISTINCT o_orderstatus AS grp,
+                 ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                   ::UBIGINT::BIGINT AS hv
+          FROM orders),
+        bk AS (
+          SELECT grp, hv FROM (
+            SELECT grp, hv,
+                   row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+            FROM h) WHERE rn <= 64)
+        SELECT grp, CAST(count(*) AS INT) AS n_seen,
+               CASE WHEN count(*) >= 64 THEN max(hv) END AS kth_min,
+               bit_xor(hv) AS xor_check,
+               CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 /
+                         CAST(max(hv) AS DOUBLE) END AS est
+        FROM bk GROUP BY grp"""),
+      doc = "Maintained distinct-count view: KMV bottom-k state " +
+        "folded batch-at-a-time; oracle recomputes from scratch — " +
+        "hash-green proves the incremental fold lossless."))
 }

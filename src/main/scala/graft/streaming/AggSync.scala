@@ -73,4 +73,63 @@ object AggSync {
     TableSync.readCurrent(spark, path)
       .filter(col("n") > 0L)
       .drop("ver")
+
+  // ------------------------------------------------------------------
+  // Maintained DISTINCT-count view — q50's KMV bottom-k sketch as the
+  // per-key state. count/sum above are trivially additive; distinct
+  // count is the textbook NON-additive aggregate, and the bottom-k
+  // set is its textbook mergeable state: bottom-k(A ∪ B) =
+  // bottom-k(bottom-k(A) ∪ bottom-k(B)), so the fold is lossless —
+  // the maintained sketch is bit-identical to a from-scratch pass
+  // (c33's oracle proves exactly this). State is <= k int64s per key,
+  // per-batch cost O(|delta| + touched buckets); KMV is INSERT-ONLY
+  // (sketches cannot retract), unlike the count/sum fold above.
+  // ------------------------------------------------------------------
+
+  /** Start a maintained distinct-count-per-key sink: the view tracks
+    * approx_count_distinct(`valCol`) per `keyCol`, exact below `k`.
+    */
+  def kmvDistinctSink(events: DataFrame, path: String, keyCol: String,
+      valCol: String, checkpoint: String, k: Int = 64): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyKmvDelta(batch, path, keyCol, valCol, batchId, k)
+      }
+      .start()
+
+  /** One KMV fold step; also the batch/backfill entry. Replay-safe
+    * the same way [[applyDelta]] is: the manifest batch id is the
+    * commit point.
+    */
+  def applyKmvDelta(batch: DataFrame, path: String, keyCol: String,
+      valCol: String, batchId: Long, k: Int = 64): Unit = {
+    val applied = TableSync.versions(batch.sparkSession, path)
+    if (applied.exists(_ >= batchId)) return // replayed after commit
+    val delta = IncrementalAgg.kmvDelta(batch, keyCol, valCol, k)
+    val state =
+      if (applied.isEmpty)
+        delta.select(col(keyCol), col("dkmv").as("kmv")).limit(0)
+      else
+        TableSync.readCurrentForKeys(
+            batch.sparkSession, path, delta.select(col(keyCol)), keyCol)
+          .join(delta.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .select(col(keyCol), col("kmv"))
+    val merged = IncrementalAgg.mergeKmv(state, delta, keyCol, k)
+    TableSync.applyBatch(merged.withColumn("ver", lit(batchId)),
+      path, keyCol, "ver", batchId)
+  }
+
+  /** The live distinct-count view: (key, n_seen, kth_min, est) —
+    * `est` exact while the sketch is unsaturated, the (k-1)*2^60/
+    * kth_min estimator past it.
+    */
+  def readDistinctView(spark: SparkSession, path: String,
+      k: Int = 64): DataFrame =
+    TableSync.readCurrent(spark, path)
+      .select(col("*"), size(col("kmv")).as("n_seen"))
+      .withColumn("kth_min",
+        when(col("n_seen") >= k, element_at(col("kmv"), k)))
+      .withColumn("est", IncrementalAgg.kmvEstimate(col("kmv"), k))
+      .drop("ver", "kmv")
 }

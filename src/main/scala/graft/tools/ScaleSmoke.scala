@@ -111,6 +111,38 @@ object ScaleSmoke {
     timed("span_dedup") {
       Dedup.spanDups(big, "text", "doc_id").count()
     }
+    // containment (excerpt) dedup on the flood: the operator's PPJoin
+    // prefix filter is claimed to cut per-shingle join cost from
+    // df(g)^2 to df_prefix(g)*df(g). Measure the claim EXACTLY, not
+    // by running the naive join (on a k-way flood with a shared
+    // synthetic vocabulary the naive candidate multiset is near
+    // all-pairs — it stops being runnable precisely when the filter
+    // starts mattering): both joins' candidate multiset sizes derive
+    // in closed form from the df / prefix histograms — naive =
+    // sum_g df(g)*(df(g)-1) ordered co-occurrences; prefix =
+    // sum_g pf(g)*(df(g)-1) (each prefix posting meets every other
+    // posting of g except itself). Output equality of the two shapes
+    // is spec-pinned on fixture data (DedupSpec); here the ladder
+    // records the measured operator time and the exact ratio —
+    // done-bar: candidate growth tracks df_prefix, not df^2.
+    timed("containment_pairs") {
+      Dedup.containmentPairs(big, "text", "doc_id").count()
+    }
+    locally {
+      val sh = Dedup.containmentShingles(big, "text", "doc_id", 3)
+      val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+      val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val pfreq = Dedup.containmentPrefix(sh, 8, 10)
+        .groupBy(col("g")).agg(count(lit(1)).as("pf"))
+      val r = dfreq.join(pfreq, Seq("g"), "left")
+        .agg(sum(col("df") * (col("df") - 1)).as("naive"),
+          sum(coalesce(col("pf"), lit(0L)) * (col("df") - 1))
+            .as("pruned"))
+        .first()
+      val (naive, pruned) = (r.getLong(0), r.getLong(1))
+      println(f"[smoke] containment_cands     naive=$naive%14d  " +
+        f"prefix=$pruned%13d  ratio=${pruned.toDouble / naive}%.5f")
+    }
     timed("cms_heavy_hitters") {
       import org.apache.spark.sql.graft.expressions.cms_estimate
       val toks = big.select(
@@ -388,6 +420,32 @@ object ScaleSmoke {
       println(f"[smoke] tsync_amplification   v0=$b0%d bytes  " +
         f"v1=$b1%d bytes  ratio=${b1.toDouble / b0}%.4f " +
         "(<= ~10/256 + parquet floor)")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+
+    // AggSync maintained DISTINCT view (KMV state): batch 0 seeds the
+    // full replica corpus into a per-source-bucket sketch table, then
+    // a 10-key batch folds in. The claim under test is O(|delta| +
+    // touched buckets) per batch: batch-1 wall-clock and rewritten
+    // bytes must stay flat as k grows (state is <= 64 longs per key
+    // REGARDLESS of accumulated volume — the sketch's whole point).
+    locally {
+      val dir = java.nio.file.Files
+        .createTempDirectory("smoke_aggsync").toString
+      val ev = big.select(
+        pmod(col("doc_id"), lit(1000)).cast("string").as("key"),
+        col("doc_id").as("v"))
+      timed("aggsync_kmv_seed") {
+        graft.streaming.AggSync.applyKmvDelta(
+          ev, dir, "key", "v", batchId = 0L)
+        n
+      }
+      val delta = ev.filter(col("key").cast("long") < 10)
+      timed("aggsync_kmv_batch1") {
+        graft.streaming.AggSync.applyKmvDelta(
+          delta, dir, "key", "v", batchId = 1L)
+        delta.count()
+      }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
 

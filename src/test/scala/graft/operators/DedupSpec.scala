@@ -430,6 +430,35 @@ class DedupSpec extends AnyFunSuite {
       s"planted $nPlanted excerpts, only $pairs paired with sources")
   }
 
+  test("containmentPairs: prefix filter is EXACT — output identical " +
+    "to the naive inverted-index join") {
+    // the df_prefix(g)*df(g) cut is a pigeonhole argument, not a
+    // heuristic: on the fixture corpus + planted excerpts + k-way
+    // floods, the filtered and naive candidate joins must verify to
+    // the SAME pair set (ScaleSmoke's ladder then measures the cost
+    // ratio the filter buys on exactly this operator code)
+    val fixture = graft.Engine
+      .Tables(spark, "/root/testdata/sf0.001").documents
+      .withColumn("ts", filter(split(col("text"), " "), x => x =!= ""))
+    val planted = fixture.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        array_join(expr(
+          "slice(ts, 1, greatest(1, (size(ts)*2) div 5))"), " ")
+          .as("text"))
+    val flood = fixture.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text"))
+    val all = fixture.select(col("doc_id"), col("text"))
+      .unionByName(planted).unionByName(flood)
+    val cols = Seq("small_id", "big_id", "n_common", "n_small")
+    val fast = Dedup.containmentPairs(all, "text", "doc_id")
+      .select(cols.map(col): _*)
+    val naive = Dedup.containmentPairs(all, "text", "doc_id",
+      prefixFilter = false).select(cols.map(col): _*)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+      "prefix-filtered output diverged from the naive join")
+    assert(fast.count() > 0, "vacuous equality: no pairs at all")
+  }
+
   test("jaroLinkage: canonicalized form equals the naive blocked join on a flood") {
     import org.apache.spark.sql.graft.expressions.jaro_winkler
     // planted flood: two near-dup titles x3 exact copies each, one

@@ -849,4 +849,87 @@ class StreamingSpec extends AnyFunSuite {
       "a" -> ((2L, "5.00")),
       "b" -> ((1L, "2.00"))), s"replay double-counted: $view")
   }
+
+  test("AggSync view schema is a fixed point of the fold (no decimal " +
+    "widening batch-over-batch)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("aggsync-s").toString
+    val expected = org.apache.spark.sql.types.DecimalType(22, 2)
+    (0 until 4).foreach { i =>
+      AggSync.applyDelta(Seq(("a", 1.0 + i), ("b", 2.0)).toDF("k", "v"),
+        path, "k", "v", batchId = i.toLong)
+      val t = AggSync.readView(spark, path).schema("tot").dataType
+      // without the merge-side cast each fold widens precision by one
+      // (22,2 -> 23,2 -> 24,2 ...): snapshots would carry a moving
+      // schema and unionByName-reading consumers a moving target
+      assert(t == expected, s"after batch $i: tot drifted to $t")
+    }
+  }
+
+  test("AggSync maintained KMV distinct view equals the from-scratch " +
+    "sketch across micro-batches, exact below k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("aggsync-kmv-t").toString
+    val ckpt = Files.createTempDirectory("aggsync-kmv-c").toString
+    val k = 8
+    val mem = MemoryStream[(String, Long)]
+    val events = mem.toDF().toDF("key", "v")
+    val q = AggSync.kmvDistinctSink(events, path, "key", "v", ckpt, k)
+    try {
+      // key "big" sees 40 distinct values across 3 batches (saturates
+      // k=8 -> estimator path); "small" sees 3 with heavy repeats
+      // (stays exact); "late" is born in batch 3 (state full-outer)
+      mem.addData((0 until 15).map(i => ("big", i.toLong)) :+
+        (("small", 1L)): _*)
+      q.processAllAvailable()
+      mem.addData((10 until 30).map(i => ("big", i.toLong)) ++
+        Seq(("small", 2L), ("small", 1L)): _*)
+      q.processAllAvailable()
+      mem.addData((25 until 40).map(i => ("big", i.toLong)) ++
+        Seq(("small", 3L), ("late", 9L)): _*)
+      q.processAllAvailable()
+      val view = AggSync.readDistinctView(spark, path, k)
+        .select(col("key"), col("n_seen"), col("est")).collect()
+        .map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2))))
+        .toMap
+      // from-scratch truth: bottom-k over ALL data per key (the union
+      // property under test — fold of per-batch bottom-k must equal it)
+      val scratch = ((0 until 40).map(i => ("big", i.toLong)) ++
+        Seq(("small", 1L), ("small", 2L), ("small", 3L), ("late", 9L)))
+        .toDF("key", "v")
+      val truth = graft.operators.IncrementalAgg
+        .kmvDelta(scratch, "key", "v", k)
+        .select(col("key"), size(col("dkmv")).as("n_seen"),
+          graft.operators.IncrementalAgg
+            .kmvEstimate(col("dkmv"), k).as("est"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2))))
+        .toMap
+      assert(view == truth, s"maintained sketch diverged: " +
+        s"view=$view truth=$truth")
+      assert(view("small") == ((3, 3.0)), "unsaturated key must be exact")
+      assert(view("big")._1 == k, "saturated key must hold exactly k")
+    } finally q.stop()
+  }
+
+  test("AggSync KMV replay of a committed batch is a no-op") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("aggsync-kmv-r").toString
+    val k = 4
+    val b0 = Seq(("a", 1L), ("a", 2L), ("b", 7L)).toDF("key", "v")
+    val b1 = Seq(("a", 3L)).toDF("key", "v")
+    AggSync.applyKmvDelta(b0, path, "key", "v", batchId = 0L, k)
+    AggSync.applyKmvDelta(b1, path, "key", "v", batchId = 1L, k)
+    val before = AggSync.readDistinctView(spark, path, k)
+      .select(col("key"), col("n_seen"), col("est")).collect().toSet
+    // crash-after-swap replay must not re-fold (KMV re-folding is
+    // idempotent on identical input, but the guard is the contract)
+    AggSync.applyKmvDelta(b1, path, "key", "v", batchId = 1L, k)
+    val after = AggSync.readDistinctView(spark, path, k)
+      .select(col("key"), col("n_seen"), col("est")).collect().toSet
+    assert(after == before && before.map(_.getString(0)) == Set("a", "b"))
+    assert(graft.streaming.TableSync.versions(spark, path) ==
+      Seq(0L, 1L), "replay must not write a new version")
+  }
 }
