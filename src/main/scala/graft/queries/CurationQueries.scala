@@ -1287,10 +1287,12 @@ object CurationQueries {
         // (bucket offsets broadcast, per-doc window partitions by
         // bucket); the only addition is one doc_id-keyed join of the
         // map-only tokenize output against the quality buckets.
-        // Iterative merge application is not SQL-expressible ->
-        // rows-only; CurationRulesSpec pins selection parity vs c20
-        // on a planted corpus where BPE and whitespace pricing agree,
-        // and divergence where they don't.
+        // HASH-CHECKED via oracleGen: the trained merges inline as
+        // literals and DuckDB replays the greedy apply with
+        // OracleSql.bpeApplyCtes (t16's replay) feeding c20's fill
+        // SQL. CurationRulesSpec additionally pins selection parity
+        // vs c20 on a planted corpus where BPE and whitespace
+        // pricing agree, and divergence where they don't.
         import org.apache.spark.sql.expressions.Window
         val merges = graft.operators.Bpe
           .learnMerges(docs(s, dir), "text", numMerges = 20)
@@ -1320,9 +1322,33 @@ object CurationQueries {
           .select(col("doc_id"), col("bucket"), col("n_tokens"))
       },
       oracle = None,
+      oracleGen = Some { (s, dir) =>
+        val merges = OracleSql.bpeTrainedMerges(s, docs(s, dir), 20)
+        s"""WITH RECURSIVE $qualityCte,
+        ${OracleSql.bpeApplyCtes(merges)},
+        t AS (
+          SELECT s.doc_id, b.n_bpe_tokens AS n_tokens,
+                 CAST(floor(s.quality * 100) AS BIGINT) AS bucket
+          FROM scored s JOIN bpedoc b ON s.doc_id = b.doc_id),
+        b AS (SELECT bucket, sum(n_tokens) AS btoks FROM t GROUP BY 1),
+        o AS (SELECT bucket,
+                     coalesce(sum(btoks) OVER (ORDER BY bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start
+              FROM b),
+        tot AS (SELECT sum(n_tokens) AS total FROM t),
+        sel AS (SELECT t.doc_id, t.bucket, t.n_tokens, o.start,
+                       sum(t.n_tokens) OVER (PARTITION BY t.bucket
+                         ORDER BY t.doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum
+                FROM t JOIN o USING (bucket))
+        SELECT doc_id, bucket, n_tokens
+        FROM sel, tot WHERE start + cum <= total // 2"""
+      },
       doc = "Greedy token-budget fill priced in BPE subwords from the " +
-        "corpus-induced tokenizer (rows-only; spec pins parity and " +
-        "divergence vs whitespace pricing)."),
+        "corpus-induced tokenizer — hash-checked (frozen-merge " +
+        "recursive-CTE apply replay feeding c20's fill)."),
 
     // ------------------------------------------------------------------
     "c30_curriculum" -> QueryDef(

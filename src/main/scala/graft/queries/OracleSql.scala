@@ -173,4 +173,95 @@ private[queries] object OracleSql {
           WHERE a.did <> b.did),
         ${p}_cross AS (
           SELECT * FROM ${p}_ver UNION ALL SELECT * FROM ${p}_fp)"""
+
+  /** Recursive-CTE replay of Bpe.tokenize — the greedy-by-rank BPE
+    * apply — with a FROZEN merge list inlined as literals (oracleGen
+    * supplies the corpus-trained merges at Verify-dump time, the
+    * trained-model-literal discipline of the IVF/PQ oracles).
+    *
+    * Encoding: a word's symbol sequence renders as ONE string with
+    * every symbol wrapped in chr(30) separators ("␞s1␞␞s2␞…"), so
+    * "merge all non-overlapping occurrences of pair (l,r)
+    * left-to-right" — the operator's inner loop — is a plain
+    * substring replace of ␞l␞␞r␞ with ␞lr␞ (replace() scans
+    * left-to-right and resumes after each replacement, exactly the
+    * k += 2 sweep). Rank selection is a CASE chain in rank order, so
+    * the first matching WHEN is the minimum — Bpe.segment's
+    * bestRank. The recursion steps while any learned pair is
+    * present; termination is structural (every merge strictly
+    * shrinks the string). Callers MUST verify chr(30) never occurs
+    * in the corpus (the generators do, loudly) — symbols can then
+    * never contain the separator and pattern matches align exactly
+    * with symbol boundaries.
+    *
+    * Emits CTEs (the enclosing WITH must say RECURSIVE): `bpewords`
+    * (distinct corpus words — segmentation runs once per word, the
+    * oracle's mirror of the operator's per-partition memoization),
+    * `bpeseg`, `bpedoc` (doc_id -> n_bpe_tokens, zero for wordless
+    * docs).
+    */
+  def bpeApplyCtes(merges: Seq[(String, String)],
+      docRel: String = "documents"): String = {
+    def q(x: String) = "'" + x.replace("'", "''") + "'"
+    val rs = "chr(30)"
+    def pat(l: String, r: String) =
+      s"$rs||${q(l)}||$rs||$rs||${q(r)}||$rs"
+    val br = merges.zipWithIndex.map { case ((l, r), i) =>
+      s"WHEN contains(s, ${pat(l, r)}) THEN ${i + 1}"
+    }.mkString("CASE ", " ", " END")
+    val step = merges.zipWithIndex.map { case ((l, r), i) =>
+      s"WHEN ${i + 1} THEN replace(s, ${pat(l, r)}, " +
+        s"$rs||${q(l + r)}||$rs)"
+    }.mkString("CASE br ", " ", " END")
+    val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+    val docWords = s"list_filter(string_split($norm, ' '), x -> x != '')"
+    s"""bpewords AS (
+          SELECT DISTINCT w FROM (
+            SELECT unnest($docWords) AS w FROM $docRel)),
+        bpeseg AS (
+          SELECT w,
+                 $rs || array_to_string(
+                   list_append(regexp_extract_all(w, '.'), '</w>'),
+                   $rs||$rs) || $rs AS s
+          FROM bpewords
+          UNION ALL
+          SELECT w, $step AS s
+          FROM (SELECT w, s, $br AS br FROM bpeseg)
+          WHERE br IS NOT NULL),
+        bpefin AS (
+          SELECT w, (length(s) - length(replace(s, chr(30), ''))) // 2
+                   AS n_sub
+          FROM (SELECT w, s, $br AS br FROM bpeseg)
+          WHERE br IS NULL),
+        bpedoc AS (
+          SELECT d.doc_id,
+                 CAST(coalesce(sum(t.n_sub), 0) AS BIGINT)
+                   AS n_bpe_tokens
+          FROM $docRel d
+          LEFT JOIN (
+            SELECT dt.doc_id, f.n_sub
+            FROM (SELECT doc_id, unnest($docWords) AS w FROM $docRel) dt
+            JOIN bpefin f USING (w)) t
+            ON d.doc_id = t.doc_id
+          GROUP BY d.doc_id)"""
+  }
+
+  /** Shared oracleGen preamble for the BPE-apply replays: re-derive
+    * the frozen merge list (learnMerges is deterministic — one
+    * bounded histogram with a total-order cut, then an exact greedy
+    * loop) and verify the chr(30) separator never occurs in the
+    * corpus, failing the generator loudly if it does (the query then
+    * stays rows-only rather than risking a misaligned replay).
+    */
+  def bpeTrainedMerges(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      numMerges: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.col
+    val sep = docs.filter(col("text").contains("\u001e")).count()
+    require(sep == 0,
+      s"bpe oracle: corpus contains chr(30) separator in $sep docs")
+    graft.operators.Bpe.learnMerges(docs, "text", numMerges)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
 }

@@ -606,9 +606,13 @@ object TextQueries {
         // (t15), then segment every doc and report its subword
         // count — the number that actually prices a doc against a
         // token budget. The merge table rides the closure; the
-        // tokenize pass is map-only. Iterative merge application is
-        // not SQL-expressible -> rows-only; BpeSpec pins exact
-        // segmentations.
+        // tokenize pass is map-only. HASH-CHECKED via oracleGen: the
+        // trained merges are deterministic plan-time constants, so
+        // the generator inlines them as literals and DuckDB replays
+        // the greedy-by-rank apply itself with a recursive CTE
+        // (OracleSql.bpeApplyCtes) — the LEARNING loop stays
+        // SQL-inexpressible (t15), but the apply half it feeds is
+        // fully driver-checkable, the q49/q50 twin discipline.
         val merges = graft.operators.Bpe
           .learnMerges(docs(s, dir), "text", numMerges = 20)
           .collect().sortBy(_.getInt(0))
@@ -617,8 +621,15 @@ object TextQueries {
           .select(col("doc_id"), col("n_bpe_tokens"))
       },
       oracle = None,
+      oracleGen = Some { (s, dir) =>
+        val merges = OracleSql.bpeTrainedMerges(s, docs(s, dir), 20)
+        s"""WITH RECURSIVE
+        ${OracleSql.bpeApplyCtes(merges)}
+        SELECT doc_id, n_bpe_tokens FROM bpedoc"""
+      },
       doc = "BPE tokenization with corpus-induced merges: per-doc " +
-        "subword counts (map-only apply; rows-only)."),
+        "subword counts — hash-checked (frozen-merge recursive-CTE " +
+        "replay of the greedy apply)."),
 
     // ------------------------------------------------------------------
     "t17_tfidf_keywords" -> QueryDef(

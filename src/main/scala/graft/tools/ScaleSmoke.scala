@@ -15,12 +15,17 @@ import graft.operators.Dedup
   * scale — saturated buckets and duplicate floods — and prints
   * wall-clock per stage so growth can be checked against k.
   *
-  * `sbt "runMain graft.tools.ScaleSmoke [sfDir] [k]"`.
+  * `sbt "runMain graft.tools.ScaleSmoke [sfDir] [k] [stageFilter]"` —
+  * the optional third arg runs only stages whose label contains it
+  * (dev iteration on one ladder without paying for the whole suite;
+  * pick a prefix that covers a block's dependent stages, e.g.
+  * "tsync" or "aggsync").
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val only = args.lift(2)
     val spark = Engine.session(appName = "graft-scale-smoke")
 
     val base = Engine.Tables(spark, sfDir).documents
@@ -34,6 +39,7 @@ object ScaleSmoke {
     val n = big.count()
 
     def timed(label: String)(body: => Long): Unit = {
+      if (!only.forall(label.contains(_))) return
       val t0 = System.nanoTime()
       val rows = body
       println(f"[smoke] $label%-22s rows=$rows%10d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -128,7 +134,7 @@ object ScaleSmoke {
     timed("containment_pairs") {
       Dedup.containmentPairs(big, "text", "doc_id").count()
     }
-    locally {
+    if (only.forall("containment_cands".contains(_))) locally {
       val sh = Dedup.containmentShingles(big, "text", "doc_id", 3)
       val inv = sh.select(col("id"), explode(col("sh")).as("g"))
       val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
