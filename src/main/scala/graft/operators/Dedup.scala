@@ -114,13 +114,33 @@ object Dedup {
     * EVERY shared shingle is corpus-frequent), or feed LSH candidates
     * (d03's) into the same verify kernel. The verify join carries ids
     * + shingle arrays for candidate pairs only.
+    *
+    * Canonicalize-first (the repo-wide flood discipline): exact-dup
+    * replicas share a normText fingerprint, so the signature/prefix/
+    * verify machinery runs once per DISTINCT content and membership
+    * expands afterward — a k-way boilerplate flood pays the candidate
+    * join ONCE, not k^2 times (the 20x replica ladder measured the
+    * per-member form at 393 s where the canonical form's kernel is
+    * k-invariant; only the — by definition k^2 — pair OUTPUT grows).
+    * Within-group pairs are mutual full containments (n_common =
+    * n_small = the group's shingle count); cross-group pairs inherit
+    * the rep pair's counts because members share their rep's shingle
+    * set exactly.
     */
   def containmentPairs(
       df: DataFrame, textCol: String, idCol: String,
       thresholdNum: Int = 8, thresholdDen: Int = 10,
       shingleSize: Int = 3, prefixFilter: Boolean = true): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val members = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+      .withColumn("fp", TextFunctions.fingerprint(col("txt")))
+      .withColumn("rep", min(col("id")).over(w))
+      .localCheckpoint()
+    val reps = members.filter(col("id") === col("rep"))
+      .select(col("id"), col("txt"))
     // one shingle scan feeds the inverted index AND both verify sides
-    val sh = containmentShingles(df, textCol, idCol, shingleSize)
+    val sh = containmentShingles(reps, "txt", "id", shingleSize)
     val inv = sh.select(col("id"), explode(col("sh")).as("g"))
     // `prefixFilter = false` is the naive inverted-index join — every
     // co-shingled pair becomes a candidate. Kept (and spec-proven
@@ -135,28 +155,50 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
-    cand
+    // rep-level qualifying pairs, counts kept for BOTH sides (member
+    // orientation needs them when the counts tie)
+    val repPairs = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")),
         Seq("id_b"))
-      .withColumn("n_common",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("n_a", size(col("sh_a")).cast("long"))
-      .withColumn("n_b", size(col("sh_b")).cast("long"))
-      // id_a < id_b by construction, so <= ties the small side to the
-      // smaller id
-      .withColumn("small_is_a", col("n_a") <= col("n_b"))
-      .select(
-        when(col("small_is_a"), col("id_a")).otherwise(col("id_b"))
-          .as("small_id"),
-        when(col("small_is_a"), col("id_b")).otherwise(col("id_a"))
-          .as("big_id"),
-        col("n_common"),
-        when(col("small_is_a"), col("n_a")).otherwise(col("n_b"))
-          .as("n_small"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_common"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
       .filter(col("n_common") * thresholdDen >=
-        lit(thresholdNum.toLong) * col("n_small"))
+        lit(thresholdNum.toLong) * least(col("n_a"), col("n_b")))
+    val mem = members.select(col("id"), col("rep"))
+    // cross-group expansion: every member of A against every member
+    // of B, oriented by the reps' shingle counts (ties -> smaller id,
+    // the same rule the rep-level select used)
+    val cross = repPairs
+      .join(mem.select(col("rep").as("id_a"), col("id").as("ma")),
+        Seq("id_a"))
+      .join(mem.select(col("rep").as("id_b"), col("id").as("mb")),
+        Seq("id_b"))
+      .select(
+        when(col("n_a") < col("n_b"), col("ma"))
+          .when(col("n_b") < col("n_a"), col("mb"))
+          .otherwise(least(col("ma"), col("mb"))).as("small_id"),
+        when(col("n_a") < col("n_b"), col("mb"))
+          .when(col("n_b") < col("n_a"), col("ma"))
+          .otherwise(greatest(col("ma"), col("mb"))).as("big_id"),
+        col("n_common"),
+        least(col("n_a"), col("n_b")).as("n_small"))
+    // within-group expansion: mutual full containment at the group's
+    // shingle count (groups whose shingle set is empty never pair —
+    // the same size > 0 rule the scan applies)
+    val within = mem
+      .join(sh.select(col("id").as("rep"), size(col("sh")).cast("long")
+        .as("nsh")), Seq("rep"))
+      .as("x")
+      .join(mem.as("y"), col("x.rep") === col("y.rep") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("small_id"), col("y.id").as("big_id"),
+        col("x.nsh").as("n_common"), col("x.nsh").as("n_small"))
+    cross.unionByName(within)
   }
 
   /** The distinct-shingle scan [[containmentPairs]] builds everything

@@ -117,25 +117,36 @@ object ScaleSmoke {
     timed("span_dedup") {
       Dedup.spanDups(big, "text", "doc_id").count()
     }
-    // containment (excerpt) dedup on the flood: the operator's PPJoin
-    // prefix filter is claimed to cut per-shingle join cost from
-    // df(g)^2 to df_prefix(g)*df(g). Measure the claim EXACTLY, not
-    // by running the naive join (on a k-way flood with a shared
-    // synthetic vocabulary the naive candidate multiset is near
-    // all-pairs — it stops being runnable precisely when the filter
-    // starts mattering): both joins' candidate multiset sizes derive
-    // in closed form from the df / prefix histograms — naive =
+    // containment (excerpt) dedup on the flood. Two claims under
+    // test, measured separately. (1) Canonicalize-first makes the
+    // candidate/verify KERNEL k-invariant: the flood's replicas
+    // collapse to their fingerprint reps before any signature work,
+    // so the measured stage must grow only with the (by definition
+    // k^2) pair OUTPUT — the pre-canonicalization form measured
+    // 393 s at k=20 where the canonical form's kernel is the 1x
+    // cost. (2) The PPJoin prefix filter cuts the rep-level
+    // candidate multiset from df(g)^2 to df_prefix(g)*df(g); both
+    // sizes derive in closed form from the df / prefix histograms
+    // over the SAME rep relation the operator indexes — naive =
     // sum_g df(g)*(df(g)-1) ordered co-occurrences; prefix =
     // sum_g pf(g)*(df(g)-1) (each prefix posting meets every other
-    // posting of g except itself). Output equality of the two shapes
-    // is spec-pinned on fixture data (DedupSpec); here the ladder
-    // records the measured operator time and the exact ratio —
-    // done-bar: candidate growth tracks df_prefix, not df^2.
+    // posting of g except itself) — so the naive join never has to
+    // run to be priced (on a shared-vocabulary corpus it stops
+    // being runnable precisely when the filter starts mattering).
+    // Output equality of the filtered and naive shapes is
+    // spec-pinned on fixture data (DedupSpec).
     timed("containment_pairs") {
       Dedup.containmentPairs(big, "text", "doc_id").count()
     }
     if (only.forall("containment_cands".contains(_))) locally {
-      val sh = Dedup.containmentShingles(big, "text", "doc_id", 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp"))
+      val reps = big
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+        .withColumn("rep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("text"))
+      val sh = Dedup.containmentShingles(reps, "text", "doc_id", 3)
       val inv = sh.select(col("id"), explode(col("sh")).as("g"))
       val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
       val pfreq = Dedup.containmentPrefix(sh, 8, 10)
