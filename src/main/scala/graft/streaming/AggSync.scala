@@ -48,9 +48,17 @@ object AggSync {
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, path)
     if (applied.exists(_ >= batchId)) return // replayed after commit
+    // The delta aggregate is <= |batch keys| rows but its lineage is
+    // the whole batch scan, and FOUR downstream actions replay it
+    // (touched-bucket collects, the state semi-join, the snapshot
+    // write). Materialize once — the fold then reads the batch
+    // exactly once, which is the O(|delta| + touched buckets)
+    // contract (ladder-measured: the 10-key batch-1 fold read SLOWER
+    // than the full seed before this).
     val delta = batch.groupBy(col(keyCol))
       .agg(count(lit(1)).as("dn"),
         sum(col(valCol).cast("decimal(12,2)")).as("ds"))
+      .localCheckpoint()
     val state =
       if (applied.isEmpty)
         delta.select(col(keyCol), col("dn").as("n"), col("ds").as("tot"))
@@ -106,7 +114,10 @@ object AggSync {
       valCol: String, batchId: Long, k: Int = 64): Unit = {
     val applied = TableSync.versions(batch.sparkSession, path)
     if (applied.exists(_ >= batchId)) return // replayed after commit
+    // <= |batch keys| * k longs; materialized once for the same
+    // four-consumer reason as applyDelta's delta
     val delta = IncrementalAgg.kmvDelta(batch, keyCol, valCol, k)
+      .localCheckpoint()
     val state =
       if (applied.isEmpty)
         delta.select(col(keyCol), col("dkmv").as("kmv")).limit(0)

@@ -457,7 +457,13 @@ object ScaleSmoke {
           ev, dir, "key", "v", batchId = 0L)
         n
       }
-      val delta = ev.filter(col("key").cast("long") < 10)
+      // the micro-batch is constructed delta-sized (a real stream
+      // hands the fold ONLY the batch): 1000 rows over 10 keys,
+      // independent of k — so this stage must stay FLAT as the
+      // accumulated view above it grows with the ladder
+      val delta = spark.range(0, 1000).select(
+        pmod(col("id"), lit(10)).cast("string").as("key"),
+        (col("id") * 7919L).as("v"))
       timed("aggsync_kmv_batch1") {
         graft.streaming.AggSync.applyKmvDelta(
           delta, dir, "key", "v", batchId = 1L)
