@@ -337,6 +337,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("c33 KMV view: both delta folds plan WindowGroupLimit cuts") {
+    val p = plan("c33_kmv_distinct_view")
+    // kmvDelta's rank<=k filter must prune each batch's distinct-hash
+    // stream to k rows per partition BEFORE the window sort, in BOTH
+    // folds — the per-batch cost bound the maintained view rests on.
+    // Each pruned window prints a Partial + Final WindowGroupLimit
+    // pair, so two folds print four.
+    val n = "WindowGroupLimit".r.findAllIn(p).length
+    assert(n >= 4, s"expected 2 WindowGroupLimit pairs (one per " +
+      s"fold), got $n:\n$p")
+  }
+
   test("c31 incremental agg: base table is scanned exactly once") {
     val p = plan("c31_incremental_agg")
     // state seed reads orders once; the delta side reuses the same
