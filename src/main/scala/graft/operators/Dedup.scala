@@ -269,6 +269,51 @@ object Dedup {
     df.select(col(idCol).as("id"), sig.as("sig"))
   }
 
+  /** Md5-family signatures via a DISTINCT-hash permutation table —
+    * the scale shape for the portable family. The per-column HOF form
+    * ([[MinHashFamily.Md5.signature]]) pays one md5 per (shingle
+    * OCCURRENCE, permutation): corpus-linear in string hashing, and
+    * 24-128x that if the caller forgets to materialize the shingle
+    * scan (the bench's reference detector caught exactly this: c19 at
+    * 9.6 s vs 2.1 s committed). P(h, i) depends only on (h, i), so
+    * this computes each permutation ONCE per distinct shingle hash —
+    * a vocabulary-bounded table — joins it to the exploded postings,
+    * and folds element-wise minima per key with the MinHashUnion
+    * monoid aggregator (a doc-level signature IS the union of its
+    * shingles' permutation vectors; map-side combinable). Two
+    * shuffles replace tens of millions of md5 calls; the Xx family
+    * keeps its map-only native expressions.
+    *
+    * `hashed` carries (`key`, `shset`) and MUST be materialized by
+    * the caller (it is consumed twice: permute-table derivation and
+    * the postings join). Returns (`key`, sig) for keys with at least
+    * one shingle; callers needing null-sig rows left-join it back.
+    *
+    * The fold is `numHashes` plain `min` aggregates (whole-stage
+    * codegen, map-side partial agg — the postings never reach the
+    * shuffle unreduced) rather than the MinHashUnion UDAF: identical
+    * monoid math, but a typed Aggregator pays per-row encoder trips
+    * that dominate at posting granularity (measured 3x on d10).
+    * MinHashUnion stays the right tool one level up, where rows are
+    * already signatures (d08's doc -> source fold).
+    */
+  private[graft] def md5Signatures(
+      hashed: DataFrame, key: String, numHashes: Int): DataFrame = {
+    import graft.functions.PortableHash
+    val ex = hashed.select(col(key), explode(col("shset")).as("h"))
+    val perms = ex.select(col("h")).distinct()
+      .select(col("h"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => PortableHash.permute60(col("h"), i)).as("ps"))
+    val mins = (0 until numHashes)
+      .map(i => min(element_at(col("ps"), i + 1)).as(s"m$i"))
+    ex.join(perms, Seq("h"))
+      .groupBy(col(key))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(key),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   /** LSH banding: explode each signature into `bands` bucket keys;
     * docs sharing any (band, bucket) are candidates. r = sigLen/bands
     * rows per band controls the similarity S-curve.
@@ -382,15 +427,16 @@ object Dedup {
     val hashed = reps.select(col(idCol).as("id"),
       hasher.shingleHashes(col(textCol), shingleSize).as("shset"))
       .localCheckpoint()
-    val sigs0 = hashed.select(col("id"),
-      when(size(col("shset")) > 0,
-        hasher.signature(col("shset"), numHashes)).as("sig"))
-    // Md5's signature is a per-permutation HOF over the shingle
-    // hashes; lshBuckets' band slices would each inline (and
-    // re-evaluate) that tree — materialize once. Xx's native
-    // expression is cheap enough to recompute per band.
+    // Xx: map-only native signature expression, cheap enough to
+    // recompute per band slice. Md5: the distinct-hash permute-table
+    // form (one md5 per (distinct shingle, permutation), not per
+    // occurrence), materialized once for lshBuckets' band slices.
     val sigs =
-      if (hasher == MinHashFamily.Xx) sigs0 else sigs0.localCheckpoint()
+      if (hasher == MinHashFamily.Xx)
+        hashed.select(col("id"),
+          when(size(col("shset")) > 0,
+            hasher.signature(col("shset"), numHashes)).as("sig"))
+      else md5Signatures(hashed, "id", numHashes).localCheckpoint()
     val cands = candidatePairs(lshBuckets(sigs, bands, numHashes),
       maxBucketSize)
     val repPairs = cands
@@ -790,9 +836,20 @@ object Dedup {
       // dups are caught even for docs too short to shingle (null sig)
       TextFunctions.fingerprint(col(textCol)).as("fp"),
       hasher.shingleHashes(col(textCol), shingleSize).as("shset"))
-    hashed.select(col("id"), col("fp"), col("shset"),
-      when(size(col("shset")) > 0,
-        hasher.signature(col("shset"), numHashes)).as("sig"))
+    hasher match {
+      case MinHashFamily.Xx =>
+        hashed.select(col("id"), col("fp"), col("shset"),
+          when(size(col("shset")) > 0,
+            hasher.signature(col("shset"), numHashes)).as("sig"))
+      case MinHashFamily.Md5 =>
+        // distinct-hash permute table, not the per-occurrence HOF —
+        // and never the unmaterialized form, whose signature tree
+        // re-ran the shingle scan once per permutation
+        val m = hashed.localCheckpoint()
+        m.join(md5Signatures(m.select(col("id"), col("shset")),
+            "id", numHashes), Seq("id"), "left")
+          .select(col("id"), col("fp"), col("shset"), col("sig"))
+    }
   }
 
   /** Incremental near-dup detection — the daily-append path: verified

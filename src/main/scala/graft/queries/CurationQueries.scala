@@ -760,7 +760,7 @@ object CurationQueries {
         // generation -> rows-only; recall pinned by
         // CurationRulesSpec's planted leak.
         import graft.operators.Dedup
-        val d = docs(s, dir)
+        val d = Engine.widenIfNarrow(docs(s, dir))
         val toks = TextFunctions.tokens(col("text"))
         val evalSet = d.filter(col("doc_id") % 97 === 0)
           .select((col("doc_id") + lit(10000000L)).as("doc_id"),
