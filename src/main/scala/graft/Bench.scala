@@ -169,8 +169,15 @@ object Bench {
         else (name, t, math.min(p, p2))
       }
     }
+    // A query is flagged only when its NUMBER is suspect. A noisy
+    // probe next to a measurement that beats (or sits within noise
+    // of) the committed idle reference is a probe hiccup — the
+    // number cannot be load-inflated below the idle baseline.
+    // Queries without a reference (new this round) keep pure
+    // probe-based flagging.
     val flagged = results.collect {
-      case (name, t, p) if t >= 0 && (contaminated(p) || refSlow(name, t)) =>
+      case (name, t, p) if t >= 0 && (contaminated(p) || refSlow(name, t)) &&
+          !refTimes.get(name).exists(r => r > 0 && t <= r * 1.2) =>
         name
     }
     // 3-decimal (ms) precision: full-precision doubles made the r02
