@@ -99,6 +99,44 @@ object TarShards {
     out.toByteArray
   }
 
+  /** Parsed USTAR header: prefix-joined name, payload size, typeflag.
+    * Verifies the checksum, failing loudly with the caller-supplied
+    * offset for the message.
+    */
+  private def parseHeader(
+      h: Array[Byte], headerOff: Long): (String, Long, Byte) = {
+    var stored = 0
+    var i = 148
+    while (i < 156) {
+      val c = h(i) & 0xff
+      if (c >= '0' && c <= '7') stored = stored * 8 + (c - '0')
+      i += 1
+    }
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0
+    i = 0
+    while (i < BlockSize) { sum += h(i) & 0xff; i += 1 }
+    require(sum == stored,
+      s"tar header checksum mismatch at offset $headerOff " +
+        s"($sum != $stored)")
+    def field(off: Int, max: Int): String = {
+      var e = 0
+      while (e < max && h(off + e) != 0) e += 1
+      new String(h, off, e, "UTF-8")
+    }
+    val rawName = field(0, 100)
+    val prefix = field(345, 155)
+    val name = if (prefix.isEmpty) rawName else s"$prefix/$rawName"
+    var size = 0L
+    i = 124
+    while (i < 136) {
+      val c = h(i) & 0xff
+      if (c >= '0' && c <= '7') size = size * 8 + (c - '0')
+      i += 1
+    }
+    (name, size, h(156))
+  }
+
   /** Stream (name, bytes) members out of a USTAR archive,
     * header-by-header — per-step heap is ONE member. Tolerates a
     * truncated trailer (some writers skip the zero blocks) but fails
@@ -148,37 +186,8 @@ object TarShards {
           if (!readBlock(h) || h(0) == 0) { done = true; return }
           val headerOff = offset
           offset += BlockSize
-          var stored = 0
-          var i = 148
-          while (i < 156) {
-            val c = h(i) & 0xff
-            if (c >= '0' && c <= '7') stored = stored * 8 + (c - '0')
-            i += 1
-          }
-          java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-          var sum = 0
-          i = 0
-          while (i < BlockSize) { sum += h(i) & 0xff; i += 1 }
-          require(sum == stored,
-            s"tar header checksum mismatch at offset $headerOff " +
-              s"($sum != $stored)")
-          def field(off: Int, max: Int): String = {
-            var e = 0
-            while (e < max && h(off + e) != 0) e += 1
-            new String(h, off, e, "UTF-8")
-          }
-          val rawName = field(0, 100)
-          val prefix = field(345, 155)
-          val name = if (prefix.isEmpty) rawName else s"$prefix/$rawName"
-          var size = 0L
-          i = 124
-          while (i < 136) {
-            val c = h(i) & 0xff
-            if (c >= '0' && c <= '7') size = size * 8 + (c - '0')
-            i += 1
-          }
+          val (name, size, typeflag) = parseHeader(h, headerOff)
           val padded = size + (BlockSize - size % BlockSize) % BlockSize
-          val typeflag = h(156)
           if (typeflag == '0'.toByte || typeflag == 0.toByte) {
             require(size <= Int.MaxValue,
               s"tar member $name exceeds 2 GiB (single-member limit)")
@@ -212,6 +221,67 @@ object TarShards {
   /** Convenience form over in-memory bytes (tests, small archives). */
   def unpack(tar: Array[Byte]): Iterator[(String, Array[Byte])] =
     unpack(new ByteArrayInputStream(tar))
+
+  /** Index scan: (name, header offset, payload size) per regular-file
+    * member, payloads SKIPPED rather than materialized — one pass of
+    * header reads + seeks, so indexing a multi-GB shard allocates
+    * nothing but 512-byte header blocks. Same header validation and
+    * foreign-archive rules as [[unpack]].
+    */
+  def scanEntries(in: InputStream): Iterator[(String, Long, Long)] =
+    new Iterator[(String, Long, Long)] {
+      private val din = new DataInputStream(in)
+      private var offset = 0L
+      private var ready: (String, Long, Long) = null
+      private var done = false
+
+      private def readBlock(h: Array[Byte]): Boolean = {
+        var read = 0
+        while (read < BlockSize) {
+          val n = din.read(h, read, BlockSize - read)
+          if (n < 0) return false
+          read += n
+        }
+        true
+      }
+
+      private def skipFully(n: Long, what: String): Unit = {
+        var left = n
+        while (left > 0) {
+          val s = din.skip(left)
+          if (s <= 0) {
+            if (din.read() < 0)
+              throw new IllegalArgumentException(
+                s"tar member $what truncated (need $left more bytes)")
+            left -= 1
+          } else left -= s
+        }
+      }
+
+      private def advance(): Unit = {
+        while (ready == null && !done) {
+          val h = new Array[Byte](BlockSize)
+          if (!readBlock(h) || h(0) == 0) { done = true; return }
+          val headerOff = offset
+          offset += BlockSize
+          val (name, size, typeflag) = parseHeader(h, headerOff)
+          val padded = size + (BlockSize - size % BlockSize) % BlockSize
+          skipFully(padded, name)
+          offset += padded
+          if (typeflag == '0'.toByte || typeflag == 0.toByte)
+            ready = (name, headerOff, size)
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); ready != null }
+      override def next(): (String, Long, Long) = {
+        advance()
+        if (ready == null) throw new NoSuchElementException("tar exhausted")
+        val r = ready
+        ready = null
+        r
+      }
+    }
 
   /** Write one tar per distinct `shardCol` value under `outDir`
     * (shard-<value>.tar), members sorted by name for deterministic
@@ -251,12 +321,20 @@ object TarShards {
             val p = new Path(outDir, s"shard-$shard.tar")
             val fs = p.getFileSystem(conf.value)
             val o = fs.create(p, true)
+            // index sidecar, streamed alongside the archive: one line
+            // per member "<offset>\t<size>\t<urlencoded name>" — what
+            // readMembersByName seeks by (the WebDataset .idx idea)
+            val ix = fs.create(new Path(outDir, s"shard-$shard.tar.idx"),
+              true)
             var members = 0
             var bytes = 0L
             try {
               var more = true
               while (more) {
                 val (_, name, payload) = pending
+                ix.write((s"$bytes\t${payload.length}\t" +
+                  java.net.URLEncoder.encode(name, "UTF-8") + "\n")
+                  .getBytes("UTF-8"))
                 bytes += writeMember(o, name, payload)
                 require(bytes <= maxShardBytes,
                   s"shard $shard exceeds maxShardBytes=$maxShardBytes " +
@@ -267,7 +345,7 @@ object TarShards {
                 more = pending != null && pending._1 == shard
               }
               bytes += writeTrailer(o)
-            } finally o.close()
+            } finally { o.close(); ix.close() }
             Row(shard, members, bytes)
           }
         }
@@ -342,6 +420,153 @@ object TarShards {
             Row(shard, batchId, n, b)
           }
         }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Parse a shard file name ("shard-<key>[.b<id>].tar") into the
+    * caller's shard key and the optional sink generation.
+    */
+  private def parseShardName(fileName: String): (String, java.lang.Long) = {
+    val base = fileName.stripPrefix("shard-").stripSuffix(".tar")
+    val genAt = base.lastIndexOf(".b")
+    if (genAt >= 0 && genAt + 2 < base.length &&
+        base.substring(genAt + 2).forall(_.isDigit))
+      (base.substring(0, genAt),
+        java.lang.Long.valueOf(base.substring(genAt + 2)))
+    else (base, null)
+  }
+
+  /** The shard index as a DataFrame — (path, shard, batch_id, name,
+    * offset, size) from every `*.tar.idx` sidecar under `dir` — the
+    * corpus manifest queryable WITHOUT opening a single archive
+    * (member counts, size histograms, name filters). `writeShards`
+    * emits sidecars; for foreign archives build them once with
+    * [[indexShards]]. Fails loudly if no sidecar exists — a silent
+    * empty manifest would read as an empty corpus.
+    */
+  def readIndex(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("shard", StringType),
+      StructField("batch_id", LongType, nullable = true),
+      StructField("name", StringType),
+      StructField("offset", LongType),
+      StructField("size", LongType)))
+    val rows = spark.sparkContext
+      .wholeTextFiles(s"$dir/*.tar.idx")
+      .flatMap { case (idxPath, text) =>
+        val tarPath = idxPath.stripSuffix(".idx")
+        val fileName = tarPath.substring(tarPath.lastIndexOf('/') + 1)
+        val (shard, batchId) = parseShardName(fileName)
+        text.split("\n").iterator.filter(_.nonEmpty).map { line =>
+          val Array(off, size, enc) = line.split("\t", 3)
+          Row(tarPath, shard, batchId,
+            java.net.URLDecoder.decode(enc, "UTF-8"),
+            off.toLong, size.toLong)
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Selective member read through the index sidecars: seeks straight
+    * to each requested member's header and reads exactly header +
+    * payload — IO proportional to the SELECTION, never the corpus
+    * (readShards streams whole archives; at 100 TB a "give me these
+    * 10k samples" access must not). Each task forward-seeks one
+    * archive in offset order. Every read re-validates the header
+    * checksum AND that the member at the offset carries the expected
+    * name — a stale sidecar fails loudly instead of returning the
+    * wrong sample. Output matches readShards' columns
+    * (shard, batch_id, name, content).
+    */
+  def readMembersByName(spark: SparkSession, dir: String,
+      names: Seq[String]): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val schema = StructType(Seq(
+      StructField("shard", StringType),
+      StructField("batch_id", LongType, nullable = true),
+      StructField("name", StringType),
+      StructField("content", BinaryType)))
+    val wanted = names.toSet
+    val rows = readIndex(spark, dir)
+      .filter(col("name").isInCollection(wanted))
+      .repartition(col("path"))
+      .sortWithinPartitions(col("path"), col("offset"))
+      .rdd
+      .mapPartitions { it =>
+        var curPath: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def open(p: String) = {
+          if (in != null) in.close()
+          val hp = new Path(p)
+          in = hp.getFileSystem(conf.value).open(hp)
+          curPath = p
+        }
+        val out = it.map { r =>
+          val (p, shard, name) =
+            (r.getString(0), r.getString(1), r.getString(3))
+          val batchId = if (r.isNullAt(2)) null
+            else java.lang.Long.valueOf(r.getLong(2))
+          val (offset, size) = (r.getLong(4), r.getLong(5))
+          if (p != curPath) open(p)
+          in.seek(offset)
+          val h = new Array[Byte](BlockSize)
+          in.readFully(h)
+          val (gotName, gotSize, _) = parseHeader(h, offset)
+          require(gotName == name && gotSize == size,
+            s"stale shard index for $p: expected $name ($size B) at " +
+              s"offset $offset, found $gotName ($gotSize B) — " +
+              "rebuild with indexShards")
+          val bytes = new Array[Byte](size.toInt)
+          in.readFully(bytes)
+          Row(shard, batchId, name, bytes)
+        }
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && in != null) { in.close(); in = null }
+            h
+          }
+          override def next(): Row = out.next()
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Build (or rebuild) index sidecars for every `*.tar` under `dir` —
+    * the on-ramp for FOREIGN archives (system tar, any ustar writer) and
+    * the recovery path for stale sidecars. One streaming header scan
+    * per archive ([[scanEntries]] — payloads skipped, not read),
+    * shard-parallel, idempotent. Returns (shard, n_members) per
+    * archive indexed.
+    */
+  def indexShards(spark: SparkSession, dir: String): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val schema = StructType(Seq(
+      StructField("shard", StringType),
+      StructField("n_members", IntegerType)))
+    val rows = spark.sparkContext
+      .binaryFiles(s"$dir/*.tar")
+      .map { case (path, stream) =>
+        val fileName = path.substring(path.lastIndexOf('/') + 1)
+        val (shard, _) = parseShardName(fileName)
+        val in = stream.open()
+        val ixPath = new Path(path + ".idx")
+        val fs = ixPath.getFileSystem(conf.value)
+        val o = fs.create(ixPath, true)
+        var n = 0
+        try {
+          scanEntries(in).foreach { case (name, off, size) =>
+            o.write((s"$off\t$size\t" +
+              java.net.URLEncoder.encode(name, "UTF-8") + "\n")
+              .getBytes("UTF-8"))
+            n += 1
+          }
+        } finally { in.close(); o.close() }
+        Row(shard, n)
       }
     spark.createDataFrame(rows, schema)
   }
