@@ -491,6 +491,24 @@ object ScaleSmoke {
       timed("tar_read_back") {
         graft.sources.TarShards.readShards(spark, dir).count()
       }
+      // selective access through the index sidecars: 100 members out
+      // of the whole corpus. Wall-clock must stay FLAT as k grows
+      // (IO is seek + exactly header+payload per selected member).
+      // At fixture payload sizes (tiny texts) the full read above is
+      // ALSO sub-second — header parsing runs ~1.5M members/s — so
+      // the ladder pins flatness, not a dramatic gap; the
+      // bytes-never-touched property itself is spec-proven
+      // (TarShardsSpec's corrupt-header no-touch test), and the gap
+      // materializes with multi-GB payloads the fixture cannot carry.
+      timed("tar_read_100_by_name") {
+        val names = (0 until 100).map(i => s"doc_${i * 37}.txt")
+        graft.sources.TarShards.readMembersByName(spark, dir, names)
+          .count()
+      }
+      timed("tar_index_manifest") {
+        graft.sources.TarShards.readIndex(spark, dir)
+          .agg(count(lit(1)), sum(col("size"))).count()
+      }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
     spark.stop()
