@@ -153,5 +153,51 @@ object PipelineQueries {
                CAST(octet_length(encode(text)) AS INT) AS n_bytes
         FROM documents"""),
       doc = "WebDataset-style tar shard round-trip (pure-JVM USTAR " +
-        "pack/unpack, shard-per-task, hash-checked vs source)."))
+        "pack/unpack, shard-per-task, hash-checked vs source)."),
+
+    // ------------------------------------------------------------------
+    "p06_tar_index" -> QueryDef(
+      fn = { (s, dir) =>
+        // The shard INDEX (random-access sidecar) hash-checked down
+        // to the byte offset: USTAR layout is deterministic (members
+        // name-sorted per shard, 512-byte header + payload padded to
+        // 512), so the oracle reconstructs every member's offset from
+        // the documents table alone with a window sum — a green hash
+        // here pins the binary container layout cross-engine, which
+        // is exactly the guarantee readMembersByName's seeks rely on.
+        // Scale: the index read opens sidecars only (never a tar);
+        // one shuffle to group by shard on write, none on read.
+        val tmp = p05TmpDir(dir)
+        val src = T(s, dir).documents
+          .select(
+            concat(lit("doc_"), col("doc_id"), lit(".txt")).as("name"),
+            encode(col("text"), "UTF-8").as("bytes"),
+            pmod(col("doc_id"), lit(8)).cast("string").as("shard"))
+        graft.sources.TarShards
+          .writeShards(src, "name", "bytes", "shard", tmp).count()
+        graft.sources.TarShards.readIndex(s, tmp)
+          .select(
+            regexp_extract(col("name"), "doc_(\\d+)\\.txt", 1)
+              .cast("long").as("doc_id"),
+            col("shard").cast("int").as("shard"),
+            col("offset").as("member_offset"),
+            col("size").as("n_bytes"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(doc_id % 8 AS INT) AS shard,
+                 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS sz
+          FROM documents)
+        SELECT doc_id, shard,
+               CAST(coalesce(sum(512 + ((sz + 511) // 512) * 512) OVER (
+                 PARTITION BY shard ORDER BY name
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS member_offset,
+               sz AS n_bytes
+        FROM m"""),
+      doc = "Tar shard index sidecar hash-checked to the byte: the " +
+        "oracle reconstructs every member's archive offset from the " +
+        "source table (name-sorted members, 512-byte USTAR blocks)."))
 }
