@@ -639,5 +639,78 @@ object MultimodalQueries {
         FROM grp GROUP BY doc_id, g"""),
       doc = "Voice-activity segments: maximal runs of " +
         "above-threshold PCM windows (gaps-and-islands over exact " +
-        "integer energies; silence-trim primitive)."))
+        "integer energies; silence-trim primitive)."),
+
+    // ------------------------------------------------------------------
+    "m12_wds_samples" -> QueryDef(
+      fn = { (s, dir) =>
+        // WebDataset SAMPLE pairing, round-tripped through the tar
+        // container: each doc ships as two members ("doc_<id>.txt"
+        // text + "doc_<id>.json" metadata), packs into shards, reads
+        // back, and TarShards.groupSamples re-pairs them by basename
+        // — the multimodal access pattern (image+caption+meta as one
+        // sample) with text standing in for the codec-less payloads.
+        // Hash-checked INCLUDING content: the lang field is parsed
+        // back OUT of the tar'd json member, so a green hash proves
+        // the members paired correctly and survived byte-exact.
+        // Scale: one shuffle to shard on write, one groupBy on the
+        // sample key back out; no shuffle carries payloads twice.
+        val tmp = m12TmpDir(dir)
+        val docs = Engine.Tables(s, dir).documents
+        val shardOf = pmod(col("doc_id"), lit(8)).cast("string")
+        val txt = docs.select(
+          concat(lit("doc_"), col("doc_id"), lit(".txt")).as("name"),
+          encode(col("text"), "UTF-8").as("bytes"), shardOf.as("shard"))
+        val meta = docs.select(
+          concat(lit("doc_"), col("doc_id"), lit(".json")).as("name"),
+          encode(to_json(struct(col("doc_id"), col("lang"))), "UTF-8")
+            .as("bytes"),
+          shardOf.as("shard"))
+        graft.sources.TarShards.writeShards(
+          txt.unionByName(meta), "name", "bytes", "shard", tmp).count()
+        graft.sources.TarShards
+          .groupSamples(graft.sources.TarShards.readShards(s, tmp))
+          .select(
+            regexp_extract(col("sample_key"), "doc_(\\d+)", 1)
+              .cast("long").as("doc_id"),
+            col("n_parts"),
+            octet_length(element_at(col("parts"), "txt"))
+              .as("txt_bytes"),
+            get_json_object(
+              decode(element_at(col("parts"), "json"), "UTF-8"),
+              "$.lang").as("lang"),
+            col("total_bytes"))
+      },
+      oracle = Some("""
+        SELECT doc_id, CAST(2 AS INT) AS n_parts,
+               CAST(octet_length(encode(text)) AS INT) AS txt_bytes,
+               lang,
+               CAST(octet_length(encode(text)) +
+                    octet_length(encode('{"doc_id":'
+                      || CAST(doc_id AS VARCHAR)
+                      || ',"lang":"' || lang || '"}')) AS BIGINT)
+                 AS total_bytes
+        FROM documents"""),
+      doc = "WebDataset sample pairing through the tar container: " +
+        "members re-group by basename into (modality -> bytes) " +
+        "samples; lang parsed back out of the tar'd json member " +
+        "proves byte-exact pairing."))
+
+  /** One temp shard dir per sfDir for m12, cleaned at JVM exit
+    * (p05TmpDir's pattern; separate dir — m12's member set differs).
+    */
+  private val m12Dirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def m12TmpDir(dir: String): String =
+    m12Dirs.getOrElseUpdate(dir, {
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-tar-m12-${Integer.toHexString(dir.hashCode)}")
+      f.mkdirs()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        f.delete()
+        ()
+      }))
+      f.toString
+    })
 }

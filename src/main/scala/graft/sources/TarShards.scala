@@ -424,6 +424,33 @@ object TarShards {
     spark.createDataFrame(rows, schema)
   }
 
+  /** WebDataset sample grouping — the convention's third leg after
+    * the container and the index: an archive's members pair into
+    * SAMPLES by basename before the FIRST dot ("000123.jpg" +
+    * "000123.txt" + "000123.json" are one sample's modalities; the
+    * full remainder names the modality, so "a.seg.png" groups under
+    * sample "a" as modality "seg.png"). Input is [[readShards]]'
+    * shape; output is one row per (shard, batch_id, sample_key) with
+    * the modality->bytes map (entries ext-sorted for deterministic
+    * map order), part count, and total payload bytes. One shuffle on
+    * the sample key; WebDataset writers colocate a sample's members
+    * in one shard, so the grouping never crosses shard files.
+    */
+  def groupSamples(members: DataFrame): DataFrame =
+    members
+      .withColumn("sample_key",
+        regexp_extract(col("name"), "^([^.]*)", 1))
+      .withColumn("ext",
+        when(col("name").contains("."),
+          expr("substring(name, instr(name, '.') + 1)"))
+          .otherwise(lit("")))
+      .groupBy(col("shard"), col("batch_id"), col("sample_key"))
+      .agg(
+        map_from_entries(array_sort(collect_list(
+          struct(col("ext"), col("content"))))).as("parts"),
+        count(lit(1)).cast("int").as("n_parts"),
+        sum(octet_length(col("content"))).cast("long").as("total_bytes"))
+
   /** Parse a shard file name ("shard-<key>[.b<id>].tar") into the
     * caller's shard key and the optional sink generation.
     */

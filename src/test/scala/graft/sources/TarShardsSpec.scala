@@ -311,6 +311,30 @@ class TarShardsSpec extends AnyFunSuite {
       e.getCause.getMessage.contains("checksum"))
   }
 
+  test("groupSamples pairs members by basename before the FIRST dot; " +
+    "missing modalities and multi-dot extensions behave") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("tarwds-").toString
+    val df = Seq(
+      ("s1.txt", "t1".getBytes, "0"),
+      ("s1.json", "meta1".getBytes, "0"),
+      ("s2.txt", "t2".getBytes, "0"), // no json part
+      ("a.txt", "t".getBytes, "1"),
+      ("a.seg.png", "p".getBytes, "1")) // modality keeps the full ext
+      .toDF("name", "bytes", "shard")
+    TarShards.writeShards(df, "name", "bytes", "shard", out).collect()
+    val got = TarShards
+      .groupSamples(TarShards.readShards(spark, out))
+      .select(col("sample_key"), col("n_parts"), col("total_bytes"),
+        map_keys(col("parts")).as("exts"))
+      .as[(String, Int, Long, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4.toSet))).toMap
+    assert(got == Map(
+      "s1" -> ((2, 7L, Set("txt", "json"))),
+      "s2" -> ((1, 2L, Set("txt"))),
+      "a" -> ((2, 2L, Set("txt", "seg.png")))), s"got $got")
+  }
+
   test("indexShards builds sidecars for a system-tar archive; " +
     "selective reads work against it") {
     import scala.sys.process._
