@@ -17,9 +17,14 @@ object PortableHash {
 
   /** 60-bit md5-prefix uniform hash of a string column.
     * DuckDB replay: `('0x' || substr(md5(X), 1, 15))::UBIGINT::BIGINT`.
+    * Native fused expression (the value reads straight off the digest
+    * bytes); bit-identical to the original
+    * `conv(substring(md5(c), 1, 15), 16, 10)` composition, which
+    * allocated three intermediate strings per call — ExpressionSpec
+    * pins the equality on random inputs.
     */
   def uniform60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.expressions.md5_uniform60(c)
 
   /** Seeded permutation of an int64 hash — "one strong hash, many
     * seeds": rehash the decimal rendering of (h, i). Both engines

@@ -1095,9 +1095,9 @@ object CurationQueries {
             (w(col("lang")) * (col("t_all").cast("double") * 1.2)) /
               col("t_d").cast("double"))
           .withColumn("u",
-            conv(substring(md5(concat(lit("mix7:"),
-              col("doc_id").cast("string"))), 1, 15), 16, 10)
-              .cast("long").cast("double") / lit(1152921504606846976.0))
+            graft.functions.PortableHash.uniform60(concat(lit("mix7:"),
+              col("doc_id").cast("string")))
+              .cast("double") / lit(1152921504606846976.0))
           .withColumn("n_copies",
             floor(col("r")).cast("long") +
               when(col("u") < col("r") - floor(col("r")), 1L)
@@ -1184,9 +1184,9 @@ object CurationQueries {
             (col("tf_sum").cast("double") * col("ct").cast("double")) /
               (col("cf_sum").cast("double") * col("tt").cast("double")))
           .withColumn("u",
-            conv(substring(md5(concat(lit("dsir3:"),
-              col("doc_id").cast("string"))), 1, 15), 16, 10)
-              .cast("long").cast("double") / lit(1152921504606846976.0))
+            graft.functions.PortableHash.uniform60(concat(lit("dsir3:"),
+              col("doc_id").cast("string")))
+              .cast("double") / lit(1152921504606846976.0))
         scored.filter(col("u") < col("w") * 0.5)
           .select(col("doc_id"), col("w"))
       },
@@ -1253,8 +1253,8 @@ object CurationQueries {
           .write.mode("overwrite").partitionBy("shard").parquet(out)
         s.read.parquet(out)
           .withColumn("h",
-            conv(substring(md5(col("text")), 1, 15), 16, 10)
-              .cast("long").cast("decimal(38,0)"))
+            graft.functions.PortableHash.uniform60(col("text"))
+              .cast("decimal(38,0)"))
           .groupBy(col("shard"))
           .agg(count(lit(1)).as("n_docs"),
             (sum(col("h")) % lit(new java.math.BigDecimal(
@@ -1370,10 +1370,10 @@ object CurationQueries {
           .select(col("id").cast("int").as("epoch"))
         d.crossJoin(broadcast(epochs))
           .withColumn("u",
-            conv(substring(md5(concat(lit("curr:"),
+            graft.functions.PortableHash.uniform60(concat(lit("curr:"),
               col("epoch").cast("string"), lit(":"),
-              col("doc_id").cast("string"))), 1, 15), 16, 10)
-              .cast("long").cast("double") / lit(1152921504606846976.0))
+              col("doc_id").cast("string")))
+              .cast("double") / lit(1152921504606846976.0))
           .filter(col("epoch") === 0 ||
             (col("epoch") === 1 && col("u") < col("q")) ||
             (col("epoch") === 2 && col("u") < col("q") * col("q")))

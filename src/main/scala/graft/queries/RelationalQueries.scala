@@ -1421,9 +1421,8 @@ object RelationalQueries {
         // rho) then (group, 256-row register sets) — constant-size
         // state per group at any SF, the whole point of HLL.
         val m = 256
-        val h = conv(substring(
-          md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
-          .cast("long")
+        val h = graft.functions.PortableHash
+          .uniform60(col("l_orderkey").cast("string"))
         val w = expr(s"h div $m")
         val rho = when(w === 0L, lit(53))
           .otherwise(lit(53) - length(bin(w))).cast("int")
@@ -1494,9 +1493,8 @@ object RelationalQueries {
         // window's sort (same plan q06/c07 assert); the merge input
         // is <= groups * k rows — driver-free, constant-size state.
         val k = 64
-        val h = conv(substring(
-          md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
-          .cast("long")
+        val h = graft.functions.PortableHash
+          .uniform60(col("l_partkey").cast("string"))
         val hashes = T(s, dir).lineitem
           .select(col("l_returnflag").as("grp"), h.as("hv"))
           .distinct()

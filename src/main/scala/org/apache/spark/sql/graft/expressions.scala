@@ -483,6 +483,39 @@ object expressions {
     * are bit-for-bit reproducible across engines that follow the
     * same definition — d15's oracle hash-checks the raw double.
     */
+  /** The md5-prefix 60-bit uniform hash (PortableHash.uniform60 /
+    * q49/q50's cross-engine hash), fused: the value IS the first 60
+    * bits of the digest, so it reads straight off the digest bytes —
+    * the `conv(substring(md5(x), 1, 15), 16, 10)` composition this
+    * replaces hex-encodes the digest to a 32-char string, substrings
+    * it, and parses it back through a base converter, three UTF8String
+    * allocations per call on the portable dedup family's hottest path
+    * (one call per shingle occurrence). Bit-identical by construction:
+    * 15 hex chars = bytes 0..6 + the high nibble of byte 7,
+    * big-endian, always non-negative. DuckDB replay unchanged:
+    * `('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT`.
+    */
+  case class Md5Uniform60(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+    override def dataType: DataType = LongType
+
+    override def prettyName: String = "md5_uniform60"
+
+    override def nullSafeEval(input: Any): Any =
+      Md5Util.uniform60(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = org.apache.spark.sql.graft.Md5Util.uniform60($a);")
+
+    override protected def withNewChildInternal(c: Expression): Md5Uniform60 =
+      copy(child = c)
+  }
+
+  // -------------------------------------------------------------------
   case class JaroWinkler(
       left: Expression, right: Expression,
       threshold: Option[Double] = None)
@@ -562,6 +595,28 @@ object expressions {
   def cms_estimate(hashed: Column, cmsBytes: Array[Byte]): Column =
     ExpressionUtils.column(CmsEstimate(
       ExpressionUtils.expression(hashed), cmsBytes))
+
+  def md5_uniform60(text: Column): Column =
+    ExpressionUtils.column(Md5Uniform60(ExpressionUtils.expression(text)))
+}
+
+/** Shared by Md5Uniform60.eval and its generated code (Janino
+  * references it by literal name).
+  */
+object Md5Util {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** First 60 bits of md5(utf8 bytes), big-endian — equals
+    * `conv(substring(hex(md5), 1, 15), 16, 10)`: bytes 0..6 are the
+    * first 14 hex nibbles, the high nibble of byte 7 is the 15th.
+    */
+  def uniform60(s: UTF8String): Long = {
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
 }
 
 /** Top-level (stable-classname) helper shared by JaroWinkler.eval and

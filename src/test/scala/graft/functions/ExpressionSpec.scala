@@ -127,6 +127,27 @@ class ExpressionSpec extends AnyFunSuite {
     assert(withNulls == 1.0, s"got $withNulls")
   }
 
+  test("md5_uniform60: bit-identical to the conv(substring(md5)) " +
+    "composition on varied inputs; null-safe; non-negative") {
+    import org.apache.spark.sql.graft.expressions.md5_uniform60
+    // varied content: empty, unicode (incl. supplementary plane),
+    // long strings, digits — plus 1k random ascii rows
+    val fixed = Seq("", "a", "hello world", "naïve café",
+      "emoji 😀 mix", "0", "x" * 5000, "tab\tnl\n")
+      .toDF("s")
+    val rand = spark.range(0, 1000)
+      .select(md5(col("id").cast("string")).as("s"))
+    val both = fixed.unionByName(rand)
+      .select(md5_uniform60(col("s")).as("fused"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+          .as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    assert(both.filter(col("fused") < 0).count() == 0)
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(md5_uniform60(col("s"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("codegen path actually compiles (no fallback): project over 1k rows") {
     val n = spark.range(1000).select($"id",
       array_repeat(($"id" % 7).cast("double") + 1.0, 64).as("a"),
