@@ -60,14 +60,23 @@ object Dedup {
         array_sort(array_distinct(transform(
           TextFunctions.shingles(text, n),
           g => PortableHash.uniform60(g))))
-      // NOTE: the outer lambda references the `hashes` tree once per
-      // permutation — materialize the shingle-hash column (project +
-      // localCheckpoint, as nearDupPairs/dedupIndex do) before calling
-      // this, or the shingle scan re-runs numHashes times.
-      def signature(hashes: Column, numHashes: Int): Column =
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => array_min(transform(hashes,
-            h => PortableHash.permute60(h, i))))
+      // Kirsch–Mitzenmacher permutations: ONE digest pair per shingle
+      // occurrence (element_at over a single-element array is the HOF
+      // let-binding trick — `pairs` is evaluated once, not once per
+      // permutation), then every permutation is int-only arithmetic.
+      // The previous per-(occurrence, i) rehash paid numHashes digests
+      // per occurrence. NOTE: still materialize the shingle-hash
+      // column before calling this (project + localCheckpoint, as
+      // nearDupPairs/dedupIndex do) so the shingle SCAN runs once.
+      def signature(hashes: Column, numHashes: Int): Column = {
+        val pairs = transform(hashes, h => array(
+          PortableHash.uniform60(h.cast("string")),
+          PortableHash.uniform60Tail(h.cast("string"))))
+        element_at(transform(array(pairs), ps =>
+          transform(sequence(lit(0), lit(numHashes - 1)), i =>
+            array_min(transform(ps, p => PortableHash.permuteFrom(
+              element_at(p, 1), element_at(p, 2), i))))), 1)
+      }
     }
   }
 
@@ -277,10 +286,12 @@ object Dedup {
     * scan (the bench's reference detector caught exactly this: c19 at
     * 9.6 s vs 2.1 s committed). P(h, i) depends only on (h, i), so
     * this computes each permutation ONCE per distinct shingle hash —
-    * a vocabulary-bounded table — joins it to the exploded postings,
-    * and folds element-wise minima per key with the MinHashUnion
-    * monoid aggregator (a doc-level signature IS the union of its
-    * shingles' permutation vectors; map-side combinable). Two
+    * a vocabulary-bounded table (two digests + numHashes int-ops per
+    * distinct hash via the Kirsch–Mitzenmacher family,
+    * [[graft.functions.PortableHash.permuteFrom]]) — joins it to the
+    * exploded postings, and folds element-wise minima per key with
+    * codegen min aggregates (a doc-level signature IS the union of
+    * its shingles' permutation vectors; map-side combinable). Two
     * shuffles replace tens of millions of md5 calls; the Xx family
     * keeps its map-only native expressions.
     *
@@ -303,8 +314,12 @@ object Dedup {
     val ex = hashed.select(col(key), explode(col("shset")).as("h"))
     val perms = ex.select(col("h")).distinct()
       .select(col("h"),
+        PortableHash.uniform60(col("h").cast("string")).as("h1"),
+        PortableHash.uniform60Tail(col("h").cast("string")).as("h2"))
+      .select(col("h"),
         transform(sequence(lit(0), lit(numHashes - 1)),
-          i => PortableHash.permute60(col("h"), i)).as("ps"))
+          i => PortableHash.permuteFrom(col("h1"), col("h2"), i))
+          .as("ps"))
     val mins = (0 until numHashes)
       .map(i => min(element_at(col("ps"), i + 1)).as(s"m$i"))
     ex.join(perms, Seq("h"))

@@ -346,7 +346,11 @@ object DedupQueries {
                 FROM sh WHERE len(hv) > 0)),
         sig AS (
           SELECT source, i.i AS i,
-                 min(${graft.functions.PortableHash.sqlPermute60("h", "i.i")})
+                 min(${graft.functions.PortableHash.sqlPermuteFrom(
+                   graft.functions.PortableHash
+                     .sqlUniform60("CAST(h AS VARCHAR)"),
+                   graft.functions.PortableHash
+                     .sqlUniform60Tail("CAST(h AS VARCHAR)"), "i.i")})
                    AS m
           FROM srch, (SELECT unnest(range(0, 24)) AS i) i
           GROUP BY 1, 2),

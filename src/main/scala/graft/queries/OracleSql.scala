@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.functions.PortableHash.{sqlPermute60, sqlUniform60}
+import graft.functions.PortableHash.{
+  sqlPermuteFrom, sqlUniform60, sqlUniform60Tail}
 
 /** Shared DuckDB-SQL fragments for the md5-portable MinHash oracle
   * replays (d18/d10/c19/d08 — the hash-green twins of the xxhash64
@@ -52,10 +53,18 @@ private[queries] object OracleSql {
            ELSE [] END,
            s -> ${sqlUniform60("s")})))"""
 
-  /** MinHash signature of `hv` — MinHashFamily.Md5.signature replay. */
+  /** MinHash signature of `hv` — MinHashFamily.Md5.signature replay:
+    * the Kirsch–Mitzenmacher family, permutation i of shingle hash h
+    * = (h1 + i*h2) mod 2^60 with (h1, h2) the two 60-bit halves of
+    * md5(decimal rendering of h). DuckDB re-derives the digest pair
+    * inside the per-i lambda (md5 twice per (h, i) — fine at oracle
+    * scale); the Spark side computes it once per distinct h.
+    */
   def sigExpr(numHashes: Int): String =
     s"""list_transform(range(0, $numHashes), i ->
-           list_min(list_transform(hv, h -> ${sqlPermute60("h", "i")})))"""
+           list_min(list_transform(hv, h -> ${sqlPermuteFrom(
+             sqlUniform60("CAST(h AS VARCHAR)"),
+             sqlUniform60Tail("CAST(h AS VARCHAR)"), "i")})))"""
 
   /** CTE body: (did, band, bkey) LSH band keys from a `(did, sig)`
     * relation — lshBuckets replay (r = numHashes / bands signature

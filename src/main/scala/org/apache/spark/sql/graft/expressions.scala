@@ -515,6 +515,32 @@ object expressions {
       copy(child = c)
   }
 
+  /** Bits 60..119 of the md5 digest (hex chars 16..30) — the second
+    * independent 60-bit value the Kirsch–Mitzenmacher-style MinHash
+    * permutation family needs (permutation i = h1 + i·h2 mod 2^60,
+    * one digest instead of one md5 per permutation). DuckDB replay:
+    * `('0x' || substr(md5(x), 16, 15))::UBIGINT::BIGINT`.
+    */
+  case class Md5Uniform60Tail(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+    override def dataType: DataType = LongType
+
+    override def prettyName: String = "md5_uniform60_tail"
+
+    override def nullSafeEval(input: Any): Any =
+      Md5Util.uniform60Tail(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = org.apache.spark.sql.graft.Md5Util.uniform60Tail($a);")
+
+    override protected def withNewChildInternal(c: Expression): Md5Uniform60Tail =
+      copy(child = c)
+  }
+
   // -------------------------------------------------------------------
   case class JaroWinkler(
       left: Expression, right: Expression,
@@ -598,6 +624,9 @@ object expressions {
 
   def md5_uniform60(text: Column): Column =
     ExpressionUtils.column(Md5Uniform60(ExpressionUtils.expression(text)))
+
+  def md5_uniform60_tail(text: Column): Column =
+    ExpressionUtils.column(Md5Uniform60Tail(ExpressionUtils.expression(text)))
 }
 
 /** Shared by Md5Uniform60.eval and its generated code (Janino
@@ -616,6 +645,18 @@ object Md5Util {
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Bits 60..119 of md5(utf8 bytes) — hex chars 16..30: the low
+    * nibble of byte 7 followed by bytes 8..14. Equals
+    * `conv(substring(hex(md5), 16, 15), 16, 10)`.
+    */
+  def uniform60Tail(s: UTF8String): Long = {
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(s.getBytes)
+    var v = d(7) & 0x0fL
+    var i = 8
+    while (i < 15) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
   }
 }
 

@@ -148,6 +148,42 @@ class ExpressionSpec extends AnyFunSuite {
     assert(n.head.isNullAt(0))
   }
 
+  test("md5_uniform60_tail: bit-identical to the conv(substring(md5, " +
+    "16, 15)) composition; permuteFrom equals (h1 + i*h2) mod 2^60") {
+    import org.apache.spark.sql.graft.expressions.md5_uniform60_tail
+    import graft.functions.PortableHash
+    val rand = spark.range(0, 1000)
+      .select(md5(col("id").cast("string")).as("s"))
+    val both = rand
+      .select(md5_uniform60_tail(col("s")).as("fused"),
+        conv(substring(md5(col("s")), 16, 15), 16, 10).cast("long")
+          .as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    assert(both.filter(col("fused") < 0).count() == 0)
+    // KM permutation: the overflow-free split arithmetic must equal
+    // exact BigInt (h1 + i*h2) mod 2^60 — worst cases included (both
+    // halves near 2^60, the largest i the family ever uses).
+    val edge = Seq((0L, 0L), ((1L << 60) - 1, (1L << 60) - 1),
+      ((1L << 60) - 1, 1L), (1L, (1L << 60) - 1))
+    val rnd = new scala.util.Random(7)
+    val cases = edge ++ Seq.fill(500)(
+      (rnd.nextLong() >>> 4, rnd.nextLong() >>> 4))
+    val rows = cases.zipWithIndex
+      .map { case ((a, b), ix) => (a, b, ix % 128) }
+      .toDF("h1", "h2", "i")
+      .select(col("h1"), col("h2"), col("i"),
+        PortableHash.permuteFrom(col("h1"), col("h2"), col("i"))
+          .as("p"))
+      .collect()
+    rows.foreach { r =>
+      val expect = ((BigInt(r.getLong(0)) +
+        BigInt(r.getInt(2)) * BigInt(r.getLong(1))) mod
+        (BigInt(1) << 60)).toLong
+      assert(r.getLong(3) == expect,
+        s"(${r.getLong(0)}, ${r.getLong(1)}, ${r.getInt(2)})")
+    }
+  }
+
   test("codegen path actually compiles (no fallback): project over 1k rows") {
     val n = spark.range(1000).select($"id",
       array_repeat(($"id" % 7).cast("double") + 1.0, 64).as("a"),
