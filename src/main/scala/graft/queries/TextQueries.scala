@@ -685,5 +685,57 @@ object TextQueries {
         SELECT doc_id, token, tf, df, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3"""),
       doc = "Top-3 TF-IDF keywords per doc: rational idf-weighted " +
-        "ranking (no libm), broadcast df table, all-integer output."))
+        "ranking (no libm), broadcast df table, all-integer output."),
+
+    // ------------------------------------------------------------------
+    "t18_quality_classifier" -> QueryDef(
+      fn = { (s, dir) =>
+        // Learned quality filter (the GPT-3/FineWeb curation
+        // pattern): train a logistic-regression scorer on surface
+        // features with lang='en' as the reference label, freeze the
+        // weights, score every doc map-only. Training is driver-
+        // bounded (id-ordered maxTrainRows sample — the
+        // coarseCentroids discipline); scoring folds the weights in
+        // as literals, one codegen scan, no shuffle. HASH-CHECKED
+        // via oracleGen: the trained weights inline as SQL literals
+        // and DuckDB replays the exact-integer-ratio features and
+        // the left-associated dot product bit-for-bit (the raw
+        // margin double hashes, d15's raw-similarity discipline).
+        val d = docs(s, dir)
+        val w = graft.operators.Classifier.train(
+          d.withColumn("y", (col("lang") === "en").cast("double")),
+          "text", "doc_id", "y")
+        graft.operators.Classifier.score(d, "text", "doc_id", w)
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        import graft.operators.Classifier
+        val w = Classifier.train(
+          docs(s, dir)
+            .withColumn("y", (col("lang") === "en").cast("double")),
+          "text", "doc_id", "y")
+        val f = Classifier.sqlFeatures
+        val names = f.indices.map(i => s"f$i")
+        val feats = f.zip(names)
+          .map { case (e, n) => s"$e AS $n" }.mkString(",\n          ")
+        s"""
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          WHERE len(list_filter(string_split(text, ' '), x -> x != ''))
+                > 0),
+        f AS (
+          SELECT doc_id,
+          $feats
+          FROM d)
+        SELECT doc_id, margin,
+               CASE WHEN margin > 0.0 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS keep
+        FROM (SELECT doc_id,
+                ${Classifier.sqlMargin(w.toSeq, names)} AS margin
+              FROM f)"""
+      },
+      doc = "Trained logistic-regression quality filter: driver-" +
+        "bounded deterministic training, weight-literal map-only " +
+        "scoring; oracle replays features + margin with the frozen " +
+        "weights inlined."))
 }

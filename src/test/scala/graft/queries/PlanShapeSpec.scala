@@ -349,6 +349,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"fold), got $n:\n$p")
   }
 
+  test("t18 quality classifier: frozen-weight scoring is one " +
+    "codegen map pass, no shuffle") {
+    // training happens driver-side while the frame is BUILT (bounded
+    // id-ordered sample); the returned scoring plan must be a pure
+    // scan + project with the weights folded in as literals — at
+    // 100 TB this is the difference between a corpus pass and a
+    // corpus shuffle.
+    val p = plan("t18_quality_classifier")
+    assert(!p.contains("Exchange"), s"t18 scoring shuffles:\n$p")
+    // HOF lambdas (filter/aggregate over token arrays) are
+    // codegen-exempt in Spark, so the span is scan-only; the
+    // load-bearing claims are: one parquet scan, weights visible as
+    // plan literals (no join against a weights table).
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly 1 scan:\n$p")
+  }
+
   test("c31 incremental agg: base table is scanned exactly once") {
     val p = plan("c31_incremental_agg")
     // state seed reads orders once; the delta side reuses the same
