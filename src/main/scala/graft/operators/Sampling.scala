@@ -151,4 +151,34 @@ object Sampling {
     df.withColumn("split",
       when(hashPrefix(col(repCol)) < lit(thresholdHex(trainFrac)),
         lit("train")).otherwise(lit("eval")))
+
+  /** Cluster-balanced (diversity) sampling: cap each k-means cell of
+    * an embedding space at `perCluster` rows so dense regions stop
+    * dominating the subset — the DCLM/SemDeDup-adjacent "balance the
+    * corpus by semantic cluster" curation step.
+    *
+    * Scale shape: cell assignment is a MAP pass (the trained
+    * centroids embed as plan literals via Similarity.probeCells — no
+    * join, no shuffle); the per-cell cap is ONE shuffle on cell, and
+    * the rank <= perCluster filter plans WindowGroupLimit, so each
+    * map task forwards at most perCluster rows per cell it holds —
+    * never the dense cell's full population. Within-cell order is
+    * the md5-uniform hash of the id (deterministic pseudo-random,
+    * id tie-break), so the kept subset is reproducible and
+    * oracle-replayable; training is driver-bounded
+    * (coarseCentroids' capped deterministic sample).
+    */
+  def clusterBalancedSample(
+      df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[(Int, Seq[Double])], perCluster: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cell =
+      element_at(Similarity.probeCells(col(vecCol), centroids, 1), 1)
+    val w = Window.partitionBy(col("cell")).orderBy(
+      graft.functions.PortableHash.uniform60(col("id").cast("string")),
+      col("id"))
+    df.select(col(idCol).as("id"), cell.as("cell"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perCluster)
+  }
 }

@@ -1548,5 +1548,59 @@ object CurationQueries {
         FROM bk GROUP BY grp"""),
       doc = "Maintained distinct-count view: KMV bottom-k state " +
         "folded batch-at-a-time; oracle recomputes from scratch — " +
-        "hash-green proves the incremental fold lossless."))
+        "hash-green proves the incremental fold lossless."),
+
+    // ------------------------------------------------------------------
+    "c34_cluster_sample" -> QueryDef(
+      fn = { (s, dir) =>
+        // Cluster-balanced diversity sampling: cap every semantic
+        // (k-means) cell of the embedding space at 10 vectors so
+        // dense regions stop dominating the training subset.
+        // Assignment is a map pass (centroid literals, s03's
+        // quantizer), the cap is one WindowGroupLimit-pruned shuffle
+        // on cell, within-cell order is the md5-uniform hash of the
+        // id. HASH-CHECKED via oracleGen: the trained centroids
+        // inline as SQL literals (s03's discipline) and DuckDB
+        // replays assignment argmax, hash order and the cap.
+        val e = T(s, dir).embeddings
+        val cents = graft.operators.Similarity.coarseCentroids(
+          e, "embedding", "vec_id", nlist = 16, seed = 42L,
+          maxTrainRows = 100000L)
+        Sampling.clusterBalancedSample(
+          e, "embedding", "vec_id", cents, perCluster = 10)
+          .select(col("id").as("vec_id"), col("cell"), col("rk"))
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        val e = T(s, dir).embeddings
+        val cents = graft.operators.Similarity.coarseCentroids(
+          e, "embedding", "vec_id", nlist = 16, seed = 42L,
+          maxTrainRows = 100000L)
+        val m = OracleSql.sqlDoubleArr2(cents.sortBy(_._1).map(_._2))
+        val h = graft.functions.PortableHash
+          .sqlUniform60("CAST(id AS VARCHAR)")
+        s"""
+        WITH ct AS (SELECT $m::DOUBLE[][] AS m),
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+        ascore AS (
+          SELECT v.id, c.c AS cell,
+                 list_cosine_similarity(ct.m[c.c + 1], v.vec) AS csim
+          FROM v, ct, (SELECT unnest(range(0, 16)) AS c) c),
+        cells AS (
+          SELECT id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore) WHERE rn = 1)
+        SELECT id AS vec_id, CAST(cell AS INT) AS cell,
+               CAST(rk AS INT) AS rk
+        FROM (SELECT id, cell, row_number() OVER (PARTITION BY cell
+                ORDER BY $h, id) AS rk
+              FROM cells)
+        WHERE rk <= 10"""
+      },
+      doc = "Cluster-balanced diversity sample: per-k-means-cell cap " +
+        "over the embedding space (map-only assignment via centroid " +
+        "literals, WindowGroupLimit cap, md5-hash within-cell order; " +
+        "centroids inlined into the oracle at Verify time)."))
 }

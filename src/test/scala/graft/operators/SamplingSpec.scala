@@ -93,4 +93,33 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(tight.subsetOf(loose))
   }
+
+  test("clusterBalancedSample: dense cells capped, sparse kept whole, " +
+    "membership deterministic under repartitioning") {
+    import org.apache.spark.sql.functions._
+    // Two well-separated planted clusters: 200 vectors near e1 (the
+    // dense region) and 7 near e2 — plus centroids trained as the
+    // planted centers themselves, so assignment is unambiguous.
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Double]) =
+      base.map(_ + (rnd.nextDouble() - 0.5) * 0.01)
+    val e1 = Array(1.0, 0.0, 0.0, 0.0)
+    val e2 = Array(0.0, 1.0, 0.0, 0.0)
+    val rows = (1 to 200).map(i => (i.toLong, jitter(e1).toSeq)) ++
+      (201 to 207).map(i => (i.toLong, jitter(e2).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Seq(0 -> e1.toSeq, 1 -> e2.toSeq)
+    val kept = Sampling.clusterBalancedSample(
+      df, "embedding", "vec_id", cents, perCluster = 10)
+    val byCell = kept.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byCell(0) == 10L, s"dense cell not capped: $byCell")
+    assert(byCell(1) == 7L, s"sparse cell not kept whole: $byCell")
+    assert(kept.filter(col("rk") > 10).count() == 0)
+    val a = kept.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.clusterBalancedSample(
+      df.repartition(13), "embedding", "vec_id", cents, perCluster = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "kept set must not depend on partitioning")
+  }
 }

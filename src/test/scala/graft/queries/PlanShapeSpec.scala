@@ -366,6 +366,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly 1 scan:\n$p")
   }
 
+  test("c34 cluster sample: assignment is join-free and the per-cell " +
+    "cap plans WindowGroupLimit") {
+    val p = plan("c34_cluster_sample")
+    // centroids must be plan literals — a join against a centroid
+    // table would shuffle the corpus twice at 100 TB
+    assert(!p.contains("Join"), s"centroid join leaked in:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-cell cap not pruned map-side:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected <= 1 shuffle, got $exchanges:\n$p")
+  }
+
   test("c31 incremental agg: base table is scanned exactly once") {
     val p = plan("c31_incremental_agg")
     // state seed reads orders once; the delta side reuses the same
