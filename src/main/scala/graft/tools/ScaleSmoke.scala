@@ -268,6 +268,18 @@ object ScaleSmoke {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3).count()
     }
+    // learned quality filter: training cost is CAPPED (the id-ordered
+    // 100k-row sample — at k>=20 the cap binds, so training wall-time
+    // is k-invariant) and scoring is a map-only literal-weight pass —
+    // total must grow sublinearly, approaching the bare scan slope
+    timed("quality_classifier") {
+      val c = graft.operators.Classifier
+      val w = c.train(
+        big.withColumn("y", (col("doc_id") % 2 === 0).cast("double")),
+        "text", "doc_id", "y")
+      c.score(big, "text", "doc_id", w.toSeq)
+        .filter(col("keep") === 1L).count()
+    }
     // curriculum acceptance: pure per-row predicate over a broadcast
     // 3-row epoch table — wall-clock must be a linear scan, 0 shuffles
     timed("curriculum") {
@@ -355,6 +367,20 @@ object ScaleSmoke {
     timed("semantic_dups") {
       Dedup.semanticDupPairs(ebig, "embedding", "vec_id",
         threshold = 0.35, nlist = 8, nprobe = 2).count()
+    }
+    // cluster-balanced sample: the flood is the adversarial case —
+    // every vector is a k-way exact dup, so cells saturate fast.
+    // Output is HARD-BOUNDED at nlist x perCluster regardless of k
+    // (WindowGroupLimit forwards <= perCluster per cell per task);
+    // wall-clock may grow with the scan but output must not.
+    timed("cluster_sample") {
+      val cents = graft.operators.Similarity.coarseCentroids(
+        ebig, "embedding", "vec_id", nlist = 16, seed = 42L,
+        maxTrainRows = 100000L)
+      val kept = graft.operators.Sampling.clusterBalancedSample(
+        ebig, "embedding", "vec_id", cents, perCluster = 50).count()
+      require(kept <= 16L * 50, s"cap breached: $kept")
+      kept
     }
     timed("quantized_topk") {
       graft.operators.Similarity.quantizedTopK(ebig,
