@@ -623,4 +623,39 @@ object Similarity {
       .agg(sum(col("wa") * col("wb")).as("cosine"))
       .filter(col("cosine") > minSim)
   }
+
+  /** Semantic (embedding-space) benchmark decontamination — the
+    * third leg of the decontamination family (exact n-grams = c05,
+    * fuzzy excerpts = c19): flag every corpus vector whose cosine to
+    * ANY eval vector reaches `threshold`. Paraphrased contamination
+    * that shares no n-gram still co-locates in embedding space.
+    *
+    * Scale shape: an eval benchmark is SMALL by definition (10^3-10^5
+    * vectors), so the eval side broadcasts and the corpus is scanned
+    * ONCE through a broadcast nested-loop join — exact (no LSH recall
+    * gap: this is a drop decision, a miss is leaked contamination).
+    * The threshold filter runs BEFORE the aggregation, so the only
+    * shuffle carries flagged (corpus, eval) hits — a vanishing
+    * fraction of the corpus — never the corpus itself.
+    *
+    * Output per flagged corpus id: hit count, max cosine (raw-double
+    * max then round — comparison is exact, so round-after-max
+    * replays), and the smallest hitting eval id (deterministic
+    * witness).
+    */
+  def semanticDecontam(
+      corpus: DataFrame, evalSet: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ev = evalSet.select(col(idCol).as("eval_id"),
+      col(vecCol).as("evec"))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(ev))
+      .select(col("id"), col("eval_id"),
+        VectorFunctions.cosineSim(col("vec"), col("evec")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"),
+        round(max(col("cos")), 4).as("max_cosine"),
+        min(col("eval_id")).as("first_eval_id"))
+  }
 }

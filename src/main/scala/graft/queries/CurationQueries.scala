@@ -1602,5 +1602,44 @@ object CurationQueries {
       doc = "Cluster-balanced diversity sample: per-k-means-cell cap " +
         "over the embedding space (map-only assignment via centroid " +
         "literals, WindowGroupLimit cap, md5-hash within-cell order; " +
-        "centroids inlined into the oracle at Verify time)."))
+        "centroids inlined into the oracle at Verify time)."),
+
+    // ------------------------------------------------------------------
+    "c35_semantic_decontam" -> QueryDef(
+      fn = { (s, dir) =>
+        // Embedding-space decontamination — the third leg of the
+        // family (c05 exact n-grams, c19 fuzzy excerpts): flag
+        // corpus vectors cosine-close to ANY eval vector. The eval
+        // benchmark broadcasts (small by definition), the corpus
+        // scans once through a broadcast NLJ, and only flagged hits
+        // reach the aggregation shuffle. Exact — a drop decision
+        // tolerates no LSH recall gap.
+        val e = T(s, dir).embeddings
+        graft.operators.Similarity.semanticDecontam(
+          e.filter(col("vec_id") % 50 =!= 0),
+          e.filter(col("vec_id") % 50 === 0),
+          threshold = 0.35)
+          .select(col("id").as("vec_id"), col("n_hits"),
+            col("max_cosine"), col("first_eval_id"))
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evec
+          FROM embeddings WHERE vec_id % 50 = 0),
+        co AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+          FROM embeddings WHERE vec_id % 50 <> 0),
+        hits AS (
+          SELECT co.id, ev.eval_id,
+                 list_cosine_similarity(co.vec, ev.evec) AS cos
+          FROM co, ev
+          WHERE list_cosine_similarity(co.vec, ev.evec) >= 0.35)
+        SELECT id AS vec_id, count(*) AS n_hits,
+               round(max(cos), 4) AS max_cosine,
+               min(eval_id) AS first_eval_id
+        FROM hits GROUP BY id"""),
+      doc = "Semantic benchmark decontamination: eval set broadcast, " +
+        "exact cosine flagging, only hits shuffle — paraphrased " +
+        "contamination that defeats n-gram checks still co-locates " +
+        "in embedding space."))
 }

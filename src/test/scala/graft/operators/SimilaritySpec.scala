@@ -211,4 +211,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pruned.contains((1L, 4L)), s"got $pruned")
     assert(pruned.contains((1L, 2L)) && pruned.contains((3L, 4L)))
   }
+
+  test("semanticDecontam: planted contamination flagged with exact " +
+    "witness, orthogonal corpus untouched") {
+    import spark.implicits._
+    val e1 = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val near1 = Seq(0.95f, 0.05f, 0.0f, 0.0f) // cosine ~0.998 to e1
+    // eval = {10 -> e1, 20 -> e2}; corpus: 1 = exact leak of e1,
+    // 2 = paraphrase-near leak, 3/4 = orthogonal clean
+    val evalSet = Seq((10L, e1), (20L, e2)).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, e1), (2L, near1),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontam(corpus, evalSet, 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L), s"flag set: ${got.keySet}")
+    assert(got(1L) == ((1L, 1.0, 10L)), s"exact leak row: ${got(1L)}")
+    assert(got(2L)._1 == 1L && got(2L)._3 == 10L &&
+      got(2L)._2 > 0.99, s"near leak row: ${got(2L)}")
+    // an eval vector matching BOTH eval entries counts both hits and
+    // witnesses the smallest eval id
+    val diag = Seq((5L, Seq(0.7f, 0.7f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val both = Similarity.semanticDecontam(diag, evalSet, 0.5)
+      .collect().head
+    assert(both.getLong(1) == 2L && both.getLong(3) == 10L)
+  }
 }

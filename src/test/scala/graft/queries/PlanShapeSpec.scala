@@ -378,6 +378,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected <= 1 shuffle, got $exchanges:\n$p")
   }
 
+  test("c35 semantic decontam: eval side broadcasts and only flagged " +
+    "hits reach the aggregation shuffle") {
+    val p = plan("c35_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle into the join:\n$p")
+    // exactly one hash-partition exchange: the post-filter hit agg
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
   test("c31 incremental agg: base table is scanned exactly once") {
     val p = plan("c31_incremental_agg")
     // state seed reads orders once; the delta side reuses the same
