@@ -278,52 +278,48 @@ object Dedup {
     df.select(col(idCol).as("id"), sig.as("sig"))
   }
 
-  /** Md5-family signatures via a DISTINCT-hash permutation table —
-    * the scale shape for the portable family. The per-column HOF form
-    * ([[MinHashFamily.Md5.signature]]) pays one md5 per (shingle
-    * OCCURRENCE, permutation): corpus-linear in string hashing, and
-    * 24-128x that if the caller forgets to materialize the shingle
-    * scan (the bench's reference detector caught exactly this: c19 at
-    * 9.6 s vs 2.1 s committed). P(h, i) depends only on (h, i), so
-    * this computes each permutation ONCE per distinct shingle hash —
-    * a vocabulary-bounded table (two digests + numHashes int-ops per
-    * distinct hash via the Kirsch–Mitzenmacher family,
-    * [[graft.functions.PortableHash.permuteFrom]]) — joins it to the
-    * exploded postings, and folds element-wise minima per key with
-    * codegen min aggregates (a doc-level signature IS the union of
-    * its shingles' permutation vectors; map-side combinable). Two
-    * shuffles replace tens of millions of md5 calls; the Xx family
-    * keeps its map-only native expressions.
+  /** Md5-family signatures, direct fold — the scale shape for the
+    * portable family. History, because the shape moved twice: the
+    * original per-(occurrence, permutation) rehash paid numHashes
+    * digests per shingle occurrence, so round 9 first introduced a
+    * DISTINCT-hash permutation table (each permutation computed once
+    * per distinct hash, joined back to the postings — two extra
+    * exchanges to avoid tens of millions of digests). The
+    * Kirsch–Mitzenmacher family ([[graft.functions.PortableHash
+    * .permuteFrom]]) then collapsed the per-occurrence digest cost to
+    * TWO digests total (one pair, every permutation int-only), which
+    * flips the trade back: hashing every occurrence directly is now
+    * cheaper than the distinct shuffle + join it was dodging — at
+    * fixture scale AND at 100 TB, where the distinct table is
+    * corpus-linear (web-scale shingle vocabularies keep growing) and
+    * its exchange carries the same posting volume the direct form
+    * folds map-side.
     *
-    * `hashed` carries (`key`, `shset`) and MUST be materialized by
-    * the caller (it is consumed twice: permute-table derivation and
-    * the postings join). Returns (`key`, sig) for keys with at least
-    * one shingle; callers needing null-sig rows left-join it back.
+    * Shape: explode postings, derive the (h1, h2) digest pair per
+    * occurrence in the same map, fold `numHashes` plain `min`
+    * aggregates of the KM permutations (whole-stage codegen,
+    * map-side partial agg — postings reach the ONE exchange already
+    * reduced to <= |keys| x numHashes). Zero joins. The `min` fold
+    * rather than the MinHashUnion UDAF: identical monoid math, but a
+    * typed Aggregator pays per-row encoder trips that dominate at
+    * posting granularity (measured 3x on d10). MinHashUnion stays
+    * the right tool one level up, where rows are already signatures
+    * (d08's doc -> source fold).
     *
-    * The fold is `numHashes` plain `min` aggregates (whole-stage
-    * codegen, map-side partial agg — the postings never reach the
-    * shuffle unreduced) rather than the MinHashUnion UDAF: identical
-    * monoid math, but a typed Aggregator pays per-row encoder trips
-    * that dominate at posting granularity (measured 3x on d10).
-    * MinHashUnion stays the right tool one level up, where rows are
-    * already signatures (d08's doc -> source fold).
+    * Returns (`key`, sig) for keys with at least one shingle;
+    * callers needing null-sig rows left-join it back.
     */
   private[graft] def md5Signatures(
       hashed: DataFrame, key: String, numHashes: Int): DataFrame = {
     import graft.functions.PortableHash
     val ex = hashed.select(col(key), explode(col("shset")).as("h"))
-    val perms = ex.select(col("h")).distinct()
-      .select(col("h"),
+      .select(col(key),
         PortableHash.uniform60(col("h").cast("string")).as("h1"),
         PortableHash.uniform60Tail(col("h").cast("string")).as("h2"))
-      .select(col("h"),
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => PortableHash.permuteFrom(col("h1"), col("h2"), i))
-          .as("ps"))
     val mins = (0 until numHashes)
-      .map(i => min(element_at(col("ps"), i + 1)).as(s"m$i"))
-    ex.join(perms, Seq("h"))
-      .groupBy(col(key))
+      .map(i => min(PortableHash.permuteFrom(col("h1"), col("h2"),
+        lit(i))).as(s"m$i"))
+    ex.groupBy(col(key))
       .agg(mins.head, mins.tail: _*)
       .select(col(key),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))

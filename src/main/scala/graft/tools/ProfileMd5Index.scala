@@ -32,6 +32,17 @@ object ProfileMd5Index {
       corpus.select(col("doc_id"),
         Dedup.MinHashFamily.Md5.shingleHashes(col("text"), 3))))
 
+    // decomposed dedupIndex: checkpoint of the hashed frame, the
+    // signature fold, the join-back
+    val hashed = time("hashed (fp+shset) ckpt")(
+      corpus.select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+        Dedup.MinHashFamily.Md5.shingleHashes(col("text"), 3).as("shset"))
+        .localCheckpoint())
+    time("md5Signatures fold only")(noop(
+      Dedup.md5Signatures(hashed.select(col("id"), col("shset")),
+        "id", 24)))
+
     val idx = time("dedupIndex(Md5) build+checkpoint")(
       Dedup.dedupIndex(corpus, "text", "doc_id",
         numHashes = 24, hasher = Dedup.MinHashFamily.Md5)
