@@ -368,6 +368,17 @@ object ScaleSmoke {
       Dedup.semanticDupPairs(ebig, "embedding", "vec_id",
         threshold = 0.35, nlist = 8, nprobe = 2).count()
     }
+    // semantic decontamination: the eval side is FIXED (a benchmark
+    // doesn't grow with the corpus) and broadcasts; corpus wall-time
+    // must track the bare scan. The k-way flood multiplies flagged
+    // rows by k — the only thing allowed to grow is the (tiny)
+    // hits-only aggregation input.
+    timed("semantic_decontam") {
+      val evalSet = ebase.filter(col("vec_id") % 50 === 0)
+      graft.operators.Similarity.semanticDecontam(
+        ebig.filter(col("vec_id") % 50 =!= 0), evalSet,
+        threshold = 0.35).count()
+    }
     // cluster-balanced sample: the flood is the adversarial case —
     // every vector is a k-way exact dup, so cells saturate fast.
     // Output is HARD-BOUNDED at nlist x perCluster regardless of k
