@@ -203,8 +203,21 @@ object TableSync {
       .filter(col("__rn") === 1).drop("__rn")
     snap.write.mode("overwrite").partitionBy(BucketCol)
       .parquet(s"$path/$snapName")
-    val entries = prev.map(_.entries).getOrElse(Map.empty[Int, String]) ++
+    val entries0 = prev.map(_.entries).getOrElse(Map.empty[Int, String]) ++
       touched.map(_ -> snapName)
+    // Empty FIRST batch (legitimate: a stream can open on a quiet
+    // source, or a dedup pairs table can have nothing to say yet):
+    // partitionBy of zero rows writes no bucket directory, which
+    // would commit a zero-entry manifest no reader can serve — there
+    // is no schema anywhere. Write bucket 0 explicitly as an empty
+    // parquet dir so the manifest always references real files.
+    val entries =
+      if (entries0.nonEmpty) entries0
+      else {
+        snap.drop(BucketCol).write.mode("overwrite")
+          .parquet(s"$path/$snapName/$BucketCol=0")
+        Map(0 -> snapName)
+      }
     commitPointer(spark, path, prev.map(_.name),
       Manifest(snapName, nb, entries))
     gc(spark, path, batchId)

@@ -345,4 +345,22 @@ class TableSyncSpec extends AnyFunSuite {
       TableSync.readVersion(spark, path, 0L))
     assert(ex.getMessage.contains("not retained"))
   }
+
+  test("empty FIRST batch commits a readable empty table (schema " +
+    "preserved), later batches upsert normally") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-empty-").toString
+    val empty = Seq.empty[(Long, Long, String)].toDF("k", "ver", "attr")
+    TableSync.applyBatch(empty, path, "k", "ver", 0L)
+    val got = TableSync.readCurrent(spark, path)
+    assert(got.count() == 0)
+    assert(got.columns.toSet == Set("k", "ver", "attr"),
+      s"schema lost: ${got.columns.mkString(",")}")
+    assert(TableSync.versions(spark, path) == Seq(0L))
+    TableSync.applyBatch(
+      Seq((1L, 1L, "a")).toDF("k", "ver", "attr"), path, "k", "ver", 1L)
+    val after = TableSync.readCurrent(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(after == Seq((1L, "a")), s"got $after")
+  }
 }
