@@ -509,6 +509,46 @@ object ScaleSmoke {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
 
+    // DedupSync online-dedup ingestion: seed the full replica corpus
+    // as batch 0 (one-time bootstrap: within-batch dedup of the k-way
+    // flood + index write), then ingest a small append batch at
+    // d10's practical parameters (24 hashes / 8 bands). The append's
+    // cost model is index-SCAN-bound plus ~|batch|/numBuckets of the
+    // index rewritten — the accumulated corpus is never re-hashed or
+    // shuffled — so batch-1 wall-clock must grow on the scan slope,
+    // far below the seed's flood-quadratic pair output. (This ladder
+    // caught both storage bugs in the first cut: TableSync-stored
+    // pairs rewrote ALL accumulated pairs per batch, and 256 index
+    // buckets under a 500-doc batch rewrote 87% of the index.)
+    locally {
+      val ix = java.nio.file.Files
+        .createTempDirectory("smoke_dsync_ix").toString
+      val pr = java.nio.file.Files
+        .createTempDirectory("smoke_dsync_pr").toString
+      val seed = big
+      // a REAL micro-batch: 10 new docs (fixed, k-independent — the
+      // streaming regime is small frequent batches), ids fresh, each
+      // a planted dup of an indexed doc. Touched buckets <= 10 of
+      // 256, so the rewrite is a few percent of the index; what may
+      // grow with k is only the index SCAN.
+      val append = base.limit(10)
+        .withColumn("doc_id", col("doc_id") + 900000000L)
+      timed("dsync_seed_batch0") {
+        graft.streaming.DedupSync.applyDocs(
+          seed, ix, pr, "text", "doc_id", batchId = 0L,
+          threshold = 0.5, numHashes = 24, bands = 8)
+        seed.count()
+      }
+      timed("dsync_append_batch1") {
+        graft.streaming.DedupSync.applyDocs(
+          append, ix, pr, "text", "doc_id", batchId = 1L,
+          threshold = 0.5, numHashes = 24, bands = 8)
+        append.count()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pr))
+    }
+
     // WebDataset tar shards: pack the replica corpus into 64 shards
     // (one tar per task, shard-parallel write), read it all back.
     // Growth must be linear in k with flat per-shard cost — the

@@ -75,26 +75,21 @@ class DedupSyncSpec extends AnyFunSuite {
     DedupSync.applyDocs(b0, ix, pr, "text", "doc_id", batchId = 0L,
       threshold = 0.3)
     // full replay of batch 0 after its commit: nothing changes
-    val v0 = (TableSync.versions(spark, ix), TableSync.versions(spark, pr))
+    val v0 = TableSync.versions(spark, ix)
     val p0 = pairSet(DedupSync.readPairs(spark, pr))
     DedupSync.applyDocs(b0, ix, pr, "text", "doc_id", batchId = 0L,
       threshold = 0.3)
-    assert((TableSync.versions(spark, ix),
-      TableSync.versions(spark, pr)) == v0)
+    assert(TableSync.versions(spark, ix) == v0)
     assert(pairSet(DedupSync.readPairs(spark, pr)) == p0)
-    // crash-between simulation for batch 1: commit ONLY the pairs
-    // table (what a crash after the first write leaves behind), then
-    // the redelivered applyDocs must skip the pairs write, commit the
-    // index, and land on the uninterrupted end state
+    // crash-between simulation for batch 1: ONLY the pairs directory
+    // is written (what a crash after the first write leaves behind),
+    // then the redelivered applyDocs must overwrite it idempotently,
+    // commit the index, and land on the uninterrupted end state
     val idx0 = DedupSync.readIndex(spark, ix)
     val pairs1 = Dedup.incrementalNearDups(idx0, b1, "text", "doc_id",
       threshold = 0.3)
-    TableSync.applyBatch(
-      pairs1.select(
-        concat(col("id_a").cast("string"), lit(":"),
-          col("id_b").cast("string")).as("pair_key"),
-        col("id_a"), col("id_b"), col("jaccard"), lit(1L).as("ver")),
-      pr, "pair_key", "ver", 1L)
+    pairs1.select(col("id_a"), col("id_b"), col("jaccard"))
+      .write.mode("overwrite").parquet(s"$pr/batch=1")
     DedupSync.applyDocs(b1, ix, pr, "text", "doc_id", batchId = 1L,
       threshold = 0.3)
     assert(TableSync.versions(spark, ix).max == 1L)
