@@ -1540,5 +1540,37 @@ object RelationalQueries {
                  CAST(max(hv) AS DOUBLE) AS est_raw
         FROM u GROUP BY grp"""),
       doc = "Hash-checked KMV bottom-k distinct sketch (md5-uniform " +
-        "60-bit hash) with a lossless sketch merge for the union row."))
+        "60-bit hash) with a lossless sketch merge for the union row."),
+
+    // ------------------------------------------------------------------
+    "q51_variant" -> QueryDef(
+      fn = { (s, dir) =>
+        // Spark 4 VARIANT: schema-on-read semi-structured access.
+        // q14 parses with a DECLARED schema (from_json + StructType);
+        // the VARIANT path needs none — parse_json builds the binary
+        // variant encoding and variant_get extracts typed values by
+        // path at read time, the shape engines (and open table
+        // formats) now standardize for JSON-ish columns. A missing
+        // path is SQL NULL, not an error — pinned by the
+        // n_missing_present count (and the oracle's 0).
+        T(s, dir).events
+          .select(col("event_type"),
+            expr("variant_get(parse_json(props), '$.k', 'long')")
+              .as("k"),
+            expr("variant_get(parse_json(props), '$.absent', 'string')")
+              .as("m"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            count(col("m")).as("n_missing_present"))
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS sum_k,
+               CAST(0 AS BIGINT) AS n_missing_present
+        FROM events GROUP BY event_type"""),
+      doc = "Spark 4 VARIANT semi-structured access: parse_json + " +
+        "variant_get by path, no declared schema; missing paths are " +
+        "NULL (DuckDB replays via json_extract)."))
 }

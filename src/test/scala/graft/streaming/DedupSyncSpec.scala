@@ -103,6 +103,37 @@ class DedupSyncSpec extends AnyFunSuite {
       pairSet(DedupSync.readPairs(spark, pr2)))
   }
 
+  test("dedupSink survives a kill + restart from checkpoint " +
+    "(arrivals while down replay into the same end state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val ix = Files.createTempDirectory("dsync5-ix-").toString
+    val pr = Files.createTempDirectory("dsync5-pr-").toString
+    val ck = Files.createTempDirectory("dsync5-ck-").toString
+    def startQuery() = DedupSync.dedupSink(
+      mem.toDF().toDF("doc_id", "text"), ix, pr, "text", "doc_id", ck,
+      threshold = 0.3)
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val q1 = startQuery()
+    mem.addData(rows.filter(_._1 % 3 == 0).toSeq: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // arrivals while the sink is down — including doc 4, whose only
+    // near-dups (1 and 7) arrive in DIFFERENT batches around the kill
+    mem.addData(rows.filter(_._1 % 3 == 1).toSeq: _*)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    mem.addData(rows.filter(_._1 % 3 == 2).toSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val streamed = pairSet(DedupSync.readPairs(spark, pr))
+    val oneShot = pairSet(Dedup.nearDupPairs(
+      corpus, "text", "doc_id", threshold = 0.3))
+    assert(streamed == oneShot, s"stream $streamed\nvs batch $oneShot")
+    assert(DedupSync.readIndex(spark, ix).count() == 9)
+  }
+
   test("re-ingested id replaces its index row and pairs stay " +
     "duplicate-free") {
     import spark.implicits._
