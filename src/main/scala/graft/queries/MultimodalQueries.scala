@@ -694,7 +694,44 @@ object MultimodalQueries {
       doc = "WebDataset sample pairing through the tar container: " +
         "members re-group by basename into (modality -> bytes) " +
         "samples; lang parsed back out of the tar'd json member " +
-        "proves byte-exact pairing."))
+        "proves byte-exact pairing."),
+
+    // ------------------------------------------------------------------
+    "m13_resize" -> QueryDef(
+      fn = { (s, dir) =>
+        // The resize leg of the decode/feature/resize/frame-sample
+        // plumbing: batch-resize every image to 100x50 and re-decode
+        // both generations. GRFT stubs get their header dims
+        // rewritten with the payload untouched (n_payload_bytes
+        // proves it); the REAL bilinear resample for JDK-decodable
+        // formats is pinned by MultimodalSpec on generated PNGs —
+        // the Spark-side plumbing (mapPartitions batch shape, binary
+        // schema) is identical for both.
+        val imgs = fakeImages(s, dir)
+        val orig = Multimodal.decodeImages(imgs, "doc_id", "image")
+          .select(col("doc_id"),
+            col("width").as("old_w"), col("height").as("old_h"))
+        val rez = Multimodal.decodeImages(
+          Multimodal.resizeImages(imgs, "doc_id", "image", 100, 50),
+          "doc_id", "image")
+          .select(col("doc_id"),
+            col("width").as("new_w"), col("height").as("new_h"),
+            col("format"), col("n_payload_bytes"))
+        orig.join(rez, Seq("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(64 + doc_id % 512 AS INT) AS old_w,
+               CAST(48 + doc_id % 256 AS INT) AS old_h,
+               CAST(100 AS INT) AS new_w,
+               CAST(50 AS INT) AS new_h,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                               ELSE 'webp' END AS format,
+               octet_length(encode(text)) AS n_payload_bytes
+        FROM documents"""),
+      doc = "Batch image resize: header dims rewritten, payload " +
+        "byte-identical (stub path; real bilinear resample " +
+        "spec-pinned on PNGs)."))
 
   /** One temp shard dir per sfDir for m12, cleaned at JVM exit
     * (p05TmpDir's pattern; separate dir — m12's member set differs).
