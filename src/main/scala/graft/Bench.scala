@@ -160,8 +160,17 @@ object Bench {
     }
     def refSlow(name: String, t: Double): Boolean =
       refTimes.get(name).exists(r => r > 0 && t > 3.0 * r)
+    // Re-measure trigger is TIGHTER than the flag (1.5x vs 3x): the
+    // r09 capture carried a sustained ~2x load burst over three
+    // queries that sat below both 3x thresholds and shipped
+    // unflagged-but-inflated. Anything >1.5x its committed idle
+    // reference gets the end-of-suite re-run; the flag itself keeps
+    // the 3x semantics (a reproducible 1.5-3x drift is visible by
+    // diffing captures, not a measurement artifact worth flagging).
+    def refSuspect(name: String, t: Double): Boolean =
+      refTimes.get(name).exists(r => r > 0 && t > 1.5 * r)
     val results = firstPass.map { case (name, (t, p)) =>
-      if (t < 0 || (!contaminated(p) && !refSlow(name, t))) (name, t, p)
+      if (t < 0 || (!contaminated(p) && !refSuspect(name, t))) (name, t, p)
       else {
         val p2 = probe()
         val t2 = runOnce(name)

@@ -886,10 +886,25 @@ object Dedup {
       index: DataFrame, newDocs: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 32,
       shingleSize: Int = 3, maxBucketSize: Int = 1000,
-      hasher: MinHashFamily = MinHashFamily.Xx): DataFrame = {
-    val newIdx = dedupIndex(newDocs, textCol, idCol, numHashes, shingleSize,
-      hasher)
-      .localCheckpoint() // consumed by buckets + verification
+      hasher: MinHashFamily = MinHashFamily.Xx): DataFrame =
+    incrementalPairs(
+      index,
+      dedupIndex(newDocs, textCol, idCol, numHashes, shingleSize, hasher)
+        .localCheckpoint(), // consumed by buckets + verification + within
+      threshold, numHashes, bands, maxBucketSize)
+
+  /** [[incrementalNearDups]] over a PRE-COMPUTED batch index — the
+    * entry DedupSync uses so each micro-batch's text is shingle-
+    * hashed exactly once: the same `(id, fp, shset, sig)` frame feeds
+    * the cross-corpus probe, the within-batch pairs
+    * ([[pairsFromIndex]]) and the index append. `newIdx` must be
+    * materialized (localCheckpoint) by the caller; it is consumed by
+    * four subtrees here.
+    */
+  def incrementalPairs(
+      index: DataFrame, newIdx: DataFrame, threshold: Double,
+      numHashes: Int = 128, bands: Int = 32,
+      maxBucketSize: Int = 1000): DataFrame = {
     val corpusBuckets = lshBuckets(
       index.select(col("id"), col("sig")), bands, numHashes)
     val newBuckets = lshBuckets(
@@ -921,10 +936,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     crossPairs.unionByName(fpPairs)
       .unionByName(
-        nearDupPairs(newDocs, textCol, idCol, threshold, numHashes, bands,
-          shingleSize, maxBucketSize, hasher = hasher))
+        pairsFromIndex(newIdx, threshold, numHashes, bands, maxBucketSize))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard")).as("jaccard"))
+  }
+
+  /** [[nearDupPairs]] computed straight off a [[dedupIndex]] frame
+    * `(id, fp, shset, sig)` — same canonicalize-first shape, same
+    * results by construction (the index columns ARE the intermediate
+    * values nearDupPairs derives from text), but zero text hashing:
+    * the fingerprint grouping reads `fp`, LSH reads the stored `sig`,
+    * verification reads the stored `shset`. Used wherever the index
+    * already exists (DedupSync computes one per micro-batch for the
+    * index append anyway). Callers pass a materialized frame; the
+    * rep subset is re-materialized here for its three consumers.
+    */
+  def pairsFromIndex(
+      idx: DataFrame, threshold: Double, numHashes: Int = 128,
+      bands: Int = 32, maxBucketSize: Int = 1000,
+      expandGroups: Boolean = true): DataFrame = {
+    val groups = idx
+      .select(col("id").as("did"), col("fp"))
+      .withColumn("keep", min(col("did")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .select(col("did"), col("keep"))
+      .localCheckpoint() // star pairs + rep filter + membership
+    val exactPairs = groups.filter(col("did") =!= col("keep"))
+      .select(col("keep").as("id_a"), col("did").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val repIdx = idx.join(
+      groups.filter(col("did") === col("keep"))
+        .select(col("did").as("id")),
+      Seq("id"), "left_semi")
+      .localCheckpoint() // bucket table + two verification joins
+    val cands = candidatePairs(
+      lshBuckets(repIdx.select(col("id"), col("sig")), bands, numHashes),
+      maxBucketSize)
+    val repPairs = cands
+      .join(repIdx.select(col("id").as("id_a"), col("shset").as("set_a")),
+        Seq("id_a"))
+      .join(repIdx.select(col("id").as("id_b"), col("shset").as("set_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.jaccardSorted(col("set_a"), col("set_b"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val pairsOut =
+      if (!expandGroups) repPairs
+      else {
+        val members = groups.select(col("keep"), col("did"))
+        repPairs
+          .join(members.select(col("keep").as("id_a"), col("did").as("m_a")),
+            Seq("id_a"))
+          .join(members.select(col("keep").as("id_b"), col("did").as("m_b")),
+            Seq("id_b"))
+          .select(least(col("m_a"), col("m_b")).as("id_a"),
+            greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+      }
+    pairsOut.unionByName(exactPairs)
+      .groupBy("id_a", "id_b").agg(max(col("jaccard")).as("jaccard"))
   }
 
   /** SemDeDup-style semantic dedup: a k-means coarse quantizer

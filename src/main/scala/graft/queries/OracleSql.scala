@@ -255,6 +255,103 @@ private[queries] object OracleSql {
           GROUP BY d.doc_id)"""
   }
 
+  /** Full SQL replay of Bpe.learnMerges — the merge-SELECTION loop
+    * itself, not just the apply half (bpeApplyCtes): DuckDB re-runs
+    * tokenizer INDUCTION from the raw corpus and must land on the
+    * identical (rank, left, right, pair_count) sequence. The loop is
+    * a bounded iteration (numMerges rounds of argmax over weighted
+    * adjacent-pair counts), so it UNROLLS as numMerges chained CTE
+    * blocks — pair-count, argmax, merge-rewrite — rather than a
+    * recursive CTE (standard SQL forbids aggregating over the
+    * recursive reference, and the bound is a plan-time constant
+    * anyway):
+    *
+    *  - `bpehist`: the word histogram with the operator's
+    *    deterministic (count desc, word) maxVocab cut;
+    *  - `v0`: each word as a chr(30)-wrapped symbol string (the
+    *    bpeApplyCtes encoding — one symbol per codepoint + `</w>`);
+    *  - `p{k}`: adjacent-pair counts weighted by word count, with
+    *    within-word multiplicity (unnest preserves duplicates — the
+    *    operator's addWordPairs counts every adjacency);
+    *  - `b{k}`: the argmax with the operator's total-order tie-break
+    *    (count desc, then lexicographically smallest (left, right));
+    *  - `v{k}`: all non-overlapping occurrences merged left-to-right
+    *    (replace() resumes after each replacement = the k += 2
+    *    sweep).
+    *
+    * Every stage is AS MATERIALIZED: `v{k}` references `v{k-1}`
+    * twice (pair counts + rewrite), so default CTE inlining doubles
+    * the expression tree per round — 2^numMerges scans of the base
+    * relation (measured: "too many open files" at 20 rounds);
+    * materialization makes the chain linear (0.26 s at sf0.01).
+    * Early exhaustion degrades identically: an empty `b{k}` empties
+    * every later stage and contributes no rank row, exactly the
+    * operator's stop-early path. Callers must run the
+    * [[bpeLearnOracleGuards]] first: the chr(30) separator guard,
+    * plus a supplementary-plane guard because the tie-break compares
+    * strings — Java orders by UTF-16 code unit, DuckDB by UTF-8 byte
+    * (= codepoint), and the two disagree precisely on
+    * supplementary-plane characters.
+    */
+  def bpeLearnSql(numMerges: Int, maxVocab: Int = 65536,
+      docRel: String = "documents"): String = {
+    val rs = "chr(30)"
+    val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+    val docWords = s"list_filter(string_split($norm, ' '), x -> x != '')"
+    val symRe = s"$rs||'([^'||$rs||']+)'||$rs"
+    val blocks = (1 to numMerges).map { k =>
+      val prev = s"v${k - 1}"
+      s"""p$k AS MATERIALIZED (
+          SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n
+          FROM (
+            SELECT cnt, unnest(list_transform(range(1, len(sy)),
+              i -> [sy[i], sy[i+1]])) AS pr
+            FROM (SELECT cnt, regexp_extract_all(s, $symRe, 1) AS sy
+                  FROM $prev))
+          GROUP BY 1, 2),
+        b$k AS MATERIALIZED (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+        v$k AS MATERIALIZED (
+          SELECT w, cnt,
+                 replace(s, $rs||l||$rs||$rs||r||$rs, $rs||l||r||$rs) AS s
+          FROM $prev CROSS JOIN b$k)"""
+    }
+    val ranks = (1 to numMerges).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS rank, l AS "left",
+             r AS "right", n AS pair_count FROM b$k"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH bpehist AS MATERIALIZED (
+          SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest($docWords) AS w FROM $docRel)
+          GROUP BY w ORDER BY cnt DESC, w LIMIT $maxVocab),
+        v0 AS MATERIALIZED (
+          SELECT w, cnt,
+                 $rs || array_to_string(
+                   list_append(regexp_extract_all(w, '.'), '</w>'),
+                   $rs||$rs) || $rs AS s
+          FROM bpehist),
+        ${blocks.mkString(",\n")}
+        SELECT * FROM ($ranks) ORDER BY rank"""
+  }
+
+  /** Loud preconditions for [[bpeLearnSql]] (see its scaladoc): the
+    * corpus must be free of the chr(30) symbol separator AND of
+    * supplementary-plane characters (the argmax tie-break is a
+    * string comparison, and Java UTF-16 order diverges from DuckDB
+    * codepoint order exactly there). Failing the generator keeps the
+    * query rows-only instead of risking a misaligned replay.
+    */
+  def bpeLearnOracleGuards(docs: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val sep = docs.filter(col("text").contains("\u001e")).count()
+    require(sep == 0,
+      s"bpe oracle: corpus contains chr(30) separator in $sep docs")
+    val supp = docs
+      .filter(col("text").rlike("[\\x{10000}-\\x{10FFFF}]")).count()
+    require(supp == 0,
+      s"bpe learn oracle: $supp docs contain supplementary-plane " +
+        "characters (UTF-16 vs codepoint tie-break order may diverge)")
+  }
+
   /** Shared oracleGen preamble for the BPE-apply replays: re-derive
     * the frozen merge list (learnMerges is deterministic — one
     * bounded histogram with a total-order cut, then an exact greedy

@@ -588,16 +588,27 @@ object TextQueries {
         // One distributed word-count shuffle; the merge loop runs on
         // the bounded word histogram (the standard trainer split —
         // pair statistics over a histogram equal pair statistics
-        // over the corpus). Iterative greedy induction is not
-        // SQL-expressible -> rows-only; BpeSpec pins the exact merge
-        // sequence on a planted corpus + determinism here.
+        // over the corpus). HASH-CHECKED: the loop is a BOUNDED
+        // iteration (20 rounds of argmax over weighted pair counts),
+        // so the oracle unrolls it as 20 chained CTE blocks and
+        // DuckDB re-runs the INDUCTION itself from the raw corpus —
+        // no trained literals, a fully independent replay
+        // (OracleSql.bpeLearnSql; chr(30)/supplementary-plane guards
+        // keep a misalignable corpus rows-only). BpeSpec additionally
+        // pins the incremental trainer against the naive recount
+        // loop, which is exactly the recount the SQL performs.
         graft.operators.Bpe.learnMerges(
           docs(s, dir), "text", numMerges = 20)
       },
       oracle = None,
+      oracleGen = Some { (s, dir) =>
+        OracleSql.bpeLearnOracleGuards(docs(s, dir))
+        OracleSql.bpeLearnSql(numMerges = 20)
+      },
       doc = "BPE tokenizer induction: top-20 learned merges " +
         "(distributed word histogram + bounded driver merge loop; " +
-        "rows-only)."),
+        "hash-checked via an unrolled-iteration SQL replay of the " +
+        "selection loop itself)."),
 
     // ------------------------------------------------------------------
     "t16_bpe_tokenize" -> QueryDef(

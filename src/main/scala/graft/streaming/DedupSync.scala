@@ -61,32 +61,49 @@ object DedupSync {
     * index per append, and 2048 buckets made the fixture-scale
     * bootstrap 7x slower on the per-bucket small-file floor; 256 is
     * the fixture sweet spot, and the right value grows with the
-    * table (raise it once per-bucket parquet size clears a few MB).
+    * table. Growth no longer needs a manual rewrite: set
+    * `maxBucketBytes` (e.g. a few MB at fixture scale, a few GB at
+    * 100 TB) and the index widens itself by at most `splitsPerBatch`
+    * linear-hashing bucket splits per batch (TableSync.applyBatch),
+    * keeping per-batch rewrite O(batch + splitsPerBatch) buckets
+    * across unbounded growth.
     */
   def dedupSink(docs: DataFrame, indexPath: String, pairsPath: String,
       textCol: String, idCol: String, checkpoint: String,
       threshold: Double = 0.5, numHashes: Int = 128, bands: Int = 32,
       shingleSize: Int = 3, maxBucketSize: Int = 1000,
       hasher: Dedup.MinHashFamily = Dedup.MinHashFamily.Xx,
-      numBuckets: Int = 256): StreamingQuery =
+      numBuckets: Int = 256,
+      maxBucketBytes: Long = Long.MaxValue,
+      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyDocs(batch, indexPath, pairsPath, textCol, idCol, batchId,
           threshold, numHashes, bands, shingleSize, maxBucketSize,
-          hasher, numBuckets)
+          hasher, numBuckets, maxBucketBytes, splitsPerBatch)
       }
       .start()
 
   /** One ingestion step; also the batch/backfill entry. Safe to call
-    * again with an already-applied batchId (no-op).
+    * again with an already-applied batchId (no-op). The batch's text
+    * is shingle-hashed exactly ONCE: the dedup index computed here
+    * feeds the cross-corpus probe, the within-batch pairs, and the
+    * index append. Pairs are stored CANONICAL (id_a < id_b): the
+    * cross probe orients (corpus, batch), so a source that
+    * re-delivers the smaller-id member of an already-emitted pair in
+    * a later batch would otherwise append the reversed orientation —
+    * and [[readPairs]]' merge would return the same unordered pair
+    * twice.
     */
   def applyDocs(batch: DataFrame, indexPath: String, pairsPath: String,
       textCol: String, idCol: String, batchId: Long,
       threshold: Double = 0.5, numHashes: Int = 128, bands: Int = 32,
       shingleSize: Int = 3, maxBucketSize: Int = 1000,
       hasher: Dedup.MinHashFamily = Dedup.MinHashFamily.Xx,
-      numBuckets: Int = 256): Unit = {
+      numBuckets: Int = 256,
+      maxBucketBytes: Long = Long.MaxValue,
+      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): Unit = {
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, indexPath)
     if (applied.exists(_ >= batchId)) return // replayed after commit
@@ -96,25 +113,29 @@ object DedupSync {
     val pairs =
       if (applied.isEmpty)
         // first batch: within-batch pairs only (nothing indexed yet)
-        Dedup.nearDupPairs(batch, textCol, idCol, threshold, numHashes,
-          bands, shingleSize, maxBucketSize, hasher = hasher)
+        Dedup.pairsFromIndex(newIdx, threshold, numHashes, bands,
+          maxBucketSize)
       else
-        Dedup.incrementalNearDups(
+        Dedup.incrementalPairs(
           TableSync.readCurrent(spark, indexPath).drop("ver"),
-          batch, textCol, idCol, threshold, numHashes, bands,
-          shingleSize, maxBucketSize, hasher = hasher)
+          newIdx, threshold, numHashes, bands, maxBucketSize)
     // pairs FIRST (append-only, overwrite of this batch's own
     // directory — idempotent under replay), index SECOND (the outer
     // commit point checked at entry)
-    pairs.select(col("id_a"), col("id_b"), col("jaccard"))
+    pairs.select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
       .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
     TableSync.applyBatch(newIdx.withColumn("ver", lit(batchId)),
-      indexPath, "id", "ver", batchId, numBuckets)
+      indexPath, "id", "ver", batchId, numBuckets, maxBucketBytes,
+      splitsPerBatch)
   }
 
   /** The accumulated near-dup pairs view. Max-merged per pair: a
     * source-level re-delivery of a doc in a later batch re-emits its
-    * pairs (identical values), and the merge collapses them.
+    * pairs (identical values, canonical orientation), and the merge
+    * collapses them.
     */
   def readPairs(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -124,4 +145,50 @@ object DedupSync {
   /** The live index view (what the next batch probes). */
   def readIndex(spark: SparkSession, path: String): DataFrame =
     TableSync.readCurrent(spark, path).drop("ver")
+
+  /** Maintenance fold for the pairs store: one `batch=N` directory
+    * accumulates per micro-batch FOREVER (the append-only layout's
+    * honest cost), so a long-lived stream ends up with thousands of
+    * small directories. This merges every existing generation —
+    * numeric batch dirs and previous compactions alike — into one
+    * `batch=c<gen>` directory holding the max-merged pair set, then
+    * deletes the sources.
+    *
+    * Crash-safe and replay-compatible by construction:
+    *  - the merged output is STAGED under an `_`-prefixed temp dir
+    *    (invisible to Spark readers) and renamed into place
+    *    atomically, so readers never observe a partial generation;
+    *  - a crash between the rename and the source deletes leaves
+    *    sources + compaction coexisting — [[readPairs]] max-merges,
+    *    so the view is unchanged, and re-running compaction converges;
+    *  - a batch replayed AFTER compaction (crash-between: its pairs
+    *    were folded but its index commit never landed) rewrites its
+    *    own `batch=N` directory as usual; the pair values are
+    *    deterministic, so the copies collapse in the merge. The
+    *    overwrite-idempotence contract is untouched because the
+    *    compacted generation lives under a name no batch id can
+    *    collide with.
+    */
+  def compactPairs(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(path))) return
+    val dirs = fs.listStatus(new Path(path)).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+    if (dirs.length <= 1) return // nothing to fold
+    val gen = dirs.map(_.stripPrefix("batch="))
+      .collect { case g if g.startsWith("c") => g.drop(1).toLong }
+      .maxOption.getOrElse(0L) + 1
+    val tmp = new Path(path, s"_compact_tmp_c$gen")
+    readPairs(spark, path)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // single atomic rename: readers switch from N sources to one
+    // generation with no window where neither is visible
+    if (!fs.rename(tmp, new Path(path, s"batch=c$gen")))
+      throw new IllegalStateException(
+        s"compaction rename failed under $path (generation c$gen)")
+    dirs.foreach(d => fs.delete(new Path(path, d), true))
+  }
 }

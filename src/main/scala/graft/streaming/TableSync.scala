@@ -28,8 +28,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * 1/numBuckets of the table — while every untouched bucket's files
   * are carried forward BY REFERENCE in the manifest (zero IO; the
   * spec asserts they stay byte-identical across a batch). At 100 TB,
-  * widen `numBuckets` (4096) so a bucket is a few GB; the reference's
-  * own commit point is O(1) per job (SQS `m.delete()`,
+  * a bucket should be a few GB — and the count is NOT frozen at
+  * creation: set `maxBucketBytes` and the scheme widens itself by
+  * bounded linear-hashing splits as the table grows (see
+  * [[applyBatch]]), or run [[rebucket]] for a one-shot re-base. The
+  * reference's own commit point is O(1) per job (SQS `m.delete()`,
   * GetJobs.py:39) and sub-table rewrite is the table-sink analogue.
   *
   * Three invariants make the pointer safe:
@@ -78,9 +81,22 @@ object TableSync {
 
   /** Default bucket count — sized for MB-to-GB dimension tables;
     * widen (256/4096) for larger tables. Recorded in the manifest at
-    * bootstrap so every later batch and reader agrees.
+    * bootstrap so every later batch and reader agrees — and, unlike
+    * the first cut, no longer frozen forever: the bucket scheme
+    * EVOLVES online via linear-hashing splits (below) or an explicit
+    * [[rebucket]].
     */
   val DefaultBuckets = 16
+
+  /** Bound on linear-hashing splits performed inside one applyBatch.
+    * Each split reads ONE old bucket and redistributes it over two,
+    * so per-batch maintenance IO stays O(splitsPerBatch) buckets no
+    * matter how far behind the table is — capacity catches up across
+    * batches (micro-batches are frequent; 4 splits/batch adds
+    * 4 x maxBucketBytes of capacity per batch, far above any
+    * realistic micro-batch's growth).
+    */
+  val DefaultSplitsPerBatch = 4
 
   /** Snapshot directory names: `v<batchId>` or replay `v<batchId>r<k>`. */
   private val SnapName = """v(\d+)(?:r(\d+))?""".r
@@ -102,32 +118,60 @@ object TableSync {
   /** The pointer payload: which snapshot directory serves each
     * bucket. `name` is the snapshot this manifest's commit wrote;
     * buckets the batch did not touch keep their previous directory.
+    *
+    * `split` is the linear-hashing pointer (Litwin 1980): buckets
+    * below it have been split to the doubled level, so the effective
+    * bucket count is `numBuckets + split` and a key's bucket is
+    * [[bucketExpr]] of `(numBuckets, split)`. `sizes` records the
+    * parquet bytes of each bucket AS OF the batch that last rewrote
+    * it — the split trigger's input, carried forward by reference
+    * exactly like the data itself (0 for buckets last written by a
+    * pre-evolution manifest; they fill in as batches touch them).
+    * Both fields parse backward-compatibly: an old manifest reads as
+    * split 0 with unknown sizes.
     */
   private[streaming] case class Manifest(
-      name: String, numBuckets: Int, entries: Map[Int, String]) {
+      name: String, numBuckets: Int, entries: Map[Int, String],
+      split: Int = 0, sizes: Map[Int, Long] = Map.empty) {
     def serialize: String =
-      (s"$name $numBuckets" +:
-        entries.toSeq.sortBy(_._1).map { case (b, s) => s"$b\t$s" })
+      (s"$name $numBuckets $split" +:
+        entries.toSeq.sortBy(_._1).map { case (b, s) =>
+          s"$b\t$s\t${sizes.getOrElse(b, 0L)}" })
         .mkString("\n")
   }
 
   private def parseManifest(text: String): Manifest = {
     val lines = text.trim.split("\n").map(_.trim).filter(_.nonEmpty)
     val head = lines.head.split(" ")
+    val rows = lines.tail.map(_.split("\t"))
     Manifest(head(0), head(1).toInt,
-      lines.tail.map(_.split("\t")).map(a => a(0).toInt -> a(1)).toMap)
+      rows.map(a => a(0).toInt -> a(1)).toMap,
+      if (head.length > 2) head(2).toInt else 0,
+      rows.filter(_.length > 2).map(a => a(0).toInt -> a(2).toLong).toMap)
   }
 
-  /** Content-derived bucket of the key: first 4 hex digits of
-    * md5(key as string), mod numBuckets — identical on any engine or
-    * partitioning (the c06 sharding discipline), so replays of the
-    * same rows always land in the same buckets. Null keys fold to
-    * bucket 0 rather than a null partition.
+  /** Content-derived bucket of the key under a linear-hashing scheme
+    * `(n, split)`: h = first 4 hex digits of md5(key as string) — a
+    * 16-bit uniform value, identical on any engine or partitioning
+    * (the c06 sharding discipline), so replays of the same rows
+    * always land in the same buckets. Buckets `h mod n < split` have
+    * been split to the doubled level and resolve at `h mod 2n`
+    * (which is `b0` or `b0 + n` — a split moves ONLY the split
+    * bucket's keys, everything else is untouched); the rest resolve
+    * at `h mod n`. `split == 0` is plain mod-n. The 16-bit hash caps
+    * the scheme at 65536 effective buckets — ~1.5 GB/bucket at
+    * 100 TB, exactly the few-GB target. Null keys fold to bucket 0
+    * rather than a null partition.
     */
-  private def bucketExpr(keyCol: String, n: Int) = coalesce(
-    pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
-      .cast("int"), lit(n)),
-    lit(0))
+  private def bucketExpr(keyCol: String, n: Int, split: Int = 0) = {
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    val b0 = pmod(h, lit(n))
+    coalesce(
+      if (split <= 0) b0
+      else when(b0 < split, pmod(h, lit(2 * n))).otherwise(b0),
+      lit(0))
+  }
 
   /** Start the upsert sink. `verCol` must be monotonically comparable
     * (ties are broken arbitrarily but deterministically only when the
@@ -135,11 +179,14 @@ object TableSync {
     */
   def upsertSink(
       updates: DataFrame, path: String, keyCol: String, verCol: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, numBuckets: Int = DefaultBuckets,
+      maxBucketBytes: Long = Long.MaxValue,
+      splitsPerBatch: Int = DefaultSplitsPerBatch): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, path, keyCol, verCol, batchId)
+        applyBatch(batch, path, keyCol, verCol, batchId, numBuckets,
+          maxBucketBytes, splitsPerBatch)
       }
       .start()
 
@@ -150,18 +197,54 @@ object TableSync {
     * table only — an existing table's manifest wins, so a restart
     * with a different parameter cannot split keys across bucket
     * schemes.
+    *
+    * ONLINE BUCKET EVOLUTION: when `maxBucketBytes` is set and the
+    * previous manifest's recorded table bytes exceed
+    * `maxBucketBytes x effective buckets`, the batch also performs up
+    * to `splitsPerBatch` linear-hashing splits: the buckets at the
+    * split pointer join the touched set, the whole merge is bucketed
+    * at the advanced scheme (which redistributes exactly those
+    * buckets' keys over two targets each and moves nothing else), and
+    * the commit advances the pointer — all under the same fresh-
+    * directory/atomic-swap/replay rules as the data itself. When the
+    * pointer completes a level (split == numBuckets) the manifest
+    * normalizes to (2 x numBuckets, 0): an identical key->bucket
+    * mapping, by construction. So a DedupSync index that grows 1000x
+    * keeps per-batch rewrite at O(batch buckets + splitsPerBatch)
+    * instead of drifting toward whole-table: the write-amplification
+    * contract survives growth. The trigger reads the PREVIOUS
+    * manifest's sizes (split decisions lag one batch — by then the
+    * sizes are durable and replay-stable).
     */
   def applyBatch(
       batch: DataFrame, path: String, keyCol: String, verCol: String,
-      batchId: Long, numBuckets: Int = DefaultBuckets): Unit = {
+      batchId: Long, numBuckets: Int = DefaultBuckets,
+      maxBucketBytes: Long = Long.MaxValue,
+      splitsPerBatch: Int = DefaultSplitsPerBatch): Unit = {
     val spark = batch.sparkSession
     val prev = currentManifest(spark, path)
     val nb = prev.map(_.numBuckets).getOrElse(numBuckets)
-    val bucketed = batch.withColumn(BucketCol, bucketExpr(keyCol, nb))
+    val s0 = prev.map(_.split).getOrElse(0)
+    // Split decision: how many buckets short of `<= maxBucketBytes`
+    // per bucket is the table, capped per batch and per level. A
+    // pre-evolution manifest records no sizes (reads 0) and simply
+    // never triggers until rewrites fill them in.
+    val k = if (maxBucketBytes == Long.MaxValue) 0 else {
+      val total = prev.map(_.sizes.values.sum).getOrElse(0L)
+      val want = ((total + maxBucketBytes - 1) / maxBucketBytes -
+        (nb + s0)).toInt
+      math.max(0, math.min(math.min(want, nb - s0), splitsPerBatch))
+    }
+    val s1 = s0 + k
+    val splitIds = (s0 until s1).toSet
+    val bucketed = batch.withColumn(BucketCol, bucketExpr(keyCol, nb, s1))
     // Touched buckets: bounded by numBuckets (a parameter), never by
-    // data volume — the one driver-side collect in this sink.
-    val touched = bucketed.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).sorted
+    // data volume — the one driver-side collect in this sink. Splits
+    // add their source bucket (read + redistributed) and its doubled
+    // target (write-only) to the set.
+    val touched = (bucketed.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet ++ splitIds ++
+      splitIds.map(_ + nb)).toSeq.sorted
     // Fresh-directory rule: if the manifest already names a variant
     // of THIS batch (crash-after-swap replay), write the next replay
     // suffix — never a directory the current manifest references.
@@ -193,7 +276,10 @@ object TableSync {
     // re-align by name.
     val merged = prevRows match {
       case Some(p) =>
-        p.withColumn(BucketCol, bucketExpr(keyCol, nb))
+        // re-bucketing at the ADVANCED scheme is the split itself:
+        // a split bucket's previous rows redistribute over its two
+        // targets here, and nothing else moves
+        p.withColumn(BucketCol, bucketExpr(keyCol, nb, s1))
           .unionByName(bucketed, allowMissingColumns = true)
       case None => bucketed
     }
@@ -203,24 +289,103 @@ object TableSync {
       .filter(col("__rn") === 1).drop("__rn")
     snap.write.mode("overwrite").partitionBy(BucketCol)
       .parquet(s"$path/$snapName")
-    val entries0 = prev.map(_.entries).getOrElse(Map.empty[Int, String]) ++
-      touched.map(_ -> snapName)
+    // Entries and sizes derive from the directories the write ACTUALLY
+    // produced (one listing + one content summary per touched bucket —
+    // parameter-bounded): a split can leave either half legitimately
+    // empty (partitionBy writes no dir), and a manifest must never
+    // reference a directory that does not exist.
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val written: Map[Int, Long] =
+      fs.listStatus(new Path(s"$path/$snapName"))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(BucketCol + "="))
+        .map(st => st.getPath.getName.stripPrefix(BucketCol + "=").toInt ->
+          fs.getContentSummary(st.getPath).getLength)
+        .toMap
+    val entries0 = (prev.map(_.entries).getOrElse(Map.empty[Int, String])
+      -- touched) ++ written.keys.map(_ -> snapName)
+    val sizes0 = (prev.map(_.sizes).getOrElse(Map.empty[Int, Long])
+      -- touched) ++ written
     // Empty FIRST batch (legitimate: a stream can open on a quiet
     // source, or a dedup pairs table can have nothing to say yet):
     // partitionBy of zero rows writes no bucket directory, which
     // would commit a zero-entry manifest no reader can serve — there
     // is no schema anywhere. Write bucket 0 explicitly as an empty
     // parquet dir so the manifest always references real files.
-    val entries =
-      if (entries0.nonEmpty) entries0
+    val (entries, sizes) =
+      if (entries0.nonEmpty) (entries0, sizes0)
       else {
         snap.drop(BucketCol).write.mode("overwrite")
           .parquet(s"$path/$snapName/$BucketCol=0")
-        Map(0 -> snapName)
+        (Map(0 -> snapName), Map(0 -> 0L))
       }
+    // Level completion: every bucket of this level has split, and
+    // (nb, nb) is by construction the same key->bucket mapping as
+    // (2nb, 0) — normalize so the next level's pointer starts clean.
+    val (cn, cs) = if (s1 == nb) (nb * 2, 0) else (nb, s1)
     commitPointer(spark, path, prev.map(_.name),
-      Manifest(snapName, nb, entries))
+      Manifest(snapName, cn, entries, cs, sizes))
     gc(spark, path, batchId)
+  }
+
+  /** The table's current bucket scheme `(numBuckets, split)` —
+    * effective bucket count is the sum. Observability for the split
+    * machinery (specs and ladder stages assert evolution through it).
+    */
+  def bucketScheme(spark: SparkSession, path: String): (Int, Int) = {
+    val m = currentManifest(spark, path)
+      .getOrElse(throw new IllegalStateException(
+        s"no _CURRENT pointer under $path — table never initialized"))
+    (m.numBuckets, m.split)
+  }
+
+  /** Offline maintenance: rewrite the WHOLE table at a new bucket
+    * count in one commit — the coarse complement to the incremental
+    * split path (use it to re-base a badly-sized table, or to SHRINK
+    * one; automatic splits only widen). The rewrite lands in a fresh
+    * replay variant of the current snapshot and swaps atomically
+    * under the usual lock, so readers never see a mixed scheme and a
+    * concurrent writer fails loudly. O(table) IO by design — on a
+    * huge table prefer letting `maxBucketBytes` splits spread the
+    * same work across batches.
+    */
+  def rebucket(spark: SparkSession, path: String, keyCol: String,
+      newNumBuckets: Int): Unit = {
+    require(newNumBuckets > 0, "newNumBuckets must be positive")
+    val prev = currentManifest(spark, path)
+      .getOrElse(throw new IllegalStateException(
+        s"no _CURRENT pointer under $path — table never initialized"))
+    val snapName = prev.name match {
+      case SnapName(b, r) =>
+        s"v${b}r${Option(r).map(_.toInt).getOrElse(0) + 1}"
+    }
+    readManifest(spark, path, prev)
+      .withColumn(BucketCol, bucketExpr(keyCol, newNumBuckets))
+      .write.mode("overwrite").partitionBy(BucketCol)
+      .parquet(s"$path/$snapName")
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val written: Map[Int, Long] =
+      fs.listStatus(new Path(s"$path/$snapName"))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(BucketCol + "="))
+        .map(st => st.getPath.getName.stripPrefix(BucketCol + "=").toInt ->
+          fs.getContentSummary(st.getPath).getLength)
+        .toMap
+    val (entries, sizes) =
+      if (written.nonEmpty) (written.map { case (b, _) => b -> snapName },
+        written)
+      else { // empty table keeps its readable empty bucket 0
+        val (b, snap) = prev.entries.toSeq.minBy(_._1)
+        spark.read.parquet(s"$path/$snap/$BucketCol=$b")
+          .limit(0).write.mode("overwrite")
+          .parquet(s"$path/$snapName/$BucketCol=0")
+        (Map(0 -> snapName), Map(0 -> 0L))
+      }
+    commitPointer(spark, path, Some(prev.name),
+      Manifest(snapName, newNumBuckets, entries, 0, sizes))
+    batchOf(snapName).foreach(gc(spark, path, _))
   }
 
   /** Retention: keep the manifests of this batch and the two previous
@@ -364,7 +529,7 @@ object TableSync {
       .getOrElse(throw new IllegalStateException(
         s"no _CURRENT pointer under $path — table never initialized"))
     val touched = keys
-      .select(bucketExpr(keyCol, m.numBuckets).as(BucketCol))
+      .select(bucketExpr(keyCol, m.numBuckets, m.split).as(BucketCol))
       .distinct().collect().map(_.getInt(0)).toSet
     val groups = m.entries.toSeq
       .filter { case (b, _) => touched(b) }

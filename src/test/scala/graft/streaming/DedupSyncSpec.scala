@@ -12,21 +12,29 @@ import graft.operators.Dedup
 class DedupSyncSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  // Small corpus with planted near-dups that STRADDLE batch
-  // boundaries (ids mod 3 split): 1/4/7 share a template with small
-  // edits, 2/5 are exact dups, the rest are distinct filler.
+  // Small corpus whose planted dup groups STRADDLE the id-mod-3 batch
+  // boundaries (batches are ingested b = 0, 1, 2):
+  //   b=0: {3, 6, 9}   b=1: {1, 4, 7}   b=2: {2, 5, 8}
+  //  - template A {1, 4, 8}: (1,4) within b1; 8 arrives in b2 and
+  //    must pair cross-batch against BOTH via the index probe;
+  //  - exact dups {5, 9}: 9 indexed in b0, 5 arrives in b2 — the
+  //    probe orients (corpus 9, new 5), i.e. REVERSED vs canonical;
+  //  - template B {2, 7}: 7 indexed in b1, 2 arrives in b2 — also
+  //    reversed (corpus 7, new 2). Without writer-side
+  //    canonicalization these two would store (9,5)/(7,2) next to a
+  //    later canonical copy and readPairs would double-report.
   private def corpus = {
     import spark.implicits._
     Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
       (4L, "the quick brown fox jumps over the lazy dog again and again tonight"),
-      (7L, "the quick brown fox jumps over the lazy dog again and again"),
-      (2L, "an entirely different document about spark shuffles and joins"),
+      (8L, "the quick brown fox jumps over the lazy dog again and again"),
+      (9L, "an entirely different document about spark shuffles and joins"),
       (5L, "an entirely different document about spark shuffles and joins"),
+      (7L, "a second template discussing watermarks state stores and checkpoint recovery now"),
+      (2L, "a second template discussing watermarks state stores and checkpoint recovery today"),
       (3L, "filler alpha beta gamma delta epsilon zeta eta theta iota kappa"),
-      (6L, "unrelated text regarding parquet column pruning and predicate pushdown"),
-      (8L, "completely separate content on broadcast hash joins and skew"),
-      (9L, "yet another standalone doc mentioning watermarks and state stores"))
+      (6L, "unrelated text regarding parquet column pruning and predicate pushdown"))
       .toDF("doc_id", "text")
   }
 
@@ -36,8 +44,16 @@ class DedupSyncSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
+  private def assertCanonical(pairs: Set[(Long, Long, Double)]): Unit = {
+    assert(pairs.forall(p => p._1 < p._2),
+      s"non-canonical orientation in ${pairs.filterNot(p => p._1 < p._2)}")
+    val unordered = pairs.map(p => (p._1, p._2))
+    assert(!pairs.exists(p => unordered.contains((p._2, p._1))),
+      s"pair present in both orientations: $pairs")
+  }
+
   test("3-batch stream equals the one-shot batch run (pairs straddle " +
-    "every boundary)") {
+    "every boundary, reversed-arrival pairs stored canonically)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
@@ -58,10 +74,18 @@ class DedupSyncSpec extends AnyFunSuite {
       corpus, "text", "doc_id", threshold = 0.3))
     assert(streamed == oneShot,
       s"stream $streamed\nvs batch $oneShot")
-    assert(streamed.exists(p => p._1 == 2L && p._2 == 5L),
-      "cross-batch exact pair (2,5) missing")
+    assertCanonical(streamed)
+    // the cross-batch pairs whose LATER doc has the SMALLER id — the
+    // probe emits them (corpus, new) = reversed, the store must not
+    assert(streamed.exists(p => p._1 == 5L && p._2 == 9L && p._3 == 1.0),
+      "cross-batch exact pair (5,9) missing")
+    assert(streamed.exists(p => p._1 == 2L && p._2 == 7L),
+      "cross-batch reversed-arrival near pair (2,7) missing")
+    // normal orientation cross-batch probe still works
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 8L),
+      "cross-batch near pair (1,8) missing")
     assert(streamed.exists(p => p._1 == 1L && p._2 == 4L),
-      "cross-batch near pair (1,4) missing")
+      "within-batch near pair (1,4) missing")
     // the accumulated index holds every ingested doc exactly once
     assert(DedupSync.readIndex(spark, ix).count() == 9)
   }
@@ -116,11 +140,13 @@ class DedupSyncSpec extends AnyFunSuite {
       threshold = 0.3)
     val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
     val q1 = startQuery()
+    // pre-kill: batch holds 9 (5's exact twin) and template-A filler
     mem.addData(rows.filter(_._1 % 3 == 0).toSeq: _*)
     q1.processAllAvailable()
     q1.stop()
-    // arrivals while the sink is down — including doc 4, whose only
-    // near-dups (1 and 7) arrive in DIFFERENT batches around the kill
+    // arrivals while the sink is down — 1/4/7 land here, and their
+    // cross-batch partners (8 pairs with 1 and 4; 2 pairs with 7;
+    // 5 pairs with pre-kill 9) only arrive AFTER the restart
     mem.addData(rows.filter(_._1 % 3 == 1).toSeq: _*)
     val q2 = startQuery()
     q2.processAllAvailable()
@@ -131,27 +157,119 @@ class DedupSyncSpec extends AnyFunSuite {
     val oneShot = pairSet(Dedup.nearDupPairs(
       corpus, "text", "doc_id", threshold = 0.3))
     assert(streamed == oneShot, s"stream $streamed\nvs batch $oneShot")
+    assertCanonical(streamed)
     assert(DedupSync.readIndex(spark, ix).count() == 9)
   }
 
-  test("re-ingested id replaces its index row and pairs stay " +
-    "duplicate-free") {
+  test("re-ingested id replaces its index row; a re-emitted pair " +
+    "arriving in REVERSED probe orientation does not duplicate") {
     import spark.implicits._
     val ix = Files.createTempDirectory("dsync4-ix-").toString
     val pr = Files.createTempDirectory("dsync4-pr-").toString
-    val b0 = corpus.filter(col("doc_id") <= 5)
+    // seed includes BOTH exact twins 5 and 9 — their pair lands
+    // canonically as (5,9) in batch 0
+    val b0 = corpus.filter(col("doc_id") <= 5 || col("doc_id") === 9)
     DedupSync.applyDocs(b0, ix, pr, "text", "doc_id", 0L, 0.3)
-    // doc 2 re-arrives (upstream replay) in a later batch, unchanged
-    val again = Seq((2L,
+    val before = pairSet(DedupSync.readPairs(spark, pr))
+    assert(before.exists(p => p._1 == 5L && p._2 == 9L))
+    // doc 5 re-arrives (upstream replay) in a later batch, unchanged:
+    // the index probe now emits (corpus 9, new 5) — reversed — and
+    // the writer must canonicalize it back onto the existing fact
+    val again = Seq((5L,
       "an entirely different document about spark shuffles and joins"))
       .toDF("doc_id", "text")
     DedupSync.applyDocs(again, ix, pr, "text", "doc_id", 1L, 0.3)
     val idx = DedupSync.readIndex(spark, ix)
-    assert(idx.filter(col("id") === 2L).count() == 1)
+    assert(idx.filter(col("id") === 5L).count() == 1)
     val pairs = DedupSync.readPairs(spark, pr).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.distinct.length == pairs.length, s"dups in $pairs")
-    // the (2,5) exact pair survives with jaccard 1.0 exactly once
-    assert(pairs.count(p => p == ((2L, 5L))) == 1)
+    assert(!pairs.contains((9L, 5L)), s"reversed orientation stored: $pairs")
+    // the (5,9) exact pair survives with jaccard 1.0 exactly once
+    assert(pairs.count(p => p == ((5L, 9L))) == 1)
+  }
+
+  test("bucket scheme EVOLVES online: a 16-bucket bootstrap widens " +
+    "by bounded splits per batch and pair results are unchanged " +
+    "across the splits") {
+    val ix = Files.createTempDirectory("dsync6-ix-").toString
+    val pr = Files.createTempDirectory("dsync6-pr-").toString
+    // maxBucketBytes = 1 byte: every batch after bootstrap wants more
+    // buckets than the level holds, so exactly splitsPerBatch splits
+    // run per batch — the bounded-maintenance contract, observable as
+    // pointer arithmetic. (Bootstrap itself never splits: the trigger
+    // reads the PREVIOUS manifest, and there is none.)
+    def ingest(docs: org.apache.spark.sql.DataFrame, b: Long) =
+      DedupSync.applyDocs(docs, ix, pr, "text", "doc_id", b,
+        threshold = 0.3, numBuckets = 16, maxBucketBytes = 1L,
+        splitsPerBatch = 4)
+    ingest(corpus.filter(col("doc_id") % 3 === 0), 0L)
+    assert(TableSync.bucketScheme(spark, ix) == ((16, 0)))
+    ingest(corpus.filter(col("doc_id") % 3 === 1), 1L)
+    assert(TableSync.bucketScheme(spark, ix) == ((16, 4)))
+    ingest(corpus.filter(col("doc_id") % 3 === 2), 2L)
+    assert(TableSync.bucketScheme(spark, ix) == ((16, 8)))
+    // results across a live split boundary: identical to one-shot
+    val streamed = pairSet(DedupSync.readPairs(spark, pr))
+    val oneShot = pairSet(Dedup.nearDupPairs(
+      corpus, "text", "doc_id", threshold = 0.3))
+    assert(streamed == oneShot, s"stream $streamed\nvs batch $oneShot")
+    assert(DedupSync.readIndex(spark, ix).count() == 9)
+    // two maintenance-only (empty) batches finish the level: the
+    // pointer completes and the manifest normalizes to (32, 0) —
+    // same key->bucket mapping by construction
+    ingest(corpus.limit(0), 3L)
+    ingest(corpus.limit(0), 4L)
+    assert(TableSync.bucketScheme(spark, ix) == ((32, 0)))
+    assert(DedupSync.readIndex(spark, ix).count() == 9)
+    assert(pairSet(DedupSync.readPairs(spark, pr)) == oneShot)
+    // the keyed sub-table read path agrees with the evolved scheme
+    import spark.implicits._
+    val probe = TableSync.readCurrentForKeys(spark, ix,
+      Seq(5L).toDF("id"), "id")
+    assert(probe.filter(col("id") === 5L).count() == 1)
+  }
+
+  test("compactPairs folds all generations into one; replay after " +
+    "compaction still converges") {
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ix = Files.createTempDirectory("dsync7-ix-").toString
+    val pr = Files.createTempDirectory("dsync7-pr-").toString
+    val b0 = corpus.filter(col("doc_id") % 3 === 0)
+    val b1 = corpus.filter(col("doc_id") % 3 === 1)
+    val b2 = corpus.filter(col("doc_id") % 3 === 2)
+    DedupSync.applyDocs(b0, ix, pr, "text", "doc_id", 0L, 0.3)
+    DedupSync.applyDocs(b1, ix, pr, "text", "doc_id", 1L, 0.3)
+    // crash-between for batch 2: pairs written, index commit missing
+    val pairs2 = Dedup.incrementalNearDups(
+      DedupSync.readIndex(spark, ix), b2, "text", "doc_id", 0.3)
+    pairs2.select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+      .write.mode("overwrite").parquet(s"$pr/batch=2")
+    val preCompact = pairSet(DedupSync.readPairs(spark, pr))
+    // maintenance runs AT the worst moment: batch 2's pairs get
+    // folded into the generation while its index commit is pending
+    DedupSync.compactPairs(spark, pr)
+    def gens() = fs.listStatus(new org.apache.hadoop.fs.Path(pr))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    assert(gens() == Seq("batch=c1"), s"got ${gens()}")
+    assert(pairSet(DedupSync.readPairs(spark, pr)) == preCompact)
+    // the redelivered batch 2 rewrites its own directory next to the
+    // generation; the deterministic values collapse in the merge
+    DedupSync.applyDocs(b2, ix, pr, "text", "doc_id", 2L, 0.3)
+    assert(gens() == Seq("batch=2", "batch=c1"), s"got ${gens()}")
+    val afterReplay = pairSet(DedupSync.readPairs(spark, pr))
+    val oneShot = pairSet(Dedup.nearDupPairs(
+      corpus, "text", "doc_id", threshold = 0.3))
+    assert(afterReplay == oneShot, s"got $afterReplay\nvs $oneShot")
+    // a second compaction folds the replayed directory and the old
+    // generation into the next one; the view is stable
+    DedupSync.compactPairs(spark, pr)
+    assert(gens() == Seq("batch=c2"), s"got ${gens()}")
+    assert(pairSet(DedupSync.readPairs(spark, pr)) == oneShot)
+    // compacting a single generation is a no-op
+    DedupSync.compactPairs(spark, pr)
+    assert(gens() == Seq("batch=c2"))
   }
 }

@@ -346,6 +346,76 @@ class TableSyncSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not retained"))
   }
 
+  test("linear-hashing splits: maxBucketBytes widens the scheme by " +
+    "at most splitsPerBatch per batch, levels normalize, content and " +
+    "keyed reads survive every step") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-split-").toString
+    val rows = (1L to 40L).map(k => (k, 1L, s"init$k"))
+    TableSync.applyBatch(rows.toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L)
+    assert(TableSync.bucketScheme(spark, path) == ((16, 0)))
+    def expectAll(extra: Map[Long, String] = Map.empty): Unit = {
+      val want = rows.map(r => r._1 -> r._3).toMap ++ extra
+      val got = TableSync.readCurrent(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got == want, s"diff ${got.toSet diff want.toSet} / " +
+        s"${want.toSet diff got.toSet}")
+    }
+    // 1-byte threshold: every batch wants more buckets than the level
+    // holds, so each performs exactly splitsPerBatch splits — the
+    // bounded-maintenance contract — while applying its own rows
+    (1L to 3L).foreach { b =>
+      TableSync.applyBatch(
+        Seq((7L, b + 1L, s"upd$b")).toDF("k", "ver", "attr"),
+        path, "k", "ver", batchId = b, maxBucketBytes = 1L,
+        splitsPerBatch = 4)
+      assert(TableSync.bucketScheme(spark, path) == ((16, 4 * b.toInt)),
+        s"after batch $b")
+      expectAll(Map(7L -> s"upd$b"))
+    }
+    // the level completes mid-stream and normalizes: (16,16) == (32,0)
+    TableSync.applyBatch(
+      Seq((7L, 9L, "final")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 4L, maxBucketBytes = 1L,
+      splitsPerBatch = 4)
+    assert(TableSync.bucketScheme(spark, path) == ((32, 0)))
+    expectAll(Map(7L -> "final"))
+    // keyed sub-table reads resolve through the evolved scheme
+    val probe = TableSync.readCurrentForKeys(spark, path,
+      Seq(7L, 23L).toDF("k"), "k")
+    val byKey = probe.filter(col("k").isin(7L, 23L)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byKey == Map(7L -> "final", 23L -> "init23"), s"got $byKey")
+    // and a split table still time-travels within retention
+    assert(TableSync.readVersion(spark, path, 3L).count() == 40)
+  }
+
+  test("rebucket(): one-shot re-base to a new count, atomic swap, " +
+    "next batches adopt the new scheme") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-rb-").toString
+    TableSync.applyBatch(
+      (1L to 30L).map(k => (k, 1L, s"a$k")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L)
+    TableSync.rebucket(spark, path, "k", 64)
+    assert(TableSync.bucketScheme(spark, path) == ((64, 0)))
+    val got = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == (1L to 30L).map(k => k -> s"a$k").toMap)
+    // the rewrite landed as a replay variant of the current snapshot
+    // (fresh-directory rule) and the next batch merges on top
+    TableSync.applyBatch(
+      Seq((3L, 2L, "updated")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 1L)
+    val got2 = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got2(3L) == "updated" && got2.size == 30)
+    val probe = TableSync.readCurrentForKeys(spark, path,
+      Seq(3L).toDF("k"), "k").filter(col("k") === 3L).collect()
+    assert(probe.map(_.getString(2)).toSeq == Seq("updated"))
+  }
+
   test("empty FIRST batch commits a readable empty table (schema " +
     "preserved), later batches upsert normally") {
     import spark.implicits._
