@@ -98,6 +98,24 @@ object VectorFunctions {
     planeBits.reduce(_.bitwiseOR(_))
   }
 
+  /** The exact +-1 plane tensor [[hyperplaneSigs]] embeds as plan
+    * literals, exported for oracle generators: [tables][bits][dim].
+    * Same splitmix64 arithmetic, so an oracle that inlines this
+    * matrix replays the engine's signatures bit-for-bit without
+    * copying a frozen literal into the SQL source.
+    */
+  def planeMatrix(bits: Int, tables: Int, dim: Int,
+      seed: Int = 7): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map { t =>
+      val s = seed * 1009 + t
+      (0 until bits).map { p =>
+        Seq.tabulate(dim) { i =>
+          if ((splitmix64((s.toLong * 7919L + p) *
+            0x9E3779B97F4A7C15L + i) & 1L) == 0L) 1.0 else -1.0
+        }
+      }
+    }
+
   /** Multi-table LSH signatures (the OR-construction): `tables`
     * independent `bits`-bit hyperplane signatures. A single b-bit
     * table has recall p^b at per-bit agreement p — hopeless for

@@ -1008,7 +1008,9 @@ object DedupQueries {
         // parquet scan; the surviving ids semi-join the embedding
         // scan BEFORE any distance math; queries broadcast as in s01.
         // At corpus scale the scored scan swaps for lshTopK/pqTopK
-        // candidates exactly like s10's note.
+        // candidates — s13 IS that swap, registered and hash-checked
+        // on the same predicate-filtered path (s11 stays the exact
+        // oracle anchor).
         val enIds = T(s, dir).documents
           .filter(col("lang") === "en")
           .select(col("doc_id").as("vec_id"))
@@ -1137,6 +1139,86 @@ object DedupQueries {
         "sides' top-4 neighborhood averages (hub correction), best " +
         "cross-label candidate per query — margins hash-check via " +
         "decimal-summed neighborhoods and one shared expression tree."),
+
+    // ------------------------------------------------------------------
+    "s13_filtered_ann_lsh" -> QueryDef(
+      fn = { (s, dir) =>
+        // s11's registered SCALE path: the same metadata pre-filter
+        // (English documents semi-join, predicate pushed to the
+        // documents scan) but candidates come from the hyperplane-LSH
+        // bucket join instead of an exact scored scan — filter FIRST,
+        // then bucket: the corpus side of the LSH join is already
+        // restricted before any signature or distance math, so bucket
+        // occupancy (and the candidate set) shrinks with the
+        // predicate instead of post-filtering a blind top-k that
+        // would under-fill k. Plan-asserted (PlanShapeSpec): the
+        // candidate join broadcasts the query-probe side; the corpus
+        // side reaches it through a semi-join, never a shuffle of
+        // vectors.
+        val enIds = T(s, dir).documents
+          .filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"))
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings
+          .join(enIds, Seq("vec_id"), "left_semi"))
+        val q = Engine.widenIfNarrow(T(s, dir).embeddings)
+          .filter(col("vec_id") % 50 === 0)
+        Similarity.lshTopK(e, q, k = 5)
+          .select(col("qid"), col("id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        // the plane tensor is regenerated from the same splitmix64
+        // arithmetic hyperplaneSigs embeds (no frozen copy to drift)
+        val m = OracleSql.sqlDoubleArr3(
+          graft.functions.VectorFunctions.planeMatrix(
+            bits = 8, tables = 8, dim = 64))
+        s"""
+        WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        pl AS (SELECT $m::DOUBLE[][][] AS m),
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+        cf AS (SELECT v.id, v.vec FROM v JOIN en ON en.doc_id = v.id),
+        sig AS (SELECT cf.id, t.t AS tbl,
+                       CAST(list_sum(list_transform(range(0, 8),
+                         p -> CASE WHEN list_dot_product(
+                                pl.m[t.t + 1][p + 1], cf.vec) >= 0
+                              THEN (1::BIGINT << p)
+                              ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+                FROM cf, pl, (SELECT unnest(range(0, 8)) AS t) t),
+        qs AS (SELECT v.id AS qid, t.t AS tbl,
+                      CAST(list_sum(list_transform(range(0, 8),
+                        p -> CASE WHEN list_dot_product(
+                               pl.m[t.t + 1][p + 1], v.vec) >= 0
+                             THEN (1::BIGINT << p)
+                             ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+               FROM v, pl, (SELECT unnest(range(0, 8)) AS t) t
+               WHERE v.id % 50 = 0),
+        probes AS (SELECT qid, tbl, bucket FROM qs
+                   UNION
+                   SELECT qid, tbl,
+                          CAST(xor(bucket, 1::BIGINT << b.b) AS BIGINT)
+                   FROM qs, (SELECT unnest(range(0, 8)) AS b) b),
+        cand AS (SELECT DISTINCT p.qid, s.id
+                 FROM probes p
+                 JOIN sig s ON s.tbl = p.tbl AND s.bucket = p.bucket
+                 WHERE s.id != p.qid),
+        scored AS (SELECT c.qid, c.id,
+                          list_cosine_similarity(cv.vec, qv.vec) AS cosine
+                   FROM cand c JOIN v cv ON cv.id = c.id
+                               JOIN v qv ON qv.id = c.qid)
+        SELECT qid, id, round(cosine, 4) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT qid, id, cosine,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, id) AS rank
+              FROM scored)
+        WHERE rank <= 5"""
+      },
+      doc = "Metadata-filtered ANN at the bucketed scale path: " +
+        "pre-filter through the documents semi-join, then " +
+        "hyperplane-LSH candidates + exact rescore (hash-checked — " +
+        "regenerated plane tensor replayed in SQL)."),
 
     // ------------------------------------------------------------------
     "s06_topk_sparse" -> QueryDef(

@@ -38,6 +38,38 @@ object MultimodalQueries {
     }(RowEncoder.encoderFor(schema))
   }
 
+  /** One REAL (javax.imageio) PNG per document row, constant-color
+    * with dims and RGB all derived from doc_id — the m14 fixture.
+    * Distributed map like [[fakeImages]]; tiny images (<= 21x13) so
+    * the encode cost is negligible next to the scan.
+    */
+  def realPngs(s: SparkSession, dir: String): DataFrame = {
+    val ids = Engine.Tables(s, dir).documents.select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("image", BinaryType)))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + id % 16).toInt
+        val h = (6 + id % 8).toInt
+        val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) |
+          ((id * 13) % 256)).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row(id, baos.toByteArray)
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     // ------------------------------------------------------------------
     "m01_image_meta" -> QueryDef(
@@ -731,7 +763,54 @@ object MultimodalQueries {
         FROM documents"""),
       doc = "Batch image resize: header dims rewritten, payload " +
         "byte-identical (stub path; real bilinear resample " +
-        "spec-pinned on PNGs)."))
+        "spec-pinned on PNGs and driver-gated via m14)."),
+
+    // ------------------------------------------------------------------
+    "m14_resize_png" -> QueryDef(
+      fn = { (s, dir) =>
+        // m13's REAL-decoder leg under the driver gate: one synthetic
+        // CONSTANT-COLOR PNG per document row (javax.imageio encode,
+        // distributed map), bilinear-resized through the same
+        // resizeImages path as m13 and then FULLY re-decoded — dims
+        // from the re-encoded PNG header, channel means from the
+        // resampled pixels. Constant color is the oracle trick: a
+        // bilinear resample of a constant image is that constant at
+        // ANY scale (every interpolation weight set sums to 1), so
+        // the decoded means are exact integers DuckDB derives from
+        // doc_id alone — the decode -> resample -> re-encode ->
+        // decode pipeline is content-proven end-to-end, not just
+        // header-proven. Scale shape: both passes are map-only
+        // mapPartitions (no shuffle but the final join's, which m13
+        // shares); pixel work is bounded by the fixture dims.
+        val pngs = realPngs(s, dir)
+        val orig = Multimodal.decodeImages(pngs, "doc_id", "image")
+          .select(col("doc_id"),
+            col("width").as("old_w"), col("height").as("old_h"))
+        val rez = Multimodal.resizeImages(pngs, "doc_id", "image", 10, 7)
+        val dims = Multimodal.decodeImages(rez, "doc_id", "image")
+          .select(col("doc_id"),
+            col("width").as("new_w"), col("height").as("new_h"),
+            col("format"))
+        val feats = Multimodal.imageFeatures(rez, "doc_id", "image")
+          .select(col("doc_id"), col("mean_r"), col("mean_g"),
+            col("mean_b"), col("valid"))
+        orig.join(dims, Seq("doc_id")).join(feats, Seq("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(8 + doc_id % 16 AS INT) AS old_w,
+               CAST(6 + doc_id % 8 AS INT) AS old_h,
+               CAST(10 AS INT) AS new_w,
+               CAST(7 AS INT) AS new_h,
+               'png' AS format,
+               CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+               CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+               CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b,
+               true AS valid
+        FROM documents"""),
+      doc = "Real-decoder image resize: JDK PNG decode -> bilinear " +
+        "resample -> PNG re-encode -> decode, content-proven by " +
+        "constant-color channel means (hash-checked)."))
 
   /** One temp shard dir per sfDir for m12, cleaned at JVM exit
     * (p05TmpDir's pattern; separate dir — m12's member set differs).

@@ -71,6 +71,55 @@ object JobStream {
     else stop()
   }
 
+  /** How many names under one parent directory justify a bulk
+    * `listStatus` over per-file stats: below this, individual
+    * getFileStatus calls cost less than enumerating a directory that
+    * may hold millions of entries the batch never names; above it,
+    * one listing RPC amortizes the whole batch (an SQS-scale batch of
+    * thousands of names would otherwise pay thousands of round
+    * trips).
+    */
+  private val BulkStatThreshold = 32
+
+  /** Existence + length for each named input, `Some(len)` iff the
+    * path exists and is a regular file — metadata only, never a scan.
+    * Names are grouped by parent directory; small groups stat
+    * per-file, large groups make ONE `listStatus` call per directory
+    * and resolve the batch against the listing (the reference's
+    * worker does one HEAD per job, GetJobs.py:50 — fine at
+    * PARALLEL=2, a driver bottleneck at thousands of files per
+    * trigger).
+    */
+  private[graft] def statNames(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path,
+      names: Array[String]): Array[(String, Option[Long])] = {
+    val byParent = names.groupBy(n =>
+      new org.apache.hadoop.fs.Path(base, n).getParent)
+    byParent.iterator.flatMap { case (dir, ns) =>
+      if (ns.length < BulkStatThreshold)
+        ns.iterator.map { n =>
+          val p = new org.apache.hadoop.fs.Path(base, n)
+          val len =
+            if (fs.exists(p) && fs.getFileStatus(p).isFile)
+              Some(fs.getFileStatus(p).getLen)
+            else None
+          (n, len)
+        }
+      else {
+        val listed: Map[String, org.apache.hadoop.fs.FileStatus] =
+          (try fs.listStatus(dir)
+          catch { case _: java.io.FileNotFoundException =>
+            Array.empty[org.apache.hadoop.fs.FileStatus] })
+            .map(st => st.getPath.getName -> st).toMap
+        ns.iterator.map { n =>
+          val leaf = new org.apache.hadoop.fs.Path(base, n).getName
+          n -> listed.get(leaf).filter(_.isFile).map(_.getLen)
+        }
+      }
+    }.toArray
+  }
+
   /** One micro-batch = one bounded pipe pass over ONLY the files the
     * batch names. Package-private for direct testing.
     *
@@ -89,8 +138,10 @@ object JobStream {
     val (ok, bad) = JobSpec.dispatch(batch)
     val names = ok.select("fileName").distinct()
       .collect().map(_.getString(0))
-    // driver-side existence check: metadata-only, one call per named
-    // file (bounded by the batch size). The stat also captures length:
+    // driver-side existence check: metadata-only, bulk-listed per
+    // parent directory past a small threshold (statNames) so a wide
+    // batch costs one listing RPC, not one per file. The stat also
+    // captures length:
     // `binaryFile` silently DROPS zero-length files (no scan splits),
     // so empty inputs must be re-injected as explicit empty-content
     // rows — otherwise a job naming an empty object would vanish:
@@ -98,14 +149,7 @@ object JobStream {
     // FileIngest.readDir guards against on the batch path).
     val base = new org.apache.hadoop.fs.Path(inputDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    val stats = names.map { n =>
-      val p = new org.apache.hadoop.fs.Path(base, n)
-      val len =
-        if (fs.exists(p) && fs.getFileStatus(p).isFile)
-          Some(fs.getFileStatus(p).getLen)
-        else None
-      (n, len)
-    }
+    val stats = statNames(fs, base, names)
     val present = stats.collect { case (n, Some(len)) if len > 0 => n }
     val empties = stats.collect { case (n, Some(0L)) => n }
     val absent = stats.collect { case (n, None) => n }

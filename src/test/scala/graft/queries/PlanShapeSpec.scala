@@ -142,6 +142,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj in:\n$p")
   }
 
+  test("s13 filtered ANN: predicate pushed to documents scan, " +
+    "bucketed candidate join broadcasts the probe side") {
+    val p = plan("s13_filtered_ann_lsh")
+    // the lang filter reaches the documents parquet scan...
+    assert(p.contains("PushedFilters") && p.contains("lang"),
+      s"lang predicate not pushed:\n$p")
+    // ...the corpus restriction is a semi-join before any vector math
+    assert(p.contains("LeftSemi"), s"no semi-join pre-filter:\n$p")
+    // ...and candidates come from the bucketed (table, bucket) hash
+    // join with the query-probe side broadcast — never a sort-merge
+    // of the corpus, never a nested-loop scan
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast probe:\n$p")
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus side must not SMJ/BNLJ:\n$p")
+  }
+
   test("d13 incremental vec dedup: index side never sort-merge-joins") {
     val p = plan("d13_incremental_vec_dedup")
     // cross-boundary candidates + verification come in as broadcasts;

@@ -53,6 +53,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out + "_quarantine").count() == quar.size)
   }
 
+  test("statNames: bulk listStatus path agrees exactly with the " +
+    "per-file path (present / empty / absent / dir-named / nested)") {
+    val in = Files.createTempDirectory("graft-stat-")
+    Files.write(in.resolve("a.txt"), "x".getBytes)
+    Files.write(in.resolve("empty.bin"), Array.empty[Byte])
+    Files.createDirectory(in.resolve("adir"))
+    Files.createDirectory(in.resolve("sub"))
+    Files.write(in.resolve("sub").resolve("n.txt"), "yz".getBytes)
+    (1 to 40).foreach(i =>
+      Files.write(in.resolve(s"w$i.dat"), ("d" * i).getBytes))
+    val base = new org.apache.hadoop.fs.Path(in.toString)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    // narrow batch (< threshold): per-file stats
+    val narrow = JobStream.statNames(fs, base,
+      Array("a.txt", "empty.bin", "adir", "gone.txt", "sub/n.txt")).toMap
+    assert(narrow == Map(
+      "a.txt" -> Some(1L), "empty.bin" -> Some(0L),
+      "adir" -> None, // a directory is not a servable input object
+      "gone.txt" -> None, "sub/n.txt" -> Some(2L)))
+    // wide batch (>= threshold in the base dir): ONE listStatus, and
+    // the answers must be bit-identical to the per-file path
+    val wide = (1 to 40).map(i => s"w$i.dat").toArray ++
+      Array("a.txt", "empty.bin", "adir", "gone.txt", "sub/n.txt",
+        "also-gone.dat")
+    val bulk = JobStream.statNames(fs, base, wide).toMap
+    val ref = wide.map { n =>
+      val p = new org.apache.hadoop.fs.Path(base, n)
+      n -> (if (fs.exists(p) && fs.getFileStatus(p).isFile)
+        Some(fs.getFileStatus(p).getLen) else None)
+    }.toMap
+    assert(bulk == ref, s"bulk $bulk\nvs ref $ref")
+    assert(bulk("w40.dat") == Some(40L) && bulk("also-gone.dat").isEmpty)
+  }
+
   test("watermarked tumbling window over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
