@@ -38,8 +38,9 @@ object ScaleSmoke {
       .persist()
     val n = big.count()
 
+    def active(label: String): Boolean = only.forall(label.contains(_))
     def timed(label: String)(body: => Long): Unit = {
-      if (!only.forall(label.contains(_))) return
+      if (!active(label)) return
       val t0 = System.nanoTime()
       val rows = body
       println(f"[smoke] $label%-22s rows=$rows%10d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -547,6 +548,72 @@ object ScaleSmoke {
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pr))
+    }
+
+    // BUCKET EVOLUTION (round 9's one open scale gap, closed): a
+    // SECOND index bootstraps at a deliberately undersized 16
+    // buckets, then maxBucketBytes-armed appends let linear-hashing
+    // splits widen the scheme online while ingestion continues. The
+    // contract under measurement: a batch performs AT MOST
+    // splitsPerBatch splits (one bucket read, two written, each
+    // ~maxBucketBytes once converged), so per-append wall-clock must
+    // stay FLAT across the batches — and across ladder k — while the
+    // scheme visibly widens beneath them; growth can never degrade
+    // an append toward a whole-table rewrite. The printed scheme
+    // trail is the evolution record.
+    locally {
+      val ix = java.nio.file.Files
+        .createTempDirectory("smoke_dsync_evo_ix").toString
+      val pr = java.nio.file.Files
+        .createTempDirectory("smoke_dsync_evo_pr").toString
+      timed("dsync_evo_seed16") {
+        graft.streaming.DedupSync.applyDocs(
+          big, ix, pr, "text", "doc_id", batchId = 0L,
+          threshold = 0.5, numHashes = 24, bands = 8, numBuckets = 16)
+        big.count()
+      }
+      (1 to 8).foreach { b =>
+        val append = base.limit(10).withColumn("doc_id",
+          col("doc_id") + lit(910000000L + b.toLong * 1000L))
+        timed(f"dsync_evo_append$b") {
+          graft.streaming.DedupSync.applyDocs(
+            append, ix, pr, "text", "doc_id", batchId = b.toLong,
+            threshold = 0.5, numHashes = 24, bands = 8,
+            numBuckets = 16, maxBucketBytes = 256L << 10,
+            splitsPerBatch = 4)
+          append.count()
+        }
+        if (active(s"dsync_evo_append$b")) {
+          val (nb2, s2) = graft.streaming.TableSync.bucketScheme(spark, ix)
+          println(s"[smoke] dsync_evo scheme after b$b = ($nb2, $s2)")
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pr))
+    }
+
+    // JobStream driver-side input stat: the directory holds 20k
+    // files; batches of 1k/5k/20k names resolve through statNames'
+    // bulk listStatus path, so wall-clock must stay ~FLAT vs batch
+    // width (one listing RPC dominates; map lookups are noise) — the
+    // per-file path this replaced grew linearly in RPC count.
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("smoke_stat")
+      if (active("jobstat_20000")) {
+        (1 to 20000).foreach(i =>
+          java.nio.file.Files.write(dir.resolve(s"f$i.dat"), Array[Byte](1)))
+      }
+      val basep = new org.apache.hadoop.fs.Path(dir.toString)
+      val fs = basep.getFileSystem(spark.sessionState.newHadoopConf())
+      Seq(1000, 5000, 20000).foreach { b =>
+        timed(s"jobstat_$b") {
+          val names = (1 to b).map(i => s"f$i.dat").toArray ++
+            Array("absent.dat")
+          graft.streaming.JobStream.statNames(fs, basep, names)
+            .count(_._2.isDefined).toLong
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
 
     // WebDataset tar shards: pack the replica corpus into 64 shards
