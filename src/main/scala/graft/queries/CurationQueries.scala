@@ -1034,6 +1034,48 @@ object CurationQueries {
         "(highest version per key wins; consistent snapshot read)."),
 
     // ------------------------------------------------------------------
+    "c36_evolving_cdc" -> QueryDef(
+      fn = { (s, dir) =>
+        // c24's merge semantics THROUGH online bucket evolution and a
+        // re-base: the orders feed replays as four version-striped
+        // batches into a table bootstrapped at 8 deliberately
+        // undersized buckets with the split trigger armed
+        // (maxBucketBytes = 1 forces the maximum allowed splits every
+        // batch: (8,0) -> (8,4) -> (16,0) -> (16,4) across the
+        // sequence), then a one-shot rebucket(64) re-bases the whole
+        // table. The driver-gated claim: the consistent snapshot a
+        // reader resolves is IDENTICAL to the relational
+        // latest-per-key replay no matter how the bucket scheme
+        // shifted beneath the writes — evolution is pure layout,
+        // invisible to merge semantics. (The scheme arithmetic itself
+        // is spec-pinned in TableSyncSpec/DedupSyncSpec; a DuckDB
+        // oracle can't see physical bytes, so the correctness gate
+        // checks the CONTENT across the evolution.)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-evo-cdc-").toString
+        val ups = T(s, dir).orders.select(col("o_custkey").as("k"),
+          col("o_orderkey").as("ver"), col("o_totalprice").as("price"))
+        (0L to 3L).foreach { b =>
+          graft.streaming.TableSync.applyBatch(
+            ups.filter(pmod(col("ver"), lit(4)) === b), path, "k", "ver",
+            b, numBuckets = 8, maxBucketBytes = 1L, splitsPerBatch = 4)
+        }
+        graft.streaming.TableSync.rebucket(s, path, "k", 64)
+        graft.streaming.TableSync.readCurrent(s, path)
+      },
+      oracle = Some("""
+        SELECT o_custkey AS k, o_orderkey AS ver, o_totalprice AS price
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1"""),
+      doc = "CDC upsert-apply across ONLINE bucket evolution + a " +
+        "one-shot rebucket: linear-hashing splits advance beneath " +
+        "four update batches and the final snapshot still equals " +
+        "the relational latest-per-key replay (hash-checked)."),
+
+    // ------------------------------------------------------------------
     "c25_corpus_shuffle" -> QueryDef(
       fn = { (s, dir) =>
         // Deterministic seeded training-order shuffle WITHOUT a global

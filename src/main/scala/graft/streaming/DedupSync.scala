@@ -146,6 +146,25 @@ object DedupSync {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     TableSync.readCurrent(spark, path).drop("ver")
 
+  /** The KEEP/DROP decision view — what a training-set consumer
+    * actually wants from online dedup: connected components over the
+    * accumulated pairs (the c04 discipline: min id per cluster is
+    * the keep), joined back to the live index so EVERY ingested doc
+    * gets a decision (singletons keep themselves). Computed on read:
+    * decisions are global facts that can change as later arrivals
+    * bridge clusters, so materializing them per batch would rewrite
+    * history — the view derives from the two stores that are
+    * maintained incrementally. Identical to one-shot
+    * `dedupCorpus` keeps on the same corpus (spec-pinned).
+    */
+  def readKeepDecisions(spark: SparkSession, indexPath: String,
+      pairsPath: String): DataFrame = {
+    val ids = readIndex(spark, indexPath).select(col("id"))
+    Dedup.clusterReps(ids, readPairs(spark, pairsPath))
+      .select(col("id"), col("rep").as("keep"),
+        (col("id") === col("rep")).as("is_rep"))
+  }
+
   /** Maintenance fold for the pairs store: one `batch=N` directory
     * accumulates per micro-batch FOREVER (the append-only layout's
     * honest cost), so a long-lived stream ends up with thousands of

@@ -230,6 +230,31 @@ class DedupSyncSpec extends AnyFunSuite {
     assert(probe.filter(col("id") === 5L).count() == 1)
   }
 
+  test("readKeepDecisions equals one-shot dedupCorpus keeps: every " +
+    "ingested doc decided, clusters keep their min id") {
+    val ix = Files.createTempDirectory("dsync8-ix-").toString
+    val pr = Files.createTempDirectory("dsync8-pr-").toString
+    (0 to 2).foreach { b =>
+      DedupSync.applyDocs(corpus.filter(col("doc_id") % 3 === b),
+        ix, pr, "text", "doc_id", b.toLong, 0.3)
+    }
+    val dec = DedupSync.readKeepDecisions(spark, ix, pr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(dec.length == 9, s"every doc needs a decision: ${dec.toSeq}")
+    val keeps = dec.filter(_._3).map(_._1).toSet
+    val oneShot = Dedup.dedupCorpus(corpus, "text", "doc_id",
+      threshold = 0.3).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(keeps == oneShot, s"stream keeps $keeps vs batch $oneShot")
+    // cluster labels are the component minimum (template A {1,4,8}
+    // folds to 1; exact twins {5,9} to 5; {2,7} to 2)
+    val byId = dec.map(d => d._1 -> d._2).toMap
+    assert(byId(4L) == 1L && byId(8L) == 1L && byId(9L) == 5L &&
+      byId(7L) == 2L, s"labels $byId")
+    // filler docs are their own singleton keeps
+    assert(byId(3L) == 3L && dec.find(_._1 == 3L).get._3)
+  }
+
   test("compactPairs folds all generations into one; replay after " +
     "compaction still converges") {
     val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
