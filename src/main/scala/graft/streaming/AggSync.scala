@@ -30,13 +30,22 @@ import graft.operators.IncrementalAgg
   */
 object AggSync {
 
-  /** Start the maintenance sink over a streaming `events` frame. */
+  /** Start the maintenance sink over a streaming `events` frame.
+    * `numBuckets`/`maxBucketBytes`/`splitsPerBatch` are TableSync's
+    * bucket-scheme knobs: a maintained view grows without bound, so
+    * arm `maxBucketBytes` and the storage widens itself by bounded
+    * linear-hashing splits exactly like the DedupSync index.
+    */
   def countSumSink(events: DataFrame, path: String, keyCol: String,
-      valCol: String, checkpoint: String): StreamingQuery =
+      valCol: String, checkpoint: String,
+      numBuckets: Int = TableSync.DefaultBuckets,
+      maxBucketBytes: Long = Long.MaxValue,
+      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyDelta(batch, path, keyCol, valCol, batchId)
+        applyDelta(batch, path, keyCol, valCol, batchId, numBuckets,
+          maxBucketBytes, splitsPerBatch)
       }
       .start()
 
@@ -44,7 +53,10 @@ object AggSync {
     * with an already-applied batchId (no-op).
     */
   def applyDelta(batch: DataFrame, path: String, keyCol: String,
-      valCol: String, batchId: Long): Unit = {
+      valCol: String, batchId: Long,
+      numBuckets: Int = TableSync.DefaultBuckets,
+      maxBucketBytes: Long = Long.MaxValue,
+      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): Unit = {
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, path)
     if (applied.exists(_ >= batchId)) return // replayed after commit
@@ -71,7 +83,8 @@ object AggSync {
     val merged = IncrementalAgg
       .mergeCountSum(state, delta, keyCol, keepDeaths = true)
     TableSync.applyBatch(merged.withColumn("ver", lit(batchId)),
-      path, keyCol, "ver", batchId)
+      path, keyCol, "ver", batchId, numBuckets, maxBucketBytes,
+      splitsPerBatch)
   }
 
   /** The live view: tombstoned (count-zero) groups filtered out, the
@@ -98,11 +111,15 @@ object AggSync {
     * approx_count_distinct(`valCol`) per `keyCol`, exact below `k`.
     */
   def kmvDistinctSink(events: DataFrame, path: String, keyCol: String,
-      valCol: String, checkpoint: String, k: Int = 64): StreamingQuery =
+      valCol: String, checkpoint: String, k: Int = 64,
+      numBuckets: Int = TableSync.DefaultBuckets,
+      maxBucketBytes: Long = Long.MaxValue,
+      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyKmvDelta(batch, path, keyCol, valCol, batchId, k)
+        applyKmvDelta(batch, path, keyCol, valCol, batchId, k,
+          numBuckets, maxBucketBytes, splitsPerBatch)
       }
       .start()
 
@@ -111,7 +128,10 @@ object AggSync {
     * commit point.
     */
   def applyKmvDelta(batch: DataFrame, path: String, keyCol: String,
-      valCol: String, batchId: Long, k: Int = 64): Unit = {
+      valCol: String, batchId: Long, k: Int = 64,
+      numBuckets: Int = TableSync.DefaultBuckets,
+      maxBucketBytes: Long = Long.MaxValue,
+      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): Unit = {
     val applied = TableSync.versions(batch.sparkSession, path)
     if (applied.exists(_ >= batchId)) return // replayed after commit
     // <= |batch keys| * k longs; materialized once for the same
@@ -128,7 +148,8 @@ object AggSync {
           .select(col(keyCol), col("kmv"))
     val merged = IncrementalAgg.mergeKmv(state, delta, keyCol, k)
     TableSync.applyBatch(merged.withColumn("ver", lit(batchId)),
-      path, keyCol, "ver", batchId)
+      path, keyCol, "ver", batchId, numBuckets, maxBucketBytes,
+      splitsPerBatch)
   }
 
   /** The live distinct-count view: (key, n_seen, kth_min, est) —

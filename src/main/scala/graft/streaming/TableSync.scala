@@ -132,9 +132,10 @@ object TableSync {
     */
   private[streaming] case class Manifest(
       name: String, numBuckets: Int, entries: Map[Int, String],
-      split: Int = 0, sizes: Map[Int, Long] = Map.empty) {
+      split: Int = 0, sizes: Map[Int, Long] = Map.empty,
+      hashHex: Int = 4) {
     def serialize: String =
-      (s"$name $numBuckets $split" +:
+      (s"$name $numBuckets $split $hashHex" +:
         entries.toSeq.sortBy(_._1).map { case (b, s) =>
           s"$b\t$s\t${sizes.getOrElse(b, 0L)}" })
         .mkString("\n")
@@ -147,29 +148,44 @@ object TableSync {
     Manifest(head(0), head(1).toInt,
       rows.map(a => a(0).toInt -> a(1)).toMap,
       if (head.length > 2) head(2).toInt else 0,
-      rows.filter(_.length > 2).map(a => a(0).toInt -> a(2).toLong).toMap)
+      rows.filter(_.length > 2).map(a => a(0).toInt -> a(2).toLong).toMap,
+      if (head.length > 3) head(3).toInt else 4)
   }
 
-  /** Content-derived bucket of the key under a linear-hashing scheme
-    * `(n, split)`: h = first 4 hex digits of md5(key as string) — a
-    * 16-bit uniform value, identical on any engine or partitioning
-    * (the c06 sharding discipline), so replays of the same rows
-    * always land in the same buckets. Buckets `h mod n < split` have
-    * been split to the doubled level and resolve at `h mod 2n`
-    * (which is `b0` or `b0 + n` — a split moves ONLY the split
-    * bucket's keys, everything else is untouched); the rest resolve
-    * at `h mod n`. `split == 0` is plain mod-n. The 16-bit hash caps
-    * the scheme at 65536 effective buckets — ~1.5 GB/bucket at
-    * 100 TB, exactly the few-GB target. Null keys fold to bucket 0
-    * rather than a null partition.
+  /** Hash width (md5 hex digits) for NEW tables: 8 digits = a 32-bit
+    * uniform key hash, so the scheme can widen to ~4 billion
+    * effective buckets before the hash quantizes — no ceiling any
+    * realistic table hits. Recorded per table in the manifest;
+    * pre-existing tables parse as the original 4 digits (65536
+    * ceiling) and keep their mapping — the hash width of a table is
+    * IMMUTABLE after bootstrap, because changing it remaps every
+    * key across buckets (a full-rewrite migration, not a split).
     */
-  private def bucketExpr(keyCol: String, n: Int, split: Int = 0) = {
-    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
-      .cast("int")
-    val b0 = pmod(h, lit(n))
+  val DefaultHashHex = 8
+
+  /** Content-derived bucket of the key under a linear-hashing scheme
+    * `(n, split)`: h = the table's first `hashHex` md5 hex digits of
+    * the key as a string — a uniform value identical on any engine
+    * or partitioning (the c06 sharding discipline), so replays of
+    * the same rows always land in the same buckets. Buckets
+    * `h mod n < split` have been split to the doubled level and
+    * resolve at `h mod 2n` (which is `b0` or `b0 + n` — a split
+    * moves ONLY the split bucket's keys, everything else is
+    * untouched); the rest resolve at `h mod n`. `split == 0` is
+    * plain mod-n. The effective-bucket ceiling is 16^hashHex: 2^32
+    * at the 8-digit default, 65536 for pre-width tables (see
+    * [[DefaultHashHex]]). Null keys fold to bucket 0 rather than a
+    * null partition.
+    */
+  private def bucketExpr(keyCol: String, n: Int, split: Int = 0,
+      hashHex: Int = DefaultHashHex) = {
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, hashHex),
+      16, 10).cast("long")
+    val b0 = pmod(h, lit(n.toLong))
     coalesce(
-      if (split <= 0) b0
-      else when(b0 < split, pmod(h, lit(2 * n))).otherwise(b0),
+      (if (split <= 0) b0
+      else when(b0 < split, pmod(h, lit(2L * n))).otherwise(b0))
+        .cast("int"),
       lit(0))
   }
 
@@ -225,6 +241,7 @@ object TableSync {
     val prev = currentManifest(spark, path)
     val nb = prev.map(_.numBuckets).getOrElse(numBuckets)
     val s0 = prev.map(_.split).getOrElse(0)
+    val hx = prev.map(_.hashHex).getOrElse(DefaultHashHex)
     // Split decision: how many buckets short of `<= maxBucketBytes`
     // per bucket is the table, capped per batch and per level. A
     // pre-evolution manifest records no sizes (reads 0) and simply
@@ -237,7 +254,8 @@ object TableSync {
     }
     val s1 = s0 + k
     val splitIds = (s0 until s1).toSet
-    val bucketed = batch.withColumn(BucketCol, bucketExpr(keyCol, nb, s1))
+    val bucketed = batch.withColumn(BucketCol,
+      bucketExpr(keyCol, nb, s1, hx))
     // Touched buckets: bounded by numBuckets (a parameter), never by
     // data volume — the one driver-side collect in this sink. Splits
     // add their source bucket (read + redistributed) and its doubled
@@ -279,7 +297,7 @@ object TableSync {
         // re-bucketing at the ADVANCED scheme is the split itself:
         // a split bucket's previous rows redistribute over its two
         // targets here, and nothing else moves
-        p.withColumn(BucketCol, bucketExpr(keyCol, nb, s1))
+        p.withColumn(BucketCol, bucketExpr(keyCol, nb, s1, hx))
           .unionByName(bucketed, allowMissingColumns = true)
       case None => bucketed
     }
@@ -325,7 +343,7 @@ object TableSync {
     // (2nb, 0) — normalize so the next level's pointer starts clean.
     val (cn, cs) = if (s1 == nb) (nb * 2, 0) else (nb, s1)
     commitPointer(spark, path, prev.map(_.name),
-      Manifest(snapName, cn, entries, cs, sizes))
+      Manifest(snapName, cn, entries, cs, sizes, hx))
     gc(spark, path, batchId)
   }
 
@@ -361,7 +379,8 @@ object TableSync {
         s"v${b}r${Option(r).map(_.toInt).getOrElse(0) + 1}"
     }
     readManifest(spark, path, prev)
-      .withColumn(BucketCol, bucketExpr(keyCol, newNumBuckets))
+      .withColumn(BucketCol,
+        bucketExpr(keyCol, newNumBuckets, 0, prev.hashHex))
       .write.mode("overwrite").partitionBy(BucketCol)
       .parquet(s"$path/$snapName")
     val fs = new Path(path).getFileSystem(
@@ -384,7 +403,7 @@ object TableSync {
         (Map(0 -> snapName), Map(0 -> 0L))
       }
     commitPointer(spark, path, Some(prev.name),
-      Manifest(snapName, newNumBuckets, entries, 0, sizes))
+      Manifest(snapName, newNumBuckets, entries, 0, sizes, prev.hashHex))
     batchOf(snapName).foreach(gc(spark, path, _))
   }
 
@@ -529,7 +548,8 @@ object TableSync {
       .getOrElse(throw new IllegalStateException(
         s"no _CURRENT pointer under $path — table never initialized"))
     val touched = keys
-      .select(bucketExpr(keyCol, m.numBuckets, m.split).as(BucketCol))
+      .select(bucketExpr(keyCol, m.numBuckets, m.split, m.hashHex)
+        .as(BucketCol))
       .distinct().collect().map(_.getInt(0)).toSet
     val groups = m.entries.toSeq
       .filter { case (b, _) => touched(b) }

@@ -865,6 +865,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AggSync fold stays exact while the bucket scheme splits " +
+    "beneath it (maxBucketBytes armed)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("aggsync-evo").toString
+    // 1-byte threshold: every post-bootstrap batch runs the maximum
+    // allowed splits; the NON-idempotent fold must stay exact through
+    // the redistribution (a lost or doubled row is a wrong sum)
+    def fold(rows: Seq[(String, Double)], b: Long) =
+      AggSync.applyDelta(rows.toDF("k", "v"), path, "k", "v", b,
+        numBuckets = 8, maxBucketBytes = 1L, splitsPerBatch = 4)
+    fold((1 to 40).map(i => (s"k$i", i.toDouble)), 0L)
+    assert(TableSync.bucketScheme(spark, path) == ((8, 0)))
+    fold(Seq(("k7", 0.5), ("k41", 1.0)), 1L)
+    assert(TableSync.bucketScheme(spark, path) == ((8, 4)))
+    fold(Seq(("k7", 0.25)), 2L)
+    assert(TableSync.bucketScheme(spark, path) == ((16, 0)))
+    val view = AggSync.readView(spark, path)
+      .select(col("k"), col("n"), col("tot").cast("string"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getString(2)))).toMap
+    assert(view("k7") == ((3L, "7.75")) && view("k41") == ((1L, "1.00"))
+      && view("k8") == ((1L, "8.00")) && view.size == 41,
+      s"fold diverged across splits: $view")
+  }
+
   test("AggSync replay of a committed batch is a no-op (the fold " +
     "never double-counts)") {
     import spark.implicits._
