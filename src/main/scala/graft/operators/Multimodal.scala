@@ -711,6 +711,116 @@ object Multimodal {
     *  - "VP8X" (extended): 24-bit little-endian canvas dims-minus-1 at
     *    payload bytes 4..9.
     */
+  /** Metadata appended per WAV row by [[wavMeta]]. */
+  val wavSchema: StructType = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_us", LongType),
+    StructField("valid", BooleanType)))
+
+  /** Build a RIFF/WAVE byte stream (PCM fmt chunk + data chunk, with
+    * an optional extra chunk ahead of fmt) — the fixture/spec encoder
+    * for [[wavMeta]]. Odd-sized chunks get the RIFF pad byte, so a
+    * parser that forgets word alignment misreads everything after.
+    */
+  def encodeWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      pcm: Array[Byte], extraChunk: Option[Array[Byte]] = None): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { body.write(v & 0xff); body.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    def chunk(cc: String, payload: Array[Byte]): Unit = {
+      body.write(cc.getBytes("US-ASCII")); u32(payload.length)
+      body.write(payload)
+      if ((payload.length & 1) == 1) body.write(0) // RIFF pad byte
+    }
+    val blockAlign = channels * bitsPerSample / 8
+    val fmt = new java.io.ByteArrayOutputStream()
+    locally {
+      def f16(v: Int): Unit = { fmt.write(v & 0xff); fmt.write((v >> 8) & 0xff) }
+      def f32(v: Int): Unit = { f16(v & 0xffff); f16((v >>> 16) & 0xffff) }
+      f16(1) // PCM
+      f16(channels)
+      f32(sampleRate)
+      f32(sampleRate * blockAlign) // byte rate
+      f16(blockAlign)
+      f16(bitsPerSample)
+    }
+    body.write("WAVE".getBytes("US-ASCII"))
+    extraChunk.foreach(chunk("LIST", _))
+    chunk("fmt ", fmt.toByteArray)
+    chunk("data", pcm)
+    val payload = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(Array[Byte]((payload.length & 0xff).toByte,
+      ((payload.length >> 8) & 0xff).toByte,
+      ((payload.length >> 16) & 0xff).toByte,
+      ((payload.length >> 24) & 0xff).toByte))
+    out.write(payload)
+    out.toByteArray
+  }
+
+  /** Parse RIFF/WAVE container metadata — a REAL chunk walk (fourCC +
+    * little-endian u32 size, word-aligned), not a fixed-offset peek:
+    * unknown chunks (LIST, fact, cue) are skipped by declared size,
+    * odd chunks consume their pad byte, and a declared size that
+    * overruns the buffer invalidates the row (fail-loud, never a
+    * silent partial read). `valid` requires a PCM fmt chunk AND a
+    * data chunk; `duration_us = n_frames * 1_000_000 / sample_rate`
+    * in integer arithmetic both engines replay exactly. Map-only,
+    * batched like the image decoders.
+    */
+  def wavMeta(
+      df: DataFrame, keyCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(
+      df.schema(keyCol) +: wavSchema.fields.toSeq)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(keyCol), col(binCol)).mapPartitions { it =>
+      it.map { r =>
+        Row.fromSeq(r.get(0) +: parseWav(r.getAs[Array[Byte]](1)).toSeq)
+      }
+    }(enc)
+  }
+
+  private[operators] def parseWav(a: Array[Byte]): Row = {
+    val invalid = Row(null, null, null, null, null, false)
+    if (a == null || a.length < 12) return invalid
+    def u8(i: Int) = a(i) & 0xff
+    def fourCC(i: Int, s: String) =
+      a.length >= i + 4 && (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    def u16le(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (!fourCC(0, "RIFF") || !fourCC(8, "WAVE")) return invalid
+    var pos = 12
+    var fmtCode, channels, rate, bits, blockAlign = -1
+    var dataBytes = -1L
+    while (pos + 8 <= a.length && (fmtCode < 0 || dataBytes < 0)) {
+      val size = u32le(pos + 4)
+      val start = pos + 8
+      if (start + size > a.length) return invalid // overrun: fail loud
+      if (fourCC(pos, "fmt ")) {
+        if (size < 16) return invalid
+        fmtCode = u16le(start)
+        channels = u16le(start + 2)
+        rate = u32le(start + 4).toInt
+        blockAlign = u16le(start + 12)
+        bits = u16le(start + 14)
+      } else if (fourCC(pos, "data")) {
+        dataBytes = size
+      }
+      pos = start + size.toInt + (size.toInt & 1) // word-aligned
+    }
+    if (fmtCode != 1 || dataBytes < 0 || channels <= 0 || rate <= 0 ||
+      blockAlign <= 0) invalid
+    else {
+      val nFrames = dataBytes / blockAlign
+      Row(channels, rate, bits, nFrames, nFrames * 1000000L / rate, true)
+    }
+  }
+
   private[operators] def webpDims(a: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int) = a(i) & 0xff
     def fourCC(i: Int, s: String) =

@@ -70,6 +70,32 @@ object MultimodalQueries {
     }(RowEncoder.encoderFor(schema))
   }
 
+  /** One REAL RIFF/WAVE file per document row (the m15 fixture):
+    * PCM parameters derived from doc_id, deterministic payload bytes,
+    * and every 5th file carries an odd-length LIST chunk ahead of
+    * fmt to keep the parser's chunk walk honest.
+    */
+  def realWavs(s: SparkSession, dir: String): DataFrame = {
+    val ids = Engine.Tables(s, dir).documents.select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("wav", BinaryType)))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nFrames = (100 + id % 50).toInt
+        val pcm = Array.tabulate(nFrames * channels * 2)(i =>
+          ((id * 31 + i * 7) & 0xff).toByte)
+        val extra = if (id % 5 == 0)
+          Some(Array[Byte](73, 78, 70, 79, 3)) // "INFO" + odd tail
+        else None
+        Row(id, Multimodal.encodeWav(channels, rate, 16, pcm, extra))
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     // ------------------------------------------------------------------
     "m01_image_meta" -> QueryDef(
@@ -810,7 +836,37 @@ object MultimodalQueries {
         FROM documents"""),
       doc = "Real-decoder image resize: JDK PNG decode -> bilinear " +
         "resample -> PNG re-encode -> decode, content-proven by " +
-        "constant-color channel means (hash-checked)."))
+        "constant-color channel means (hash-checked)."),
+
+    // ------------------------------------------------------------------
+    "m15_wav_meta" -> QueryDef(
+      fn = { (s, dir) =>
+        // REAL audio container metadata: one RIFF/WAVE file per doc
+        // (channels/rate/frame-count all doc_id-derived), parsed by a
+        // genuine chunk WALK — every 5th file carries an odd-length
+        // LIST chunk ahead of fmt, so a parser that reads fixed
+        // offsets or forgets the RIFF pad byte misparses 20% of the
+        // corpus. duration_us is exact integer arithmetic
+        // (n_frames * 1e6 / rate, floor division in both engines).
+        // The m08 PCM stats family reads payloads; this reads the
+        // CONTAINER — together they cover how audio actually arrives
+        // in a crawl. Map-only both passes.
+        val wavs = realWavs(s, dir)
+        Multimodal.wavMeta(wavs, "doc_id", "wav")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS INT) AS channels,
+               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+               CAST(16 AS INT) AS bits_per_sample,
+               CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+               CAST((100 + doc_id % 50) * 1000000
+                 // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS duration_us,
+               true AS valid
+        FROM documents"""),
+      doc = "RIFF/WAVE container metadata via a real chunk walk " +
+        "(unknown chunks skipped by size, pad bytes honored, " +
+        "overruns fail loud) — exact integer duration (hash-checked)."))
 
   /** One temp shard dir per sfDir for m12, cleaned at JVM exit
     * (p05TmpDir's pattern; separate dir — m12's member set differs).

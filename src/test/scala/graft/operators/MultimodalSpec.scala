@@ -199,6 +199,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got(2L).getBoolean(5))
   }
 
+  test("wavMeta: chunk walk skips unknown + odd chunks, strict on " +
+    "corruption (overrun / non-PCM / wrong magic)") {
+    val good = Multimodal.encodeWav(2, 16000, 16,
+      Array.fill[Byte](16000 * 2 * 2)(3)) // 1 s stereo
+    // odd LIST chunk ahead of fmt: pad byte must be consumed
+    val listed = Multimodal.encodeWav(1, 8000, 16,
+      Array.fill[Byte](800 * 2)(5), Some(Array[Byte](1, 2, 3)))
+    // declared data size overruns the buffer -> invalid, never partial
+    val truncated = good.dropRight(100)
+    // float PCM (fmt code 3) -> invalid under the strict-PCM contract
+    val floatFmt = good.clone()
+    locally { // fmt code lives 8 bytes into the fmt chunk payload
+      val i = (12 until floatFmt.length - 8).find(j =>
+        floatFmt.slice(j, j + 4).map(_.toChar).mkString == "fmt ").get
+      floatFmt(i + 8) = 3
+    }
+    val df = Seq(
+      (1L, good), (2L, listed), (3L, truncated), (4L, floatFmt),
+      (5L, "RIFFxxxxAVI LIST".getBytes), (6L, "noise".getBytes))
+      .toDF("id", "wav")
+    val got = Multimodal.wavMeta(df, "id", "wav")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g = got(1L)
+    assert(g.getInt(1) == 2 && g.getInt(2) == 16000 && g.getInt(3) == 16)
+    assert(g.getLong(4) == 16000L && g.getLong(5) == 1000000L)
+    assert(g.getBoolean(6))
+    val l = got(2L)
+    assert(l.getInt(1) == 1 && l.getInt(2) == 8000 &&
+      l.getLong(4) == 800L && l.getLong(5) == 100000L && l.getBoolean(6))
+    assert(!got(3L).getBoolean(6), "overrun must invalidate")
+    assert(!got(4L).getBoolean(6), "non-PCM must invalidate")
+    assert(!got(5L).getBoolean(6), "non-WAVE RIFF must invalidate")
+    assert(!got(6L).getBoolean(6))
+  }
+
   test("audio window energies: exact sums, partial window dropped, top ranks") {
     import spark.implicits._
     // 5 samples with window=2: windows (3,4) and (5,12); sample 13
