@@ -808,11 +808,15 @@ object MultimodalQueries {
         // header-proven. Scale shape: both passes are map-only
         // mapPartitions (no shuffle but the final join's, which m13
         // shares); pixel work is bounded by the fixture dims.
-        val pngs = realPngs(s, dir)
+        // materialize both image frames once: pngs feeds orig + the
+        // resize, rez feeds dims + features — without the checkpoints
+        // the PNG encode runs three times and the resample twice
+        val pngs = realPngs(s, dir).localCheckpoint()
         val orig = Multimodal.decodeImages(pngs, "doc_id", "image")
           .select(col("doc_id"),
             col("width").as("old_w"), col("height").as("old_h"))
         val rez = Multimodal.resizeImages(pngs, "doc_id", "image", 10, 7)
+          .localCheckpoint()
         val dims = Multimodal.decodeImages(rez, "doc_id", "image")
           .select(col("doc_id"),
             col("width").as("new_w"), col("height").as("new_h"),
