@@ -391,6 +391,50 @@ class TableSyncSpec extends AnyFunSuite {
     assert(TableSync.readVersion(spark, path, 3L).count() == 40)
   }
 
+  test("linear-hash invariants over 10k keys: a split moves ONLY the " +
+    "split bucket's keys, targets are {s, s+n}, and (n, n) == (2n, 0)") {
+    import spark.implicits._
+    // drive the private bucketExpr through applyBatch-visible state:
+    // build one table per scheme step is too slow — instead derive
+    // the mapping via readCurrentForKeys' observable: write 10k keys
+    // ONCE per scheme and compare bucket dirs? Cheaper and exact:
+    // replicate the arithmetic relationally with the same md5 hash
+    // Spark computes, and assert the three invariants the split
+    // machinery relies on. The hash expression here is copied from
+    // the TableSync contract (8 hex digits, DefaultHashHex) — if
+    // bucketExpr drifts from it, the dsync/tsync content specs above
+    // break first; this spec pins the ARITHMETIC.
+    val n = 16
+    val keys = spark.range(0, 10000).select(col("id").cast("string").as("k"))
+    def bucket(s: Int) = {
+      val h = conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long")
+      val b0 = pmod(h, lit(n.toLong))
+      (if (s <= 0) b0
+       else when(b0 < s, pmod(h, lit(2L * n))).otherwise(b0)).cast("int")
+    }
+    (0 until n).foreach { s =>
+      val moved = keys.select(bucket(s).as("before"),
+        bucket(s + 1).as("after"))
+        .filter(col("before") =!= col("after"))
+        .select(col("before"), col("after")).distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      // only bucket s moves, and only to s+n (keys staying at s keep
+      // before == after and are filtered out)
+      assert(moved.subsetOf(Set((s, s + n))),
+        s"split $s moved unexpected buckets: $moved")
+    }
+    // level completion: (n, n) and (2n, 0) are the same function
+    val full = keys.select(bucket(n).as("a"),
+      pmod(conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long"),
+        lit(2L * n)).cast("int").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(full == 0L, "(n, n) must equal (2n, 0)")
+    // and every key lands in [0, n + s) at every step
+    val oob = keys.select(bucket(7).as("b"))
+      .filter(col("b") < 0 || col("b") >= n + 7).count()
+    assert(oob == 0L)
+  }
+
   test("rebucket(): one-shot re-base to a new count, atomic swap, " +
     "next batches adopt the new scheme") {
     import spark.implicits._
