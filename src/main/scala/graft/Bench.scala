@@ -169,9 +169,15 @@ object Bench {
     // diffing captures, not a measurement artifact worth flagging).
     def refSuspect(name: String, t: Double): Boolean =
       refTimes.get(name).exists(r => r > 0 && t > 1.5 * r)
+    // record WHICH entries took the second pass — the artifact should
+    // say so (an empty list certifies the whole capture came from
+    // clean first passes; a populated one names the suspects and
+    // whether their re-run stuck)
+    val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = firstPass.map { case (name, (t, p)) =>
       if (t < 0 || (!contaminated(p) && !refSuspect(name, t))) (name, t, p)
       else {
+        remeasured += name
         val p2 = probe()
         val t2 = runOnce(name)
         if (t2 >= 0 && t2 < t) (name, t2, p2)
@@ -199,10 +205,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val series = calibSeries.map(f).mkString("[", ",", "]")
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val remeasJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
       s""""calib_before":${f(calibBefore)},"calib_after":${f(calibAfter)},""" +
       s""""calib_series":$series,"probe_idle":${f(idleRef)},""" +
-      s""""flagged":$flaggedJson,""" +
+      s""""flagged":$flaggedJson,"remeasured":$remeasJson,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also write the line to a file: under sbt the stdout line gets an
