@@ -39,7 +39,7 @@ object AggSync {
   def countSumSink(events: DataFrame, path: String, keyCol: String,
       valCol: String, checkpoint: String,
       numBuckets: Int = TableSync.DefaultBuckets,
-      maxBucketBytes: Long = Long.MaxValue,
+      maxBucketBytes: Long = DedupSync.DefaultMaxBucketBytes,
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
@@ -55,7 +55,7 @@ object AggSync {
   def applyDelta(batch: DataFrame, path: String, keyCol: String,
       valCol: String, batchId: Long,
       numBuckets: Int = TableSync.DefaultBuckets,
-      maxBucketBytes: Long = Long.MaxValue,
+      maxBucketBytes: Long = DedupSync.DefaultMaxBucketBytes,
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): Unit = {
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, path)
@@ -113,7 +113,7 @@ object AggSync {
   def kmvDistinctSink(events: DataFrame, path: String, keyCol: String,
       valCol: String, checkpoint: String, k: Int = 64,
       numBuckets: Int = TableSync.DefaultBuckets,
-      maxBucketBytes: Long = Long.MaxValue,
+      maxBucketBytes: Long = DedupSync.DefaultMaxBucketBytes,
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
@@ -130,7 +130,7 @@ object AggSync {
   def applyKmvDelta(batch: DataFrame, path: String, keyCol: String,
       valCol: String, batchId: Long, k: Int = 64,
       numBuckets: Int = TableSync.DefaultBuckets,
-      maxBucketBytes: Long = Long.MaxValue,
+      maxBucketBytes: Long = DedupSync.DefaultMaxBucketBytes,
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): Unit = {
     val applied = TableSync.versions(batch.sparkSession, path)
     if (applied.exists(_ >= batchId)) return // replayed after commit

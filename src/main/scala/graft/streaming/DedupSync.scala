@@ -48,6 +48,15 @@ import graft.operators.Dedup
   */
 object DedupSync {
 
+  /** Default split trigger for the index: ARMED at 1 GB/bucket, not
+    * off — a long-lived stream should never rediscover the frozen-
+    * bucket-count failure mode by forgetting a knob. Far above any
+    * test-scale table (256 buckets never trigger below ~256 GB), so
+    * arming is invisible until the table actually needs to widen;
+    * pass Long.MaxValue to disable.
+    */
+  val DefaultMaxBucketBytes: Long = 1L << 30
+
   /** Start the online-dedup sink over a streaming (id, text) frame.
     *
     * `numBuckets` sizes the index's TableSync sub-table granularity
@@ -74,7 +83,7 @@ object DedupSync {
       shingleSize: Int = 3, maxBucketSize: Int = 1000,
       hasher: Dedup.MinHashFamily = Dedup.MinHashFamily.Xx,
       numBuckets: Int = 256,
-      maxBucketBytes: Long = Long.MaxValue,
+      maxBucketBytes: Long = DefaultMaxBucketBytes,
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -102,7 +111,7 @@ object DedupSync {
       shingleSize: Int = 3, maxBucketSize: Int = 1000,
       hasher: Dedup.MinHashFamily = Dedup.MinHashFamily.Xx,
       numBuckets: Int = 256,
-      maxBucketBytes: Long = Long.MaxValue,
+      maxBucketBytes: Long = DefaultMaxBucketBytes,
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): Unit = {
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, indexPath)

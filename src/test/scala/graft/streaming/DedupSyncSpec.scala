@@ -230,6 +230,22 @@ class DedupSyncSpec extends AnyFunSuite {
     assert(probe.filter(col("id") === 5L).count() == 1)
   }
 
+  test("a pairless stream (no dups anywhere) still serves every " +
+    "view: empty pairs, all-singleton keep decisions") {
+    import spark.implicits._
+    val ix = Files.createTempDirectory("dsync9-ix-").toString
+    val pr = Files.createTempDirectory("dsync9-pr-").toString
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    DedupSync.applyDocs(docs, ix, pr, "text", "doc_id", 0L, 0.9)
+    // the empty batch write must leave a schema-bearing file so the
+    // pairs view is READABLE, not an inference error
+    assert(DedupSync.readPairs(spark, pr).count() == 0)
+    val dec = DedupSync.readKeepDecisions(spark, ix, pr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(dec == Set((1L, 1L, true), (2L, 2L, true)), s"got $dec")
+  }
+
   test("readKeepDecisions equals one-shot dedupCorpus keeps: every " +
     "ingested doc decided, clusters keep their min id") {
     val ix = Files.createTempDirectory("dsync8-ix-").toString
