@@ -248,9 +248,15 @@ object TableSync {
     // never triggers until rewrites fill them in.
     val k = if (maxBucketBytes == Long.MaxValue) 0 else {
       val total = prev.map(_.sizes.values.sum).getOrElse(0L)
-      val want = ((total + maxBucketBytes - 1) / maxBucketBytes -
-        (nb + s0)).toInt
-      math.max(0, math.min(math.min(want, nb - s0), splitsPerBatch))
+      // clamp in LONG first: a big total over a small threshold can
+      // exceed Int range, and truncating the raw quotient would wrap
+      // negative — silently disarming the very mechanism the
+      // threshold arms
+      val want = (total + maxBucketBytes - 1) / maxBucketBytes -
+        (nb + s0)
+      math.max(0L,
+        math.min(math.min(want, (nb - s0).toLong), splitsPerBatch.toLong))
+        .toInt
     }
     val s1 = s0 + k
     val splitIds = (s0 until s1).toSet

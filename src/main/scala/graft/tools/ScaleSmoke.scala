@@ -599,7 +599,9 @@ object ScaleSmoke {
     // per-file path this replaced grew linearly in RPC count.
     locally {
       val dir = java.nio.file.Files.createTempDirectory("smoke_stat")
-      if (active("jobstat_20000")) {
+      // fixture needed if ANY jobstat stage will run (a selective
+      // filter like "jobstat_1000" matches only its own label)
+      if (Seq(1000, 5000, 20000).exists(b => active(s"jobstat_$b"))) {
         (1 to 20000).foreach(i =>
           java.nio.file.Files.write(dir.resolve(s"f$i.dat"), Array[Byte](1)))
       }

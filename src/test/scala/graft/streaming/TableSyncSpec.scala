@@ -435,6 +435,39 @@ class TableSyncSpec extends AnyFunSuite {
     assert(oob == 0L)
   }
 
+  test("split trigger survives Int-range totals: recorded sizes of " +
+    "3 GB over a 1-byte threshold still split (no overflow disarm)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-ovf-").toString
+    TableSync.applyBatch(
+      (1L to 10L).map(k => (k, 1L, s"a$k")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L)
+    // forge the recorded sizes to a beyond-Int total (the state a
+    // genuinely huge table would carry): want = total/maxBucketBytes
+    // - effective must clamp in Long, not wrap negative in Int
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val cur = new org.apache.hadoop.fs.Path(path, "_CURRENT")
+    val in = fs.open(cur)
+    val buf = new Array[Byte](fs.getFileStatus(cur).getLen.toInt)
+    try in.readFully(0, buf) finally in.close()
+    val doctored = new String(buf, "UTF-8").linesIterator.map { ln =>
+      val a = ln.split("\t")
+      if (a.length == 3) s"${a(0)}\t${a(1)}\t${3L * 1024 * 1024 * 1024}"
+      else ln
+    }.mkString("\n")
+    val out = fs.create(cur, true)
+    try out.write(doctored.getBytes("UTF-8")) finally out.close()
+    TableSync.applyBatch(Seq((3L, 2L, "upd")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 1L, maxBucketBytes = 1L,
+      splitsPerBatch = 4)
+    assert(TableSync.bucketScheme(spark, path) == ((16, 4)),
+      "3 GB recorded sizes must trigger splits, not wrap negative")
+    val got = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 10 && got(3L) == "upd")
+  }
+
   test("rebucket(): one-shot re-base to a new count, atomic swap, " +
     "next batches adopt the new scheme") {
     import spark.implicits._
