@@ -22,6 +22,31 @@ object CurationQueries {
 
   private def T(s: SparkSession, dir: String) = Engine.Tables(s, dir)
 
+  /** One cached c36 table dir per sfDir, recursively wiped at entry
+    * (TableSync no-ops on already-applied batch ids, so a reused path
+    * must start empty) and removed at JVM exit — the p05TmpDir
+    * discipline; without it every execution (including bench
+    * re-measure passes) leaked a fresh orders-scale table on disk.
+    */
+  private val c36Dirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
+  private def c36Dir(dir: String): String = {
+    val path = c36Dirs.getOrElseUpdate(dir, {
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-evo-cdc-${Integer.toHexString(dir.hashCode)}")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => rmTree(f)))
+      f.toString
+    })
+    val f = new java.io.File(path)
+    rmTree(f); f.mkdirs()
+    path
+  }
+
   /** DuckDB mirror of TextFunctions.qualityScore (same shape as the
     * t03 oracle), as a CTE body computing (doc_id, text, quality).
     */
@@ -1051,8 +1076,7 @@ object CurationQueries {
         // is spec-pinned in TableSyncSpec/DedupSyncSpec; a DuckDB
         // oracle can't see physical bytes, so the correctness gate
         // checks the CONTENT across the evolution.)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-evo-cdc-").toString
+        val path = c36Dir(dir)
         val ups = T(s, dir).orders.select(col("o_custkey").as("k"),
           col("o_orderkey").as("ver"), col("o_totalprice").as("price"))
         (0L to 3L).foreach { b =>

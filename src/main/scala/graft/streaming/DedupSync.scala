@@ -57,6 +57,18 @@ object DedupSync {
     */
   val DefaultMaxBucketBytes: Long = 1L << 30
 
+  /** Default pairs-compaction cadence: once the pairs store
+    * accumulates this many `batch=` generations, the next committed
+    * batch folds them into one (see [[compactPairs]]). Armed by
+    * default — without it per-batch pair directories accrete forever
+    * between manual maintenance calls, the small-file failure mode
+    * one tier down from the frozen-bucket-count one. 64 keeps the
+    * read-side union bounded while amortizing the fold (each pair row
+    * is rewritten at most once per 64 batches); pass Int.MaxValue to
+    * disable.
+    */
+  val DefaultCompactEvery: Int = 64
+
   /** Start the online-dedup sink over a streaming (id, text) frame.
     *
     * `numBuckets` sizes the index's TableSync sub-table granularity
@@ -84,13 +96,15 @@ object DedupSync {
       hasher: Dedup.MinHashFamily = Dedup.MinHashFamily.Xx,
       numBuckets: Int = 256,
       maxBucketBytes: Long = DefaultMaxBucketBytes,
-      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): StreamingQuery =
+      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyDocs(batch, indexPath, pairsPath, textCol, idCol, batchId,
           threshold, numHashes, bands, shingleSize, maxBucketSize,
-          hasher, numBuckets, maxBucketBytes, splitsPerBatch)
+          hasher, numBuckets, maxBucketBytes, splitsPerBatch,
+          compactEvery)
       }
       .start()
 
@@ -112,7 +126,8 @@ object DedupSync {
       hasher: Dedup.MinHashFamily = Dedup.MinHashFamily.Xx,
       numBuckets: Int = 256,
       maxBucketBytes: Long = DefaultMaxBucketBytes,
-      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): Unit = {
+      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
+      compactEvery: Int = DefaultCompactEvery): Unit = {
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, indexPath)
     if (applied.exists(_ >= batchId)) return // replayed after commit
@@ -139,6 +154,24 @@ object DedupSync {
     TableSync.applyBatch(newIdx.withColumn("ver", lit(batchId)),
       indexPath, "id", "ver", batchId, numBuckets, maxBucketBytes,
       splitsPerBatch)
+    // maintenance cadence, AFTER the outer commit: once the pairs
+    // store holds >= compactEvery generations, fold them. Runs on the
+    // committed state only, so a crash mid-compaction never touches
+    // this batch's exactly-once story (replay sees the id applied and
+    // no-ops; the stale staged dir is swept on the next fold). The
+    // trigger counts directories, not batch ids — robust to sparse or
+    // restarted id sequences.
+    if (compactEvery != Int.MaxValue) {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(pairsPath).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val gens =
+        if (!fs.exists(new Path(pairsPath))) 0
+        else fs.listStatus(new Path(pairsPath))
+          .count(st => st.isDirectory &&
+            st.getPath.getName.startsWith("batch="))
+      if (gens >= compactEvery) compactPairs(spark, pairsPath)
+    }
   }
 
   /** The accumulated near-dup pairs view. Max-merged per pair: a
@@ -184,8 +217,11 @@ object DedupSync {
     *
     * Crash-safe and replay-compatible by construction:
     *  - the merged output is STAGED under an `_`-prefixed temp dir
-    *    (invisible to Spark readers) and renamed into place
-    *    atomically, so readers never observe a partial generation;
+    *    (invisible to Spark readers) and renamed into place — atomic
+    *    on HDFS/local FS; on object stores (S3A) rename is copy+
+    *    delete, but partial visibility there is still benign because
+    *    [[readPairs]] max-merges whatever subset of the generation is
+    *    visible alongside the intact sources;
     *  - a crash between the rename and the source deletes leaves
     *    sources + compaction coexisting — [[readPairs]] max-merges,
     *    so the view is unchanged, and re-running compaction converges;
@@ -202,9 +238,14 @@ object DedupSync {
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(path))) return
-    val dirs = fs.listStatus(new Path(path)).filter(_.isDirectory)
+    val all = fs.listStatus(new Path(path)).filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
+    // a crash BEFORE the rename leaves a stale staged dir that no
+    // later call would otherwise touch once dirs.length <= 1 — sweep
+    // them first so the early return can't preserve garbage forever
+    all.filter(_.startsWith("_compact_tmp_"))
+      .foreach(d => fs.delete(new Path(path, d), true))
+    val dirs = all.filter(_.startsWith("batch="))
     if (dirs.length <= 1) return // nothing to fold
     val gen = dirs.map(_.stripPrefix("batch="))
       .collect { case g if g.startsWith("c") => g.drop(1).toLong }
@@ -212,8 +253,10 @@ object DedupSync {
     val tmp = new Path(path, s"_compact_tmp_c$gen")
     readPairs(spark, path)
       .write.mode("overwrite").parquet(tmp.toString)
-    // single atomic rename: readers switch from N sources to one
-    // generation with no window where neither is visible
+    // one rename: readers switch from N sources to one generation
+    // with no window where neither is visible (atomic on HDFS/local;
+    // copy+delete on object stores, where max-merge keeps any
+    // partially-visible state correct)
     if (!fs.rename(tmp, new Path(path, s"batch=c$gen")))
       throw new IllegalStateException(
         s"compaction rename failed under $path (generation c$gen)")

@@ -107,11 +107,24 @@ object JobStream {
           (n, len)
         }
       else {
-        val listed: Map[String, org.apache.hadoop.fs.FileStatus] =
-          (try fs.listStatus(dir)
-          catch { case _: java.io.FileNotFoundException =>
-            Array.empty[org.apache.hadoop.fs.FileStatus] })
-            .map(st => st.getPath.getName -> st).toMap
+        // stream the listing and keep ONLY the batch's own names:
+        // driver memory stays O(batch) against the million-entry
+        // directories this path exists for, and the iteration stops
+        // as soon as every wanted name has been seen (a batch with an
+        // absent name still walks the full listing — absence is only
+        // provable at the end — but holds no more than the batch)
+        val wanted = ns.map(n =>
+          new org.apache.hadoop.fs.Path(base, n).getName).toSet
+        val listed = scala.collection.mutable.Map
+          .empty[String, org.apache.hadoop.fs.FileStatus]
+        try {
+          val it = fs.listStatusIterator(dir)
+          while (it.hasNext && listed.size < wanted.size) {
+            val st = it.next()
+            val leaf = st.getPath.getName
+            if (wanted.contains(leaf)) listed(leaf) = st
+          }
+        } catch { case _: java.io.FileNotFoundException => () }
         ns.iterator.map { n =>
           val leaf = new org.apache.hadoop.fs.Path(base, n).getName
           n -> listed.get(leaf).filter(_.isFile).map(_.getLen)

@@ -251,9 +251,12 @@ object TableSync {
       // clamp in LONG first: a big total over a small threshold can
       // exceed Int range, and truncating the raw quotient would wrap
       // negative — silently disarming the very mechanism the
-      // threshold arms
-      val want = (total + maxBucketBytes - 1) / maxBucketBytes -
-        (nb + s0)
+      // threshold arms. Ceiling via div+mod, not `total + max - 1`:
+      // the additive form overflows Long for a huge-but-finite
+      // threshold (e.g. Long.MaxValue/2 with total above half) — the
+      // same disarm failure one tier up.
+      val want = total / maxBucketBytes +
+        (if (total % maxBucketBytes != 0) 1L else 0L) - (nb + s0)
       math.max(0L,
         math.min(math.min(want, (nb - s0).toLong), splitsPerBatch.toLong))
         .toInt

@@ -271,6 +271,52 @@ class DedupSyncSpec extends AnyFunSuite {
     assert(byId(3L) == 3L && dec.find(_._1 == 3L).get._3)
   }
 
+  test("auto-compaction cadence: a long stream never holds more than " +
+    "compactEvery pair generations, stale staged dirs are swept, and " +
+    "the final view equals one-shot") {
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ix = Files.createTempDirectory("dsync10-ix-").toString
+    val pr = Files.createTempDirectory("dsync10-pr-").toString
+    def gens() = fs.listStatus(new org.apache.hadoop.fs.Path(pr))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    // plant a stale staged dir (crash-before-rename leftover): the
+    // first fold must sweep it even though no fold ever produced it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(pr, "_compact_tmp_c99"))
+    // 9 single-doc batches with a cadence of 3: folds fire after
+    // batches 2, 5(c-gen counts as one), ... — the store's generation
+    // count stays bounded by compactEvery throughout
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    import spark.implicits._
+    rows.zipWithIndex.foreach { case ((id, text), b) =>
+      DedupSync.applyDocs(Seq((id, text)).toDF("doc_id", "text"),
+        ix, pr, "text", "doc_id", b.toLong, threshold = 0.3,
+        compactEvery = 3)
+      assert(gens().length <= 3,
+        s"generation count must stay bounded, got ${gens()}")
+    }
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(pr, "_compact_tmp_c99")),
+      "stale staged dir must be swept by the first fold")
+    val streamed = pairSet(DedupSync.readPairs(spark, pr))
+    val oneShot = pairSet(Dedup.nearDupPairs(
+      corpus, "text", "doc_id", threshold = 0.3))
+    assert(streamed == oneShot, s"stream $streamed\nvs batch $oneShot")
+    assertCanonical(streamed)
+    assert(DedupSync.readIndex(spark, ix).count() == 9)
+    // a replayed batch AFTER its pairs were folded still converges:
+    // its directory rewrites next to the compacted generation and the
+    // deterministic values collapse in the merge (the index sees the
+    // id applied, so this exercises only the read-side merge)
+    val (rid, rtext) = rows.last
+    DedupSync.applyDocs(Seq((rid, rtext)).toDF("doc_id", "text"),
+      ix, pr, "text", "doc_id", rows.length.toLong - 1,
+      threshold = 0.3, compactEvery = 3)
+    assert(pairSet(DedupSync.readPairs(spark, pr)) == oneShot)
+  }
+
   test("compactPairs folds all generations into one; replay after " +
     "compaction still converges") {
     val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(

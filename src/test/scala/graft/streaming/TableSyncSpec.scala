@@ -468,6 +468,46 @@ class TableSyncSpec extends AnyFunSuite {
     assert(got.size == 10 && got(3L) == "upd")
   }
 
+  test("split trigger survives Long-range ceiling arithmetic: a huge " +
+    "finite threshold with totals near Long.MaxValue still splits " +
+    "(additive ceiling would overflow and disarm)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-ovf2-").toString
+    TableSync.applyBatch(
+      (1L to 10L).map(k => (k, 1L, s"a$k")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L)
+    // forge totals to ~17.5x a threshold of Long.MaxValue/18: the
+    // true ceiling is 18 (want = 18 - 16 = 2 splits), but the
+    // additive form `total + max - 1` exceeds Long.MaxValue, wraps
+    // negative, and would silently disarm — the same failure the
+    // Int-range spec above pins, one tier up
+    val maxB = Long.MaxValue / 18
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val cur = new org.apache.hadoop.fs.Path(path, "_CURRENT")
+    val in = fs.open(cur)
+    val buf = new Array[Byte](fs.getFileStatus(cur).getLen.toInt)
+    try in.readFully(0, buf) finally in.close()
+    val lines = new String(buf, "UTF-8").linesIterator.toSeq
+    val nSized = lines.count(_.split("\t").length == 3)
+    assert(nSized > 0)
+    val per = (maxB / 2 * 35) / nSized // total ~= 17.5 * maxB
+    val doctored = lines.map { ln =>
+      val a = ln.split("\t")
+      if (a.length == 3) s"${a(0)}\t${a(1)}\t$per" else ln
+    }.mkString("\n")
+    val out = fs.create(cur, true)
+    try out.write(doctored.getBytes("UTF-8")) finally out.close()
+    TableSync.applyBatch(Seq((3L, 2L, "upd")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 1L, maxBucketBytes = maxB,
+      splitsPerBatch = 4)
+    assert(TableSync.bucketScheme(spark, path) == ((16, 2)),
+      "near-Long.MaxValue totals must still trigger the 2 owed splits")
+    val got = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 10 && got(3L) == "upd")
+  }
+
   test("rebucket(): one-shot re-base to a new count, atomic swap, " +
     "next batches adopt the new scheme") {
     import spark.implicits._
