@@ -122,8 +122,22 @@ object VectorFunctions {
     * moderate similarity; L tables lift it to 1-(1-p^b)^L. `bits`
     * scales with corpus size (bucket occupancy), `tables` buys
     * recall. Returns array<long>, index = table id.
+    *
+    * Delegates to the fused native expression (one codegen call, one
+    * cached plane tensor) — bit-identical to the composed
+    * per-plane-dot-product form (ExpressionSpec pins the equality),
+    * which at refinement depth (16 planes x 12 tables) exceeded
+    * Janino's 64 KB method limit and fell out of codegen.
     */
   def hyperplaneSigs(
+      v: Column, bits: Int, tables: Int, dim: Int, seed: Int = 7): Column =
+    native.hyperplane_sigs(v, bits, tables, dim, seed)
+
+  /** The composed reference form of [[hyperplaneSigs]] (per-plane
+    * DotProduct columns) — kept as the equality baseline the fused
+    * expression is spec-checked against.
+    */
+  def hyperplaneSigsComposed(
       v: Column, bits: Int, tables: Int, dim: Int, seed: Int = 7): Column =
     array((0 until tables).map(t =>
       hyperplaneSig(v, bits, dim, seed * 1009 + t)): _*)

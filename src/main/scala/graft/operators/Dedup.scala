@@ -673,14 +673,33 @@ object Dedup {
     * recorded as metadata on the `sigs` column (parquet round-trips
     * StructField metadata), so a probe with drifted parameters fails
     * loudly instead of silently landing in disjoint buckets.
+    *
+    * Depth headroom for ONLINE per-bucket refinement: signatures are
+    * stored at `sigBits` planes per table (default 16), not the
+    * `bits` the BASE buckets use. hyperplaneSig packs plane p at bit
+    * position p, so the low `bits` bits of a deep signature ARE the
+    * base bucket — the layout is a strict extension, and a bucket
+    * that grows past the probe's cap can be subdivided to any depth
+    * <= sigBits as a pure projection of stored state (mask more low
+    * bits), never a re-signing. This is the vector analog of
+    * TableSync's linear-hash split headroom: the frozen-granularity
+    * failure mode (buckets silently cap-dropped as the corpus grows)
+    * becomes bounded per-bucket refinement instead. Legacy indexes
+    * (no `graft.lsh.sigbits` metadata) have sigBits == bits and keep
+    * the old cap-drop behavior — probe still works, refinement is
+    * just unavailable until a rebuild.
     */
   def vecDedupIndex(
       df: DataFrame, vecCol: String, idCol: String,
-      bits: Int = 4, tables: Int = 12, dim: Int = 64): DataFrame = {
+      bits: Int = 4, tables: Int = 12, dim: Int = 64,
+      sigBits: Int = 16): DataFrame = {
+    require(sigBits >= bits && sigBits <= 63,
+      s"sigBits must be in [bits, 63], got $sigBits (bits = $bits)")
     val md = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft.lsh.bits", bits.toLong)
       .putLong("graft.lsh.tables", tables.toLong)
       .putLong("graft.lsh.dim", dim.toLong)
+      .putLong("graft.lsh.sigbits", sigBits.toLong)
       .build()
     // Canonicalize at BUILD time (the one shuffle the index pays,
     // once): identical vectors collapse to a keep = min-id group, and
@@ -695,7 +714,7 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec"))))
       .select(col("id"), col("vec"), col("keep"),
         when(col("id") === col("keep"),
-          VectorFunctions.hyperplaneSigs(col("vec"), bits, tables, dim))
+          VectorFunctions.hyperplaneSigs(col("vec"), sigBits, tables, dim))
           .as("sigs", md))
   }
 
@@ -706,6 +725,18 @@ object Dedup {
     * probing and verification, and batch-internal dups come from the
     * ordinary self-join path. Returns (id_a, id_b, cosine) with
     * id_a < id_b, every pair exact-cosine verified.
+    *
+    * Growth contract: base buckets that blow past `maxBucketSize` as
+    * the corpus grows are NOT silently dropped (the frozen-granularity
+    * recall decay TableSync's splits fixed for storage) — they refine
+    * to a deeper prefix of the STORED signature, derived per probe
+    * from the index's own occupancy, so candidate work per bucket
+    * stays ~maxBucketSize across unbounded growth while near-dup
+    * recall inside the refined bucket holds (near-identical vectors
+    * agree on deeper planes with the same per-bit probability). Only
+    * a tight cluster that no depth separates — an inherently
+    * quadratic pair set — still hits the cap, now at the refined
+    * level.
     */
   def incrementalVecDups(
       index: DataFrame, newVecs: DataFrame, vecCol: String, idCol: String,
@@ -737,15 +768,27 @@ object Dedup {
     // the base corpus. Member pairs expand afterwards through the two
     // membership tables with the rep pair's exact cosine (identical
     // vectors => identical cosine).
+    // physical signature depth: new indexes store refinement headroom
+    // (sigBits > bits) and record it; legacy indexes stored exactly
+    // the base bucket, so their depth IS bits and refinement below
+    // degenerates to the old cap-drop behavior
+    val sigBits =
+      if (meta.contains("graft.lsh.sigbits"))
+        meta.getLong("graft.lsh.sigbits").toInt
+      else bits
     val newGroups = vecGroups(newVecs, vecCol, idCol)
     val newIdx = newGroups.filter(col("did") === col("keep"))
       .select(col("did").as("id"), col("vec"))
+      // signed at the INDEX's stored depth: both sides must derive
+      // refined keys from the same plane sequence, and the batch side
+      // regenerates it deterministically (splitmix64 plan literals)
       .withColumn("sigs",
-        VectorFunctions.hyperplaneSigs(col("vec"), bits, tables, dim))
+        VectorFunctions.hyperplaneSigs(col("vec"), sigBits, tables, dim))
       .localCheckpoint() // consumed by buckets + verification
     def buckets(d: DataFrame) =
       d.select(col("id"), posexplode(col("sigs")))
-        .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
+        .select(col("id"), col("pos").as("table"), col("col").as("sig"),
+          col("col").bitwiseAND(lit((1L << bits) - 1)).as("bucket"))
     // legacy (pre-metadata) index: enforce signature arity per rep
     // row — catches tables-drift at probe time instead of returning
     // empty joins; bits/dim drift on a legacy index is unverifiable,
@@ -765,21 +808,70 @@ object Dedup {
     // bucket table in block storage would contradict the streaming
     // contract and break recompute-on-executor-loss
     val ixBuckets = buckets(ixReps)
-    // cap saturated rep buckets exactly as embeddingDupPairs does:
-    // a flood of NEAR-identical (distinct-content) indexed vectors
-    // would otherwise turn one bucket into an unbounded candidate
-    // set (and the candidate list below is BROADCAST — it must stay
-    // small). The count agg shuffles only (table, bucket, count)
-    // triples, never vectors.
-    val okBuckets = ixBuckets.groupBy(col("table"), col("bucket"))
+    // ONLINE PER-BUCKET REFINEMENT instead of cap-drop: a base bucket
+    // whose occupancy exceeds maxBucketSize is subdivided by masking
+    // additional stored signature bits — depth grows with log2 of the
+    // overflow ratio, capped at the stored sigBits. The refinement map
+    // is driver-collected BY CONSTRUCTION bounds: the occupancy agg
+    // emits at most tables x 2^bits rows (parameters, never data) and
+    // the map keeps only the overfull ones. Deterministic from the
+    // committed index content alone, so a crash replay derives the
+    // same map and the same pairs (the deterministic-name idempotence
+    // discipline). When no bucket is overfull — the common case — the
+    // map is empty and the candidate join runs with NO cap semi-join
+    // at all (one agg job replaces the old always-on okBuckets pass).
+    val overfull: Map[(Int, Long), Int] = ixBuckets
+      .groupBy(col("table"), col("bucket"))
       .agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") <= maxBucketSize)
-      .select("table", "bucket")
-    val cand = ixBuckets
-      .join(okBuckets, Seq("table", "bucket"), "left_semi")
-      .join(broadcast(buckets(newIdx)
-        .select(col("table"), col("bucket"), col("id").as("new_id"))),
-        Seq("table", "bucket"))
+      .filter(col("bsize") > maxBucketSize)
+      .collect()
+      .map { r =>
+        val bsize = r.getLong(2)
+        val ratio = (bsize + maxBucketSize - 1) / maxBucketSize
+        val extra = 64 - java.lang.Long.numberOfLeadingZeros(ratio - 1)
+        (r.getInt(0), r.getLong(1)) ->
+          math.min(sigBits, bits + extra.toInt)
+      }.toMap
+    // refined key = sig masked to the bucket's depth. Depth is a
+    // function of (table, base bucket), so equal keys imply equal
+    // depth — joining on (table, key) alone is sound.
+    def refineKey(d: DataFrame) =
+      if (overfull.isEmpty) d.withColumn("key", col("bucket"))
+      else {
+        val spark0 = d.sparkSession
+        import spark0.implicits._
+        val m = overfull.toSeq
+          .map { case ((t, b), dep) => (t, b, dep) }
+          .toDF("table", "bucket", "depth")
+        d.join(broadcast(m), Seq("table", "bucket"), "left")
+          .withColumn("key", col("sig").bitwiseAND(
+            expr("shiftleft(CAST(1 AS BIGINT), " +
+              s"coalesce(depth, $bits)) - 1")))
+          .drop("depth")
+      }
+    val ixRef = refineKey(ixBuckets)
+    // the cap survives as the REFINED-bucket backstop: a tight
+    // cluster of > maxBucketSize mutually-near (distinct) vectors
+    // agrees on every deeper plane too, so no depth separates it —
+    // its pair set is inherently quadratic and stays bounded-dropped
+    // (the candidate list below is BROADCAST; it must stay small).
+    // Diverse overflow — the growth case — separates under the deeper
+    // mask and passes. The agg shuffles only (table, key, count)
+    // triples, never vectors; skipped entirely when nothing refined
+    // and the base occupancies are all within cap.
+    val capped =
+      if (overfull.isEmpty) ixRef
+      else {
+        val okRefined = ixRef.groupBy(col("table"), col("key"))
+          .agg(count(lit(1)).as("bsize"))
+          .filter(col("bsize") <= maxBucketSize)
+          .select("table", "key")
+        ixRef.join(okRefined, Seq("table", "key"), "left_semi")
+      }
+    val cand = capped
+      .join(broadcast(refineKey(buckets(newIdx))
+        .select(col("table"), col("key"), col("id").as("new_id"))),
+        Seq("table", "key"))
       .filter(col("id") =!= col("new_id"))
       .select(col("id").as("ix_rep"), col("new_id").as("n_rep")).distinct()
     val lshRepPairs = ixReps

@@ -170,6 +170,51 @@ object expressions {
   }
 
   // -------------------------------------------------------------------
+  /** Multi-table hyperplane-LSH signatures in ONE fused expression:
+    * `tables` signatures of `bits` sign bits each (bit p = sign of
+    * the projection onto deterministic +-1 plane (t, p)), identical
+    * arithmetic to composing `tables x bits` [[DotProduct]] calls
+    * against [[graft.functions.VectorFunctions.planeMatrix]] literals
+    * (left-to-right double accumulation; length mismatch -> proj 0.0
+    * -> bit set), but O(1) expression nodes instead of O(tables x
+    * bits x dim) — the composed form at refinement depth (16 planes x
+    * 12 tables x 64 dims) blew Janino's 64 KB method limit and fell
+    * out of codegen entirely. Planes are cached per
+    * (bits, tables, dim, seed) in a process-wide table; the same pure
+    * splitmix64 arithmetic runs on every executor, so no plane data
+    * ships with the plan at all.
+    */
+  case class HyperplaneSigs(
+      child: Expression, bits: Int, tables: Int, dim: Int, seed: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def prettyName: String = "hyperplane_sigs"
+
+    private def isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      HyperplaneUtil.evalSigs(input.asInstanceOf[ArrayData], isFloat,
+        bits, tables, dim, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = org.apache.spark.sql.graft.HyperplaneUtil.evalSigs(
+          $a, $isFloat, $bits, $tables, $dim, $seed);
+      """)
+
+    override protected def withNewChildInternal(c: Expression): HyperplaneSigs =
+      copy(child = c)
+  }
+
+  // -------------------------------------------------------------------
   /** 64-bit SimHash over an array of string tokens.
     *
     * Each token is hashed with two 32-bit Murmur3 passes (different
@@ -622,6 +667,11 @@ object expressions {
     ExpressionUtils.column(CmsEstimate(
       ExpressionUtils.expression(hashed), cmsBytes))
 
+  def hyperplane_sigs(v: Column, bits: Int, tables: Int, dim: Int,
+      seed: Int): Column =
+    ExpressionUtils.column(HyperplaneSigs(
+      ExpressionUtils.expression(v), bits, tables, dim, seed))
+
   def md5_uniform60(text: Column): Column =
     ExpressionUtils.column(Md5Uniform60(ExpressionUtils.expression(text)))
 
@@ -768,6 +818,86 @@ object ByteEntropyUtil {
       k += 1
     }
     ent
+  }
+}
+
+/** Top-level (stable-classname) helper shared by HyperplaneSigs.eval
+  * and its generated code. The plane tensor is regenerated on demand
+  * per (bits, tables, dim, seed) from the SAME splitmix64 arithmetic
+  * as [[graft.functions.VectorFunctions.planeMatrix]] (the oracle
+  * export) and cached process-wide — a few KB per configuration,
+  * bounded by the distinct LSH configurations a job uses.
+  */
+object HyperplaneUtil {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int),
+      Array[Double]]()
+
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Flat [t][p][i] +-1 tensor; identical values to planeMatrix. */
+  def planes(bits: Int, tables: Int, dim: Int, seed: Int): Array[Double] =
+    cache.computeIfAbsent((bits, tables, dim, seed), _ => {
+      val arr = new Array[Double](tables * bits * dim)
+      var t = 0
+      while (t < tables) {
+        val s = seed * 1009 + t // Int arithmetic, as hyperplaneSigs
+        var p = 0
+        while (p < bits) {
+          val ps = s.toLong * 7919L + p
+          var i = 0
+          while (i < dim) {
+            arr((t * bits + p) * dim + i) =
+              if ((splitmix64(ps * 0x9E3779B97F4A7C15L + i) & 1L) == 0L) 1.0
+              else -1.0
+            i += 1
+          }
+          p += 1
+        }
+        t += 1
+      }
+      arr
+    })
+
+  /** Public for generated code. Bit p of table t = sign of the
+    * left-to-right double dot product with plane (t, p); a vector
+    * whose length differs from `dim` projects to 0.0 on every plane
+    * (bit set) — both exactly the composed DotProduct semantics.
+    */
+  def evalSigs(v: ArrayData, isFloat: Boolean, bits: Int, tables: Int,
+      dim: Int, seed: Int): ArrayData = {
+    val pl = planes(bits, tables, dim, seed)
+    val n = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < bits) {
+        var proj = 0.0d
+        if (n == dim) {
+          val off = (t * bits + p) * dim
+          var i = 0
+          while (i < n) {
+            val xi = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+            proj += xi * pl(off + i)
+            i += 1
+          }
+        }
+        if (proj >= 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

@@ -184,6 +184,54 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("hyperplane_sigs fused expression is bit-identical to the " +
+    "composed per-plane dot-product form (float + double, refinement " +
+    "depth, length mismatch, null)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))) :+
+      ((201L, Seq(1.0f, 2.0f))) // length mismatch: every proj 0.0
+    val df = rows.toDF("id", "v")
+    for (bits <- Seq(2, 4, 16); tables <- Seq(1, 12)) {
+      val cmp = df.select($"id",
+        VectorFunctions.hyperplaneSigs($"v", bits, tables, 16).as("fused"),
+        VectorFunctions.hyperplaneSigsComposed($"v", bits, tables, 16)
+          .as("composed"))
+        .collect()
+      cmp.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"id=${r.getLong(0)} bits=$bits tables=$tables: " +
+            s"${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
+      }
+    }
+    // double input takes the same path
+    val dd = df.select($"id",
+      VectorFunctions.asDouble($"v").as("v"))
+    val cmpD = dd.select(
+      VectorFunctions.hyperplaneSigs($"v", 4, 3, 16).as("fused"),
+      VectorFunctions.hyperplaneSigsComposed($"v", 4, 3, 16).as("composed"))
+      .collect()
+    cmpD.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // the fused values also equal a driver-side replay off planeMatrix
+    // (the oracle export) — the three forms agree
+    val m = VectorFunctions.planeMatrix(4, 2, 16)
+    val one = df.filter($"id" === 1L).select(
+      VectorFunctions.hyperplaneSigs($"v", 4, 2, 16)).head.getSeq[Long](0)
+    val v1 = rows.head._2
+    val expect = (0 until 2).map { t =>
+      (0 until 4).map { p =>
+        val proj = v1.zip(m(t)(p)).map { case (x, pl) => x.toDouble * pl }
+          .foldLeft(0.0)(_ + _)
+        if (proj >= 0) 1L << p else 0L
+      }.foldLeft(0L)(_ | _)
+    }
+    assert(one == expect, s"$one vs $expect")
+    // null vector -> null signature array
+    val nulls = Seq((1L, null.asInstanceOf[Seq[Float]])).toDF("id", "v")
+      .select(VectorFunctions.hyperplaneSigs($"v", 4, 2, 16)).head
+    assert(nulls.isNullAt(0))
+  }
+
   test("codegen path actually compiles (no fallback): project over 1k rows") {
     val n = spark.range(1000).select($"id",
       array_repeat(($"id" % 7).cast("double") + 1.0, 64).as("a"),

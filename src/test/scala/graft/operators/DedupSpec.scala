@@ -349,6 +349,62 @@ class DedupSpec extends AnyFunSuite {
       s"exact boundary dup dropped by bucket cap: ${got.toSeq}")
   }
 
+  test("incremental vec dedup: overfull buckets REFINE instead of " +
+    "dropping — planted near-dups inside a flooded bucket keep their " +
+    "recall while a legacy (no-headroom) index loses them") {
+    // DIVERSE flood: 300 distinct random vectors at bits = 2 put ~75
+    // rows in every one of the 4 base buckets of every table — far
+    // past maxBucketSize = 8, the exact growth state that silently
+    // zeroed recall under cap-drop. Ten planted probes perturb ten
+    // indexed vectors by 1e-4 (NOT identical — the exact-equality
+    // bypass must not rescue them), so every planted pair lives
+    // inside an overfull bucket and only survives if the probe
+    // subdivides it by deeper stored-signature bits.
+    val rnd = new scala.util.Random(42)
+    val flood = (1L to 300L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f).toSeq))
+    val floodDf = flood.toDF("vec_id", "embedding")
+    val probes = (1L to 10L).map { i =>
+      val base = flood((i - 1).toInt * 20)._2
+      (1000L + i, base.map(x => x * (1f + 1e-4f)))
+    }
+    val batch = probes.toDF("vec_id", "embedding")
+    val expect = probes.map(p => (p._1 - 1000L - 1) * 20 + 1)
+      .zip(probes.map(_._1)).toSet
+    val refined = Dedup.incrementalVecDups(
+      Dedup.vecDedupIndex(floodDf, "embedding", "vec_id",
+        bits = 2, dim = 8),
+      batch, "embedding", "vec_id", threshold = 0.99,
+      bits = 2, dim = 8, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expect.subsetOf(refined),
+      s"refinement lost planted pairs: ${expect -- refined}")
+    // every emitted pair is exact-verified: subset of brute force
+    val a = floodDf.unionByName(batch)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = floodDf.unionByName(batch)
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions
+          .cosineSim(col("va"), col("vb")).as("c"))
+      .filter(col("c") >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined.subsetOf(brute), s"unverified: ${refined -- brute}")
+    // control: an index WITHOUT refinement headroom (sigBits == bits,
+    // the legacy layout) must exhibit the old failure on the same
+    // data — buckets capped, every planted pair dropped. This proves
+    // the fixture genuinely floods past the cap.
+    val legacy = Dedup.incrementalVecDups(
+      Dedup.vecDedupIndex(floodDf, "embedding", "vec_id",
+        bits = 2, dim = 8, sigBits = 2),
+      batch, "embedding", "vec_id", threshold = 0.99,
+      bits = 2, dim = 8, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((expect & legacy).isEmpty,
+      s"legacy cap-drop unexpectedly found: ${expect & legacy}")
+  }
+
   test("incremental vec dedup: parameter drift fails loudly across parquet") {
     val v = Array.tabulate(8)(i => 0.1f * (i + 1)).toSeq
     val other = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f).toSeq
