@@ -742,6 +742,41 @@ object Dedup {
       index: DataFrame, newVecs: DataFrame, vecCol: String, idCol: String,
       threshold: Double, bits: Int = 4, tables: Int = 12,
       dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
+    // build the batch's own index at the CORPUS index's stored depth
+    // (both sides must derive refined keys from the same plane
+    // sequence; the batch side regenerates it deterministically from
+    // splitmix64 plan arithmetic) and hand off to the index-to-index
+    // form — batch vectors are signed exactly once
+    val sigBits = indexSigBits(index, bits)
+    val batchIdx = vecDedupIndex(newVecs, vecCol, idCol, bits, tables,
+      dim, sigBits).localCheckpoint()
+    incrementalVecPairs(index, batchIdx, threshold, bits, tables, dim,
+      maxBucketSize)
+  }
+
+  /** Stored-or-default physical signature depth of an index (also
+    * validates it IS an index). Legacy indexes (no sigbits metadata)
+    * stored exactly the base bucket, so their depth is `bits`.
+    */
+  private def indexSigBits(index: DataFrame, bits: Int): Int = {
+    val sigsField = index.schema.fields.find(_.name == "sigs").getOrElse(
+      throw new IllegalArgumentException(
+        "index has no `sigs` column — not a vecDedupIndex (rebuild it)"))
+    if (sigsField.metadata.contains("graft.lsh.sigbits"))
+      sigsField.metadata.getLong("graft.lsh.sigbits").toInt
+    else bits
+  }
+
+  /** [[incrementalVecDups]] with BOTH sides as prebuilt
+    * [[vecDedupIndex]] frames — the signatures-computed-exactly-once
+    * entry (the text side's `pairsFromIndex` discipline transplanted;
+    * VecDedupSync consumes the batch index for the probe AND the
+    * index append, so batch vectors are signed once per micro-batch).
+    */
+  def incrementalVecPairs(
+      index: DataFrame, batchIdx: DataFrame,
+      threshold: Double, bits: Int = 4, tables: Int = 12,
+      dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
     // Fail loudly on parameter drift: signatures computed with
     // different (bits, tables, dim) land in disjoint buckets and the
     // probe would silently return near-zero recall. Indexes written
@@ -762,29 +797,25 @@ object Dedup {
     }
     // Rep-level end to end: identical vectors on BOTH sides collapse
     // to one probe each (index reps are stored — see vecDedupIndex;
-    // batch reps come from the same vecGroups canonicalization the
-    // self-join path uses), so candidate volume tracks DISTINCT
-    // content, not flood size — a 20x-replicated corpus probes like
-    // the base corpus. Member pairs expand afterwards through the two
-    // membership tables with the rep pair's exact cosine (identical
-    // vectors => identical cosine).
+    // batch reps come from the same canonicalization), so candidate
+    // volume tracks DISTINCT content, not flood size — a
+    // 20x-replicated corpus probes like the base corpus. Member pairs
+    // expand afterwards through the two membership tables with the
+    // rep pair's exact cosine (identical vectors => identical cosine).
     // physical signature depth: new indexes store refinement headroom
     // (sigBits > bits) and record it; legacy indexes stored exactly
     // the base bucket, so their depth IS bits and refinement below
-    // degenerates to the old cap-drop behavior
-    val sigBits =
-      if (meta.contains("graft.lsh.sigbits"))
-        meta.getLong("graft.lsh.sigbits").toInt
-      else bits
-    val newGroups = vecGroups(newVecs, vecCol, idCol)
-    val newIdx = newGroups.filter(col("did") === col("keep"))
-      .select(col("did").as("id"), col("vec"))
-      // signed at the INDEX's stored depth: both sides must derive
-      // refined keys from the same plane sequence, and the batch side
-      // regenerates it deterministically (splitmix64 plan literals)
-      .withColumn("sigs",
-        VectorFunctions.hyperplaneSigs(col("vec"), sigBits, tables, dim))
-      .localCheckpoint() // consumed by buckets + verification
+    // degenerates to the old cap-drop behavior. The two sides must
+    // have been signed at the same depth.
+    val sigBits = indexSigBits(index, bits)
+    require(indexSigBits(batchIdx, bits) == sigBits,
+      s"batch index signed at depth ${indexSigBits(batchIdx, bits)} " +
+        s"but the corpus index stores depth $sigBits — refined keys " +
+        "would diverge; build the batch index at the stored depth")
+    val newGroups = batchIdx
+      .select(col("id").as("did"), col("vec"), col("keep"))
+    val newIdx = batchIdx.filter(col("id") === col("keep"))
+      .select(col("id"), col("vec"), col("sigs"))
     def buckets(d: DataFrame) =
       d.select(col("id"), posexplode(col("sigs")))
         .select(col("id"), col("pos").as("table"), col("col").as("sig"),
@@ -916,10 +947,44 @@ object Dedup {
     // cap-exempt exactBoundary leg above (not just by LSH bucket
     // luck), so they expand through the same membership machinery.
     crossPairs
-      .unionByName(embeddingDupPairs(newVecs, vecCol, idCol, threshold,
-        bits, tables, dim, maxBucketSize))
+      .unionByName(vecPairsFromIndex(batchIdx, threshold, bits, tables,
+        dim, maxBucketSize))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cosine")).as("cosine"))
+  }
+
+  /** Within-corpus pairs from a prebuilt [[vecDedupIndex]] — the
+    * first-batch path of VecDedupSync and the within-batch leg of
+    * [[incrementalVecPairs]]. Identical semantics to
+    * [[embeddingDupPairs]] over the same vectors (base-depth buckets,
+    * occupancy cap, exact-cosine verify, exact-duplicate star,
+    * membership expansion), with signatures CONSUMED from the index
+    * (the base bucket is the low `bits` bits of the stored deep
+    * signature) instead of recomputed from the vectors.
+    */
+  def vecPairsFromIndex(
+      batchIdx: DataFrame, threshold: Double,
+      bits: Int = 4, tables: Int = 12, dim: Int = 64,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val groups = batchIdx
+      .select(col("id").as("did"), col("vec"), col("keep"))
+    val reps = batchIdx.filter(col("id") === col("keep"))
+      .select(col("id"), col("vec"))
+    val sigd = batchIdx.filter(col("id") === col("keep"))
+      .select(col("id"), posexplode(col("sigs")))
+      .select(col("id"), col("pos").as("table"),
+        col("col").bitwiseAND(lit((1L << bits) - 1)).as("bucket"))
+    val okBuckets = sigd.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") <= maxBucketSize)
+      .select("table", "bucket")
+    val sized = sigd.join(okBuckets, Seq("table", "bucket"), "left_semi")
+    val l = sized.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val rt = sized.select(col("table"), col("bucket"), col("id").as("id_b"))
+    val cand = l.join(rt, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyExpand(groups, reps, cand, threshold, expandGroups = true)
   }
 
   /** The persisted dedup index of a corpus: one row per doc with its

@@ -146,11 +146,7 @@ object DedupSync {
     // pairs FIRST (append-only, overwrite of this batch's own
     // directory — idempotent under replay), index SECOND (the outer
     // commit point checked at entry)
-    pairs.select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("jaccard")).as("jaccard"))
-      .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+    PairsStore.writeBatch(pairs, pairsPath, "jaccard", batchId)
     TableSync.applyBatch(newIdx.withColumn("ver", lit(batchId)),
       indexPath, "id", "ver", batchId, numBuckets, maxBucketBytes,
       splitsPerBatch)
@@ -158,20 +154,8 @@ object DedupSync {
     // store holds >= compactEvery generations, fold them. Runs on the
     // committed state only, so a crash mid-compaction never touches
     // this batch's exactly-once story (replay sees the id applied and
-    // no-ops; the stale staged dir is swept on the next fold). The
-    // trigger counts directories, not batch ids — robust to sparse or
-    // restarted id sequences.
-    if (compactEvery != Int.MaxValue) {
-      import org.apache.hadoop.fs.Path
-      val fs = new Path(pairsPath).getFileSystem(
-        spark.sessionState.newHadoopConf())
-      val gens =
-        if (!fs.exists(new Path(pairsPath))) 0
-        else fs.listStatus(new Path(pairsPath))
-          .count(st => st.isDirectory &&
-            st.getPath.getName.startsWith("batch="))
-      if (gens >= compactEvery) compactPairs(spark, pairsPath)
-    }
+    // no-ops; the stale staged dir is swept on the next fold).
+    PairsStore.maybeCompact(spark, pairsPath, "jaccard", compactEvery)
   }
 
   /** The accumulated near-dup pairs view. Max-merged per pair: a
@@ -180,9 +164,7 @@ object DedupSync {
     * collapses them.
     */
   def readPairs(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("jaccard")).as("jaccard"))
+    PairsStore.read(spark, path, "jaccard")
 
   /** The live index view (what the next batch probes). */
   def readIndex(spark: SparkSession, path: String): DataFrame =
@@ -233,7 +215,37 @@ object DedupSync {
     *    compacted generation lives under a name no batch id can
     *    collide with.
     */
-  def compactPairs(spark: SparkSession, path: String): Unit = {
+  def compactPairs(spark: SparkSession, path: String): Unit =
+    PairsStore.compact(spark, path, "jaccard")
+}
+
+/** Shared machinery of the append-only pair stores (text DedupSync's
+  * jaccard pairs, VecDedupSync's cosine pairs): one overwrite-
+  * idempotent `batch=N` parquet directory per committed batch,
+  * max-merged on read, folded into `batch=c<gen>` generations on a
+  * cadence. See [[DedupSync.compactPairs]]'s scaladoc for the
+  * crash-safety contract — it holds verbatim for every value column.
+  */
+private[graft] object PairsStore {
+
+  /** Max-merged (id_a, id_b, valueCol) view over every generation. */
+  def read(spark: SparkSession, path: String, valueCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col(valueCol)).as(valueCol))
+
+  /** Canonicalize + merge + write one batch's pairs (idempotent:
+    * overwrites its own directory only).
+    */
+  def writeBatch(pairs: DataFrame, path: String, valueCol: String,
+      batchId: Long): Unit =
+    pairs.select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col(valueCol))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col(valueCol)).as(valueCol))
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  def compact(spark: SparkSession, path: String, valueCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -251,7 +263,7 @@ object DedupSync {
       .collect { case g if g.startsWith("c") => g.drop(1).toLong }
       .maxOption.getOrElse(0L) + 1
     val tmp = new Path(path, s"_compact_tmp_c$gen")
-    readPairs(spark, path)
+    read(spark, path, valueCol)
       .write.mode("overwrite").parquet(tmp.toString)
     // one rename: readers switch from N sources to one generation
     // with no window where neither is visible (atomic on HDFS/local;
@@ -261,5 +273,24 @@ object DedupSync {
       throw new IllegalStateException(
         s"compaction rename failed under $path (generation c$gen)")
     dirs.foreach(d => fs.delete(new Path(path, d), true))
+  }
+
+  /** The per-batch cadence trigger: fold once the store accumulates
+    * `every` generations. Counts directories, not batch ids — robust
+    * to sparse or restarted id sequences. Runs on committed state
+    * only (call AFTER the outer commit).
+    */
+  def maybeCompact(spark: SparkSession, path: String, valueCol: String,
+      every: Int): Unit = {
+    if (every == Int.MaxValue) return
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val gens =
+      if (!fs.exists(new Path(path))) 0
+      else fs.listStatus(new Path(path))
+        .count(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch="))
+    if (gens >= every) compact(spark, path, valueCol)
   }
 }

@@ -1,0 +1,177 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Dedup
+
+class VecDedupSyncSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // 8-dim corpus whose planted dup groups straddle the id-mod-3 batch
+  // boundaries (batches are ingested b = 0, 1, 2):
+  //   b=0: {3, 6, 9}   b=1: {1, 4, 7}   b=2: {2, 5, 8}
+  //  - direction A {1, 4, 8}: (1,4) within b1 (4 = 1.01*A, distinct
+  //    bytes, cosine 1.0 — must travel the LSH path, not the
+  //    equality bypass); 8 = A + eps arrives in b2 and must pair
+  //    cross-batch against BOTH via the index probe;
+  //  - exact dups {5, 9}: 9 indexed in b0, 5 arrives in b2 — probe
+  //    orients (corpus 9, new 5), REVERSED vs canonical;
+  //  - direction C {2, 7}: 7 indexed in b1, 2 = 1.5*C arrives in b2 —
+  //    also reversed-arrival.
+  // All other cosines sit far below the 0.9 threshold.
+  private val A = Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)
+  private val B = Array(8f, 7f, 6f, 5f, 4f, 3f, 2f, 1f)
+  private val C = Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)
+  private def rows: Seq[(Long, Seq[Float])] = Seq(
+    1L -> A.toSeq,
+    4L -> A.map(_ * 1.01f).toSeq,
+    8L -> A.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.01f else x }.toSeq,
+    9L -> B.toSeq,
+    5L -> B.toSeq,
+    7L -> C.toSeq,
+    2L -> C.map(_ * 1.5f).toSeq,
+    3L -> Seq(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f),
+    6L -> Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 9f))
+
+  private def corpus = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def oneShot = pairSet(Dedup.embeddingDupPairs(
+    corpus, "embedding", "vec_id", threshold = 0.9, dim = 8))
+
+  private def apply1(batch: org.apache.spark.sql.DataFrame, ix: String,
+      pr: String, b: Long, sigBits: Int = 16, numBuckets: Int = 256,
+      maxBucketBytes: Long = DedupSync.DefaultMaxBucketBytes,
+      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): Unit =
+    VecDedupSync.applyVecs(batch, ix, pr, "embedding", "vec_id", b,
+      threshold = 0.9, dim = 8, sigBits = sigBits,
+      numBuckets = numBuckets, maxBucketBytes = maxBucketBytes,
+      splitsPerBatch = splitsPerBatch)
+
+  test("3-batch vector stream equals the one-shot batch run (pairs " +
+    "straddle every boundary, reversed arrivals store canonically)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val ix = Files.createTempDirectory("vsync-ix-").toString
+    val pr = Files.createTempDirectory("vsync-pr-").toString
+    val ck = Files.createTempDirectory("vsync-ck-").toString
+    val q = VecDedupSync.vecSink(mem.toDF().toDF("vec_id", "embedding"),
+      ix, pr, "embedding", "vec_id", ck, threshold = 0.9, dim = 8)
+    (0 until 3).foreach { b =>
+      mem.addData(rows.filter(_._1 % 3 == b): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = pairSet(VecDedupSync.readPairs(spark, pr))
+    assert(streamed == oneShot, s"stream $streamed\nvs batch $oneShot")
+    assert(streamed.forall(p => p._1 < p._2), s"non-canonical $streamed")
+    // reversed-arrival cross-batch pairs stored canonically
+    assert(streamed.exists(p => p._1 == 5L && p._2 == 9L && p._3 == 1.0),
+      "cross-batch exact pair (5,9) missing")
+    assert(streamed.exists(p => p._1 == 2L && p._2 == 7L),
+      "cross-batch reversed-arrival pair (2,7) missing")
+    // normal orientation cross-batch probes
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 8L),
+      "cross-batch pair (1,8) missing")
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 4L),
+      "within-batch LSH pair (1,4) missing")
+    assert(VecDedupSync.readIndex(spark, ix).count() == 9)
+  }
+
+  test("replay after commit is a no-op; replay after pairs-committed-" +
+    "index-not recomputes and converges to the uninterrupted state") {
+    val ix = Files.createTempDirectory("vsync2-ix-").toString
+    val pr = Files.createTempDirectory("vsync2-pr-").toString
+    val b0 = corpus.filter(col("vec_id") % 3 === 0)
+    val b1 = corpus.filter(col("vec_id") % 3 === 1)
+    val b2 = corpus.filter(col("vec_id") % 3 === 2)
+    apply1(b0, ix, pr, 0L)
+    val v0 = TableSync.versions(spark, ix)
+    val p0 = pairSet(VecDedupSync.readPairs(spark, pr))
+    apply1(b0, ix, pr, 0L) // full replay: nothing changes
+    assert(TableSync.versions(spark, ix) == v0)
+    assert(pairSet(VecDedupSync.readPairs(spark, pr)) == p0)
+    apply1(b1, ix, pr, 1L)
+    // crash-between for batch 2: only the pairs directory lands (what
+    // a crash after the first write leaves), then the redelivered
+    // applyVecs must overwrite idempotently and commit the index
+    val batchIdx = Dedup.vecDedupIndex(b2, "embedding", "vec_id",
+      dim = 8).localCheckpoint()
+    PairsStore.writeBatch(
+      Dedup.incrementalVecPairs(VecDedupSync.readIndex(spark, ix),
+        batchIdx, threshold = 0.9, dim = 8),
+      pr, "cosine", 2L)
+    apply1(b2, ix, pr, 2L)
+    assert(TableSync.versions(spark, ix).max == 2L)
+    assert(VecDedupSync.readIndex(spark, ix).count() == 9)
+    assert(pairSet(VecDedupSync.readPairs(spark, pr)) == oneShot)
+  }
+
+  test("readKeepDecisions equals one-shot keeps; re-ingested id " +
+    "replaces its index row without duplicating pairs") {
+    val ix = Files.createTempDirectory("vsync3-ix-").toString
+    val pr = Files.createTempDirectory("vsync3-pr-").toString
+    (0 to 2).foreach { b =>
+      apply1(corpus.filter(col("vec_id") % 3 === b), ix, pr, b.toLong)
+    }
+    val dec = VecDedupSync.readKeepDecisions(spark, ix, pr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(dec.length == 9, s"every vector needs a decision: ${dec.toSeq}")
+    val byId = dec.map(d => d._1 -> d._2).toMap
+    assert(byId(4L) == 1L && byId(8L) == 1L && byId(9L) == 5L &&
+      byId(7L) == 2L, s"labels $byId")
+    assert(byId(3L) == 3L && byId(6L) == 6L)
+    // re-ingest 5 (upstream replay, later batch): index row replaced,
+    // reversed probe orientation (corpus 9 vs new 5) folds onto the
+    // existing canonical fact
+    import spark.implicits._
+    apply1(Seq(5L -> B.toSeq).toDF("vec_id", "embedding"), ix, pr, 3L)
+    val idx = VecDedupSync.readIndex(spark, ix)
+    assert(idx.filter(col("id") === 5L).count() == 1)
+    val pairs = VecDedupSync.readPairs(spark, pr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length, s"dups in ${pairs.toSeq}")
+    assert(pairs.count(_ == ((5L, 9L))) == 1)
+    assert(!pairs.contains((9L, 5L)))
+  }
+
+  test("index bucket scheme EVOLVES online beneath live vector " +
+    "batches; pair results unchanged; batch signing follows the " +
+    "STORED depth when the caller's knob drifts") {
+    val ix = Files.createTempDirectory("vsync4-ix-").toString
+    val pr = Files.createTempDirectory("vsync4-pr-").toString
+    def evo(b: Long, df: org.apache.spark.sql.DataFrame,
+        sigBits: Int): Unit =
+      apply1(df, ix, pr, b, sigBits = sigBits, numBuckets = 16,
+        maxBucketBytes = 1L, splitsPerBatch = 4)
+    evo(0L, corpus.filter(col("vec_id") % 3 === 0), 16)
+    assert(TableSync.bucketScheme(spark, ix) == ((16, 0)))
+    // later batches pass a DIFFERENT sigBits knob — the sink must
+    // sign at the stored 16-plane depth (knob drift cannot diverge a
+    // live index) while storage splits advance beneath the stream
+    evo(1L, corpus.filter(col("vec_id") % 3 === 1), 8)
+    assert(TableSync.bucketScheme(spark, ix) == ((16, 4)))
+    evo(2L, corpus.filter(col("vec_id") % 3 === 2), 4)
+    assert(TableSync.bucketScheme(spark, ix) == ((16, 8)))
+    val meta = VecDedupSync.readIndex(spark, ix).schema.fields
+      .find(_.name == "sigs").get.metadata
+    assert(meta.getLong("graft.lsh.sigbits") == 16L,
+      "stored refinement depth must survive TableSync round-trips")
+    assert(pairSet(VecDedupSync.readPairs(spark, pr)) == oneShot)
+    assert(VecDedupSync.readIndex(spark, ix).count() == 9)
+  }
+}
