@@ -777,6 +777,78 @@ object Dedup {
       index: DataFrame, batchIdx: DataFrame,
       threshold: Double, bits: Int = 4, tables: Int = 12,
       dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
+    // Rep-level end to end: identical vectors on BOTH sides collapse
+    // to one probe each (index reps are stored — see vecDedupIndex;
+    // batch reps come from the same canonicalization), so candidate
+    // volume tracks DISTINCT content, not flood size — a
+    // 20x-replicated corpus probes like the base corpus. Member pairs
+    // expand afterwards through the two membership tables with the
+    // rep pair's exact cosine (identical vectors => identical cosine).
+    val cand = vecCandidates(index, batchIdx, bits, tables, dim,
+      maxBucketSize)
+    val newGroups = batchIdx
+      .select(col("id").as("did"), col("vec"), col("keep"))
+    val newIdx = batchIdx.filter(col("id") === col("keep"))
+      .select(col("id"), col("vec"), col("sigs"))
+    val ixReps = index.filter(col("id") === col("keep"))
+    val lshRepPairs = ixReps
+      .select(col("id").as("ix_rep"), col("vec").as("v_a"))
+      .join(broadcast(cand), Seq("ix_rep"))
+      .join(broadcast(newIdx.select(col("id").as("n_rep"),
+        col("vec").as("v_b"))), Seq("n_rep"))
+      .select(col("ix_rep"), col("n_rep"),
+        VectorFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    // Cap-exempt exact path across the boundary: a batch vector
+    // byte-identical to an indexed one is a GUARANTEED duplicate
+    // (cosine 1.0 by construction), but its LSH candidates pass
+    // through the maxBucketSize cap above — a flood of near-identical
+    // DISTINCT indexed vectors could saturate every bucket its rep
+    // sits in and silently drop it. Mirror verifyExpand's exact-star
+    // bypass: join reps on vector equality, cap-free. The index
+    // still streams; the batch-rep side broadcasts.
+    val exactBoundary = ixReps
+      .select(col("id").as("ix_rep"), col("vec"))
+      .join(broadcast(newIdx.select(col("id").as("n_rep"), col("vec"))),
+        Seq("vec"))
+      .select(col("ix_rep"), col("n_rep"), lit(1.0).as("cosine"))
+    val repPairs = lshRepPairs.unionByName(exactBoundary)
+      .groupBy(col("ix_rep"), col("n_rep"))
+      .agg(max(col("cosine")).as("cosine"))
+      .localCheckpoint() // small (rep pairs); joined twice below
+    // expansion: index members stream once against the broadcast rep
+    // pairs; batch members are driver-small
+    val crossPairs = index
+      .select(col("keep").as("ix_rep"), col("id").as("m_a"))
+      .join(broadcast(repPairs), Seq("ix_rep"))
+      .join(broadcast(newGroups.select(col("keep").as("n_rep"),
+        col("did").as("m_b"))), Seq("n_rep"))
+      // a replayed/duplicate-ingested id appears on BOTH sides of the
+      // boundary (index member and batch member of the same content):
+      // drop the degenerate self-pair the expansion would emit
+      .filter(col("m_a") =!= col("m_b"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("cosine"))
+    // identical-content pairs ACROSS the boundary are covered by the
+    // cap-exempt exactBoundary leg above (not just by LSH bucket
+    // luck), so they expand through the same membership machinery.
+    crossPairs
+      .unionByName(vecPairsFromIndex(batchIdx, threshold, bits, tables,
+        dim, maxBucketSize))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
+  }
+
+  /** Unverified candidate rep pairs (ix_rep, n_rep) of a batch index
+    * probed against a corpus index — the bucketing half of
+    * [[incrementalVecPairs]], exposed so the refinement ladder can
+    * measure candidate volume directly. Validates both sides'
+    * signature parameters.
+    */
+  private[graft] def vecCandidates(
+      index: DataFrame, batchIdx: DataFrame,
+      bits: Int = 4, tables: Int = 12, dim: Int = 64,
+      maxBucketSize: Int = 10000): DataFrame = {
     // Fail loudly on parameter drift: signatures computed with
     // different (bits, tables, dim) land in disjoint buckets and the
     // probe would silently return near-zero recall. Indexes written
@@ -795,13 +867,6 @@ object Dedup {
           "disjoint and recall near zero; rebuild the index or probe " +
           "with the stored parameters")
     }
-    // Rep-level end to end: identical vectors on BOTH sides collapse
-    // to one probe each (index reps are stored — see vecDedupIndex;
-    // batch reps come from the same canonicalization), so candidate
-    // volume tracks DISTINCT content, not flood size — a
-    // 20x-replicated corpus probes like the base corpus. Member pairs
-    // expand afterwards through the two membership tables with the
-    // rep pair's exact cosine (identical vectors => identical cosine).
     // physical signature depth: new indexes store refinement headroom
     // (sigBits > bits) and record it; legacy indexes stored exactly
     // the base bucket, so their depth IS bits and refinement below
@@ -812,10 +877,8 @@ object Dedup {
       s"batch index signed at depth ${indexSigBits(batchIdx, bits)} " +
         s"but the corpus index stores depth $sigBits — refined keys " +
         "would diverge; build the batch index at the stored depth")
-    val newGroups = batchIdx
-      .select(col("id").as("did"), col("vec"), col("keep"))
     val newIdx = batchIdx.filter(col("id") === col("keep"))
-      .select(col("id"), col("vec"), col("sigs"))
+      .select(col("id"), col("sigs"))
     def buckets(d: DataFrame) =
       d.select(col("id"), posexplode(col("sigs")))
         .select(col("id"), col("pos").as("table"), col("col").as("sig"),
@@ -899,58 +962,12 @@ object Dedup {
           .select("table", "key")
         ixRef.join(okRefined, Seq("table", "key"), "left_semi")
       }
-    val cand = capped
+    capped
       .join(broadcast(refineKey(buckets(newIdx))
         .select(col("table"), col("key"), col("id").as("new_id"))),
         Seq("table", "key"))
       .filter(col("id") =!= col("new_id"))
       .select(col("id").as("ix_rep"), col("new_id").as("n_rep")).distinct()
-    val lshRepPairs = ixReps
-      .select(col("id").as("ix_rep"), col("vec").as("v_a"))
-      .join(broadcast(cand), Seq("ix_rep"))
-      .join(broadcast(newIdx.select(col("id").as("n_rep"),
-        col("vec").as("v_b"))), Seq("n_rep"))
-      .select(col("ix_rep"), col("n_rep"),
-        VectorFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
-    // Cap-exempt exact path across the boundary: a batch vector
-    // byte-identical to an indexed one is a GUARANTEED duplicate
-    // (cosine 1.0 by construction), but its LSH candidates pass
-    // through the maxBucketSize cap above — a flood of near-identical
-    // DISTINCT indexed vectors could saturate every bucket its rep
-    // sits in and silently drop it. Mirror verifyExpand's exact-star
-    // bypass: join reps on vector equality, cap-free. The index
-    // still streams; the batch-rep side broadcasts.
-    val exactBoundary = ixReps
-      .select(col("id").as("ix_rep"), col("vec"))
-      .join(broadcast(newIdx.select(col("id").as("n_rep"), col("vec"))),
-        Seq("vec"))
-      .select(col("ix_rep"), col("n_rep"), lit(1.0).as("cosine"))
-    val repPairs = lshRepPairs.unionByName(exactBoundary)
-      .groupBy(col("ix_rep"), col("n_rep"))
-      .agg(max(col("cosine")).as("cosine"))
-      .localCheckpoint() // small (rep pairs); joined twice below
-    // expansion: index members stream once against the broadcast rep
-    // pairs; batch members are driver-small
-    val crossPairs = index
-      .select(col("keep").as("ix_rep"), col("id").as("m_a"))
-      .join(broadcast(repPairs), Seq("ix_rep"))
-      .join(broadcast(newGroups.select(col("keep").as("n_rep"),
-        col("did").as("m_b"))), Seq("n_rep"))
-      // a replayed/duplicate-ingested id appears on BOTH sides of the
-      // boundary (index member and batch member of the same content):
-      // drop the degenerate self-pair the expansion would emit
-      .filter(col("m_a") =!= col("m_b"))
-      .select(least(col("m_a"), col("m_b")).as("id_a"),
-        greatest(col("m_a"), col("m_b")).as("id_b"), col("cosine"))
-    // identical-content pairs ACROSS the boundary are covered by the
-    // cap-exempt exactBoundary leg above (not just by LSH bucket
-    // luck), so they expand through the same membership machinery.
-    crossPairs
-      .unionByName(vecPairsFromIndex(batchIdx, threshold, bits, tables,
-        dim, maxBucketSize))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("cosine")).as("cosine"))
   }
 
   /** Within-corpus pairs from a prebuilt [[vecDedupIndex]] — the

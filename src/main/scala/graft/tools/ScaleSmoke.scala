@@ -427,6 +427,68 @@ object ScaleSmoke {
         threshold = 0.35).count()
     }
     vIndex.unpersist()
+    // PER-BUCKET LSH REFINEMENT ladder: a DIVERSE corpus (per-replica
+    // deterministic noise keeps every vector distinct — exact
+    // replicas would canonicalize away, and pure scalings share every
+    // deep bit) floods base buckets far past a tight cap. Claim under
+    // measurement: candidate volume for a FIXED 10-vector probe stays
+    // ~bounded as k grows, because overfull buckets subdivide to
+    // deeper stored-signature prefixes instead of growing linearly
+    // (or being cap-dropped to zero, the old recall failure). The
+    // candidate count is printed AS the row count — flat-ish across
+    // rungs is the pass condition; linear growth in k is the fail.
+    locally {
+      val diverse = ebig.select(col("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          x + sin(col("vec_id").cast("double") * (j + lit(1))) * lit(0.05))
+          .as("embedding"))
+      val vIdx2 = graft.operators.Dedup.vecDedupIndex(
+        diverse, "embedding", "vec_id").persist()
+      timed("vecrefine_index") { vIdx2.count() }
+      val probe = graft.operators.Dedup.vecDedupIndex(
+        ebase.limit(10).withColumn("vec_id", col("vec_id") + 950000000L),
+        "embedding", "vec_id")
+      timed("vecrefine_candidates") {
+        graft.operators.Dedup.vecCandidates(vIdx2, probe,
+          maxBucketSize = 500).count()
+      }
+      // the full probe (candidates + verify + expansion) on the same
+      // flooded index: wall-clock must ride the index-scan slope
+      timed("vecrefine_probe") {
+        graft.operators.Dedup.incrementalVecPairs(vIdx2, probe,
+          threshold = 0.35, maxBucketSize = 500).count()
+      }
+      vIdx2.unpersist()
+    }
+    // VecDedupSync ladder (the dsync contract on the vector side):
+    // seed the replica corpus as batch 0, then ingest a FIXED
+    // 10-vector append. The append's cost model is index-scan-bound
+    // plus ~|batch|/numBuckets of the index rewritten — flat-ish
+    // appends while the seed grows with k is the pass condition.
+    locally {
+      val ix = java.nio.file.Files
+        .createTempDirectory("smoke_vsync_ix").toString
+      val pr = java.nio.file.Files
+        .createTempDirectory("smoke_vsync_pr").toString
+      timed("vsync_seed_batch0") {
+        graft.streaming.VecDedupSync.applyVecs(
+          ebig, ix, pr, "embedding", "vec_id", batchId = 0L,
+          threshold = 0.35)
+        ebig.count()
+      }
+      (1 to 2).foreach { b =>
+        val append = ebase.limit(10).withColumn("vec_id",
+          col("vec_id") + lit(960000000L + b.toLong * 1000L))
+        timed(s"vsync_append_batch$b") {
+          graft.streaming.VecDedupSync.applyVecs(
+            append, ix, pr, "embedding", "vec_id", batchId = b.toLong,
+            threshold = 0.35)
+          append.count()
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pr))
+    }
     // PQ/ADC: codebook trains on a BOUNDED sample regardless of k
     // (fixed driver cost); the scan does m lookup reads per pair over
     // 4-bit codes, so growth must track the candidate count only
@@ -472,9 +534,10 @@ object ScaleSmoke {
           .map(_.toFile).filter(_.isFile).map(_.length()).sum
       }
       val (b0, b1) = (dirBytes("v0"), dirBytes("v1"))
-      println(f"[smoke] tsync_amplification   v0=$b0%d bytes  " +
-        f"v1=$b1%d bytes  ratio=${b1.toDouble / b0}%.4f " +
-        "(<= ~10/256 + parquet floor)")
+      if (active("tsync"))
+        println(f"[smoke] tsync_amplification   v0=$b0%d bytes  " +
+          f"v1=$b1%d bytes  ratio=${b1.toDouble / b0}%.4f " +
+          "(<= ~10/256 + parquet floor)")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
 
