@@ -303,29 +303,12 @@ object Similarity {
       idCol, vecCol, dim)
 
     // ---- encode: argmax (s·c - |c|²/2) per subspace, in-register
-    def subVec(v: Column, sub: Int): Column = slice(v, sub * dsub + 1, dsub)
-    def encodeExpr(v: Column): Column = array((0 until m).map { sub =>
-      val scored = array(codebook(sub).zipWithIndex.map { case (c, i) =>
-        val half = c.map(x => x * x).sum / 2.0
-        struct((VectorFunctions.dotProduct(subVec(v, sub), lit(c)) - half)
-          .as("score"), lit(i).as("idx"))
-      }: _*)
-      val best = array_sort(scored, (l, r) =>
-        when(l.getField("score") > r.getField("score"), -1)
-          .when(l.getField("score") < r.getField("score"), 1)
-          .when(l.getField("idx") < r.getField("idx"), -1)
-          .when(l.getField("idx") > r.getField("idx"), 1)
-          .otherwise(0))
-      element_at(best, 1).getField("idx")
-    }: _*)
-    val codes = cU.select(col("id"), encodeExpr(col("uv")).as("codes"))
+    val codes = cU.select(col("id"),
+      pqEncodeExpr(codebook, dsub, col("uv")).as("codes"))
 
     // ---- per-query ADC lookup tables from the same literals
-    def lutExpr(v: Column): Column = array((0 until m).map { sub =>
-      array(codebook(sub).map(c =>
-        VectorFunctions.dotProduct(subVec(v, sub), lit(c))): _*)
-    }: _*)
-    val qLut = qU.select(col("qid"), lutExpr(col("uv")).as("luts"))
+    val qLut = qU.select(col("qid"),
+      pqLutExpr(codebook, dsub, col("uv")).as("luts"))
 
     // ---- ADC scan: m lookup-table reads per pair
     val approx = codes.crossJoin(broadcast(qLut))
@@ -354,6 +337,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  private def pqSubVec(v: Column, sub: Int, dsub: Int): Column =
+    slice(v, sub * dsub + 1, dsub)
+
+  /** Per-subspace argmax encoding (s·c - |c|²/2, ties to the lower
+    * centroid index) — [[pqTopK]]'s encode stage, shared with the
+    * IVF×PQ composition so both paths (and their oracles) replay the
+    * identical expression.
+    */
+  private[graft] def pqEncodeExpr(
+      codebook: Array[Array[Array[Double]]], dsub: Int,
+      v: Column): Column = array(codebook.indices.map { sub =>
+    val scored = array(codebook(sub).zipWithIndex.map { case (c, i) =>
+      val half = c.map(x => x * x).sum / 2.0
+      struct((VectorFunctions.dotProduct(pqSubVec(v, sub, dsub), lit(c)) - half)
+        .as("score"), lit(i).as("idx"))
+    }: _*)
+    val best = array_sort(scored, (l, r) =>
+      when(l.getField("score") > r.getField("score"), -1)
+        .when(l.getField("score") < r.getField("score"), 1)
+        .when(l.getField("idx") < r.getField("idx"), -1)
+        .when(l.getField("idx") > r.getField("idx"), 1)
+        .otherwise(0))
+    element_at(best, 1).getField("idx")
+  }: _*)
+
+  /** Per-query ADC lookup tables from the same codebook literals. */
+  private[graft] def pqLutExpr(
+      codebook: Array[Array[Array[Double]]], dsub: Int,
+      v: Column): Column = array(codebook.indices.map { sub =>
+    array(codebook(sub).map(c =>
+      VectorFunctions.dotProduct(pqSubVec(v, sub, dsub), lit(c))): _*)
+  }: _*)
+
   /** The trained PQ codebook alone — [[pqTopK]]'s training stage,
     * exposed so the Verify-time oracle generator can re-derive the
     * SAME frozen codebook (training is seeded, bounded, and collect-
@@ -381,6 +397,84 @@ object Similarity {
     Array.tabulate(m)(sub => lloyd(
       train.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)),
       ksub, iters = 10, seed = seed + sub))
+  }
+
+  /** IVF×PQ — the coarse quantizer COMPOSED with the ADC scan: the
+    * actual billion-vector ANN shape (FAISS's IVFADC; Jégou et al.
+    * 2011 §V). [[ivfTopK]] prunes WHICH vectors a query meets
+    * (nprobe/nlist of the corpus) but scores full vectors; [[pqTopK]]
+    * shrinks the COST of meeting one (m lookup reads vs dim
+    * multiplies) but meets everyone. Composed: each query reads only
+    * its probed cells' PQ codes — cell pruning multiplies with the
+    * 32x code-byte reduction, and the exact rescore still touches
+    * only k*refine full vectors per query.
+    *
+    * Spark mapping: centroids AND codebook are bounded-sample trained
+    * and embedded as plan literals, so corpus cell assignment + PQ
+    * encoding is ONE zero-shuffle map pass ([[probeCells]] argmax +
+    * [[pqEncodeExpr]]) — at 100 TB this projection is the stored
+    * index layout (cell as partition key, codes as an 8-16 byte
+    * column). The probe side broadcasts (qid, cell, lut) rows, the
+    * ADC scan is a broadcast HASH join on cell (each corpus row lives
+    * in exactly ONE cell, so no dedup is needed), and only (qid, id,
+    * adot) triples leave the scan. Plan-asserted (PlanShapeSpec): the
+    * ADC input is the probed-cell join, never a corpus cross join.
+    *
+    * Returns (qid, id, cosine, rank) like the other top-k paths.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 3, m: Int = 8, ksub: Int = 16,
+      refine: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, maxTrainRows: Long = 100000L,
+      maxTrainRowsPq: Long = 20000L): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val centroids =
+      coarseCentroids(corpus, vecCol, idCol, nlist, seed, maxTrainRows)
+    val codebook = pqCodebook(corpus, m, ksub, seed, maxTrainRowsPq,
+      idCol, vecCol, dim)
+    // one projection = the persisted index layout: raw double vector
+    // for cell assignment (cosine is scale-invariant; same argmax as
+    // the ivfTopK oracle), unit vector for PQ (dot == cosine)
+    def prepared(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        VectorFunctions.asDouble(col(vecCol)).as("dv"))
+        .withColumn("nrm", VectorFunctions.l2Norm(col("dv")))
+        .filter(col("nrm") > 0)
+        .select(col(outId), col("dv"),
+          transform(col("dv"), x => x / col("nrm")).as("uv"))
+    val codes = prepared(corpus, "id").select(col("id"),
+      element_at(probeCells(col("dv"), centroids, 1), 1).as("cell"),
+      pqEncodeExpr(codebook, dsub, col("uv")).as("codes"))
+    // probe side: nprobe cells + the ADC lookup table per query, all
+    // from plan literals — broadcast-sized by construction
+    val probed = prepared(queries, "qid").select(col("qid"),
+      pqLutExpr(codebook, dsub, col("uv")).as("luts"),
+      explode(probeCells(col("dv"), centroids, nprobe)).as("cell"))
+    val approx = codes.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        aggregate(zip_with(col("codes"), col("luts"),
+          (cd, lut) => element_at(lut, cd + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adot"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("adot").desc, col("id"))
+    val cand = approx.withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * refine)
+      .select("qid", "id")
+    val scored = cand
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("cvec")),
+        Seq("id"))
+      .join(broadcast(queries.select(col(idCol).as("qid"),
+        col(vecCol).as("qvec"))), Seq("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Johnson-Lindenstrauss two-stage top-k: scan in a `projDim`-dim

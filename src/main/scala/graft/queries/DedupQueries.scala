@@ -812,6 +812,120 @@ object DedupQueries {
         "inlined as oracle literals at Verify time)."),
 
     // ------------------------------------------------------------------
+    "s14_topk_ivfpq" -> QueryDef(
+      fn = { (s, dir) =>
+        // IVF x PQ — the billion-vector composition (FAISS IVFADC):
+        // coarse cells prune WHICH vectors each query meets (s03's
+        // quantizer), PQ codes shrink the COST of meeting one (s07's
+        // ADC scan), and the exact rescore touches only k*refine full
+        // vectors. Corpus side is ONE zero-shuffle map pass (cell
+        // argmax + encoding from plan literals — the persisted index
+        // layout); the ADC scan's input is the probed-cell broadcast
+        // HASH join, never a corpus cross join (plan-asserted).
+        // Hash-checked via oracleGen: centroids AND codebook re-train
+        // at Verify time and inline as SQL literals, so DuckDB
+        // replays cell assignment (exact (csim desc, cell) ties),
+        // probing, per-subspace argmax encoding, the ADC sum, the
+        // candidate cut and the exact rescore.
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 50 === 0),
+          k = 5, nlist = 16, nprobe = 3, m = 16, refine = 8)
+          .select(col("qid"), col("id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        // ivfPqTopK's exact training calls: coarseCentroids with
+        // s03's defaults (nlist 16, seed 42, maxTrainRows 100000),
+        // pqCodebook with s07's (m 16, ksub 16, seed 42, 20000).
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        val cents = Similarity.coarseCentroids(
+          e, "embedding", "vec_id", nlist = 16, seed = 42L,
+          maxTrainRows = 100000L)
+        val cLit = OracleSql.sqlDoubleArr2(cents.sortBy(_._1).map(_._2))
+        val cb = Similarity.pqCodebook(e, m = 16, ksub = 16,
+          seed = 42L, maxTrainRows = 20000L)
+        val halfs = cb.map(_.map(c => c.map(x => x * x).sum / 2.0).toSeq)
+        val mLit = OracleSql.sqlDoubleArr3(
+          cb.map(_.map(_.toSeq).toSeq).toSeq)
+        val hLit = OracleSql.sqlDoubleArr2(halfs.toSeq)
+        s"""
+        WITH ct AS (SELECT $cLit::DOUBLE[][] AS m),
+        cb AS (SELECT $mLit::DOUBLE[][][] AS m),
+        hb AS (SELECT $hLit::DOUBLE[][] AS h),
+        u1 AS (SELECT vec_id AS id, dv,
+                      sqrt(list_dot_product(dv, dv)) AS nrm
+               FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+                     FROM embeddings)),
+        u AS (SELECT id, dv, list_transform(dv, x -> x / nrm) AS uv
+              FROM u1 WHERE nrm > 0),
+        ascore AS (
+          SELECT u.id, c.c AS cell,
+                 list_cosine_similarity(ct.m[c.c + 1], u.dv) AS csim
+          FROM u, ct, (SELECT unnest(range(0, 16)) AS c) c),
+        cells AS (
+          SELECT id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore) WHERE rn = 1),
+        probed AS (
+          SELECT id AS qid, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore WHERE id % 50 = 0) WHERE rn <= 3),
+        subsc AS (
+          SELECT u.id, s.s AS sub, i.i AS i,
+                 list_dot_product(
+                   list_slice(u.uv, s.s * 4 + 1, s.s * 4 + 4),
+                   cb.m[s.s + 1][i.i + 1]) - hb.h[s.s + 1][i.i + 1]
+                   AS score
+          FROM u, cb, hb,
+               (SELECT unnest(range(0, 16)) AS s) s,
+               (SELECT unnest(range(0, 16)) AS i) i),
+        enc AS (
+          SELECT id, sub, i FROM (
+            SELECT id, sub, i, row_number() OVER (PARTITION BY id, sub
+                     ORDER BY score DESC, i) AS rn
+            FROM subsc) WHERE rn = 1),
+        codes AS (
+          SELECT id, list(i ORDER BY sub) AS codes FROM enc GROUP BY id),
+        approx AS (
+          SELECT p.qid, c.id,
+                 list_sum(list_transform(range(0, 16), sub ->
+                   list_dot_product(
+                     list_slice(q.uv, sub * 4 + 1, sub * 4 + 4),
+                     cb.m[sub + 1][c.codes[sub + 1] + 1]))) AS adot
+          FROM probed p
+            JOIN cells cl ON cl.cell = p.cell
+            JOIN codes c ON c.id = cl.id AND c.id != p.qid
+            JOIN u q ON q.id = p.qid, cb),
+        cand AS (
+          SELECT qid, id FROM (
+            SELECT qid, id, row_number() OVER (PARTITION BY qid
+                     ORDER BY adot DESC, id) AS qrank
+            FROM approx) WHERE qrank <= 40),
+        scored AS (
+          SELECT cand.qid, cand.id,
+                 list_cosine_similarity(
+                   CAST(ce.embedding AS DOUBLE[]),
+                   CAST(qe.embedding AS DOUBLE[])) AS cosine
+          FROM cand
+          JOIN embeddings ce ON ce.vec_id = cand.id
+          JOIN embeddings qe ON qe.vec_id = cand.qid)
+        SELECT qid, id, round(cosine, 4) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT qid, id, cosine,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, id) AS rank
+              FROM scored)
+        WHERE rank <= 5"""
+      },
+      doc = "IVF x PQ composition (probe coarse cells, ADC-scan only " +
+        "their codes, exact rescore) — the billion-vector ANN shape; " +
+        "hash-checked with centroids + codebook as regenerated " +
+        "oracle literals."),
+
+    // ------------------------------------------------------------------
     "s08_topk_mmr" -> QueryDef(
       fn = { (s, dir) =>
         // MMR diversified top-5: greedy lambda*rel - (1-lambda)*maxSim

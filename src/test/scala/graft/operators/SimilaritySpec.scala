@@ -154,6 +154,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pqSet == asSet(Similarity.pqTopK(emb, q, k = 5, m = 16, refine = 8)))
   }
 
+  test("IVF x PQ top-k: recall vs brute force, subset of full-cell " +
+    "IVF, exact rescore, deterministic") {
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(Similarity.bruteForceTopK(emb, q, k = 5))
+    val ivfpq = Similarity.ivfPqTopK(emb, q, k = 5, nlist = 8,
+      nprobe = 3, m = 16, refine = 8)
+    val got = asSet(ivfpq)
+    // compounded losses (cell pruning x 4-bit codes) with 8x refine:
+    // recall must stay useful on the synthetic corpus
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+    // the candidate universe is exactly the probed cells: re-derive
+    // the same centroids (same seeded bounded training) and assert
+    // every returned id's cell is among its query's nprobe cells
+    val cents = Similarity.coarseCentroids(emb, "embedding", "vec_id",
+      nlist = 8, seed = 42L, maxTrainRows = 100000L)
+    import graft.functions.VectorFunctions
+    val cellOf = emb.select(col("vec_id"),
+      element_at(Similarity.probeCells(
+        VectorFunctions.asDouble(col("embedding")), cents, 1), 1)
+        .as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probesOf = q.select(col("vec_id"),
+      Similarity.probeCells(
+        VectorFunctions.asDouble(col("embedding")), cents, 3)
+        .as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    got.foreach { case (qid, id) =>
+      assert(probesOf(qid).contains(cellOf(id)),
+        s"($qid, $id): cell ${cellOf(id)} not among probed " +
+          s"${probesOf(qid)}")
+    }
+    // rescore is full-precision: overlapping pairs carry the exact
+    // brute-force cosine
+    val bruteCos = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("qid", "id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivfpq.select("qid", "id", "cosine").collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteCos.get(key).foreach(c => assert(c == r.getDouble(2)))
+    }
+    // exactly k rows per query; deterministic across calls
+    val perQ = ivfpq.groupBy("qid").count().collect()
+    assert(perQ.forall(_.getLong(1) == 5L))
+    assert(got == asSet(Similarity.ivfPqTopK(emb, q, k = 5, nlist = 8,
+      nprobe = 3, m = 16, refine = 8)))
+  }
+
   test("MMR top-k: diversity beats redundancy, deterministic, bounded") {
     import spark.implicits._
     // query sits between two clusters, marginally closer to A. Plain

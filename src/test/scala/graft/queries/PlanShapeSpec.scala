@@ -159,6 +159,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus side must not SMJ/BNLJ:\n$p")
   }
 
+  test("s14 IVF x PQ: ADC scan input is the probed-cell broadcast " +
+    "hash join, never a corpus cross join") {
+    val p = plan("s14_topk_ivfpq")
+    // the probe side (qid, cell, lut) broadcasts into a HASH join on
+    // cell — the composition's whole point is that the ADC scan never
+    // meets the unprobed corpus
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast cell join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus cross join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ:\n$p")
+    // corpus-side cell assignment + encoding is a map pass: the only
+    // BNLJ allowed is none — s07's crossJoin shape must be gone
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"ADC ran as a nested-loop corpus scan:\n$p")
+  }
+
   test("d13 incremental vec dedup: index side never sort-merge-joins") {
     val p = plan("d13_incremental_vec_dedup")
     // cross-boundary candidates + verification come in as broadcasts;
