@@ -59,11 +59,33 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 8, tables: Int = 8, probeBits: Int = 1, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // ids only through the exploded bucket join and the candidate
-    // distinct(): the vectors would multiply shuffle width by
-    // tables x dim floats; they are re-joined once per side on the
-    // (small) distinct (qid, id) pair set — same pattern as
-    // Dedup.embeddingDupPairs.
+    val scored = lshCandidates(corpus, queries, bits, tables, probeBits,
+      dim, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("cvec")),
+        Seq("id"))
+      .join(broadcast(queries.select(col(idCol).as("qid"),
+        col(vecCol).as("qvec"))), Seq("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The DISTINCT (qid, id) candidate pairs of [[lshTopK]] — the
+    * bucketing stage alone, exposed so compositions (hard-negative
+    * mining, bitext margin) can score arbitrary expressions over the
+    * same candidate universe. ids only through the exploded bucket
+    * join and the candidate distinct(): the vectors would multiply
+    * shuffle width by tables x dim floats; callers re-join them once
+    * per side on the (small) distinct pair set — the
+    * Dedup.embeddingDupPairs pattern.
+    */
+  def lshCandidates(
+      corpus: DataFrame, queries: DataFrame,
+      bits: Int = 8, tables: Int = 8, probeBits: Int = 1, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("id"),
       posexplode(VectorFunctions.hyperplaneSigs(col(vecCol), bits, tables, dim)))
       .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
@@ -77,20 +99,10 @@ object Similarity {
       else Seq.empty)
     val q = qsig.select(col("qid"), col("table"),
       explode(array_distinct(array(probes: _*))).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("table", "bucket"))
+    c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
       .distinct() // a pair can meet via several tables/probes
-      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("cvec")),
-        Seq("id"))
-      .join(broadcast(queries.select(col(idCol).as("qid"),
-        col(vecCol).as("qvec"))), Seq("qid"))
-      .select(col("qid"), col("id"),
-        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
   }
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse

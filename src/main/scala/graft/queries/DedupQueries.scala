@@ -1335,6 +1335,196 @@ object DedupQueries {
         "regenerated plane tensor replayed in SQL)."),
 
     // ------------------------------------------------------------------
+    "s15_hard_negatives_lsh" -> QueryDef(
+      fn = { (s, dir) =>
+        // s10's registered SCALE path (the swap s10's own comment
+        // prescribes): candidates come from the hyperplane-LSH bucket
+        // join instead of the exact scored scan; the cross-label
+        // anti-filter and the exact-cosine rescore run on the (small)
+        // candidate set. The anchor's label is per-query, so the
+        // label guard cannot pre-filter the corpus — it rides the
+        // candidate join, where it prunes same-label lookalikes
+        // before ranking. s10 stays the exact oracle anchor.
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val cand = Similarity.lshCandidates(e, q)
+        val scored = cand
+          .join(e.select(col("vec_id").as("id"),
+            col("embedding").as("cvec"), col("label").as("clabel")),
+            Seq("id"))
+          .join(broadcast(q.select(col("vec_id").as("qid"),
+            col("embedding").as("qvec"), col("label").as("qlabel"))),
+            Seq("qid"))
+          .filter(col("clabel") =!= col("qlabel"))
+          .select(col("qid"), col("id"),
+            round(VectorFunctions.cosineSim(col("cvec"), col("qvec")), 4)
+              .as("cosine"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        val m = OracleSql.sqlDoubleArr3(
+          graft.functions.VectorFunctions.planeMatrix(
+            bits = 8, tables = 8, dim = 64))
+        s"""
+        WITH pl AS (SELECT $m::DOUBLE[][][] AS m),
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+                     label
+              FROM embeddings),
+        sig AS (SELECT v.id, t.t AS tbl,
+                       CAST(list_sum(list_transform(range(0, 8),
+                         p -> CASE WHEN list_dot_product(
+                                pl.m[t.t + 1][p + 1], v.vec) >= 0
+                              THEN (1::BIGINT << p)
+                              ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+                FROM v, pl, (SELECT unnest(range(0, 8)) AS t) t),
+        qs AS (SELECT id AS qid, tbl, bucket FROM sig
+               WHERE qid % 50 = 0),
+        probes AS (SELECT qid, tbl, bucket FROM qs
+                   UNION
+                   SELECT qid, tbl,
+                          CAST(xor(bucket, 1::BIGINT << b.b) AS BIGINT)
+                   FROM qs, (SELECT unnest(range(0, 8)) AS b) b),
+        cand AS (SELECT DISTINCT p.qid, s.id
+                 FROM probes p
+                 JOIN sig s ON s.tbl = p.tbl AND s.bucket = p.bucket
+                 WHERE s.id != p.qid),
+        scored AS (SELECT c.qid, c.id,
+                          round(list_cosine_similarity(
+                            cv.vec, qv.vec), 4) AS cosine
+                   FROM cand c
+                   JOIN v cv ON cv.id = c.id
+                   JOIN v qv ON qv.id = c.qid
+                   WHERE cv.label != qv.label)
+        SELECT qid, id, cosine, CAST(rank AS INT) AS rank
+        FROM (SELECT qid, id, cosine,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, id) AS rank
+              FROM scored)
+        WHERE rank <= 5"""
+      },
+      doc = "Hard-negative mining at the bucketed scale path: " +
+        "hyperplane-LSH candidates, cross-label anti-filter, exact " +
+        "rescore (hash-checked — regenerated plane tensor replayed " +
+        "in SQL)."),
+
+    // ------------------------------------------------------------------
+    "s16_bitext_margin_lsh" -> QueryDef(
+      fn = { (s, dir) =>
+        // s12's registered SCALE path: margin-based bitext mining
+        // where BOTH neighborhoods (forward top-4 per query, backward
+        // top-4 per candidate) and the final ranking are computed
+        // over the SAME LSH candidate sets — the margin normalizer
+        // must see exactly the pairs the candidate stage produced, or
+        // hub correction silently mixes estimates from different
+        // universes. Float discipline identical to s12: cosines round
+        // to 4 first, neighborhood sums through DECIMAL(8,4), one
+        // shared margin expression tree.
+        val e = T(s, dir).embeddings
+        val qs = Engine.widenIfNarrow(e.filter(col("label") === 0))
+          .select(col("vec_id"), col("embedding"))
+        val cs = Engine.widenIfNarrow(e.filter(col("label") =!= 0))
+          .select(col("vec_id"), col("embedding"))
+        val cand = Similarity.lshCandidates(cs, qs)
+          .select(col("qid"), col("id").as("cid"))
+        val scored = cand
+          .join(cs.select(col("vec_id").as("cid"),
+            col("embedding").as("cvec")), Seq("cid"))
+          .join(broadcast(qs.select(col("vec_id").as("qid"),
+            col("embedding").as("qvec"))), Seq("qid"))
+          .select(col("qid"), col("cid"),
+            round(VectorFunctions.cosineSim(col("cvec"), col("qvec")), 4)
+              .as("c4"))
+          .localCheckpoint()
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("c4").desc, col("cid"))
+        val fwd = scored.withColumn("r", row_number().over(wf))
+          .filter(col("r") <= 4).groupBy(col("qid"))
+          .agg(sum(col("c4").cast("decimal(8,4)")).cast("double").as("sx"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid")).orderBy(col("c4").desc, col("qid"))
+        val bwd = scored.withColumn("r", row_number().over(wb))
+          .filter(col("r") <= 4).groupBy(col("cid"))
+          .agg(sum(col("c4").cast("decimal(8,4)")).cast("double").as("sy"))
+        val m = scored
+          .join(broadcast(fwd), Seq("qid"))
+          .join(bwd, Seq("cid"))
+          .withColumn("margin",
+            (col("c4") * lit(8.0)) / (col("sx") + col("sy")))
+        val wm = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("margin").desc, col("cid"))
+        m.withColumn("rk", row_number().over(wm)).filter(col("rk") === 1)
+          .select(col("qid"), col("cid"), col("c4"), col("margin"))
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        val m = OracleSql.sqlDoubleArr3(
+          graft.functions.VectorFunctions.planeMatrix(
+            bits = 8, tables = 8, dim = 64))
+        s"""
+        WITH pl AS (SELECT $m::DOUBLE[][][] AS m),
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+                     label
+              FROM embeddings),
+        cs AS (SELECT id, vec FROM v WHERE label <> 0),
+        qv AS (SELECT id, vec FROM v WHERE label = 0),
+        sig AS (SELECT cs.id, t.t AS tbl,
+                       CAST(list_sum(list_transform(range(0, 8),
+                         p -> CASE WHEN list_dot_product(
+                                pl.m[t.t + 1][p + 1], cs.vec) >= 0
+                              THEN (1::BIGINT << p)
+                              ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+                FROM cs, pl, (SELECT unnest(range(0, 8)) AS t) t),
+        qs AS (SELECT qv.id AS qid, t.t AS tbl,
+                      CAST(list_sum(list_transform(range(0, 8),
+                        p -> CASE WHEN list_dot_product(
+                               pl.m[t.t + 1][p + 1], qv.vec) >= 0
+                             THEN (1::BIGINT << p)
+                             ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+               FROM qv, pl, (SELECT unnest(range(0, 8)) AS t) t),
+        probes AS (SELECT qid, tbl, bucket FROM qs
+                   UNION
+                   SELECT qid, tbl,
+                          CAST(xor(bucket, 1::BIGINT << b.b) AS BIGINT)
+                   FROM qs, (SELECT unnest(range(0, 8)) AS b) b),
+        cand AS (SELECT DISTINCT p.qid, s.id AS cid
+                 FROM probes p
+                 JOIN sig s ON s.tbl = p.tbl AND s.bucket = p.bucket
+                 WHERE s.id != p.qid),
+        s AS (SELECT c.qid, c.cid,
+                     round(list_cosine_similarity(
+                       cv.vec, q.vec), 4) AS c4
+              FROM cand c JOIN cs cv ON cv.id = c.cid
+                          JOIN qv q ON q.id = c.qid),
+        f AS (
+          SELECT qid, CAST(sum(CAST(c4 AS DECIMAL(8,4))) AS DOUBLE) AS sx
+          FROM (SELECT qid, c4, row_number() OVER (PARTITION BY qid
+                  ORDER BY c4 DESC, cid) AS r FROM s) t
+          WHERE r <= 4 GROUP BY qid),
+        b AS (
+          SELECT cid, CAST(sum(CAST(c4 AS DECIMAL(8,4))) AS DOUBLE) AS sy
+          FROM (SELECT cid, c4, row_number() OVER (PARTITION BY cid
+                  ORDER BY c4 DESC, qid) AS r FROM s) t
+          WHERE r <= 4 GROUP BY cid),
+        mg AS (
+          SELECT s.qid, s.cid, s.c4,
+                 (s.c4 * 8.0) / (f.sx + b.sy) AS margin
+          FROM s JOIN f USING (qid) JOIN b USING (cid))
+        SELECT qid, cid, c4, margin
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY margin DESC, cid) AS rk FROM mg) t
+        WHERE rk = 1"""
+      },
+      doc = "Bitext margin mining at the bucketed scale path: LSH " +
+        "candidates with BOTH neighborhood normalizers computed over " +
+        "the same candidate sets (hash-checked — regenerated plane " +
+        "tensor replayed in SQL)."),
+
+    // ------------------------------------------------------------------
     "s06_topk_sparse" -> QueryDef(
       fn = { (s, dir) =>
         // Sparse TF-IDF cosine top-50 pairs via inverted-index join —

@@ -174,6 +174,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ADC ran as a nested-loop corpus scan:\n$p")
   }
 
+  test("s15/s16 bucketed twins: candidates come from the broadcast " +
+    "bucket hash join — never the anchors' nested-loop corpus scan") {
+    Seq("s15_hard_negatives_lsh", "s16_bitext_margin_lsh").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n: no broadcast probe:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$n: full corpus scan in:\n$p")
+    }
+    // s15's joins are all broadcast (candidates, labels, rescore);
+    // s16's backward-neighborhood join keys on cid — candidate-
+    // bounded but corpus-cardinality, so it is deliberately NOT
+    // broadcast (s12's shape) and a shuffle join there is correct
+    val p15 = plan("s15_hard_negatives_lsh")
+    assert(!p15.contains("SortMergeJoin"), s"s15 corpus-side SMJ:\n$p15")
+  }
+
   test("d13 incremental vec dedup: index side never sort-merge-joins") {
     val p = plan("d13_incremental_vec_dedup")
     // cross-boundary candidates + verification come in as broadcasts;
