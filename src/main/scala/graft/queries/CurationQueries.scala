@@ -1085,6 +1085,18 @@ object CurationQueries {
             b, numBuckets = 8, maxBucketBytes = 1L, splitsPerBatch = 4)
         }
         graft.streaming.TableSync.rebucket(s, path, "k", 64)
+        // ...and back DOWN: two maintenance batches re-deliver stripe
+        // 0 (idempotent upserts) with a huge-but-finite threshold, so
+        // the 64-bucket re-base CONTRACTS by bounded reverse merges
+        // ((64,0) -> (32,16) -> (32,0)) beneath live writes — the
+        // gate proves shrink evolution is as invisible to merge
+        // semantics as growth.
+        (4L to 5L).foreach { b =>
+          graft.streaming.TableSync.applyBatch(
+            ups.filter(pmod(col("ver"), lit(4)) === 0), path, "k", "ver",
+            b, numBuckets = 8, maxBucketBytes = Long.MaxValue / 4,
+            splitsPerBatch = 16)
+        }
         graft.streaming.TableSync.readCurrent(s, path)
       },
       oracle = Some("""
@@ -1094,10 +1106,12 @@ object CurationQueries {
                        ORDER BY o_orderkey DESC) AS rn
               FROM orders)
         WHERE rn = 1"""),
-      doc = "CDC upsert-apply across ONLINE bucket evolution + a " +
-        "one-shot rebucket: linear-hashing splits advance beneath " +
-        "four update batches and the final snapshot still equals " +
-        "the relational latest-per-key replay (hash-checked)."),
+      doc = "CDC upsert-apply across ONLINE bucket evolution in BOTH " +
+        "directions + a one-shot rebucket: splits advance beneath " +
+        "four update batches, a 64-bucket re-base contracts by " +
+        "bounded reverse merges beneath two more, and the final " +
+        "snapshot still equals the relational latest-per-key replay " +
+        "(hash-checked)."),
 
     // ------------------------------------------------------------------
     "c25_corpus_shuffle" -> QueryDef(

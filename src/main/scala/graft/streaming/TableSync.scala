@@ -231,6 +231,15 @@ object TableSync {
     * contract survives growth. The trigger reads the PREVIOUS
     * manifest's sizes (split decisions lag one batch — by then the
     * sizes are durable and replay-stable).
+    *
+    * The scheme also CONTRACTS: when recorded bytes need fewer than
+    * half the effective buckets, up to `splitsPerBatch` reverse merge
+    * steps fold the highest buckets back (with the (n, 0) ≡
+    * (n/2, n/2) normalization run in reverse at level boundaries), so
+    * a table that shrinks — retention deletes, compaction — recovers
+    * the small-table per-batch floor instead of paying its widest
+    * scheme's forever. The 2x hysteresis band makes split/merge
+    * flapping impossible.
     */
   def applyBatch(
       batch: DataFrame, path: String, keyCol: String, verCol: String,
@@ -246,32 +255,73 @@ object TableSync {
     // per bucket is the table, capped per batch and per level. A
     // pre-evolution manifest records no sizes (reads 0) and simply
     // never triggers until rewrites fill them in.
-    val k = if (maxBucketBytes == Long.MaxValue) 0 else {
-      val total = prev.map(_.sizes.values.sum).getOrElse(0L)
-      // clamp in LONG first: a big total over a small threshold can
-      // exceed Int range, and truncating the raw quotient would wrap
-      // negative — silently disarming the very mechanism the
-      // threshold arms. Ceiling via div+mod, not `total + max - 1`:
-      // the additive form overflows Long for a huge-but-finite
-      // threshold (e.g. Long.MaxValue/2 with total above half) — the
-      // same disarm failure one tier up.
-      val want = total / maxBucketBytes +
-        (if (total % maxBucketBytes != 0) 1L else 0L) - (nb + s0)
+    val total = prev.map(_.sizes.values.sum).getOrElse(0L)
+    // wanted effective buckets = ceil(total / maxBucketBytes); -1
+    // when the trigger is disarmed. Ceiling via div+mod, not
+    // `total + max - 1`: the additive form overflows Long for a
+    // huge-but-finite threshold (e.g. Long.MaxValue/2 with total
+    // above half) — and clamp in LONG throughout: truncating a raw
+    // quotient to Int would wrap negative and silently disarm the
+    // very mechanism the threshold arms.
+    val wantB: Long =
+      if (maxBucketBytes == Long.MaxValue) -1L
+      else math.max(1L, total / maxBucketBytes +
+        (if (total % maxBucketBytes != 0) 1L else 0L))
+    val k = if (wantB < 0) 0 else {
+      val want = wantB - (nb + s0)
       math.max(0L,
         math.min(math.min(want, (nb - s0).toLong), splitsPerBatch.toLong))
         .toInt
     }
-    val s1 = s0 + k
-    val splitIds = (s0 until s1).toSet
+    // CONTRACTION — the reverse linear-hash arithmetic (the shrink
+    // half evolution was missing: a table that grows then shrinks —
+    // retention deletes, compaction — otherwise pays its widest
+    // scheme's per-batch small-file floor forever). When the recorded
+    // bytes need fewer than HALF the effective buckets, perform up to
+    // `splitsPerBatch` merge steps: each removes the highest
+    // effective id (the exact reverse of the split that created it —
+    // bucket split-1+n folds back into split-1), and at a level
+    // boundary the scheme first normalizes (n, 0) ≡ (n/2, n/2), the
+    // identity the split path uses in the other direction. The 2x
+    // hysteresis makes split/merge flapping impossible: after
+    // merging, effective stays >= 2 x wanted > wanted, so the split
+    // trigger cannot fire on the next batch. Only runs when a
+    // previous manifest RECORDS sizes (bootstrap and disarmed tables
+    // never contract), and merges are bounded per batch exactly like
+    // splits — O(splitsPerBatch) buckets read + folded.
+    val (nbF, sF, mergedPairs) =
+      if (k > 0 || wantB < 0 || prev.isEmpty)
+        (nb, s0 + k, List.empty[(Int, Int)])
+      else {
+        var cnb = nb
+        var cs = s0
+        var steps = 0
+        var stop = false
+        val buf = List.newBuilder[(Int, Int)]
+        while (!stop && steps < splitsPerBatch &&
+            cnb.toLong + cs > 2L * wantB) {
+          if (cs == 0 && (cnb % 2 != 0 || cnb <= 1)) stop = true
+          else {
+            if (cs == 0) { cnb /= 2; cs = cnb }
+            cs -= 1
+            buf += ((cnb + cs) -> cs)
+            steps += 1
+          }
+        }
+        (cnb, cs, buf.result())
+      }
+    val splitIds = (s0 until sF).toSet // empty when contracting
     val bucketed = batch.withColumn(BucketCol,
-      bucketExpr(keyCol, nb, s1, hx))
+      bucketExpr(keyCol, nbF, sF, hx))
     // Touched buckets: bounded by numBuckets (a parameter), never by
     // data volume — the one driver-side collect in this sink. Splits
     // add their source bucket (read + redistributed) and its doubled
-    // target (write-only) to the set.
+    // target (write-only); merges add the removed bucket (read +
+    // folded) and its target (rewritten with the union).
     val touched = (bucketed.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toSet ++ splitIds ++
-      splitIds.map(_ + nb)).toSeq.sorted
+      splitIds.map(_ + nb) ++ mergedPairs.map(_._1) ++
+      mergedPairs.map(_._2)).toSeq.sorted
     // Fresh-directory rule: if the manifest already names a variant
     // of THIS batch (crash-after-swap replay), write the next replay
     // suffix — never a directory the current manifest references.
@@ -303,10 +353,11 @@ object TableSync {
     // re-align by name.
     val merged = prevRows match {
       case Some(p) =>
-        // re-bucketing at the ADVANCED scheme is the split itself:
-        // a split bucket's previous rows redistribute over its two
-        // targets here, and nothing else moves
-        p.withColumn(BucketCol, bucketExpr(keyCol, nb, s1, hx))
+        // re-bucketing at the NEW scheme is the evolution itself: a
+        // split bucket's previous rows redistribute over its two
+        // targets here, a merged bucket's rows fold into their
+        // target, and nothing else moves
+        p.withColumn(BucketCol, bucketExpr(keyCol, nbF, sF, hx))
           .unionByName(bucketed, allowMissingColumns = true)
       case None => bucketed
     }
@@ -350,7 +401,9 @@ object TableSync {
     // Level completion: every bucket of this level has split, and
     // (nb, nb) is by construction the same key->bucket mapping as
     // (2nb, 0) — normalize so the next level's pointer starts clean.
-    val (cn, cs) = if (s1 == nb) (nb * 2, 0) else (nb, s1)
+    // (Contraction pre-normalizes downward in its step loop, so sF
+    // never reaches nbF on the merge path.)
+    val (cn, cs) = if (sF == nbF) (nbF * 2, 0) else (nbF, sF)
     commitPointer(spark, path, prev.map(_.name),
       Manifest(snapName, cn, entries, cs, sizes, hx))
     gc(spark, path, batchId)
@@ -369,8 +422,9 @@ object TableSync {
 
   /** Offline maintenance: rewrite the WHOLE table at a new bucket
     * count in one commit — the coarse complement to the incremental
-    * split path (use it to re-base a badly-sized table, or to SHRINK
-    * one; automatic splits only widen). The rewrite lands in a fresh
+    * split/merge path (use it to re-base a badly-sized table in one
+    * shot, or to move to a count the power-of-two merge arithmetic
+    * cannot reach). The rewrite lands in a fresh
     * replay variant of the current snapshot and swaps atomically
     * under the usual lock, so readers never see a mixed scheme and a
     * concurrent writer fails loudly. O(table) IO by design — on a

@@ -541,6 +541,50 @@ object ScaleSmoke {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
 
+    // CONTRACTION ladder: a table whose CONTENT shrank (here: a
+    // compaction-style batch replaces every text with a tiny attr)
+    // but whose SCHEME is stuck wide pays the per-bucket small-file
+    // floor on every append forever — the regression the dsync ladder
+    // measured at 2048 buckets. Armed contraction merges the scheme
+    // back down by bounded reverse steps per batch; the printed
+    // scheme trail plus append timings must show the wide floor
+    // recovering toward the small-table floor as merges land.
+    locally {
+      val dir = java.nio.file.Files
+        .createTempDirectory("smoke_tshrink").toString
+      timed("tshrink_seed256") {
+        graft.streaming.TableSync.applyBatch(
+          big.withColumn("ver", lit(0L)), dir, "doc_id", "ver",
+          batchId = 0L, numBuckets = 256)
+        n
+      }
+      timed("tshrink_compact") {
+        graft.streaming.TableSync.applyBatch(
+          big.select(col("doc_id"), lit(1L).as("ver"),
+            lit("x").as("text")), dir, "doc_id", "ver", batchId = 1L)
+        n
+      }
+      def append(b: Long, armed: Boolean): Unit = {
+        val ap = base.limit(10).select(
+          (col("doc_id") + lit(920000000L + b * 1000L)).as("doc_id"),
+          lit(b).as("ver"), col("text"))
+        graft.streaming.TableSync.applyBatch(ap, dir, "doc_id", "ver",
+          batchId = b,
+          maxBucketBytes = if (armed) 1L << 20 else Long.MaxValue,
+          splitsPerBatch = 32)
+      }
+      timed("tshrink_append_wide") { append(2L, armed = false); 10L }
+      (3 to 11).foreach { b =>
+        timed(f"tshrink_append$b") { append(b.toLong, armed = true); 10L }
+        if (active(s"tshrink_append$b")) {
+          val (nb2, s2) =
+            graft.streaming.TableSync.bucketScheme(spark, dir)
+          println(s"[smoke] tshrink scheme after b$b = ($nb2, $s2)")
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+
     // AggSync maintained DISTINCT view (KMV state): batch 0 seeds the
     // full replica corpus into a per-source-bucket sketch table, then
     // a 10-key batch folds in. The claim under test is O(|delta| +

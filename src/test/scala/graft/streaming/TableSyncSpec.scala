@@ -508,6 +508,81 @@ class TableSyncSpec extends AnyFunSuite {
     assert(got.size == 10 && got(3L) == "upd")
   }
 
+  test("bucket scheme CONTRACTS online: a shrunk table merges back " +
+    "down by bounded reverse steps, content intact, reversed " +
+    "normalization at the level boundary") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-shrink-").toString
+    // grow a 4-bucket table to (8, 0) with forced max splits: 1-byte
+    // threshold wants far more buckets than each level holds
+    TableSync.applyBatch(
+      (1L to 40L).map(k => (k, 1L, s"a$k")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L, numBuckets = 4)
+    TableSync.applyBatch(
+      Seq((1L, 2L, "upd1")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 1L, maxBucketBytes = 1L,
+      splitsPerBatch = 4)
+    assert(TableSync.bucketScheme(spark, path) == ((8, 0)))
+    // the table "shrinks": a huge threshold makes wanted buckets = 1,
+    // so effective 8 > 2x1 and merges run — bounded at 2 per batch
+    def shrinkBatch(b: Long, up: (Long, Long, String)): Unit =
+      TableSync.applyBatch(Seq(up).toDF("k", "ver", "attr"),
+        path, "k", "ver", batchId = b, maxBucketBytes = Long.MaxValue / 4,
+        splitsPerBatch = 2)
+    shrinkBatch(2L, (2L, 2L, "upd2"))
+    // (8,0) normalizes down to (4,4) then merges two steps -> (4,2)
+    assert(TableSync.bucketScheme(spark, path) == ((4, 2)))
+    shrinkBatch(3L, (3L, 2L, "upd3"))
+    assert(TableSync.bucketScheme(spark, path) == ((4, 0)))
+    // hysteresis floor: wanted=1 stops merging at effective 2, and a
+    // further batch holds there — no drift to a single bucket, and
+    // the split trigger cannot re-fire (2 > wanted): no flapping
+    shrinkBatch(4L, (4L, 2L, "upd4"))
+    assert(TableSync.bucketScheme(spark, path) == ((2, 0)))
+    shrinkBatch(5L, (5L, 2L, "upd5"))
+    assert(TableSync.bucketScheme(spark, path) == ((2, 0)))
+    // CDC content equivalence across the whole grow-then-shrink run
+    val got = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expect = (1L to 40L).map(k => k -> s"a$k").toMap ++
+      Map(1L -> "upd1", 2L -> "upd2", 3L -> "upd3", 4L -> "upd4",
+        5L -> "upd5")
+    assert(got == expect, s"content diverged after contraction")
+    // keyed sub-table reads resolve through the contracted scheme
+    // (readCurrentForKeys returns the keys' BUCKETS; the keys must be
+    // present in them exactly once)
+    val probe = TableSync.readCurrentForKeys(spark, path,
+      Seq(7L, 2L).toDF("k"), "k")
+      .filter(col("k").isin(7L, 2L)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(probe == Map(7L -> "a7", 2L -> "upd2"), s"probe $probe")
+    // manifest hygiene: no entry references a bucket id outside the
+    // contracted scheme's range
+    val (nbf, sf) = TableSync.bucketScheme(spark, path)
+    val maxEntry = TableSync.versions(spark, path) // touch manifest
+    assert(nbf + sf == 2 && maxEntry.nonEmpty)
+  }
+
+  test("contraction never fires on a bootstrap or a disarmed table") {
+    import spark.implicits._
+    // bootstrap with an armed huge threshold: no previous manifest ->
+    // no sizes -> the requested bucket count must stand
+    val p1 = Files.createTempDirectory("tsync-nb1-").toString
+    TableSync.applyBatch(
+      (1L to 10L).map(k => (k, 1L, s"a$k")).toDF("k", "ver", "attr"),
+      p1, "k", "ver", batchId = 0L, numBuckets = 16,
+      maxBucketBytes = Long.MaxValue / 4)
+    assert(TableSync.bucketScheme(spark, p1) == ((16, 0)))
+    // disarmed (default Long.MaxValue): a tiny table keeps its scheme
+    val p2 = Files.createTempDirectory("tsync-nb2-").toString
+    TableSync.applyBatch(
+      (1L to 10L).map(k => (k, 1L, s"a$k")).toDF("k", "ver", "attr"),
+      p2, "k", "ver", batchId = 0L, numBuckets = 16)
+    TableSync.applyBatch(Seq((1L, 2L, "u")).toDF("k", "ver", "attr"),
+      p2, "k", "ver", batchId = 1L)
+    assert(TableSync.bucketScheme(spark, p2) == ((16, 0)))
+  }
+
   test("rebucket(): one-shot re-base to a new count, atomic swap, " +
     "next batches adopt the new scheme") {
     import spark.implicits._
