@@ -1572,5 +1572,64 @@ object RelationalQueries {
         FROM events GROUP BY event_type"""),
       doc = "Spark 4 VARIANT semi-structured access: parse_json + " +
         "variant_get by path, no declared schema; missing paths are " +
-        "NULL (DuckDB replays via json_extract)."))
+        "NULL (DuckDB replays via json_extract)."),
+
+    // ------------------------------------------------------------------
+    "q52_skew_join" -> QueryDef(
+      fn = { (s, dir) =>
+        // DELIBERATELY skewed shuffle join, salted (q24 proved the
+        // salted AGG; this is the remaining skew hazard class — a
+        // JOIN whose hot key would otherwise pile a third of the fact
+        // table into one reduce partition). A third of lineitem folds
+        // onto the synthetic hot key -1; the dim side (unique per
+        // key: the surviving orders + one hot row) replicates per
+        // salt and the join runs on (k, __salt), spreading the hot
+        // key over 16 reducers. The dim side carries a SHUFFLE_HASH
+        // hint: at 100 TB the dim is past broadcast size by
+        // assumption, and the hint makes the registered plan the
+        // honest shuffle-join shape rather than whatever the fixture
+        // size estimate picks. Plan-asserted (PlanShapeSpec): the
+        // join keys include __salt and the join is a shuffle join,
+        // not a broadcast. Salting is content-derived and dropped
+        // before output, so the oracle is the PLAIN join — identical
+        // results by construction, hash-checked through decimal sums.
+        val t = T(s, dir)
+        val fact = t.lineitem.select(
+          when(col("l_orderkey") % 3 === 0, lit(-1L))
+            .otherwise(col("l_orderkey")).as("k"),
+          col("l_returnflag"), dec(col("l_quantity")).as("qty"))
+        val dim = t.orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey").as("k"),
+            dec(col("o_totalprice")).as("attr"))
+          .unionByName(s.range(1).select(lit(-1L).as("k"),
+            dec(lit(0.0)).as("attr")))
+          .hint("shuffle_hash")
+        graft.operators.Layout.saltedJoin(fact, dim, "k", salts = 16)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty")).cast("double").as("sum_qty"),
+            sum(col("attr")).cast("double").as("sum_attr"))
+      },
+      oracle = Some("""
+        WITH fact AS (
+          SELECT CASE WHEN l_orderkey % 3 = 0 THEN -1
+                      ELSE l_orderkey END AS k,
+                 l_returnflag,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS qty
+          FROM lineitem),
+        dim AS (
+          SELECT o_orderkey AS k,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS attr
+          FROM orders WHERE o_orderkey % 3 <> 0
+          UNION ALL
+          SELECT -1, CAST(0.0 AS DECIMAL(12,2)))
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(qty) AS DOUBLE) AS sum_qty,
+               CAST(sum(attr) AS DOUBLE) AS sum_attr
+        FROM fact JOIN dim USING (k)
+        GROUP BY l_returnflag"""),
+      doc = "Deliberately skewed shuffle join through the salted-join " +
+        "path: hot key spread over 16 (k, salt) reducers, dim " +
+        "replicated per salt, results == the plain join " +
+        "(hash-checked; plan-asserted shuffle join on the salt)."))
 }

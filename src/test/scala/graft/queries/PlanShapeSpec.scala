@@ -209,6 +209,68 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ:\n$p")
   }
 
+  test("q52 skewed join: the join runs on (k, __salt) as a shuffle " +
+    "join — the hot key is spread, nothing broadcasts the fact side") {
+    val p = plan("q52_skew_join")
+    // the salt participates in the join keys (the spread mechanism)
+    assert("(ShuffledHashJoin|SortMergeJoin) \\[k#\\d+L?, __salt"
+      .r.findFirstIn(p).isDefined,
+      s"join does not key on (k, __salt):\n$p")
+    // honest shuffle-join shape: the dim is past broadcast size by
+    // assumption at scale, and the hint pins it
+    assert(!p.contains("BroadcastHashJoin"), s"dim broadcast crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"degenerate join:\n$p")
+  }
+
+  test("AQE splits a deliberately skewed join partition (skew-join " +
+    "path taken, observed in the final adaptive plan)") {
+    import org.apache.spark.sql.functions._
+    // thresholds scaled to fixture bytes so the default-on skew
+    // machinery (Engine.session arms it) actually fires: a partition
+    // is "skewed" past 64 KB and 2x the median, split toward 16 KB
+    // advisory chunks. Broadcast disabled so the join genuinely
+    // shuffles both sides — the regime where skew exists at all.
+    val prior = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "65536")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      // 200k fact rows, 90% on one hot key; dim unique per key with
+      // a wide payload so the hot partition's bytes dominate
+      val fact = spark.range(0, 200000).select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, 200000).select(col("id").as("k"),
+        concat(lit("attr-"), col("id")).as("attr"))
+      val joined = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val row = joined.collect().head
+      assert(row.getLong(0) == 200000L, s"join row count ${row.getLong(0)}")
+      // the FINAL adaptive plan must show the skew-split read — the
+      // property q52's salted twin provides statically
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+      assert(p.contains("skewed"),
+        s"no skew-split AQEShuffleRead in final plan:\n$p")
+    } finally prior.foreach { case (k, v) =>
+      v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("t12 readability: single codegen map pass, no shuffle") {
     val p = plan("t12_readability")
     assert(!p.contains("Exchange"), s"t12 shuffles:\n$p")
