@@ -1666,8 +1666,19 @@ object DedupQueries {
           .select(col("id_a"), col("id_b"),
             round(col("cosine"), 4).as("cosine"))
       },
-      oracle = Some("""
-        WITH pl AS (SELECT [[[-1,-1,-1,-1,-1,1,-1,1,-1,-1,1,-1,1,1,-1,1,1,-1,-1,-1,1,1,1,1,1,1,1,-1,-1,-1,1,1,-1,-1,1,-1,1,1,-1,1,-1,-1,-1,1,-1,-1,1,-1,-1,1,1,1,1,-1,1,1,-1,-1,-1,-1,-1,1,-1,-1],[1,1,1,-1,1,1,-1,1,1,1,-1,1,1,-1,-1,-1,1,1,-1,-1,1,1,1,1,-1,-1,-1,1,1,1,1,-1,1,-1,-1,-1,1,1,1,1,1,1,-1,-1,1,1,-1,-1,1,-1,1,1,1,1,1,-1,-1,1,-1,-1,1,1,1,1],[-1,1,-1,-1,1,-1,1,-1,-1,-1,-1,-1,1,1,1,1,1,-1,-1,-1,1,1,1,1,-1,1,-1,1,1,-1,1,-1,-1,1,-1,-1,1,1,1,-1,1,-1,1,-1,1,1,1,-1,-1,1,-1,1,-1,1,-1,-1,1,-1,1,1,1,1,1,-1],[1,-1,1,-1,-1,1,-1,1,-1,-1,-1,-1,-1,1,1,-1,1,-1,-1,1,1,-1,1,-1,-1,-1,-1,-1,-1,1,-1,1,1,-1,1,1,-1,1,1,-1,1,1,-1,1,1,1,1,-1,1,-1,1,-1,1,1,-1,1,-1,1,1,1,-1,-1,1,1]],[[1,1,-1,1,1,1,1,1,-1,1,-1,-1,-1,1,1,1,1,-1,-1,1,-1,1,-1,1,-1,-1,-1,1,-1,-1,-1,-1,-1,-1,-1,1,-1,1,-1,1,1,-1,-1,-1,1,-1,-1,1,1,1,1,-1,-1,1,1,-1,-1,1,1,-1,1,1,-1,1],[-1,1,1,-1,1,-1,-1,1,-1,1,-1,-1,1,-1,1,1,-1,-1,-1,-1,-1,-1,-1,1,-1,-1,1,1,1,1,-1,1,-1,-1,1,1,-1,-1,-1,-1,1,-1,1,-1,-1,-1,-1,-1,1,1,-1,1,1,1,1,1,1,1,-1,-1,-1,-1,-1,1],[-1,1,1,1,1,1,-1,-1,-1,-1,1,1,-1,-1,-1,-1,1,1,1,-1,1,1,1,1,1,-1,1,1,1,-1,-1,-1,-1,-1,-1,-1,1,-1,-1,1,-1,-1,-1,1,-1,1,1,-1,-1,-1,-1,-1,-1,1,-1,1,-1,-1,-1,-1,-1,-1,1,1],[-1,-1,1,-1,-1,1,-1,-1,1,1,1,-1,1,-1,1,-1,-1,-1,1,1,-1,-1,1,1,-1,1,1,-1,-1,1,-1,-1,1,-1,1,-1,-1,1,-1,1,1,-1,1,1,1,1,-1,1,1,1,1,-1,1,-1,-1,-1,1,-1,-1,1,1,1,-1,-1]],[[-1,1,1,1,-1,1,1,1,1,-1,-1,-1,-1,1,-1,-1,-1,1,1,-1,1,1,-1,1,1,-1,-1,1,-1,-1,-1,1,-1,1,1,-1,-1,1,1,-1,1,1,-1,-1,1,1,1,-1,1,-1,-1,-1,1,-1,-1,1,-1,-1,1,1,-1,1,-1,1],[1,1,-1,-1,1,1,1,1,-1,-1,1,-1,1,1,1,-1,-1,1,-1,1,1,1,1,-1,-1,-1,-1,1,1,-1,1,-1,-1,1,-1,-1,-1,1,1,1,-1,-1,1,1,1,-1,-1,1,1,1,1,-1,-1,1,1,-1,-1,-1,-1,1,-1,1,1,-1],[-1,-1,-1,-1,-1,1,1,-1,-1,-1,1,-1,1,1,-1,1,-1,-1,-1,1,-1,-1,1,-1,1,1,1,1,-1,1,1,-1,1,-1,1,-1,1,1,1,-1,-1,1,1,-1,1,1,-1,-1,-1,-1,1,-1,1,1,-1,1,-1,-1,1,-1,1,-1,-1,-1],[1,-1,-1,-1,-1,-1,-1,-1,1,-1,1,1,-1,1,1,1,1,-1,-1,-1,-1,1,-1,1,1,1,-1,-1,1,1,1,-1,-1,1,1,-1,1,-1,-1,-1,1,-1,1,1,1,1,-1,-1,1,1,1,1,-1,-1,1,-1,-1,1,-1,-1,1,-1,1,1]],[[1,-1,1,1,-1,-1,1,1,-1,-1,1,1,-1,-1,-1,-1,1,-1,-1,1,1,1,1,-1,1,-1,-1,1,-1,1,-1,1,-1,1,1,1,1,1,1,-1,-1,-1,1,1,-1,-1,1,-1,-1,1,-1,1,1,-1,-1,-1,-1,-1,1,1,-1,-1,-1,-1],[-1,1,-1,1,-1,-1,-1,1,-1,1,-1,-1,1,1,1,-1,1,-1,-1,-1,1,-1,-1,1,-1,1,-1,1,-1,1,1,1,-1,-1,1,1,-1,-1,-1,1,1,-1,-1,-1,-1,-1,1,-1,1,-1,-1,-1,-1,-1,1,1,1,-1,-1,1,-1,-1,-1,-1],[1,1,1,-1,-1,-1,-1,1,-1,-1,-1,1,1,1,-1,-1,-1,-1,-1,1,-1,1,-1,-1,-1,-1,1,-1,1,-1,1,-1,-1,-1,-1,-1,-1,1,-1,1,-1,-1,-1,1,-1,-1,1,1,1,-1,1,1,1,-1,1,-1,1,1,-1,1,1,1,1,1],[-1,-1,1,-1,1,1,-1,1,1,1,-1,1,1,1,-1,1,1,1,-1,1,1,-1,-1,1,-1,-1,1,1,-1,1,-1,-1,1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,1,1,1,-1,-1,1,1,1,-1,1,1,1,1,1,1,-1,-1,1,1,1,-1]],[[1,1,-1,1,1,1,-1,1,-1,-1,1,-1,-1,1,-1,-1,-1,-1,1,1,-1,-1,-1,1,1,-1,-1,1,-1,-1,1,-1,1,1,-1,1,1,-1,1,-1,1,1,-1,-1,-1,1,1,1,-1,-1,1,-1,1,-1,-1,-1,1,1,-1,-1,1,-1,-1,-1],[-1,-1,1,1,1,-1,-1,1,1,-1,1,-1,-1,-1,1,-1,1,-1,-1,1,1,-1,1,-1,1,-1,1,-1,-1,1,-1,-1,1,-1,-1,-1,-1,1,1,1,-1,1,-1,-1,-1,-1,-1,-1,-1,-1,1,-1,1,-1,1,-1,-1,-1,-1,-1,1,1,-1,-1],[1,1,-1,1,1,1,-1,-1,-1,-1,-1,-1,1,-1,-1,-1,-1,1,1,1,1,1,1,-1,1,1,1,-1,-1,1,1,-1,-1,1,1,-1,-1,1,-1,-1,1,-1,-1,-1,-1,-1,1,-1,-1,-1,-1,-1,-1,-1,-1,-1,1,-1,-1,1,1,-1,-1,-1],[-1,-1,1,-1,1,-1,-1,1,1,-1,-1,1,-1,-1,1,1,1,-1,1,1,-1,1,-1,-1,1,-1,-1,-1,-1,-1,-1,1,1,1,1,1,-1,-1,1,-1,-1,-1,1,-1,-1,-1,-1,1,-1,-1,-1,1,1,1,1,1,1,1,1,1,1,1,1,1]],[[1,1,1,1,-1,1,-1,1,1,-1,-1,1,1,1,1,1,-1,-1,1,1,1,1,1,1,1,1,-1,1,-1,1,-1,-1,1,1,-1,1,-1,-1,-1,-1,1,1,-1,-1,-1,1,1,1,1,1,-1,1,-1,1,1,-1,1,-1,1,1,-1,1,1,-1],[-1,-1,1,-1,-1,1,-1,-1,-1,-1,1,1,1,-1,1,1,1,1,-1,-1,1,-1,1,1,-1,1,1,1,1,1,1,1,-1,-1,-1,-1,1,-1,1,1,-1,1,-1,1,1,1,-1,-1,1,1,-1,-1,-1,1,1,-1,1,1,-1,-1,-1,1,-1,-1],[1,-1,1,-1,-1,1,-1,-1,1,1,-1,1,1,1,1,1,1,1,1,-1,-1,-1,1,-1,-1,1,1,1,-1,1,-1,1,1,-1,-1,-1,-1,1,1,-1,1,1,-1,1,1,-1,-1,1,-1,-1,-1,-1,1,1,-1,-1,-1,1,-1,-1,-1,1,1,-1],[1,1,-1,-1,-1,-1,1,1,-1,-1,-1,-1,-1,1,-1,-1,1,-1,1,-1,-1,1,-1,-1,1,1,1,-1,-1,-1,1,1,1,1,-1,1,-1,-1,1,1,-1,1,-1,1,1,-1,-1,1,1,-1,-1,1,1,-1,1,-1,1,1,-1,1,1,-1,-1,-1]],[[1,1,-1,-1,1,-1,-1,1,-1,-1,1,1,1,-1,1,-1,1,-1,-1,-1,-1,-1,-1,1,-1,1,1,-1,-1,-1,1,-1,1,-1,-1,1,-1,-1,1,-1,-1,1,-1,-1,1,-1,1,1,-1,-1,-1,1,-1,-1,-1,-1,1,-1,-1,1,1,1,-1,1],[-1,-1,-1,-1,1,-1,1,-1,1,-1,-1,1,1,-1,1,-1,1,-1,-1,-1,-1,-1,-1,-1,1,-1,-1,1,1,-1,1,1,1,1,1,1,1,1,1,-1,1,1,-1,-1,1,1,-1,1,-1,-1,1,1,-1,-1,-1,-1,1,1,-1,-1,-1,-1,-1,-1],[1,-1,-1,1,1,-1,-1,-1,-1,1,-1,1,1,-1,-1,1,1,-1,1,1,-1,1,-1,1,-1,-1,-1,1,1,1,1,-1,1,-1,-1,-1,-1,1,1,-1,1,1,1,-1,1,1,1,-1,1,1,1,-1,-1,1,-1,1,-1,-1,1,1,-1,-1,1,-1],[1,1,-1,-1,-1,1,1,1,-1,-1,1,-1,-1,-1,-1,-1,-1,-1,-1,1,-1,-1,-1,-1,1,1,1,-1,-1,-1,-1,-1,-1,1,1,-1,1,1,1,-1,-1,1,-1,-1,-1,-1,-1,1,-1,-1,-1,-1,1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,1]],[[1,-1,-1,-1,1,-1,1,1,-1,-1,1,1,-1,-1,1,1,-1,-1,1,1,-1,1,-1,1,1,1,-1,-1,-1,-1,1,1,-1,-1,-1,1,1,1,1,-1,1,-1,-1,1,1,-1,-1,-1,1,-1,1,1,-1,1,1,-1,-1,-1,-1,1,1,1,1,1],[1,-1,-1,1,1,-1,1,1,1,-1,1,1,1,1,1,1,-1,-1,-1,-1,-1,1,1,-1,-1,1,-1,1,-1,1,-1,-1,-1,1,1,1,1,1,1,1,-1,-1,1,-1,1,1,1,1,-1,1,1,1,1,-1,-1,1,-1,1,-1,-1,1,-1,-1,1],[-1,1,-1,1,-1,1,-1,1,-1,1,1,1,-1,-1,-1,1,1,1,-1,-1,1,-1,-1,-1,1,1,-1,1,1,-1,1,1,-1,-1,-1,1,-1,-1,1,-1,-1,1,-1,-1,1,1,-1,1,-1,-1,-1,1,-1,1,-1,-1,-1,1,-1,1,1,-1,-1,-1],[1,-1,1,1,-1,1,-1,-1,1,-1,-1,1,-1,-1,-1,-1,1,-1,-1,-1,1,-1,-1,-1,-1,-1,-1,1,-1,1,-1,1,1,1,-1,1,-1,1,-1,1,-1,-1,-1,-1,-1,1,-1,-1,1,1,-1,1,-1,1,-1,-1,1,1,1,-1,1,-1,1,1]],[[1,1,-1,-1,-1,1,-1,-1,-1,1,1,1,1,-1,-1,-1,-1,1,1,-1,1,1,-1,1,1,1,-1,-1,-1,-1,1,1,1,1,-1,1,-1,-1,1,1,-1,1,1,1,1,1,1,-1,-1,-1,1,1,1,1,1,-1,1,1,-1,-1,1,1,1,1],[1,1,1,1,-1,-1,1,-1,-1,1,-1,-1,-1,-1,1,1,1,-1,-1,-1,1,1,1,1,1,1,1,1,-1,1,1,-1,1,-1,-1,1,-1,-1,1,1,-1,-1,-1,1,1,1,-1,1,-1,-1,1,-1,-1,1,-1,-1,1,1,-1,-1,-1,-1,-1,1],[-1,1,-1,-1,1,-1,-1,1,-1,1,-1,1,1,1,1,1,-1,1,-1,1,-1,1,1,-1,-1,1,1,1,-1,-1,1,1,-1,-1,1,-1,-1,1,-1,-1,-1,1,-1,-1,1,1,-1,1,1,1,1,1,1,1,1,-1,-1,1,1,1,1,1,1,1],[-1,-1,1,-1,-1,-1,1,-1,-1,-1,-1,1,1,-1,-1,-1,-1,1,1,-1,1,1,1,-1,-1,-1,-1,1,-1,-1,-1,-1,1,-1,-1,-1,-1,-1,-1,1,-1,1,-1,1,1,-1,-1,1,1,-1,-1,1,-1,-1,-1,-1,1,1,1,1,-1,-1,1,-1]],[[-1,-1,-1,1,1,-1,1,1,-1,-1,1,1,-1,-1,1,1,-1,-1,-1,-1,-1,-1,1,1,1,1,1,-1,1,-1,-1,1,1,1,1,-1,-1,-1,-1,1,-1,-1,-1,1,-1,-1,1,1,-1,1,1,-1,-1,1,-1,-1,1,1,-1,-1,-1,1,1,1],[-1,1,-1,-1,-1,-1,1,-1,-1,-1,1,1,-1,1,1,-1,-1,1,1,-1,1,1,1,-1,-1,-1,-1,-1,1,-1,-1,1,-1,1,1,1,-1,-1,1,1,1,1,1,-1,1,1,-1,1,-1,1,1,-1,1,-1,-1,1,-1,-1,-1,-1,1,1,-1,1],[-1,-1,-1,-1,-1,1,1,1,1,-1,-1,1,1,1,1,-1,1,-1,1,-1,-1,-1,1,1,1,1,-1,1,-1,1,-1,1,-1,-1,-1,-1,1,-1,1,-1,1,-1,1,-1,-1,1,-1,-1,1,1,-1,-1,-1,-1,-1,-1,1,1,1,-1,1,1,1,1],[-1,-1,1,-1,1,1,1,-1,-1,-1,1,1,-1,-1,1,1,-1,1,-1,-1,-1,-1,-1,1,-1,-1,1,-1,1,1,1,-1,-1,1,-1,-1,1,1,1,-1,-1,-1,-1,-1,1,-1,1,1,1,1,1,-1,-1,-1,-1,1,-1,-1,1,-1,-1,-1,1,1]],[[-1,-1,1,-1,1,-1,-1,1,-1,-1,-1,-1,1,1,-1,1,1,-1,1,-1,-1,1,-1,1,1,1,1,-1,1,1,-1,-1,-1,1,-1,1,1,-1,1,-1,-1,-1,1,-1,1,1,-1,-1,1,-1,1,1,1,1,-1,-1,1,1,1,-1,1,1,-1,-1],[1,-1,-1,-1,1,1,-1,1,-1,1,-1,-1,-1,-1,1,1,1,1,-1,-1,1,1,1,-1,-1,1,-1,1,1,-1,-1,1,1,1,1,1,-1,1,1,-1,1,1,-1,-1,-1,1,1,1,-1,-1,1,-1,-1,1,-1,1,-1,1,-1,-1,-1,1,-1,-1],[-1,1,1,1,-1,-1,-1,-1,1,1,-1,-1,1,-1,-1,1,1,1,1,1,-1,1,1,1,-1,-1,1,-1,-1,1,-1,1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,1,-1,-1,1,-1,-1,1,1,-1,-1,1,1,-1,-1,1,1,1,1,1,1,1,1],[-1,-1,1,-1,1,1,1,-1,1,-1,1,1,1,1,1,-1,-1,-1,1,1,1,-1,-1,-1,1,1,1,1,-1,1,1,1,1,1,1,-1,1,-1,1,-1,1,-1,1,-1,-1,-1,-1,-1,1,1,-1,1,1,-1,1,1,1,-1,-1,-1,1,1,1,-1]],[[1,1,-1,-1,1,-1,-1,-1,-1,1,1,-1,1,1,-1,-1,-1,1,1,-1,-1,-1,1,-1,1,-1,1,1,-1,1,1,1,-1,1,1,1,-1,-1,1,-1,-1,1,-1,-1,-1,-1,1,1,-1,1,1,1,-1,1,1,1,-1,-1,-1,1,-1,1,-1,-1],[-1,1,1,-1,1,-1,-1,1,1,-1,1,-1,-1,-1,1,-1,-1,-1,-1,1,1,1,-1,-1,1,1,-1,-1,1,-1,1,1,1,-1,-1,1,1,1,-1,1,1,1,1,1,1,-1,1,-1,1,1,-1,-1,1,-1,1,-1,-1,1,1,1,-1,-1,1,1],[1,1,-1,1,1,1,-1,1,-1,-1,1,1,1,-1,-1,1,-1,-1,-1,-1,-1,1,-1,-1,-1,1,-1,1,-1,1,-1,1,-1,1,1,-1,-1,-1,1,-1,1,-1,-1,1,1,1,1,1,1,-1,-1,1,1,1,1,-1,1,1,-1,1,-1,1,1,1],[-1,-1,1,1,1,-1,-1,1,1,1,-1,1,-1,1,-1,-1,-1,-1,-1,1,1,-1,-1,1,1,-1,1,-1,-1,1,-1,1,-1,-1,-1,1,1,1,1,1,1,1,1,-1,1,-1,1,-1,1,-1,-1,1,-1,1,1,1,1,1,1,1,1,1,1,-1]]]::DOUBLE[][][] AS m),
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        // the plane tensor regenerates from the same splitmix64
+        // arithmetic hyperplaneSigs embeds (s13's pattern — no
+        // frozen copy to drift on parameter change). Candidate
+        // buckets are the LOW 4 bits of the stored deep signature,
+        // so the 4-plane tensor replays them exactly regardless of
+        // the index's refinement headroom.
+        val m = OracleSql.sqlDoubleArr3(
+          graft.functions.VectorFunctions.planeMatrix(
+            bits = 4, tables = 12, dim = 64))
+        s"""
+        WITH pl AS (SELECT $m::DOUBLE[][][] AS m),
         -- index side: vec_id % 5 != 0 ; batch side: % 5 == 0
         ixg0 AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS vec
                  FROM embeddings WHERE vec_id % 5 != 0 AND embedding IS NOT NULL
@@ -1732,7 +1743,8 @@ object DedupQueries {
         u AS (SELECT * FROM crossp UNION ALL SELECT * FROM bpairs)
         SELECT id_a, id_b, round(max(cosine), 4) AS cosine
         FROM u GROUP BY id_a, id_b
-        ORDER BY id_a, id_b"""),
+        ORDER BY id_a, id_b"""
+      },
       doc = "Incremental embedding dedup of an append batch vs a " +
         "persisted hyperplane-signature index (corpus streams, batch " +
         "broadcasts; hash-checked — plan-literal planes replayed)."),
@@ -1990,5 +2002,256 @@ object DedupQueries {
       doc = "SimHash near-dup pairs on a 60-bit md5-portable " +
         "signature through the shared banded-hamming core — the " +
         "hash-checked twin of d04 (oracle: all-pairs hamming filter, " +
-        "equivalent by the segment pigeonhole)."))
+        "equivalent by the segment pigeonhole)."),
+
+    // ------------------------------------------------------------------
+    "d20_vec_dedup_sync" -> QueryDef(
+      fn = { (s, dir) =>
+        // VecDedupSync under the DRIVER gate (c36's treatment, vector
+        // side): three version-striped batches stream through the
+        // two-store exactly-once composition — pairs-first/index-
+        // second, TableSync storage bootstrapped deliberately
+        // undersized with the split trigger forcing max splits every
+        // batch — and the accumulated pairs view must equal the
+        // ONE-SHOT embeddingDupPairs run on the whole corpus. The
+        // equivalence is exact here because the corpus has no
+        // vec-identical groups (verified; a >= 3-way identical group
+        // straddling batches would legitimately add non-min boundary
+        // pairs the one-shot star omits) and no bucket approaches the
+        // cap; the small-fixture spec pins the group/boundary cases.
+        val path = d20Dir(dir)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        (0L to 2L).foreach { b =>
+          graft.streaming.VecDedupSync.applyVecs(
+            e.filter(pmod(col("vec_id"), lit(3)) === b),
+            s"$path/ix", s"$path/pr", "embedding", "vec_id", b,
+            threshold = 0.35, numBuckets = 8, maxBucketBytes = 1L,
+            splitsPerBatch = 4)
+        }
+        graft.streaming.VecDedupSync.readPairs(s, s"$path/pr")
+          .select(col("id_a"), col("id_b"),
+            round(col("cosine"), 4).as("cosine"))
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        // the one-shot embeddingDupPairs replay (d06's SQL) with the
+        // plane tensor regenerated from the engine's splitmix64
+        // arithmetic — streaming ingestion across an evolving store
+        // must land on exactly this set
+        val m = OracleSql.sqlDoubleArr3(
+          VectorFunctions.planeMatrix(bits = 4, tables = 12, dim = 64))
+        s"""
+        WITH pl AS (SELECT $m::DOUBLE[][][] AS m),
+        g0 AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x != 0)) > 0),
+        g AS (SELECT did, vec, min(did) OVER (PARTITION BY vec) AS keep
+              FROM g0),
+        reps AS (SELECT did AS id, vec FROM g WHERE did = keep),
+        sigs AS (SELECT r.id, t.t AS tbl,
+                        CAST(list_sum(list_transform(range(0, 4),
+                          p -> CASE WHEN list_dot_product(
+                                 pl.m[t.t + 1][p + 1], r.vec) >= 0
+                               THEN (1::BIGINT << p)
+                               ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+                 FROM reps r, pl,
+                      (SELECT unnest(range(0, 12)) AS t) t),
+        ok AS (SELECT tbl, bucket FROM sigs
+               GROUP BY tbl, bucket HAVING count(*) <= 10000),
+        sized AS (SELECT s.* FROM sigs s
+                  SEMI JOIN ok ON s.tbl = ok.tbl AND s.bucket = ok.bucket),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM sized a JOIN sized b
+                   ON a.tbl = b.tbl AND a.bucket = b.bucket
+                  AND a.id < b.id),
+        rp AS (SELECT c.id_a, c.id_b,
+                      list_cosine_similarity(ra.vec, rb.vec) AS cosine
+               FROM cand c JOIN reps ra ON ra.id = c.id_a
+                           JOIN reps rb ON rb.id = c.id_b
+               WHERE list_cosine_similarity(ra.vec, rb.vec) >= 0.35),
+        expd AS (SELECT least(ma.did, mb.did) AS id_a,
+                        greatest(ma.did, mb.did) AS id_b, rp.cosine
+                 FROM rp JOIN g ma ON ma.keep = rp.id_a
+                         JOIN g mb ON mb.keep = rp.id_b),
+        star AS (SELECT keep AS id_a, did AS id_b, 1.0 AS cosine
+                 FROM g WHERE did != keep),
+        u AS (SELECT * FROM expd UNION ALL SELECT * FROM star)
+        SELECT id_a, id_b, round(max(cosine), 4) AS cosine
+        FROM u GROUP BY id_a, id_b"""
+      },
+      doc = "Streaming vector dedup (VecDedupSync) under the gate: " +
+        "3 batches through the pairs-first/index-second two-store " +
+        "commit with storage splits forced every batch — accumulated " +
+        "pairs equal the one-shot embeddingDupPairs set " +
+        "(hash-checked; regenerated plane tensor)."),
+
+    // ------------------------------------------------------------------
+    "d21_vec_refined_dups" -> QueryDef(
+      fn = { (s, dir) =>
+        // PER-BUCKET REFINEMENT under the DRIVER gate: d13's
+        // incremental probe with the cap tightened to 50, so EVERY
+        // base bucket is overfull at this scale and the candidate
+        // stage runs entirely through refined deep-signature keys
+        // (depth = 4 + ceil(log2(overflow)) per bucket, from the
+        // index's own occupancy). The oracle replays the WHOLE
+        // refinement pipeline in SQL — 16-plane signatures, base
+        // occupancy, the integer depth ladder, masked keys, the
+        // refined-level cap, the probe join — from a regenerated
+        // plane tensor; DedupSpec separately proves the recall claim
+        // on a planted flood.
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        val index = Dedup.vecDedupIndex(
+          e.filter(col("vec_id") % 5 =!= 0), "embedding", "vec_id")
+        Dedup.incrementalVecDups(index,
+          e.filter(col("vec_id") % 5 === 0), "embedding", "vec_id",
+          threshold = 0.35, maxBucketSize = 50)
+          .select(col("id_a"), col("id_b"),
+            round(col("cosine"), 4).as("cosine"))
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        // the FULL 16-plane refinement tensor (depth headroom
+        // included), regenerated from the engine's arithmetic
+        val m = OracleSql.sqlDoubleArr3(
+          VectorFunctions.planeMatrix(bits = 16, tables = 12, dim = 64))
+        s"""
+        WITH pl AS (SELECT $m::DOUBLE[][][] AS m),
+        ixg0 AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS vec
+                 FROM embeddings WHERE vec_id % 5 != 0
+                   AND embedding IS NOT NULL
+                   AND len(list_filter(embedding, x -> x != 0)) > 0),
+        ixg AS (SELECT did, vec, min(did) OVER (PARTITION BY vec) AS keep
+                FROM ixg0),
+        nbg0 AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS vec
+                 FROM embeddings WHERE vec_id % 5 = 0
+                   AND embedding IS NOT NULL
+                   AND len(list_filter(embedding, x -> x != 0)) > 0),
+        nbg AS (SELECT did, vec, min(did) OVER (PARTITION BY vec) AS keep
+                FROM nbg0),
+        ixr AS (SELECT did AS id, vec FROM ixg WHERE did = keep),
+        nbr AS (SELECT did AS id, vec FROM nbg WHERE did = keep),
+        tt AS (SELECT unnest(range(0, 12)) AS t),
+        ixs AS (SELECT r.id, tt.t AS tbl,
+                       CAST(list_sum(list_transform(range(0, 16),
+                         p -> CASE WHEN list_dot_product(
+                                pl.m[tt.t + 1][p + 1], r.vec) >= 0
+                              THEN (1::BIGINT << p)
+                              ELSE 0::BIGINT END)) AS BIGINT) AS sig
+                FROM ixr r, pl, tt),
+        nbs AS (SELECT r.id, tt.t AS tbl,
+                       CAST(list_sum(list_transform(range(0, 16),
+                         p -> CASE WHEN list_dot_product(
+                                pl.m[tt.t + 1][p + 1], r.vec) >= 0
+                              THEN (1::BIGINT << p)
+                              ELSE 0::BIGINT END)) AS BIGINT) AS sig
+                FROM nbr r, pl, tt),
+        ixb AS (SELECT id, tbl, sig, sig & 15 AS bucket FROM ixs),
+        nbb AS (SELECT id, tbl, sig, sig & 15 AS bucket FROM nbs),
+        -- refinement map: exact integer depth ladder, engine-identical
+        -- (ratio = ceil(cnt / 50); extra = bit_length(ratio - 1))
+        refine AS (
+          SELECT tbl, bucket,
+                 least(16, 4 + CASE
+                   WHEN r <= 1 THEN 0 WHEN r <= 2 THEN 1
+                   WHEN r <= 4 THEN 2 WHEN r <= 8 THEN 3
+                   WHEN r <= 16 THEN 4 WHEN r <= 32 THEN 5
+                   WHEN r <= 64 THEN 6 WHEN r <= 128 THEN 7
+                   WHEN r <= 256 THEN 8 WHEN r <= 512 THEN 9
+                   WHEN r <= 1024 THEN 10 WHEN r <= 2048 THEN 11
+                   ELSE 12 END) AS depth
+          FROM (SELECT tbl, bucket, (cnt + 49) // 50 AS r
+                FROM (SELECT tbl, bucket, count(*) AS cnt
+                      FROM ixb GROUP BY 1, 2)
+                WHERE cnt > 50)),
+        ixk AS (SELECT b.id, b.tbl,
+                       b.sig & ((1::BIGINT << coalesce(rf.depth, 4)) - 1)
+                         AS kk
+                FROM ixb b LEFT JOIN refine rf
+                  ON rf.tbl = b.tbl AND rf.bucket = b.bucket),
+        okr AS (SELECT tbl, kk FROM ixk
+                GROUP BY tbl, kk HAVING count(*) <= 50),
+        ixok AS (SELECT k.* FROM ixk k
+                 SEMI JOIN okr ON k.tbl = okr.tbl AND k.kk = okr.kk),
+        nbk AS (SELECT b.id, b.tbl,
+                       b.sig & ((1::BIGINT << coalesce(rf.depth, 4)) - 1)
+                         AS kk
+                FROM nbb b LEFT JOIN refine rf
+                  ON rf.tbl = b.tbl AND rf.bucket = b.bucket),
+        cand AS (SELECT DISTINCT i.id AS ix_rep, n.id AS n_rep
+                 FROM ixok i JOIN nbk n
+                   ON n.tbl = i.tbl AND n.kk = i.kk
+                 WHERE i.id != n.id),
+        lshrp AS (SELECT c.ix_rep, c.n_rep,
+                         list_cosine_similarity(a.vec, b.vec) AS cosine
+                  FROM cand c JOIN ixr a ON a.id = c.ix_rep
+                              JOIN nbr b ON b.id = c.n_rep
+                  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.35),
+        exb AS (SELECT a.id AS ix_rep, b.id AS n_rep, 1.0 AS cosine
+                FROM ixr a JOIN nbr b ON a.vec = b.vec),
+        rp AS (SELECT ix_rep, n_rep, max(cosine) AS cosine
+               FROM (SELECT * FROM lshrp UNION ALL SELECT * FROM exb)
+               GROUP BY ix_rep, n_rep),
+        crossp AS (SELECT least(ma.did, mb.did) AS id_a,
+                          greatest(ma.did, mb.did) AS id_b, rp.cosine
+                   FROM rp JOIN ixg ma ON ma.keep = rp.ix_rep
+                           JOIN nbg mb ON mb.keep = rp.n_rep
+                   WHERE ma.did != mb.did),
+        -- within-batch leg: BASE-depth buckets with the cap (the
+        -- engine's vecPairsFromIndex semantics)
+        bok AS (SELECT tbl, bucket FROM nbb
+                GROUP BY tbl, bucket HAVING count(*) <= 50),
+        bcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM (SELECT s.* FROM nbb s SEMI JOIN bok
+                          ON s.tbl = bok.tbl AND s.bucket = bok.bucket) a
+                  JOIN (SELECT s.* FROM nbb s SEMI JOIN bok
+                          ON s.tbl = bok.tbl AND s.bucket = bok.bucket) b
+                    ON a.tbl = b.tbl AND a.bucket = b.bucket
+                   AND a.id < b.id),
+        brp AS (SELECT c.id_a, c.id_b,
+                       list_cosine_similarity(ra.vec, rb.vec) AS cosine
+                FROM bcand c JOIN nbr ra ON ra.id = c.id_a
+                             JOIN nbr rb ON rb.id = c.id_b
+                WHERE list_cosine_similarity(ra.vec, rb.vec) >= 0.35),
+        bexp AS (SELECT least(ma.did, mb.did) AS id_a,
+                        greatest(ma.did, mb.did) AS id_b, brp.cosine
+                 FROM brp JOIN nbg ma ON ma.keep = brp.id_a
+                          JOIN nbg mb ON mb.keep = brp.id_b),
+        bstar AS (SELECT keep AS id_a, did AS id_b, 1.0 AS cosine
+                  FROM nbg WHERE did != keep),
+        bpairs AS (SELECT id_a, id_b, max(cosine) AS cosine
+                   FROM (SELECT * FROM bexp UNION ALL SELECT * FROM bstar)
+                   GROUP BY id_a, id_b),
+        u AS (SELECT * FROM crossp UNION ALL SELECT * FROM bpairs)
+        SELECT id_a, id_b, round(max(cosine), 4) AS cosine
+        FROM u GROUP BY id_a, id_b"""
+      },
+      doc = "Incremental vector dedup with EVERY base bucket overfull " +
+        "(cap 50): candidates run entirely through per-bucket " +
+        "deep-signature refinement — occupancy-derived depths, masked " +
+        "stored-prefix keys, refined-level cap — all replayed in SQL " +
+        "from a regenerated 16-plane tensor (hash-checked)."))
+
+  /** One cached d20 store dir per sfDir, wiped at entry (TableSync
+    * no-ops on already-applied batch ids) and removed at JVM exit —
+    * the c36Dir discipline; repeated bench runs must not leak stores.
+    */
+  private val d20Dirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
+  private def d20Dir(dir: String): String = {
+    val path = d20Dirs.getOrElseUpdate(dir, {
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-vsync-d20-${Integer.toHexString(dir.hashCode)}")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => rmTree(f)))
+      f.toString
+    })
+    val f = new java.io.File(path)
+    rmTree(f); f.mkdirs()
+    path
+  }
 }
