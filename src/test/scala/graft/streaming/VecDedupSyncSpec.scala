@@ -92,6 +92,36 @@ class VecDedupSyncSpec extends AnyFunSuite {
     assert(VecDedupSync.readIndex(spark, ix).count() == 9)
   }
 
+  test("vecSink survives a kill + restart from checkpoint " +
+    "(arrivals while down replay into the same end state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val ix = Files.createTempDirectory("vsync5-ix-").toString
+    val pr = Files.createTempDirectory("vsync5-pr-").toString
+    val ck = Files.createTempDirectory("vsync5-ck-").toString
+    def startQuery() = VecDedupSync.vecSink(
+      mem.toDF().toDF("vec_id", "embedding"), ix, pr, "embedding",
+      "vec_id", ck, threshold = 0.9, dim = 8)
+    val q1 = startQuery()
+    // pre-kill batch holds 9 (5's exact twin) and filler
+    mem.addData(rows.filter(_._1 % 3 == 0): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // arrivals while the sink is down — their cross-batch partners
+    // (8 pairs with 1 and 4; 2 pairs with 7; 5 pairs with pre-kill
+    // 9) only arrive AFTER the restart
+    mem.addData(rows.filter(_._1 % 3 == 1): _*)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    mem.addData(rows.filter(_._1 % 3 == 2): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val streamed = pairSet(VecDedupSync.readPairs(spark, pr))
+    assert(streamed == oneShot, s"stream $streamed\nvs batch $oneShot")
+    assert(VecDedupSync.readIndex(spark, ix).count() == 9)
+  }
+
   test("replay after commit is a no-op; replay after pairs-committed-" +
     "index-not recomputes and converges to the uninterrupted state") {
     val ix = Files.createTempDirectory("vsync2-ix-").toString
