@@ -563,6 +563,35 @@ class TableSyncSpec extends AnyFunSuite {
     assert(nbf + sf == 2 && maxEntry.nonEmpty)
   }
 
+  test("contraction batch REPLAY (redelivered after commit) stays " +
+    "content-identical — further merges are layout-only") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-crepl-").toString
+    TableSync.applyBatch(
+      (1L to 30L).map(k => (k, 1L, s"a$k")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L, numBuckets = 8)
+    def merge(b: Long): Unit = TableSync.applyBatch(
+      Seq((1L, 2L, "u1")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = b, maxBucketBytes = Long.MaxValue / 4,
+      splitsPerBatch = 2)
+    merge(1L)
+    assert(TableSync.bucketScheme(spark, path) == ((4, 2)))
+    val content = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the SAME batch id redelivered (crash-after-swap): the replay
+    // writes a fresh variant and — reading the post-contraction
+    // manifest — legitimately merges FURTHER. That divergence is
+    // pure layout; the keyed content must be bit-for-bit the state
+    // the first commit produced.
+    merge(1L)
+    assert(TableSync.bucketScheme(spark, path) == ((4, 0)),
+      s"replay should continue owed merges, got " +
+        s"${TableSync.bucketScheme(spark, path)}")
+    val replayed = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(replayed == content, "replay changed table content")
+  }
+
   test("contraction never fires on a bootstrap or a disarmed table") {
     import spark.implicits._
     // bootstrap with an armed huge threshold: no previous manifest ->
