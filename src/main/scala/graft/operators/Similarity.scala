@@ -489,6 +489,63 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF×SQ — the coarse quantizer composed with [[quantizedTopK]]'s
+    * int8 memory-bandwidth scan (the third composition of the same
+    * coarse cells: s03 scans full vectors, s14 PQ codes, this one
+    * int8 — FAISS's IVFSQ shape). Each query meets only its probed
+    * cells' quantized vectors, so cell pruning multiplies with the
+    * 4x scan-byte reduction; the exact rescore touches k*refine full
+    * vectors per query. Same literals-and-map-pass layout discipline
+    * as [[ivfPqTopK]]: (cell, int8 vector) is the persisted index
+    * projection, the probe side broadcasts, and the scan is a hash
+    * join on cell.
+    */
+  def ivfQuantizedTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 3, refine: Int = 4,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    val centroids =
+      coarseCentroids(corpus, vecCol, idCol, nlist, seed, maxTrainRows)
+    val scale = corpus
+      .agg(max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))))
+      .head.getDouble(0)
+    require(scale > 0, "corpus has no nonzero vector component")
+    def quant(v: Column): Column =
+      transform(v, x =>
+        round(x.cast("double") / scale * 127).cast("tinyint").cast("float"))
+    val cells = corpus.select(col(idCol).as("id"),
+      element_at(probeCells(
+        VectorFunctions.asDouble(col(vecCol)), centroids, 1), 1).as("cell"),
+      quant(col(vecCol)).as("cvq"))
+    val probed = queries.select(col(idCol).as("qid"),
+      quant(col(vecCol)).as("qvq"),
+      explode(probeCells(
+        VectorFunctions.asDouble(col(vecCol)), centroids, nprobe))
+        .as("cell"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("id"))
+    val cand = cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvq"), col("qvq")).as("qcos"))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * refine)
+      .select("qid", "id")
+    val scored = cand
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("cvec")),
+        Seq("id"))
+      .join(broadcast(queries.select(col(idCol).as("qid"),
+        col(vecCol).as("qvec"))), Seq("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Johnson-Lindenstrauss two-stage top-k: scan in a `projDim`-dim
     * Achlioptas (+-1) random-projection sketch, keep an oversampled
     * shortlist per query, then exact-rescore only the shortlist in

@@ -1525,6 +1525,89 @@ object DedupQueries {
         "tensor replayed in SQL)."),
 
     // ------------------------------------------------------------------
+    "s17_topk_ivfsq" -> QueryDef(
+      fn = { (s, dir) =>
+        // IVF x SQ — s05's registered scale composition and the third
+        // use of the same coarse cells (s03 full vectors, s14 PQ
+        // codes, here int8): each query scans only its probed cells'
+        // quantized vectors, exact rescore of top k*refine. With this
+        // every exact-scan anchor has a registered scale twin:
+        // s01->s02, s05->s17, s07->s14, s10->s15, s11->s13, s12->s16,
+        // d05->d06. Hash-checked via oracleGen: trained centroids
+        // inline as literals; the quantization scale derives IN SQL
+        // (s05's replay) and the candidate cut runs inside the probed
+        // cells only.
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        Similarity.ivfQuantizedTopK(e,
+          e.filter(col("vec_id") % 50 === 0), k = 5,
+          nlist = 16, nprobe = 3, refine = 4)
+          .select(col("qid"), col("id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        val cents = Similarity.coarseCentroids(
+          e, "embedding", "vec_id", nlist = 16, seed = 42L,
+          maxTrainRows = 100000L)
+        val cLit = OracleSql.sqlDoubleArr2(cents.sortBy(_._1).map(_._2))
+        s"""
+        WITH ct AS (SELECT $cLit::DOUBLE[][] AS m),
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+        ascore AS (
+          SELECT v.id, c.c AS cell,
+                 list_cosine_similarity(ct.m[c.c + 1], v.vec) AS csim
+          FROM v, ct, (SELECT unnest(range(0, 16)) AS c) c),
+        cells AS (
+          SELECT id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore) WHERE rn = 1),
+        probed AS (
+          SELECT id AS qid, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore WHERE id % 50 = 0) WHERE rn <= 3),
+        sc AS (SELECT max(list_max(list_transform(vec, x -> abs(x))))
+                 AS s FROM v),
+        cq AS (SELECT v.id,
+                      list_transform(v.vec,
+                        x -> CAST(CAST(round(x / sc.s * 127)
+                          AS TINYINT) AS DOUBLE)) AS qv
+               FROM v, sc),
+        qq AS (SELECT id AS qid, qv FROM cq WHERE id % 50 = 0),
+        cand AS (SELECT qid, id FROM (
+                   SELECT p.qid, c.id,
+                          row_number() OVER (PARTITION BY p.qid
+                            ORDER BY list_cosine_similarity(cv.qv, q.qv)
+                              DESC, c.id) AS rn
+                   FROM probed p
+                   JOIN cells c ON c.cell = p.cell AND c.id != p.qid
+                   JOIN cq cv ON cv.id = c.id
+                   JOIN qq q ON q.qid = p.qid)
+                 WHERE rn <= 20),
+        scored AS (SELECT cand.qid, cand.id,
+                          list_cosine_similarity(
+                            CAST(ce.embedding AS DOUBLE[]),
+                            CAST(qe.embedding AS DOUBLE[])) AS cosine
+                   FROM cand
+                   JOIN embeddings ce ON ce.vec_id = cand.id
+                   JOIN embeddings qe ON qe.vec_id = cand.qid)
+        SELECT qid, id, round(cosine, 4) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT qid, id, cosine,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, id) AS rank
+              FROM scored)
+        WHERE rank <= 5"""
+      },
+      doc = "IVF x int8-SQ composition (probe coarse cells, scan only " +
+        "their quantized vectors, exact rescore) — s05's registered " +
+        "scale twin; hash-checked with centroids as regenerated " +
+        "literals and the quantization replayed in SQL."),
+
+    // ------------------------------------------------------------------
     "s06_topk_sparse" -> QueryDef(
       fn = { (s, dir) =>
         // Sparse TF-IDF cosine top-50 pairs via inverted-index join —

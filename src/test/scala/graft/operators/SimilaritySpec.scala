@@ -205,6 +205,45 @@ class SimilaritySpec extends AnyFunSuite {
       nprobe = 3, m = 16, refine = 8)))
   }
 
+  test("IVF x SQ top-k: recall vs brute force, probed-cell candidate " +
+    "universe, exact rescore") {
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(Similarity.bruteForceTopK(emb, q, k = 5))
+    val got = Similarity.ivfQuantizedTopK(emb, q, k = 5, nlist = 8,
+      nprobe = 3, refine = 4)
+    val gotSet = asSet(got)
+    val recall = (brute & gotSet).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+    // candidate universe == probed cells (re-derived centroids)
+    val cents = Similarity.coarseCentroids(emb, "embedding", "vec_id",
+      nlist = 8, seed = 42L, maxTrainRows = 100000L)
+    import graft.functions.VectorFunctions
+    val cellOf = emb.select(col("vec_id"),
+      element_at(Similarity.probeCells(
+        VectorFunctions.asDouble(col("embedding")), cents, 1), 1))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probesOf = q.select(col("vec_id"),
+      Similarity.probeCells(
+        VectorFunctions.asDouble(col("embedding")), cents, 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    gotSet.foreach { case (qid, id) =>
+      assert(probesOf(qid).contains(cellOf(id)),
+        s"($qid, $id) outside probed cells")
+    }
+    // rescored cosines are full-precision
+    val bruteCos = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("qid", "id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.select("qid", "id", "cosine").collect().foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(c == r.getDouble(2)))
+    }
+    assert(got.groupBy("qid").count().collect().forall(_.getLong(1) == 5L))
+  }
+
   test("MMR top-k: diversity beats redundancy, deterministic, bounded") {
     import spark.implicits._
     // query sits between two clusters, marginally closer to A. Plain

@@ -191,6 +191,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p15.contains("SortMergeJoin"), s"s15 corpus-side SMJ:\n$p15")
   }
 
+  test("s17 IVF x SQ: quantized scan input is the probed-cell " +
+    "broadcast hash join, never a corpus cross join") {
+    val p = plan("s17_topk_ivfsq")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast cell join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-wide scan crept in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ:\n$p")
+  }
+
   test("d13 incremental vec dedup: index side never sort-merge-joins") {
     val p = plan("d13_incremental_vec_dedup")
     // cross-boundary candidates + verification come in as broadcasts;
