@@ -890,6 +890,39 @@ class StreamingSpec extends AnyFunSuite {
       s"fold diverged across splits: $view")
   }
 
+  test("AggSync fold stays exact while the bucket scheme CONTRACTS " +
+    "beneath it (the merge analog of the split-exactness pin)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("aggsync-shrink").toString
+    // grow to (16, 0) with forced splits, then merge back down with a
+    // huge-but-finite threshold: state rows MOVE buckets during both
+    // directions, and the NON-idempotent fold must never lose or
+    // double a row (a wrong count/sum is immediately visible)
+    AggSync.applyDelta((1 to 40).map(i => (s"k$i", i.toDouble))
+      .toDF("k", "v"), path, "k", "v", 0L, numBuckets = 8)
+    AggSync.applyDelta(Seq(("k7", 0.5)).toDF("k", "v"), path, "k", "v",
+      1L, numBuckets = 8, maxBucketBytes = 1L, splitsPerBatch = 8)
+    assert(TableSync.bucketScheme(spark, path) == ((8, 8)) ||
+      TableSync.bucketScheme(spark, path) == ((16, 0)))
+    def shrink(b: Long, rows: Seq[(String, Double)]): Unit =
+      AggSync.applyDelta(rows.toDF("k", "v"), path, "k", "v", b,
+        numBuckets = 8, maxBucketBytes = Long.MaxValue / 4,
+        splitsPerBatch = 4)
+    shrink(2L, Seq(("k7", 0.25), ("k41", 1.0)))
+    shrink(3L, Seq(("k7", 0.25)))
+    shrink(4L, Seq(("k42", 2.0)))
+    val (nbf, sf) = TableSync.bucketScheme(spark, path)
+    assert(nbf + sf < 16, s"no contraction happened: ($nbf, $sf)")
+    val view = AggSync.readView(spark, path)
+      .select(col("k"), col("n"), col("tot").cast("string"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getString(2)))).toMap
+    assert(view("k7") == ((4L, "8.00")) && view("k41") == ((1L, "1.00"))
+      && view("k42") == ((1L, "2.00")) && view("k8") == ((1L, "8.00"))
+      && view.size == 42,
+      s"fold diverged across merges: $view")
+  }
+
   test("AggSync replay of a committed batch is a no-op (the fold " +
     "never double-counts)") {
     import spark.implicits._

@@ -179,6 +179,36 @@ class VecDedupSyncSpec extends AnyFunSuite {
     assert(!pairs.contains((9L, 5L)))
   }
 
+  test("streaming probe REFINES overfull index buckets: planted " +
+    "near-dups keep recall under a diverse flood — LSH granularity " +
+    "evolves online alongside storage granularity") {
+    import spark.implicits._
+    val ix = Files.createTempDirectory("vsync6-ix-").toString
+    val pr = Files.createTempDirectory("vsync6-pr-").toString
+    // the DedupSpec flood, streamed: 300 diverse vectors at bits = 2
+    // put ~75 rows in every base bucket (cap 8); the later batch's
+    // ten 1e-4-perturbed probes only pair if the sink's probe
+    // subdivides the stored deep signatures
+    val rnd = new scala.util.Random(42)
+    val flood = (1L to 300L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f).toSeq))
+    val probes = (1L to 10L).map { i =>
+      val base = flood((i - 1).toInt * 20)._2
+      (1000L + i, base.map(x => x * (1f + 1e-4f)))
+    }
+    def ingest(df: org.apache.spark.sql.DataFrame, b: Long): Unit =
+      VecDedupSync.applyVecs(df, ix, pr, "embedding", "vec_id", b,
+        threshold = 0.99, bits = 2, dim = 8, maxBucketSize = 8)
+    ingest(flood.toDF("vec_id", "embedding"), 0L)
+    ingest(probes.toDF("vec_id", "embedding"), 1L)
+    val got = VecDedupSync.readPairs(spark, pr).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = probes.map(p => (p._1 - 1000L - 1) * 20 + 1)
+      .zip(probes.map(_._1)).toSet
+    assert(expect.subsetOf(got),
+      s"streaming refinement lost planted pairs: ${expect -- got}")
+  }
+
   test("index bucket scheme EVOLVES online beneath live vector " +
     "batches; pair results unchanged; batch signing follows the " +
     "STORED depth when the caller's knob drifts") {
