@@ -1078,14 +1078,106 @@ object Dedup {
   def incrementalPairs(
       index: DataFrame, newIdx: DataFrame, threshold: Double,
       numHashes: Int = 128, bands: Int = 32,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val corpusBuckets = lshBuckets(
-      index.select(col("id"), col("sig")), bands, numHashes)
-    val newBuckets = lshBuckets(
-      newIdx.select(col("id"), col("sig")), bands, numHashes)
-    val cand = corpusBuckets
-      .join(broadcast(newBuckets.select(col("band"), col("bucket"),
-        col("id").as("new_id"))), Seq("band", "bucket"))
+      maxBucketSize: Int = 1000,
+      refineExtra: Int = Int.MaxValue): DataFrame = {
+    // ONLINE PER-BUCKET REFINEMENT on the cross probe — the text twin
+    // of the vector index's deep-signature subdivision, with the same
+    // motivation: a corpus band bucket that grows past maxBucketSize
+    // (a boilerplate/template family) must neither expand the
+    // BROADCAST candidate list without bound (the pre-round-11 state:
+    // the cross probe had NO cap at all) nor be silently dropped
+    // (zero recall for everything in it). The refinement headroom was
+    // always stored: a band consumes r of the numHashes signature
+    // coordinates, so an overfull bucket subdivides by appending
+    // coordinates from the OTHER bands (cyclically, starting after
+    // its own slice) — each appended minhash coordinate agrees for a
+    // J-similar pair with probability ~J, so near-dup recall inside
+    // the refined bucket degrades gently while diverse overflow
+    // shatters. Depth grows with the exact integer log2 of the
+    // overflow ratio, capped at refineExtra (0 disables refinement
+    // and leaves the pure cap — the old drop semantics plus the
+    // missing bound). Unlike the vector side's parameter-bounded base
+    // buckets, band buckets are data-bounded, so the refinement map
+    // stays a DataFrame and JOINS (Spark broadcasts it when small)
+    // instead of collecting to the driver.
+    val r = numHashes / bands
+    val maxExtra = math.max(0, math.min(refineExtra, numHashes - r))
+    // ITERATIVE, extendible-hashing style: unlike the vector side's
+    // ~iid sign bits, appended minhash coordinates CORRELATE with the
+    // very boilerplate that crowds a bucket (each appended coordinate
+    // shrinks the bucket by the family's similarity, not by half), so
+    // a single log2-sized append can leave children overfull. Each
+    // round recomputes occupancy over the keys-so-far and refines the
+    // still-overfull buckets further; the per-round maps are SMALL
+    // (they hold only overfull buckets) and are materialized, which
+    // also gives the common case an early exit — nothing overfull
+    // after round 1's aggregate means zero extra passes. Keys chain
+    // (child key = hash(parent key, appended slice)), so an untouched
+    // bucket's occupancy never changes and maps stay consistent
+    // across rounds for both sides.
+    val ratio = expr(s"(bsize + ${maxBucketSize - 1}) div $maxBucketSize")
+    val ladder = (1 to 12).foldLeft(when(ratio <= 1, 0)) {
+      case (acc, e) => acc.when(ratio <= (1L << e), e)
+    }.otherwise(12)
+    // (id, [sig,] band, bkey, used) after applying the refinement
+    // maps in order; the sig-carrying form exists only inside the
+    // scan stage (the maps broadcast) — never shuffled
+    def keysWith(d: DataFrame, maps: Seq[DataFrame]): DataFrame = {
+      val rotLen = lit(numHashes) - (col("band") * r + r)
+      val rot = concat(
+        slice(col("sig"), col("band") * r + r + 1, rotLen),
+        slice(col("sig"), lit(1), col("band") * r))
+      var cur = d
+        .select(col("id"), col("sig"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
+        .select(col("id"), col("sig"), col("pos").as("band"),
+          col("col").as("bkey"), lit(0).as("used"))
+      maps.foreach { m =>
+        val d2 = least(col("depth"), lit(maxExtra) - col("used"))
+        // no forced broadcast: the map is data-bounded (overfull
+        // buckets only) — checkpointing gave it accurate stats, so
+        // Spark broadcasts it exactly when it is actually small
+        cur = cur
+          .join(m, Seq("band", "bkey"), "left")
+          .select(col("id"), col("sig"), col("band"),
+            when(col("depth").isNotNull && d2 > 0,
+              xxhash64(col("bkey"), slice(rot, col("used") + 1, d2)))
+              .otherwise(col("bkey")).as("bkey"),
+            when(col("depth").isNotNull && d2 > 0, col("used") + d2)
+              .otherwise(col("used")).as("used"))
+      }
+      cur.select(col("id"), col("band"), col("bkey"))
+    }
+    val maps = scala.collection.mutable.Buffer.empty[DataFrame]
+    val maxRounds = if (maxExtra == 0) 0 else 3
+    var exhausted = false
+    for (_ <- 1 to maxRounds if !exhausted) {
+      val over = keysWith(index.select(col("id"), col("sig")),
+        maps.toSeq)
+        .groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("bsize"))
+        .filter(col("bsize") > maxBucketSize)
+        .select(col("band"), col("bkey"), ladder.as("depth"))
+        .localCheckpoint() // small: overfull buckets only
+      if (over.isEmpty) exhausted = true else maps += over
+    }
+    val corpusKeys = keysWith(index.select(col("id"), col("sig")),
+      maps.toSeq)
+    // the cap survives at the FINAL refined level: a >cap family
+    // identical on every appendable coordinate (a true near-identical
+    // flood) is inherently quadratic and stays bounded-dropped; its
+    // exact dups still pair through the fingerprint leg below
+    val okRefined = corpusKeys.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") <= maxBucketSize)
+      .select("band", "bkey")
+    val cand = corpusKeys
+      .join(okRefined, Seq("band", "bkey"), "left_semi")
+      .join(broadcast(keysWith(newIdx.select(col("id"), col("sig")),
+        maps.toSeq)
+        .select(col("band"), col("bkey"), col("id").as("new_id"))),
+        Seq("band", "bkey"))
       .filter(col("id") =!= col("new_id")) // re-submitted identical ids
       .select(col("id").as("id_a"), col("new_id").as("id_b"))
       .distinct()
