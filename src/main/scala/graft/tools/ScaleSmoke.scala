@@ -348,6 +348,34 @@ object ScaleSmoke {
         .filter(col("diff") >= 1050).count()
     }
     index.unpersist()
+    // TEXT band-bucket refinement ladder (the text twin of
+    // vecrefine): every doc gains a shared 60-token boilerplate
+    // prefix, so the bands whose minhash coordinates all come from
+    // the boilerplate crowd the same buckets corpus-wide — the
+    // template-family regime. A fixed 10-probe batch of
+    // boilerplate-dominated docs must stay feasible (the old code's
+    // unbounded broadcast candidates would grow with k; cap-only
+    // would find nothing): wall-clock rides the index-scan slope
+    // while output stays k-invariant.
+    locally {
+      val sp = spark
+      import sp.implicits._
+      val boiler = (1 to 60).map(i => s"tplt$i").mkString(" ")
+      val btexts = big.select(col("doc_id"),
+        concat(lit(boiler + " "), col("text")).as("text"))
+      val tIdx = Dedup.dedupIndex(btexts, "text", "doc_id",
+        numHashes = 24).persist()
+      timed("textrefine_index") { tIdx.count() }
+      val probeIdx = Dedup.dedupIndex(
+        (1 to 10).map(i => (930000000L + i.toLong,
+          s"$boiler probetail$i")).toDF("doc_id", "text"),
+        "text", "doc_id", numHashes = 24).localCheckpoint()
+      timed("textrefine_probe") {
+        Dedup.incrementalPairs(tIdx, probeIdx, threshold = 0.8,
+          numHashes = 24, bands = 8, maxBucketSize = 100).count()
+      }
+      tIdx.unpersist()
+    }
     big.unpersist()
 
     val ebase = Engine.Tables(spark, sfDir).embeddings
