@@ -2313,7 +2313,63 @@ object DedupQueries {
         "(cap 50): candidates run entirely through per-bucket " +
         "deep-signature refinement — occupancy-derived depths, masked " +
         "stored-prefix keys, refined-level cap — all replayed in SQL " +
-        "from a regenerated 16-plane tensor (hash-checked)."))
+        "from a regenerated 16-plane tensor (hash-checked)."),
+
+    // ------------------------------------------------------------------
+    "d22_text_refined_dups" -> QueryDef(
+      fn = { (s, dir) =>
+        // TEXT band-bucket refinement under the DRIVER gate (the d21
+        // treatment, text side): every doc gains a shared 40-token
+        // boilerplate prefix, so the bands whose minhash coordinates
+        // all come from the boilerplate crowd the same buckets far
+        // past cap = 10 — the template-family regime — and the cross
+        // probe runs through ITERATIVE appended-coordinate refinement
+        // (Dedup.incrementalPairs). The oracle replays the whole
+        // pipeline via the md5-portable family: signatures, band
+        // slices, per-round occupancy + the exact integer depth
+        // ladder, appended-slice keys (chained-hash equality ==
+        // concatenated-slice equality), the refined-level cap, exact
+        // Jaccard, the fingerprint leg, and the within-batch
+        // composite at the same cap.
+        val boiler = (1 to 40).map(i => s"tmpl$i").mkString(" ")
+        val d = T(s, dir).documents.select(col("doc_id"),
+          concat(lit(boiler + " "), col("text")).as("text"))
+        val index = Dedup.dedupIndex(
+          d.filter(col("doc_id") % 5 =!= 0), "text", "doc_id",
+          numHashes = 24, hasher = Dedup.MinHashFamily.Md5)
+          .localCheckpoint()
+        val newIdx = Dedup.dedupIndex(
+          d.filter(col("doc_id") % 5 === 0), "text", "doc_id",
+          numHashes = 24, hasher = Dedup.MinHashFamily.Md5)
+          .localCheckpoint()
+        Dedup.incrementalPairs(index, newIdx, threshold = 0.6,
+          numHashes = 24, bands = 8, maxBucketSize = 10)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+      },
+      oracle = Some(s"""
+        WITH pre AS (
+          SELECT doc_id AS did,
+                 '${(1 to 40).map(i => s"tmpl$i").mkString(" ")} ' || text
+                   AS text
+          FROM documents),
+        corpus AS (SELECT did, text FROM pre WHERE did % 5 <> 0),
+        batch AS (SELECT did, text FROM pre WHERE did % 5 = 0),
+        ${OracleSql.incrementalRefinedCrossCtes("x", "corpus", "batch",
+          numHashes = 24, bands = 8, threshold = 0.6,
+          maxBucketSize = 10)},
+        ${OracleSql.nearDupPairsCtes("w", "batch",
+          numHashes = 24, bands = 8, threshold = 0.6,
+          maxBucketSize = 10)}
+        SELECT id_a, id_b, round(max(jaccard), 4) AS jaccard
+        FROM (SELECT * FROM x_cross UNION ALL SELECT * FROM w_out)
+        GROUP BY id_a, id_b"""),
+      doc = "Incremental text dedup through a corpus-wide boilerplate " +
+        "flood (every band bucket overfull at cap 10): the cross " +
+        "probe's iterative appended-coordinate refinement replayed " +
+        "end-to-end in SQL — per-round occupancy, integer depth " +
+        "ladder, concatenated-slice keys, refined-level cap " +
+        "(hash-checked; md5-portable family)."))
 
   /** One cached d20 store dir per sfDir, wiped at entry (TableSync
     * no-ops on already-applied batch ids) and removed at JVM exit —

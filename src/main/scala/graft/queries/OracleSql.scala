@@ -183,6 +183,109 @@ private[queries] object OracleSql {
         ${p}_cross AS (
           SELECT * FROM ${p}_ver UNION ALL SELECT * FROM ${p}_fp)"""
 
+  /** [[incrementalCrossCtes]] with the round-11 PER-BUCKET
+    * REFINEMENT replayed: overfull corpus band buckets subdivide by
+    * appended signature coordinates, iteratively, exactly as
+    * `Dedup.incrementalPairs` computes them. The engine's chained
+    * xxhash64 keys replay as concatenated SLICE LISTS — key equality
+    * is slice-tuple equality (the same injective-enough compaction
+    * argument as the base band key: the band slice is always `r`
+    * values and the appended prefix length is uniform within a
+    * bucket chain, so the concatenation is unambiguous). The
+    * adaptive rounds unroll as `rounds` fixed CTE rounds — a round
+    * with nothing overfull is an identity on both sides, which is
+    * also precisely the engine's early exit. Emits `${p}_cross`.
+    */
+  def incrementalRefinedCrossCtes(
+      p: String, indexRel: String, batchRel: String,
+      numHashes: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int, rounds: Int = 3): String = {
+    val r = numHashes / bands
+    val maxExtra = numHashes - r
+    // exact integer depth ladder — the engine's when-chain verbatim
+    val ladder = (1 to 12).map(e =>
+      s"WHEN ((cnt + ${maxBucketSize - 1}) // $maxBucketSize) <= ${1L << e} THEN $e")
+      .mkString(
+        s"CASE WHEN ((cnt + ${maxBucketSize - 1}) // $maxBucketSize) <= 1 THEN 0 ",
+        " ", " ELSE 12 END")
+    // rotated coordinate sequence after band b, cyclic (qualified —
+    // the per-round left join puts `band` on both sides)
+    val rot = s"""(list_slice(k.sig, k.band * $r + $r + 1, $numHashes) ||
+                   list_slice(k.sig, 1, k.band * $r))"""
+    val d2 = s"least(o.depth, $maxExtra - k.used)"
+    def step(prev: String, over: String): String =
+      s"""SELECT k.did, k.band,
+                 CASE WHEN o.depth IS NOT NULL AND $d2 > 0
+                   THEN k.bkey || list_slice($rot, k.used + 1,
+                     k.used + $d2)
+                   ELSE k.bkey END AS bkey,
+                 CASE WHEN o.depth IS NOT NULL AND $d2 > 0
+                   THEN k.used + $d2
+                   ELSE k.used END AS used,
+                 k.sig
+          FROM $prev k
+          LEFT JOIN $over o
+            ON o.band = k.band AND o.bkey = k.bkey"""
+    def roundCtes(i: Int): String = {
+      val (prevK, prevN) = (s"${p}_k${i - 1}", s"${p}_n${i - 1}")
+      s"""${p}_ov$i AS (
+            SELECT band, bkey, $ladder AS depth
+            FROM (SELECT band, bkey, count(*) AS cnt
+                  FROM $prevK GROUP BY band, bkey)
+            WHERE cnt > $maxBucketSize),
+          ${p}_k$i AS (${step(prevK, s"${p}_ov$i")}),
+          ${p}_n$i AS (${step(prevN, s"${p}_ov$i")})"""
+    }
+    s"""${p}_ix AS (
+          SELECT did, $fpExpr AS fp, $hvExpr AS hv
+          FROM (SELECT did, text, $tsExpr AS ts FROM $indexRel)),
+        ${p}_ixsig AS (
+          SELECT did, ${sigExpr(numHashes)} AS sig
+          FROM ${p}_ix WHERE len(hv) > 0),
+        ${p}_b AS (
+          SELECT did, $fpExpr AS fp, $hvExpr AS hv
+          FROM (SELECT did, text, $tsExpr AS ts FROM $batchRel)),
+        ${p}_bsig AS (
+          SELECT did, ${sigExpr(numHashes)} AS sig
+          FROM ${p}_b WHERE len(hv) > 0),
+        ${p}_k0 AS (
+          SELECT did, b.b AS band,
+                 list_slice(sig, b.b * $r + 1, b.b * $r + $r) AS bkey,
+                 0 AS used, sig
+          FROM ${p}_ixsig, (SELECT unnest(range(0, $bands)) AS b) b),
+        ${p}_n0 AS (
+          SELECT did, b.b AS band,
+                 list_slice(sig, b.b * $r + 1, b.b * $r + $r) AS bkey,
+                 0 AS used, sig
+          FROM ${p}_bsig, (SELECT unnest(range(0, $bands)) AS b) b),
+        ${(1 to rounds).map(roundCtes).mkString(",\n        ")},
+        ${p}_okr AS (
+          SELECT band, bkey FROM ${p}_k$rounds
+          GROUP BY band, bkey HAVING count(*) <= $maxBucketSize),
+        ${p}_cand AS (
+          SELECT i.did AS id_a, n.did AS id_b
+          FROM ${p}_k$rounds i
+            JOIN ${p}_okr USING (band, bkey)
+            JOIN ${p}_n$rounds n
+              ON n.band = i.band AND n.bkey = i.bkey AND i.did <> n.did
+          GROUP BY 1, 2),
+        ${p}_ver AS (
+          SELECT id_a, id_b, jaccard FROM (
+            SELECT c.id_a, c.id_b,
+                   ${jaccardExpr("a.hv", "b.hv")} AS jaccard
+            FROM ${p}_cand c
+              JOIN ${p}_ix a ON a.did = c.id_a
+              JOIN ${p}_b b ON b.did = c.id_b)
+          WHERE jaccard >= $threshold),
+        ${p}_fp AS (
+          SELECT a.did AS id_a, b.did AS id_b,
+                 CAST(1.0 AS DOUBLE) AS jaccard
+          FROM ${p}_ix a JOIN ${p}_b b ON a.fp = b.fp
+          WHERE a.did <> b.did),
+        ${p}_cross AS (
+          SELECT * FROM ${p}_ver UNION ALL SELECT * FROM ${p}_fp)"""
+  }
+
   /** Recursive-CTE replay of Bpe.tokenize — the greedy-by-rank BPE
     * apply — with a FROZEN merge list inlined as literals (oracleGen
     * supplies the corpus-trained merges at Verify-dump time, the
