@@ -2369,22 +2369,90 @@ object DedupQueries {
         "probe's iterative appended-coordinate refinement replayed " +
         "end-to-end in SQL — per-round occupancy, integer depth " +
         "ladder, concatenated-slice keys, refined-level cap " +
-        "(hash-checked; md5-portable family)."))
+        "(hash-checked; md5-portable family)."),
 
-  /** One cached d20 store dir per sfDir, wiped at entry (TableSync
+    // ------------------------------------------------------------------
+    "d23_text_dedup_sync" -> QueryDef(
+      fn = { (s, dir) =>
+        // DedupSync (the TEXT streaming sink) under the DRIVER gate —
+        // d20's treatment, text side: three id-striped batches stream
+        // through the pairs-first/index-second two-store commit with
+        // the TableSync index bootstrapped undersized and the split
+        // trigger forcing max splits every batch; the accumulated
+        // pairs view must equal the composed incremental semantics.
+        // The oracle replays the composition faithfully rather than
+        // assuming one-shot equivalence (fp-equal docs may differ in
+        // RAW text, so expansions and per-doc probes can legitimately
+        // diverge from the canonicalized one-shot on adversarial
+        // corpora): batch 0 within-pairs, then each later batch's
+        // REFINED cross probe against the union of earlier batches
+        // plus its own within-pairs, canonicalized and max-merged —
+        // exactly applyDocs' write path.
+        val path = cachedTmpDir("tsync-d23", dir)
+        val d = T(s, dir).documents.select(col("doc_id"), col("text"))
+        (0L to 2L).foreach { b =>
+          graft.streaming.DedupSync.applyDocs(
+            d.filter(pmod(col("doc_id"), lit(3)) === b),
+            s"$path/ix", s"$path/pr", "text", "doc_id", b,
+            threshold = 0.5, numHashes = 24, bands = 8,
+            hasher = Dedup.MinHashFamily.Md5,
+            numBuckets = 8, maxBucketBytes = 1L, splitsPerBatch = 4)
+        }
+        graft.streaming.DedupSync.readPairs(s, s"$path/pr")
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+      },
+      oracle = Some(s"""
+        WITH b0 AS (SELECT doc_id AS did, text FROM documents
+                    WHERE doc_id % 3 = 0),
+        b1 AS (SELECT doc_id AS did, text FROM documents
+               WHERE doc_id % 3 = 1),
+        b2 AS (SELECT doc_id AS did, text FROM documents
+               WHERE doc_id % 3 = 2),
+        b01 AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+        ${OracleSql.incrementalRefinedCrossCtes("x1", "b0", "b1",
+          numHashes = 24, bands = 8, threshold = 0.5,
+          maxBucketSize = 1000)},
+        ${OracleSql.incrementalRefinedCrossCtes("x2", "b01", "b2",
+          numHashes = 24, bands = 8, threshold = 0.5,
+          maxBucketSize = 1000)},
+        ${OracleSql.nearDupPairsCtes("w0", "b0",
+          numHashes = 24, bands = 8, threshold = 0.5,
+          maxBucketSize = 1000)},
+        ${OracleSql.nearDupPairsCtes("w1", "b1",
+          numHashes = 24, bands = 8, threshold = 0.5,
+          maxBucketSize = 1000)},
+        ${OracleSql.nearDupPairsCtes("w2", "b2",
+          numHashes = 24, bands = 8, threshold = 0.5,
+          maxBucketSize = 1000)}
+        SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+               round(max(jaccard), 4) AS jaccard
+        FROM (SELECT * FROM x1_cross UNION ALL SELECT * FROM x2_cross
+              UNION ALL SELECT * FROM w0_out
+              UNION ALL SELECT * FROM w1_out
+              UNION ALL SELECT * FROM w2_out)
+        GROUP BY 1, 2"""),
+      doc = "Streaming text dedup (DedupSync) under the gate: 3 " +
+        "batches through the two-store commit with storage splits " +
+        "forced every batch — accumulated pairs equal the composed " +
+        "incremental replay (refined cross probes + per-batch " +
+        "within-pairs, canonicalized, max-merged; md5-portable " +
+        "family, hash-checked)."))
+
+  /** One cached store dir per (tag, sfDir), wiped at entry (TableSync
     * no-ops on already-applied batch ids) and removed at JVM exit —
     * the c36Dir discipline; repeated bench runs must not leak stores.
     */
-  private val d20Dirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val tmpDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete(); ()
   }
-  private def d20Dir(dir: String): String = {
-    val path = d20Dirs.getOrElseUpdate(dir, {
+  private def cachedTmpDir(tag: String, dir: String): String = {
+    val path = tmpDirs.getOrElseUpdate((tag, dir), {
       val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-vsync-d20-${Integer.toHexString(dir.hashCode)}")
+        s"graft-$tag-${Integer.toHexString(dir.hashCode)}")
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => rmTree(f)))
       f.toString
@@ -2393,4 +2461,5 @@ object DedupQueries {
     rmTree(f); f.mkdirs()
     path
   }
+  private def d20Dir(dir: String): String = cachedTmpDir("vsync-d20", dir)
 }
