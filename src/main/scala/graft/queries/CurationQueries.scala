@@ -28,16 +28,16 @@ object CurationQueries {
     * discipline; without it every execution (including bench
     * re-measure passes) leaked a fresh orders-scale table on disk.
     */
-  private val c36Dirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val tmpDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete(); ()
   }
-  private def c36Dir(dir: String): String = {
-    val path = c36Dirs.getOrElseUpdate(dir, {
+  private def cachedTmpDir(tag: String, dir: String): String = {
+    val path = tmpDirs.getOrElseUpdate((tag, dir), {
       val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-evo-cdc-${Integer.toHexString(dir.hashCode)}")
+        s"graft-$tag-${Integer.toHexString(dir.hashCode)}")
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => rmTree(f)))
       f.toString
@@ -46,6 +46,7 @@ object CurationQueries {
     rmTree(f); f.mkdirs()
     path
   }
+  private def c36Dir(dir: String): String = cachedTmpDir("evo-cdc", dir)
 
   /** DuckDB mirror of TextFunctions.qualityScore (same shape as the
     * t03 oracle), as a CTE body computing (doc_id, text, quality).
@@ -1112,6 +1113,55 @@ object CurationQueries {
         "bounded reverse merges beneath two more, and the final " +
         "snapshot still equals the relational latest-per-key replay " +
         "(hash-checked)."),
+
+    // ------------------------------------------------------------------
+    "c37_evolving_agg" -> QueryDef(
+      fn = { (s, dir) =>
+        // The NON-idempotent maintained aggregate (AggSync count/sum
+        // fold) across bucket evolution in BOTH directions, under the
+        // DRIVER gate: four version-striped order batches fold into a
+        // TableSync-backed rollup bootstrapped at 4 buckets with the
+        // split trigger forcing maximum splits every batch
+        // ((4,0)->(8,0)->(8,4)->(16,0)), then two singleton batches
+        // with a huge-but-finite threshold contract the scheme by
+        // bounded reverse merges. c36 proved evolution is invisible
+        // to IDEMPOTENT merge semantics; this proves it for the fold
+        // where a lost or doubled state row is a wrong sum — the
+        // final view must equal a from-scratch aggregate exactly
+        // (decimal accumulation; double only at the output).
+        val path = cachedTmpDir("evo-agg", dir)
+        val ord = T(s, dir).orders
+          .select(col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderkey"))
+        (0L to 3L).foreach { b =>
+          graft.streaming.AggSync.applyDelta(
+            ord.filter(pmod(col("o_orderkey"), lit(4)) === b),
+            path, "o_orderstatus", "o_totalprice", b,
+            numBuckets = 4, maxBucketBytes = 1L, splitsPerBatch = 4)
+        }
+        (4L to 5L).foreach { b =>
+          graft.streaming.AggSync.applyDelta(
+            s.range(1).select(lit(s"Z$b").as("o_orderstatus"),
+              lit(b * 10.0).as("o_totalprice")),
+            path, "o_orderstatus", "o_totalprice", b,
+            numBuckets = 4, maxBucketBytes = Long.MaxValue / 4,
+            splitsPerBatch = 4)
+        }
+        graft.streaming.AggSync.readView(s, path)
+          .select(col("o_orderstatus"), col("n"),
+            col("tot").cast("double").as("total"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL SELECT 'Z4', CAST(1 AS BIGINT), 40.0
+        UNION ALL SELECT 'Z5', CAST(1 AS BIGINT), 50.0"""),
+      doc = "Maintained count/sum rollup (the NON-idempotent fold) " +
+        "across online bucket splits AND reverse merges: six batches " +
+        "while the scheme widens (4,0)->(16,0) then contracts, final " +
+        "view equals a from-scratch aggregate (hash-checked)."),
 
     // ------------------------------------------------------------------
     "c25_corpus_shuffle" -> QueryDef(
