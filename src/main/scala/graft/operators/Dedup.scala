@@ -1151,29 +1151,47 @@ object Dedup {
     }
     val maps = scala.collection.mutable.Buffer.empty[DataFrame]
     val maxRounds = if (maxExtra == 0) 0 else 3
-    var exhausted = false
+    // the keys-so-far derivation is shared between each round's
+    // occupancy check and the final corpusKeys: the common
+    // nothing-overfull case derives the corpus band keys ONCE for the
+    // round-1 aggregate and reuses the same (lazy) frame as
+    // corpusKeys — not three independent derivations per probe
+    var corpusKeys = keysWith(index.select(col("id"), col("sig")),
+      Seq.empty)
+    var exhausted = maxRounds == 0
     for (_ <- 1 to maxRounds if !exhausted) {
-      val over = keysWith(index.select(col("id"), col("sig")),
-        maps.toSeq)
+      val over = corpusKeys
         .groupBy(col("band"), col("bkey"))
         .agg(count(lit(1)).as("bsize"))
         .filter(col("bsize") > maxBucketSize)
         .select(col("band"), col("bkey"), ladder.as("depth"))
         .localCheckpoint() // small: overfull buckets only
-      if (over.isEmpty) exhausted = true else maps += over
+      if (over.isEmpty) exhausted = true
+      else {
+        maps += over
+        corpusKeys = keysWith(index.select(col("id"), col("sig")),
+          maps.toSeq)
+      }
     }
-    val corpusKeys = keysWith(index.select(col("id"), col("sig")),
-      maps.toSeq)
     // the cap survives at the FINAL refined level: a >cap family
     // identical on every appendable coordinate (a true near-identical
     // flood) is inherently quadratic and stays bounded-dropped; its
-    // exact dups still pair through the fingerprint leg below
-    val okRefined = corpusKeys.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") <= maxBucketSize)
-      .select("band", "bkey")
-    val cand = corpusKeys
-      .join(okRefined, Seq("band", "bkey"), "left_semi")
+    // exact dups still pair through the fingerprint leg below. When
+    // no round produced a map, round 1's aggregate already proved
+    // every bucket within cap — skip the semi-join entirely (the
+    // vector path's discipline). Pure-cap mode (maxExtra == 0) runs
+    // no rounds, so nothing is proven there and the cap semi-join
+    // stays.
+    val cand0 =
+      if (maps.isEmpty && maxRounds > 0) corpusKeys
+      else {
+        val okRefined = corpusKeys.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("bsize"))
+          .filter(col("bsize") <= maxBucketSize)
+          .select("band", "bkey")
+        corpusKeys.join(okRefined, Seq("band", "bkey"), "left_semi")
+      }
+    val cand = cand0
       .join(broadcast(keysWith(newIdx.select(col("id"), col("sig")),
         maps.toSeq)
         .select(col("band"), col("bkey"), col("id").as("new_id"))),

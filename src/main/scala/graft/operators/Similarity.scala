@@ -182,13 +182,38 @@ object Similarity {
     * transform — it CHANGES cosine ordering; correctness first.
     * Returns (qid, id, cosine, rank) like the other top-k paths.
     */
+  /** The global int8 quantization scale: corpus max |component|. A
+    * scalar agg, guarded against the empty-corpus case (agg of zero
+    * rows yields one NULL row — `head.getDouble` would NPE at
+    * plan-BUILD time with a message naming nothing).
+    */
+  private def corpusAbsMax(corpus: DataFrame, vecCol: String): Double = {
+    val r = corpus
+      .agg(max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))))
+      .head
+    require(!r.isNullAt(0), "corpus is empty — nothing to quantize")
+    val scale = r.getDouble(0)
+    require(scale > 0, "corpus has no nonzero vector component")
+    scale
+  }
+
+  /** Clamped int8 quantization. The clamp matters for QUERY vectors:
+    * the scale derives from the corpus, so a query component with
+    * |x| > corpus max would round past 127 — and Spark's non-ANSI
+    * tinyint cast silently WRAPS (+130 -> -126, corrupting candidate
+    * ranking) while an ANSI engine replaying the same SQL errors.
+    * Clamping to [-127, 127] on both engine and oracle sides keeps
+    * out-of-range queries merely saturated, never sign-flipped.
+    */
+  private def quantInt8(v: Column, scale: Double): Column =
+    transform(v, x =>
+      least(greatest(round(x.cast("double") / scale * 127),
+        lit(-127.0)), lit(127.0)).cast("tinyint").cast("float"))
+
   def quantizedTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, refine: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scale = corpus
-      .agg(max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))))
-      .head.getDouble(0)
-    require(scale > 0, "corpus has no nonzero vector component")
+    val scale = corpusAbsMax(corpus, vecCol)
     // int8 VALUES carried as float arrays: quantization error is the
     // tinyint rounding, but the in-flight representation feeds the
     // native cosine directly — a per-PAIR element cast here would
@@ -196,9 +221,7 @@ object Similarity {
     // scan). The 4x-smaller array<tinyint> form is the STORAGE layout
     // (what a quantized index column would persist); cast it once per
     // row on read, exactly as this projection does.
-    def quant(v: Column): Column =
-      transform(v, x =>
-        round(x.cast("double") / scale * 127).cast("tinyint").cast("float"))
+    def quant(v: Column): Column = quantInt8(v, scale)
     val cq = corpus.select(col(idCol).as("id"), quant(col(vecCol)).as("cvq"))
     val qq = queries.select(col(idCol).as("qid"), quant(col(vecCol)).as("qvq"))
     val wq = Window.partitionBy(col("qid"))
@@ -508,13 +531,8 @@ object Similarity {
       maxTrainRows: Long = 100000L): DataFrame = {
     val centroids =
       coarseCentroids(corpus, vecCol, idCol, nlist, seed, maxTrainRows)
-    val scale = corpus
-      .agg(max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))))
-      .head.getDouble(0)
-    require(scale > 0, "corpus has no nonzero vector component")
-    def quant(v: Column): Column =
-      transform(v, x =>
-        round(x.cast("double") / scale * 127).cast("tinyint").cast("float"))
+    val scale = corpusAbsMax(corpus, vecCol)
+    def quant(v: Column): Column = quantInt8(v, scale)
     val cells = corpus.select(col(idCol).as("id"),
       element_at(probeCells(
         VectorFunctions.asDouble(col(vecCol)), centroids, 1), 1).as("cell"),

@@ -36,8 +36,13 @@ object CurationQueries {
   }
   private def cachedTmpDir(tag: String, dir: String): String = {
     val path = tmpDirs.getOrElseUpdate((tag, dir), {
+      // the PID keeps the fixed-name leak fix per-process: two JVMs
+      // running the harness against the same sfDir (or a hashCode
+      // collision across dirs) must not rmTree each other's live
+      // TableSync state mid-query
       val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-$tag-${Integer.toHexString(dir.hashCode)}")
+        s"graft-$tag-${Integer.toHexString(dir.hashCode)}-" +
+          ProcessHandle.current().pid())
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => rmTree(f)))
       f.toString

@@ -692,7 +692,8 @@ object DedupQueries {
                     FROM embeddings),
         cq AS (SELECT e.vec_id AS id,
                       list_transform(CAST(e.embedding AS DOUBLE[]),
-                        x -> CAST(CAST(round(x / sc.s * 127)
+                        x -> CAST(CAST(least(greatest(
+                            round(x / sc.s * 127), -127), 127)
                           AS TINYINT) AS DOUBLE)) AS v
                FROM embeddings e, sc),
         qq AS (SELECT id AS qid, v AS qv FROM cq WHERE id % 50 = 0),
@@ -1573,7 +1574,8 @@ object DedupQueries {
                  AS s FROM v),
         cq AS (SELECT v.id,
                       list_transform(v.vec,
-                        x -> CAST(CAST(round(x / sc.s * 127)
+                        x -> CAST(CAST(least(greatest(
+                            round(x / sc.s * 127), -127), 127)
                           AS TINYINT) AS DOUBLE)) AS qv
                FROM v, sc),
         qq AS (SELECT id AS qid, qv FROM cq WHERE id % 50 = 0),

@@ -135,9 +135,12 @@ object TableSync {
       split: Int = 0, sizes: Map[Int, Long] = Map.empty,
       hashHex: Int = 4) {
     def serialize: String =
+      // an UNKNOWN size (bucket last written by a pre-sizes manifest)
+      // round-trips as `?`, never as 0 — the contraction trigger must
+      // be able to tell "empty" from "never measured"
       (s"$name $numBuckets $split $hashHex" +:
         entries.toSeq.sortBy(_._1).map { case (b, s) =>
-          s"$b\t$s\t${sizes.getOrElse(b, 0L)}" })
+          s"$b\t$s\t${sizes.get(b).map(_.toString).getOrElse("?")}" })
         .mkString("\n")
   }
 
@@ -148,7 +151,8 @@ object TableSync {
     Manifest(head(0), head(1).toInt,
       rows.map(a => a(0).toInt -> a(1)).toMap,
       if (head.length > 2) head(2).toInt else 0,
-      rows.filter(_.length > 2).map(a => a(0).toInt -> a(2).toLong).toMap,
+      rows.filter(a => a.length > 2 && a(2) != "?")
+        .map(a => a(0).toInt -> a(2).toLong).toMap,
       if (head.length > 3) head(3).toInt else 4)
   }
 
@@ -285,12 +289,18 @@ object TableSync {
     // identity the split path uses in the other direction. The 2x
     // hysteresis makes split/merge flapping impossible: after
     // merging, effective stays >= 2 x wanted > wanted, so the split
-    // trigger cannot fire on the next batch. Only runs when a
-    // previous manifest RECORDS sizes (bootstrap and disarmed tables
-    // never contract), and merges are bounded per batch exactly like
-    // splits — O(splitsPerBatch) buckets read + folded.
+    // trigger cannot fire on the next batch. Only runs when the
+    // previous manifest RECORDS a size for EVERY entry (bootstrap,
+    // disarmed, legacy pre-sizes, and partially-filled-in tables
+    // never contract — an unknown-size bucket reads 0, so a total
+    // over partial sizes would fold a populated table into
+    // oversized buckets and then churn as real sizes fill back in),
+    // and merges are bounded per batch exactly like splits —
+    // O(splitsPerBatch) buckets read + folded.
+    val sizesCoverEntries = prev.exists(m =>
+      m.entries.keySet.subsetOf(m.sizes.keySet))
     val (nbF, sF, mergedPairs) =
-      if (k > 0 || wantB < 0 || prev.isEmpty)
+      if (k > 0 || wantB < 0 || prev.isEmpty || !sizesCoverEntries)
         (nb, s0 + k, List.empty[(Int, Int)])
       else {
         var cnb = nb

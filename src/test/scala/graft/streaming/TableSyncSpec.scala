@@ -612,6 +612,55 @@ class TableSyncSpec extends AnyFunSuite {
     assert(TableSync.bucketScheme(spark, p2) == ((16, 0)))
   }
 
+  test("contraction never fires on an unknown-size manifest: a " +
+    "legacy (pre-sizes) table reads total 0 but must NOT fold a " +
+    "populated table into oversized buckets") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-legacy-").toString
+    TableSync.applyBatch(
+      (1L to 200L).map(k => (k, 1L, s"a$k")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L, numBuckets = 16)
+    // rewrite the pointer's ENTRY rows to the legacy 2-field form (no
+    // sizes) — sizes parse as Map.empty -> total 0 -> wantB 1. The
+    // header keeps its real hashHex (a legacy header would also imply
+    // hash width 4 and remap every key; the contraction decision is
+    // what is under test, not a cross-width migration).
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val cur = new org.apache.hadoop.fs.Path(path, "_CURRENT")
+    val in = fs.open(cur)
+    val buf = new Array[Byte](fs.getFileStatus(cur).getLen.toInt)
+    try in.readFully(0, buf) finally in.close()
+    val lines = new String(buf, "UTF-8").linesIterator.toSeq
+    val legacy = (lines.head +:
+      lines.tail.map(_.split("\t").take(2).mkString("\t"))).mkString("\n")
+    val out = fs.create(cur, true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    // one ARMED append: before the guard this contracted (16,0)->(8,4)
+    TableSync.applyBatch(Seq((3L, 2L, "upd")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 1L,
+      maxBucketBytes = Long.MaxValue / 4, splitsPerBatch = 4)
+    assert(TableSync.bucketScheme(spark, path) == ((16, 0)),
+      "unknown-size manifest must not contract")
+    // PARTIAL sizes (one bucket rewritten, the rest still unknown —
+    // serialized as `?`, not 0) must not contract either; but once
+    // every bucket has a recorded size, contraction proceeds
+    TableSync.applyBatch(Seq((3L, 3L, "up2")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 2L,
+      maxBucketBytes = Long.MaxValue / 4, splitsPerBatch = 4)
+    assert(TableSync.bucketScheme(spark, path) == ((16, 0)),
+      "partially-known sizes must not contract")
+    TableSync.rebucket(spark, path, "k", 16) // full rewrite: all sized
+    TableSync.applyBatch(Seq((3L, 4L, "up3")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 3L,
+      maxBucketBytes = Long.MaxValue / 4, splitsPerBatch = 4)
+    assert(TableSync.bucketScheme(spark, path) == ((8, 4)),
+      "fully-sized tiny table should contract again")
+    val got = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 200 && got(3L) == "up3")
+  }
+
   test("rebucket(): one-shot re-base to a new count, atomic swap, " +
     "next batches adopt the new scheme") {
     import spark.implicits._
