@@ -1056,6 +1056,44 @@ object Dedup {
     * Returns (id_a = corpus id, id_b = batch id) pairs for the cross
     * part, (a < b) within the batch.
     */
+  /** The PROBE KEYS of a [[dedupIndex]] frame: one row per (doc,
+    * base band key) plus one per fingerprint — exactly the keys under
+    * which [[incrementalPairs]] can ever match a corpus doc against a
+    * batch doc (the LSH candidate legs all start from round-0 band
+    * keys — refinement only SUBDIVIDES a band bucket, so two docs in
+    * the same refined bucket share its base key; the fp leg joins on
+    * the fingerprint; docs too short to shingle have a null sig and
+    * only the fp row). This is the sidecar row set DedupSync appends
+    * per batch and the key set a pruned probe reads — a corpus index
+    * restricted to docs sharing >= 1 of a batch's probe keys yields
+    * BIT-IDENTICAL pairs to probing the full index (every bucket the
+    * probe touches keeps its complete membership, so refinement
+    * depths, caps, and verification see exactly what the full scan
+    * sees).
+    *
+    * Key encoding is one xxhash64 LONG per row: band keys fold the
+    * band ordinal with the band's signature slice hash; fingerprints
+    * fold a -1 sentinel with the fp. A (band, bkey) <-> (-1, fp)
+    * collision would only ever ADD a candidate, which verification
+    * drops — the engine's standing 64-bit-hash assumption.
+    */
+  def probeKeys(idx: DataFrame, numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    val r = numHashes / bands
+    // the EXACT round-0 key expression keysWith derives (the band
+    // ordinal is already folded into the hash as its first argument,
+    // so one long distinguishes bands; null-sig docs produce the same
+    // per-band constants here as there)
+    val bandKeys = idx
+      .select(col("id"), explode(transform(sequence(lit(0),
+        lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))))
+        .as("bk"))
+    val fpKeys = idx.select(col("id"),
+      xxhash64(lit(-1), col("fp")).as("bk"))
+    bandKeys.unionByName(fpKeys)
+  }
+
   def incrementalNearDups(
       index: DataFrame, newDocs: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 32,

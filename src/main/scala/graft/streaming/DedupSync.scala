@@ -15,12 +15,18 @@ import graft.operators.Dedup
   * the bucketed snapshot+manifest machinery (atomic commit pointer,
   * crash replay, time travel).
   *
-  * Per-batch cost: the index side is ONE streaming scan (bucket keys
-  * derive from STORED signatures — the corpus text is never re-read
-  * or re-hashed, and the index never shuffles; incrementalNearDups'
-  * contract) plus batch-proportional shuffles. An index scan per
-  * micro-batch is the honest floor for global dedup — a new doc can
-  * match anything ever ingested — and it is a scan, not a shuffle.
+  * Per-batch cost is BATCH-proportional, not index-proportional: a
+  * new doc can match anything ever ingested, but it can only match
+  * through a shared band key or fingerprint — so the probe resolves
+  * the batch's ~33 keys/doc through a [[KeyedLog]] sidecar (an
+  * LSM-style key-bucketed append log) to candidate ids and reads
+  * only THOSE index buckets ([[TableSync.readCurrentForKeys]], the
+  * AggSync discipline). The per-micro-batch full index scan this
+  * replaces was the one O(corpus) term left in the streaming path;
+  * pairs are bit-identical because every bucket the probe touches
+  * keeps its complete membership (see [[Dedup.probeKeys]]). The
+  * corpus text is never re-read or re-hashed, and the index never
+  * shuffles.
   *
   * Storage split, chosen by mutability: the INDEX needs keyed upsert
   * semantics (a re-ingested id replaces its row) and lives in
@@ -131,9 +137,14 @@ object DedupSync {
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, indexPath)
     if (applied.exists(_ >= batchId)) return // replayed after commit
+    val keysPath = sidecarPath(indexPath)
     // consumed by the pairs computation AND the index append
     val newIdx = Dedup.dedupIndex(batch, textCol, idCol, numHashes,
       shingleSize, hasher).localCheckpoint()
+    // the batch's probe keys feed the pruned read AND the sidecar
+    // append — derived once
+    val newKeys = Dedup.probeKeys(newIdx, numHashes, bands)
+      .localCheckpoint()
     val pairs =
       if (applied.isEmpty)
         // first batch: within-batch pairs only (nothing indexed yet)
@@ -141,12 +152,17 @@ object DedupSync {
           maxBucketSize)
       else
         Dedup.incrementalPairs(
-          TableSync.readCurrent(spark, indexPath).drop("ver"),
+          prunedProbeIndex(spark, indexPath, keysPath, newKeys,
+            numHashes, bands, applied.max),
           newIdx, threshold, numHashes, bands, maxBucketSize)
     // pairs FIRST (append-only, overwrite of this batch's own
-    // directory — idempotent under replay), index SECOND (the outer
-    // commit point checked at entry)
+    // directory — idempotent under replay), then the SIDECAR segment
+    // (also overwrite-idempotent; a sidecar ahead of the index commit
+    // is benign — its keys reference index rows that do not exist
+    // yet, and the pruned read's id semi-join drops them), index LAST
+    // (the outer commit point checked at entry)
     PairsStore.writeBatch(pairs, pairsPath, "jaccard", batchId)
+    KeyedLog.append(newKeys, keysPath, batchId)
     TableSync.applyBatch(newIdx.withColumn("ver", lit(batchId)),
       indexPath, "id", "ver", batchId, numBuckets, maxBucketBytes,
       splitsPerBatch)
@@ -154,8 +170,59 @@ object DedupSync {
     // store holds >= compactEvery generations, fold them. Runs on the
     // committed state only, so a crash mid-compaction never touches
     // this batch's exactly-once story (replay sees the id applied and
-    // no-ops; the stale staged dir is swept on the next fold).
+    // no-ops; the stale staged dir is swept on the next fold). The
+    // sidecar folds on its own tiered cadence.
     PairsStore.maybeCompact(spark, pairsPath, "jaccard", compactEvery)
+    KeyedLog.maybeCompact(spark, keysPath, "bk")
+  }
+
+  /** The key sidecar of a dedup index (a sibling directory, derived —
+    * callers never name it).
+    */
+  private[streaming] def sidecarPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "_keys"
+
+  /** The PRUNED corpus probe side: resolve the batch's probe keys
+    * through the [[KeyedLog]] sidecar to candidate ids, then read
+    * only the index buckets those ids live in — per-batch probe IO
+    * proportional to the BATCH (keys x sidecar bucket bytes +
+    * candidate index rows), never to the accumulated index. Yields
+    * bit-identical pairs to probing the full index (every band/fp
+    * bucket the probe touches keeps its complete membership — see
+    * [[Dedup.probeKeys]] — so refinement depths, caps, and
+    * verification are unchanged; extra same-storage-bucket rows are
+    * dropped by the id semi-join).
+    *
+    * An index that PREDATES the sidecar (no segments on disk)
+    * backfills it here from the committed snapshot — one O(index)
+    * migration pass writing a bucketed segment, deterministic under
+    * replay because it derives from committed state only.
+    */
+  private def prunedProbeIndex(spark: SparkSession, indexPath: String,
+      keysPath: String, newKeys: DataFrame, numHashes: Int,
+      bands: Int, lastApplied: Long): DataFrame = {
+    val probeK = newKeys.select(col("bk")).distinct()
+    val sidecar = KeyedLog.readForKeys(spark, keysPath, probeK, "bk")
+      .orElse {
+        KeyedLog.appendBucketed(
+          Dedup.probeKeys(
+            TableSync.readCurrent(spark, indexPath).drop("ver"),
+            numHashes, bands),
+          keysPath, "bk", lastApplied)
+        KeyedLog.readForKeys(spark, keysPath, probeK, "bk")
+      }
+    sidecar match {
+      case None => // empty committed index (e.g. an empty first batch)
+        TableSync.readCurrent(spark, indexPath).drop("ver")
+      case Some(sc) =>
+        val candIds = sc.join(probeK, Seq("bk"), "left_semi")
+          .select(col("id")).distinct()
+        TableSync.readCurrentForKeys(spark, indexPath, candIds, "id")
+          .join(candIds, Seq("id"), "left_semi")
+          .drop("ver")
+          .localCheckpoint() // candidate-sized; consumed by the
+                             // probe's several subtrees
+    }
   }
 
   /** The accumulated near-dup pairs view. Max-merged per pair: a

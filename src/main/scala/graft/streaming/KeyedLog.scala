@@ -1,0 +1,238 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tiered, key-bucketed APPEND log — the sidecar store that makes a
+  * streaming dedup probe read O(batch), not O(index).
+  *
+  * The problem it solves: the dedup indexes are TableSync tables
+  * keyed by doc id (they need keyed upsert), but a probe asks the
+  * INVERTED question — "which ids share this band key?" — and band
+  * keys scatter uniformly, so a batch of B docs touches ~33 B
+  * distinct keys. A keyed-UPSERT sidecar (TableSync) would rewrite
+  * essentially every bucket on every batch (upsert write cost =
+  * touched buckets x bucket bytes, and every batch touches all
+  * buckets); a flat parquet append would make the probe re-read all
+  * of history. The structure that serves scattered-key appends with
+  * key-pruned reads is the LSM tree — this is its minimal
+  * merge-on-read form on parquet, the same shape lakehouse streaming
+  * upserts take (delta files + compaction):
+  *
+  * {{{
+  *   path/
+  *     seg_<name>-L0/part-*.parquet        # one seg per batch, unpartitioned
+  *     seg_c<gen>-L<l>-nb<n>/__kb=<b>/...  # compacted: bucketed by md5(key) mod n
+  *     _compact_tmp_*                      # staged fold (invisible to readers)
+  * }}}
+  *
+  *  - APPEND (per micro-batch): write the batch's (key, ...) rows as
+  *    one L0 segment — O(batch) IO, overwrite-idempotent under
+  *    replay (the segment is named by the batch id).
+  *  - READ for a key set K: L0 segments are batch-sized and read
+  *    whole; each compacted segment reads ONLY the `__kb` buckets K
+  *    hashes to — so probe IO is |K| x bucket bytes x segments, with
+  *    segment count bounded by the compaction fanout x levels and
+  *    bucket bytes bounded by `targetBucketBytes` at fold time.
+  *    The result is a SUPERSET of the requested keys (a bucket holds
+  *    other keys; a re-ingested id's old rows are never deleted) —
+  *    callers key-filter, and stale rows are harmless by the dedup
+  *    contract (extra candidate ids verify against the CURRENT index
+  *    and drop out).
+  *  - COMPACT (tiered, on a cadence): when a level accumulates
+  *    `fanout` segments, fold them into ONE segment at the next
+  *    level, re-bucketed so each bucket is ~targetBucketBytes. Fold
+  *    IO is the size of the folded level only — never the whole log —
+  *    so amortized write cost is O(batch x levels) and levels grow
+  *    log-fanout with the log. Crash-safety is the PairsStore
+  *    discipline: stage under `_compact_tmp_`, rename in, delete
+  *    sources; a crash between rename and deletes leaves sources +
+  *    fold coexisting, which readers tolerate (duplicate rows are
+  *    collapsed by the caller's distinct) and re-compaction converges.
+  *
+  * At 100 TB: `targetBucketBytes` is the read-amplification knob — a
+  * probe key costs one bucket read per compacted segment, so smaller
+  * buckets mean tighter probes and more (bounded-size) files; size it
+  * a few MB so a 10k-key probe reads tens of GB against a multi-TB
+  * log instead of the log. Scans of a bucket are parquet-columnar
+  * (the id column alone when that is all the caller selects).
+  */
+object KeyedLog {
+
+  /** Compaction fanout: fold a level once it holds this many
+    * segments. Also the bound on segments per level between folds.
+    */
+  val DefaultFanout = 8
+
+  /** Target bucket size for compacted segments — the probe
+    * read-amplification knob (see class doc).
+    */
+  val DefaultTargetBucketBytes: Long = 8L << 20
+
+  private val KbCol = "__kb"
+  private val SegPrefix = "seg_"
+  private val SegName = """seg_(c?\d+)-L(\d+)(?:-nb(\d+))?""".r
+
+  private[streaming] case class Seg(name: String, level: Int, nb: Int) {
+    def dir: String = name
+  }
+
+  private def parseSeg(dirName: String): Option[Seg] = dirName match {
+    case SegName(_, l, nb) =>
+      Some(Seg(dirName, l.toInt, Option(nb).map(_.toInt).getOrElse(1)))
+    case _ => None
+  }
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def listSegs(spark: SparkSession, path: String): Seq[Seg] = {
+    val f = fs(spark, path)
+    if (!f.exists(new Path(path))) Seq.empty
+    else f.listStatus(new Path(path)).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => parseSeg(st.getPath.getName))
+  }
+
+  /** The same content-derived key hash TableSync buckets by (md5 hex
+    * prefix — engine- and partitioning-independent, so every segment
+    * and every probe agrees), reduced mod the segment's bucket count.
+    */
+  private def kbExpr(keyCol: String, nb: Int) =
+    coalesce(pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 8),
+      16, 10).cast("long"), lit(nb.toLong)).cast("int"), lit(0))
+
+  /** Append one batch's rows as an L0 segment — O(batch) IO,
+    * overwrite-idempotent (a replayed batch rewrites its own
+    * directory with identical content). Empty batches write nothing
+    * (readers tolerate a missing segment).
+    */
+  def append(df: DataFrame, path: String, segId: Long): Unit = {
+    if (df.isEmpty) return
+    df.write.mode("overwrite")
+      .parquet(s"$path/${SegPrefix}$segId-L0")
+  }
+
+  /** Write rows directly as a BUCKETED level-1 segment — the
+    * backfill/migration path (seeding a sidecar for an index that
+    * predates it): an index-sized row set must land key-pruned
+    * immediately, not as an L0 segment every probe re-reads whole
+    * until the fold cadence catches up. Bucket count derives from a
+    * driver count (rows x ~row bytes); sizing is approximate — folds
+    * re-derive it from real bytes.
+    */
+  def appendBucketed(df: DataFrame, path: String, keyCol: String,
+      segId: Long, approxRowBytes: Long = 24,
+      targetBucketBytes: Long = DefaultTargetBucketBytes): Unit = {
+    val rows = df.count()
+    if (rows == 0) return
+    val nb = math.max(1L, math.min(1L << 20,
+      rows * approxRowBytes / math.max(1L, targetBucketBytes) + 1)).toInt
+    df.withColumn(KbCol, kbExpr(keyCol, nb))
+      .write.mode("overwrite").partitionBy(KbCol)
+      .parquet(s"$path/${SegPrefix}$segId-L1-nb$nb")
+  }
+
+  /** All rows whose key MAY be in `keys` — L0 segments whole, each
+    * compacted segment pruned to the key set's `__kb` buckets. A
+    * SUPERSET by construction; callers key-filter. Returns None when
+    * the log does not exist or holds no segments (bootstrap).
+    */
+  def readForKeys(spark: SparkSession, path: String, keys: DataFrame,
+      keyCol: String): Option[DataFrame] = {
+    val segs = listSegs(spark, path)
+    if (segs.isEmpty) return None
+    // one driver-side kb set per distinct bucket count (compacted
+    // segments written at the same fold size share one computation);
+    // bounded by min(|keys|, nb) — the readCurrentForKeys discipline
+    val nbs = segs.filter(_.level > 0).map(_.nb).distinct
+    val kbSets: Map[Int, Set[Int]] = nbs.map { nb =>
+      nb -> keys.select(kbExpr(keyCol, nb).as(KbCol))
+        .distinct().collect().map(_.getInt(0)).toSet
+    }.toMap
+    val f = fs(spark, path)
+    val parts: Seq[String] = segs.flatMap { s =>
+      if (s.level == 0) Seq(s"$path/${s.dir}")
+      else kbSets(s.nb).toSeq.sorted
+        .map(b => s"$path/${s.dir}/$KbCol=$b")
+        .filter(p => f.exists(new Path(p)))
+    }
+    if (parts.isEmpty) None
+    else Some(parts.map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** The full merged view (maintenance/backfill reads). */
+  def readAll(spark: SparkSession, path: String): Option[DataFrame] = {
+    val segs = listSegs(spark, path)
+    if (segs.isEmpty) None
+    else Some(segs.map(s => spark.read.parquet(s"$path/${s.dir}")
+        .drop(KbCol))
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** Tiered fold: for each level holding >= fanout segments (lowest
+    * first — a fold can cascade), merge ALL its segments into one
+    * segment at the next level, bucketed by md5(key) so that buckets
+    * land near `targetBucketBytes`. IO is the folded level's bytes,
+    * never the log's.
+    */
+  def compact(spark: SparkSession, path: String, keyCol: String,
+      fanout: Int = DefaultFanout,
+      targetBucketBytes: Long = DefaultTargetBucketBytes): Unit = {
+    val f = fs(spark, path)
+    if (!f.exists(new Path(path))) return
+    // sweep staged dirs a crash before rename left behind
+    f.listStatus(new Path(path))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_compact_tmp_"))
+      .foreach(st => f.delete(st.getPath, true))
+    var done = false
+    while (!done) {
+      val segs = listSegs(spark, path)
+      val byLevel = segs.groupBy(_.level)
+      byLevel.keys.toSeq.sorted
+        .find(l => byLevel(l).size >= fanout) match {
+        case None => done = true
+        case Some(l) =>
+          val src = byLevel(l)
+          val bytes = src.map(s =>
+            f.getContentSummary(new Path(s"$path/${s.dir}")).getLength).sum
+          val nb = math.max(1L,
+            math.min(1L << 20, bytes / math.max(1L, targetBucketBytes) +
+              (if (bytes % math.max(1L, targetBucketBytes) != 0) 1L
+               else 0L))).toInt
+          val gen = segs.map(_.name)
+            .collect { case SegName(g, _, _) if g.startsWith("c") =>
+              g.drop(1).toLong }
+            .maxOption.getOrElse(0L) + 1
+          val name = s"${SegPrefix}c$gen-L${l + 1}-nb$nb"
+          val tmp = new Path(path, s"_compact_tmp_$name")
+          src.map(s => spark.read.parquet(s"$path/${s.dir}").drop(KbCol))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+            .withColumn(KbCol, kbExpr(keyCol, nb))
+            .write.mode("overwrite").partitionBy(KbCol)
+            .parquet(tmp.toString)
+          if (!f.rename(tmp, new Path(path, name)))
+            throw new IllegalStateException(
+              s"KeyedLog fold rename failed under $path ($name)")
+          src.foreach(s => f.delete(new Path(s"$path/${s.dir}"), true))
+      }
+    }
+  }
+
+  /** Per-batch cadence trigger: fold when any level reaches `fanout`
+    * segments. Counting directories is one listing; the fold itself
+    * runs only when owed. Call AFTER the outer commit (a crash mid-
+    * fold never touches the batch's exactly-once story).
+    */
+  def maybeCompact(spark: SparkSession, path: String, keyCol: String,
+      fanout: Int = DefaultFanout,
+      targetBucketBytes: Long = DefaultTargetBucketBytes): Unit = {
+    val segs = listSegs(spark, path)
+    if (segs.nonEmpty &&
+        segs.groupBy(_.level).values.exists(_.size >= fanout))
+      compact(spark, path, keyCol, fanout, targetBucketBytes)
+  }
+}

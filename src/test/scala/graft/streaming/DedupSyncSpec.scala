@@ -359,4 +359,61 @@ class DedupSyncSpec extends AnyFunSuite {
     DedupSync.compactPairs(spark, pr)
     assert(gens() == Seq("batch=c2"))
   }
+
+  test("sidecar BACKFILL: an index that predates the key sidecar " +
+    "(no segments on disk) rebuilds it from the committed snapshot " +
+    "and the pruned probe still equals one-shot") {
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ix = Files.createTempDirectory("dsync11-ix-").toString
+    val pr = Files.createTempDirectory("dsync11-pr-").toString
+    val b0 = corpus.filter(col("doc_id") % 3 === 0)
+    val b1 = corpus.filter(col("doc_id") % 3 === 1)
+    val b2 = corpus.filter(col("doc_id") % 3 === 2)
+    DedupSync.applyDocs(b0, ix, pr, "text", "doc_id", 0L, 0.3)
+    DedupSync.applyDocs(b1, ix, pr, "text", "doc_id", 1L, 0.3)
+    // simulate a pre-sidecar index: wipe the key log entirely
+    val keys = new org.apache.hadoop.fs.Path(
+      DedupSync.sidecarPath(ix))
+    assert(fs.exists(keys), "sidecar should exist after two batches")
+    fs.delete(keys, true)
+    DedupSync.applyDocs(b2, ix, pr, "text", "doc_id", 2L, 0.3)
+    // the probe backfilled the sidecar (as a bucketed L1 segment)
+    // before reading it, and batch 2's cross-boundary pairs —
+    // template A 8<-{1,4}, exact 5<-9, template B 2<-7 — all landed
+    val segs = fs.listStatus(keys).map(_.getPath.getName)
+      .filter(_.startsWith("seg_")).sorted.toSeq
+    assert(segs.exists(_.contains("-L1-nb")),
+      s"backfill must write a bucketed segment, got $segs")
+    val streamed = pairSet(DedupSync.readPairs(spark, pr))
+    val oneShot = pairSet(Dedup.nearDupPairs(
+      corpus, "text", "doc_id", threshold = 0.3))
+    assert(streamed == oneShot, s"stream $streamed\nvs batch $oneShot")
+  }
+
+  test("sidecar AHEAD of the index commit (crash between sidecar " +
+    "append and index swap) is benign: phantom candidate ids drop in " +
+    "the id semi-join and the replay converges") {
+    import spark.implicits._
+    val ix = Files.createTempDirectory("dsync12-ix-").toString
+    val pr = Files.createTempDirectory("dsync12-pr-").toString
+    val b0 = corpus.filter(col("doc_id") % 3 === 0)
+    val b1 = corpus.filter(col("doc_id") % 3 === 1)
+    DedupSync.applyDocs(b0, ix, pr, "text", "doc_id", 0L, 0.3)
+    // crash-between for batch 1: pairs + SIDECAR written, index not
+    val idx1 = graft.operators.Dedup.dedupIndex(b1, "text", "doc_id")
+    KeyedLog.append(graft.operators.Dedup.probeKeys(idx1),
+      DedupSync.sidecarPath(ix), 1L)
+    // the redelivered batch 1 probes a sidecar that already lists its
+    // own ids; the pruned index read must drop them (they are not in
+    // the committed index) and the outcome equals the clean run
+    DedupSync.applyDocs(b1, ix, pr, "text", "doc_id", 1L, 0.3)
+    val b2 = corpus.filter(col("doc_id") % 3 === 2)
+    DedupSync.applyDocs(b2, ix, pr, "text", "doc_id", 2L, 0.3)
+    val streamed = pairSet(DedupSync.readPairs(spark, pr))
+    val oneShot = pairSet(Dedup.nearDupPairs(
+      corpus, "text", "doc_id", threshold = 0.3))
+    assert(streamed == oneShot, s"stream $streamed\nvs batch $oneShot")
+    assert(DedupSync.readIndex(spark, ix).count() == 9)
+  }
 }

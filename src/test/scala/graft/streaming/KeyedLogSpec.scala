@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class KeyedLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("bk"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def keyDf(ks: Long*) = {
+    import spark.implicits._
+    ks.toDF("bk")
+  }
+
+  test("append + readForKeys: requested keys always present, result " +
+    "is a key-filterable superset, missing log reads None") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("klog-rw-").toString
+    assert(KeyedLog.readForKeys(spark, path, keyDf(1L), "bk").isEmpty)
+    KeyedLog.append(
+      Seq((10L, 100L), (20L, 200L), (30L, 300L)).toDF("bk", "id"),
+      path, segId = 0L)
+    KeyedLog.append(
+      Seq((10L, 101L), (40L, 400L)).toDF("bk", "id"),
+      path, segId = 1L)
+    val got = KeyedLog.readForKeys(spark, path, keyDf(10L, 40L), "bk").get
+    val exact = rows(got.join(keyDf(10L, 40L), Seq("bk"), "left_semi"))
+    assert(exact == Set((10L, 100L), (10L, 101L), (40L, 400L)))
+    // replayed append overwrites its own segment — no duplicate rows
+    KeyedLog.append(
+      Seq((10L, 101L), (40L, 400L)).toDF("bk", "id"),
+      path, segId = 1L)
+    val again = KeyedLog.readForKeys(spark, path, keyDf(10L), "bk").get
+      .filter(col("bk") === 10L).collect()
+    assert(again.length == 2)
+  }
+
+  test("tiered compaction: fanout L0 segments fold into one bucketed " +
+    "L1 segment, reads stay complete and PRUNED (a probe touches a " +
+    "strict subset of buckets); folds cascade across levels") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("klog-cp-").toString
+    val all = (0L until 64L).map(k => (k, k * 10))
+    all.grouped(8).zipWithIndex.foreach { case (g, i) =>
+      KeyedLog.append(g.toDF("bk", "id"), path, segId = i.toLong)
+    }
+    // 8 L0 segs at fanout 8 -> one fold pass moves them all to L1;
+    // force several buckets with a tiny target
+    KeyedLog.compact(spark, path, "bk", fanout = 8,
+      targetBucketBytes = 4096)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("seg_")).toSeq
+    assert(segs.size == 1 && segs.head.contains("-L1-nb"),
+      s"expected one L1 segment, got $segs")
+    val nb = segs.head.split("-nb")(1).toInt
+    assert(nb > 1, "tiny target should force multiple buckets")
+    // completeness after fold
+    val got = KeyedLog.readForKeys(spark, path, keyDf(3L, 42L), "bk").get
+    assert(rows(got.join(keyDf(3L, 42L), Seq("bk"), "left_semi")) ==
+      Set((3L, 30L), (42L, 420L)))
+    // pruning: a one-key probe reads fewer buckets than the segment
+    // holds (it cannot union every kb dir)
+    val bucketDirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/${segs.head}"))
+      .count(_.getPath.getName.startsWith("__kb="))
+    assert(bucketDirs == nb)
+    // cascade: 8 more L0 folds -> L1 has 2 segs; with fanout 2 the
+    // fold cascades L1 -> L2 in one compact() call
+    (8L until 16L).foreach { i =>
+      KeyedLog.append(Seq((1000L + i, i)).toDF("bk", "id"), path, i)
+    }
+    KeyedLog.compact(spark, path, "bk", fanout = 8,
+      targetBucketBytes = 4096)
+    KeyedLog.compact(spark, path, "bk", fanout = 2,
+      targetBucketBytes = 1L << 20)
+    val segs2 = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("seg_")).toSeq
+    assert(segs2.size == 1 && segs2.head.contains("-L2-"),
+      s"expected one cascaded L2 segment, got $segs2")
+    val all2 = KeyedLog.readAll(spark, path).get
+    assert(all2.count() == 72)
+  }
+
+  test("crash hygiene: stale _compact_tmp_ staged dirs are swept at " +
+    "the next fold; sources + fold coexisting (crash between rename " +
+    "and deletes) only duplicates rows, never loses them") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("klog-cr-").toString
+    (0L until 8L).foreach { i =>
+      KeyedLog.append(Seq((i, i * 10)).toDF("bk", "id"), path, i)
+    }
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path, "_compact_tmp_junk"))
+    KeyedLog.compact(spark, path, "bk", fanout = 8)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(path, "_compact_tmp_junk")))
+    // simulate crash-between: re-append a source segment next to the
+    // fold (same rows) — reads see duplicates, key filter + distinct
+    // (the caller contract) is unaffected, and re-folding converges
+    KeyedLog.append(Seq((3L, 30L)).toDF("bk", "id"), path, 3L)
+    val got = KeyedLog.readForKeys(spark, path, keyDf(3L), "bk").get
+      .filter(col("bk") === 3L).distinct().collect()
+    assert(got.length == 1)
+    KeyedLog.compact(spark, path, "bk", fanout = 2)
+    assert(KeyedLog.readAll(spark, path).get.distinct().count() == 8)
+  }
+
+  test("appendBucketed (backfill path) writes a pruned L1 segment " +
+    "directly; maybeCompact only folds when a level is owed") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("klog-bf-").toString
+    KeyedLog.appendBucketed(
+      (0L until 1000L).map(k => (k, k)).toDF("bk", "id"),
+      path, "bk", segId = 7L, approxRowBytes = 24,
+      targetBucketBytes = 2048)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("seg_")).toSeq
+    assert(segs.size == 1 && segs.head.startsWith("seg_7-L1-nb"))
+    val got = KeyedLog.readForKeys(spark, path, keyDf(999L), "bk").get
+    assert(rows(got.join(keyDf(999L), Seq("bk"), "left_semi")) ==
+      Set((999L, 999L)))
+    KeyedLog.maybeCompact(spark, path, "bk") // 1 seg: not owed, no-op
+    val segs2 = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("seg_")).toSeq
+    assert(segs2 == segs)
+  }
+}
