@@ -776,7 +776,8 @@ object Dedup {
   def incrementalVecPairs(
       index: DataFrame, batchIdx: DataFrame,
       threshold: Double, bits: Int = 4, tables: Int = 12,
-      dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
+      dim: Int = 64, maxBucketSize: Int = 10000,
+      occOverride: Option[Map[(Int, Long), Long]] = None): DataFrame = {
     // Rep-level end to end: identical vectors on BOTH sides collapse
     // to one probe each (index reps are stored — see vecDedupIndex;
     // batch reps come from the same canonicalization), so candidate
@@ -785,7 +786,7 @@ object Dedup {
     // expand afterwards through the two membership tables with the
     // rep pair's exact cosine (identical vectors => identical cosine).
     val cand = vecCandidates(index, batchIdx, bits, tables, dim,
-      maxBucketSize)
+      maxBucketSize, occOverride)
     val newGroups = batchIdx
       .select(col("id").as("did"), col("vec"), col("keep"))
     val newIdx = batchIdx.filter(col("id") === col("keep"))
@@ -845,10 +846,27 @@ object Dedup {
     * measure candidate volume directly. Validates both sides'
     * signature parameters.
     */
+  /** The refinement-depth map from an occupancy map: overfull buckets
+    * get base bits + the exact integer log2 of the overflow ratio,
+    * capped at the stored depth. ONE implementation shared by the
+    * aggregate path and the counter path — the pruned probe's
+    * equivalence rests on both deriving identical maps from identical
+    * counts.
+    */
+  private[graft] def refineDepths(occ: Map[(Int, Long), Long],
+      maxBucketSize: Int, bits: Int, sigBits: Int)
+      : Map[(Int, Long), Int] =
+    occ.collect { case ((t, b), n) if n > maxBucketSize =>
+      val ratio = (n + maxBucketSize - 1) / maxBucketSize
+      val extra = 64 - java.lang.Long.numberOfLeadingZeros(ratio - 1)
+      (t, b) -> math.min(sigBits, bits + extra.toInt)
+    }.toMap
+
   private[graft] def vecCandidates(
       index: DataFrame, batchIdx: DataFrame,
       bits: Int = 4, tables: Int = 12, dim: Int = 64,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      occOverride: Option[Map[(Int, Long), Long]] = None): DataFrame = {
     // Fail loudly on parameter drift: signatures computed with
     // different (bits, tables, dim) land in disjoint buckets and the
     // probe would silently return near-zero recall. Indexes written
@@ -914,18 +932,21 @@ object Dedup {
     // discipline). When no bucket is overfull — the common case — the
     // map is empty and the candidate join runs with NO cap semi-join
     // at all (one agg job replaces the old always-on okBuckets pass).
-    val overfull: Map[(Int, Long), Int] = ixBuckets
-      .groupBy(col("table"), col("bucket"))
-      .agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") > maxBucketSize)
-      .collect()
-      .map { r =>
-        val bsize = r.getLong(2)
-        val ratio = (bsize + maxBucketSize - 1) / maxBucketSize
-        val extra = 64 - java.lang.Long.numberOfLeadingZeros(ratio - 1)
-        (r.getInt(0), r.getLong(1)) ->
-          math.min(sigBits, bits + extra.toInt)
-      }.toMap
+    // A caller holding EXACT occupancy counters (VecDedupSync's
+    // incrementally-maintained OccStats — by contract equal to this
+    // aggregate over the same index) passes them via occOverride and
+    // the agg is skipped: with a PRUNED index frame the aggregate
+    // would undercount, and without one it is the last whole-index
+    // pass in the probe.
+    val overfull: Map[(Int, Long), Int] = occOverride match {
+      case Some(occ) => refineDepths(occ, maxBucketSize, bits, sigBits)
+      case None => refineDepths(
+        ixBuckets.groupBy(col("table"), col("bucket"))
+          .agg(count(lit(1)).as("bsize"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap,
+        maxBucketSize, bits, sigBits)
+    }
     // refined key = sig masked to the bucket's depth. Depth is a
     // function of (table, base bucket), so equal keys imply equal
     // depth — joining on (table, key) alone is sound.

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Engine, QueryDef}
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{AnnIndex, Dedup, Similarity}
 
 /** Dedup + similarity-search surface (builder brief: exact, MinHash
   * LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup; ANN
@@ -1610,6 +1610,93 @@ object DedupQueries {
         "literals and the quantization replayed in SQL."),
 
     // ------------------------------------------------------------------
+    "s18_ann_index_persisted" -> QueryDef(
+      fn = { (s, dir) =>
+        // The PERSISTED ANN artifact: build once (train + one
+        // partitioned-by-cell projection of (id, int8 codes, vec)),
+        // then serve top-k from the artifact alone — the probe reads
+        // centroids (16 rows), prunes `codes/` to the probed cell
+        // PARTITIONS (a planning-time partition filter, asserted in
+        // PlanShapeSpec), scans int8, and rescores k*refine exactly.
+        // Bit-identical to the transient s17 path at the same
+        // parameters by construction — which is what the shared
+        // oracle proves.
+        val path = annixDir(dir)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        AnnIndex.build(e, path, nlist = 16)
+        AnnIndex.probe(s, path, e.filter(col("vec_id") % 50 === 0),
+          k = 5, nprobe = 3, refine = 4)
+          .select(col("qid"), col("id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        // the s17 replay verbatim: the artifact is a materialization
+        // of exactly that computation (same training, same clamped
+        // int8 quantization, same tie-breaks)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        val cents = Similarity.coarseCentroids(
+          e, "embedding", "vec_id", nlist = 16, seed = 42L,
+          maxTrainRows = 100000L)
+        val cLit = OracleSql.sqlDoubleArr2(cents.sortBy(_._1).map(_._2))
+        s"""
+        WITH ct AS (SELECT $cLit::DOUBLE[][] AS m),
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+        ascore AS (
+          SELECT v.id, c.c AS cell,
+                 list_cosine_similarity(ct.m[c.c + 1], v.vec) AS csim
+          FROM v, ct, (SELECT unnest(range(0, 16)) AS c) c),
+        cells AS (
+          SELECT id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore) WHERE rn = 1),
+        probed AS (
+          SELECT id AS qid, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore WHERE id % 50 = 0) WHERE rn <= 3),
+        sc AS (SELECT max(list_max(list_transform(vec, x -> abs(x))))
+                 AS s FROM v),
+        cq AS (SELECT v.id,
+                      list_transform(v.vec,
+                        x -> CAST(CAST(least(greatest(
+                            round(x / sc.s * 127), -127), 127)
+                          AS TINYINT) AS DOUBLE)) AS qv
+               FROM v, sc),
+        qq AS (SELECT id AS qid, qv FROM cq WHERE id % 50 = 0),
+        cand AS (SELECT qid, id FROM (
+                   SELECT p.qid, c.id,
+                          row_number() OVER (PARTITION BY p.qid
+                            ORDER BY list_cosine_similarity(cv.qv, q.qv)
+                              DESC, c.id) AS rn
+                   FROM probed p
+                   JOIN cells c ON c.cell = p.cell AND c.id != p.qid
+                   JOIN cq cv ON cv.id = c.id
+                   JOIN qq q ON q.qid = p.qid)
+                 WHERE rn <= 20),
+        scored AS (SELECT cand.qid, cand.id,
+                          list_cosine_similarity(
+                            CAST(ce.embedding AS DOUBLE[]),
+                            CAST(qe.embedding AS DOUBLE[])) AS cosine
+                   FROM cand
+                   JOIN embeddings ce ON ce.vec_id = cand.id
+                   JOIN embeddings qe ON qe.vec_id = cand.qid)
+        SELECT qid, id, round(cosine, 4) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT qid, id, cosine,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, id) AS rank
+              FROM scored)
+        WHERE rank <= 5"""
+      },
+      doc = "Persisted IVF-SQ ANN index: build-once artifact " +
+        "(centroids + cell-partitioned int8 codes + vectors), " +
+        "probe-many with planning-time cell-partition pruning — " +
+        "hash-checked against the transient IVFxSQ replay."),
+
+    // ------------------------------------------------------------------
     "s06_topk_sparse" -> QueryDef(
       fn = { (s, dir) =>
         // Sparse TF-IDF cosine top-50 pairs via inverted-index join —
@@ -2453,8 +2540,11 @@ object DedupQueries {
   }
   private def cachedTmpDir(tag: String, dir: String): String = {
     val path = tmpDirs.getOrElseUpdate((tag, dir), {
+      // PID-scoped like CurationQueries.cachedTmpDir: two JVMs on the
+      // same sfDir must not wipe each other's live state
       val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-$tag-${Integer.toHexString(dir.hashCode)}")
+        s"graft-$tag-${Integer.toHexString(dir.hashCode)}-" +
+          ProcessHandle.current().pid())
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => rmTree(f)))
       f.toString
@@ -2464,4 +2554,5 @@ object DedupQueries {
     path
   }
   private def d20Dir(dir: String): String = cachedTmpDir("vsync-d20", dir)
+  private def annixDir(dir: String): String = cachedTmpDir("annix", dir)
 }

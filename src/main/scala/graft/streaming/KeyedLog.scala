@@ -158,10 +158,33 @@ object KeyedLog {
         .map(b => s"$path/${s.dir}/$KbCol=$b")
         .filter(p => f.exists(new Path(p)))
     }
-    if (parts.isEmpty) None
-    else Some(parts.map(p => spark.read.parquet(p))
-      .reduce(_.unionByName(_, allowMissingColumns = true)))
+    if (parts.nonEmpty)
+      Some(parts.map(p => spark.read.parquet(p))
+        .reduce(_.unionByName(_, allowMissingColumns = true)))
+    else
+      // segments exist but none hold the probed buckets: an EMPTY
+      // frame, not None — None means "no sidecar" and callers react
+      // by backfilling
+      anyLeaf(f, path, segs.map(_.dir))
+        .map(p => spark.read.parquet(p).limit(0))
   }
+
+  /** Any readable parquet leaf under the segments (for an empty-
+    * result schema). Level-0 segments are readable dirs themselves;
+    * compacted segments expose `__kb=` children.
+    */
+  private def anyLeaf(f: org.apache.hadoop.fs.FileSystem, path: String,
+      segDirs: Seq[String]): Option[String] =
+    segDirs.iterator.flatMap { d =>
+      val p = new Path(s"$path/$d")
+      val kids = f.listStatus(p)
+      if (kids.exists(st => !st.isDirectory &&
+          st.getPath.getName.endsWith(".parquet")))
+        Iterator.single(s"$path/$d")
+      else kids.iterator.filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(KbCol + "="))
+        .map(st => s"$path/$d/${st.getPath.getName}")
+    }.nextOption()
 
   /** The full merged view (maintenance/backfill reads). */
   def readAll(spark: SparkSession, path: String): Option[DataFrame] = {

@@ -28,14 +28,21 @@ import graft.operators.Dedup
   * directory, and commits the index — the reference's
   * ack-after-durable redelivery discipline (GetJobs.py:37-40).
   *
-  * Per-batch cost mirrors the text sink: one streaming scan of the
-  * index (bucket keys and refinement depths derive from STORED
-  * signatures — vectors are never re-signed), batch-proportional
-  * shuffles, and O(batch + splitsPerBatch) bucket rewrites. BOTH
-  * growth axes are covered online: storage granularity via
-  * TableSync's linear-hash splits, and LSH granularity via
-  * per-bucket signature refinement (overfull base buckets subdivide
-  * by deeper stored bits instead of being cap-dropped).
+  * Per-batch cost mirrors the text sink: BATCH-proportional, not
+  * index-proportional. The probe resolves the batch reps' signatures
+  * through a [[VecLog]] sidecar — an append log partitioned by the
+  * DEPTH-MASKED signature, the same refinement granularity the probe
+  * matches at — to candidate rep ids, memberships through a
+  * [[KeyedLog]], and reads only those index buckets
+  * (TableSync.readCurrentForKeys). Refinement depths come from
+  * [[OccStats]] — exact per-bucket rep counters maintained
+  * incrementally (+ batch reps, - replaced reps) — so no stage
+  * anywhere explodes the stored signature set. Vectors are never
+  * re-signed; storage granularity still evolves via TableSync's
+  * linear-hash splits, and LSH granularity via per-bucket signature
+  * refinement (overfull base buckets subdivide by deeper stored bits
+  * instead of being cap-dropped), with sidecar folds re-partitioning
+  * at the then-current depth map.
   */
 object VecDedupSync {
 
@@ -81,6 +88,8 @@ object VecDedupSync {
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, indexPath)
     if (applied.exists(_ >= batchId)) return // replayed after commit
+    val keysPath = DedupSync.sidecarPath(indexPath)
+    val membersPath = indexPath.stripSuffix("/") + "_members"
     // sign at the STORED depth when an index exists (a bootstrap knob
     // change must not diverge refined keys from stored signatures)
     val storedSigBits =
@@ -94,21 +103,138 @@ object VecDedupSync {
       }
     val batchIdx = Dedup.vecDedupIndex(batch, vecCol, idCol, bits,
       tables, dim, storedSigBits).localCheckpoint()
-    val pairs =
+    // sidecar rows derived once: per-rep-per-table (tbl, sig, id) for
+    // the bucket log, per-row (hash(keep), keep, id) for memberships
+    val newVecKeys = batchIdx.filter(col("id") === col("keep"))
+      .select(col("id"), posexplode(col("sigs")))
+      .select(col("pos").cast("int").as("tbl"), col("col").as("sig"),
+        col("id"))
+      .localCheckpoint() // probe collect + append + occ increments
+    val newMemberRows = batchIdx
+      .select(xxhash64(col("keep")).as("bk"), col("keep"), col("id"))
+    val baseMask = (1L << bits) - 1
+    def bucketCounts(df: DataFrame): Map[(Int, Long), Long] =
+      df.select(col("tbl"),
+        col("sig").bitwiseAND(lit(baseMask)).as("b"))
+        .groupBy(col("tbl"), col("b"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val incs = bucketCounts(newVecKeys)
+    val (pairs, newOcc) =
       if (applied.isEmpty)
         // first batch: within-batch pairs only (nothing indexed yet)
-        Dedup.vecPairsFromIndex(batchIdx, threshold, bits, tables, dim,
-          maxBucketSize)
-      else
-        Dedup.incrementalVecPairs(readIndex(spark, indexPath), batchIdx,
-          threshold, bits, tables, dim, maxBucketSize)
+        (Dedup.vecPairsFromIndex(batchIdx, threshold, bits, tables,
+          dim, maxBucketSize), incs)
+      else {
+        val lastVer = applied.max
+        // exact committed-index occupancy — incremental counters, or
+        // the one-shot aggregate (+ sidecar backfill) at migration
+        val occ = OccStats.read(spark, keysPath, lastVer).getOrElse(
+          backfillSidecars(spark, indexPath, keysPath, membersPath,
+            lastVer, bits, storedSigBits, maxBucketSize))
+        val depths = VecLog.Depths(bits, storedSigBits,
+          Dedup.refineDepths(occ, maxBucketSize, bits, storedSigBits))
+        val probes = newVecKeys.select(col("tbl"), col("sig"))
+          .distinct().collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSeq
+        val batchIds = batchIdx.select(col("id")).distinct()
+        val (prunedOpt, decSrc) =
+          VecLog.readForKeys(spark, keysPath, probes, depths) match {
+            case None => (None, None) // empty committed index
+            case Some(sc) =>
+              val candReps = sc.select(col("id")).distinct()
+              val memberIds = KeyedLog.readForKeys(spark, membersPath,
+                candReps.select(xxhash64(col("id")).as("bk")), "bk")
+                .map(_.join(
+                  candReps.select(col("id").as("keep")),
+                  Seq("keep"), "left_semi")
+                  .select(col("id")))
+                .getOrElse(candReps.limit(0))
+              // ONE pruned index read serves the probe AND the
+              // occupancy decrements (replaced rows are current rows
+              // for the batch's own ids — the full probe would see
+              // them too, so including them preserves equivalence)
+              val allIds = candReps.unionByName(memberIds)
+                .unionByName(batchIds).distinct()
+              val fetched = TableSync
+                .readCurrentForKeys(spark, indexPath, allIds, "id")
+                .join(allIds, Seq("id"), "left_semi")
+                .drop("ver")
+                .localCheckpoint() // candidate-sized; many consumers
+              (Some(fetched), Some(fetched))
+          }
+        val pruned = prunedOpt.getOrElse(
+          readIndex(spark, indexPath).localCheckpoint())
+        // decrements: rows the upsert replaces that were reps — their
+        // buckets lose one rep each
+        val decs = decSrc.map { fetched =>
+          bucketCounts(fetched
+            .join(batchIds, Seq("id"), "left_semi")
+            .filter(col("id") === col("keep"))
+            .select(col("id"), posexplode(col("sigs")))
+            .select(col("pos").cast("int").as("tbl"),
+              col("col").as("sig")))
+        }.getOrElse(Map.empty)
+        val merged = (occ.keySet ++ incs.keySet ++ decs.keySet).map {
+          k => k -> (occ.getOrElse(k, 0L) + incs.getOrElse(k, 0L) -
+            decs.getOrElse(k, 0L))
+        }.filter(_._2 != 0L).toMap
+        (Dedup.incrementalVecPairs(pruned, batchIdx, threshold, bits,
+          tables, dim, maxBucketSize, occOverride = Some(occ)), merged)
+      }
     // pairs FIRST (idempotent overwrite of this batch's directory),
-    // index SECOND (the outer commit point checked at entry)
+    // then the sidecars + counters (all overwrite-idempotent; a
+    // sidecar or counter file ahead of the index commit is benign —
+    // phantom ids drop in the id semi-join, and the probe reads the
+    // counter file OF the committed version), index LAST (the outer
+    // commit point checked at entry)
     PairsStore.writeBatch(pairs, pairsPath, "cosine", batchId)
+    VecLog.append(newVecKeys, keysPath, batchId)
+    KeyedLog.append(newMemberRows, membersPath, batchId)
+    OccStats.write(spark, keysPath, batchId, newOcc)
     TableSync.applyBatch(batchIdx.withColumn("ver", lit(batchId)),
       indexPath, "id", "ver", batchId, numBuckets, maxBucketBytes,
       splitsPerBatch)
     PairsStore.maybeCompact(spark, pairsPath, "cosine", compactEvery)
+    VecLog.maybeCompact(spark, keysPath, VecLog.Depths(bits,
+      storedSigBits,
+      Dedup.refineDepths(newOcc, maxBucketSize, bits, storedSigBits)))
+    KeyedLog.maybeCompact(spark, membersPath, "bk")
+  }
+
+  /** Migration for an index that predates the sidecars: derive the
+    * occupancy counters by the one-shot aggregate over the committed
+    * snapshot, and seed BOTH sidecar logs from it as bucketed
+    * segments — one O(index) pass, deterministic under replay
+    * (committed state only).
+    */
+  private def backfillSidecars(spark: SparkSession, indexPath: String,
+      keysPath: String, membersPath: String, lastVer: Long,
+      bits: Int, sigBits: Int, maxBucketSize: Int)
+      : Map[(Int, Long), Long] = {
+    val full = readIndex(spark, indexPath)
+    val vecKeys = full.filter(col("id") === col("keep"))
+      .select(col("id"), posexplode(col("sigs")))
+      .select(col("pos").cast("int").as("tbl"), col("col").as("sig"),
+        col("id"))
+      .localCheckpoint()
+    val occ = vecKeys
+      .select(col("tbl"),
+        col("sig").bitwiseAND(lit((1L << bits) - 1)).as("b"))
+      .groupBy(col("tbl"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    VecLog.appendBucketed(vecKeys, keysPath, lastVer,
+      VecLog.Depths(bits, sigBits,
+        Dedup.refineDepths(occ, maxBucketSize, bits, sigBits)))
+    KeyedLog.appendBucketed(
+      full.select(xxhash64(col("keep")).as("bk"), col("keep"),
+        col("id")),
+      membersPath, "bk", lastVer)
+    OccStats.write(spark, keysPath, lastVer, occ)
+    occ
   }
 
   /** The accumulated near-dup pairs view (max-merged per pair). */

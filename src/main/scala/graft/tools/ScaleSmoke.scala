@@ -490,9 +490,12 @@ object ScaleSmoke {
     }
     // VecDedupSync ladder (the dsync contract on the vector side):
     // seed the replica corpus as batch 0, then ingest a FIXED
-    // 10-vector append. The append's cost model is index-scan-bound
-    // plus ~|batch|/numBuckets of the index rewritten — flat-ish
-    // appends while the seed grows with k is the pass condition.
+    // 10-vector append. Cost model after the sidecar rework: probe
+    // reads prune through VecLog/OccStats to candidate buckets, so
+    // appends are BATCH-bound (+ ~|batch|/numBuckets of the index
+    // rewritten) — the pass condition is appends FLAT in absolute
+    // terms while the seed grows with k, not merely on the old
+    // index-scan slope.
     locally {
       val ix = java.nio.file.Files
         .createTempDirectory("smoke_vsync_ix").toString
@@ -648,14 +651,16 @@ object ScaleSmoke {
     // DedupSync online-dedup ingestion: seed the full replica corpus
     // as batch 0 (one-time bootstrap: within-batch dedup of the k-way
     // flood + index write), then ingest a small append batch at
-    // d10's practical parameters (24 hashes / 8 bands). The append's
-    // cost model is index-SCAN-bound plus ~|batch|/numBuckets of the
-    // index rewritten — the accumulated corpus is never re-hashed or
-    // shuffled — so batch-1 wall-clock must grow on the scan slope,
-    // far below the seed's flood-quadratic pair output. (This ladder
-    // caught both storage bugs in the first cut: TableSync-stored
-    // pairs rewrote ALL accumulated pairs per batch, and 256 index
-    // buckets under a 500-doc batch rewrote 87% of the index.)
+    // d10's practical parameters (24 hashes / 8 bands). Cost model
+    // after the sidecar rework: the probe resolves the batch's band
+    // keys through the KeyedLog sidecar and reads only candidate
+    // index buckets, so batch-1 is BATCH-bound (+ ~|batch|/numBuckets
+    // of the index rewritten) — the pass condition is appends FLAT in
+    // absolute terms across k, no longer riding the index-scan slope.
+    // (This ladder caught both storage bugs in the first cut:
+    // TableSync-stored pairs rewrote ALL accumulated pairs per batch,
+    // and 256 index buckets under a 500-doc batch rewrote 87% of the
+    // index; in round 12 it is the pruned-probe slope witness.)
     locally {
       val ix = java.nio.file.Files
         .createTempDirectory("smoke_dsync_ix").toString

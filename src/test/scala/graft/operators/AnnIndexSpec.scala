@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // deterministic pseudo-random 16-dim corpus (splitmix-ish mixing,
+  // no RNG state): enough rows that cells are non-trivial
+  private def corpus = {
+    import spark.implicits._
+    (0L until 400L).map { i =>
+      val v = (0 until 16).map { d =>
+        val x = i * 2654435761L + d * 40503L
+        (((x ^ (x >>> 13)) % 1000L).toFloat / 500f) - 1f
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def topk(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("qid"), col("id"), round(col("cosine"), 6).as("c"),
+      col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+
+  test("probe over the persisted artifact is BIT-IDENTICAL to the " +
+    "transient IVFxSQ path at the same parameters") {
+    val path = Files.createTempDirectory("annix-").toString
+    val c = corpus
+    val q = c.filter(col("vec_id") % 40 === 0)
+    AnnIndex.build(c, path, nlist = 8, dim = 16)
+    val persisted = topk(AnnIndex.probe(spark, path, q, k = 5,
+      nprobe = 2, refine = 4))
+    val transient = topk(Similarity.ivfQuantizedTopK(c, q, k = 5,
+      nlist = 8, nprobe = 2, refine = 4, dim = 16))
+    assert(persisted == transient,
+      s"persisted\n$persisted\nvs transient\n$transient")
+    assert(persisted.nonEmpty && persisted.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("the artifact is self-contained and immutable between builds: " +
+    "probing after the corpus frame is gone works; rebuild replaces " +
+    "atomically-by-overwrite; probing a missing index fails loudly") {
+    val path = Files.createTempDirectory("annix2-").toString
+    AnnIndex.build(corpus, path, nlist = 4, dim = 16)
+    import spark.implicits._
+    val q = Seq((7L, (0 until 16).map(d => (d + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val r1 = AnnIndex.probe(spark, path, q, k = 3, nprobe = 2)
+    assert(r1.count() == 3)
+    // out-of-corpus-range query components saturate (clamped int8),
+    // never wrap: top-1 by the exact rescore is still the true
+    // nearest within probed cells, and cosines are in [-1, 1]
+    assert(r1.collect().forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    AnnIndex.build(corpus.limit(100), path, nlist = 4, dim = 16)
+    assert(AnnIndex.probe(spark, path, q, k = 3, nprobe = 2)
+      .collect().forall(_.getLong(1) < 100L),
+      "rebuild must fully replace the artifact")
+    val missing = Files.createTempDirectory("annix3-").toString
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.probe(spark, missing, q, k = 3)
+    }
+    assert(e.getMessage.contains("run build()"))
+  }
+}

@@ -201,6 +201,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ:\n$p")
   }
 
+  test("s18 persisted ANN index: probed cells reach the codes scan " +
+    "as PARTITION filters (planning-time directory pruning), and " +
+    "the candidate scan is the broadcast cell join") {
+    val p = plan("s18_ann_index_persisted")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"no cell partition filter on the codes scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast cell join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-wide scan crept in:\n$p")
+  }
+
   test("d13 incremental vec dedup: index side never sort-merge-joins") {
     val p = plan("d13_incremental_vec_dedup")
     // cross-boundary candidates + verification come in as broadcasts;

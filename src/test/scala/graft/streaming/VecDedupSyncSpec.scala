@@ -234,4 +234,63 @@ class VecDedupSyncSpec extends AnyFunSuite {
     assert(pairSet(VecDedupSync.readPairs(spark, pr)) == oneShot)
     assert(VecDedupSync.readIndex(spark, ix).count() == 9)
   }
+
+  test("OccStats counters stay EXACTLY equal to the one-shot rep-" +
+    "bucket aggregate across batches and re-ingestions — the pruned " +
+    "probe's refinement map rests on this identity") {
+    import spark.implicits._
+    val ix = Files.createTempDirectory("vsync-occ-ix-").toString
+    val pr = Files.createTempDirectory("vsync-occ-pr-").toString
+    def aggOcc(): Map[(Int, Long), Long] =
+      VecDedupSync.readIndex(spark, ix)
+        .filter(col("id") === col("keep"))
+        .select(posexplode(col("sigs")))
+        .select(col("pos").cast("int").as("tbl"),
+          col("col").bitwiseAND(lit(15L)).as("b"))
+        .groupBy(col("tbl"), col("b")).agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def storedOcc(v: Long): Map[(Int, Long), Long] =
+      OccStats.read(spark, DedupSync.sidecarPath(ix), v).get
+    (0 to 2).foreach { b =>
+      apply1(corpus.filter(col("vec_id") % 3 === b), ix, pr, b.toLong)
+      assert(storedOcc(b.toLong) == aggOcc(),
+        s"counters diverged from the aggregate after batch $b")
+    }
+    // re-ingest id 5 with DIFFERENT content (old row: a batch-local
+    // rep of the {5,9} exact pair's later arrival — decrements fire;
+    // new row: a fresh direction — increments land elsewhere)
+    apply1(Seq(5L -> Seq(9f, 0f, 1f, 0f, 2f, 0f, 3f, 0f))
+      .toDF("vec_id", "embedding"), ix, pr, 3L)
+    assert(storedOcc(3L) == aggOcc(), "re-ingest member->rep diverged")
+    // re-ingest id 1 (a REP) with different content: decrements its
+    // old buckets, increments the new ones
+    apply1(Seq(1L -> Seq(0f, 9f, 0f, 8f, 0f, 7f, 0f, 6f))
+      .toDF("vec_id", "embedding"), ix, pr, 4L)
+    assert(storedOcc(4L) == aggOcc(), "re-ingest rep->rep diverged")
+  }
+
+  test("vector sidecar BACKFILL: wiping key log, member log, and " +
+    "counters mid-stream rebuilds them from the committed snapshot " +
+    "and the stream still equals one-shot") {
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ix = Files.createTempDirectory("vsync-bf-ix-").toString
+    val pr = Files.createTempDirectory("vsync-bf-pr-").toString
+    apply1(corpus.filter(col("vec_id") % 3 === 0), ix, pr, 0L)
+    apply1(corpus.filter(col("vec_id") % 3 === 1), ix, pr, 1L)
+    val keys = new org.apache.hadoop.fs.Path(DedupSync.sidecarPath(ix))
+    val members = new org.apache.hadoop.fs.Path(
+      ix.stripSuffix("/") + "_members")
+    assert(fs.exists(keys) && fs.exists(members))
+    fs.delete(keys, true); fs.delete(members, true)
+    apply1(corpus.filter(col("vec_id") % 3 === 2), ix, pr, 2L)
+    // batch 2's cross-boundary pairs (8<-{1,4}, 5<-9 exact, 2<-7)
+    // must all land through the backfilled sidecars
+    assert(pairSet(VecDedupSync.readPairs(spark, pr)) == oneShot)
+    val segs = fs.listStatus(keys).map(_.getPath.getName)
+      .filter(_.startsWith("seg_")).sorted.toSeq
+    assert(segs.exists(_.contains("-L1")),
+      s"backfill must write a folded segment, got $segs")
+  }
 }

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class VecLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val bits = 2
+  private val sigBits = 8
+  private def D(over: ((Int, Long), Int)*) =
+    VecLog.Depths(bits, sigBits, over.toMap)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("tbl"), col("sig"), col("id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("append + readForKeys roundtrip; L0 segments are read whole; " +
+    "missing log reads None; empty probe result is an empty frame, " +
+    "not None") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("vlog-rw-").toString
+    assert(VecLog.readForKeys(spark, path, Seq((0, 5L)), D()).isEmpty)
+    VecLog.append(Seq((0, 0x35L, 100L), (1, 0x22L, 200L))
+      .toDF("tbl", "sig", "id"), path, 0L)
+    val got = VecLog.readForKeys(spark, path, Seq((0, 1L)), D()).get
+    // L0 read whole: both rows visible regardless of probe
+    assert(rows(got) == Set((0, 0x35L, 100L), (1, 0x22L, 200L)))
+  }
+
+  test("fold partitions by the depth-masked signature: probes read " +
+    "one partition per (tbl, refined bucket); coarser and deeper " +
+    "segment maps both stay complete") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("vlog-cp-").toString
+    // 8 single-row L0 segs in table 0: sigs spread over base bucket 1
+    // (sig & 3 == 1) with distinct deeper bits
+    val sigs = Seq(0x01L, 0x05L, 0x09L, 0x0dL, 0x11L, 0x15L, 0x19L, 0x1dL)
+    sigs.zipWithIndex.foreach { case (s, i) =>
+      VecLog.append(Seq((0, s, 100L + i)).toDF("tbl", "sig", "id"),
+        path, i.toLong)
+    }
+    // fold at depth 4 for (t=0, base=1): partitions split sig&15
+    val dFold = D((0, 1L) -> 4)
+    VecLog.compact(spark, path, dFold, fanout = 8)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("seg_")).toSeq
+    assert(segs.size == 1 && segs.head.endsWith("-L1"), s"got $segs")
+    val parts = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/${segs.head}"))
+      .map(_.getPath.getName).filter(_.startsWith("__kb=")).sorted.toSeq
+    // sig&15 over the 8 sigs: {1, 5, 9, 13} each twice -> 4 partitions
+    assert(parts.size == 4, s"expected 4 depth-4 partitions, got $parts")
+    // probe at the SAME map: sig 0x21 masks to 1 -> exactly the rows
+    // with sig&15 == 1 (0x01, 0x11)
+    val same = VecLog.readForKeys(spark, path, Seq((0, 0x21L)), dFold).get
+    assert(rows(same) == Set((0, 0x01L, 100L), (0, 0x11L, 104L)))
+    // probe DEEPER than the segment (current map depth 6): the one
+    // depth-4 partition still supersets the depth-6 bucket
+    val deeper = VecLog.readForKeys(spark, path, Seq((0, 0x01L)),
+      D((0, 1L) -> 6)).get
+    assert(rows(deeper) == Set((0, 0x01L, 100L), (0, 0x11L, 104L)))
+    // probe SHALLOWER than the segment (current map: base depth —
+    // occupancy shrank): enumeration over the segment's deeper
+    // partitions recovers the FULL base bucket
+    val shallower = VecLog.readForKeys(spark, path, Seq((0, 0x01L)),
+      D()).get
+    assert(rows(shallower).map(_._3) == (100L to 107L).toSet,
+      "base-depth probe must enumerate all deeper partitions")
+  }
+
+  test("depth maps serialize with the segment atomically; replayed " +
+    "append overwrites; maybeCompact folds only when owed") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("vlog-mt-").toString
+    VecLog.appendBucketed(
+      Seq((0, 0x07L, 1L), (1, 0x0bL, 2L)).toDF("tbl", "sig", "id"),
+      path, 9L, D((1, 3L) -> 5))
+    val got = VecLog.readForKeys(spark, path, Seq((1, 0x2bL)),
+      D((1, 3L) -> 5)).get
+    assert(rows(got) == Set((1, 0x0bL, 2L)),
+      "masked probe through a recorded per-bucket depth")
+    VecLog.append(Seq((0, 0x03L, 3L)).toDF("tbl", "sig", "id"), path, 10L)
+    VecLog.append(Seq((0, 0x03L, 3L)).toDF("tbl", "sig", "id"), path, 10L)
+    VecLog.maybeCompact(spark, path, D(), fanout = 8) // not owed
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("seg_")).sorted.toSeq
+    assert(segs == Seq("seg_10-L0", "seg_9-L1"), s"got $segs")
+  }
+}
