@@ -214,16 +214,18 @@ object Bench {
     println(json)
     // Also write the line to a file: under sbt the stdout line gets an
     // "[info] " prefix that breaks the driver's JSON parse
-    // (BENCH_r01.json parsed:null). A FLAGGED capture never overwrites
-    // the default reference file: the committed capture is the idle
-    // baseline the flag detectors compare against, so replacing it
-    // with a load-contaminated run (the driver benches under its own
-    // parallel work) would erode the reference — divert those to a
-    // sibling the working tree ignores. An explicit
-    // SPARK_GRAFT_BENCH_OUT always wins.
+    // (BENCH_r01.json parsed:null). The default output is a SIBLING
+    // the working tree ignores, never the committed reference
+    // (bench_out.json): the reference is the idle baseline the flag
+    // detectors compare against, and the driver benches under its own
+    // parallel work — r10 and r11 both left the tree dirty with a
+    // load-window overwrite of the reference. Refreshing the
+    // reference is now an explicit act: SPARK_GRAFT_BENCH_OUT=
+    // bench_out.json (and only from a run whose flagged list is
+    // empty).
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
       if (flagged.nonEmpty) "bench_out.flagged.json"
-      else "bench_out.json")
+      else "bench_out.last.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1631,5 +1631,77 @@ object RelationalQueries {
       doc = "Deliberately skewed shuffle join through the salted-join " +
         "path: hot key spread over 16 (k, salt) reducers, dim " +
         "replicated per salt, results == the plain join " +
-        "(hash-checked; plan-asserted shuffle join on the salt)."))
+        "(hash-checked; plan-asserted shuffle join on the salt)."),
+
+    // ------------------------------------------------------------------
+    "q53_stream_stream_join" -> QueryDef(
+      fn = { (s, dir) =>
+        // The ACTUAL stream-stream watermarked interval join under
+        // the gate (q33 is the batch twin; StreamingSpec covers the
+        // API — this runs EventStreams.intervalJoin as a real
+        // StreamingQuery and hash-checks its emitted rows). Both
+        // sides read the same normalized event file as file streams;
+        // AvailableNow over ONE file is exactly one micro-batch, so
+        // the watermark (which starts unset in batch 1) drops
+        // nothing and the inner join's append-mode output equals the
+        // batch join — the determinism the oracle needs. State
+        // boundedness under MULTI-batch progress is StreamingSpec's
+        // job; result parity under the gate is this entry's.
+        val path = q53Dir(dir)
+        val ev = T(s, dir).events
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"))
+        ev.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/src")
+        def src() = s.readStream.schema(ev.schema)
+          .parquet(s"$path/src")
+        val facts = src().filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("user_id"))
+        val signals = src().filter(col("event_type") === "click")
+          .select(col("ts").as("rts"), col("user_id").as("s_user_id"))
+        val joined = graft.streaming.EventStreams
+          .intervalJoin(facts, signals, lookback = "15 minutes")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("rts")).as("rts_us"))
+        val name = s"q53_sink_${q53Seq.incrementAndGet()}"
+        val q = joined.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$path/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      oracle = Some("""
+        SELECT f.event_id, f.user_id,
+               epoch_us(f.ts) AS ts_us, epoch_us(s.rts) AS rts_us
+        FROM (SELECT event_id, ts, user_id FROM events
+              WHERE event_type = 'purchase') f
+        JOIN (SELECT ts AS rts, user_id FROM events
+              WHERE event_type = 'click') s
+          ON f.user_id = s.user_id
+         AND s.rts BETWEEN f.ts - INTERVAL 15 MINUTE AND f.ts"""),
+      doc = "Stream-stream watermarked interval join run as a REAL " +
+        "StreamingQuery (file sources, AvailableNow, memory sink) — " +
+        "emitted rows hash-match the batch join."))
+
+  private val q53Seq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val q53Dirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
+  private def q53Dir(dir: String): String = {
+    val path = q53Dirs.getOrElseUpdate(dir, {
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-q53-${Integer.toHexString(dir.hashCode)}-" +
+          ProcessHandle.current().pid())
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(f)))
+      f.toString
+    })
+    val f = new java.io.File(path)
+    rmTree(f); f.mkdirs()
+    path
+  }
 }

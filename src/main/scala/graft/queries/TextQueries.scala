@@ -748,5 +748,31 @@ object TextQueries {
       doc = "Trained logistic-regression quality filter: driver-" +
         "bounded deterministic training, weight-literal map-only " +
         "scoring; oracle replays features + margin with the frozen " +
-        "weights inlined."))
+        "weights inlined."),
+
+    // ------------------------------------------------------------------
+    "t19_bpe_merges_deep" -> QueryDef(
+      fn = { (s, dir) =>
+        // t15 at REALISTIC depth: 200 merge rounds instead of 20 —
+        // deep enough that the fixture's 31-word vocabulary EXHAUSTS
+        // its pair space mid-run (every word collapses to a single
+        // symbol), so the gate covers the early-stop path AND the
+        // regime where the incremental trainer's advantage is real
+        // (per-merge cost ~ affected words, not vocabulary; the naive
+        // recount the oracle performs is 200 full rescans). Same one
+        // corpus-scale shuffle as t15 — depth changes only the
+        // driver-side histogram loop, which is the scale point:
+        // a 32k-merge production vocabulary costs 160x this driver
+        // loop and ZERO additional cluster work.
+        graft.operators.Bpe.learnMerges(
+          docs(s, dir), "text", numMerges = 200)
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        OracleSql.bpeLearnOracleGuards(docs(s, dir))
+        OracleSql.bpeLearnSql(numMerges = 200)
+      },
+      doc = "Deep BPE induction (200 rounds, exhaustion-covering): " +
+        "hash-checked via the same unrolled-iteration SQL replay as " +
+        "t15 — 200 chained argmax/rewrite CTE blocks."))
 }

@@ -103,14 +103,29 @@ object KeyedLog {
     coalesce(pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 8),
       16, 10).cast("long"), lit(nb.toLong)).cast("int"), lit(0))
 
-  /** Append one batch's rows as an L0 segment — O(batch) IO,
-    * overwrite-idempotent (a replayed batch rewrites its own
-    * directory with identical content). Empty batches write nothing
-    * (readers tolerate a missing segment).
+  /** Rows above which an append lands BUCKETED (level 1) instead of
+    * as a plain L0 segment. L0 segments are read WHOLE by every probe
+    * until the fold cadence catches up — fine for micro-batches,
+    * pathological for a seed/backfill batch that IS the corpus (the
+    * ladder measured a 100k-doc seed segment re-read by every
+    * 10-doc append until the 8th batch folded it).
     */
-  def append(df: DataFrame, path: String, segId: Long): Unit = {
-    if (df.isEmpty) return
-    df.write.mode("overwrite")
+  val L0MaxRows: Long = 65536
+
+  /** Append one batch's rows — O(batch) IO, overwrite-idempotent (a
+    * replayed batch rewrites its own directory with identical
+    * content). Empty batches write nothing (readers tolerate a
+    * missing segment); batches past [[L0MaxRows]] land bucketed so
+    * later probes prune them immediately.
+    */
+  def append(df: DataFrame, path: String, segId: Long,
+      keyCol: String = "bk"): Unit = {
+    // callers pass materialized (localCheckpointed) frames — the
+    // count is a block-manager scan, not a recompute
+    val rows = df.count()
+    if (rows == 0) return
+    if (rows > L0MaxRows) appendBucketed(df, path, keyCol, segId)
+    else df.write.mode("overwrite")
       .parquet(s"$path/${SegPrefix}$segId-L0")
   }
 
@@ -152,21 +167,29 @@ object KeyedLog {
         .distinct().collect().map(_.getInt(0)).toSet
     }.toMap
     val f = fs(spark, path)
-    val parts: Seq[String] = segs.flatMap { s =>
+    // ONE multi-path scan per segment (buckets of a segment share a
+    // schema): a per-bucket read would put hundreds of relations in
+    // the plan and planning time would dominate the probe
+    val parts: Seq[Seq[String]] = segs.map { s =>
       if (s.level == 0) Seq(s"$path/${s.dir}")
-      else kbSets(s.nb).toSeq.sorted
-        .map(b => s"$path/${s.dir}/$KbCol=$b")
-        .filter(p => f.exists(new Path(p)))
-    }
+      else {
+        val listed = f.listStatus(new Path(s"$path/${s.dir}"))
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(KbCol + "="))
+          .map(_.getPath.getName.stripPrefix(KbCol + "=").toInt).toSet
+        kbSets(s.nb).intersect(listed).toSeq.sorted
+          .map(b => s"$path/${s.dir}/$KbCol=$b")
+      }
+    }.filter(_.nonEmpty)
     if (parts.nonEmpty)
-      Some(parts.map(p => spark.read.parquet(p))
+      Some(parts.map(ps => spark.read.parquet(ps: _*))
         .reduce(_.unionByName(_, allowMissingColumns = true)))
     else
       // segments exist but none hold the probed buckets: an EMPTY
       // frame, not None — None means "no sidecar" and callers react
       // by backfilling
       anyLeaf(f, path, segs.map(_.dir))
-        .map(p => spark.read.parquet(p).limit(0))
+        .map(p => spark.read.parquet(p).limit(0).drop(KbCol))
   }
 
   /** Any readable parquet leaf under the segments (for an empty-

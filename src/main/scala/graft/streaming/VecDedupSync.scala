@@ -190,16 +190,16 @@ object VecDedupSync {
     // counter file OF the committed version), index LAST (the outer
     // commit point checked at entry)
     PairsStore.writeBatch(pairs, pairsPath, "cosine", batchId)
-    VecLog.append(newVecKeys, keysPath, batchId)
+    val newDepths = VecLog.Depths(bits, storedSigBits,
+      Dedup.refineDepths(newOcc, maxBucketSize, bits, storedSigBits))
+    VecLog.append(newVecKeys, keysPath, batchId, newDepths)
     KeyedLog.append(newMemberRows, membersPath, batchId)
     OccStats.write(spark, keysPath, batchId, newOcc)
     TableSync.applyBatch(batchIdx.withColumn("ver", lit(batchId)),
       indexPath, "id", "ver", batchId, numBuckets, maxBucketBytes,
       splitsPerBatch)
     PairsStore.maybeCompact(spark, pairsPath, "cosine", compactEvery)
-    VecLog.maybeCompact(spark, keysPath, VecLog.Depths(bits,
-      storedSigBits,
-      Dedup.refineDepths(newOcc, maxBucketSize, bits, storedSigBits)))
+    VecLog.maybeCompact(spark, keysPath, newDepths)
     KeyedLog.maybeCompact(spark, membersPath, "bk")
   }
 

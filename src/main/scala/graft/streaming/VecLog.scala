@@ -101,11 +101,18 @@ object VecLog {
   }
 
   /** Append one batch's (tbl, sig, id) rows as an L0 segment —
-    * O(batch), overwrite-idempotent.
+    * O(batch), overwrite-idempotent. A batch past
+    * [[KeyedLog.L0MaxRows]] (a seed/backfill that IS the corpus)
+    * lands depth-partitioned instead, so later probes prune it
+    * immediately rather than re-reading it whole until the fold
+    * cadence catches up.
     */
-  def append(df: DataFrame, path: String, segId: Long): Unit = {
-    if (df.isEmpty) return
-    df.write.mode("overwrite")
+  def append(df: DataFrame, path: String, segId: Long,
+      depths: Depths): Unit = {
+    val rows = df.count() // callers pass materialized frames
+    if (rows == 0) return
+    if (rows > KeyedLog.L0MaxRows) appendBucketed(df, path, segId, depths)
+    else df.write.mode("overwrite")
       .parquet(s"$path/${SegPrefix}$segId-L0")
   }
 
@@ -132,7 +139,10 @@ object VecLog {
     val segs = listSegs(spark, path)
     if (segs.isEmpty) return None
     val f = fs(spark, path)
-    val parts: Seq[String] = segs.flatMap { s =>
+    // ONE multi-path scan per segment (partitions share a schema —
+    // hundreds of per-partition relations would make planning time
+    // dominate the probe)
+    val parts: Seq[Seq[String]] = segs.map { s =>
       if (s.level == 0) Seq(s"$path/${s.name}")
       else {
         val d = parseDepths(readSmall(f, new Path(s"$path/${s.name}",
@@ -157,9 +167,9 @@ object VecLog {
         kbs.intersect(listed).toSeq.sorted
           .map(b => s"$path/${s.name}/$KbCol=$b")
       }
-    }
+    }.filter(_.nonEmpty)
     if (parts.nonEmpty)
-      Some(parts.map(p => spark.read.parquet(p))
+      Some(parts.map(ps => spark.read.parquet(ps: _*))
         .reduce(_.unionByName(_, allowMissingColumns = true)))
     else
       // segments exist but no probed partition does: EMPTY frame, not

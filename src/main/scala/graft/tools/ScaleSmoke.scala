@@ -520,6 +520,49 @@ object ScaleSmoke {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pr))
     }
+    // PRUNED-PROBE WITNESS (vsyncp) — the vector twin of dsyncp: the
+    // replica corpus above is an exact-dup flood (every append vector
+    // has k true partners, so candidate growth is semantic, not
+    // waste). Here replicas get per-replica SIGN patterns (directions
+    // diverge, cosine ~0 across replicas), so the append's candidates
+    // pin to its replica-0 partners while the index grows k-fold; a
+    // tight maxBucketSize keeps the coarse 16-bucket base refined, so
+    // the probe reads ~cap-sized VecLog partitions however large the
+    // corpus. Pass condition: appends FLAT and LOW across k.
+    locally {
+      val ix = java.nio.file.Files
+        .createTempDirectory("smoke_vsyncp_ix").toString
+      val pr = java.nio.file.Files
+        .createTempDirectory("smoke_vsyncp_pr").toString
+      def signed(df: org.apache.spark.sql.DataFrame, rep: Int) =
+        df.select(
+          (col("vec_id") + lit(rep.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"), (x, d) =>
+            when(pmod(d + lit(rep), lit(5)) < 2, -x).otherwise(x))
+            .as("embedding"))
+      val distinct = (0 until k).map(i => signed(ebase, i))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val append = signed(ebase.limit(10), 0)
+        .withColumn("vec_id", col("vec_id") + lit(950000000L))
+      timed("vsyncp_seed_batch0") {
+        graft.streaming.VecDedupSync.applyVecs(
+          distinct, ix, pr, "embedding", "vec_id", batchId = 0L,
+          threshold = 0.35, maxBucketSize = 200)
+        distinct.count()
+      }
+      (1 to 2).foreach { b =>
+        timed(s"vsyncp_append_batch$b") {
+          graft.streaming.VecDedupSync.applyVecs(
+            append.withColumn("vec_id", col("vec_id") + lit(b * 1000L)),
+            ix, pr, "embedding", "vec_id", batchId = b.toLong,
+            threshold = 0.35, maxBucketSize = 200)
+          append.count()
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pr))
+    }
     // PQ/ADC: codebook trains on a BOUNDED sample regardless of k
     // (fixed driver cost); the scan does m lookup reads per pair over
     // 4-bit codes, so growth must track the candidate count only
@@ -681,6 +724,47 @@ object ScaleSmoke {
         seed.count()
       }
       timed("dsync_append_batch1") {
+        graft.streaming.DedupSync.applyDocs(
+          append, ix, pr, "text", "doc_id", batchId = 1L,
+          threshold = 0.5, numHashes = 24, bands = 8)
+        append.count()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pr))
+    }
+
+    // PRUNED-PROBE WITNESS (dsyncp): the replica corpus above
+    // conflates two growth axes — every append doc there has k TRUE
+    // near-dup partners, so candidate volume (and the legitimately
+    // candidate-proportional work) grows with k and masks the probe's
+    // index-independence. This corpus grows with DISSIMILAR docs
+    // instead (every token carries a replica suffix, so no shingle —
+    // hence no band key, no fingerprint — crosses replicas): the
+    // append's candidate set is pinned to its replica-0 partners
+    // while the index grows k-fold. Pass condition: append wall-clock
+    // FLAT and LOW across k — this is the stage that would have
+    // exposed the old full-scan probe instantly.
+    locally {
+      val ix = java.nio.file.Files
+        .createTempDirectory("smoke_dsyncp_ix").toString
+      val pr = java.nio.file.Files
+        .createTempDirectory("smoke_dsyncp_pr").toString
+      val distinct = (0 until k).map { i =>
+        base.select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1z" + i).as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val append = base.limit(10)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1z0").as("text"))
+      timed("dsyncp_seed_batch0") {
+        graft.streaming.DedupSync.applyDocs(
+          distinct, ix, pr, "text", "doc_id", batchId = 0L,
+          threshold = 0.5, numHashes = 24, bands = 8)
+        distinct.count()
+      }
+      timed("dsyncp_append_batch1") {
         graft.streaming.DedupSync.applyDocs(
           append, ix, pr, "text", "doc_id", batchId = 1L,
           threshold = 0.5, numHashes = 24, bands = 8)

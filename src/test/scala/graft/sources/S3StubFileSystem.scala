@@ -72,7 +72,14 @@ class S3StubFileSystem extends FileSystem {
 
   private def isImplicitDir(k: String): Boolean =
     k.isEmpty || bucket.markers.contains(k) ||
-      bucket.objects.keysIterator.exists(_.startsWith(k + "/"))
+      bucket.objects.keysIterator.exists(_.startsWith(k + "/")) ||
+      // a NESTED marker alone also makes the prefix a directory — a
+      // real LIST surfaces the marker object, so `delete(dir, true)`
+      // must see (and sweep) it even when no data objects remain;
+      // without this, a committer's `_temporary/0` marker strands
+      // after job cleanup and later listings show a phantom child
+      // that getFileStatus can't resolve
+      bucket.markers.keysIterator.exists(_.startsWith(k + "/"))
 
   override def getFileStatus(p: Path): FileStatus = {
     val k = keyOf(p)

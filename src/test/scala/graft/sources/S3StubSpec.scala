@@ -130,4 +130,75 @@ class S3StubSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == before)
     assert(DedupSync.readIndex(spark, ix).count() == 3)
   }
+
+  test("KeyedLog sidecar on the object store: enough batches to " +
+    "force a tiered fold through copy+delete rename; pruned probes " +
+    "stay complete and the stream equals one-shot") {
+    import spark.implicits._
+    S3StubFileSystem.reset("klg")
+    val ix = "s3stub://klg/ix"
+    val pr = "s3stub://klg/pr"
+    // 9 single-doc batches: the key sidecar accumulates 8 L0 segments
+    // and the 9th batch's maintenance folds them (fanout 8) — the
+    // fold's staged-dir + rename + source deletes all run on
+    // copy+delete object-store semantics
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (3L, "an entirely different document about spark joins"),
+      (4L, "watermarks state stores and checkpoint recovery explained"),
+      (5L, "an entirely different document about spark joins"),
+      (6L, "watermarks state stores and checkpoint recovery today"),
+      (7L, "filler alpha beta gamma delta epsilon zeta eta theta"),
+      (8L, "the quick brown fox jumps over the lazy dog again"),
+      (9L, "unrelated text regarding parquet column pruning"))
+    texts.zipWithIndex.foreach { case ((id, t), b) =>
+      DedupSync.applyDocs(Seq((id, t)).toDF("doc_id", "text"),
+        ix, pr, "text", "doc_id", b.toLong, threshold = 0.3)
+    }
+    val fs = new Path("s3stub://klg/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val segs = fs.listStatus(new Path(s"${ix}_keys"))
+      .map(_.getPath.getName).filter(_.startsWith("seg_")).toSeq
+    assert(segs.exists(_.contains("-L1-nb")),
+      s"fold never fired on the object store: $segs")
+    assert(!segs.exists(_.startsWith("_compact_tmp_")))
+    val streamed = DedupSync.readPairs(spark, pr).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.operators.Dedup.nearDupPairs(
+      texts.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == oneShot, s"stream $streamed vs batch $oneShot")
+  }
+
+  test("VecDedupSync on the object store: VecLog depth-partitioned " +
+    "segments, OccStats counter files, and the two-store commit all " +
+    "run on flat-keyspace semantics") {
+    import spark.implicits._
+    S3StubFileSystem.reset("vsy")
+    val ix = "s3stub://vsy/ix"
+    val pr = "s3stub://vsy/pr"
+    val A = Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)
+    val rows = Seq(
+      1L -> A, 4L -> A.map(_ * 1.01f),
+      9L -> Seq(8f, 7f, 6f, 5f, 4f, 3f, 2f, 1f),
+      5L -> Seq(8f, 7f, 6f, 5f, 4f, 3f, 2f, 1f),
+      3L -> Seq(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f))
+    val corpus = rows.toDF("vec_id", "embedding")
+    (0 to 2).foreach { b =>
+      graft.streaming.VecDedupSync.applyVecs(
+        corpus.filter(pmod(col("vec_id"), lit(3)) === b), ix, pr,
+        "embedding", "vec_id", b.toLong, threshold = 0.9, dim = 8)
+    }
+    val streamed = graft.streaming.VecDedupSync.readPairs(spark, pr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.operators.Dedup.embeddingDupPairs(
+      corpus, "embedding", "vec_id", threshold = 0.9, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == oneShot, s"stream $streamed vs batch $oneShot")
+    val keys = S3StubFileSystem.keys("vsy")
+    assert(keys.exists(_.contains("_occ_v")), "no counter files")
+    assert(keys.exists(_.contains("ix_keys")), "no VecLog segments")
+    assert(keys.exists(_.contains("ix_members")), "no membership log")
+  }
 }

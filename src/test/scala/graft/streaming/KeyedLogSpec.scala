@@ -86,6 +86,13 @@ class KeyedLogSpec extends AnyFunSuite {
       .map(_.getPath.getName).filter(_.startsWith("seg_")).toSeq
     assert(segs2.size == 1 && segs2.head.contains("-L2-"),
       s"expected one cascaded L2 segment, got $segs2")
+    // CONTRACTION: nb is re-derived from the folded BYTES each fold,
+    // never inherited — the L1 generations were forced wide (tiny
+    // target), but this fold's roomy target must land back at the
+    // single-bucket floor, so a store that shrinks (or was over-split
+    // by an earlier cadence) recovers its small-table read cost
+    assert(segs2.head.endsWith("-nb1"),
+      s"roomy-target fold must right-size DOWN to nb1, got $segs2")
     val all2 = KeyedLog.readAll(spark, path).get
     assert(all2.count() == 72)
   }

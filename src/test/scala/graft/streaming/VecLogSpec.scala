@@ -26,7 +26,7 @@ class VecLogSpec extends AnyFunSuite {
     val path = Files.createTempDirectory("vlog-rw-").toString
     assert(VecLog.readForKeys(spark, path, Seq((0, 5L)), D()).isEmpty)
     VecLog.append(Seq((0, 0x35L, 100L), (1, 0x22L, 200L))
-      .toDF("tbl", "sig", "id"), path, 0L)
+      .toDF("tbl", "sig", "id"), path, 0L, D())
     val got = VecLog.readForKeys(spark, path, Seq((0, 1L)), D()).get
     // L0 read whole: both rows visible regardless of probe
     assert(rows(got) == Set((0, 0x35L, 100L), (1, 0x22L, 200L)))
@@ -42,7 +42,7 @@ class VecLogSpec extends AnyFunSuite {
     val sigs = Seq(0x01L, 0x05L, 0x09L, 0x0dL, 0x11L, 0x15L, 0x19L, 0x1dL)
     sigs.zipWithIndex.foreach { case (s, i) =>
       VecLog.append(Seq((0, s, 100L + i)).toDF("tbl", "sig", "id"),
-        path, i.toLong)
+        path, i.toLong, D())
     }
     // fold at depth 4 for (t=0, base=1): partitions split sig&15
     val dFold = D((0, 1L) -> 4)
@@ -86,8 +86,10 @@ class VecLogSpec extends AnyFunSuite {
       D((1, 3L) -> 5)).get
     assert(rows(got) == Set((1, 0x0bL, 2L)),
       "masked probe through a recorded per-bucket depth")
-    VecLog.append(Seq((0, 0x03L, 3L)).toDF("tbl", "sig", "id"), path, 10L)
-    VecLog.append(Seq((0, 0x03L, 3L)).toDF("tbl", "sig", "id"), path, 10L)
+    VecLog.append(Seq((0, 0x03L, 3L)).toDF("tbl", "sig", "id"), path,
+      10L, D())
+    VecLog.append(Seq((0, 0x03L, 3L)).toDF("tbl", "sig", "id"), path,
+      10L, D())
     VecLog.maybeCompact(spark, path, D(), fanout = 8) // not owed
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
