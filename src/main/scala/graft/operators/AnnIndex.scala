@@ -40,12 +40,19 @@ import graft.functions.VectorFunctions
   *
   * Build is one bounded training pass + ONE corpus projection job
   * (assignment + quantization are per-row expressions over plan
-  * literals — zero shuffle beyond the partitioned write). Rebuild to
-  * retrain; the artifact is immutable between builds (ANN indexes
-  * version like models, not like tables — a half-updated centroid set
-  * scores garbage, so the unit of update is the whole index; for
-  * continuous ingestion compose with the streaming dedup sinks and
-  * rebuild on a cadence).
+  * literals — zero shuffle beyond the partitioned write). The
+  * TRAINED state (centroids + int8 scale) is immutable between
+  * builds (a half-updated centroid set scores garbage — ANN indexes
+  * version their geometry like models, not like tables); the DATA is
+  * not: [[append]] projects new vectors through the FROZEN geometry
+  * into their own `seg=<id>` subtree — O(batch), overwrite-
+  * idempotent under replay, and the standard IVF ingestion story
+  * (FAISS `add` after `train`): cells drift as the distribution
+  * does, so retrain on a cadence, but between retrains ingestion is
+  * one batch-sized projection job, never a rebuild. Layout:
+  * `codes/seg=<s>/cell=<c>/` — both levels are parquet partition
+  * directories, so probes still prune to probed CELLS at planning
+  * time across every segment.
   */
 object AnnIndex {
 
@@ -65,7 +72,8 @@ object AnnIndex {
         lit(-127.0)), lit(127.0)).cast("tinyint").cast("float"))
 
   /** Train + project + persist. One corpus projection job; the write
-    * is `partitionBy(cell)` so probes prune directories.
+    * is `partitionBy(seg, cell)` so probes prune cell directories and
+    * a rebuild's overwrite clears every appended segment too.
     */
   def build(corpus: DataFrame, path: String,
       nlist: Int = 16, seed: Long = 42L,
@@ -79,34 +87,66 @@ object AnnIndex {
     require(!r.isNullAt(0), "corpus is empty — nothing to index")
     val scale = r.getDouble(0)
     require(scale > 0, "corpus has no nonzero vector component")
-    corpus.select(col(idCol).as("id"),
-      element_at(Similarity.probeCells(
-        VectorFunctions.asDouble(col(vecCol)), centroids, 1), 1)
-        .as("cell"),
-      quant(col(vecCol), scale).as("q"),
-      col(vecCol).as("vec"))
-      .write.mode("overwrite").partitionBy("cell")
+    project(corpus, centroids, scale, idCol, vecCol)
+      .withColumn("seg", lit(0L))
+      .write.mode("overwrite").partitionBy("seg", "cell")
       .parquet(s"$path/codes")
     import spark.implicits._
     centroids.map { case (c, v) => (c, v) }.toDF("cell", "cvec")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val rows = corpus.count()
+    writeMeta(spark, path, Meta(dim, nlist, seed, scale, rows))
+  }
+
+  /** Incremental ingestion: project `more` through the index's FROZEN
+    * geometry (stored centroids + stored int8 scale — components past
+    * the trained range clamp, the same saturation discipline as
+    * build) into its own `seg=<segId>` subtree. O(batch) — one
+    * projection job over the new rows, zero reads of existing
+    * segments; overwrite-idempotent (a replayed segId rewrites its
+    * own directory with identical content, the streaming-sink
+    * contract). `_META`'s row count is recomputed from parquet
+    * footers LAST, so a torn append leaves a valid probeable
+    * artifact and the replay converges.
+    */
+  def append(more: DataFrame, path: String, segId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(segId >= 1L, s"segId must be >= 1 (0 is the build): $segId")
+    val spark = more.sparkSession
+    val meta = readMeta(spark, path)
+    val centroids = loadCentroids(spark, path)
+    project(more, centroids, meta.scale, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes/seg=$segId")
+    val rows = spark.read.parquet(s"$path/codes").count()
+    writeMeta(spark, path, meta.copy(rows = rows))
+  }
+
+  /** The one shared projection: assign to the nearest centroid cell,
+    * quantize with the index scale, carry the exact vector for the
+    * rescore column.
+    */
+  private def project(rows: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], scale: Double,
+      idCol: String, vecCol: String): DataFrame =
+    rows.select(col(idCol).as("id"),
+      element_at(Similarity.probeCells(
+        VectorFunctions.asDouble(col(vecCol)), centroids, 1), 1)
+        .as("cell"),
+      quant(col(vecCol), scale).as("q"),
+      col(vecCol).as("vec"))
+
+  private def writeMeta(spark: SparkSession, path: String,
+      meta: Meta): Unit = {
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val out = fs.create(new Path(path, "_META"), true)
-    try out.write(Meta(dim, nlist, seed, scale, rows).serialize
-      .getBytes("UTF-8"))
+    try out.write(meta.serialize.getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** Top-k over the persisted artifact: int8 candidate scan of the
-    * probed cell PARTITIONS only, exact rescore of k*refine. Returns
-    * (qid, id, cosine, rank) like every other top-k path.
-    */
-  def probe(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, nprobe: Int = 3, refine: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  private def readMeta(spark: SparkSession, path: String): Meta = {
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val metaP = new Path(path, "_META")
@@ -115,11 +155,24 @@ object AnnIndex {
     val buf = new Array[Byte](len)
     val in = fs.open(metaP)
     try in.readFully(0, buf) finally in.close()
-    val meta = parseMeta(new String(buf, "UTF-8"))
-    val centroids: Seq[(Int, Seq[Double])] =
-      spark.read.parquet(s"$path/centroids").collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1))
-        .sortBy(_._1).toSeq
+    parseMeta(new String(buf, "UTF-8"))
+  }
+
+  private def loadCentroids(spark: SparkSession,
+      path: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).toSeq
+
+  /** Top-k over the persisted artifact: int8 candidate scan of the
+    * probed cell PARTITIONS only, exact rescore of k*refine. Returns
+    * (qid, id, cosine, rank) like every other top-k path.
+    */
+  def probe(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int = 3, refine: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val meta = readMeta(spark, path)
+    val centroids = loadCentroids(spark, path)
     val probed = queries.select(col(idCol).as("qid"),
       quant(col(vecCol), meta.scale).as("qq"),
       col(vecCol).as("qvec"),

@@ -1697,6 +1697,99 @@ object DedupQueries {
         "hash-checked against the transient IVFxSQ replay."),
 
     // ------------------------------------------------------------------
+    "s19_ann_index_append" -> QueryDef(
+      fn = { (s, dir) =>
+        // INCREMENTAL ingestion into the persisted artifact: build on
+        // half the corpus (training centroids + int8 scale on that
+        // half only), then append the other half through the FROZEN
+        // geometry — one O(batch) projection job into its own seg
+        // subtree, no rebuild, the FAISS train-then-add story. The
+        // probe (queries drawn from BOTH halves) serves from the
+        // merged artifact with the same planning-time cell-partition
+        // pruning across segments. The oracle replays the frozen-
+        // geometry semantics independently: centroids and scale from
+        // the build half, assignment + quantization of ALL vectors
+        // through those literals.
+        val path = annixaDir(dir)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        AnnIndex.build(e.filter(col("vec_id") % 2 === 0), path,
+          nlist = 16)
+        AnnIndex.append(e.filter(col("vec_id") % 2 === 1), path,
+          segId = 1L)
+        AnnIndex.probe(s, path, e.filter(col("vec_id") % 25 === 0),
+          k = 5, nprobe = 3, refine = 4)
+          .select(col("qid"), col("id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        // s18's replay with the geometry CTEs restricted to the build
+        // half: centroids trained on evens, scale from evens, every
+        // vector (both halves) assigned and quantized through them
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        val cents = Similarity.coarseCentroids(
+          e.filter(col("vec_id") % 2 === 0), "embedding", "vec_id",
+          nlist = 16, seed = 42L, maxTrainRows = 100000L)
+        val cLit = OracleSql.sqlDoubleArr2(cents.sortBy(_._1).map(_._2))
+        s"""
+        WITH ct AS (SELECT $cLit::DOUBLE[][] AS m),
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+        ascore AS (
+          SELECT v.id, c.c AS cell,
+                 list_cosine_similarity(ct.m[c.c + 1], v.vec) AS csim
+          FROM v, ct, (SELECT unnest(range(0, 16)) AS c) c),
+        cells AS (
+          SELECT id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore) WHERE rn = 1),
+        probed AS (
+          SELECT id AS qid, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore WHERE id % 25 = 0) WHERE rn <= 3),
+        sc AS (SELECT max(list_max(list_transform(vec, x -> abs(x))))
+                 AS s FROM v WHERE id % 2 = 0),
+        cq AS (SELECT v.id,
+                      list_transform(v.vec,
+                        x -> CAST(CAST(least(greatest(
+                            round(x / sc.s * 127), -127), 127)
+                          AS TINYINT) AS DOUBLE)) AS qv
+               FROM v, sc),
+        qq AS (SELECT id AS qid, qv FROM cq WHERE id % 25 = 0),
+        cand AS (SELECT qid, id FROM (
+                   SELECT p.qid, c.id,
+                          row_number() OVER (PARTITION BY p.qid
+                            ORDER BY list_cosine_similarity(cv.qv, q.qv)
+                              DESC, c.id) AS rn
+                   FROM probed p
+                   JOIN cells c ON c.cell = p.cell AND c.id != p.qid
+                   JOIN cq cv ON cv.id = c.id
+                   JOIN qq q ON q.qid = p.qid)
+                 WHERE rn <= 20),
+        scored AS (SELECT cand.qid, cand.id,
+                          list_cosine_similarity(
+                            CAST(ce.embedding AS DOUBLE[]),
+                            CAST(qe.embedding AS DOUBLE[])) AS cosine
+                   FROM cand
+                   JOIN embeddings ce ON ce.vec_id = cand.id
+                   JOIN embeddings qe ON qe.vec_id = cand.qid)
+        SELECT qid, id, round(cosine, 4) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT qid, id, cosine,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, id) AS rank
+              FROM scored)
+        WHERE rank <= 5"""
+      },
+      doc = "Incremental ANN index ingestion: append new vectors " +
+        "through the frozen trained geometry (stored centroids + " +
+        "scale) as an O(batch) segment write — probe spans build + " +
+        "appended segments; hash-checked via the frozen-geometry " +
+        "replay."),
+
+    // ------------------------------------------------------------------
     "s06_topk_sparse" -> QueryDef(
       fn = { (s, dir) =>
         // Sparse TF-IDF cosine top-50 pairs via inverted-index join —
@@ -2555,4 +2648,5 @@ object DedupQueries {
   }
   private def d20Dir(dir: String): String = cachedTmpDir("vsync-d20", dir)
   private def annixDir(dir: String): String = cachedTmpDir("annix", dir)
+  private def annixaDir(dir: String): String = cachedTmpDir("annixa", dir)
 }

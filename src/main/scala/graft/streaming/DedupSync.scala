@@ -54,6 +54,18 @@ import graft.operators.Dedup
   */
 object DedupSync {
 
+  /** Phase-level wall-clock prints for the ladder's slope autopsy —
+    * off unless SPARK_GRAFT_PHASE_TIMING is set, so the gate and
+    * bench never pay (or print) anything.
+    */
+  private[streaming] def phase[A](label: String)(body: => A): A =
+    if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[phase] $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    } else body
+
   /** Default split trigger for the index: ARMED at 1 GB/bucket, not
     * off — a long-lived stream should never rediscover the frozen-
     * bucket-count failure mode by forgetting a knob. Far above any
@@ -139,41 +151,57 @@ object DedupSync {
     if (applied.exists(_ >= batchId)) return // replayed after commit
     val keysPath = sidecarPath(indexPath)
     // consumed by the pairs computation AND the index append
-    val newIdx = Dedup.dedupIndex(batch, textCol, idCol, numHashes,
-      shingleSize, hasher).localCheckpoint()
+    val newIdx = phase("p_hash_batch") {
+      Dedup.dedupIndex(batch, textCol, idCol, numHashes,
+        shingleSize, hasher).localCheckpoint()
+    }
     // the batch's probe keys feed the pruned read AND the sidecar
     // append — derived once
-    val newKeys = Dedup.probeKeys(newIdx, numHashes, bands)
-      .localCheckpoint()
+    val newKeys = phase("p_probe_keys") {
+      Dedup.probeKeys(newIdx, numHashes, bands).localCheckpoint()
+    }
     val pairs =
       if (applied.isEmpty)
         // first batch: within-batch pairs only (nothing indexed yet)
         Dedup.pairsFromIndex(newIdx, threshold, numHashes, bands,
           maxBucketSize)
-      else
-        Dedup.incrementalPairs(
+      else {
+        val probeIx = phase("p_pruned_read") {
           prunedProbeIndex(spark, indexPath, keysPath, newKeys,
-            numHashes, bands, applied.max),
-          newIdx, threshold, numHashes, bands, maxBucketSize)
+            numHashes, bands, applied.max)
+        }
+        phase("p_pair_compute") {
+          Dedup.incrementalPairs(probeIx,
+            newIdx, threshold, numHashes, bands, maxBucketSize)
+        }
+      }
     // pairs FIRST (append-only, overwrite of this batch's own
     // directory — idempotent under replay), then the SIDECAR segment
     // (also overwrite-idempotent; a sidecar ahead of the index commit
     // is benign — its keys reference index rows that do not exist
     // yet, and the pruned read's id semi-join drops them), index LAST
     // (the outer commit point checked at entry)
-    PairsStore.writeBatch(pairs, pairsPath, "jaccard", batchId)
-    KeyedLog.append(newKeys, keysPath, batchId)
-    TableSync.applyBatch(newIdx.withColumn("ver", lit(batchId)),
-      indexPath, "id", "ver", batchId, numBuckets, maxBucketBytes,
-      splitsPerBatch)
+    phase("p_pairs_write") {
+      PairsStore.writeBatch(pairs, pairsPath, "jaccard", batchId)
+    }
+    phase("p_sidecar_write") {
+      KeyedLog.append(newKeys, keysPath, batchId)
+    }
+    phase("p_index_commit") {
+      TableSync.applyBatch(newIdx.withColumn("ver", lit(batchId)),
+        indexPath, "id", "ver", batchId, numBuckets, maxBucketBytes,
+        splitsPerBatch)
+    }
     // maintenance cadence, AFTER the outer commit: once the pairs
     // store holds >= compactEvery generations, fold them. Runs on the
     // committed state only, so a crash mid-compaction never touches
     // this batch's exactly-once story (replay sees the id applied and
     // no-ops; the stale staged dir is swept on the next fold). The
     // sidecar folds on its own tiered cadence.
-    PairsStore.maybeCompact(spark, pairsPath, "jaccard", compactEvery)
-    KeyedLog.maybeCompact(spark, keysPath, "bk")
+    phase("p_maintenance") {
+      PairsStore.maybeCompact(spark, pairsPath, "jaccard", compactEvery)
+      KeyedLog.maybeCompact(spark, keysPath, "bk")
+    }
   }
 
   /** The key sidecar of a dedup index (a sibling directory, derived —

@@ -23,17 +23,27 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     v<b>[r<k>]/__bucket=N/    # bucket data written by batch b
   * }}}
   *
-  * Write amplification per micro-batch is O(touched buckets / total
-  * buckets), not O(table): a 1-row update rewrites one bucket —
-  * 1/numBuckets of the table — while every untouched bucket's files
-  * are carried forward BY REFERENCE in the manifest (zero IO; the
-  * spec asserts they stay byte-identical across a batch). At 100 TB,
-  * a bucket should be a few GB — and the count is NOT frozen at
-  * creation: set `maxBucketBytes` and the scheme widens itself by
-  * bounded linear-hashing splits as the table grows (see
-  * [[applyBatch]]), or run [[rebucket]] for a one-shot re-base. The
-  * reference's own commit point is O(1) per job (SQS `m.delete()`,
-  * GetJobs.py:39) and sub-table rewrite is the table-sink analogue.
+  * Write amplification per micro-batch is O(batch), not O(table):
+  * storage is MERGE-ON-READ — a touched bucket normally gains one
+  * DELTA GENERATION holding only the batch's rows (the manifest
+  * tracks a generation LIST per bucket), and readers fold
+  * max-version-per-key across generations; once a bucket accumulates
+  * `maxGens` generations, the next touching batch folds it back to
+  * one (amortized O(touched/maxGens) bucket rewrites per batch, each
+  * <= maxBucketBytes — the lakehouse MOR-with-compaction shape; the
+  * first cut was copy-on-write, rewriting every touched bucket whole
+  * per batch: bounded by maxBucketBytes but corpus/numBuckets per
+  * bucket until splits catch up, the term the streaming-dedup ladder
+  * autopsy isolated; maxGens=1 recovers exactly that behavior).
+  * Untouched buckets' files are carried forward BY REFERENCE in the
+  * manifest (zero IO; the spec asserts they stay byte-identical
+  * across a batch). At 100 TB, a bucket should be a few GB — and the
+  * count is NOT frozen at creation: set `maxBucketBytes` and the
+  * scheme widens itself by bounded linear-hashing splits as the
+  * table grows (see [[applyBatch]]), or run [[rebucket]] for a
+  * one-shot re-base. The reference's own commit point is O(1) per
+  * job (SQS `m.delete()`, GetJobs.py:39) and the delta-generation
+  * append is the table-sink analogue.
   *
   * Three invariants make the pointer safe:
   *
@@ -112,12 +122,32 @@ object TableSync {
     case _              => (-1L, -1)
   }
 
+  /** Scalar generation ordinal of a snapshot dir (merge-on-read
+    * tie-break: generations append in batch order, so snapshot order
+    * IS generation order; replay suffixes stay far below the 1e6
+    * factor).
+    */
+  private def genOrd(name: String): Long = {
+    val (b, r) = snapOrder(name)
+    b * 1000000L + r
+  }
+
   private val ManifestPrefix = "_MANIFEST_"
   private val BucketCol = "__bucket"
+  private val GenCol = "__gen"
 
-  /** The pointer payload: which snapshot directory serves each
-    * bucket. `name` is the snapshot this manifest's commit wrote;
-    * buckets the batch did not touch keep their previous directory.
+  /** Default cap on a bucket's DELTA GENERATIONS before a touching
+    * batch folds it back to one (merge-on-read, below). 1 degenerates
+    * to fold-every-batch — the copy-on-write behavior of the first
+    * cut.
+    */
+  val DefaultMaxGens = 8
+
+  /** The pointer payload: which snapshot directories serve each
+    * bucket — a LIST per bucket, oldest generation first (merge-on-
+    * read deltas; a fully-folded bucket's list has length 1). `name`
+    * is the snapshot this manifest's commit wrote; buckets the batch
+    * did not touch keep their previous directories.
     *
     * `split` is the linear-hashing pointer (Litwin 1980): buckets
     * below it have been split to the doubled level, so the effective
@@ -131,16 +161,26 @@ object TableSync {
     * split 0 with unknown sizes.
     */
   private[streaming] case class Manifest(
-      name: String, numBuckets: Int, entries: Map[Int, String],
+      name: String, numBuckets: Int, entries: Map[Int, Seq[String]],
       split: Int = 0, sizes: Map[Int, Long] = Map.empty,
-      hashHex: Int = 4) {
+      hashHex: Int = 4,
+      keyCol: Option[String] = None, verCol: Option[String] = None) {
     def serialize: String =
       // an UNKNOWN size (bucket last written by a pre-sizes manifest)
       // round-trips as `?`, never as 0 — the contraction trigger must
-      // be able to tell "empty" from "never measured"
-      (s"$name $numBuckets $split $hashHex" +:
-        entries.toSeq.sortBy(_._1).map { case (b, s) =>
-          s"$b\t$s\t${sizes.get(b).map(_.toString).getOrElse("?")}" })
+      // be able to tell "empty" from "never measured". Generation
+      // lists join on "," (snapshot names are [vNrK], comma-free);
+      // the key/version column names ride the header so READERS can
+      // fold multi-generation buckets without being told the schema
+      // (columns with spaces are unsupported in this sink — the
+      // header is space-separated).
+      ((s"$name $numBuckets $split $hashHex" +
+        keyCol.zip(verCol).map { case (k, v) => s" $k $v" }
+          .getOrElse("")) +:
+        entries.toSeq.sortBy(_._1).map { case (b, dirs) =>
+          s"$b\t${dirs.mkString(",")}\t" +
+            sizes.get(b).map(_.toString).getOrElse("?")
+        })
         .mkString("\n")
   }
 
@@ -149,11 +189,13 @@ object TableSync {
     val head = lines.head.split(" ")
     val rows = lines.tail.map(_.split("\t"))
     Manifest(head(0), head(1).toInt,
-      rows.map(a => a(0).toInt -> a(1)).toMap,
+      rows.map(a => a(0).toInt -> a(1).split(",").toSeq).toMap,
       if (head.length > 2) head(2).toInt else 0,
       rows.filter(a => a.length > 2 && a(2) != "?")
         .map(a => a(0).toInt -> a(2).toLong).toMap,
-      if (head.length > 3) head(3).toInt else 4)
+      if (head.length > 3) head(3).toInt else 4,
+      if (head.length > 5) Some(head(4)) else None,
+      if (head.length > 5) Some(head(5)) else None)
   }
 
   /** Hash width (md5 hex digits) for NEW tables: 8 digits = a 32-bit
@@ -249,7 +291,8 @@ object TableSync {
       batch: DataFrame, path: String, keyCol: String, verCol: String,
       batchId: Long, numBuckets: Int = DefaultBuckets,
       maxBucketBytes: Long = Long.MaxValue,
-      splitsPerBatch: Int = DefaultSplitsPerBatch): Unit = {
+      splitsPerBatch: Int = DefaultSplitsPerBatch,
+      maxGens: Int = DefaultMaxGens): Unit = {
     val spark = batch.sparkSession
     val prev = currentManifest(spark, path)
     val nb = prev.map(_.numBuckets).getOrElse(numBuckets)
@@ -320,6 +363,13 @@ object TableSync {
         }
         (cnb, cs, buf.result())
       }
+    def phase[A](label: String)(body: => A): A =
+      if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING")) {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[phase]   ts_$label%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        r
+      } else body
     val splitIds = (s0 until sF).toSet // empty when contracting
     val bucketed = batch.withColumn(BucketCol,
       bucketExpr(keyCol, nbF, sF, hx))
@@ -328,10 +378,30 @@ object TableSync {
     // add their source bucket (read + redistributed) and its doubled
     // target (write-only); merges add the removed bucket (read +
     // folded) and its target (rewritten with the union).
-    val touched = (bucketed.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSet ++ splitIds ++
-      splitIds.map(_ + nb) ++ mergedPairs.map(_._1) ++
-      mergedPairs.map(_._2)).toSeq.sorted
+    val batchBuckets = phase("touched_collect") {
+      bucketed.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+    }
+    val prevGens: Map[Int, Seq[String]] =
+      prev.map(_.entries).getOrElse(Map.empty)
+    // MERGE-ON-READ: a batch-touched bucket normally gains ONE delta
+    // generation holding only the batch's rows — O(batch) write IO,
+    // never a bucket rewrite (the first cut's copy-on-write rewrote
+    // every touched bucket whole: corpus/numBuckets bytes per bucket
+    // per micro-batch, the one surviving index-growth term the
+    // dsyncp ladder's phase autopsy isolated). A bucket FOLDS back to
+    // one generation when (a) the scheme moves it — splits and merges
+    // need the complete row set to redistribute — or (b) its
+    // generation count would exceed `maxGens` (the read-side merge
+    // cost bound). Folds per batch are therefore amortized
+    // O(touched / maxGens) bucket rewrites, each <= maxBucketBytes.
+    val foldForced: Set[Int] = splitIds ++ splitIds.map(_ + nb) ++
+      mergedPairs.map(_._1) ++ mergedPairs.map(_._2)
+    val owed: Set[Int] = batchBuckets.filter(b =>
+      prevGens.getOrElse(b, Nil).length + 1 > math.max(1, maxGens))
+    val foldSet: Set[Int] = foldForced ++ owed
+    val appendSet: Set[Int] = batchBuckets -- foldSet
+    val touched = (batchBuckets ++ foldForced).toSeq.sorted
     // Fresh-directory rule: if the manifest already names a variant
     // of THIS batch (crash-after-swap replay), write the next replay
     // suffix — never a directory the current manifest references.
@@ -341,42 +411,64 @@ object TableSync {
         s"v${batchId}r${Option(r).map(_.toInt).getOrElse(0) + 1}"
       case _ => s"v$batchId"
     }
-    // Previous rows for the touched buckets only. Buckets served by
-    // the same snapshot directory share one parquet write (one
-    // schema), so they batch into one multi-path scan.
+    // Previous rows of the FOLDING buckets only — every generation,
+    // tagged with its generation ordinal so the fold can break
+    // same-version ties deterministically (newest generation wins;
+    // batch rows outrank all stored generations). Generations served
+    // by the same snapshot directory share one multi-path scan.
     val prevRows: Option[DataFrame] = prev.flatMap { m =>
-      val groups = touched
-        .flatMap(b => m.entries.get(b).map(snap => snap -> b))
-        .groupBy(_._1)
+      val leaves = foldSet.toSeq.sorted.flatMap(b =>
+        m.entries.getOrElse(b, Nil).map(d => d -> b))
+      val groups = leaves.groupBy(_._1)
       if (groups.isEmpty) None
-      else Some(groups.toSeq.map { case (snap, bs) =>
-        spark.read.parquet(
-          bs.map { case (_, b) => s"$path/$snap/$BucketCol=$b" }: _*)
-      }.reduce(_.unionByName(_, allowMissingColumns = true)))
+      else Some(groups.toSeq
+        .sortBy { case (snap, _) => snapOrder(snap) }.reverse
+        .map { case (snap, bs) =>
+          spark.read.parquet(
+            bs.map { case (_, b) => s"$path/$snap/$BucketCol=$b" }: _*)
+            .withColumn(GenCol, lit(genOrd(snap)))
+        }.reduce(_.unionByName(_, allowMissingColumns = true)))
     }
     // Schema evolution, the additive half CDC streams actually hit:
     // the union tolerates missing columns on EITHER side (old bucket
     // rows null-fill a new column; a source that dropped a column
     // null-fills it going forward rather than silently truncating
-    // history). Old-schema-first keeps stable column order; buckets
-    // rewritten later simply carry the widened schema, and readers
-    // re-align by name.
-    val merged = prevRows match {
+    // history). Newest-schema-first keeps stable column order;
+    // buckets rewritten later simply carry the widened schema, and
+    // readers re-align by name.
+    val batchTagged = bucketed.withColumn(GenCol, lit(Long.MaxValue))
+    val folding = prevRows match {
       case Some(p) =>
         // re-bucketing at the NEW scheme is the evolution itself: a
         // split bucket's previous rows redistribute over its two
         // targets here, a merged bucket's rows fold into their
         // target, and nothing else moves
         p.withColumn(BucketCol, bucketExpr(keyCol, nbF, sF, hx))
-          .unionByName(bucketed, allowMissingColumns = true)
-      case None => bucketed
+          .unionByName(
+            batchTagged.filter(col(BucketCol).isin(foldSet.toSeq: _*)),
+            allowMissingColumns = true)
+      case None =>
+        batchTagged.filter(col(BucketCol).isin(foldSet.toSeq: _*))
     }
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(verCol).desc)
-    val snap = merged
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(verCol).desc, col(GenCol).desc)
+    val foldedRows = folding
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    snap.write.mode("overwrite").partitionBy(BucketCol)
-      .parquet(s"$path/$snapName")
+    // Append buckets: the batch's own rows, one-row-per-key within
+    // the generation (same window, batch-sized — keeps every stored
+    // generation internally deduped so sizes and reads stay tight)
+    val appendRows = batchTagged
+      .filter(col(BucketCol).isin(appendSet.toSeq: _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val snap = foldedRows
+      .unionByName(appendRows, allowMissingColumns = true)
+      .drop(GenCol)
+    phase("snap_write") {
+      snap.write.mode("overwrite").partitionBy(BucketCol)
+        .parquet(s"$path/$snapName")
+    }
     // Entries and sizes derive from the directories the write ACTUALLY
     // produced (one listing + one content summary per touched bucket —
     // parameter-bounded): a split can leave either half legitimately
@@ -384,17 +476,31 @@ object TableSync {
     // reference a directory that does not exist.
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val written: Map[Int, Long] =
+    val written: Map[Int, Long] = phase("written_summary") {
       fs.listStatus(new Path(s"$path/$snapName"))
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith(BucketCol + "="))
         .map(st => st.getPath.getName.stripPrefix(BucketCol + "=").toInt ->
           fs.getContentSummary(st.getPath).getLength)
         .toMap
-    val entries0 = (prev.map(_.entries).getOrElse(Map.empty[Int, String])
-      -- touched) ++ written.keys.map(_ -> snapName)
-    val sizes0 = (prev.map(_.sizes).getOrElse(Map.empty[Int, Long])
-      -- touched) ++ written
+    }
+    // Folded buckets reset to one generation; appended buckets extend
+    // their list. Sizes: a folded bucket's size is its fresh bytes;
+    // an appended bucket accumulates (and an UNKNOWN prior size stays
+    // unknown — a delta on top of unmeasured bytes is still
+    // unmeasured, and the contraction guard must keep seeing that).
+    val entries0: Map[Int, Seq[String]] =
+      (prevGens -- touched) ++ written.keys.map { b =>
+        if (appendSet(b)) b -> (prevGens.getOrElse(b, Nil) :+ snapName)
+        else b -> Seq(snapName)
+      }
+    val prevSizes = prev.map(_.sizes).getOrElse(Map.empty[Int, Long])
+    val sizes0: Map[Int, Long] =
+      (prevSizes -- touched) ++ written.flatMap { case (b, len) =>
+        if (!appendSet(b) || prevGens.getOrElse(b, Nil).isEmpty)
+          Some(b -> len)
+        else prevSizes.get(b).map(s => b -> (s + len))
+      }
     // Empty FIRST batch (legitimate: a stream can open on a quiet
     // source, or a dedup pairs table can have nothing to say yet):
     // partitionBy of zero rows writes no bucket directory, which
@@ -406,7 +512,7 @@ object TableSync {
       else {
         snap.drop(BucketCol).write.mode("overwrite")
           .parquet(s"$path/$snapName/$BucketCol=0")
-        (Map(0 -> snapName), Map(0 -> 0L))
+        (Map(0 -> Seq(snapName)), Map(0 -> 0L))
       }
     // Level completion: every bucket of this level has split, and
     // (nb, nb) is by construction the same key->bucket mapping as
@@ -414,9 +520,12 @@ object TableSync {
     // (Contraction pre-normalizes downward in its step loop, so sF
     // never reaches nbF on the merge path.)
     val (cn, cs) = if (sF == nbF) (nbF * 2, 0) else (nbF, sF)
-    commitPointer(spark, path, prev.map(_.name),
-      Manifest(snapName, cn, entries, cs, sizes, hx))
-    gc(spark, path, batchId)
+    phase("commit_pointer") {
+      commitPointer(spark, path, prev.map(_.name),
+        Manifest(snapName, cn, entries, cs, sizes, hx,
+          Some(keyCol), Some(verCol)))
+    }
+    phase("gc") { gc(spark, path, batchId) }
   }
 
   /** The table's current bucket scheme `(numBuckets, split)` —
@@ -466,17 +575,18 @@ object TableSync {
           fs.getContentSummary(st.getPath).getLength)
         .toMap
     val (entries, sizes) =
-      if (written.nonEmpty) (written.map { case (b, _) => b -> snapName },
-        written)
+      if (written.nonEmpty)
+        (written.map { case (b, _) => b -> Seq(snapName) }, written)
       else { // empty table keeps its readable empty bucket 0
-        val (b, snap) = prev.entries.toSeq.minBy(_._1)
-        spark.read.parquet(s"$path/$snap/$BucketCol=$b")
+        val (b, dirs) = prev.entries.toSeq.minBy(_._1)
+        spark.read.parquet(s"$path/${dirs.last}/$BucketCol=$b")
           .limit(0).write.mode("overwrite")
           .parquet(s"$path/$snapName/$BucketCol=0")
-        (Map(0 -> snapName), Map(0 -> 0L))
+        (Map(0 -> Seq(snapName)), Map(0 -> 0L))
       }
     commitPointer(spark, path, Some(prev.name),
-      Manifest(snapName, newNumBuckets, entries, 0, sizes, prev.hashHex))
+      Manifest(snapName, newNumBuckets, entries, 0, sizes, prev.hashHex,
+        Some(keyCol), prev.verCol))
     batchOf(snapName).foreach(gc(spark, path, _))
   }
 
@@ -496,7 +606,7 @@ object TableSync {
       batchOf(n.stripPrefix(ManifestPrefix)).exists(_ >= batchId - 2))
     val referenced: Set[String] = retained.flatMap { n =>
       val m = parseManifest(readSmallFile(fs, new Path(path, n)))
-      m.entries.values.toSeq :+ m.name
+      m.entries.values.flatten.toSeq :+ m.name
     }.toSet
     expired.foreach(n => fs.delete(new Path(path, n), false))
     st.filter(_.isDirectory).map(_.getPath)
@@ -624,33 +734,51 @@ object TableSync {
       .select(bucketExpr(keyCol, m.numBuckets, m.split, m.hashHex)
         .as(BucketCol))
       .distinct().collect().map(_.getInt(0)).toSet
-    val groups = m.entries.toSeq
-      .filter { case (b, _) => touched(b) }
-      .groupBy(_._2).toSeq
-      .sortBy { case (snap, _) => snapOrder(snap) }.reverse
-      .map { case (snap, bs) =>
-        spark.read.parquet(
-          bs.map { case (b, _) => s"$path/$snap/$BucketCol=$b" }: _*)
-      }
-    if (groups.isEmpty) readCurrent(spark, path).limit(0)
-    else groups.reduce(_.unionByName(_, allowMissingColumns = true))
+    val sub = m.copy(entries = m.entries.filter {
+      case (b, _) => touched(b)
+    })
+    if (sub.entries.isEmpty) readCurrent(spark, path).limit(0)
+    else readManifest(spark, path, sub)
   }
 
-  /** Union the bucket directories a manifest references. Buckets
-    * served by the same snapshot write share a schema and batch into
-    * one multi-path scan (the common all-buckets-current case is a
-    * single scan); groups union newest-schema-first so a widened
-    * column leads the output order and older buckets null-fill.
+  /** Union the bucket directories a manifest references, then apply
+    * the merge-on-read fold: a bucket with several delta GENERATIONS
+    * resolves to max-version-per-key, same-version ties to the newest
+    * generation (batch order — the exact fold applyBatch performs
+    * when it compacts the bucket, so a read before and after a fold
+    * is identical). Generations served by the same snapshot write
+    * share a schema and batch into one multi-path scan; the common
+    * fully-folded case is a plain union with NO merge window, so
+    * steady-state read plans are unchanged. Groups union
+    * newest-schema-first so a widened column leads the output order
+    * and older buckets null-fill.
     */
   private def readManifest(
-      spark: SparkSession, path: String, m: Manifest): DataFrame =
-    m.entries.toSeq.groupBy(_._2).toSeq
+      spark: SparkSession, path: String, m: Manifest): DataFrame = {
+    val multiGen = m.entries.valuesIterator.exists(_.length > 1)
+    val leaves: Seq[(String, Int)] = m.entries.toSeq
+      .flatMap { case (b, dirs) => dirs.map(d => d -> b) }
+    val u = leaves.groupBy(_._1).toSeq
       .sortBy { case (snap, _) => snapOrder(snap) }.reverse
       .map { case (snap, bs) =>
-        spark.read.parquet(
-          bs.map { case (b, _) => s"$path/$snap/$BucketCol=$b" }: _*)
+        val df = spark.read.parquet(
+          bs.map { case (_, b) => s"$path/$snap/$BucketCol=$b" }: _*)
+        if (multiGen) df.withColumn(GenCol, lit(genOrd(snap))) else df
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
+    if (!multiGen) u
+    else {
+      val (k, v) = m.keyCol.zip(m.verCol).getOrElse(
+        throw new IllegalStateException(
+          s"multi-generation manifest under $path records no " +
+            "key/version columns — manifest corrupted or written " +
+            "by an incompatible version"))
+      val w = Window.partitionBy(col(k))
+        .orderBy(col(v).desc, col(GenCol).desc)
+      u.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", GenCol)
+    }
+  }
 
   private def readSmallFile(fs: FileSystem, p: Path): String = {
     val len = fs.getFileStatus(p).getLen.toInt

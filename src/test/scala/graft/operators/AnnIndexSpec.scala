@@ -69,4 +69,45 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("run build()"))
   }
+
+  test("append ingests through the FROZEN geometry: appended near-" +
+    "duplicates surface as top-1, a replayed segment never " +
+    "duplicates candidates, and rebuild clears appended segments") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("annix4-").toString
+    val c = corpus
+    AnnIndex.build(c, path, nlist = 8, dim = 16)
+    // appended batch: exact copies of two corpus vectors under fresh
+    // ids — with frozen centroids they land in the SAME cell as their
+    // twins, so any probe of the twin must now rank the copy first
+    val dup = c.filter(col("vec_id").isin(40L, 160L))
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    AnnIndex.append(dup, path, segId = 1L)
+    val q = c.filter(col("vec_id").isin(40L, 160L))
+    val got = topk(AnnIndex.probe(spark, path, q, k = 3, nprobe = 2))
+    assert(got.filter(_._4 == 1).map(t => (t._1, t._2)) ==
+      Set((40L, 10040L), (160L, 10160L)),
+      s"appended exact twin must be top-1: $got")
+    assert(got.forall(t => t._4 != 1 || math.abs(t._3 - 1.0) < 1e-6))
+    // replayed append (same segId, same rows) overwrites in place:
+    // identical result set, no duplicated candidate rows
+    AnnIndex.append(dup, path, segId = 1L)
+    assert(topk(AnnIndex.probe(spark, path, q, k = 3, nprobe = 2))
+      == got, "replayed segment must be invisible")
+    // per-(qid, id) uniqueness even at k past the dup count
+    val wide = AnnIndex.probe(spark, path, q, k = 10, nprobe = 2)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(wide.distinct.length == wide.length)
+    // rebuild = full replace: the seg=1 rows are gone
+    AnnIndex.build(c, path, nlist = 8, dim = 16)
+    assert(AnnIndex.probe(spark, path, q, k = 3, nprobe = 2)
+      .collect().forall(_.getLong(1) < 10000L),
+      "rebuild must clear appended segments")
+    // appending to a missing index fails loudly
+    val none = Files.createTempDirectory("annix5-").toString
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.append(dup, none, segId = 1L)
+    }
+    assert(err.getMessage.contains("run build()"))
+  }
 }

@@ -213,6 +213,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-wide scan crept in:\n$p")
   }
 
+  test("s19 appended ANN index: cell partition pruning holds across " +
+    "build + appended segments, probe stays the broadcast cell join") {
+    val p = plan("s19_ann_index_append")
+    // the codes layout is seg=<s>/cell=<c>; the probe's isin filter
+    // must still prune at the CELL level (i.e. within every segment),
+    // or an append would silently widen each probe to whole segments
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"no cell partition filter on the multi-segment codes scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast cell join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-wide scan crept in:\n$p")
+  }
+
   test("d13 incremental vec dedup: index side never sort-merge-joins") {
     val p = plan("d13_incremental_vec_dedup")
     // cross-boundary candidates + verification come in as broadcasts;

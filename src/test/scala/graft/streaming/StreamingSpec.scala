@@ -162,6 +162,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, "recent")), s"got $rows")
   }
 
+  test("interval join drops LATE signals: a match arriving behind " +
+    "the watermark finds its fact state evicted and emits nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[(Timestamp, Long, Double)]
+    val signals = MemoryStream[(Timestamp, Long, String)]
+    val joined = EventStreams.intervalJoin(
+      facts.toDF().toDF("ts", "user_id", "value"),
+      signals.toDF().toDF("rts", "s_user_id", "label"),
+      lookback = "15 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_late_out").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    facts.addData((t("2024-01-01 10:10:00"), 1L, 5.0))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past the fact's match window
+    // ([09:55, 10:10] + watermark allowance) -> the fact's join state
+    // is evicted, exactly the mechanism that bounds state on an
+    // unbounded feed
+    facts.addData((t("2024-01-01 12:00:00"), 99L, 0.0))
+    signals.addData((t("2024-01-01 12:00:00"), 99L, "wm"))
+    q.processAllAvailable()
+    // the late signal WOULD have matched (rts inside the lookback),
+    // but it arrives behind the signal watermark: dropped at the
+    // state store, no resurrected join row — late data costs
+    // completeness, never unbounded state or a wrong retraction
+    signals.addData((t("2024-01-01 10:05:00"), 1L, "late"))
+    q.processAllAvailable()
+    val rows = spark.table("ij_late_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("label"))).toSet
+    q.stop()
+    assert(!rows.exists(_._2 == "late"),
+      s"late signal must not emit after eviction: $rows")
+    assert(rows.isEmpty || rows == Set((99L, "wm")), s"got $rows")
+  }
+
   test("outer interval join emits null-side rows after watermark eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

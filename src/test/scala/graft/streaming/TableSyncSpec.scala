@@ -153,7 +153,7 @@ class TableSyncSpec extends AnyFunSuite {
     // so a silent swap would discard them
     val ex = intercept[java.util.ConcurrentModificationException](
       TableSync.commitPointer(spark, path, expectedPrev = None,
-        TableSync.Manifest("v99", 16, Map(0 -> "v99"))))
+        TableSync.Manifest("v99", 16, Map(0 -> Seq("v99")))))
     assert(ex.getMessage.contains("concurrent writer"))
     // B's state survives untouched
     val got = TableSync.readCurrent(spark, path).collect()
@@ -312,17 +312,73 @@ class TableSyncSpec extends AnyFunSuite {
   test("snapshot retention keeps a bounded trail and the pointer resolves") {
     import spark.implicits._
     val path = Files.createTempDirectory("tsync-gc-").toString
+    // maxGens=2: generations fold on every second touch, so the
+    // delta trail stays bounded and GC can actually reclaim — the
+    // sequence is [v0] [v0,v1] fold->[v2] [v2,v3] fold->[v4] [v4,v5]
     (0L to 5L).foreach { b =>
       TableSync.applyBatch(Seq((1L, b, s"v$b")).toDF("k", "ver", "attr"),
-        path, "k", "ver", batchId = b)
+        path, "k", "ver", batchId = b, maxGens = 2)
     }
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snaps = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(_.isDirectory).map(_.getPath.getName).sorted
-    assert(snaps.toSeq == Seq("v3", "v4", "v5"), s"got ${snaps.toSeq}")
+    // v0/v1 are unreferenced by every retained manifest (>= batch 3)
+    // and reclaimed; v2 survives because batch 3's manifest still
+    // references it as the folded base generation
+    assert(snaps.toSeq == Seq("v2", "v3", "v4", "v5"),
+      s"got ${snaps.toSeq}")
     val cur = TableSync.readCurrent(spark, path).collect()
     assert(cur.length == 1 && cur.head.getString(2) == "v5")
+  }
+
+  test("merge-on-read deltas: an append batch writes ONLY its own " +
+    "rows, generations fold at maxGens, reads are identical before " +
+    "and after the fold") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-mor-").toString
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // bootstrap: 100 keys across 16 buckets
+    TableSync.applyBatch(
+      (0L until 100L).map(k => (k, 0L, s"init$k")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L, maxGens = 3)
+    def rowsUnder(snap: String): Long =
+      spark.read.parquet(s"$path/$snap").count()
+    // three 1-key updates of the SAME key: each lands as a delta
+    // generation holding exactly ONE row — never a bucket rewrite
+    (1L to 2L).foreach { b =>
+      TableSync.applyBatch(Seq((7L, b, s"upd$b")).toDF("k", "ver", "attr"),
+        path, "k", "ver", batchId = b, maxGens = 3)
+      assert(rowsUnder(s"v$b") == 1L,
+        s"batch $b must write only its own row (merge-on-read)")
+    }
+    // the multi-generation read folds max-version-per-key
+    val got2 = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got2.size == 100 && got2(7L) == "upd2" && got2(8L) == "init8")
+    // keyed read folds too (the probe path)
+    val keyed = TableSync.readCurrentForKeys(spark, path,
+      Seq(7L).toDF("k"), "k")
+      .filter(col("k") === 7L).collect()
+    assert(keyed.length == 1 && keyed.head.getString(2) == "upd2")
+    // batch 3 pushes the bucket past maxGens=3 -> fold: the bucket
+    // collapses to ONE generation whose dir now holds the whole
+    // bucket (key 7 + its bucket-mates), and the read is unchanged
+    TableSync.applyBatch(Seq((7L, 3L, "upd3")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 3L, maxGens = 3)
+    val got3 = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got3.size == 100 && got3(7L) == "upd3" && got3(8L) == "init8")
+    assert(rowsUnder("v3") > 1L,
+      "the fold batch must rewrite the whole bucket back to one gen")
+    // after the fold, another 1-key touch appends again (the cycle)
+    TableSync.applyBatch(Seq((7L, 4L, "upd4")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 4L, maxGens = 3)
+    assert(rowsUnder("v4") == 1L)
+    val got4 = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got4(7L) == "upd4" && got4.size == 100)
   }
 
   test("time travel: retained versions readable, GC'd versions fail loudly") {
