@@ -465,6 +465,9 @@ object TableSync {
     val snap = foldedRows
       .unionByName(appendRows, allowMissingColumns = true)
       .drop(GenCol)
+    phase("snap_compute") {
+      if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING")) snap.count()
+    }
     phase("snap_write") {
       snap.write.mode("overwrite").partitionBy(BucketCol)
         .parquet(s"$path/$snapName")

@@ -101,15 +101,19 @@ object VecDedupSync {
           .map(_.metadata.getLong("graft.lsh.sigbits").toInt)
           .getOrElse(bits)
       }
-    val batchIdx = Dedup.vecDedupIndex(batch, vecCol, idCol, bits,
-      tables, dim, storedSigBits).localCheckpoint()
+    val batchIdx = DedupSync.phase("v_hash_batch") {
+      Dedup.vecDedupIndex(batch, vecCol, idCol, bits,
+        tables, dim, storedSigBits).localCheckpoint()
+    }
     // sidecar rows derived once: per-rep-per-table (tbl, sig, id) for
     // the bucket log, per-row (hash(keep), keep, id) for memberships
-    val newVecKeys = batchIdx.filter(col("id") === col("keep"))
-      .select(col("id"), posexplode(col("sigs")))
-      .select(col("pos").cast("int").as("tbl"), col("col").as("sig"),
-        col("id"))
-      .localCheckpoint() // probe collect + append + occ increments
+    val newVecKeys = DedupSync.phase("v_keys") {
+      batchIdx.filter(col("id") === col("keep"))
+        .select(col("id"), posexplode(col("sigs")))
+        .select(col("pos").cast("int").as("tbl"), col("col").as("sig"),
+          col("id"))
+        .localCheckpoint() // probe collect + append + occ increments
+    }
     val newMemberRows = batchIdx
       .select(xxhash64(col("keep")).as("bk"), col("keep"), col("id"))
     val baseMask = (1L << bits) - 1
@@ -130,9 +134,11 @@ object VecDedupSync {
         val lastVer = applied.max
         // exact committed-index occupancy — incremental counters, or
         // the one-shot aggregate (+ sidecar backfill) at migration
-        val occ = OccStats.read(spark, keysPath, lastVer).getOrElse(
-          backfillSidecars(spark, indexPath, keysPath, membersPath,
-            lastVer, bits, storedSigBits, maxBucketSize))
+        val occ = DedupSync.phase("v_occ_read") {
+          OccStats.read(spark, keysPath, lastVer).getOrElse(
+            backfillSidecars(spark, indexPath, keysPath, membersPath,
+              lastVer, bits, storedSigBits, maxBucketSize))
+        }
         val depths = VecLog.Depths(bits, storedSigBits,
           Dedup.refineDepths(occ, maxBucketSize, bits, storedSigBits))
         val probes = newVecKeys.select(col("tbl"), col("sig"))
@@ -140,7 +146,9 @@ object VecDedupSync {
           .map(r => (r.getInt(0), r.getLong(1))).toSeq
         val batchIds = batchIdx.select(col("id")).distinct()
         val (prunedOpt, decSrc) =
-          VecLog.readForKeys(spark, keysPath, probes, depths) match {
+          DedupSync.phase("v_veclog_read") {
+            VecLog.readForKeys(spark, keysPath, probes, depths)
+          } match {
             case None => (None, None) // empty committed index
             case Some(sc) =>
               val candReps = sc.select(col("id")).distinct()
@@ -157,25 +165,30 @@ object VecDedupSync {
               // them too, so including them preserves equivalence)
               val allIds = candReps.unionByName(memberIds)
                 .unionByName(batchIds).distinct()
-              val fetched = TableSync
-                .readCurrentForKeys(spark, indexPath, allIds, "id")
-                .join(allIds, Seq("id"), "left_semi")
-                .drop("ver")
-                .localCheckpoint() // candidate-sized; many consumers
+              if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING"))
+                println(s"[phase] v_cand candReps=${candReps.count()} " +
+                  s"members=${memberIds.count()} allIds=${allIds.count()}")
+              val fetched = DedupSync.phase("v_pruned_read") {
+                TableSync
+                  .readCurrentForKeys(spark, indexPath, allIds, "id")
+                  .join(allIds, Seq("id"), "left_semi")
+                  .drop("ver")
+                  .localCheckpoint() // candidate-sized; many consumers
+              }
               (Some(fetched), Some(fetched))
           }
         val pruned = prunedOpt.getOrElse(
           readIndex(spark, indexPath).localCheckpoint())
         // decrements: rows the upsert replaces that were reps — their
         // buckets lose one rep each
-        val decs = decSrc.map { fetched =>
+        val decs = DedupSync.phase("v_decs") { decSrc.map { fetched =>
           bucketCounts(fetched
             .join(batchIds, Seq("id"), "left_semi")
             .filter(col("id") === col("keep"))
             .select(col("id"), posexplode(col("sigs")))
             .select(col("pos").cast("int").as("tbl"),
               col("col").as("sig")))
-        }.getOrElse(Map.empty)
+        }.getOrElse(Map.empty) }
         val merged = (occ.keySet ++ incs.keySet ++ decs.keySet).map {
           k => k -> (occ.getOrElse(k, 0L) + incs.getOrElse(k, 0L) -
             decs.getOrElse(k, 0L))
@@ -189,15 +202,21 @@ object VecDedupSync {
     // phantom ids drop in the id semi-join, and the probe reads the
     // counter file OF the committed version), index LAST (the outer
     // commit point checked at entry)
-    PairsStore.writeBatch(pairs, pairsPath, "cosine", batchId)
+    DedupSync.phase("v_pairs_write") {
+      PairsStore.writeBatch(pairs, pairsPath, "cosine", batchId)
+    }
     val newDepths = VecLog.Depths(bits, storedSigBits,
       Dedup.refineDepths(newOcc, maxBucketSize, bits, storedSigBits))
-    VecLog.append(newVecKeys, keysPath, batchId, newDepths)
-    KeyedLog.append(newMemberRows, membersPath, batchId)
-    OccStats.write(spark, keysPath, batchId, newOcc)
-    TableSync.applyBatch(batchIdx.withColumn("ver", lit(batchId)),
-      indexPath, "id", "ver", batchId, numBuckets, maxBucketBytes,
-      splitsPerBatch)
+    DedupSync.phase("v_sidecar_write") {
+      VecLog.append(newVecKeys, keysPath, batchId, newDepths)
+      KeyedLog.append(newMemberRows, membersPath, batchId)
+      OccStats.write(spark, keysPath, batchId, newOcc)
+    }
+    DedupSync.phase("v_index_commit") {
+      TableSync.applyBatch(batchIdx.withColumn("ver", lit(batchId)),
+        indexPath, "id", "ver", batchId, numBuckets, maxBucketBytes,
+        splitsPerBatch)
+    }
     PairsStore.maybeCompact(spark, pairsPath, "cosine", compactEvery)
     VecLog.maybeCompact(spark, keysPath, newDepths)
     KeyedLog.maybeCompact(spark, membersPath, "bk")

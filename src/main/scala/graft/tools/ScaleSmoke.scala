@@ -534,21 +534,37 @@ object ScaleSmoke {
         .createTempDirectory("smoke_vsyncp_ix").toString
       val pr = java.nio.file.Files
         .createTempDirectory("smoke_vsyncp_pr").toString
+      // each replica flips a rep-UNIQUE pseudo-random half of the
+      // dimensions (xxhash64(d, rep) parity): cross-replica cosine
+      // ~0 AND no two replicas share a pattern — the first cut's
+      // pmod(d+rep, 5) had only 5 patterns, so at k=40 every vector
+      // carried 8 EXACT copies and the probe's member fetch was
+      // SEMANTICALLY obliged to pull k/5 cluster members per
+      // candidate (member growth masquerading as probe slope)
       def signed(df: org.apache.spark.sql.DataFrame, rep: Int) =
         df.select(
           (col("vec_id") + lit(rep.toLong * 10000000L)).as("vec_id"),
           transform(col("embedding"), (x, d) =>
-            when(pmod(d + lit(rep), lit(5)) < 2, -x).otherwise(x))
+            when(pmod(xxhash64(d, lit(rep)), lit(2)) === 0, -x)
+              .otherwise(x))
             .as("embedding"))
       val distinct = (0 until k).map(i => signed(ebase, i))
         .reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
       val append = signed(ebase.limit(10), 0)
         .withColumn("vec_id", col("vec_id") + lit(950000000L))
+      // storage evolution DISARMED (maxBucketBytes=MaxValue): this
+      // stage witnesses the PROBE path alone — an armed fixture-scale
+      // index wants to CONTRACT its oversized 256-bucket bootstrap
+      // (4 bounded reverse merges per batch, each reading buckets
+      // that grow with the seed until they reach maxBucketBytes),
+      // which is legitimate maintenance measured by its own stages
+      // (dsync_evo/tshrink) but would mask the probe's flatness here
       timed("vsyncp_seed_batch0") {
         graft.streaming.VecDedupSync.applyVecs(
           distinct, ix, pr, "embedding", "vec_id", batchId = 0L,
-          threshold = 0.35, maxBucketSize = 200)
+          threshold = 0.35, maxBucketSize = 200,
+          maxBucketBytes = Long.MaxValue)
         distinct.count()
       }
       (1 to 2).foreach { b =>
@@ -556,7 +572,8 @@ object ScaleSmoke {
           graft.streaming.VecDedupSync.applyVecs(
             append.withColumn("vec_id", col("vec_id") + lit(b * 1000L)),
             ix, pr, "embedding", "vec_id", batchId = b.toLong,
-            threshold = 0.35, maxBucketSize = 200)
+            threshold = 0.35, maxBucketSize = 200,
+            maxBucketBytes = Long.MaxValue)
           append.count()
         }
       }
@@ -758,16 +775,21 @@ object ScaleSmoke {
       val append = base.limit(10)
         .select((col("doc_id") + 900000000L).as("doc_id"),
           regexp_replace(col("text"), "(\\S+)", "$1z0").as("text"))
+      // evolution disarmed — same rationale as vsyncp: the probe
+      // witness must not fold the bootstrap-oversized scheme's
+      // bounded contraction maintenance into its slope
       timed("dsyncp_seed_batch0") {
         graft.streaming.DedupSync.applyDocs(
           distinct, ix, pr, "text", "doc_id", batchId = 0L,
-          threshold = 0.5, numHashes = 24, bands = 8)
+          threshold = 0.5, numHashes = 24, bands = 8,
+          maxBucketBytes = Long.MaxValue)
         distinct.count()
       }
       timed("dsyncp_append_batch1") {
         graft.streaming.DedupSync.applyDocs(
           append, ix, pr, "text", "doc_id", batchId = 1L,
-          threshold = 0.5, numHashes = 24, bands = 8)
+          threshold = 0.5, numHashes = 24, bands = 8,
+          maxBucketBytes = Long.MaxValue)
         append.count()
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
