@@ -40,12 +40,13 @@ object AggSync {
       valCol: String, checkpoint: String,
       numBuckets: Int = TableSync.DefaultBuckets,
       maxBucketBytes: Long = DedupSync.DefaultMaxBucketBytes,
-      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): StreamingQuery =
+      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
+      maxGens: Int = TableSync.DefaultMaxGens): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyDelta(batch, path, keyCol, valCol, batchId, numBuckets,
-          maxBucketBytes, splitsPerBatch)
+          maxBucketBytes, splitsPerBatch, maxGens)
       }
       .start()
 
@@ -56,7 +57,8 @@ object AggSync {
       valCol: String, batchId: Long,
       numBuckets: Int = TableSync.DefaultBuckets,
       maxBucketBytes: Long = DedupSync.DefaultMaxBucketBytes,
-      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): Unit = {
+      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
+      maxGens: Int = TableSync.DefaultMaxGens): Unit = {
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, path)
     if (applied.exists(_ >= batchId)) return // replayed after commit
@@ -84,7 +86,7 @@ object AggSync {
       .mergeCountSum(state, delta, keyCol, keepDeaths = true)
     TableSync.applyBatch(merged.withColumn("ver", lit(batchId)),
       path, keyCol, "ver", batchId, numBuckets, maxBucketBytes,
-      splitsPerBatch)
+      splitsPerBatch, maxGens)
   }
 
   /** The live view: tombstoned (count-zero) groups filtered out, the
@@ -114,12 +116,13 @@ object AggSync {
       valCol: String, checkpoint: String, k: Int = 64,
       numBuckets: Int = TableSync.DefaultBuckets,
       maxBucketBytes: Long = DedupSync.DefaultMaxBucketBytes,
-      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): StreamingQuery =
+      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
+      maxGens: Int = TableSync.DefaultMaxGens): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyKmvDelta(batch, path, keyCol, valCol, batchId, k,
-          numBuckets, maxBucketBytes, splitsPerBatch)
+          numBuckets, maxBucketBytes, splitsPerBatch, maxGens)
       }
       .start()
 
@@ -131,7 +134,8 @@ object AggSync {
       valCol: String, batchId: Long, k: Int = 64,
       numBuckets: Int = TableSync.DefaultBuckets,
       maxBucketBytes: Long = DedupSync.DefaultMaxBucketBytes,
-      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch): Unit = {
+      splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
+      maxGens: Int = TableSync.DefaultMaxGens): Unit = {
     val applied = TableSync.versions(batch.sparkSession, path)
     if (applied.exists(_ >= batchId)) return // replayed after commit
     // <= |batch keys| * k longs; materialized once for the same
@@ -149,7 +153,7 @@ object AggSync {
     val merged = IncrementalAgg.mergeKmv(state, delta, keyCol, k)
     TableSync.applyBatch(merged.withColumn("ver", lit(batchId)),
       path, keyCol, "ver", batchId, numBuckets, maxBucketBytes,
-      splitsPerBatch)
+      splitsPerBatch, maxGens)
   }
 
   /** The live distinct-count view: (key, n_seen, kth_min, est) —

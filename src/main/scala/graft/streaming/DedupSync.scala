@@ -115,14 +115,15 @@ object DedupSync {
       numBuckets: Int = 256,
       maxBucketBytes: Long = DefaultMaxBucketBytes,
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
-      compactEvery: Int = DefaultCompactEvery): StreamingQuery =
+      compactEvery: Int = DefaultCompactEvery,
+      maxGens: Int = TableSync.DefaultMaxGens): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyDocs(batch, indexPath, pairsPath, textCol, idCol, batchId,
           threshold, numHashes, bands, shingleSize, maxBucketSize,
           hasher, numBuckets, maxBucketBytes, splitsPerBatch,
-          compactEvery)
+          compactEvery, maxGens)
       }
       .start()
 
@@ -145,7 +146,8 @@ object DedupSync {
       numBuckets: Int = 256,
       maxBucketBytes: Long = DefaultMaxBucketBytes,
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
-      compactEvery: Int = DefaultCompactEvery): Unit = {
+      compactEvery: Int = DefaultCompactEvery,
+      maxGens: Int = TableSync.DefaultMaxGens): Unit = {
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, indexPath)
     if (applied.exists(_ >= batchId)) return // replayed after commit
@@ -190,7 +192,7 @@ object DedupSync {
     phase("p_index_commit") {
       TableSync.applyBatch(newIdx.withColumn("ver", lit(batchId)),
         indexPath, "id", "ver", batchId, numBuckets, maxBucketBytes,
-        splitsPerBatch)
+        splitsPerBatch, maxGens)
     }
     // maintenance cadence, AFTER the outer commit: once the pairs
     // store holds >= compactEvery generations, fold them. Runs on the

@@ -60,13 +60,15 @@ object VecDedupSync {
       numBuckets: Int = 256,
       maxBucketBytes: Long = DedupSync.DefaultMaxBucketBytes,
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
-      compactEvery: Int = DedupSync.DefaultCompactEvery): StreamingQuery =
+      compactEvery: Int = DedupSync.DefaultCompactEvery,
+      maxGens: Int = TableSync.DefaultMaxGens): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyVecs(batch, indexPath, pairsPath, vecCol, idCol, batchId,
           threshold, bits, tables, dim, maxBucketSize, sigBits,
-          numBuckets, maxBucketBytes, splitsPerBatch, compactEvery)
+          numBuckets, maxBucketBytes, splitsPerBatch, compactEvery,
+          maxGens)
       }
       .start()
 
@@ -84,7 +86,8 @@ object VecDedupSync {
       numBuckets: Int = 256,
       maxBucketBytes: Long = DedupSync.DefaultMaxBucketBytes,
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
-      compactEvery: Int = DedupSync.DefaultCompactEvery): Unit = {
+      compactEvery: Int = DedupSync.DefaultCompactEvery,
+      maxGens: Int = TableSync.DefaultMaxGens): Unit = {
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, indexPath)
     if (applied.exists(_ >= batchId)) return // replayed after commit
@@ -215,7 +218,7 @@ object VecDedupSync {
     DedupSync.phase("v_index_commit") {
       TableSync.applyBatch(batchIdx.withColumn("ver", lit(batchId)),
         indexPath, "id", "ver", batchId, numBuckets, maxBucketBytes,
-        splitsPerBatch)
+        splitsPerBatch, maxGens)
     }
     PairsStore.maybeCompact(spark, pairsPath, "cosine", compactEvery)
     VecLog.maybeCompact(spark, keysPath, newDepths)
