@@ -96,6 +96,7 @@ object AnnIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val rows = corpus.count()
+    writeSegRows(spark, path, Map(0L -> rows))
     writeMeta(spark, path, Meta(dim, nlist, seed, scale, rows))
   }
 
@@ -105,10 +106,19 @@ object AnnIndex {
     * build) into its own `seg=<segId>` subtree. O(batch) — one
     * projection job over the new rows, zero reads of existing
     * segments; overwrite-idempotent (a replayed segId rewrites its
-    * own directory with identical content, the streaming-sink
-    * contract). `_META`'s row count is recomputed from parquet
-    * footers LAST, so a torn append leaves a valid probeable
-    * artifact and the replay converges.
+    * own directory AND its own `_SEGROWS` entry, the streaming-sink
+    * contract). Row accounting is incremental: a per-segment count
+    * map rides `_SEGROWS` (written before `_META`, whose total is
+    * its sum — a torn append leaves a valid probeable artifact and
+    * the replay converges), so appends never re-list or re-count
+    * existing segments.
+    *
+    * Like FAISS `add`, append assumes FRESH ids: a re-ingested id is
+    * stored AGAIN (segments are never read here, so nothing can
+    * replace in place) and a probe would rank both copies. For
+    * replace/upsert semantics route vectors through [[graft.streaming.VecDedupSync]]
+    * (keyed TableSync storage) and rebuild this artifact on the
+    * retrain cadence.
     */
   def append(more: DataFrame, path: String, segId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -116,11 +126,46 @@ object AnnIndex {
     val spark = more.sparkSession
     val meta = readMeta(spark, path)
     val centroids = loadCentroids(spark, path)
+    val segRowsNew = more.count()
     project(more, centroids, meta.scale, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes/seg=$segId")
-    val rows = spark.read.parquet(s"$path/codes").count()
-    writeMeta(spark, path, meta.copy(rows = rows))
+    val segRows = readSegRows(spark, path)
+      // legacy artifact without _SEGROWS: attribute the one-time full
+      // count (minus this segment) to the build
+      .getOrElse(Map(0L ->
+        (spark.read.parquet(s"$path/codes").count() - segRowsNew))) +
+      (segId -> segRowsNew)
+    writeSegRows(spark, path, segRows)
+    writeMeta(spark, path, meta.copy(rows = segRows.values.sum))
+  }
+
+  private def writeSegRows(spark: SparkSession, path: String,
+      m: Map[Long, Long]): Unit = {
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(path, "_SEGROWS"), true)
+    try out.write(m.toSeq.sorted.map { case (s, n) => s"$s $n" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSegRows(spark: SparkSession,
+      path: String): Option[Map[Long, Long]] = {
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val p = new Path(path, "_SEGROWS")
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, "UTF-8").trim.split("\n")
+        .filter(_.nonEmpty)
+        .map { ln => val a = ln.split(" "); a(0).toLong -> a(1).toLong }
+        .toMap)
+    }
   }
 
   /** The one shared projection: assign to the nearest centroid cell,

@@ -1105,7 +1105,15 @@ object Dedup {
     // ordinal is already folded into the hash as its first argument,
     // so one long distinguishes bands; null-sig docs produce the same
     // per-band constants here as there)
-    val bandKeys = idx
+    // null-sig (too-short) docs are EXCLUDED from the band leg: their
+    // xxhash64(b, slice(null, ...)) would collapse to per-band
+    // CONSTANTS shared by every short doc in the corpus, so one short
+    // batch doc would resolve to every short corpus doc as candidates
+    // — an O(short-doc count) fetch that can never verify (jaccard
+    // over empty shingle sets never clears a positive threshold).
+    // They still probe (and are probe-able) through the fp leg, which
+    // is the only leg a null-sig doc can actually match through.
+    val bandKeys = idx.filter(col("sig").isNotNull)
       .select(col("id"), explode(transform(sequence(lit(0),
         lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))))

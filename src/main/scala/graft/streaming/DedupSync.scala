@@ -59,12 +59,7 @@ object DedupSync {
     * bench never pay (or print) anything.
     */
   private[streaming] def phase[A](label: String)(body: => A): A =
-    if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING")) {
-      val t0 = System.nanoTime()
-      val r = body
-      println(f"[phase] $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
-    } else body
+    TableSync.phase(label)(body)
 
   /** Default split trigger for the index: ARMED at 1 GB/bucket, not
     * off — a long-lived stream should never rediscover the frozen-
@@ -245,8 +240,12 @@ object DedupSync {
       case None => // empty committed index (e.g. an empty first batch)
         TableSync.readCurrent(spark, indexPath).drop("ver")
       case Some(sc) =>
+        // candidate-sized, consumed twice (the index bucket collect
+        // and the semi-join): materialize once or the sidecar
+        // multi-path scan re-executes per consumer
         val candIds = sc.join(probeK, Seq("bk"), "left_semi")
           .select(col("id")).distinct()
+          .localCheckpoint()
         TableSync.readCurrentForKeys(spark, indexPath, candIds, "id")
           .join(candIds, Seq("id"), "left_semi")
           .drop("ver")

@@ -136,6 +136,18 @@ object TableSync {
   private val BucketCol = "__bucket"
   private val GenCol = "__gen"
 
+  /** Env-gated phase wall-clock prints (SPARK_GRAFT_PHASE_TIMING) —
+    * the ONE copy of the ladder-autopsy timer every streaming sink
+    * shares; off (zero cost, zero output) unless the env var is set.
+    */
+  private[streaming] def phase[A](label: String)(body: => A): A =
+    if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[phase] $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    } else body
+
   /** Default cap on a bucket's DELTA GENERATIONS before a touching
     * batch folds it back to one (merge-on-read, below). 1 degenerates
     * to fold-every-batch — the copy-on-write behavior of the first
@@ -364,12 +376,7 @@ object TableSync {
         (cnb, cs, buf.result())
       }
     def phase[A](label: String)(body: => A): A =
-      if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING")) {
-        val t0 = System.nanoTime()
-        val r = body
-        println(f"[phase]   ts_$label%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-        r
-      } else body
+      TableSync.phase("  ts_" + label)(body)
     val splitIds = (s0 until sF).toSet // empty when contracting
     val bucketed = batch.withColumn(BucketCol,
       bucketExpr(keyCol, nbF, sF, hx))

@@ -104,8 +104,22 @@ object VecDedupSync {
           .map(_.metadata.getLong("graft.lsh.sigbits").toInt)
           .getOrElse(bits)
       }
+    // An at-least-once source can redeliver the same id TWICE within
+    // one micro-batch. The index upsert stores one row per id, but
+    // everything derived per-ROW here — sidecar key rows and, most
+    // critically, the OccStats INCREMENTS — would count the
+    // duplicate, drifting the stored counters above the committed
+    // index's true occupancy forever (replays read the stored file).
+    // Dedup deterministically up front so every derivation sees
+    // exactly the row the index will keep.
+    val batchOne = batch.withColumn("__rn",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(xxhash64(to_json(struct(col(vecCol)))))))
+      .filter(col("__rn") === 1).drop("__rn")
     val batchIdx = DedupSync.phase("v_hash_batch") {
-      Dedup.vecDedupIndex(batch, vecCol, idCol, bits,
+      Dedup.vecDedupIndex(batchOne, vecCol, idCol, bits,
         tables, dim, storedSigBits).localCheckpoint()
     }
     // sidecar rows derived once: per-rep-per-table (tbl, sig, id) for
@@ -154,20 +168,39 @@ object VecDedupSync {
           } match {
             case None => (None, None) // empty committed index
             case Some(sc) =>
+              // candidate-sized and consumed by FOUR subtrees (the
+              // members kb collect + semi-join, the index bucket
+              // collect + semi-join): materialize once, or the
+              // VecLog multi-path scan re-executes per consumer
               val candReps = sc.select(col("id")).distinct()
-              val memberIds = KeyedLog.readForKeys(spark, membersPath,
+                .localCheckpoint()
+              def memberRead() = KeyedLog.readForKeys(spark,
+                membersPath,
                 candReps.select(xxhash64(col("id")).as("bk")), "bk")
                 .map(_.join(
                   candReps.select(col("id").as("keep")),
                   Seq("keep"), "left_semi")
                   .select(col("id")))
-                .getOrElse(candReps.limit(0))
+              val memberIds = memberRead().getOrElse {
+                // the members log is MISSING while keys/occ survive
+                // (partial restore, manual cleanup): rebuild it from
+                // the committed snapshot — treating membership as
+                // empty would silently drop every cluster member's
+                // pairs from this batch on, forever
+                KeyedLog.appendBucketed(
+                  readIndex(spark, indexPath)
+                    .select(xxhash64(col("keep")).as("bk"),
+                      col("keep"), col("id")),
+                  membersPath, "bk", lastVer)
+                memberRead().getOrElse(candReps.limit(0))
+              }
               // ONE pruned index read serves the probe AND the
               // occupancy decrements (replaced rows are current rows
               // for the batch's own ids — the full probe would see
               // them too, so including them preserves equivalence)
               val allIds = candReps.unionByName(memberIds)
                 .unionByName(batchIds).distinct()
+                .localCheckpoint() // bucket collect + semi-join
               if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING"))
                 println(s"[phase] v_cand candReps=${candReps.count()} " +
                   s"members=${memberIds.count()} allIds=${allIds.count()}")
