@@ -131,10 +131,22 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes/seg=$segId")
     val segRows = readSegRows(spark, path)
-      // legacy artifact without _SEGROWS: attribute the one-time full
-      // count (minus this segment) to the build
-      .getOrElse(Map(0L ->
-        (spark.read.parquet(s"$path/codes").count() - segRowsNew))) +
+      // legacy artifact without _SEGROWS: one-time PER-SEGMENT counts
+      // (listing codes/seg=*), not a lump attributed to the build —
+      // the lump form double-counted an earlier appended segment's
+      // rows into _SEGROWS when that segId was later replayed
+      .getOrElse {
+        val fs = new Path(path).getFileSystem(
+          spark.sessionState.newHadoopConf())
+        fs.listStatus(new Path(s"$path/codes"))
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("seg="))
+          .map(_.getPath.getName.stripPrefix("seg=").toLong)
+          .filter(_ != segId) // this segment's dir may be a replay
+          .map(s => s -> spark.read
+            .parquet(s"$path/codes/seg=$s").count())
+          .toMap
+      } +
       (segId -> segRowsNew)
     writeSegRows(spark, path, segRows)
     writeMeta(spark, path, meta.copy(rows = segRows.values.sum))

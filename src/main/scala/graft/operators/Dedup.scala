@@ -1147,6 +1147,16 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32,
       maxBucketSize: Int = 1000,
       refineExtra: Int = Int.MaxValue): DataFrame = {
+    // probeKeys' bit-identical-pairs contract assumes a POSITIVE
+    // threshold: null-sig (too-short) docs are excluded from the band
+    // leg, and jaccard_sorted(empty, empty) = 0.0, so at
+    // threshold <= 0 the full probe would emit short-doc
+    // band-constant pairs a pruned probe cannot see — fail loudly
+    // instead of diverging silently in the degenerate setting.
+    require(threshold > 0,
+      s"threshold must be > 0 (got $threshold): at non-positive " +
+        "thresholds the band-key candidate contract degenerates " +
+        "(short-doc band constants pair everything)")
     // ONLINE PER-BUCKET REFINEMENT on the cross probe — the text twin
     // of the vector index's deep-signature subdivision, with the same
     // motivation: a corpus band bucket that grows past maxBucketSize

@@ -143,10 +143,14 @@ object DedupSync {
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
       compactEvery: Int = DefaultCompactEvery,
       maxGens: Int = TableSync.DefaultMaxGens): Unit = {
+    require(threshold > 0,
+      s"threshold must be > 0 (got $threshold) — see " +
+        "Dedup.incrementalPairs' probe-key contract")
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, indexPath)
     if (applied.exists(_ >= batchId)) return // replayed after commit
     val keysPath = sidecarPath(indexPath)
+    ensureSidecarParams(spark, keysPath, numHashes, bands)
     // consumed by the pairs computation AND the index append
     val newIdx = phase("p_hash_batch") {
       Dedup.dedupIndex(batch, textCol, idCol, numHashes,
@@ -206,6 +210,54 @@ object DedupSync {
     */
   private[streaming] def sidecarPath(indexPath: String): String =
     indexPath.stripSuffix("/") + "_keys"
+
+  /** Guard the sidecar's DERIVATION PARAMETERS: band keys are
+    * xxhash64 folds of (numHashes, bands)-shaped signature slices, so
+    * segments written under different parameters hold keys a probe
+    * with the current ones can never resolve — a stream restarted
+    * with changed knobs would silently drop every cross-boundary pair
+    * forever (the index itself carries no band keys; the old
+    * full-scan probe re-derived them per batch, which is why this
+    * could not happen before the sidecar). The parameters are
+    * recorded in a `_PARAMS` file next to the segments; on mismatch
+    * (or a legacy sidecar that predates the record and cannot be
+    * verified) the segments are deleted and the probe's existing
+    * backfill path rebuilds them from the committed snapshot at the
+    * current parameters — deterministic, one O(index) pass, loud in
+    * the logs rather than silently wrong.
+    */
+  private def ensureSidecarParams(spark: SparkSession, keysPath: String,
+      numHashes: Int, bands: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(keysPath).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val pf = new Path(keysPath, "_PARAMS")
+    val want = s"$numHashes $bands"
+    val recorded: Option[String] =
+      if (!fs.exists(pf)) None
+      else {
+        val len = fs.getFileStatus(pf).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(pf)
+        try in.readFully(0, buf) finally in.close()
+        Some(new String(buf, "UTF-8").trim)
+      }
+    if (recorded.contains(want)) return
+    val segs =
+      if (!fs.exists(new Path(keysPath))) Array.empty[String]
+      else fs.listStatus(new Path(keysPath))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("seg_"))
+    if (segs.nonEmpty) {
+      println(s"[DedupSync] sidecar $keysPath recorded params " +
+        s"${recorded.getOrElse("<none — legacy>")} != current $want; " +
+        s"dropping ${segs.length} segments for rebuild from the " +
+        "committed snapshot")
+      segs.foreach(s => fs.delete(new Path(keysPath, s), true))
+    }
+    val out = fs.create(pf, true)
+    try out.write(want.getBytes("UTF-8")) finally out.close()
+  }
 
   /** The PRUNED corpus probe side: resolve the batch's probe keys
     * through the [[KeyedLog]] sidecar to candidate ids, then read

@@ -255,12 +255,13 @@ object TableSync {
       updates: DataFrame, path: String, keyCol: String, verCol: String,
       checkpoint: String, numBuckets: Int = DefaultBuckets,
       maxBucketBytes: Long = Long.MaxValue,
-      splitsPerBatch: Int = DefaultSplitsPerBatch): StreamingQuery =
+      splitsPerBatch: Int = DefaultSplitsPerBatch,
+      maxGens: Int = DefaultMaxGens): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, path, keyCol, verCol, batchId, numBuckets,
-          maxBucketBytes, splitsPerBatch)
+          maxBucketBytes, splitsPerBatch, maxGens)
       }
       .start()
 

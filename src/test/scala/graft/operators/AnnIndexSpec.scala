@@ -110,4 +110,40 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("run build()"))
   }
+
+  test("legacy artifact without _SEGROWS backfills PER-SEGMENT " +
+    "counts: a replayed earlier segment never double-counts into " +
+    "the row total") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("annix6-").toString
+    val c = corpus
+    AnnIndex.build(c, path, nlist = 4, dim = 16)
+    val segA = c.limit(10)
+      .select((col("vec_id") + 20000L).as("vec_id"), col("embedding"))
+    val segB = c.limit(5)
+      .select((col("vec_id") + 30000L).as("vec_id"), col("embedding"))
+    AnnIndex.append(segA, path, segId = 1L)
+    AnnIndex.append(segB, path, segId = 2L)
+    def metaRows(): Long = {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val p = new org.apache.hadoop.fs.Path(path, "_META")
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8").trim.split(" ").last.toLong
+    }
+    assert(metaRows() == 415L)
+    // simulate a legacy multi-segment artifact: drop the accounting
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_SEGROWS"), false)
+    // the REPLAY of segment 1 (same rows) must backfill per-segment
+    // counts — the old lump-to-seg-0 fallback counted seg 1's rows
+    // inside the build entry AND as the replayed segment: 425, not 415
+    AnnIndex.append(segA, path, segId = 1L)
+    assert(metaRows() == 415L,
+      "legacy backfill must not double-count a replayed segment")
+  }
 }

@@ -391,6 +391,52 @@ class DedupSyncSpec extends AnyFunSuite {
     assert(streamed == oneShot, s"stream $streamed\nvs batch $oneShot")
   }
 
+  test("sidecar PARAMETER drift (restart with different bands) " +
+    "rebuilds the key segments instead of silently resolving no " +
+    "candidates — cross-boundary pairs still land") {
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ix = Files.createTempDirectory("dsync13-ix-").toString
+    val pr = Files.createTempDirectory("dsync13-pr-").toString
+    val b0 = corpus.filter(col("doc_id") % 3 === 0)
+    val b1 = corpus.filter(col("doc_id") % 3 === 1)
+    val b2 = corpus.filter(col("doc_id") % 3 === 2)
+    DedupSync.applyDocs(b0, ix, pr, "text", "doc_id", 0L, 0.3)
+    DedupSync.applyDocs(b1, ix, pr, "text", "doc_id", 1L, 0.3)
+    val expectedThroughB1 = pairSet(DedupSync.readPairs(spark, pr))
+    val idx01 = DedupSync.readIndex(spark, ix).localCheckpoint()
+    // "restart" with bands = 16: old segments hold keys hashed at
+    // r = 128/32; without the _PARAMS guard the probe would resolve
+    // ZERO candidates and drop every cross-boundary pair silently
+    DedupSync.applyDocs(b2, ix, pr, "text", "doc_id", 2L, 0.3,
+      bands = 16)
+    val keysDir = new org.apache.hadoop.fs.Path(
+      DedupSync.sidecarPath(ix))
+    val params = {
+      val p = new org.apache.hadoop.fs.Path(keysDir, "_PARAMS")
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8").trim
+    }
+    assert(params == "128 16", s"recorded params must update: $params")
+    // the result equals the matching manual computation: pairs through
+    // b1 at the old parameters plus b2's incremental probe at the new
+    val expectedB2 = pairSet(Dedup.incrementalNearDups(
+      idx01, b2, "text", "doc_id", 0.3, bands = 16)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard")))
+    val expected = (expectedThroughB1 ++ expectedB2)
+      .groupBy(p => (p._1, p._2))
+      .map { case (k, vs) => (k._1, k._2, vs.map(_._3).max) }.toSet
+    val got = pairSet(DedupSync.readPairs(spark, pr))
+    assert(got == expected, s"got $got\nvs $expected")
+    // the known cross-boundary facts of batch 2 all landed
+    assert(got.exists(p => p._1 == 5L && p._2 == 9L && p._3 == 1.0),
+      "cross-batch exact pair (5,9) missing after param drift")
+  }
+
   test("sidecar AHEAD of the index commit (crash between sidecar " +
     "append and index swap) is benign: phantom candidate ids drop in " +
     "the id semi-join and the replay converges") {
