@@ -48,6 +48,25 @@ object VectorFunctions {
 
   def l2Norm(v: Column): Column = sqrt(dotProduct(v, v))
 
+  /** Symmetric int8 scalar quantization to BINARY codes: byte i =
+    * clamp(round(v_i / scale), -127, 127). With scale = maxAbs/127
+    * the per-component reconstruction error is <= scale/2 — the
+    * bound the streaming vector probe's prefilter rests on.
+    */
+  def int8Codes(v: Column, scale: Column): Column =
+    native.int8_codes(v, scale)
+
+  /** Unscaled dot of exact vector against int8 codes: sum v_i *
+    * codes_i (caller multiplies by the row's scale). +Infinity on
+    * length mismatch — the sound (never-drop) direction.
+    */
+  def int8Dot(codes: Column, v: Column): Column =
+    native.int8_dot(codes, v)
+
+  /** maxAbs(v)/127 — the [[int8Codes]] scale of one vector. */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
+
   // ------------------------------------------------------------------
   // Higher-order-function reference implementations.
 

@@ -777,7 +777,8 @@ object Dedup {
       index: DataFrame, batchIdx: DataFrame,
       threshold: Double, bits: Int = 4, tables: Int = 12,
       dim: Int = 64, maxBucketSize: Int = 10000,
-      occOverride: Option[Map[(Int, Long), Long]] = None): DataFrame = {
+      occOverride: Option[Map[(Int, Long), Long]] = None,
+      candOverride: Option[DataFrame] = None): DataFrame = {
     // Rep-level end to end: identical vectors on BOTH sides collapse
     // to one probe each (index reps are stored — see vecDedupIndex;
     // batch reps come from the same canonicalization), so candidate
@@ -785,8 +786,19 @@ object Dedup {
     // 20x-replicated corpus probes like the base corpus. Member pairs
     // expand afterwards through the two membership tables with the
     // rep pair's exact cosine (identical vectors => identical cosine).
-    val cand = vecCandidates(index, batchIdx, bits, tables, dim,
-      maxBucketSize, occOverride)
+    //
+    // candOverride: a caller that already derived the candidate rep
+    // pairs — VecDedupSync's streaming probe, which computes them from
+    // the VecLog sidecar's quantized rows with the true (complete-
+    // count) cap applied and a sound upper-bound prefilter — passes
+    // them here and the bucket re-derivation is skipped entirely.
+    // Sound as long as the override is sandwiched between the
+    // verified-pair set and vecCandidates' output: pairs it drops
+    // must be provably below threshold (the prefilter's contract),
+    // pairs it adds are killed by the exact-cosine filter below.
+    val cand = candOverride.getOrElse(
+      vecCandidates(index, batchIdx, bits, tables, dim,
+        maxBucketSize, occOverride))
     val newGroups = batchIdx
       .select(col("id").as("did"), col("vec"), col("keep"))
     val newIdx = batchIdx.filter(col("id") === col("keep"))

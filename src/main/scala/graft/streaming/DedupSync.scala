@@ -19,14 +19,18 @@ import graft.operators.Dedup
   * new doc can match anything ever ingested, but it can only match
   * through a shared band key or fingerprint — so the probe resolves
   * the batch's ~33 keys/doc through a [[KeyedLog]] sidecar (an
-  * LSM-style key-bucketed append log) to candidate ids and reads
-  * only THOSE index buckets ([[TableSync.readCurrentForKeys]], the
-  * AggSync discipline). The per-micro-batch full index scan this
-  * replaces was the one O(corpus) term left in the streaming path;
-  * pairs are bit-identical because every bucket the probe touches
-  * keeps its complete membership (see [[Dedup.probeKeys]]). The
-  * corpus text is never re-read or re-hashed, and the index never
-  * shuffles.
+  * LSM-style key-bucketed append log) to candidate ids, then POINT-
+  * FETCHES exactly those ids' current rows from the id-keyed
+  * [[PayloadLog]] (version-gated at the committed batch). The
+  * per-micro-batch full index scan this replaced was the one
+  * O(corpus) term left in the streaming path, and the payload log
+  * replaces the bucket-granular `readCurrentForKeys` fetch that
+  * followed it (|candidates| x maxBucketBytes worst case — the r12
+  * `weak`); pairs are bit-identical because every bucket the probe
+  * touches keeps its complete membership (see [[Dedup.probeKeys]])
+  * and the payload read IS the current snapshot restricted to the
+  * candidates. The corpus text is never re-read or re-hashed, and
+  * the index never shuffles.
   *
   * Storage split, chosen by mutability: the INDEX needs keyed upsert
   * semantics (a re-ingested id replaces its row) and lives in
@@ -111,14 +115,16 @@ object DedupSync {
       maxBucketBytes: Long = DefaultMaxBucketBytes,
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
       compactEvery: Int = DefaultCompactEvery,
-      maxGens: Int = TableSync.DefaultMaxGens): StreamingQuery =
+      maxGens: Int = TableSync.DefaultMaxGens,
+      payloadBucketBytes: Long = KeyedLog.DefaultTargetBucketBytes)
+      : StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyDocs(batch, indexPath, pairsPath, textCol, idCol, batchId,
           threshold, numHashes, bands, shingleSize, maxBucketSize,
           hasher, numBuckets, maxBucketBytes, splitsPerBatch,
-          compactEvery, maxGens)
+          compactEvery, maxGens, payloadBucketBytes)
       }
       .start()
 
@@ -142,7 +148,9 @@ object DedupSync {
       maxBucketBytes: Long = DefaultMaxBucketBytes,
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
       compactEvery: Int = DefaultCompactEvery,
-      maxGens: Int = TableSync.DefaultMaxGens): Unit = {
+      maxGens: Int = TableSync.DefaultMaxGens,
+      payloadBucketBytes: Long = KeyedLog.DefaultTargetBucketBytes)
+      : Unit = {
     require(threshold > 0,
       s"threshold must be > 0 (got $threshold) — see " +
         "Dedup.incrementalPairs' probe-key contract")
@@ -169,7 +177,7 @@ object DedupSync {
       else {
         val probeIx = phase("p_pruned_read") {
           prunedProbeIndex(spark, indexPath, keysPath, newKeys,
-            numHashes, bands, applied.max)
+            numHashes, bands, applied.max, payloadBucketBytes)
         }
         phase("p_pair_compute") {
           Dedup.incrementalPairs(probeIx,
@@ -187,6 +195,11 @@ object DedupSync {
     }
     phase("p_sidecar_write") {
       KeyedLog.append(newKeys, keysPath, batchId)
+      // the id-keyed point-lookup projection the pruned probe fetches
+      // candidate rows from — version-gated, so writing it ahead of
+      // the commit is invisible until the commit lands
+      PayloadLog.append(newIdx.withColumn("ver", lit(batchId)),
+        indexPath, batchId, payloadBucketBytes)
     }
     phase("p_index_commit") {
       TableSync.applyBatch(newIdx.withColumn("ver", lit(batchId)),
@@ -198,10 +211,11 @@ object DedupSync {
     // committed state only, so a crash mid-compaction never touches
     // this batch's exactly-once story (replay sees the id applied and
     // no-ops; the stale staged dir is swept on the next fold). The
-    // sidecar folds on its own tiered cadence.
+    // sidecars fold on their own tiered cadences.
     phase("p_maintenance") {
       PairsStore.maybeCompact(spark, pairsPath, "jaccard", compactEvery)
       KeyedLog.maybeCompact(spark, keysPath, "bk")
+      PayloadLog.maybeCompact(spark, indexPath, payloadBucketBytes)
     }
   }
 
@@ -260,24 +274,29 @@ object DedupSync {
   }
 
   /** The PRUNED corpus probe side: resolve the batch's probe keys
-    * through the [[KeyedLog]] sidecar to candidate ids, then read
-    * only the index buckets those ids live in — per-batch probe IO
-    * proportional to the BATCH (keys x sidecar bucket bytes +
-    * candidate index rows), never to the accumulated index. Yields
-    * bit-identical pairs to probing the full index (every band/fp
-    * bucket the probe touches keeps its complete membership — see
-    * [[Dedup.probeKeys]] — so refinement depths, caps, and
-    * verification are unchanged; extra same-storage-bucket rows are
-    * dropped by the id semi-join).
+    * through the [[KeyedLog]] sidecar to candidate ids, then POINT-
+    * FETCH exactly those ids' current rows from the [[PayloadLog]] —
+    * per-batch probe IO proportional to the BATCH (keys x sidecar
+    * bucket bytes + |candidates| x payload bucket bytes, 8 MB
+    * default), never to the accumulated index and never
+    * |candidates| x maxBucketBytes index buckets (the r12 `weak`).
+    * Yields bit-identical pairs to probing the full index (every
+    * band/fp bucket the probe touches keeps its complete membership —
+    * see [[Dedup.probeKeys]] — so refinement depths, caps, and
+    * verification are unchanged; the payload read is version-gated at
+    * the committed batch and folds newest-version-per-id, which is
+    * exactly the current-snapshot row set the old bucket fetch
+    * key-filtered down to).
     *
-    * An index that PREDATES the sidecar (no segments on disk)
-    * backfills it here from the committed snapshot — one O(index)
-    * migration pass writing a bucketed segment, deterministic under
-    * replay because it derives from committed state only.
+    * An index that PREDATES a sidecar (no segments on disk) backfills
+    * it here from the committed snapshot — one O(index) migration
+    * pass writing a bucketed segment, deterministic under replay
+    * because it derives from committed state only.
     */
   private def prunedProbeIndex(spark: SparkSession, indexPath: String,
       keysPath: String, newKeys: DataFrame, numHashes: Int,
-      bands: Int, lastApplied: Long): DataFrame = {
+      bands: Int, lastApplied: Long,
+      payloadBucketBytes: Long): DataFrame = {
     val probeK = newKeys.select(col("bk")).distinct()
     val sidecar = KeyedLog.readForKeys(spark, keysPath, probeK, "bk")
       .orElse {
@@ -292,14 +311,21 @@ object DedupSync {
       case None => // empty committed index (e.g. an empty first batch)
         TableSync.readCurrent(spark, indexPath).drop("ver")
       case Some(sc) =>
-        // candidate-sized, consumed twice (the index bucket collect
-        // and the semi-join): materialize once or the sidecar
-        // multi-path scan re-executes per consumer
+        // candidate-sized, consumed twice (the payload kb collect and
+        // the semi-join): materialize once or the sidecar multi-path
+        // scan re-executes per consumer
         val candIds = sc.join(probeK, Seq("bk"), "left_semi")
           .select(col("id")).distinct()
           .localCheckpoint()
-        TableSync.readCurrentForKeys(spark, indexPath, candIds, "id")
-          .join(candIds, Seq("id"), "left_semi")
+        PayloadLog.readCurrent(spark, indexPath, candIds, lastApplied)
+          .getOrElse {
+            // index predates the payload log: one-shot migration from
+            // the committed snapshot, then the point read serves
+            PayloadLog.backfill(spark, indexPath, lastApplied,
+              payloadBucketBytes)
+            PayloadLog.readCurrent(spark, indexPath, candIds,
+              lastApplied).get
+          }
           .drop("ver")
           .localCheckpoint() // candidate-sized; consumed by the
                              // probe's several subtrees

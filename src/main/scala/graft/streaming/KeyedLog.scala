@@ -119,12 +119,15 @@ object KeyedLog {
     * later probes prune them immediately.
     */
   def append(df: DataFrame, path: String, segId: Long,
-      keyCol: String = "bk"): Unit = {
+      keyCol: String = "bk", approxRowBytes: Long = 24,
+      targetBucketBytes: Long = DefaultTargetBucketBytes): Unit = {
     // callers pass materialized (localCheckpointed) frames — the
     // count is a block-manager scan, not a recompute
     val rows = df.count()
     if (rows == 0) return
-    if (rows > L0MaxRows) appendBucketed(df, path, keyCol, segId)
+    if (rows > L0MaxRows)
+      appendBucketed(df, path, keyCol, segId, approxRowBytes,
+        targetBucketBytes)
     else df.write.mode("overwrite")
       .parquet(s"$path/${SegPrefix}$segId-L0")
   }
@@ -144,7 +147,13 @@ object KeyedLog {
     if (rows == 0) return
     val nb = math.max(1L, math.min(1L << 20,
       rows * approxRowBytes / math.max(1L, targetBucketBytes) + 1)).toInt
+    // cluster by bucket before the partitioned write: without it
+    // EVERY input task writes a sliver file into EVERY bucket
+    // directory (tasks x buckets files — measured 50k files and a
+    // 138 s seed at 64 KB buckets); clustered, each bucket is one
+    // full-size file
     df.withColumn(KbCol, kbExpr(keyCol, nb))
+      .repartition(col(KbCol))
       .write.mode("overwrite").partitionBy(KbCol)
       .parquet(s"$path/${SegPrefix}$segId-L1-nb$nb")
   }
@@ -222,50 +231,45 @@ object KeyedLog {
     * first — a fold can cascade), merge ALL its segments into one
     * segment at the next level, bucketed by md5(key) so that buckets
     * land near `targetBucketBytes`. IO is the folded level's bytes,
-    * never the log's.
+    * never the log's. `collapse` (identity by default) lets
+    * versioned-row callers ([[PayloadLog]]) drop superseded rows at
+    * fold time — it sees only the rows being folded, and dropping a
+    * row is sound exactly when a kept row wins over it under the
+    * caller's read-side merge (then the dropped row could never win a
+    * global read either).
     */
   def compact(spark: SparkSession, path: String, keyCol: String,
       fanout: Int = DefaultFanout,
-      targetBucketBytes: Long = DefaultTargetBucketBytes): Unit = {
+      targetBucketBytes: Long = DefaultTargetBucketBytes,
+      collapse: DataFrame => DataFrame = identity): Unit = {
     val f = fs(spark, path)
-    if (!f.exists(new Path(path))) return
-    // sweep staged dirs a crash before rename left behind
-    f.listStatus(new Path(path))
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("_compact_tmp_"))
-      .foreach(st => f.delete(st.getPath, true))
-    var done = false
-    while (!done) {
-      val segs = listSegs(spark, path)
-      val byLevel = segs.groupBy(_.level)
-      byLevel.keys.toSeq.sorted
-        .find(l => byLevel(l).size >= fanout) match {
-        case None => done = true
-        case Some(l) =>
-          val src = byLevel(l)
-          val bytes = src.map(s =>
-            f.getContentSummary(new Path(s"$path/${s.dir}")).getLength).sum
-          val nb = math.max(1L,
-            math.min(1L << 20, bytes / math.max(1L, targetBucketBytes) +
-              (if (bytes % math.max(1L, targetBucketBytes) != 0) 1L
-               else 0L))).toInt
-          val gen = segs.map(_.name)
-            .collect { case SegName(g, _, _) if g.startsWith("c") =>
-              g.drop(1).toLong }
-            .maxOption.getOrElse(0L) + 1
-          val name = s"${SegPrefix}c$gen-L${l + 1}-nb$nb"
-          val tmp = new Path(path, s"_compact_tmp_$name")
-          src.map(s => spark.read.parquet(s"$path/${s.dir}").drop(KbCol))
-            .reduce(_.unionByName(_, allowMissingColumns = true))
-            .withColumn(KbCol, kbExpr(keyCol, nb))
-            .write.mode("overwrite").partitionBy(KbCol)
-            .parquet(tmp.toString)
-          if (!f.rename(tmp, new Path(path, name)))
-            throw new IllegalStateException(
-              s"KeyedLog fold rename failed under $path ($name)")
-          src.foreach(s => f.delete(new Path(s"$path/${s.dir}"), true))
-      }
-    }
+    TieredFold.run(spark, path, fanout,
+      () => listSegs(spark, path).map(s => (s.name, s.level)),
+      {
+        case SegName(g, _, _) if g.startsWith("c") =>
+          Some(g.drop(1).toLong)
+        case _ => None
+      },
+      (src, lvl, gen) => {
+        val bytes = src.map(d =>
+          f.getContentSummary(new Path(s"$path/$d")).getLength).sum
+        val nb = math.max(1L,
+          math.min(1L << 20, bytes / math.max(1L, targetBucketBytes) +
+            (if (bytes % math.max(1L, targetBucketBytes) != 0) 1L
+             else 0L))).toInt
+        val name = s"${SegPrefix}c$gen-L$lvl-nb$nb"
+        val tmp = new Path(path, s"_compact_tmp_$name")
+        collapse(
+          src.map(d => spark.read.parquet(s"$path/$d").drop(KbCol))
+            .reduce(_.unionByName(_, allowMissingColumns = true)))
+          .withColumn(KbCol, kbExpr(keyCol, nb))
+          .repartition(col(KbCol)) // one full-size file per bucket
+          .write.mode("overwrite").partitionBy(KbCol)
+          .parquet(tmp.toString)
+        if (!f.rename(tmp, new Path(path, name)))
+          throw new IllegalStateException(
+            s"KeyedLog fold rename failed under $path ($name)")
+      })
   }
 
   /** Per-batch cadence trigger: fold when any level reaches `fanout`
@@ -275,10 +279,11 @@ object KeyedLog {
     */
   def maybeCompact(spark: SparkSession, path: String, keyCol: String,
       fanout: Int = DefaultFanout,
-      targetBucketBytes: Long = DefaultTargetBucketBytes): Unit = {
+      targetBucketBytes: Long = DefaultTargetBucketBytes,
+      collapse: DataFrame => DataFrame = identity): Unit = {
     val segs = listSegs(spark, path)
     if (segs.nonEmpty &&
         segs.groupBy(_.level).values.exists(_.size >= fanout))
-      compact(spark, path, keyCol, fanout, targetBucketBytes)
+      compact(spark, path, keyCol, fanout, targetBucketBytes, collapse)
   }
 }

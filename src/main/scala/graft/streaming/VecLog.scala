@@ -91,15 +91,6 @@ object VecLog {
       .flatMap(st => parseSeg(st.getPath.getName))
   }
 
-  /** The partition value of (tbl, sig) under a depth map — collision-
-    * free within one map: the masked value's low `bits` ARE the base
-    * bucket, and the base bucket determines the depth.
-    */
-  private def kbOf(d: Depths)(tbl: Int, sig: Long): Long = {
-    val base = sig & ((1L << d.bits) - 1)
-    (tbl.toLong << d.sigBits) | (sig & ((1L << d(tbl, base)) - 1))
-  }
-
   /** Append one batch's (tbl, sig, id) rows as an L0 segment —
     * O(batch), overwrite-idempotent. A batch past
     * [[KeyedLog.L0MaxRows]] (a seed/backfill that IS the corpus)
@@ -129,13 +120,16 @@ object VecLog {
   /** All rows that MAY share a refined bucket with the probe tuples —
     * L0 segments whole, folded segments pruned to the partitions the
     * probes' masked signatures land in under each segment's recorded
-    * map. `probes` is driver-side by design: the sinks already
-    * collect batch-bounded sets, and (tbl, sig) tuples are 12 bytes
-    * per batch rep per table. `cur` is the probe-time depth map (for
-    * the deeper-segment enumeration only). Returns None at bootstrap.
+    * map. `probes` is a (tbl, sig) DataFrame — the per-segment bucket
+    * sets derive DISTRIBUTED (mask in Spark, collect only the
+    * DISTINCT partition values, which are bounded by the depth map,
+    * never by batch size), so a one-shot backfill batch cannot turn
+    * the probe into a driver bottleneck. `cur` is the probe-time
+    * depth map (for the deeper-segment enumeration only). Returns
+    * None at bootstrap.
     */
   def readForKeys(spark: SparkSession, path: String,
-      probes: Seq[(Int, Long)], cur: Depths): Option[DataFrame] = {
+      probes: DataFrame, cur: Depths): Option[DataFrame] = {
     val segs = listSegs(spark, path)
     if (segs.isEmpty) return None
     val f = fs(spark, path)
@@ -151,19 +145,7 @@ object VecLog {
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith(KbCol + "="))
           .map(_.getPath.getName.stripPrefix(KbCol + "=").toLong).toSet
-        val kbs: Set[Long] = probes.flatMap { case (t, sig) =>
-          val base = sig & ((1L << d.bits) - 1)
-          val ds = d(t, base)
-          val dc = cur(t, base)
-          if (ds <= dc) Seq(kbOf(d)(t, sig))
-          else {
-            // segment deeper than the probe: the probe's bucket is a
-            // PREFIX of 2^(ds-dc) segment partitions — enumerate and
-            // intersect with what exists
-            val lo = (t.toLong << d.sigBits) | (sig & ((1L << dc) - 1))
-            (0L until (1L << (ds - dc))).map(e => lo | (e << dc))
-          }
-        }.toSet
+        val kbs: Set[Long] = probeKbs(probes, d, cur)
         kbs.intersect(listed).toSeq.sorted
           .map(b => s"$path/${s.name}/$KbCol=$b")
       }
@@ -184,72 +166,124 @@ object VecLog {
         .map(p => spark.read.parquet(p).limit(0).drop(KbCol))
   }
 
-  /** Tiered fold at the CURRENT depth map (see [[KeyedLog.compact]]
-    * for the level/crash discipline — identical here; the one
-    * difference is the partitioner and the `_DEPTHS` record, which is
-    * staged INSIDE the segment directory so the rename publishes data
-    * and map atomically).
+  /** Driver-Seq convenience overload (spec/maintenance callers). */
+  def readForKeys(spark: SparkSession, path: String,
+      probes: Seq[(Int, Long)], cur: Depths): Option[DataFrame] = {
+    import spark.implicits._
+    readForKeys(spark, path, probes.toDF("tbl", "sig"), cur)
+  }
+
+  /** The partition values a probe frame lands in under a SEGMENT's
+    * map `d`, given the probe-time map `cur`: segment coarser-or-
+    * equal (ds <= dc, the common growth direction) → the one masked
+    * value; segment deeper → the probe's bucket is a PREFIX of
+    * 2^(ds-dc) segment partitions, enumerated. All masking runs in
+    * Spark; only the distinct partition values collect. Depth maps
+    * JOIN as broadcast frames — a WHEN chain over a fully-refined
+    * map (tables x 2^bits entries) makes Janino compilation dominate
+    * the probe.
+    */
+  private def probeKbs(probes: DataFrame, d: Depths,
+      cur: Depths): Set[Long] = {
+    val spark0 = probes.sparkSession
+    import spark0.implicits._
+    def mapDf(m: Depths, depthCol: String) = m.over.toSeq
+      .map { case ((t, b), dep) => (t, b, dep) }
+      .toDF("tbl", "__base", depthCol)
+    val base = col("sig").bitwiseAND(lit((1L << d.bits) - 1))
+    var p = probes.withColumn("__base", base)
+    p =
+      if (d.over.isEmpty) p.withColumn("__ds", lit(d.bits))
+      else p.join(broadcast(mapDf(d, "__dsm")), Seq("tbl", "__base"),
+          "left")
+        .withColumn("__ds", coalesce(col("__dsm"), lit(d.bits)))
+        .drop("__dsm")
+    p =
+      if (cur.over.isEmpty) p.withColumn("__dc", lit(cur.bits))
+      else p.join(broadcast(mapDf(cur, "__dcm")), Seq("tbl", "__base"),
+          "left")
+        .withColumn("__dc", coalesce(col("__dcm"), lit(cur.bits)))
+        .drop("__dcm")
+    val ds = col("__ds")
+    val dc = col("__dc")
+    val hi = shiftleft(col("tbl").cast("long"), d.sigBits)
+    def maskTo(depth: org.apache.spark.sql.Column) =
+      call_function("shiftleft", lit(1L), depth) - lit(1L)
+    val lo = hi.bitwiseOR(col("sig").bitwiseAND(maskTo(dc)))
+    val one = hi.bitwiseOR(col("sig").bitwiseAND(maskTo(ds)))
+    val kbs = when(ds <= dc, array(one))
+      .otherwise(transform(
+        sequence(lit(0L),
+          call_function("shiftleft", lit(1L), ds - dc) - lit(1L)),
+        e => lo.bitwiseOR(call_function("shiftleft", e, dc))))
+    p.select(explode(kbs).as("kb")).distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  /** Tiered fold at the CURRENT depth map — the shared [[TieredFold]]
+    * loop with this log's partitioner and the `_DEPTHS` record, which
+    * is staged INSIDE the segment directory so the rename publishes
+    * data and map atomically. `collapse` (identity default) lets the
+    * versioned-row caller (VecDedupSync) drop superseded rows at fold
+    * time; it must only drop rows a kept row outranks under the
+    * read-side merge.
     */
   def compact(spark: SparkSession, path: String, depths: Depths,
-      fanout: Int = DefaultFanout): Unit = {
-    val f = fs(spark, path)
-    if (!f.exists(new Path(path))) return
-    f.listStatus(new Path(path))
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("_compact_tmp_"))
-      .foreach(st => f.delete(st.getPath, true))
-    var done = false
-    while (!done) {
-      val segs = listSegs(spark, path)
-      val byLevel = segs.groupBy(_.level)
-      byLevel.keys.toSeq.sorted
-        .find(l => byLevel(l).size >= fanout) match {
-        case None => done = true
-        case Some(l) =>
-          val src = byLevel(l)
-          val gen = segs.map(_.name)
-            .collect { case SegName(g, _) if g.startsWith("c") =>
-              g.drop(1).toLong }
-            .maxOption.getOrElse(0L) + 1
-          val name = s"${SegPrefix}c$gen-L${l + 1}"
-          val merged = src
-            .map(s => spark.read.parquet(s"$path/${s.name}").drop(KbCol))
-            .reduce(_.unionByName(_, allowMissingColumns = true))
-          writePartitioned(merged, path, name, depths, staged = true)
-          src.foreach(s => f.delete(new Path(s"$path/${s.name}"), true))
-      }
-    }
-  }
+      fanout: Int = DefaultFanout,
+      collapse: DataFrame => DataFrame = identity): Unit =
+    TieredFold.run(spark, path, fanout,
+      () => listSegs(spark, path).map(s => (s.name, s.level)),
+      {
+        case SegName(g, _) if g.startsWith("c") => Some(g.drop(1).toLong)
+        case _ => None
+      },
+      (src, lvl, gen) => {
+        val merged = collapse(src
+          .map(d => spark.read.parquet(s"$path/$d").drop(KbCol))
+          .reduce(_.unionByName(_, allowMissingColumns = true)))
+        writePartitioned(merged, path, s"${SegPrefix}c$gen-L$lvl",
+          depths, staged = true)
+      })
 
   /** Per-batch cadence trigger (call AFTER the outer commit). */
   def maybeCompact(spark: SparkSession, path: String, depths: Depths,
-      fanout: Int = DefaultFanout): Unit = {
+      fanout: Int = DefaultFanout,
+      collapse: DataFrame => DataFrame = identity): Unit = {
     val segs = listSegs(spark, path)
     if (segs.nonEmpty &&
         segs.groupBy(_.level).values.exists(_.size >= fanout))
-      compact(spark, path, depths, fanout)
+      compact(spark, path, depths, fanout, collapse)
   }
 
   private def writePartitioned(df: DataFrame, path: String,
       name: String, depths: Depths, staged: Boolean): Unit = {
     val spark = df.sparkSession
+    import spark.implicits._
     val f = fs(spark, path)
     val target = if (staged) s"_compact_tmp_$name" else name
     val baseMask = (1L << depths.bits) - 1
-    // depth lookup as an expression: base depth everywhere, the
-    // (small, parameter-bounded) overfull map as a chain of WHENs
-    val base = col("sig").bitwiseAND(lit(baseMask))
-    // per-bucket MASK literals via a WHEN chain over the (parameter-
-    // bounded) overfull map — base-depth mask everywhere else
-    val maskExpr = depths.over.foldLeft(
-      lit((1L << depths.bits) - 1): org.apache.spark.sql.Column) {
-      case (acc, ((t, b), dep)) =>
-        when(col("tbl") === t && base === b,
-          lit((1L << dep) - 1)).otherwise(acc)
-    }
+    // depth lookup via a BROADCAST-joined map frame: base depth
+    // everywhere, the overfull map's depth where recorded. (A WHEN
+    // chain here made Janino compilation dominate once refinement
+    // covered every base bucket — tables x 2^bits entries.)
+    val withDepth =
+      if (depths.over.isEmpty) df.withColumn("__depth", lit(depths.bits))
+      else {
+        val m = depths.over.toSeq
+          .map { case ((t, b), dep) => (t, b, dep) }
+          .toDF("tbl", "__base", "__depth0")
+        df.withColumn("__base", col("sig").bitwiseAND(lit(baseMask)))
+          .join(broadcast(m), Seq("tbl", "__base"), "left")
+          .withColumn("__depth",
+            coalesce(col("__depth0"), lit(depths.bits)))
+          .drop("__base", "__depth0")
+      }
     val kb = shiftleft(col("tbl").cast("long"), depths.sigBits)
-      .bitwiseOR(col("sig").bitwiseAND(maskExpr))
-    df.withColumn(KbCol, kb)
+      .bitwiseOR(col("sig").bitwiseAND(
+        call_function("shiftleft", lit(1L), col("__depth")) - lit(1L)))
+    withDepth.withColumn(KbCol, kb).drop("__depth")
+      .repartition(col(KbCol)) // one full-size file per partition,
+                               // not one sliver per (task x partition)
       .write.mode("overwrite").partitionBy(KbCol)
       .parquet(s"$path/$target")
     val dp = f.create(new Path(s"$path/$target", DepthsFile), true)

@@ -560,11 +560,16 @@ object ScaleSmoke {
       // that grow with the seed until they reach maxBucketBytes),
       // which is legitimate maintenance measured by its own stages
       // (dsync_evo/tshrink) but would mask the probe's flatness here
+      // payloadBucketBytes sized to the deployment's fetch sets (the
+      // PayloadLog read bound is |fetch| x bucket bytes: ~64 KB keeps
+      // the point fetch candidate-ROW-proportional at fixture scale;
+      // a warehouse sizes it up against file count)
       timed("vsyncp_seed_batch0") {
         graft.streaming.VecDedupSync.applyVecs(
           distinct, ix, pr, "embedding", "vec_id", batchId = 0L,
           threshold = 0.35, maxBucketSize = 200,
-          maxBucketBytes = Long.MaxValue)
+          maxBucketBytes = Long.MaxValue,
+          payloadBucketBytes = 64L << 10)
         distinct.count()
       }
       (1 to 2).foreach { b =>
@@ -573,7 +578,8 @@ object ScaleSmoke {
             append.withColumn("vec_id", col("vec_id") + lit(b * 1000L)),
             ix, pr, "embedding", "vec_id", batchId = b.toLong,
             threshold = 0.35, maxBucketSize = 200,
-            maxBucketBytes = Long.MaxValue)
+            maxBucketBytes = Long.MaxValue,
+            payloadBucketBytes = 64L << 10)
           append.count()
         }
       }
@@ -782,14 +788,16 @@ object ScaleSmoke {
         graft.streaming.DedupSync.applyDocs(
           distinct, ix, pr, "text", "doc_id", batchId = 0L,
           threshold = 0.5, numHashes = 24, bands = 8,
-          maxBucketBytes = Long.MaxValue)
+          maxBucketBytes = Long.MaxValue,
+          payloadBucketBytes = 64L << 10)
         distinct.count()
       }
       timed("dsyncp_append_batch1") {
         graft.streaming.DedupSync.applyDocs(
           append, ix, pr, "text", "doc_id", batchId = 1L,
           threshold = 0.5, numHashes = 24, bands = 8,
-          maxBucketBytes = Long.MaxValue)
+          maxBucketBytes = Long.MaxValue,
+          payloadBucketBytes = 64L << 10)
         append.count()
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))

@@ -623,6 +623,89 @@ object expressions {
   }
 
   // -------------------------------------------------------------------
+  /** Symmetric int8 scalar quantization of a numeric vector: byte i =
+    * clamp(round(v_i / scale), -127, 127), packed as BINARY (64 bytes
+    * for a dim-64 vector — 8x smaller than the double array). With
+    * `scale` = maxAbs(v)/127 every component is in range and the
+    * reconstruction error per component is <= scale/2 — the bound the
+    * streaming vector probe's candidate prefilter rests on
+    * (VecDedupSync). scale <= 0 (a zero vector — filtered upstream by
+    * vecDedupIndex, defended here) yields all-zero codes.
+    */
+  case class Int8Codes(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+      DoubleType)
+
+    override def dataType: DataType = BinaryType
+
+    override def prettyName: String = "int8_codes"
+
+    private def isFloat: Boolean = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Int8Util.codes(a.asInstanceOf[ArrayData], isFloat,
+        b.asInstanceOf[Double])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, s) => s"""
+        ${ev.value} = org.apache.spark.sql.graft.Int8Util.codes(
+          $v, $isFloat, $s);
+      """)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Int8Codes =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // -------------------------------------------------------------------
+  /** Dot product of an exact numeric vector against [[Int8Codes]]
+    * bytes (unscaled: the caller multiplies by the row's scale):
+    * sum_i v_i * codes_i in double. One fused allocation-free loop —
+    * this is the streaming vector probe's per-candidate-pair hot
+    * path. Length mismatch (corrupt codes) returns +Infinity, which
+    * makes any upper bound built on it SURVIVE the prefilter (the
+    * exact verify then decides) — the sound direction, where the
+    * 0.0-on-mismatch convention of the other vector expressions
+    * could silently drop a true pair.
+    */
+  case class Int8Dot(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      BinaryType,
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+
+    override def dataType: DataType = DoubleType
+
+    override def prettyName: String = "int8_dot"
+
+    private def isFloat: Boolean = right.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Int8Util.dot(a.asInstanceOf[Array[Byte]],
+        b.asInstanceOf[ArrayData], isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, v) => s"""
+        ${ev.value} = org.apache.spark.sql.graft.Int8Util.dot(
+          $c, $v, $isFloat);
+      """)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Int8Dot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // -------------------------------------------------------------------
   // Column-level API (the engine-facing surface).
 
   def byte_entropy(text: Column): Column =
@@ -677,6 +760,48 @@ object expressions {
 
   def md5_uniform60_tail(text: Column): Column =
     ExpressionUtils.column(Md5Uniform60Tail(ExpressionUtils.expression(text)))
+
+  def int8_codes(v: Column, scale: Column): Column =
+    ExpressionUtils.column(Int8Codes(
+      ExpressionUtils.expression(v), ExpressionUtils.expression(scale)))
+
+  def int8_dot(codes: Column, v: Column): Column =
+    ExpressionUtils.column(Int8Dot(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(v)))
+}
+
+/** Shared by the Int8 expressions' eval and generated code (Janino
+  * references it by literal name).
+  */
+object Int8Util {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def codes(v: ArrayData, isFloat: Boolean, scale: Double): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    if (scale <= 0.0d) return out
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val q = Math.round(x / scale)
+      out(i) = Math.max(-127L, Math.min(127L, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  def dot(codes: Array[Byte], v: ArrayData, isFloat: Boolean): Double = {
+    val n = codes.length
+    if (n != v.numElements()) return Double.PositiveInfinity
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      acc += x * codes(i).toDouble
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Shared by Md5Uniform60.eval and its generated code (Janino

@@ -50,6 +50,56 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("int8_codes / int8_dot: round-trip error bounded by scale/2 " +
+    "per component, the quantized-cosine upper bound is SOUND over " +
+    "random vectors, and a zero scale yields zero codes") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 300L).map { i =>
+      (i,
+        Seq.fill(16)(rnd.nextFloat() * 4f - 2f),
+        Seq.fill(16)(rnd.nextFloat() * 4f - 2f))
+    }.toDF("id", "a", "b")
+    val got = rows.select($"id",
+      VectorFunctions.cosineSim($"a", $"b").as("cos"),
+      ((VectorFunctions.int8Scale($"b") *
+        VectorFunctions.int8Dot(
+          VectorFunctions.int8Codes($"b", VectorFunctions.int8Scale($"b")),
+          $"a") +
+        lit(0.5) * VectorFunctions.int8Scale($"b") *
+          aggregate(transform($"a", x => abs(x.cast("double"))),
+            lit(0.0), (acc, x) => acc + x)) /
+        (sqrt(VectorFunctions.dotProduct($"a", $"a")) *
+          sqrt(VectorFunctions.dotProduct($"b", $"b"))) + lit(1e-6))
+        .as("upper"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(2) >= r.getDouble(1),
+        s"upper bound violated at id=${r.getLong(0)}: " +
+          s"cos=${r.getDouble(1)} upper=${r.getDouble(2)}")
+      // the bound must also be TIGHT enough to prefilter (SQ8 slack
+      // for 16 dims sits well under 0.1 cosine)
+      assert(r.getDouble(2) - r.getDouble(1) < 0.1,
+        s"bound uselessly loose at id=${r.getLong(0)}")
+    }
+    // component-wise reconstruction error <= scale/2
+    val rt = rows.limit(50).select($"b",
+      VectorFunctions.int8Scale($"b").as("s"),
+      VectorFunctions.int8Codes($"b",
+        VectorFunctions.int8Scale($"b")).as("q"))
+      .collect()
+    rt.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val s = r.getDouble(1)
+      val q = r.getAs[Array[Byte]](2)
+      v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(x.toDouble - s * c) <= s / 2 + 1e-12) }
+    }
+    val zero = Seq((1L, Seq(0.0f, 0.0f))).toDF("id", "v")
+      .select(VectorFunctions.int8Codes($"v", lit(0.0)).as("q"))
+      .head().getAs[Array[Byte]](0)
+    assert(zero.forall(_ == 0))
+  }
+
   test("simhash64: identical token sets hash equal; near sets differ in few bits") {
     val base = (1 to 60).map(i => s"tok$i")
     val near = base.updated(7, "CHANGED").updated(33, "ALSO")

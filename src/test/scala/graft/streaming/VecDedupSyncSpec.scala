@@ -270,6 +270,80 @@ class VecDedupSyncSpec extends AnyFunSuite {
     assert(storedOcc(4L) == aggOcc(), "re-ingest rep->rep diverged")
   }
 
+  test("PREFILTER soundness under a LOOSE threshold: many candidate " +
+    "pairs sit near the quantized bound, and the 4-batch stream " +
+    "still equals one-shot exactly") {
+    import spark.implicits._
+    val ix = Files.createTempDirectory("vsync-pf-ix-").toString
+    val pr = Files.createTempDirectory("vsync-pf-pr-").toString
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f).toSeq))
+    val all = vecs.toDF("vec_id", "embedding")
+    (0 to 3).foreach { b =>
+      VecDedupSync.applyVecs(
+        vecs.filter(_._1 % 4 == b).toDF("vec_id", "embedding"),
+        ix, pr, "embedding", "vec_id", b.toLong,
+        threshold = 0.35, dim = 8)
+    }
+    val streamed = pairSet(VecDedupSync.readPairs(spark, pr))
+    val expect = pairSet(Dedup.embeddingDupPairs(
+      all, "embedding", "vec_id", threshold = 0.35, dim = 8))
+    assert(expect.nonEmpty, "fixture must actually produce pairs")
+    assert(streamed == expect,
+      s"missingFromStream=${expect -- streamed}\n" +
+        s"extraInStream=${streamed -- expect}")
+  }
+
+  test("sidecar LAYOUT migration: a log whose _LAYOUT marker is " +
+    "missing (pre-v2 segments) is dropped and rebuilt from the " +
+    "committed snapshot; the stream still equals one-shot") {
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ix = Files.createTempDirectory("vsync-lay-ix-").toString
+    val pr = Files.createTempDirectory("vsync-lay-pr-").toString
+    apply1(corpus.filter(col("vec_id") % 3 === 0), ix, pr, 0L)
+    apply1(corpus.filter(col("vec_id") % 3 === 1), ix, pr, 1L)
+    val keys = new org.apache.hadoop.fs.Path(DedupSync.sidecarPath(ix))
+    // simulate a pre-v2 sidecar: drop the marker (the segments then
+    // cannot be trusted to carry ver/del/codes)
+    fs.delete(new org.apache.hadoop.fs.Path(keys, "_LAYOUT"), false)
+    apply1(corpus.filter(col("vec_id") % 3 === 2), ix, pr, 2L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(keys, "_LAYOUT")),
+      "migration must re-stamp the layout marker")
+    assert(pairSet(VecDedupSync.readPairs(spark, pr)) == oneShot)
+    assert(VecDedupSync.readIndex(spark, ix).count() == 9)
+  }
+
+  test("sidecars AHEAD of the index commit (crash between sidecar " +
+    "write and index swap): version-gated rows are invisible to the " +
+    "replay's probe and the stream converges") {
+    val ix = Files.createTempDirectory("vsync-ah-ix-").toString
+    val pr = Files.createTempDirectory("vsync-ah-pr-").toString
+    val b0 = corpus.filter(col("vec_id") % 3 === 0)
+    val b1 = corpus.filter(col("vec_id") % 3 === 1)
+    val b2 = corpus.filter(col("vec_id") % 3 === 2)
+    apply1(b0, ix, pr, 0L)
+    // crash-between for batch 1: pairs + ALL sidecars written
+    // (VecLog keys at ver 1, payload rows at ver 1, member rows,
+    // occ counters), index commit missing — exactly the state a
+    // crash after v_sidecar_write leaves
+    val batchIdx = Dedup.vecDedupIndex(b1, "embedding", "vec_id",
+      dim = 8).localCheckpoint()
+    PairsStore.writeBatch(
+      Dedup.incrementalVecPairs(VecDedupSync.readIndex(spark, ix),
+        batchIdx, threshold = 0.9, dim = 8),
+      pr, "cosine", 1L)
+    PayloadLog.append(batchIdx.withColumn("ver", lit(1L)), ix, 1L)
+    // the redelivered batch 1 must version-gate those rows out of
+    // its own probe (it probes the committed batch-0 state), then
+    // overwrite them idempotently and commit
+    apply1(b1, ix, pr, 1L)
+    apply1(b2, ix, pr, 2L)
+    assert(pairSet(VecDedupSync.readPairs(spark, pr)) == oneShot)
+    assert(VecDedupSync.readIndex(spark, ix).count() == 9)
+  }
+
   test("vector sidecar BACKFILL: wiping key log, member log, and " +
     "counters mid-stream rebuilds them from the committed snapshot " +
     "and the stream still equals one-shot") {
