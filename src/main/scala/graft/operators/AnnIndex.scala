@@ -73,7 +73,11 @@ object AnnIndex {
 
   /** Train + project + persist. One corpus projection job; the write
     * is `partitionBy(seg, cell)` so probes prune cell directories and
-    * a rebuild's overwrite clears every appended segment too.
+    * a rebuild's overwrite clears every appended segment too — and
+    * explicitly clears tombstones and the recall baseline (a rebuild
+    * re-ingests exactly its input corpus; stale delete markers must
+    * not suppress re-ingested ids, and drift measures against the NEW
+    * geometry).
     */
   def build(corpus: DataFrame, path: String,
       nlist: Int = 16, seed: Long = 42L,
@@ -95,9 +99,113 @@ object AnnIndex {
     centroids.map { case (c, v) => (c, v) }.toDF("cell", "cvec")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new Path(path, "tombstones"), true)
+    fs.delete(new Path(path, "_RECALL0"), false)
     val rows = corpus.count()
     writeSegRows(spark, path, Map(0L -> rows))
     writeMeta(spark, path, Meta(dim, nlist, seed, scale, rows))
+  }
+
+  /** DELETE by id — the lifecycle half FAISS `remove_ids` covers and
+    * appends alone cannot (a re-ingested or retracted id otherwise
+    * stays probeable forever): write the ids as a TOMBSTONE segment.
+    * Semantics are segment-ordered, matching the streaming-batch id
+    * discipline the artifact already follows (appends and deletes
+    * share ONE monotone segId sequence): a tombstone at seg T
+    * suppresses every copy of the id stored in segments BEFORE T, and
+    * a later append (seg > T) re-adds the id cleanly. O(|ids|),
+    * overwrite-idempotent under replay; [[build]] clears all
+    * tombstones (a rebuild re-ingests its input).
+    */
+  def delete(ids: DataFrame, path: String, segId: Long,
+      idCol: String = "vec_id"): Unit = {
+    require(segId >= 1L, s"segId must be >= 1 (0 is the build): $segId")
+    readMeta(ids.sparkSession, path) // fail loudly on a missing index
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"$path/tombstones/seg=$segId")
+  }
+
+  /** Tombstones as (tid, tseg), or None when none exist. */
+  private def tombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(path, "tombstones"))) None
+    else Some(spark.read.parquet(s"$path/tombstones")
+      .select(col("id").as("tid"), col("seg").as("tseg")))
+  }
+
+  /** Drop rows whose (id, seg) is suppressed by a tombstone: a
+    * tombstone kills copies stored BEFORE it, later re-adds survive.
+    */
+  private def liveOnly(rows: DataFrame,
+      tombs: Option[DataFrame]): DataFrame = tombs match {
+    case None => rows
+    case Some(t) => rows.join(broadcast(t),
+      rows("id") === t("tid") && rows("seg") < t("tseg"), "left_anti")
+  }
+
+  /** Sampled recall drift probe — the retrain signal: `sample` stored
+    * vectors (deterministic xxhash64 order) query both the index and
+    * an EXACT live-row scan; recall@k is their overlap. The first
+    * call records the baseline next to the artifact (`_RECALL0` — the
+    * recall of the geometry as trained); later calls compare against
+    * it and recommend a rebuild once recall falls more than
+    * `tolerance` below baseline — cells drift as appends shift the
+    * distribution the centroids were trained on (the FAISS retrain-
+    * on-cadence story, made measurable). The exact scan is O(live
+    * rows x sample) — a maintenance job, not a serving path.
+    */
+  case class Drift(recall: Double, baseline: Double,
+      rebuildRecommended: Boolean)
+
+  def driftCheck(spark: SparkSession, path: String, sample: Int = 32,
+      k: Int = 10, nprobe: Int = 3, refine: Int = 4,
+      tolerance: Double = 0.1): Drift = {
+    val tombs = tombstones(spark, path)
+    val live = liveOnly(
+      spark.read.parquet(s"$path/codes").select(col("id"), col("seg"),
+        col("vec")), tombs)
+      .select(col("id"), col("vec"))
+    val queries = live.orderBy(xxhash64(col("id")), col("id"))
+      .limit(sample)
+      .select(col("id").as("vec_id"), col("vec").as("embedding"))
+      .localCheckpoint()
+    val approx = probe(spark, path, queries, k, nprobe, refine)
+      .select(col("qid"), col("id"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    val exact = live.select(col("id"), col("vec"))
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec"))), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("vec"), col("qvec")).as("cosine"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"))
+    val hits = approx.join(exact, Seq("qid", "id"), "left_semi").count()
+    val denom = exact.count()
+    val recall = if (denom == 0) 1.0 else hits.toDouble / denom
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val basePath = new Path(path, "_RECALL0")
+    val baseline =
+      if (fs.exists(basePath)) {
+        val len = fs.getFileStatus(basePath).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(basePath)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, "UTF-8").trim.toDouble
+      } else {
+        val out = fs.create(basePath, true)
+        try out.write(recall.toString.getBytes("UTF-8"))
+        finally out.close()
+        recall
+      }
+    Drift(recall, baseline, recall < baseline - tolerance)
   }
 
   /** Incremental ingestion: project `more` through the index's FROZEN
@@ -241,8 +349,10 @@ object AnnIndex {
     // time — the join alone would not reach the parquet source
     val cells: Seq[Int] = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val codes = spark.read.parquet(s"$path/codes")
+    val tombs = tombstones(spark, path)
+    val codes = liveOnly(spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(cells: _*))
+      .select(col("cell"), col("seg"), col("id"), col("q")), tombs)
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("qcos").desc, col("id"))
     val cand = codes.select(col("cell"), col("id"), col("q"))
@@ -255,9 +365,12 @@ object AnnIndex {
       .filter(col("qrank") <= k * refine)
       .select("qid", "id")
     // exact rescore: a SECOND pruned scan projecting only (id, vec) —
-    // columnar, so the int8 candidate scan never read the wide column
-    val full = spark.read.parquet(s"$path/codes")
+    // columnar, so the int8 candidate scan never read the wide
+    // column. Tombstone-filtered too: a deleted-then-re-added id
+    // would otherwise join BOTH copies onto its candidate row.
+    val full = liveOnly(spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(cells: _*))
+      .select(col("seg"), col("id"), col("vec")), tombs)
       .select(col("id"), col("vec"))
     val scored = cand
       .join(full, Seq("id"))

@@ -1790,6 +1790,105 @@ object DedupQueries {
         "replay."),
 
     // ------------------------------------------------------------------
+    "s20_ann_index_delete" -> QueryDef(
+      fn = { (s, dir) =>
+        // FULL LIFECYCLE of the persisted artifact: build on the even
+        // half, append the odd half through the frozen geometry,
+        // DELETE a slice spanning both segments (tombstone segment —
+        // segment-ordered, so copies stored before it vanish from
+        // probes), then RE-ADD a sub-slice of the deleted ids (a
+        // later segment outranks the tombstone: re-ingestion after
+        // retraction, the S3 overwrite-by-name semantic the
+        // append-only artifact was missing). The probe must rank
+        // among exactly the LIVE rows.
+        val path = annixdDir(dir)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        AnnIndex.build(e.filter(col("vec_id") % 2 === 0), path,
+          nlist = 16)
+        AnnIndex.append(e.filter(col("vec_id") % 2 === 1), path,
+          segId = 1L)
+        AnnIndex.delete(e.filter(col("vec_id") % 10 === 3)
+          .select(col("vec_id")), path, segId = 2L)
+        AnnIndex.append(e.filter(col("vec_id") % 20 === 3), path,
+          segId = 3L)
+        AnnIndex.probe(s, path, e.filter(col("vec_id") % 25 === 0),
+          k = 5, nprobe = 3, refine = 4)
+          .select(col("qid"), col("id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        // s19's frozen-geometry replay with the candidate space
+        // restricted to LIVE ids: deleted (vec_id % 10 = 3) except
+        // re-added (vec_id % 20 = 3). Queries still draw from the
+        // full table — a deleted id may query, it just cannot be a
+        // result.
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        val cents = Similarity.coarseCentroids(
+          e.filter(col("vec_id") % 2 === 0), "embedding", "vec_id",
+          nlist = 16, seed = 42L, maxTrainRows = 100000L)
+        val cLit = OracleSql.sqlDoubleArr2(cents.sortBy(_._1).map(_._2))
+        s"""
+        WITH ct AS (SELECT $cLit::DOUBLE[][] AS m),
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+        live AS (SELECT id FROM v
+                 WHERE id % 10 != 3 OR id % 20 = 3),
+        ascore AS (
+          SELECT v.id, c.c AS cell,
+                 list_cosine_similarity(ct.m[c.c + 1], v.vec) AS csim
+          FROM v, ct, (SELECT unnest(range(0, 16)) AS c) c),
+        cells AS (
+          SELECT id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore) WHERE rn = 1),
+        probed AS (
+          SELECT id AS qid, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore WHERE id % 25 = 0) WHERE rn <= 3),
+        sc AS (SELECT max(list_max(list_transform(vec, x -> abs(x))))
+                 AS s FROM v WHERE id % 2 = 0),
+        cq AS (SELECT v.id,
+                      list_transform(v.vec,
+                        x -> CAST(CAST(least(greatest(
+                            round(x / sc.s * 127), -127), 127)
+                          AS TINYINT) AS DOUBLE)) AS qv
+               FROM v, sc),
+        qq AS (SELECT id AS qid, qv FROM cq WHERE id % 25 = 0),
+        cand AS (SELECT qid, id FROM (
+                   SELECT p.qid, c.id,
+                          row_number() OVER (PARTITION BY p.qid
+                            ORDER BY list_cosine_similarity(cv.qv, q.qv)
+                              DESC, c.id) AS rn
+                   FROM probed p
+                   JOIN cells c ON c.cell = p.cell AND c.id != p.qid
+                   JOIN live l ON l.id = c.id
+                   JOIN cq cv ON cv.id = c.id
+                   JOIN qq q ON q.qid = p.qid)
+                 WHERE rn <= 20),
+        scored AS (SELECT cand.qid, cand.id,
+                          list_cosine_similarity(
+                            CAST(ce.embedding AS DOUBLE[]),
+                            CAST(qe.embedding AS DOUBLE[])) AS cosine
+                   FROM cand
+                   JOIN embeddings ce ON ce.vec_id = cand.id
+                   JOIN embeddings qe ON qe.vec_id = cand.qid)
+        SELECT qid, id, round(cosine, 4) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT qid, id, cosine,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, id) AS rank
+              FROM scored)
+        WHERE rank <= 5"""
+      },
+      doc = "ANN index DELETE lifecycle: segment-ordered tombstones " +
+        "suppress earlier copies, a later append re-adds cleanly, " +
+        "probes rank among live rows only — hash-checked against the " +
+        "frozen-geometry replay restricted to live ids."),
+
+    // ------------------------------------------------------------------
     "s06_topk_sparse" -> QueryDef(
       fn = { (s, dir) =>
         // Sparse TF-IDF cosine top-50 pairs via inverted-index join —
@@ -2649,4 +2748,5 @@ object DedupQueries {
   private def d20Dir(dir: String): String = cachedTmpDir("vsync-d20", dir)
   private def annixDir(dir: String): String = cachedTmpDir("annix", dir)
   private def annixaDir(dir: String): String = cachedTmpDir("annixa", dir)
+  private def annixdDir(dir: String): String = cachedTmpDir("annixd", dir)
 }

@@ -111,6 +111,90 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(err.getMessage.contains("run build()"))
   }
 
+  test("DELETE lifecycle: tombstones suppress earlier copies from " +
+    "candidates AND rescore, a later append re-adds, rebuild clears " +
+    "tombstones and converges") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("annix7-").toString
+    val c = corpus
+    AnnIndex.build(c, path, nlist = 8, dim = 16)
+    // exact twins of two corpus vectors under fresh ids — both top-1
+    // for their twins' queries pre-delete
+    val dup = c.filter(col("vec_id").isin(40L, 160L))
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    AnnIndex.append(dup, path, segId = 1L)
+    val q = c.filter(col("vec_id").isin(40L, 160L))
+    def top1() = topk(AnnIndex.probe(spark, path, q, k = 3, nprobe = 2))
+      .filter(_._4 == 1).map(t => (t._1, t._2))
+    assert(top1() == Set((40L, 10040L), (160L, 10160L)))
+    // delete one twin: its query's top-1 must change, the other stays
+    AnnIndex.delete(Seq(10040L).toDF("vec_id"), path, segId = 2L)
+    val afterDel = top1()
+    assert(!afterDel.contains((40L, 10040L)),
+      s"deleted id still ranked: $afterDel")
+    assert(afterDel.contains((160L, 10160L)))
+    // a deleted id must vanish from ALL ranks, not just top-1
+    val all = AnnIndex.probe(spark, path, q, k = 10, nprobe = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!all.contains(10040L))
+    // replayed delete (same segId) is a no-op
+    AnnIndex.delete(Seq(10040L).toDF("vec_id"), path, segId = 2L)
+    assert(top1() == afterDel)
+    // RE-ADD after delete: a later segment outranks the tombstone
+    AnnIndex.append(dup.filter(col("vec_id") === 10040L), path,
+      segId = 3L)
+    assert(top1() == Set((40L, 10040L), (160L, 10160L)),
+      "re-added id must be probeable again")
+    // per-(qid,id) uniqueness even though 10040 was stored twice
+    // (seg 1 suppressed, seg 3 live)
+    val wide = AnnIndex.probe(spark, path, q, k = 10, nprobe = 2)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(wide.distinct.length == wide.length)
+    // rebuild = clean slate: tombstones cleared, only the rebuilt
+    // corpus is probeable
+    AnnIndex.build(c, path, nlist = 8, dim = 16)
+    assert(AnnIndex.probe(spark, path, q, k = 3, nprobe = 2)
+      .collect().forall(_.getLong(1) < 10000L))
+  }
+
+  test("driftCheck: baseline recorded on first call; a distribution-" +
+    "shifting append degrades sampled recall and recommends rebuild; " +
+    "rebuilding restores it") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("annix8-").toString
+    AnnIndex.build(corpus, path, nlist = 8, dim = 16)
+    val d0 = AnnIndex.driftCheck(spark, path, sample = 16, k = 5)
+    assert(d0.recall == d0.baseline && !d0.rebuildRecommended)
+    // appended mass from a SHIFTED distribution (all-positive
+    // quadrant, magnitudes 2-4 — diverse but directionally clumped):
+    // the frozen centroids were never trained on it, so these crowd
+    // into the few positive-leaning cells and sampled recall over
+    // the merged corpus drops; magnitudes stay moderate so the int8
+    // scale still resolves the original vectors after a retrain
+    val shifted = (0L until 400L).map { i =>
+      val v = (0 until 16).map { d =>
+        val x = i * 48271L + d * 69621L
+        2f + (((x ^ (x >>> 11)) % 100L).toFloat / 50f)
+      }
+      (20000L + i, v)
+    }.toDF("vec_id", "embedding")
+    AnnIndex.append(shifted, path, segId = 1L)
+    val d1 = AnnIndex.driftCheck(spark, path, sample = 16, k = 5)
+    assert(d1.baseline == d0.baseline,
+      "baseline must persist across calls")
+    assert(d1.rebuildRecommended,
+      s"shifted mass must degrade recall: $d1 vs baseline ${d0.baseline}")
+    // retrain on the full merged corpus: recall recovers, a fresh
+    // baseline is recorded
+    val merged = corpus.unionByName(shifted)
+    AnnIndex.build(merged, path, nlist = 8, dim = 16)
+    val d2 = AnnIndex.driftCheck(spark, path, sample = 16, k = 5)
+    assert(d2.recall == d2.baseline && !d2.rebuildRecommended)
+    assert(d2.recall > d1.recall,
+      s"rebuild must restore recall: $d2 vs $d1")
+  }
+
   test("legacy artifact without _SEGROWS backfills PER-SEGMENT " +
     "counts: a replayed earlier segment never double-counts into " +
     "the row total") {
