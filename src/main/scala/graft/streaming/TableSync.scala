@@ -136,6 +136,21 @@ object TableSync {
   private val BucketCol = "__bucket"
   private val GenCol = "__gen"
 
+  /** Generation entries are `v<b>[r<k>]` or `v<b>[r<k>]@<src>` — the
+    * @-form references ANOTHER bucket's directory inside the named
+    * snapshot (metadata-only contraction: a reverse merge moves the
+    * removed bucket's generations under the target by reference, and
+    * the physical fold lands on the normal maxGens cadence).
+    */
+  private def refSnap(ref: String): String = ref.takeWhile(_ != '@')
+
+  /** The data directory a generation entry of `bucket` resolves to. */
+  private def refDir(ref: String, bucket: Int): String = {
+    val i = ref.indexOf('@')
+    if (i < 0) s"$ref/$BucketCol=$bucket"
+    else s"${ref.substring(0, i)}/$BucketCol=${ref.substring(i + 1)}"
+  }
+
   /** Env-gated phase wall-clock prints (SPARK_GRAFT_PHASE_TIMING) —
     * the ONE copy of the ladder-autopsy timer every streaming sink
     * shares; off (zero cost, zero output) unless the env var is set.
@@ -378,36 +393,71 @@ object TableSync {
       }
     def phase[A](label: String)(body: => A): A =
       TableSync.phase("  ts_" + label)(body)
-    val splitIds = (s0 until sF).toSet // empty when contracting
+    // Split ids exist only on the SPLIT path (k > 0). On a
+    // level-normalizing contraction — (2n, 0) pre-normalizes to
+    // (n, n) before its merge steps — the pointer arithmetic makes
+    // sF a large value BELOW the normalized level, and reading it as
+    // "splits s0 until sF" force-folded every bucket of the level:
+    // a silent full-table rewrite on the first armed append (the
+    // entire 15 s armed-append term the r12 ladder measured; the
+    // repro showed fold=248 of 256 buckets for a 10-row batch).
+    val splitIds =
+      if (k > 0) (s0 until sF).toSet else Set.empty[Int]
     val bucketed = batch.withColumn(BucketCol,
       bucketExpr(keyCol, nbF, sF, hx))
     // Touched buckets: bounded by numBuckets (a parameter), never by
     // data volume — the one driver-side collect in this sink. Splits
     // add their source bucket (read + redistributed) and its doubled
-    // target (write-only); merges add the removed bucket (read +
-    // folded) and its target (rewritten with the union).
+    // target (write-only); merges are METADATA-ONLY (below) and add
+    // nothing.
     val batchBuckets = phase("touched_collect") {
       bucketed.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
     }
-    val prevGens: Map[Int, Seq[String]] =
-      prev.map(_.entries).getOrElse(Map.empty)
+    // Reverse merges move the removed bucket's generation list under
+    // the target BY REFERENCE (`<snap>@<srcBucket>` entries — the
+    // directory stays where the split-era write put it), with ZERO
+    // data IO: all of the removed bucket's keys belong to the target
+    // under the narrower scheme by the reverse-split identity, and
+    // the read-side generation fold serves the union. The physical
+    // fold lands on the normal maxGens cadence when a batch next
+    // touches the bucket — so armed appends never pay
+    // corpus-dependent merge reads (the r12 ladder measured the old
+    // read-and-rewrite merges as the armed appends' entire slope),
+    // while the scheme still contracts in the same bounded steps.
+    val merged0: (Map[Int, Seq[String]], Map[Int, Long]) =
+      (prev.map(_.entries).getOrElse(Map.empty),
+        prev.map(_.sizes).getOrElse(Map.empty))
+    val (prevGens, prevSizes) = mergedPairs.foldLeft(merged0) {
+      case ((g, z), (removed, target)) =>
+        val refs = g.getOrElse(removed, Nil).map(r =>
+          if (r.contains("@")) r else s"$r@$removed")
+        val tgt = g.getOrElse(target, Nil) ++ refs
+        val zsum = z.getOrElse(target, 0L) + z.getOrElse(removed, 0L)
+        ((g - removed) ++
+          (if (tgt.nonEmpty) Map(target -> tgt) else Map.empty),
+          (z - removed) ++
+            (if (tgt.nonEmpty) Map(target -> zsum) else Map.empty))
+    }
     // MERGE-ON-READ: a batch-touched bucket normally gains ONE delta
     // generation holding only the batch's rows — O(batch) write IO,
     // never a bucket rewrite (the first cut's copy-on-write rewrote
     // every touched bucket whole: corpus/numBuckets bytes per bucket
     // per micro-batch, the one surviving index-growth term the
     // dsyncp ladder's phase autopsy isolated). A bucket FOLDS back to
-    // one generation when (a) the scheme moves it — splits and merges
-    // need the complete row set to redistribute — or (b) its
-    // generation count would exceed `maxGens` (the read-side merge
-    // cost bound). Folds per batch are therefore amortized
+    // one generation when (a) a split moves it — splits need the
+    // complete row set to redistribute — or (b) its generation count
+    // would exceed `maxGens` (the read-side merge cost bound; a
+    // merge-reference pile folds here too, the first time a batch
+    // touches it). Folds per batch are therefore amortized
     // O(touched / maxGens) bucket rewrites, each <= maxBucketBytes.
-    val foldForced: Set[Int] = splitIds ++ splitIds.map(_ + nb) ++
-      mergedPairs.map(_._1) ++ mergedPairs.map(_._2)
+    val foldForced: Set[Int] = splitIds ++ splitIds.map(_ + nb)
     val owed: Set[Int] = batchBuckets.filter(b =>
       prevGens.getOrElse(b, Nil).length + 1 > math.max(1, maxGens))
     val foldSet: Set[Int] = foldForced ++ owed
+    if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING"))
+      println(s"[phase]   ts_sets fold=${foldSet.size} owed=${owed.size} " +
+        s"batch=${batchBuckets.size} merges=${mergedPairs.length}")
     val appendSet: Set[Int] = batchBuckets -- foldSet
     val touched = (batchBuckets ++ foldForced).toSeq.sorted
     // Fresh-directory rule: if the manifest already names a variant
@@ -423,20 +473,23 @@ object TableSync {
     // tagged with its generation ordinal so the fold can break
     // same-version ties deterministically (newest generation wins;
     // batch rows outrank all stored generations). Generations served
-    // by the same snapshot directory share one multi-path scan.
-    val prevRows: Option[DataFrame] = prev.flatMap { m =>
-      val leaves = foldSet.toSeq.sorted.flatMap(b =>
-        m.entries.getOrElse(b, Nil).map(d => d -> b))
-      val groups = leaves.groupBy(_._1)
-      if (groups.isEmpty) None
-      else Some(groups.toSeq
-        .sortBy { case (snap, _) => snapOrder(snap) }.reverse
-        .map { case (snap, bs) =>
-          spark.read.parquet(
-            bs.map { case (_, b) => s"$path/$snap/$BucketCol=$b" }: _*)
-            .withColumn(GenCol, lit(genOrd(snap)))
-        }.reduce(_.unionByName(_, allowMissingColumns = true)))
-    }
+    // by the same snapshot directory share one multi-path scan;
+    // merge references resolve to their source bucket's directory.
+    val prevRows: Option[DataFrame] =
+      if (prev.isEmpty) None
+      else {
+        val leaves = foldSet.toSeq.sorted.flatMap(b =>
+          prevGens.getOrElse(b, Nil).map(d => d -> b))
+        val groups = leaves.groupBy(x => refSnap(x._1))
+        if (groups.isEmpty) None
+        else Some(groups.toSeq
+          .sortBy { case (snap, _) => snapOrder(snap) }.reverse
+          .map { case (snap, bs) =>
+            spark.read.parquet(bs.map { case (ref, b) =>
+              s"$path/${refDir(ref, b)}" }.distinct: _*)
+              .withColumn(GenCol, lit(genOrd(snap)))
+          }.reduce(_.unionByName(_, allowMissingColumns = true)))
+      }
     // Schema evolution, the additive half CDC streams actually hit:
     // the union tolerates missing columns on EITHER side (old bucket
     // rows null-fill a new column; a source that dropped a column
@@ -505,7 +558,6 @@ object TableSync {
         if (appendSet(b)) b -> (prevGens.getOrElse(b, Nil) :+ snapName)
         else b -> Seq(snapName)
       }
-    val prevSizes = prev.map(_.sizes).getOrElse(Map.empty[Int, Long])
     val sizes0: Map[Int, Long] =
       (prevSizes -- touched) ++ written.flatMap { case (b, len) =>
         if (!appendSet(b) || prevGens.getOrElse(b, Nil).isEmpty)
@@ -590,7 +642,7 @@ object TableSync {
         (written.map { case (b, _) => b -> Seq(snapName) }, written)
       else { // empty table keeps its readable empty bucket 0
         val (b, dirs) = prev.entries.toSeq.minBy(_._1)
-        spark.read.parquet(s"$path/${dirs.last}/$BucketCol=$b")
+        spark.read.parquet(s"$path/${refDir(dirs.last, b)}")
           .limit(0).write.mode("overwrite")
           .parquet(s"$path/$snapName/$BucketCol=0")
         (Map(0 -> Seq(snapName)), Map(0 -> 0L))
@@ -617,7 +669,7 @@ object TableSync {
       batchOf(n.stripPrefix(ManifestPrefix)).exists(_ >= batchId - 2))
     val referenced: Set[String] = retained.flatMap { n =>
       val m = parseManifest(readSmallFile(fs, new Path(path, n)))
-      m.entries.values.flatten.toSeq :+ m.name
+      m.entries.values.flatten.map(refSnap).toSeq :+ m.name
     }.toSet
     expired.foreach(n => fs.delete(new Path(path, n), false))
     st.filter(_.isDirectory).map(_.getPath)
@@ -776,11 +828,12 @@ object TableSync {
     // fixture scale, measured.
     def scan(leaves: Seq[(String, Int)], tagGen: Boolean): Option[DataFrame] =
       if (leaves.isEmpty) None
-      else Some(leaves.groupBy(_._1).toSeq
+      else Some(leaves.groupBy(x => refSnap(x._1)).toSeq
         .sortBy { case (snap, _) => snapOrder(snap) }.reverse
         .map { case (snap, bs) =>
           val df = spark.read.parquet(
-            bs.map { case (_, b) => s"$path/$snap/$BucketCol=$b" }: _*)
+            bs.map { case (ref, b) =>
+              s"$path/${refDir(ref, b)}" }.distinct: _*)
           if (tagGen) df.withColumn(GenCol, lit(genOrd(snap))) else df
         }
         .reduce(_.unionByName(_, allowMissingColumns = true)))

@@ -26,6 +26,9 @@ private[streaming] object TieredFold {
       segs: () => Seq[(String, Int)],
       genOf: String => Option[Long],
       fold: (Seq[String], Int, Long) => Unit): Unit = {
+    // fanout 1 would re-fold its own single output forever (each
+    // pass leaves one segment at the next level, which is >= 1)
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
     val f = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     if (!f.exists(new Path(path))) return

@@ -122,6 +122,66 @@ class KeyedLogSpec extends AnyFunSuite {
     assert(KeyedLog.readAll(spark, path).get.distinct().count() == 8)
   }
 
+  test("fold-after-SHRINK: a collapse that drops most rows " +
+    "right-sizes the store back toward the small-store floor within " +
+    "one extra fold (nb derives from real bytes, never inherited)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val path = Files.createTempDirectory("klog-sh-").toString
+    // 8 segments x 1000 versioned rows for the SAME 10 ids: the live
+    // set is 10 rows, the raw log 8000
+    (0L until 8L).foreach { i =>
+      KeyedLog.append(
+        (0L until 1000L).map(k => (k % 10, k % 10, i))
+          .toDF("bk", "id", "ver"),
+        path, segId = i)
+    }
+    val collapse: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = { df =>
+      val w = Window.partitionBy(col("bk"), col("id"))
+        .orderBy(col("ver").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    // first fold: nb derives from the PRE-collapse source bytes
+    // (8000 rows) — wide; the collapsed content is 80 rows
+    KeyedLog.compact(spark, path, "bk", fanout = 8,
+      targetBucketBytes = 8192, collapse = collapse)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def nbOf(): Int = {
+      val segs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath.getName).filter(_.startsWith("seg_"))
+        .filterNot(_.endsWith("-L0")).toSeq
+      assert(segs.size == 1, s"got $segs")
+      segs.head.split("-nb")(1).toInt
+    }
+    val nb1 = nbOf()
+    // force a second fold via a cascade (two tiny L0 segments fold
+    // into L1, which then holds 2 >= fanout and folds on): nb
+    // re-derives from the POST-collapse bytes and lands at the
+    // small-store floor
+    KeyedLog.append(Seq((900L, 900L, 9L)).toDF("bk", "id", "ver"),
+      path, segId = 20L)
+    KeyedLog.append(Seq((901L, 901L, 9L)).toDF("bk", "id", "ver"),
+      path, segId = 21L)
+    KeyedLog.compact(spark, path, "bk", fanout = 2,
+      targetBucketBytes = 8192, collapse = collapse)
+    val nb2 = nbOf()
+    // the floor is bytes-derived: the collapsed content is ~80 rows
+    // but the SOURCE bytes still carry the previous fold's per-file
+    // parquet overhead, so one extra fold lands within a file or two
+    // of the floor rather than exactly at nb1 == 1
+    assert(nb2 < nb1 && nb2 <= 2,
+      s"shrunk store must right-size down: nb $nb1 -> $nb2")
+    // content: exactly the live rows, replay-stable
+    val all = KeyedLog.readAll(spark, path).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all.size == 12,
+      s"collapse must keep exactly the newest rows: ${all.size}")
+    assert(all.filter(_._1 < 10L).forall(_._3 == 7L))
+  }
+
   test("appendBucketed (backfill path) writes a pruned L1 segment " +
     "directly; maybeCompact only folds when a level is owed") {
     import spark.implicits._

@@ -588,6 +588,12 @@ class TableSyncSpec extends AnyFunSuite {
     shrinkBatch(2L, (2L, 2L, "upd2"))
     // (8,0) normalizes down to (4,4) then merges two steps -> (4,2)
     assert(TableSync.bucketScheme(spark, path) == ((4, 2)))
+    // contraction is METADATA-ONLY: the merge batch's snapshot dir
+    // holds exactly its own row — no bucket was read or rewritten
+    // (the level-normalizing first merge used to force-fold the
+    // whole level: a silent full-table rewrite per armed append)
+    assert(spark.read.parquet(s"$path/v2").count() == 1,
+      "a contraction batch must write only its own rows")
     shrinkBatch(3L, (3L, 2L, "upd3"))
     assert(TableSync.bucketScheme(spark, path) == ((4, 0)))
     // hysteresis floor: wanted=1 stops merging at effective 2, and a

@@ -75,6 +75,46 @@ class VecLogSpec extends AnyFunSuite {
       "base-depth probe must enumerate all deeper partitions")
   }
 
+  test("fold-after-SHRINK: re-folding at a SHALLOWER current map " +
+    "(occupancy dropped) restores the small-store partition floor " +
+    "and a base-depth probe reads its one partition again") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("vlog-sh-").toString
+    val sigs = Seq(0x01L, 0x05L, 0x09L, 0x0dL, 0x11L, 0x15L, 0x19L, 0x1dL)
+    sigs.zipWithIndex.foreach { case (s, i) =>
+      VecLog.append(Seq((0, s, 100L + i)).toDF("tbl", "sig", "id"),
+        path, i.toLong, D())
+    }
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def parts(): Int = {
+      val segs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath.getName).filter(_.startsWith("seg_"))
+        .filterNot(_.endsWith("-L0")).toSeq
+      assert(segs.size == 1, s"got $segs")
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/${segs.head}"))
+        .count(_.getPath.getName.startsWith("__kb="))
+    }
+    // grown store folds DEEP (overfull bucket refined to depth 4)
+    VecLog.compact(spark, path, D((0, 1L) -> 4), fanout = 8)
+    assert(parts() == 4)
+    // occupancy shrinks (the map is no longer overfull): the next
+    // fold re-partitions at the CURRENT shallow map — the partition
+    // count recovers the base floor, and a base-depth probe reads
+    // ONE partition instead of enumerating four. Force the fold via
+    // a cascade (fanout-1 loops by construction, guarded).
+    VecLog.append(Seq((0, 0x21L, 108L)).toDF("tbl", "sig", "id"),
+      path, 20L, D())
+    VecLog.append(Seq((0, 0x31L, 109L)).toDF("tbl", "sig", "id"),
+      path, 21L, D())
+    VecLog.compact(spark, path, D(), fanout = 2)
+    assert(parts() == 1,
+      "fold at the shallow map must right-size partitions down")
+    val got = VecLog.readForKeys(spark, path, Seq((0, 0x01L)), D()).get
+    assert(rows(got).map(_._3) == (100L to 109L).toSet,
+      "content must stay complete across the shrink fold")
+  }
+
   test("depth maps serialize with the segment atomically; replayed " +
     "append overwrites; maybeCompact folds only when owed") {
     import spark.implicits._
