@@ -447,13 +447,17 @@ object VecDedupSync {
     * signatures live in different partitions and must resolve
     * independently: collapsing per (tbl, id) alone would let a fold
     * drop a tombstone whose stale live row sits in a segment outside
-    * the fold — resurrecting it.
+    * the fold — resurrecting it. At a FULL fold (sources = every
+    * segment) winning tombstones purge too — no older row exists
+    * anywhere for them to suppress, so churn garbage is bounded by
+    * the fold cadence instead of accumulating forever.
     */
-  private def vecLogCollapse(df: DataFrame): DataFrame = {
+  private def vecLogCollapse(df: DataFrame, full: Boolean): DataFrame = {
     val w = Window.partitionBy(col("tbl"), col("id"), col("sig"))
       .orderBy(col("ver").desc, col("del").asc)
-    df.withColumn("__rn", row_number().over(w))
+    val top = df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    if (full) top.filter(!col("del")) else top
   }
 
   /** Guard the sidecar ROW LAYOUT: segments written by the pre-v2

@@ -226,11 +226,17 @@ object VecLog {
     * data and map atomically. `collapse` (identity default) lets the
     * versioned-row caller (VecDedupSync) drop superseded rows at fold
     * time; it must only drop rows a kept row outranks under the
-    * read-side merge.
+    * read-side merge — EXCEPT when the fold's sources cover EVERY
+    * live segment (`full = true`, the LSM bottom-level case): then a
+    * record that WINS its group globally wins it inside the fold too,
+    * so even winning tombstones may purge (nothing older survives
+    * anywhere for them to suppress). Folds run post-commit, so every
+    * folded record is committed state.
     */
   def compact(spark: SparkSession, path: String, depths: Depths,
       fanout: Int = DefaultFanout,
-      collapse: DataFrame => DataFrame = identity): Unit =
+      collapse: (DataFrame, Boolean) => DataFrame = (df, _) => df)
+      : Unit =
     TieredFold.run(spark, path, fanout,
       () => listSegs(spark, path).map(s => (s.name, s.level)),
       {
@@ -238,9 +244,10 @@ object VecLog {
         case _ => None
       },
       (src, lvl, gen) => {
+        val full = src.size == listSegs(spark, path).size
         val merged = collapse(src
           .map(d => spark.read.parquet(s"$path/$d").drop(KbCol))
-          .reduce(_.unionByName(_, allowMissingColumns = true)))
+          .reduce(_.unionByName(_, allowMissingColumns = true)), full)
         writePartitioned(merged, path, s"${SegPrefix}c$gen-L$lvl",
           depths, staged = true)
       })
@@ -248,7 +255,8 @@ object VecLog {
   /** Per-batch cadence trigger (call AFTER the outer commit). */
   def maybeCompact(spark: SparkSession, path: String, depths: Depths,
       fanout: Int = DefaultFanout,
-      collapse: DataFrame => DataFrame = identity): Unit = {
+      collapse: (DataFrame, Boolean) => DataFrame = (df, _) => df)
+      : Unit = {
     val segs = listSegs(spark, path)
     if (segs.nonEmpty &&
         segs.groupBy(_.level).values.exists(_.size >= fanout))

@@ -227,6 +227,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-wide scan crept in:\n$p")
   }
 
+  test("s20 deleted ANN index: tombstone filtering rides ABOVE the " +
+    "scan — cell partition pruning survives, the tombstone anti-join " +
+    "broadcasts, and no corpus-wide join appears") {
+    val p = plan("s20_ann_index_delete")
+    // the delete's liveOnly anti-join must not push the codes scan
+    // off its planning-time cell-partition pruning
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"no cell partition filter on the tombstoned codes scan:\n$p")
+    // tombstones are id-bounded and broadcast into the anti-join
+    assert(p.contains("BroadcastNestedLoopJoin LeftAnti") ||
+      "BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      s"tombstone anti-join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus-wide scan crept in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ:\n$p")
+  }
+
   test("d13 incremental vec dedup: index side never sort-merge-joins") {
     val p = plan("d13_incremental_vec_dedup")
     // cross-boundary candidates + verification come in as broadcasts;

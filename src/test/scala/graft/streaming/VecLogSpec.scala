@@ -115,6 +115,47 @@ class VecLogSpec extends AnyFunSuite {
       "content must stay complete across the shrink fold")
   }
 
+  test("TOMBSTONE purge discipline: a full fold (sources = every " +
+    "segment) drops winning tombstones; a partial fold keeps them " +
+    "(an older live row may sit in an unfolded segment)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val path = Files.createTempDirectory("vlog-tb-").toString
+    val collapse: (org.apache.spark.sql.DataFrame, Boolean) =>
+        org.apache.spark.sql.DataFrame = { (df, full) =>
+      val w = Window.partitionBy(col("tbl"), col("id"), col("sig"))
+        .orderBy(col("ver").desc, col("del").asc)
+      val top = df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      if (full) top.filter(!col("del")) else top
+    }
+    def seg(id: Long, ver: Long, del: Boolean, segId: Long): Unit =
+      VecLog.append(Seq((0, 0x01L, id, ver, del))
+        .toDF("tbl", "sig", "id", "ver", "del"), path, segId, D())
+    // live row at L1 (folded early), tombstone arrives later at L0
+    seg(100L, 0L, del = false, 0L)
+    seg(101L, 0L, del = false, 1L)
+    VecLog.compact(spark, path, D(), fanout = 2, collapse)
+    seg(100L, 1L, del = true, 2L)
+    seg(102L, 1L, del = false, 3L)
+    seg(103L, 1L, del = false, 4L)
+    // PARTIAL fold: the three L0 segments fold (fanout 3) but the L1
+    // segment holding the tombstone's TARGET stays out (L1 then has
+    // 2 < 3) — the winning tombstone must survive the fold
+    VecLog.compact(spark, path, D(), fanout = 3, collapse)
+    def all() = VecLog.readForKeys(spark, path, Seq((0, 0x01L)), D())
+      .get.collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4))).toSet
+    assert(all().contains((100L, 1L, true)),
+      s"partial fold must keep the winning tombstone: ${all()}")
+    // FULL fold (both L1 segments fold together = every segment):
+    // the tombstone wins its group and purges WITH its target
+    VecLog.compact(spark, path, D(), fanout = 2, collapse)
+    assert(all() == Set((101L, 0L, false), (102L, 1L, false),
+      (103L, 1L, false)),
+      s"full fold must purge the tombstone and its target: ${all()}")
+  }
+
   test("depth maps serialize with the segment atomically; replayed " +
     "append overwrites; maybeCompact folds only when owed") {
     import spark.implicits._
