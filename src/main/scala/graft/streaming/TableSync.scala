@@ -771,6 +771,23 @@ object TableSync {
       readSmallFile(fs, new Path(path, ManifestPrefix + name))))
   }
 
+  /** Schema of ONE current bucket generation — the cheap path for
+    * metadata probes (column metadata like the vector sink's LSH
+    * parameters rides every generation), costing a manifest read plus
+    * one directory's footer instead of planning the full multi-path
+    * snapshot scan. NOT schema-evolution-aware: a column added after
+    * the sampled bucket's last rewrite may be missing — callers that
+    * need the union schema read the snapshot.
+    */
+  def sampleSchema(spark: SparkSession,
+      path: String): org.apache.spark.sql.types.StructType = {
+    val m = currentManifest(spark, path)
+      .getOrElse(throw new IllegalStateException(
+        s"no _CURRENT pointer under $path — table never initialized"))
+    val (b, dirs) = m.entries.toSeq.minBy(_._1)
+    spark.read.parquet(s"$path/${refDir(dirs.last, b)}").schema
+  }
+
   /** The current consistent snapshot (errors if the table was never
     * written — callers own bootstrap).
     */

@@ -130,16 +130,18 @@ object VecDedupSync {
     val membersPath = indexPath.stripSuffix("/") + "_members"
     ensureSidecarLayout(spark, keysPath)
     // sign at the STORED depth when an index exists (a bootstrap knob
-    // change must not diverge refined keys from stored signatures)
+    // change must not diverge refined keys from stored signatures).
+    // sampleSchema reads ONE bucket generation's footer — the sigs
+    // metadata is written by every batch, and planning the full
+    // multi-path snapshot scan just for a schema probe was a
+    // measurable slice of the per-batch constant.
     val storedSigBits =
       if (applied.isEmpty) sigBits
-      else {
-        val cur = readIndex(spark, indexPath)
-        cur.schema.fields.find(_.name == "sigs")
-          .filter(_.metadata.contains("graft.lsh.sigbits"))
-          .map(_.metadata.getLong("graft.lsh.sigbits").toInt)
-          .getOrElse(bits)
-      }
+      else TableSync.sampleSchema(spark, indexPath).fields
+        .find(_.name == "sigs")
+        .filter(_.metadata.contains("graft.lsh.sigbits"))
+        .map(_.metadata.getLong("graft.lsh.sigbits").toInt)
+        .getOrElse(bits)
     // An at-least-once source can redeliver the same id TWICE within
     // one micro-batch. The index upsert stores one row per id, but
     // everything derived per-ROW here — sidecar key rows and, most
