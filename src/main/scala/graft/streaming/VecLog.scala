@@ -34,14 +34,22 @@ import org.apache.spark.sql.functions._
   * SUPERSETS the probe's bucket; a segment DEEPER than the probe
   * (occupancy shrank after re-ingestions) enumerates the
   * `2^(segDepth - probeDepth)` child partitions, intersected against
-  * the segment's actual directory listing. Like KeyedLog, every read
-  * is a key-filterable SUPERSET and stale rows (re-ingested ids) are
-  * dropped downstream by the id semi-join against the current index.
+  * the segment's actual directory listing. Every read is a SUPERSET
+  * the caller currentizes: rows carry the committing version and a
+  * tombstone flag, and the newest record per (tbl, id, sig) — gated
+  * at the committed batch, live outranking a same-version tombstone —
+  * is exactly the committed index reps restricted to the probed
+  * partitions (VecDedupSync's probe contract).
   *
-  * Row schema: `(tbl int, sig long, id)` — one row per (rep, table),
-  * `sig` the FULL stored deep signature for that table (the mask is
-  * applied by the partitioner, so re-partitioning at a deeper map
-  * needs no re-derivation).
+  * Row schema (layout v2, see VecDedupSync's `_LAYOUT` guard):
+  * `(tbl int, sig long, id, ver long, del boolean, vq binary,
+  * scale double, norm double)` — one row per (rep, table), `sig` the
+  * FULL stored deep signature for that table (the mask is applied by
+  * the partitioner, so re-partitioning at a deeper map needs no
+  * re-derivation), `vq`/`scale` the rep's int8-SQ codes and `norm`
+  * its exact L2 norm, riding WITH the keys so the candidate
+  * prefilter is join-free. The log itself is schema-agnostic beyond
+  * (tbl, sig); the v2 columns are the caller's.
   */
 object VecLog {
 
