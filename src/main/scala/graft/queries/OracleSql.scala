@@ -131,9 +131,21 @@ private[queries] object OracleSql {
               JOIN ${p}_sh a ON a.did = c.id_a
               JOIN ${p}_sh b ON b.did = c.id_b)
           WHERE jaccard >= $threshold),
+        ${p}_exp AS (
+          -- verified REP pairs expand through fingerprint-group
+          -- membership (cross-group member pairs inherit the reps'
+          -- jaccard) — the engine's canonicalize-first contract.
+          -- Without this leg the replay was 7 rows short at sf0.1,
+          -- where (unlike the sf0.01 gate fixture) a multi-member
+          -- group participates in a cross-group near-dup pair.
+          SELECT least(ma.did, mb.did) AS id_a,
+                 greatest(ma.did, mb.did) AS id_b, v.jaccard
+          FROM ${p}_ver v
+          JOIN ${p}_g ma ON ma.keep = v.id_a
+          JOIN ${p}_g mb ON mb.keep = v.id_b),
         ${p}_out AS (
           SELECT id_a, id_b, max(jaccard) AS jaccard
-          FROM (SELECT * FROM ${p}_ver
+          FROM (SELECT * FROM ${p}_exp
                 UNION ALL SELECT * FROM ${p}_star)
           GROUP BY id_a, id_b)"""
 
