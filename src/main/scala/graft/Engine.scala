@@ -26,7 +26,12 @@ object Engine {
       .appName(appName)
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // default ON (runtime re-plan, skew handling, coalesce);
+      // SPARK_GRAFT_AQE=false is a measurement knob — AQE runs every
+      // shuffle stage as its own job, so job-overhead-bound paths
+      // (micro-batch sinks) can be profiled without the amplification
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

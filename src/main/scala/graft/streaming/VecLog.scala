@@ -141,6 +141,12 @@ object VecLog {
     val segs = listSegs(spark, path)
     if (segs.isEmpty) return None
     val f = fs(spark, path)
+    // one probeKbs evaluation per DISTINCT depth map, not per
+    // segment: folds at the same map (the common case — every fold
+    // since the last occupancy change) share one computation, so the
+    // probe's planning cost is bounded by map revisions, not
+    // fanout x levels
+    val kbMemo = scala.collection.mutable.Map.empty[String, Set[Long]]
     // ONE multi-path scan per segment (partitions share a schema —
     // hundreds of per-partition relations would make planning time
     // dominate the probe)
@@ -153,7 +159,8 @@ object VecLog {
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith(KbCol + "="))
           .map(_.getPath.getName.stripPrefix(KbCol + "=").toLong).toSet
-        val kbs: Set[Long] = probeKbs(probes, d, cur)
+        val kbs: Set[Long] =
+          kbMemo.getOrElseUpdate(d.serialize, probeKbs(probes, d, cur))
         kbs.intersect(listed).toSeq.sorted
           .map(b => s"$path/${s.name}/$KbCol=$b")
       }

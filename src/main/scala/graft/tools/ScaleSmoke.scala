@@ -572,7 +572,11 @@ object ScaleSmoke {
           payloadBucketBytes = 64L << 10)
         distinct.count()
       }
-      (1 to 2).foreach { b =>
+      // six appends, not two: the early ones carry JIT/codegen warmup
+      // (run-to-run spread of ±2 s on a cold JVM), so the FLOOR this
+      // stage witnesses is the warm tail — still below the fanout-8
+      // fold cadence, so no append pays a sidecar fold
+      (1 to 6).foreach { b =>
         timed(s"vsyncp_append_batch$b") {
           graft.streaming.VecDedupSync.applyVecs(
             append.withColumn("vec_id", col("vec_id") + lit(b * 1000L)),
