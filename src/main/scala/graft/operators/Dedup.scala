@@ -778,7 +778,9 @@ object Dedup {
       threshold: Double, bits: Int = 4, tables: Int = 12,
       dim: Int = 64, maxBucketSize: Int = 10000,
       occOverride: Option[Map[(Int, Long), Long]] = None,
-      candOverride: Option[DataFrame] = None): DataFrame = {
+      candOverride: Option[DataFrame] = None,
+      materialize: DataFrame => DataFrame = _.localCheckpoint())
+      : DataFrame = {
     // Rep-level end to end: identical vectors on BOTH sides collapse
     // to one probe each (index reps are stored — see vecDedupIndex;
     // batch reps come from the same canonicalization), so candidate
@@ -825,10 +827,14 @@ object Dedup {
       .join(broadcast(newIdx.select(col("id").as("n_rep"), col("vec"))),
         Seq("vec"))
       .select(col("ix_rep"), col("n_rep"), lit(1.0).as("cosine"))
-    val repPairs = lshRepPairs.unionByName(exactBoundary)
+    // small (rep pairs), feeding the expansion's broadcast below.
+    // `materialize` defaults to an eager checkpoint (batch callers);
+    // a micro-batch caller whose inputs are already cached/local
+    // passes identity and the whole pair tree materializes in the
+    // one pairs-write job instead of paying a barrier here.
+    val repPairs = materialize(lshRepPairs.unionByName(exactBoundary)
       .groupBy(col("ix_rep"), col("n_rep"))
-      .agg(max(col("cosine")).as("cosine"))
-      .localCheckpoint() // small (rep pairs); joined twice below
+      .agg(max(col("cosine")).as("cosine")))
     // expansion: index members stream once against the broadcast rep
     // pairs; batch members are driver-small
     val crossPairs = index

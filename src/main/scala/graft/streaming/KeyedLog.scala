@@ -95,13 +95,23 @@ object KeyedLog {
       .flatMap(st => parseSeg(st.getPath.getName))
   }
 
-  /** The same content-derived key hash TableSync buckets by (md5 hex
+  /** The content-derived key hash TableSync buckets by (md5 hex
     * prefix — engine- and partitioning-independent, so every segment
-    * and every probe agrees), reduced mod the segment's bucket count.
+    * and every probe agrees), BEFORE the mod: a 32-bit non-negative
+    * value. Exposed as a Column builder so a driver-side caller can
+    * evaluate it over a LocalRelation (zero jobs) and reduce mod any
+    * segment's bucket count in plain Scala — the [[readForHashes]]
+    * fast path. One definition serves every path, so probe and
+    * segment can never disagree.
     */
+  private[streaming] def keyHashCol(key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    coalesce(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(0L))
+
+  /** [[keyHashCol]] reduced mod the segment's bucket count. */
   private def kbExpr(keyCol: String, nb: Int) =
-    coalesce(pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 8),
-      16, 10).cast("long"), lit(nb.toLong)).cast("int"), lit(0))
+    pmod(keyHashCol(col(keyCol)), lit(nb.toLong)).cast("int")
 
   /** Rows above which an append lands BUCKETED (level 1) instead of
     * as a plain L0 segment. L0 segments are read WHOLE by every probe
@@ -120,10 +130,13 @@ object KeyedLog {
     */
   def append(df: DataFrame, path: String, segId: Long,
       keyCol: String = "bk", approxRowBytes: Long = 24,
-      targetBucketBytes: Long = DefaultTargetBucketBytes): Unit = {
+      targetBucketBytes: Long = DefaultTargetBucketBytes,
+      knownRows: Long = -1L): Unit = {
     // callers pass materialized (localCheckpointed) frames — the
-    // count is a block-manager scan, not a recompute
-    val rows = df.count()
+    // count is a block-manager scan, not a recompute — or, on the
+    // micro-batch fast path, a LocalRelation whose size they already
+    // know (knownRows skips the count job)
+    val rows = if (knownRows >= 0L) knownRows else df.count()
     if (rows == 0) return
     if (rows > L0MaxRows)
       appendBucketed(df, path, keyCol, segId, approxRowBytes,
@@ -175,6 +188,37 @@ object KeyedLog {
       nb -> keys.select(kbExpr(keyCol, nb).as(KbCol))
         .distinct().collect().map(_.getInt(0)).toSet
     }.toMap
+    readSegments(spark, path, segs, kbSets)
+  }
+
+  /** [[readForKeys]] with the key HASHES ([[keyHashCol]] values)
+    * already on the driver — the micro-batch fast path: per-segment
+    * bucket sets reduce in plain Scala, so resolving a small batch's
+    * keys costs ZERO Spark jobs before the pruned scan itself.
+    * Returns the same superset frame contract.
+    */
+  private[streaming] def readForHashes(spark: SparkSession, path: String,
+      hashes: Set[Long],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] = {
+    val segs = listSegs(spark, path)
+    if (segs.isEmpty) return None
+    val nbs = segs.filter(_.level > 0).map(_.nb).distinct
+    val kbSets: Map[Int, Set[Int]] = nbs.map { nb =>
+      nb -> hashes.map(h => (h % nb).toInt)
+    }.toMap
+    readSegments(spark, path, segs, kbSets, schema)
+  }
+
+  private def readSegments(spark: SparkSession, path: String,
+      segs: Seq[Seg], kbSets: Map[Int, Set[Int]],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] = {
+    // an explicit schema (fast-path callers own their sidecar's row
+    // layout) skips the per-relation footer read at DataFrame
+    // creation; parquet resolves columns by name, so per-segment
+    // column order is free to differ
+    def reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
     val f = fs(spark, path)
     // ONE multi-path scan per segment (buckets of a segment share a
     // schema): a per-bucket read would put hundreds of relations in
@@ -191,14 +235,14 @@ object KeyedLog {
       }
     }.filter(_.nonEmpty)
     if (parts.nonEmpty)
-      Some(parts.map(ps => spark.read.parquet(ps: _*))
+      Some(parts.map(ps => reader.parquet(ps: _*))
         .reduce(_.unionByName(_, allowMissingColumns = true)))
     else
       // segments exist but none hold the probed buckets: an EMPTY
       // frame, not None — None means "no sidecar" and callers react
       // by backfilling
       anyLeaf(f, path, segs.map(_.dir))
-        .map(p => spark.read.parquet(p).limit(0).drop(KbCol))
+        .map(p => reader.parquet(p).limit(0).drop(KbCol))
   }
 
   /** Any readable parquet leaf under the segments (for an empty-

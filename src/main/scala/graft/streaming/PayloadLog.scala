@@ -62,9 +62,10 @@ private[graft] object PayloadLog {
     * read amplification against file count at warehouse scale).
     */
   def append(rows: DataFrame, indexPath: String, batchId: Long,
-      targetBucketBytes: Long = KeyedLog.DefaultTargetBucketBytes): Unit =
+      targetBucketBytes: Long = KeyedLog.DefaultTargetBucketBytes,
+      knownRows: Long = -1L): Unit =
     KeyedLog.append(rows, path(indexPath), batchId, "id",
-      ApproxRowBytes, targetBucketBytes)
+      ApproxRowBytes, targetBucketBytes, knownRows)
 
   /** Current rows (highest ver <= `asOf`) for exactly the given ids.
     * None when the log has no segments yet (pre-payload index —
@@ -73,13 +74,31 @@ private[graft] object PayloadLog {
     */
   def readCurrent(spark: SparkSession, indexPath: String,
       ids: DataFrame, asOf: Long): Option[DataFrame] =
-    KeyedLog.readForKeys(spark, path(indexPath), ids, "id").map { raw =>
-      val w = Window.partitionBy(col("id")).orderBy(col("ver").desc)
-      raw.filter(col("ver") <= asOf)
-        .join(ids.select(col("id")), Seq("id"), "left_semi")
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-    }
+    KeyedLog.readForKeys(spark, path(indexPath), ids, "id")
+      .map(currentize(_, ids, asOf))
+
+  /** [[readCurrent]] with the fetch set resolved on the DRIVER — the
+    * micro-batch fast path: `ids` is a LocalRelation (it enters the
+    * semi-join as a broadcast with no build job) and `hashes` its
+    * [[KeyedLog.keyHashCol]] values, so bucket pruning costs zero
+    * Spark jobs; `schema` (the index schema + `ver`) skips footer
+    * reads at relation creation. Same contract otherwise.
+    */
+  private[streaming] def readCurrentLocal(spark: SparkSession,
+      indexPath: String, ids: DataFrame, hashes: Set[Long], asOf: Long,
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : Option[DataFrame] =
+    KeyedLog.readForHashes(spark, path(indexPath), hashes, schema)
+      .map(currentize(_, broadcast(ids), asOf))
+
+  private def currentize(raw: DataFrame, ids: DataFrame,
+      asOf: Long): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("ver").desc)
+    raw.filter(col("ver") <= asOf)
+      .join(ids.select(col("id")), Seq("id"), "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 
   /** One-shot migration for an index that predates the payload log:
     * seed it from the committed snapshot (whose rows carry their true

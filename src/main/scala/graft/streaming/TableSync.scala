@@ -320,7 +320,8 @@ object TableSync {
       batchId: Long, numBuckets: Int = DefaultBuckets,
       maxBucketBytes: Long = Long.MaxValue,
       splitsPerBatch: Int = DefaultSplitsPerBatch,
-      maxGens: Int = DefaultMaxGens): Unit = {
+      maxGens: Int = DefaultMaxGens,
+      localKeys: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     val prev = currentManifest(spark, path)
     val nb = prev.map(_.numBuckets).getOrElse(numBuckets)
@@ -410,9 +411,19 @@ object TableSync {
     // add their source bucket (read + redistributed) and its doubled
     // target (write-only); merges are METADATA-ONLY (below) and add
     // nothing.
+    // micro-batch fast path: a caller holding the batch's keys as a
+    // LocalRelation passes them in and the bucket set evaluates
+    // driver-side (the projection folds via ConvertToLocalRelation —
+    // zero jobs), through the SAME bucketExpr the distributed
+    // derivation compiles
     val batchBuckets = phase("touched_collect") {
-      bucketed.select(BucketCol).distinct()
-        .collect().map(_.getInt(0)).toSet
+      localKeys match {
+        case Some(lk) => lk
+          .select(bucketExpr(keyCol, nbF, sF, hx).as(BucketCol))
+          .collect().map(_.getInt(0)).toSet
+        case None => bucketed.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSet
+      }
     }
     // Reverse merges move the removed bucket's generation list under
     // the target BY REFERENCE (`<snap>@<srcBucket>` entries — the

@@ -107,8 +107,10 @@ object VecLog {
     * cadence catches up.
     */
   def append(df: DataFrame, path: String, segId: Long,
-      depths: Depths): Unit = {
-    val rows = df.count() // callers pass materialized frames
+      depths: Depths, knownRows: Long = -1L): Unit = {
+    // callers pass materialized frames, or LocalRelations whose size
+    // they already know (knownRows skips the count job)
+    val rows = if (knownRows >= 0L) knownRows else df.count()
     if (rows == 0) return
     if (rows > KeyedLog.L0MaxRows) appendBucketed(df, path, segId, depths)
     else df.write.mode("overwrite")
@@ -137,11 +139,37 @@ object VecLog {
     * None at bootstrap.
     */
   def readForKeys(spark: SparkSession, path: String,
-      probes: DataFrame, cur: Depths): Option[DataFrame] = {
+      probes: DataFrame, cur: Depths): Option[DataFrame] =
+    readPruned(spark, path, d => probeKbs(probes, d, cur), None)
+
+  /** [[readForKeys]] with the probe tuples already on the driver —
+    * the micro-batch fast path. The partition values are pure bit
+    * arithmetic of (tbl, sig) under the two depth maps (no hashing),
+    * so a small batch's bucket sets compute in plain Scala
+    * ([[kbsLocal]], spec-pinned identical to the distributed
+    * derivation) and resolving its probes costs ZERO Spark jobs
+    * before the pruned scan itself.
+    */
+  private[streaming] def readForKeysLocal(spark: SparkSession,
+      path: String, probes: Set[(Int, Long)], cur: Depths,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] =
+    readPruned(spark, path, d => kbsLocal(probes, d, cur), schema)
+
+  private def readPruned(spark: SparkSession, path: String,
+      kbsFor: Depths => Set[Long],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : Option[DataFrame] = {
+    // an explicit schema skips the per-relation footer read at
+    // DataFrame creation (measured ~0.1 s x segments per probe);
+    // sound because the layout marker pins every segment to row
+    // layout v2 — parquet resolves columns by name, so file column
+    // order is free to differ
+    def reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
     val segs = listSegs(spark, path)
     if (segs.isEmpty) return None
     val f = fs(spark, path)
-    // one probeKbs evaluation per DISTINCT depth map, not per
+    // one kb-set evaluation per DISTINCT depth map, not per
     // segment: folds at the same map (the common case — every fold
     // since the last occupancy change) share one computation, so the
     // probe's planning cost is bounded by map revisions, not
@@ -160,13 +188,13 @@ object VecLog {
             st.getPath.getName.startsWith(KbCol + "="))
           .map(_.getPath.getName.stripPrefix(KbCol + "=").toLong).toSet
         val kbs: Set[Long] =
-          kbMemo.getOrElseUpdate(d.serialize, probeKbs(probes, d, cur))
+          kbMemo.getOrElseUpdate(d.serialize, kbsFor(d))
         kbs.intersect(listed).toSeq.sorted
           .map(b => s"$path/${s.name}/$KbCol=$b")
       }
     }.filter(_.nonEmpty)
     if (parts.nonEmpty)
-      Some(parts.map(ps => spark.read.parquet(ps: _*))
+      Some(parts.map(ps => reader.parquet(ps: _*))
         .reduce(_.unionByName(_, allowMissingColumns = true)))
     else
       // segments exist but no probed partition does: EMPTY frame, not
@@ -178,7 +206,7 @@ object VecLog {
             st.getPath.getName.startsWith(KbCol + "="))
           .map(st => s"$path/${s.name}/${st.getPath.getName}")
       }.nextOption()
-        .map(p => spark.read.parquet(p).limit(0).drop(KbCol))
+        .map(p => reader.parquet(p).limit(0).drop(KbCol))
   }
 
   /** Driver-Seq convenience overload (spec/maintenance callers). */
@@ -198,7 +226,7 @@ object VecLog {
     * map (tables x 2^bits entries) makes Janino compilation dominate
     * the probe.
     */
-  private def probeKbs(probes: DataFrame, d: Depths,
+  private[streaming] def probeKbs(probes: DataFrame, d: Depths,
       cur: Depths): Set[Long] = {
     val spark0 = probes.sparkSession
     import spark0.implicits._
@@ -233,6 +261,31 @@ object VecLog {
         e => lo.bitwiseOR(call_function("shiftleft", e, dc))))
     p.select(explode(kbs).as("kb")).distinct()
       .collect().map(_.getLong(0)).toSet
+  }
+
+  /** Pure-Scala twin of [[probeKbs]] for driver-resident probe sets —
+    * the same arithmetic, expression for expression: base from the
+    * SEGMENT map's bits, both depths looked up at that base, one
+    * masked value when the segment is coarser-or-equal, the
+    * 2^(ds-dc) child enumeration when it is deeper. Spec-pinned
+    * identical to [[probeKbs]] over random probes and maps
+    * (VecLogSpec), because the probe's completeness contract rides on
+    * the two derivations never diverging.
+    */
+  private[streaming] def kbsLocal(probes: Set[(Int, Long)], d: Depths,
+      cur: Depths): Set[Long] = {
+    def mask(n: Int): Long = (1L << n) - 1
+    probes.flatMap { case (t, sig) =>
+      val base = sig & mask(d.bits)
+      val ds = d(t, base)
+      val dc = cur(t, base)
+      val hi = t.toLong << d.sigBits
+      if (ds <= dc) Set(hi | (sig & mask(ds)))
+      else {
+        val lo = hi | (sig & mask(dc))
+        (0L until (1L << (ds - dc))).map(e => lo | (e << dc)).toSet
+      }
+    }
   }
 
   /** Tiered fold at the CURRENT depth map — the shared [[TieredFold]]

@@ -203,4 +203,31 @@ class KeyedLogSpec extends AnyFunSuite {
       .map(_.getPath.getName).filter(_.startsWith("seg_")).toSeq
     assert(segs2 == segs)
   }
+
+  test("readForHashes with driver-evaluated keyHashCol serves the " +
+    "same rows as readForKeys — the micro-batch fast path's pruning " +
+    "identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("klog-hash-").toString
+    val rows = (1L to 500L).map(i => (i * 7919L, i))
+    KeyedLog.append(rows.toDF("bk", "id"), path, 0L)
+    KeyedLog.append(rows.take(100).toDF("bk", "id"), path, 1L)
+    KeyedLog.compact(spark, path, "bk", fanout = 2,
+      targetBucketBytes = 1L << 10) // force a multi-bucket fold
+    val probe = Seq(7919L, 15838L, 791900L)
+    val dist = KeyedLog.readForKeys(spark, path,
+      probe.toDF("bk"), "bk").get
+      .select(col("bk"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes: Set[Long] = probe.toDF("bk")
+      .select(KeyedLog.keyHashCol(col("bk")).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    val loc = KeyedLog.readForHashes(spark, path, hashes).get
+      .select(col("bk"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loc == dist, s"local $loc vs distributed $dist")
+    assert(dist.exists(_._1 == 7919L), "probe keys must resolve")
+  }
 }

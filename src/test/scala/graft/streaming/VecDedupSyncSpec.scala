@@ -367,4 +367,111 @@ class VecDedupSyncSpec extends AnyFunSuite {
     assert(segs.exists(_.contains("-L1")),
       s"backfill must write a folded segment, got $segs")
   }
+
+  test("FORCED-PATH equality: the driver-resolved micro-batch probe " +
+    "and the distributed probe produce identical pairs, index, and " +
+    "occupancy — batch for batch") {
+    def run(smallRows: Int): (Set[(Long, Long, Double)],
+        Set[(Long, Long)], Map[(Int, Long), Long]) = {
+      val ix = Files.createTempDirectory(s"vsync-fp$smallRows-ix-")
+        .toString
+      val pr = Files.createTempDirectory(s"vsync-fp$smallRows-pr-")
+        .toString
+      (0 to 2).foreach { b =>
+        VecDedupSync.applyVecs(
+          corpus.filter(col("vec_id") % 3 === b), ix, pr,
+          "embedding", "vec_id", b.toLong, threshold = 0.9, dim = 8,
+          smallBatchRows = smallRows)
+      }
+      // a re-ingest batch too: tombstones + decrements on both paths
+      import spark.implicits._
+      VecDedupSync.applyVecs(
+        Seq(5L -> Seq(9f, 0f, 1f, 0f, 2f, 0f, 3f, 0f))
+          .toDF("vec_id", "embedding"),
+        ix, pr, "embedding", "vec_id", 3L, threshold = 0.9, dim = 8,
+        smallBatchRows = smallRows)
+      val pairs = pairSet(VecDedupSync.readPairs(spark, pr))
+      val idx = VecDedupSync.readIndex(spark, ix)
+        .select(col("id"), col("keep")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val occ = OccStats.read(spark, DedupSync.sidecarPath(ix), 3L).get
+      (pairs, idx, occ)
+    }
+    val small = run(VecDedupSync.DefaultSmallBatchRows)
+    val large = run(0) // smallBatchRows = 0 forces the r13 pipeline
+    assert(small._1 == large._1,
+      s"pairs diverged: small-only ${small._1 -- large._1}, " +
+        s"large-only ${large._1 -- small._1}")
+    assert(small._2 == large._2, "index diverged between paths")
+    assert(small._3 == large._3, "occupancy diverged between paths")
+  }
+
+  test("KEY-LOG WIPE with surviving counters (partial restore): the " +
+    "recovery probe reseeds the key log from the committed snapshot, " +
+    "so LATER batches still pair against pre-wipe reps") {
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ix = Files.createTempDirectory("vsync-wipe-ix-").toString
+    val pr = Files.createTempDirectory("vsync-wipe-pr-").toString
+    apply1(corpus.filter(col("vec_id") % 3 === 0), ix, pr, 0L) // 3,6,9
+    apply1(corpus.filter(col("vec_id") % 3 === 1), ix, pr, 1L) // 1,4,7
+    val keys = new org.apache.hadoop.fs.Path(DedupSync.sidecarPath(ix))
+    // wipe ONLY the key-log segments; occupancy counters and the
+    // layout marker survive — the r13-advice partial-restore shape
+    fs.listStatus(keys).map(_.getPath)
+      .filter(_.getName.startsWith("seg_"))
+      .foreach(p => fs.delete(p, true))
+    assert(fs.listStatus(keys).exists(
+      _.getPath.getName.startsWith("_occ_v")), "occ must survive")
+    // batch 2a runs the full-probe recovery (and must reseed)
+    import spark.implicits._
+    apply1(Seq(5L -> B.toSeq).toDF("vec_id", "embedding"), ix, pr, 2L)
+    // batch 2b probes the PRUNED path again: its partners (7 for 2;
+    // 1 and 4 for 8) were indexed BEFORE the wipe and re-indexed
+    // never — without the reseed their key rows are gone forever
+    apply1(Seq(2L -> C.map(_ * 1.5f).toSeq,
+        8L -> A.zipWithIndex.map { case (x, i) =>
+          if (i == 0) x + 0.01f else x }.toSeq)
+      .toDF("vec_id", "embedding"), ix, pr, 3L)
+    val streamed = pairSet(VecDedupSync.readPairs(spark, pr))
+    assert(streamed == oneShot,
+      s"missing ${oneShot -- streamed} (pre-wipe partners lost?)")
+  }
+
+  test("PAYLOAD-LOG GAP (lost segment in a partial restore): the " +
+    "coverage gate detects committed candidates with no payload row, " +
+    "reseeds, and the stream still equals one-shot") {
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ix = Files.createTempDirectory("vsync-gap-ix-").toString
+    val pr = Files.createTempDirectory("vsync-gap-pr-").toString
+    apply1(corpus.filter(col("vec_id") % 3 === 0), ix, pr, 0L) // 3,6,9
+    apply1(corpus.filter(col("vec_id") % 3 === 1), ix, pr, 1L) // 1,4,7
+    val payload = new org.apache.hadoop.fs.Path(
+      ix.stripSuffix("/") + "_payload")
+    // lose batch 1''s payload segment only: ids 1/4/7 still resolve
+    // through the key log, but their current rows are gone
+    val seg1 = fs.listStatus(payload).map(_.getPath)
+      .filter(_.getName.startsWith("seg_1-"))
+    assert(seg1.nonEmpty, "fixture: batch-1 payload segment expected")
+    seg1.foreach(p => fs.delete(p, true))
+    apply1(corpus.filter(col("vec_id") % 3 === 2), ix, pr, 2L) // 2,5,8
+    val streamed = pairSet(VecDedupSync.readPairs(spark, pr))
+    assert(streamed == oneShot,
+      s"missing ${oneShot -- streamed} (payload gap uncovered?)")
+  }
+
+  test("EMPTY micro-batch flows through the driver-resolved path as " +
+    "a no-op commit") {
+    import spark.implicits._
+    val ix = Files.createTempDirectory("vsync-empty-ix-").toString
+    val pr = Files.createTempDirectory("vsync-empty-pr-").toString
+    apply1(corpus.filter(col("vec_id") % 3 === 0), ix, pr, 0L)
+    apply1(corpus.filter(col("vec_id") % 3 === 1).limit(0), ix, pr, 1L)
+    assert(TableSync.versions(spark, ix).max == 1L)
+    apply1(corpus.filter(col("vec_id") % 3 === 1), ix, pr, 2L)
+    apply1(corpus.filter(col("vec_id") % 3 === 2), ix, pr, 3L)
+    assert(pairSet(VecDedupSync.readPairs(spark, pr)) == oneShot)
+    assert(VecDedupSync.readIndex(spark, ix).count() == 9)
+  }
 }

@@ -178,4 +178,60 @@ class VecLogSpec extends AnyFunSuite {
       .map(_.getPath.getName).filter(_.startsWith("seg_")).sorted.toSeq
     assert(segs == Seq("seg_10-L0", "seg_9-L1"), s"got $segs")
   }
+
+  test("kbsLocal equals probeKbs expression for expression over " +
+    "random probes and maps (coarser, equal, deeper segments) — the " +
+    "driver fast path's completeness rides on this identity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    (0 until 20).foreach { trial =>
+      val tables = 3
+      def randOver(): Map[(Int, Long), Int] =
+        (0 until tables).flatMap { t =>
+          (0L until (1L << bits)).flatMap { b =>
+            if (rnd.nextBoolean()) None
+            else Some((t, b) -> (bits + 1 + rnd.nextInt(sigBits - bits)))
+          }
+        }.toMap
+      val dSeg = VecLog.Depths(bits, sigBits, randOver())
+      val dCur = VecLog.Depths(bits, sigBits, randOver())
+      val probes: Set[(Int, Long)] = (0 until 30).map(_ =>
+        (rnd.nextInt(tables), rnd.nextLong() & ((1L << sigBits) - 1)))
+        .toSet
+      val viaSpark = VecLog.probeKbs(
+        probes.toSeq.toDF("tbl", "sig"), dSeg, dCur)
+      val viaScala = VecLog.kbsLocal(probes, dSeg, dCur)
+      assert(viaScala == viaSpark,
+        s"trial $trial: local ${viaScala -- viaSpark} vs " +
+          s"spark ${viaSpark -- viaScala}\nseg=$dSeg\ncur=$dCur")
+    }
+  }
+
+  test("readForKeysLocal serves the same rows as readForKeys for the " +
+    "same probes, with and without an explicit schema") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("vlog-loc-").toString
+    val sigs = Seq(0x01L, 0x05L, 0x09L, 0x0dL, 0x11L, 0x15L, 0x19L, 0x1dL)
+    sigs.zipWithIndex.foreach { case (s, i) =>
+      VecLog.append(Seq((0, s, 100L + i)).toDF("tbl", "sig", "id"),
+        path, i.toLong, D())
+    }
+    VecLog.compact(spark, path, D((0, 1L) -> 4), fanout = 4)
+    val probes: Set[(Int, Long)] = Set((0, 0x21L), (0, 0x05L))
+    val dist = rows(VecLog.readForKeys(spark, path,
+      probes.toSeq.toDF("tbl", "sig"), D((0, 1L) -> 4)).get)
+    val loc = rows(VecLog.readForKeysLocal(spark, path, probes,
+      D((0, 1L) -> 4)).get)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tbl",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val locSch = rows(VecLog.readForKeysLocal(spark, path, probes,
+      D((0, 1L) -> 4), Some(schema)).get)
+    assert(loc == dist && locSch == dist,
+      s"local $loc / schema $locSch vs distributed $dist")
+  }
 }
