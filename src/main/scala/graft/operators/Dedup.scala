@@ -1164,7 +1164,9 @@ object Dedup {
       index: DataFrame, newIdx: DataFrame, threshold: Double,
       numHashes: Int = 128, bands: Int = 32,
       maxBucketSize: Int = 1000,
-      refineExtra: Int = Int.MaxValue): DataFrame = {
+      refineExtra: Int = Int.MaxValue,
+      materialize: DataFrame => DataFrame = _.localCheckpoint())
+      : DataFrame = {
     // probeKeys' bit-identical-pairs contract assumes a POSITIVE
     // threshold: null-sig (too-short) docs are excluded from the band
     // leg, and jaccard_sorted(empty, empty) = 0.0, so at
@@ -1315,7 +1317,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     crossPairs.unionByName(fpPairs)
       .unionByName(
-        pairsFromIndex(newIdx, threshold, numHashes, bands, maxBucketSize))
+        pairsFromIndex(newIdx, threshold, numHashes, bands,
+          maxBucketSize, materialize = materialize))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard")).as("jaccard"))
   }
@@ -1333,21 +1336,25 @@ object Dedup {
   def pairsFromIndex(
       idx: DataFrame, threshold: Double, numHashes: Int = 128,
       bands: Int = 32, maxBucketSize: Int = 1000,
-      expandGroups: Boolean = true): DataFrame = {
-    val groups = idx
+      expandGroups: Boolean = true,
+      materialize: DataFrame => DataFrame = _.localCheckpoint())
+      : DataFrame = {
+    // star pairs + rep filter + membership below; `materialize`
+    // defaults to an eager checkpoint (batch callers) — a micro-batch
+    // caller over local/cached inputs passes identity so the whole
+    // tree materializes in its one consuming write
+    val groups = materialize(idx
       .select(col("id").as("did"), col("fp"))
       .withColumn("keep", min(col("did")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .select(col("did"), col("keep"))
-      .localCheckpoint() // star pairs + rep filter + membership
+      .select(col("did"), col("keep")))
     val exactPairs = groups.filter(col("did") =!= col("keep"))
       .select(col("keep").as("id_a"), col("did").as("id_b"),
         lit(1.0).as("jaccard"))
-    val repIdx = idx.join(
+    val repIdx = materialize(idx.join(
       groups.filter(col("did") === col("keep"))
         .select(col("did").as("id")),
-      Seq("id"), "left_semi")
-      .localCheckpoint() // bucket table + two verification joins
+      Seq("id"), "left_semi")) // bucket table + two verification joins
     val cands = candidatePairs(
       lshBuckets(repIdx.select(col("id"), col("sig")), bands, numHashes),
       maxBucketSize)

@@ -116,7 +116,8 @@ object DedupSync {
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
       compactEvery: Int = DefaultCompactEvery,
       maxGens: Int = TableSync.DefaultMaxGens,
-      payloadBucketBytes: Long = KeyedLog.DefaultTargetBucketBytes)
+      payloadBucketBytes: Long = KeyedLog.DefaultTargetBucketBytes,
+      smallBatchRows: Int = VecDedupSync.DefaultSmallBatchRows)
       : StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -124,7 +125,7 @@ object DedupSync {
         applyDocs(batch, indexPath, pairsPath, textCol, idCol, batchId,
           threshold, numHashes, bands, shingleSize, maxBucketSize,
           hasher, numBuckets, maxBucketBytes, splitsPerBatch,
-          compactEvery, maxGens, payloadBucketBytes)
+          compactEvery, maxGens, payloadBucketBytes, smallBatchRows)
       }
       .start()
 
@@ -149,7 +150,8 @@ object DedupSync {
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
       compactEvery: Int = DefaultCompactEvery,
       maxGens: Int = TableSync.DefaultMaxGens,
-      payloadBucketBytes: Long = KeyedLog.DefaultTargetBucketBytes)
+      payloadBucketBytes: Long = KeyedLog.DefaultTargetBucketBytes,
+      smallBatchRows: Int = VecDedupSync.DefaultSmallBatchRows)
       : Unit = {
     require(threshold > 0,
       s"threshold must be > 0 (got $threshold) — see " +
@@ -164,26 +166,43 @@ object DedupSync {
       Dedup.dedupIndex(batch, textCol, idCol, numHashes,
         shingleSize, hasher).localCheckpoint()
     }
-    // the batch's probe keys feed the pruned read AND the sidecar
-    // append — derived once
-    val newKeys = phase("p_probe_keys") {
-      Dedup.probeKeys(newIdx, numHashes, bands).localCheckpoint()
-    }
-    val pairs =
-      if (applied.isEmpty)
-        // first batch: within-batch pairs only (nothing indexed yet)
-        Dedup.pairsFromIndex(newIdx, threshold, numHashes, bands,
-          maxBucketSize)
+    // the small path serves micro-batches against an existing index
+    // (see VecDedupSync.smallProbe — this is its text twin); the
+    // limit-guarded collect doubles as the size probe
+    val smallRows: Option[Seq[org.apache.spark.sql.Row]] =
+      if (applied.isEmpty || smallBatchRows <= 0) None
       else {
-        val probeIx = phase("p_pruned_read") {
-          prunedProbeIndex(spark, indexPath, keysPath, newKeys,
-            numHashes, bands, applied.max, payloadBucketBytes)
-        }
-        phase("p_pair_compute") {
-          Dedup.incrementalPairs(probeIx,
-            newIdx, threshold, numHashes, bands, maxBucketSize)
-        }
+        val rows = newIdx.limit(smallBatchRows + 1).collect()
+        if (rows.length <= smallBatchRows) Some(rows.toSeq) else None
       }
+    val out: DocsOut = smallRows match {
+      case Some(idxRows) =>
+        smallDocsProbe(spark, newIdx, idxRows, indexPath, keysPath,
+          batchId, applied.max, threshold, numHashes, bands,
+          maxBucketSize, payloadBucketBytes)
+      case None =>
+        // the batch's probe keys feed the pruned read AND the sidecar
+        // append — derived once
+        val newKeys = phase("p_probe_keys") {
+          Dedup.probeKeys(newIdx, numHashes, bands).localCheckpoint()
+        }
+        val pairs =
+          if (applied.isEmpty)
+            // first batch: within-batch pairs only (nothing indexed)
+            Dedup.pairsFromIndex(newIdx, threshold, numHashes, bands,
+              maxBucketSize)
+          else {
+            val probeIx = phase("p_pruned_read") {
+              prunedProbeIndex(spark, indexPath, keysPath, newKeys,
+                numHashes, bands, applied.max, payloadBucketBytes)
+            }
+            phase("p_pair_compute") {
+              Dedup.incrementalPairs(probeIx,
+                newIdx, threshold, numHashes, bands, maxBucketSize)
+            }
+          }
+        DocsOut(pairs, newKeys)
+    }
     // pairs FIRST (append-only, overwrite of this batch's own
     // directory — idempotent under replay), then the SIDECAR segment
     // (also overwrite-idempotent; a sidecar ahead of the index commit
@@ -191,20 +210,24 @@ object DedupSync {
     // yet, and the pruned read's id semi-join drops them), index LAST
     // (the outer commit point checked at entry)
     phase("p_pairs_write") {
-      PairsStore.writeBatch(pairs, pairsPath, "jaccard", batchId)
+      PairsStore.writeBatch(out.pairs, pairsPath, "jaccard", batchId)
     }
     phase("p_sidecar_write") {
-      KeyedLog.append(newKeys, keysPath, batchId)
+      KeyedLog.append(out.newKeys, keysPath, batchId,
+        knownRows = out.keyRows)
       // the id-keyed point-lookup projection the pruned probe fetches
       // candidate rows from — version-gated, so writing it ahead of
       // the commit is invisible until the commit lands
-      PayloadLog.append(newIdx.withColumn("ver", lit(batchId)),
-        indexPath, batchId, payloadBucketBytes)
+      PayloadLog.append(out.batchFrame.getOrElse(newIdx)
+          .withColumn("ver", lit(batchId)),
+        indexPath, batchId, payloadBucketBytes,
+        knownRows = out.batchRows)
     }
     phase("p_index_commit") {
-      TableSync.applyBatch(newIdx.withColumn("ver", lit(batchId)),
+      TableSync.applyBatch(out.batchFrame.getOrElse(newIdx)
+          .withColumn("ver", lit(batchId)),
         indexPath, "id", "ver", batchId, numBuckets, maxBucketBytes,
-        splitsPerBatch, maxGens)
+        splitsPerBatch, maxGens, localKeys = out.localIds)
     }
     // maintenance cadence, AFTER the outer commit: once the pairs
     // store holds >= compactEvery generations, fold them. Runs on the
@@ -271,6 +294,157 @@ object DedupSync {
     }
     val out = fs.create(pf, true)
     try out.write(want.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** One probe path's output for the shared write tail — the text
+    * twin of VecDedupSync.ProbeOut: pairs, the sidecar key rows,
+    * driver-known row counts (-1 = unknown, count as usual), the
+    * batch ids as a LocalRelation for the commit's touched-bucket
+    * set, and the batch index as a LocalRelation for the writes.
+    */
+  private final case class DocsOut(pairs: DataFrame,
+      newKeys: DataFrame, keyRows: Long = -1L, batchRows: Long = -1L,
+      localIds: Option[DataFrame] = None,
+      batchFrame: Option[DataFrame] = None)
+
+  /** The DRIVER-RESOLVED micro-batch probe — text twin of
+    * [[VecDedupSync.smallProbe]], same equivalence argument: probe
+    * keys evaluate over a LocalRelation by the same expressions
+    * ([[Dedup.probeKeys]]), sidecar buckets prune on driver-computed
+    * hashes ([[KeyedLog.keyHashCol]]), the candidate fetch runs as
+    * ONE pruned payload scan against a broadcast LocalRelation, and
+    * verification is [[Dedup.incrementalPairs]] unchanged (with its
+    * internal barriers deferred to the one pairs-write job).
+    * Candidates collect under [[VecDedupSync.MaxDriverSurvivors]];
+    * past the cap the batch re-runs the distributed path.
+    *
+    * Coverage gate (r13 advice): every candidate id EXCEPT the
+    * batch's own (a crash-replay's sidecar rows may legitimately
+    * reference uncommitted ids) is committed state and must fetch a
+    * current payload row; on a gap the payload log reseeds from the
+    * committed snapshot — loud, never a silently shrunken candidate
+    * set.
+    */
+  private def smallDocsProbe(spark: SparkSession, newIdx: DataFrame,
+      idxRows: Seq[org.apache.spark.sql.Row], indexPath: String,
+      keysPath: String, batchId: Long, lastApplied: Long,
+      threshold: Double, numHashes: Int, bands: Int,
+      maxBucketSize: Int, payloadBucketBytes: Long): DocsOut = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    def localDF(schema: StructType, rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, schema)
+    def distributed(): DocsOut = {
+      val newKeys = phase("p_probe_keys") {
+        Dedup.probeKeys(newIdx, numHashes, bands).localCheckpoint()
+      }
+      val probeIx = phase("p_pruned_read") {
+        prunedProbeIndex(spark, indexPath, keysPath, newKeys,
+          numHashes, bands, lastApplied, payloadBucketBytes)
+      }
+      DocsOut(phase("p_pair_compute") {
+        Dedup.incrementalPairs(probeIx, newIdx, threshold, numHashes,
+          bands, maxBucketSize)
+      }, newKeys)
+    }
+    val idField = newIdx.schema("id")
+    val localIdx = localDF(newIdx.schema, idxRows)
+    val keySchema = StructType(Seq(
+      idField.copy(name = "id"), StructField("bk", LongType)))
+    val keyRows: Seq[Row] = phase("p_probe_keys") {
+      Dedup.probeKeys(localIdx, numHashes, bands).collect().toSeq
+    }
+    val newKeysLocal = localDF(keySchema, keyRows)
+    val idIx = newIdx.schema.fieldIndex("id")
+    val batchIdSet: Set[Any] = idxRows.map(_.get(idIx)).toSet
+    val idSchema = StructType(Seq(idField.copy(name = "id")))
+    val batchIdsLocal = localDF(idSchema,
+      batchIdSet.toSeq.map(Row(_)))
+    val bkLocal = localDF(
+      StructType(Seq(StructField("bk", LongType))),
+      keyRows.map(r => Row(r.getLong(1))).distinct)
+    val bkHashes: Set[Long] = bkLocal
+      .select(KeyedLog.keyHashCol(col("bk")).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    def sidecar() =
+      KeyedLog.readForHashes(spark, keysPath, bkHashes, Some(keySchema))
+    val sc = sidecar().orElse {
+      // index predates the sidecar: one O(index) backfill migration
+      KeyedLog.appendBucketed(
+        Dedup.probeKeys(
+          TableSync.readCurrent(spark, indexPath).drop("ver"),
+          numHashes, bands),
+        keysPath, "bk", lastApplied)
+      sidecar()
+    }
+    sc match {
+      case None =>
+        // empty committed index: nothing to probe against — the
+        // within-batch pairs are the whole answer
+        DocsOut(
+          phase("p_pair_compute") {
+            Dedup.pairsFromIndex(localIdx, threshold, numHashes,
+              bands, maxBucketSize, materialize = identity)
+          },
+          newKeysLocal, keyRows.size.toLong, idxRows.size.toLong,
+          Some(batchIdsLocal), Some(localIdx))
+      case Some(scDf) =>
+        val candRows: Seq[Row] = phase("p_cand_resolve") {
+          scDf.join(broadcast(bkLocal), Seq("bk"), "left_semi")
+            .select(col("id")).distinct()
+            .limit(VecDedupSync.MaxDriverSurvivors + 1)
+            .collect().toSeq
+        }
+        if (candRows.size > VecDedupSync.MaxDriverSurvivors)
+          return distributed()
+        val fetchLocal = localDF(idSchema, candRows)
+        val fetchHashes: Set[Long] = fetchLocal
+          .select(KeyedLog.keyHashCol(col("id")).as("h"))
+          .collect().map(_.getLong(0)).toSet
+        val payloadSchema = StructType(
+          newIdx.schema.fields :+ StructField("ver", LongType))
+        def readOnce(): DataFrame = PayloadLog
+          .readCurrentLocal(spark, indexPath, fetchLocal, fetchHashes,
+            lastApplied, Some(payloadSchema))
+          .getOrElse {
+            // index predates the payload log: one-shot migration
+            PayloadLog.backfill(spark, indexPath, lastApplied,
+              payloadBucketBytes)
+            PayloadLog.readCurrentLocal(spark, indexPath, fetchLocal,
+              fetchHashes, lastApplied, Some(payloadSchema)).get
+          }
+          .drop("ver")
+          .localCheckpoint() // refinement rounds + 3 probe subtrees
+        var probeIx = phase("p_pruned_read") { readOnce() }
+        if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING"))
+          println(s"[phase] p_cand cand=${candRows.size}")
+        // coverage gate — candidate ids minus the batch's own are
+        // committed and must resolve to current rows
+        val want: Set[Any] =
+          candRows.map(_.get(0)).toSet -- batchIdSet
+        if (want.nonEmpty) {
+          val got: Set[Any] = probeIx.select(col("id"))
+            .collect().map(_.get(0)).toSet
+          if (!want.subsetOf(got)) {
+            println(s"[DedupSync] payload log under $indexPath is " +
+              s"missing ${(want -- got).size} committed candidate " +
+              "rows (partial restore?) — reseeding from the " +
+              "committed snapshot")
+            PayloadLog.backfill(spark, indexPath, lastApplied,
+              payloadBucketBytes)
+            probeIx = phase("p_pruned_read") { readOnce() }
+          }
+        }
+        DocsOut(
+          phase("p_pair_compute") {
+            Dedup.incrementalPairs(probeIx, localIdx, threshold,
+              numHashes, bands, maxBucketSize,
+              materialize = identity)
+          },
+          newKeysLocal, keyRows.size.toLong, idxRows.size.toLong,
+          Some(batchIdsLocal), Some(localIdx))
+    }
   }
 
   /** The PRUNED corpus probe side: resolve the batch's probe keys

@@ -796,13 +796,17 @@ object ScaleSmoke {
           payloadBucketBytes = 64L << 10)
         distinct.count()
       }
-      timed("dsyncp_append_batch1") {
-        graft.streaming.DedupSync.applyDocs(
-          append, ix, pr, "text", "doc_id", batchId = 1L,
-          threshold = 0.5, numHashes = 24, bands = 8,
-          maxBucketBytes = Long.MaxValue,
-          payloadBucketBytes = 64L << 10)
-        append.count()
+      // six appends (vsyncp's rationale): the warm tail is the floor
+      (1 to 6).foreach { b =>
+        timed(s"dsyncp_append_batch$b") {
+          graft.streaming.DedupSync.applyDocs(
+            append.withColumn("doc_id", col("doc_id") + lit(b * 1000L)),
+            ix, pr, "text", "doc_id", batchId = b.toLong,
+            threshold = 0.5, numHashes = 24, bands = 8,
+            maxBucketBytes = Long.MaxValue,
+            payloadBucketBytes = 64L << 10)
+          append.count()
+        }
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pr))

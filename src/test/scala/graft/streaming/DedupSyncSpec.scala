@@ -462,4 +462,62 @@ class DedupSyncSpec extends AnyFunSuite {
     assert(streamed == oneShot, s"stream $streamed\nvs batch $oneShot")
     assert(DedupSync.readIndex(spark, ix).count() == 9)
   }
+
+  test("FORCED-PATH equality: the driver-resolved micro-batch probe " +
+    "and the distributed probe produce identical pairs and index — " +
+    "batch for batch, including a re-ingest") {
+    def run(smallRows: Int): (Set[(Long, Long, Double)], Long) = {
+      val ix = java.nio.file.Files
+        .createTempDirectory(s"dsync-fp$smallRows-ix-").toString
+      val pr = java.nio.file.Files
+        .createTempDirectory(s"dsync-fp$smallRows-pr-").toString
+      (0 to 2).foreach { b =>
+        DedupSync.applyDocs(corpus.filter(col("doc_id") % 3 === b),
+          ix, pr, "text", "doc_id", b.toLong, threshold = 0.3,
+          smallBatchRows = smallRows)
+      }
+      import spark.implicits._
+      DedupSync.applyDocs(
+        Seq((5L, "an entirely different document about flink windows"))
+          .toDF("doc_id", "text"),
+        ix, pr, "text", "doc_id", 3L, threshold = 0.3,
+        smallBatchRows = smallRows)
+      (pairSet(DedupSync.readPairs(spark, pr)),
+        DedupSync.readIndex(spark, ix).count())
+    }
+    val small = run(VecDedupSync.DefaultSmallBatchRows)
+    val large = run(0)
+    assert(small._1 == large._1,
+      s"pairs diverged: small-only ${small._1 -- large._1}, " +
+        s"large-only ${large._1 -- small._1}")
+    assert(small._2 == large._2, "index count diverged between paths")
+  }
+
+  test("PAYLOAD-LOG GAP (text side): a lost payload segment is " +
+    "detected by the coverage gate, reseeded, and the stream still " +
+    "equals one-shot") {
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ix = java.nio.file.Files
+      .createTempDirectory("dsync-gap-ix-").toString
+    val pr = java.nio.file.Files
+      .createTempDirectory("dsync-gap-pr-").toString
+    def ingest(b: Long, df: org.apache.spark.sql.DataFrame): Unit =
+      DedupSync.applyDocs(df, ix, pr, "text", "doc_id", b,
+        threshold = 0.3)
+    ingest(0L, corpus.filter(col("doc_id") % 3 === 0)) // 3,6,9
+    ingest(1L, corpus.filter(col("doc_id") % 3 === 1)) // 1,4,7
+    val payload = new org.apache.hadoop.fs.Path(
+      ix.stripSuffix("/") + "_payload")
+    val seg1 = fs.listStatus(payload).map(_.getPath)
+      .filter(_.getName.startsWith("seg_1-"))
+    assert(seg1.nonEmpty, "fixture: batch-1 payload segment expected")
+    seg1.foreach(p => fs.delete(p, true))
+    ingest(2L, corpus.filter(col("doc_id") % 3 === 2)) // 2,5,8
+    val streamed = pairSet(DedupSync.readPairs(spark, pr))
+    val oneShot = pairSet(Dedup.nearDupPairs(
+      corpus, "text", "doc_id", threshold = 0.3))
+    assert(streamed == oneShot,
+      s"missing ${oneShot -- streamed} (payload gap uncovered?)")
+  }
 }
