@@ -56,6 +56,31 @@ import graft.functions.VectorFunctions
   */
 object AnnIndex {
 
+  /** GENERATION pointer — the atomic-swap half of the retrain loop:
+    * `path/_GEN` (when present) names the subdirectory holding the
+    * current artifact (`g<N>/{codes, centroids, _META, ...}`), and
+    * [[maybeRebuild]] rotates generations by building the retrained
+    * artifact COMPLETELY under `g<N+1>` and then overwriting the
+    * one-line pointer — readers resolve the pointer per call, so a
+    * crash mid-rebuild leaves the old generation fully live (the
+    * TableSync commit-pointer discipline). A pointerless artifact
+    * (everything at `path` root — every pre-rotation index) resolves
+    * to itself, so existing artifacts keep working unrotated.
+    */
+  private def resolveRoot(spark: SparkSession, path: String): String = {
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val p = new Path(path, "_GEN")
+    if (!fs.exists(p)) path
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      s"$path/${new String(buf, "UTF-8").trim}"
+    }
+  }
+
   private case class Meta(dim: Int, nlist: Int, seed: Long,
       scale: Double, rows: Long) {
     def serialize: String = s"$dim $nlist $seed $scale $rows"
@@ -79,11 +104,12 @@ object AnnIndex {
     * not suppress re-ingested ids, and drift measures against the NEW
     * geometry).
     */
-  def build(corpus: DataFrame, path: String,
+  def build(corpus: DataFrame, path0: String,
       nlist: Int = 16, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, maxTrainRows: Long = 100000L): Unit = {
     val spark = corpus.sparkSession
+    val path = resolveRoot(spark, path0)
     val centroids = Similarity.coarseCentroids(corpus, vecCol, idCol,
       nlist, seed, maxTrainRows)
     val r = corpus.agg(max(array_max(transform(col(vecCol),
@@ -119,9 +145,10 @@ object AnnIndex {
     * overwrite-idempotent under replay; [[build]] clears all
     * tombstones (a rebuild re-ingests its input).
     */
-  def delete(ids: DataFrame, path: String, segId: Long,
+  def delete(ids: DataFrame, path0: String, segId: Long,
       idCol: String = "vec_id"): Unit = {
     require(segId >= 1L, s"segId must be >= 1 (0 is the build): $segId")
+    val path = resolveRoot(ids.sparkSession, path0)
     readMeta(ids.sparkSession, path) // fail loudly on a missing index
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("overwrite")
@@ -162,9 +189,10 @@ object AnnIndex {
   case class Drift(recall: Double, baseline: Double,
       rebuildRecommended: Boolean)
 
-  def driftCheck(spark: SparkSession, path: String, sample: Int = 32,
+  def driftCheck(spark: SparkSession, path0: String, sample: Int = 32,
       k: Int = 10, nprobe: Int = 3, refine: Int = 4,
       tolerance: Double = 0.1): Drift = {
+    val path = resolveRoot(spark, path0)
     val tombs = tombstones(spark, path)
     val live = liveOnly(
       spark.read.parquet(s"$path/codes").select(col("id"), col("seg"),
@@ -228,10 +256,11 @@ object AnnIndex {
     * (keyed TableSync storage) and rebuild this artifact on the
     * retrain cadence.
     */
-  def append(more: DataFrame, path: String, segId: Long,
+  def append(more: DataFrame, path0: String, segId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(segId >= 1L, s"segId must be >= 1 (0 is the build): $segId")
     val spark = more.sparkSession
+    val path = resolveRoot(spark, path0)
     val meta = readMeta(spark, path)
     val centroids = loadCentroids(spark, path)
     val segRowsNew = more.count()
@@ -333,9 +362,10 @@ object AnnIndex {
     * probed cell PARTITIONS only, exact rescore of k*refine. Returns
     * (qid, id, cosine, rank) like every other top-k path.
     */
-  def probe(spark: SparkSession, path: String, queries: DataFrame,
+  def probe(spark: SparkSession, path0: String, queries: DataFrame,
       k: Int, nprobe: Int = 3, refine: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val path = resolveRoot(spark, path0)
     val meta = readMeta(spark, path)
     val centroids = loadCentroids(spark, path)
     val probed = queries.select(col(idCol).as("qid"),
@@ -382,5 +412,57 @@ object AnnIndex {
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Close the drift loop: run [[driftCheck]] and, when it recommends
+    * a rebuild, RETRAIN on the current LIVE rows (tombstone-filtered,
+    * all segments) into the next generation directory and swap the
+    * `_GEN` pointer atomically — the automated form of the "retrain
+    * on a cadence" story the drift probe was only recommending. The
+    * rebuilt artifact follows [[build]]'s contract exactly: fresh
+    * centroids and int8 scale from the live corpus, tombstones gone
+    * (the rebuild re-ingests precisely the live rows), recall
+    * baseline cleared (drift measures against the NEW geometry, so
+    * the next [[driftCheck]] re-records it). The previous generation
+    * is removed after the swap; a crash anywhere before the pointer
+    * write leaves the old generation fully live, a crash after it
+    * leaves only cleanup owed — re-running converges.
+    *
+    * Geometry parameters (dim, nlist, seed) carry over from the
+    * stored meta; rebuild equivalence to a manual
+    * `build(liveRows, freshPath)` is spec-pinned (AnnIndexSpec).
+    */
+  def maybeRebuild(spark: SparkSession, path: String,
+      sample: Int = 32, k: Int = 10, nprobe: Int = 3,
+      refine: Int = 4, tolerance: Double = 0.1,
+      maxTrainRows: Long = 100000L): Drift = {
+    val drift = driftCheck(spark, path, sample, k, nprobe, refine,
+      tolerance)
+    if (!drift.rebuildRecommended) return drift
+    val oldRoot = resolveRoot(spark, path)
+    val meta = readMeta(spark, oldRoot)
+    val live = liveOnly(
+      spark.read.parquet(s"$oldRoot/codes")
+        .select(col("id"), col("seg"), col("vec")),
+      tombstones(spark, oldRoot))
+      .select(col("id").as("vec_id"), col("vec").as("embedding"))
+      .localCheckpoint() // the old generation dies under the swap —
+                         // nothing may lazily re-read it
+    val gen =
+      if (oldRoot == path) 1L
+      else oldRoot.substring(path.length + 2).toLong + 1L // "<path>/g<N>
+    build(live, s"$path/g$gen", nlist = meta.nlist, seed = meta.seed,
+      dim = meta.dim, maxTrainRows = maxTrainRows)
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(path, "_GEN"), true)
+    try out.write(s"g$gen".getBytes("UTF-8")) finally out.close()
+    // old generation cleanup (post-swap; readers already resolve g<N>)
+    if (oldRoot == path)
+      Seq("codes", "centroids", "tombstones", "_META", "_SEGROWS",
+        "_RECALL0")
+        .foreach(n => fs.delete(new Path(path, n), true))
+    else fs.delete(new Path(oldRoot), true)
+    drift
   }
 }

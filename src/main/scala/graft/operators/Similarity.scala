@@ -138,9 +138,18 @@ object Similarity {
     val trainSrc =
       if (n <= maxTrainRows) df
       else Sampling.hashSample(df, idCol, maxTrainRows.toDouble / n)
+    // SORT the collected sample before Lloyd's: collect order is
+    // partition order, so content-equal frames with different
+    // physical layouts (a parquet-sourced live set vs a fresh union)
+    // would otherwise train ulp-different centroids — enough to flip
+    // borderline cell assignments and diverge a rebuilt index from a
+    // manual build on the same rows. Lexicographic on the vector
+    // makes training a pure function of the sample SET.
+    import scala.math.Ordering.Implicits._
     val train = trainSrc
       .select(VectorFunctions.asDouble(col(vecCol)).as("dv"))
       .collect().map(_.getSeq[Double](0).toArray)
+      .sortBy(_.toSeq)
     require(train.length >= nlist,
       s"training sample ${train.length} < nlist $nlist")
     lloyd(train, nlist, iters = 10, seed = seed)

@@ -1889,6 +1889,118 @@ object DedupQueries {
         "frozen-geometry replay restricted to live ids."),
 
     // ------------------------------------------------------------------
+    "s21_ann_index_drift_rebuild" -> QueryDef(
+      fn = { (s, dir) =>
+        // CLOSED drift loop: build on the even half, record the
+        // as-trained recall baseline, append a distribution-shifted
+        // mass (the odd half pushed into the all-positive quadrant
+        // the centroids never saw — recall over the merged corpus
+        // degrades), then maybeRebuild RETRAINS on the live rows into
+        // a new generation and swaps the pointer atomically. The
+        // probe must rank through the POST-REBUILD geometry; the
+        // require makes the drift trigger itself part of the gate.
+        // The shift is float-exact (abs + 2.0f) so the replay can
+        // reproduce it bit-for-bit.
+        val path = annixrDir(dir)
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        AnnIndex.build(e.filter(col("vec_id") % 2 === 0), path,
+          nlist = 16)
+        AnnIndex.driftCheck(s, path, sample = 32, k = 10)
+        val shifted = e.filter(col("vec_id") % 2 === 1)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            transform(col("embedding"),
+              x => abs(x) + lit(2.0f)).as("embedding"))
+        AnnIndex.append(shifted, path, segId = 1L)
+        val drift = AnnIndex.maybeRebuild(s, path, sample = 32, k = 10)
+        require(drift.rebuildRecommended,
+          s"drift fixture failed to trigger a rebuild: $drift")
+        AnnIndex.probe(s, path, e.filter(col("vec_id") % 50 === 0),
+          k = 5, nprobe = 3, refine = 4)
+          .select(col("qid"), col("id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      oracle = None,
+      oracleGen = Some { (s, dir) =>
+        // the s18 replay over the POST-REBUILD state: corpus = evens
+        // + the float-exact shifted odds, geometry (centroids + int8
+        // scale) retrained on exactly that union — what maybeRebuild
+        // trains on the live rows
+        val e = Engine.widenIfNarrow(T(s, dir).embeddings)
+        val union = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(e.filter(col("vec_id") % 2 === 1)
+            .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+              transform(col("embedding"),
+                x => abs(x) + lit(2.0f)).as("embedding")))
+        val cents = Similarity.coarseCentroids(
+          union, "embedding", "vec_id", nlist = 16, seed = 42L,
+          maxTrainRows = 100000L)
+        val cLit = OracleSql.sqlDoubleArr2(cents.sortBy(_._1).map(_._2))
+        s"""
+        WITH ct AS (SELECT $cLit::DOUBLE[][] AS m),
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings WHERE vec_id % 2 = 0
+              UNION ALL
+              SELECT vec_id + 1000000 AS id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(CAST(abs(x) + 2 AS FLOAT) AS DOUBLE))
+                       AS vec
+              FROM embeddings WHERE vec_id % 2 = 1),
+        ascore AS (
+          SELECT v.id, c.c AS cell,
+                 list_cosine_similarity(ct.m[c.c + 1], v.vec) AS csim
+          FROM v, ct, (SELECT unnest(range(0, 16)) AS c) c),
+        cells AS (
+          SELECT id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore) WHERE rn = 1),
+        probed AS (
+          SELECT id AS qid, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY csim DESC, cell) AS rn
+            FROM ascore WHERE id % 50 = 0 AND id < 1000000)
+          WHERE rn <= 3),
+        sc AS (SELECT max(list_max(list_transform(vec, x -> abs(x))))
+                 AS s FROM v),
+        cq AS (SELECT v.id,
+                      list_transform(v.vec,
+                        x -> CAST(CAST(least(greatest(
+                            round(x / sc.s * 127), -127), 127)
+                          AS TINYINT) AS DOUBLE)) AS qv
+               FROM v, sc),
+        qq AS (SELECT id AS qid, qv FROM cq
+               WHERE id % 50 = 0 AND id < 1000000),
+        cand AS (SELECT qid, id FROM (
+                   SELECT p.qid, c.id,
+                          row_number() OVER (PARTITION BY p.qid
+                            ORDER BY list_cosine_similarity(cv.qv, q.qv)
+                              DESC, c.id) AS rn
+                   FROM probed p
+                   JOIN cells c ON c.cell = p.cell AND c.id != p.qid
+                   JOIN cq cv ON cv.id = c.id
+                   JOIN qq q ON q.qid = p.qid)
+                 WHERE rn <= 20),
+        scored AS (SELECT cand.qid, cand.id,
+                          list_cosine_similarity(cv.vec, qv.vec)
+                            AS cosine
+                   FROM cand
+                   JOIN v cv ON cv.id = cand.id
+                   JOIN v qv ON qv.id = cand.qid)
+        SELECT qid, id, round(cosine, 4) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT qid, id, cosine,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, id) AS rank
+              FROM scored)
+        WHERE rank <= 5"""
+      },
+      doc = "ANN drift loop CLOSED: driftCheck recommends, " +
+        "maybeRebuild retrains on the live rows into a new " +
+        "generation and swaps the pointer atomically — hash-checked " +
+        "against the replay of the post-rebuild geometry."),
+
+    // ------------------------------------------------------------------
     "s06_topk_sparse" -> QueryDef(
       fn = { (s, dir) =>
         // Sparse TF-IDF cosine top-50 pairs via inverted-index join —
@@ -2749,4 +2861,5 @@ object DedupQueries {
   private def annixDir(dir: String): String = cachedTmpDir("annix", dir)
   private def annixaDir(dir: String): String = cachedTmpDir("annixa", dir)
   private def annixdDir(dir: String): String = cachedTmpDir("annixd", dir)
+  private def annixrDir(dir: String): String = cachedTmpDir("annixr", dir)
 }

@@ -1658,7 +1658,19 @@ object RelationalQueries {
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"))
         ev.write.mode("overwrite").parquet(s"$path/src")
-        def src() = s.readStream.schema(ev.schema)
+        // the stateful join instantiates (and checkpoints) one state
+        // store per shuffle partition PER SIDE; at the session's 32
+        // partitions that store scaffolding — not the join — was the
+        // entry's wall clock. 4 partitions ~ the data's size; the
+        // partition count is pinned in the checkpoint. The setting
+        // lives on a CLONED session (shared context, own SQLConf) so
+        // nothing planned concurrently on the shared session ever
+        // sees 4-partition planning (r13 advice) — the memory-sink
+        // view registers in the clone's temp catalog and the
+        // returned frame carries it.
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "4")
+        def src() = s2.readStream.schema(ev.schema)
           .parquet(s"$path/src")
         val facts = src().filter(col("event_type") === "purchase")
           .select(col("event_id"), col("ts"), col("user_id"))
@@ -1670,24 +1682,13 @@ object RelationalQueries {
             unix_micros(col("ts")).as("ts_us"),
             unix_micros(col("rts")).as("rts_us"))
         val name = s"q53_sink_${q53Seq.incrementAndGet()}"
-        // the stateful join instantiates (and checkpoints) one state
-        // store per shuffle partition PER SIDE; at the session's 32
-        // partitions that store scaffolding — not the join — was the
-        // entry's wall clock. 4 partitions ~ the data's size; the
-        // partition count is pinned in the checkpoint, and the
-        // session value restores after the run.
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
-          val q = joined.writeStream.format("memory").queryName(name)
-            .option("checkpointLocation", s"$path/ckpt")
-            .trigger(
-              org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.table(name)
+        val q = joined.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$path/ckpt")
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s2.table(name)
       },
       oracle = Some("""
         SELECT f.event_id, f.user_id,

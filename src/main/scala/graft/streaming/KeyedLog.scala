@@ -285,7 +285,8 @@ object KeyedLog {
   def compact(spark: SparkSession, path: String, keyCol: String,
       fanout: Int = DefaultFanout,
       targetBucketBytes: Long = DefaultTargetBucketBytes,
-      collapse: DataFrame => DataFrame = identity): Unit = {
+      collapse: DataFrame => DataFrame = identity,
+      resizeOnCollapse: Boolean = false): Unit = {
     val f = fs(spark, path)
     TieredFold.run(spark, path, fanout,
       () => listSegs(spark, path).map(s => (s.name, s.level)),
@@ -295,17 +296,33 @@ object KeyedLog {
         case _ => None
       },
       (src, lvl, gen) => {
-        val bytes = src.map(d =>
+        val srcBytes = src.map(d =>
           f.getContentSummary(new Path(s"$path/$d")).getLength).sum
+        val raw = src.map(d => spark.read.parquet(s"$path/$d")
+            .drop(KbCol))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        // bucket-count sizing: source bytes as-is, or — for a
+        // versioned log whose collapse drops superseded rows
+        // (resizeOnCollapse) — source bytes scaled by the SURVIVING
+        // row fraction, so a log that collapses hard (retention,
+        // re-ingest churn) reaches its floor bucket count in the
+        // SAME fold instead of one fold late (the two counts run
+        // over the fold's own inputs; folds are amortized
+        // maintenance)
+        val (folded, bytes) =
+          if (!resizeOnCollapse) (collapse(raw), srcBytes)
+          else {
+            val fr = collapse(raw).localCheckpoint()
+            val rawN = math.max(1L, raw.count())
+            (fr, math.max(1L, srcBytes * fr.count() / rawN))
+          }
         val nb = math.max(1L,
           math.min(1L << 20, bytes / math.max(1L, targetBucketBytes) +
             (if (bytes % math.max(1L, targetBucketBytes) != 0) 1L
              else 0L))).toInt
         val name = s"${SegPrefix}c$gen-L$lvl-nb$nb"
         val tmp = new Path(path, s"_compact_tmp_$name")
-        collapse(
-          src.map(d => spark.read.parquet(s"$path/$d").drop(KbCol))
-            .reduce(_.unionByName(_, allowMissingColumns = true)))
+        folded
           .withColumn(KbCol, kbExpr(keyCol, nb))
           .repartition(col(KbCol)) // one full-size file per bucket
           .write.mode("overwrite").partitionBy(KbCol)
@@ -324,10 +341,12 @@ object KeyedLog {
   def maybeCompact(spark: SparkSession, path: String, keyCol: String,
       fanout: Int = DefaultFanout,
       targetBucketBytes: Long = DefaultTargetBucketBytes,
-      collapse: DataFrame => DataFrame = identity): Unit = {
+      collapse: DataFrame => DataFrame = identity,
+      resizeOnCollapse: Boolean = false): Unit = {
     val segs = listSegs(spark, path)
     if (segs.nonEmpty &&
         segs.groupBy(_.level).values.exists(_.size >= fanout))
-      compact(spark, path, keyCol, fanout, targetBucketBytes, collapse)
+      compact(spark, path, keyCol, fanout, targetBucketBytes, collapse,
+        resizeOnCollapse)
   }
 }

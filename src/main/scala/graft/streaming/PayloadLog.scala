@@ -128,5 +128,6 @@ private[graft] object PayloadLog {
   def maybeCompact(spark: SparkSession, indexPath: String,
       targetBucketBytes: Long = KeyedLog.DefaultTargetBucketBytes): Unit =
     KeyedLog.maybeCompact(spark, path(indexPath), "id",
-      targetBucketBytes = targetBucketBytes, collapse = collapse)
+      targetBucketBytes = targetBucketBytes, collapse = collapse,
+      resizeOnCollapse = true)
 }

@@ -465,12 +465,36 @@ object TableSync {
     val foldForced: Set[Int] = splitIds ++ splitIds.map(_ + nb)
     val owed: Set[Int] = batchBuckets.filter(b =>
       prevGens.getOrElse(b, Nil).length + 1 > math.max(1, maxGens))
-    val foldSet: Set[Int] = foldForced ++ owed
+    // OWED-FOLD CADENCE for COLD @ref piles (contraction debt): a
+    // reverse merge moves the removed bucket's generations under the
+    // target by reference — zero IO then, a multi-generation read
+    // until the pile folds. Touched piles heal through the maxGens
+    // trigger above; a pile on a bucket no batch touches used to
+    // wait forever. Repay up to `splitsPerBatch` untouched piles per
+    // commit (largest recorded bytes first, bucket id as the
+    // replay-stable tiebreak — both read from the PREVIOUS manifest,
+    // so a replayed batch folds the identical set), EXCLUDING piles
+    // created by THIS batch's merges (folding those same-batch would
+    // re-pay exactly the read the metadata-only merge avoided). A
+    // mid-contraction table therefore converges to single-generation
+    // buckets within piles/splitsPerBatch commits, touch or no touch.
+    val freshTargets = mergedPairs.map(_._2).toSet
+    val refOwed: Set[Int] = prevGens.toSeq
+      .filter { case (b, gens) =>
+        gens.exists(_.contains("@")) && !batchBuckets(b) &&
+          !foldForced(b) && !freshTargets(b)
+      }
+      .map { case (b, _) => (b, prevSizes.getOrElse(b, 0L)) }
+      .sortBy { case (b, sz) => (-sz, b) }
+      .take(splitsPerBatch)
+      .map(_._1).toSet
+    val foldSet: Set[Int] = foldForced ++ owed ++ refOwed
     if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING"))
       println(s"[phase]   ts_sets fold=${foldSet.size} owed=${owed.size} " +
-        s"batch=${batchBuckets.size} merges=${mergedPairs.length}")
+        s"refOwed=${refOwed.size} batch=${batchBuckets.size} " +
+        s"merges=${mergedPairs.length}")
     val appendSet: Set[Int] = batchBuckets -- foldSet
-    val touched = (batchBuckets ++ foldForced).toSeq.sorted
+    val touched = (batchBuckets ++ foldForced ++ refOwed).toSeq.sorted
     // Fresh-directory rule: if the manifest already names a variant
     // of THIS batch (crash-after-swap replay), write the next replay
     // suffix — never a directory the current manifest references.
@@ -914,7 +938,7 @@ object TableSync {
     * rather than guessing a snapshot or, worse, letting the next
     * batch silently rebuild the table from its own rows alone.
     */
-  private def currentManifest(
+  private[streaming] def currentManifest(
       spark: SparkSession, path: String): Option[Manifest] = {
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())

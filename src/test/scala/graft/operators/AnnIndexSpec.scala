@@ -230,4 +230,57 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(metaRows() == 415L,
       "legacy backfill must not double-count a replayed segment")
   }
+
+  test("maybeRebuild closes the drift loop: no-op within tolerance; " +
+    "on drift it retrains on the LIVE rows into a new generation, " +
+    "swaps the pointer atomically, equals a manual rebuild, and " +
+    "clears tombstones + baseline per the build contract") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("annix-mr-").toString
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    AnnIndex.build(corpus, path, nlist = 8, dim = 16)
+    val d0 = AnnIndex.maybeRebuild(spark, path, sample = 16, k = 5)
+    assert(!d0.rebuildRecommended &&
+      !fs.exists(new org.apache.hadoop.fs.Path(path, "_GEN")),
+      "within tolerance: no rotation")
+    // shifted mass (the driftCheck fixture) + a tombstoned slice
+    val shifted = (0L until 400L).map { i =>
+      val v = (0 until 16).map { d =>
+        val x = i * 48271L + d * 69621L
+        2f + (((x ^ (x >>> 11)) % 100L).toFloat / 50f)
+      }
+      (20000L + i, v)
+    }.toDF("vec_id", "embedding")
+    AnnIndex.append(shifted, path, segId = 1L)
+    AnnIndex.delete(corpus.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id")), path, segId = 2L)
+    val d1 = AnnIndex.maybeRebuild(spark, path, sample = 16, k = 5)
+    assert(d1.rebuildRecommended, s"fixture must drift: $d1")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_GEN")),
+      "rotation must write the generation pointer")
+    // the rebuilt artifact equals a MANUAL build on the live rows
+    val live = corpus.filter(col("vec_id") % 10 =!= 7)
+      .unionByName(shifted)
+    val manual = Files.createTempDirectory("annix-mr2-").toString
+    AnnIndex.build(live, manual, nlist = 8, dim = 16)
+    val q = corpus.filter(col("vec_id") % 40 === 0)
+    val viaRebuild = topk(AnnIndex.probe(spark, path, q, k = 5))
+    val viaManual = topk(AnnIndex.probe(spark, manual, q, k = 5))
+    assert(viaRebuild == viaManual,
+      s"rebuild\n$viaRebuild\nvs manual\n$viaManual")
+    // tombstoned ids are GONE (not merely suppressed) and the
+    // baseline is fresh: an immediate second check sees no drift
+    assert(!viaRebuild.exists(t => t._2 < 20000L && t._2 % 10 == 7))
+    val d2 = AnnIndex.driftCheck(spark, path, sample = 16, k = 5)
+    assert(d2.recall == d2.baseline && !d2.rebuildRecommended,
+      s"post-rebuild baseline must be fresh: $d2")
+    // lifecycle continues THROUGH the pointer: append + probe land in
+    // the current generation
+    AnnIndex.append(corpus.filter(col("vec_id") % 10 === 7)
+      .limit(5).select((col("vec_id") + 90000L).as("vec_id"),
+        col("embedding")), path,
+      segId = 1L)
+    assert(AnnIndex.probe(spark, path, q, k = 5).count() > 0)
+  }
 }

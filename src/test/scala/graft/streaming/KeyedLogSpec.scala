@@ -230,4 +230,46 @@ class KeyedLogSpec extends AnyFunSuite {
     assert(loc == dist, s"local $loc vs distributed $dist")
     assert(dist.exists(_._1 == 7919L), "probe keys must resolve")
   }
+
+  test("resizeOnCollapse sizes the folded segment from POST-collapse " +
+    "bytes: a churned versioned log reaches its floor bucket count " +
+    "in ONE fold, not one fold late") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("klog-resize-").toString
+    // 8000 rows over 12 live ids (667 superseded versions each)
+    (0 until 4).foreach { seg =>
+      KeyedLog.append(
+        (0 until 2000).map(i => (i % 12L, (seg * 2000 + i).toLong))
+          .toDF("id", "ver"),
+        path, seg.toLong, keyCol = "id")
+    }
+    val newestPerId: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = { df =>
+      val w = Window.partitionBy(col("id")).orderBy(col("ver").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    KeyedLog.compact(spark, path, "id", fanout = 4,
+      targetBucketBytes = 1L << 10, collapse = newestPerId,
+      resizeOnCollapse = true)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("seg_c")).toSeq
+    assert(segs.size == 1, s"one folded segment expected, got $segs")
+    // 12 surviving rows: source-bytes sizing would keep ~dozens of
+    // 1 KB buckets; post-collapse sizing reaches the floor now
+    val nb = segs.head.split("-nb").last.toInt
+    assert(nb == 1, s"floor bucket count in ONE fold, got nb=$nb")
+    val got = KeyedLog.readAll(spark, path).get
+      .select(col("id"), col("ver")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (0 until 12).map(i =>
+      (i.toLong, (6000 + 1988 + i).toLong)).toSet
+    assert(got.size == 12 && got.map(_._1) == expect.map(_._1),
+      s"12 newest rows expected, got $got")
+  }
 }

@@ -765,4 +765,44 @@ class TableSyncSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(2))).toSeq
     assert(after == Seq((1L, "a")), s"got $after")
   }
+
+  test("cold @ref piles drain on the bounded owed-fold cadence: " +
+    "idle-ish batches that never touch the merged buckets fold the " +
+    "reference piles until none remain, content intact") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-refowed-").toString
+    TableSync.applyBatch(
+      (1L to 40L).map(k => (k, 1L, s"a$k")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 0L, numBuckets = 4)
+    TableSync.applyBatch(
+      Seq((1L, 2L, "upd1")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 1L, maxBucketBytes = 1L,
+      splitsPerBatch = 4)
+    assert(TableSync.bucketScheme(spark, path) == ((8, 0)))
+    // two reverse merges -> @ref piles on the merge targets
+    TableSync.applyBatch(Seq((2L, 2L, "upd2")).toDF("k", "ver", "attr"),
+      path, "k", "ver", batchId = 2L,
+      maxBucketBytes = Long.MaxValue / 4, splitsPerBatch = 2)
+    def refCount(): Int = TableSync.currentManifest(spark, path).get
+      .entries.values.flatten.count(_.contains("@"))
+    assert(refCount() > 0, "fixture: contraction must leave @ref piles")
+    // DISARMED batches (no further merges) that touch only key 1's
+    // bucket: the owed-fold cadence alone must drain the piles —
+    // bounded per batch, so it may take more than one
+    var b = 3L
+    while (refCount() > 0 && b < 10L) {
+      TableSync.applyBatch(
+        Seq((1L, b, s"upd$b")).toDF("k", "ver", "attr"),
+        path, "k", "ver", batchId = b, splitsPerBatch = 2)
+      b += 1
+    }
+    assert(refCount() == 0,
+      s"@ref piles must drain without touches (still ${refCount()})")
+    assert(b <= 5L, s"drain must be bounded-fast, took ${b - 3} batches")
+    val got = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expect = (1L to 40L).map(k => k -> s"a$k").toMap ++
+      Map(1L -> s"upd${b - 1}", 2L -> "upd2")
+    assert(got == expect, s"content diverged after owed folds")
+  }
 }
