@@ -420,17 +420,17 @@ object DedupSync {
         if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING"))
           println(s"[phase] p_cand cand=${candRows.size}")
         // coverage gate — candidate ids minus the batch's own are
-        // committed and must resolve to current rows
-        val want: Set[Any] =
-          candRows.map(_.get(0)).toSet -- batchIdSet
-        if (want.nonEmpty) {
-          val got: Set[Any] = probeIx.select(col("id"))
-            .collect().map(_.get(0)).toSet
-          if (!want.subsetOf(got)) {
+        // committed and must resolve to current rows. One anti-join
+        // existence probe over the cached fetch (no driver transfer
+        // of the candidate-sized id set).
+        val wantRows = candRows.filterNot(r => batchIdSet(r.get(0)))
+        if (wantRows.nonEmpty) {
+          val gap = localDF(idSchema, wantRows)
+            .join(probeIx.select(col("id")), Seq("id"), "left_anti")
+          if (!gap.isEmpty) {
             println(s"[DedupSync] payload log under $indexPath is " +
-              s"missing ${(want -- got).size} committed candidate " +
-              "rows (partial restore?) — reseeding from the " +
-              "committed snapshot")
+              "missing committed candidate rows (partial restore?) " +
+              "— reseeding from the committed snapshot")
             PayloadLog.backfill(spark, indexPath, lastApplied,
               payloadBucketBytes)
             probeIx = phase("p_pruned_read") { readOnce() }

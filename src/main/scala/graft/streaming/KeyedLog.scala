@@ -286,7 +286,7 @@ object KeyedLog {
       fanout: Int = DefaultFanout,
       targetBucketBytes: Long = DefaultTargetBucketBytes,
       collapse: DataFrame => DataFrame = identity,
-      resizeOnCollapse: Boolean = false): Unit = {
+      resizeKeyCol: Option[String] = None): Unit = {
     val f = fs(spark, path)
     TieredFold.run(spark, path, fanout,
       () => listSegs(spark, path).map(s => (s.name, s.level)),
@@ -302,20 +302,24 @@ object KeyedLog {
             .drop(KbCol))
           .reduce(_.unionByName(_, allowMissingColumns = true))
         // bucket-count sizing: source bytes as-is, or — for a
-        // versioned log whose collapse drops superseded rows
-        // (resizeOnCollapse) — source bytes scaled by the SURVIVING
-        // row fraction, so a log that collapses hard (retention,
-        // re-ingest churn) reaches its floor bucket count in the
-        // SAME fold instead of one fold late (the two counts run
-        // over the fold's own inputs; folds are amortized
-        // maintenance)
-        val (folded, bytes) =
-          if (!resizeOnCollapse) (collapse(raw), srcBytes)
-          else {
-            val fr = collapse(raw).localCheckpoint()
-            val rawN = math.max(1L, raw.count())
-            (fr, math.max(1L, srcBytes * fr.count() / rawN))
-          }
+        // versioned newest-per-key log (resizeKeyCol) — source bytes
+        // scaled by the SURVIVING row fraction, so a log that
+        // collapses hard (retention, re-ingest churn) reaches its
+        // floor bucket count in the SAME fold instead of one fold
+        // late. Survivors of a newest-per-key collapse are exactly
+        // the distinct keys, so ONE aggregate pass prices the fold
+        // (folds are amortized maintenance; the first resize cut ran
+        // checkpoint+two counts — three source passes — and showed up
+        // as a whole-capture regression on fold-heavy entries)
+        val (folded, bytes) = resizeKeyCol match {
+          case None => (collapse(raw), srcBytes)
+          case Some(kc) =>
+            val r = raw.agg(count(lit(1)), count_distinct(col(kc)))
+              .head
+            val rawN = math.max(1L, r.getLong(0))
+            (collapse(raw),
+              math.max(1L, srcBytes * r.getLong(1) / rawN))
+        }
         val nb = math.max(1L,
           math.min(1L << 20, bytes / math.max(1L, targetBucketBytes) +
             (if (bytes % math.max(1L, targetBucketBytes) != 0) 1L
@@ -342,11 +346,11 @@ object KeyedLog {
       fanout: Int = DefaultFanout,
       targetBucketBytes: Long = DefaultTargetBucketBytes,
       collapse: DataFrame => DataFrame = identity,
-      resizeOnCollapse: Boolean = false): Unit = {
+      resizeKeyCol: Option[String] = None): Unit = {
     val segs = listSegs(spark, path)
     if (segs.nonEmpty &&
         segs.groupBy(_.level).values.exists(_.size >= fanout))
       compact(spark, path, keyCol, fanout, targetBucketBytes, collapse,
-        resizeOnCollapse)
+        resizeKeyCol)
   }
 }

@@ -129,5 +129,5 @@ private[graft] object PayloadLog {
       targetBucketBytes: Long = KeyedLog.DefaultTargetBucketBytes): Unit =
     KeyedLog.maybeCompact(spark, path(indexPath), "id",
       targetBucketBytes = targetBucketBytes, collapse = collapse,
-      resizeOnCollapse = true)
+      resizeKeyCol = Some("id"))
 }

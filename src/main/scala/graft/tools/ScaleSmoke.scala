@@ -590,6 +590,58 @@ object ScaleSmoke {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pr))
     }
+    // ADVERSARIAL PREFILTER WITNESS (vsync_adv): a corpus built so
+    // candidate pairs crowd the threshold — one shared direction plus
+    // per-id ±a orthogonal noise, a sized so pairwise cosine ≈ the
+    // 0.35 threshold — makes the sound int8 upper bound nearly
+    // unselective (the disclosed data-dependent worst case: it can
+    // only refute pairs provably BELOW threshold, and almost nothing
+    // is provably below). The witness measures the probe wall at the
+    // prefilter's floor: survivors ≈ candidates, every one exactly
+    // verified. Failure mode is bounded wall-clock, never driver
+    // memory — past MaxDriverSurvivors the batch re-runs the
+    // distributed probe. Run with SPARK_GRAFT_PHASE_TIMING=1 to see
+    // the survivor/fetch counts (v_cand) behind the wall.
+    locally {
+      val ix = java.nio.file.Files
+        .createTempDirectory("smoke_vsyncadv_ix").toString
+      val pr = java.nio.file.Files
+        .createTempDirectory("smoke_vsyncadv_pr").toString
+      val advN = 2000L * k // scale with the ladder
+      val a = 0.1716f // a^2 * 63 ≈ 1.857 -> E[cos] ≈ 0.35
+      def adv(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        col("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          when(d === 0, lit(1.0f)).otherwise(
+            when(pmod(xxhash64(col("vec_id"), d), lit(2)) === 0,
+              lit(a)).otherwise(lit(-a))))
+          .as("embedding"))
+      val seed = adv(spark.range(advN).select(col("id").as("vec_id")))
+      val appendIds = spark.range(advN, advN + 10L)
+        .select(col("id").as("vec_id"))
+      timed("vsync_adv_seed") {
+        graft.streaming.VecDedupSync.applyVecs(
+          seed, ix, pr, "embedding", "vec_id", batchId = 0L,
+          threshold = 0.35, maxBucketSize = 200,
+          maxBucketBytes = Long.MaxValue,
+          payloadBucketBytes = 64L << 10)
+        seed.count()
+      }
+      (1 to 2).foreach { b =>
+        timed(s"vsync_adv_append$b") {
+          graft.streaming.VecDedupSync.applyVecs(
+            adv(appendIds.select((col("vec_id") + lit(b * 100L))
+              .as("vec_id"))),
+            ix, pr, "embedding", "vec_id", batchId = b.toLong,
+            threshold = 0.35, maxBucketSize = 200,
+            maxBucketBytes = Long.MaxValue,
+            payloadBucketBytes = 64L << 10)
+          appendIds.count()
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pr))
+    }
     // PQ/ADC: codebook trains on a BOUNDED sample regardless of k
     // (fixed driver cost); the scan does m lookup reads per pair over
     // 4-bit codes, so growth must track the candidate count only

@@ -231,7 +231,7 @@ class KeyedLogSpec extends AnyFunSuite {
     assert(dist.exists(_._1 == 7919L), "probe keys must resolve")
   }
 
-  test("resizeOnCollapse sizes the folded segment from POST-collapse " +
+  test("resizeKeyCol sizes the folded segment from POST-collapse " +
     "bytes: a churned versioned log reaches its floor bucket count " +
     "in ONE fold, not one fold late") {
     import spark.implicits._
@@ -254,7 +254,7 @@ class KeyedLogSpec extends AnyFunSuite {
     }
     KeyedLog.compact(spark, path, "id", fanout = 4,
       targetBucketBytes = 1L << 10, collapse = newestPerId,
-      resizeOnCollapse = true)
+      resizeKeyCol = Some("id"))
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val segs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
