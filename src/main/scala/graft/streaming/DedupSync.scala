@@ -86,6 +86,19 @@ object DedupSync {
     */
   val DefaultCompactEvery: Int = 64
 
+  /** Committed-index-bytes floor below which a micro-batch takes the
+    * plain distributed probe even when it fits `smallBatchRows`: the
+    * driver-resolved path's per-batch price is FIXED (a sidecar
+    * hash-read job, a candidate-id collect, the coverage-gate probe)
+    * while its saving is INDEX-proportional, so it only wins once the
+    * committed index outgrows a couple of scan tasks. 64 MB ≈ half a
+    * `maxPartitionBytes` default — below it the full pruned read is
+    * one task wave either way. Measured: the r14 d23 entry (a <1 MB
+    * split-fragmented store) paid ~2 s/run on the driver path; the
+    * dsyncp ladder (multi-100 MB index) saves ~1 s/append on it.
+    */
+  val DefaultDriverProbeMinIndexBytes: Long = 64L << 20
+
   /** Start the online-dedup sink over a streaming (id, text) frame.
     *
     * `numBuckets` sizes the index's TableSync sub-table granularity
@@ -151,7 +164,8 @@ object DedupSync {
       compactEvery: Int = DefaultCompactEvery,
       maxGens: Int = TableSync.DefaultMaxGens,
       payloadBucketBytes: Long = KeyedLog.DefaultTargetBucketBytes,
-      smallBatchRows: Int = VecDedupSync.DefaultSmallBatchRows)
+      smallBatchRows: Int = VecDedupSync.DefaultSmallBatchRows,
+      driverProbeMinIndexBytes: Long = DefaultDriverProbeMinIndexBytes)
       : Unit = {
     require(threshold > 0,
       s"threshold must be > 0 (got $threshold) — see " +
@@ -168,9 +182,24 @@ object DedupSync {
     }
     // the small path serves micro-batches against an existing index
     // (see VecDedupSync.smallProbe — this is its text twin); the
-    // limit-guarded collect doubles as the size probe
+    // limit-guarded collect doubles as the size probe. It is ALSO
+    // gated on committed index bytes (one small manifest read): the
+    // driver path trades a fixed per-batch price (sidecar hash-read
+    // job, candidate-id collect, coverage-gate probe, plus the
+    // first-execution codegen of its LocalRelation plan shapes) for
+    // index-proportional savings in the pruned read. Below the floor
+    // the whole index is a couple of scan tasks and the distributed
+    // probe is cheaper than the fixed price — the r14 d23 bench
+    // entry paid ~2 s/run taking the driver path over a <1 MB,
+    // split-fragmented store; above it the savings dominate (the
+    // dsyncp ladder's 3.9 -> 3.0 s/append win on a multi-100 MB
+    // index). Specs force the driver path with a 0 floor.
     val smallRows: Option[Seq[org.apache.spark.sql.Row]] =
       if (applied.isEmpty || smallBatchRows <= 0) None
+      else if (driverProbeMinIndexBytes > 0 &&
+          TableSync.currentManifest(spark, indexPath)
+            .map(_.sizes.values.sum).getOrElse(0L)
+            < driverProbeMinIndexBytes) None
       else {
         val rows = newIdx.limit(smallBatchRows + 1).collect()
         if (rows.length <= smallBatchRows) Some(rows.toSeq) else None
@@ -213,15 +242,19 @@ object DedupSync {
       PairsStore.writeBatch(out.pairs, pairsPath, "jaccard", batchId)
     }
     phase("p_sidecar_write") {
-      KeyedLog.append(out.newKeys, keysPath, batchId,
-        knownRows = out.keyRows)
+      phase("p_sw_keys") {
+        KeyedLog.append(out.newKeys, keysPath, batchId,
+          knownRows = out.keyRows)
+      }
       // the id-keyed point-lookup projection the pruned probe fetches
       // candidate rows from — version-gated, so writing it ahead of
       // the commit is invisible until the commit lands
-      PayloadLog.append(out.batchFrame.getOrElse(newIdx)
-          .withColumn("ver", lit(batchId)),
-        indexPath, batchId, payloadBucketBytes,
-        knownRows = out.batchRows)
+      phase("p_sw_payload") {
+        PayloadLog.append(out.batchFrame.getOrElse(newIdx)
+            .withColumn("ver", lit(batchId)),
+          indexPath, batchId, payloadBucketBytes,
+          knownRows = out.batchRows)
+      }
     }
     phase("p_index_commit") {
       TableSync.applyBatch(out.batchFrame.getOrElse(newIdx)
@@ -364,11 +397,14 @@ object DedupSync {
     val bkLocal = localDF(
       StructType(Seq(StructField("bk", LongType))),
       keyRows.map(r => Row(r.getLong(1))).distinct)
-    val bkHashes: Set[Long] = bkLocal
-      .select(KeyedLog.keyHashCol(col("bk")).as("h"))
-      .collect().map(_.getLong(0)).toSet
-    def sidecar() =
+    val bkHashes: Set[Long] = phase("p_s_bkh") {
+      bkLocal
+        .select(KeyedLog.keyHashCol(col("bk")).as("h"))
+        .collect().map(_.getLong(0)).toSet
+    }
+    def sidecar() = phase("p_s_sidecar") {
       KeyedLog.readForHashes(spark, keysPath, bkHashes, Some(keySchema))
+    }
     val sc = sidecar().orElse {
       // index predates the sidecar: one O(index) backfill migration
       KeyedLog.appendBucketed(
@@ -399,9 +435,11 @@ object DedupSync {
         if (candRows.size > VecDedupSync.MaxDriverSurvivors)
           return distributed()
         val fetchLocal = localDF(idSchema, candRows)
-        val fetchHashes: Set[Long] = fetchLocal
-          .select(KeyedLog.keyHashCol(col("id")).as("h"))
-          .collect().map(_.getLong(0)).toSet
+        val fetchHashes: Set[Long] = phase("p_s_fetchh") {
+          fetchLocal
+            .select(KeyedLog.keyHashCol(col("id")).as("h"))
+            .collect().map(_.getLong(0)).toSet
+        }
         val payloadSchema = StructType(
           newIdx.schema.fields :+ StructField("ver", LongType))
         def readOnce(): DataFrame = PayloadLog
@@ -427,7 +465,7 @@ object DedupSync {
         if (wantRows.nonEmpty) {
           val gap = localDF(idSchema, wantRows)
             .join(probeIx.select(col("id")), Seq("id"), "left_anti")
-          if (!gap.isEmpty) {
+          if (phase("p_s_gate") { !gap.isEmpty }) {
             println(s"[DedupSync] payload log under $indexPath is " +
               "missing committed candidate rows (partial restore?) " +
               "— reseeding from the committed snapshot")
@@ -491,7 +529,8 @@ object DedupSync {
         val candIds = sc.join(probeK, Seq("bk"), "left_semi")
           .select(col("id")).distinct()
           .localCheckpoint()
-        PayloadLog.readCurrent(spark, indexPath, candIds, lastApplied)
+        def readOnce(): DataFrame = PayloadLog
+          .readCurrent(spark, indexPath, candIds, lastApplied)
           .getOrElse {
             // index predates the payload log: one-shot migration from
             // the committed snapshot, then the point read serves
@@ -503,6 +542,28 @@ object DedupSync {
           .drop("ver")
           .localCheckpoint() // candidate-sized; consumed by the
                              // probe's several subtrees
+        var probeIx = readOnce()
+        // coverage gate, distributed twin of smallDocsProbe's: every
+        // candidate id the sidecar names — minus the batch's own (a
+        // crash replay's sidecar-ahead rows resolve to nothing until
+        // the index commit; see the sidecar-AHEAD spec) — is
+        // committed and must fetch a current row. A payload log that
+        // lost segments (partial restore) otherwise silently shrinks
+        // the candidate set forever. One anti-join existence probe
+        // over two checkpointed candidate-sized frames per batch.
+        val gap = candIds
+          .join(probeIx.select(col("id")), Seq("id"), "left_anti")
+          .join(newKeys.select(col("id")).distinct(), Seq("id"),
+            "left_anti")
+        if (phase("p_gate") { !gap.isEmpty }) {
+          println(s"[DedupSync] payload log under $indexPath is " +
+            "missing committed candidate rows (partial restore?) " +
+            "— reseeding from the committed snapshot")
+          PayloadLog.backfill(spark, indexPath, lastApplied,
+            payloadBucketBytes)
+          probeIx = readOnce()
+        }
+        probeIx
     }
   }
 

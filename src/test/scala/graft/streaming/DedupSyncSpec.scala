@@ -474,14 +474,14 @@ class DedupSyncSpec extends AnyFunSuite {
       (0 to 2).foreach { b =>
         DedupSync.applyDocs(corpus.filter(col("doc_id") % 3 === b),
           ix, pr, "text", "doc_id", b.toLong, threshold = 0.3,
-          smallBatchRows = smallRows)
+          smallBatchRows = smallRows, driverProbeMinIndexBytes = 0L)
       }
       import spark.implicits._
       DedupSync.applyDocs(
         Seq((5L, "an entirely different document about flink windows"))
           .toDF("doc_id", "text"),
         ix, pr, "text", "doc_id", 3L, threshold = 0.3,
-        smallBatchRows = smallRows)
+        smallBatchRows = smallRows, driverProbeMinIndexBytes = 0L)
       (pairSet(DedupSync.readPairs(spark, pr)),
         DedupSync.readIndex(spark, ix).count())
     }
@@ -493,31 +493,35 @@ class DedupSyncSpec extends AnyFunSuite {
     assert(small._2 == large._2, "index count diverged between paths")
   }
 
-  test("PAYLOAD-LOG GAP (text side): a lost payload segment is " +
-    "detected by the coverage gate, reseeded, and the stream still " +
-    "equals one-shot") {
-    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
-      spark.sessionState.newHadoopConf())
-    val ix = java.nio.file.Files
-      .createTempDirectory("dsync-gap-ix-").toString
-    val pr = java.nio.file.Files
-      .createTempDirectory("dsync-gap-pr-").toString
-    def ingest(b: Long, df: org.apache.spark.sql.DataFrame): Unit =
-      DedupSync.applyDocs(df, ix, pr, "text", "doc_id", b,
-        threshold = 0.3)
-    ingest(0L, corpus.filter(col("doc_id") % 3 === 0)) // 3,6,9
-    ingest(1L, corpus.filter(col("doc_id") % 3 === 1)) // 1,4,7
-    val payload = new org.apache.hadoop.fs.Path(
-      ix.stripSuffix("/") + "_payload")
-    val seg1 = fs.listStatus(payload).map(_.getPath)
-      .filter(_.getName.startsWith("seg_1-"))
-    assert(seg1.nonEmpty, "fixture: batch-1 payload segment expected")
-    seg1.foreach(p => fs.delete(p, true))
-    ingest(2L, corpus.filter(col("doc_id") % 3 === 2)) // 2,5,8
-    val streamed = pairSet(DedupSync.readPairs(spark, pr))
-    val oneShot = pairSet(Dedup.nearDupPairs(
-      corpus, "text", "doc_id", threshold = 0.3))
-    assert(streamed == oneShot,
-      s"missing ${oneShot -- streamed} (payload gap uncovered?)")
-  }
+  // both probe arms must detect the gap: the driver-resolved path
+  // (floor 0 forces it) and the distributed path (smallBatchRows 0)
+  for ((arm, smallRows) <- Seq(("driver", 4096), ("distributed", 0)))
+    test(s"PAYLOAD-LOG GAP (text side, $arm path): a lost payload " +
+      "segment is detected by the coverage gate, reseeded, and the " +
+      "stream still equals one-shot") {
+      val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val ix = java.nio.file.Files
+        .createTempDirectory("dsync-gap-ix-").toString
+      val pr = java.nio.file.Files
+        .createTempDirectory("dsync-gap-pr-").toString
+      def ingest(b: Long, df: org.apache.spark.sql.DataFrame): Unit =
+        DedupSync.applyDocs(df, ix, pr, "text", "doc_id", b,
+          threshold = 0.3, smallBatchRows = smallRows,
+          driverProbeMinIndexBytes = 0L)
+      ingest(0L, corpus.filter(col("doc_id") % 3 === 0)) // 3,6,9
+      ingest(1L, corpus.filter(col("doc_id") % 3 === 1)) // 1,4,7
+      val payload = new org.apache.hadoop.fs.Path(
+        ix.stripSuffix("/") + "_payload")
+      val seg1 = fs.listStatus(payload).map(_.getPath)
+        .filter(_.getName.startsWith("seg_1-"))
+      assert(seg1.nonEmpty, "fixture: batch-1 payload segment expected")
+      seg1.foreach(p => fs.delete(p, true))
+      ingest(2L, corpus.filter(col("doc_id") % 3 === 2)) // 2,5,8
+      val streamed = pairSet(DedupSync.readPairs(spark, pr))
+      val oneShot = pairSet(Dedup.nearDupPairs(
+        corpus, "text", "doc_id", threshold = 0.3))
+      assert(streamed == oneShot,
+        s"missing ${oneShot -- streamed} (payload gap uncovered?)")
+    }
 }
