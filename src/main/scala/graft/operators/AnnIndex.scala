@@ -186,8 +186,18 @@ object AnnIndex {
     * on-cadence story, made measurable). The exact scan is O(live
     * rows x sample) — a maintenance job, not a serving path.
     */
+  /** `changedFraction` is the metadata-derived churn since build —
+    * (appended rows + tombstones) / built rows — and
+    * `rebuildCostRows` the rows a rebuild would re-ingest (stored
+    * minus tombstoned, an upper bound on live): together the rebuild
+    * cost model. At 100 TB a rebuild IS a full index rewrite, so
+    * [[maybeRebuild]] gates on `changedFraction` as well as recall —
+    * drift can only trigger the rewrite once enough new data exists
+    * to amortize it.
+    */
   case class Drift(recall: Double, baseline: Double,
-      rebuildRecommended: Boolean)
+      rebuildRecommended: Boolean,
+      changedFraction: Double = 0.0, rebuildCostRows: Long = 0L)
 
   def driftCheck(spark: SparkSession, path0: String, sample: Int = 32,
       k: Int = 10, nprobe: Int = 3, refine: Int = 4,
@@ -233,7 +243,22 @@ object AnnIndex {
         finally out.close()
         recall
       }
-    Drift(recall, baseline, recall < baseline - tolerance)
+    // churn accounting from the metadata sidecars alone (no extra
+    // scan): _SEGROWS holds per-segment stored counts (seg 0 = the
+    // build — _META.rows is the running TOTAL, updated by append),
+    // tombstones are a tiny broadcast-sized table. Upper bounds — a
+    // re-ingested dup id is stored twice and counts twice — which is
+    // the right bias for a cost model (never under-charges the
+    // rewrite).
+    val segRows = readSegRows(spark, path)
+      .getOrElse(Map(0L -> readMeta(spark, path).rows))
+    val builtRows = math.max(1L, segRows.getOrElse(0L, 0L))
+    val storedRows = segRows.values.sum
+    val tombRows = tombs.map(_.count()).getOrElse(0L)
+    val changed = math.max(0L, storedRows - builtRows) + tombRows
+    Drift(recall, baseline, recall < baseline - tolerance,
+      changed.toDouble / builtRows,
+      math.max(0L, storedRows - tombRows))
   }
 
   /** Incremental ingestion: project `more` through the index's FROZEN
@@ -414,9 +439,45 @@ object AnnIndex {
       .filter(col("rank") <= k)
   }
 
+  /** Root artifact files a generation rotation strands at `path`
+    * when it crashes between the pointer swap and the cleanup.
+    */
+  private val RootArtifactNames = Seq("codes", "centroids",
+    "tombstones", "_META", "_SEGROWS", "_RECALL0")
+
+  /** Delete everything under `path` that the current `_GEN` pointer
+    * does NOT name: stale `g<N>` generation directories (a crash
+    * after the swap, or a crashed half-built rebuild the pointer
+    * never adopted) and — once rotated — the pre-rotation root
+    * files. A no-drift [[maybeRebuild]] call returns early and would
+    * otherwise never repay this debt: the rebuilt artifact carries a
+    * fresh baseline, so driftCheck reports no drift forever while
+    * the orphaned old generation leaks its full index size.
+    */
+  private def sweepOrphans(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(path))) return
+    val root = resolveRoot(spark, path)
+    // pointerless artifact (root == path): any g<N> directory is a
+    // crashed half-built rebuild the pointer never adopted. Rotated:
+    // keep exactly the pointed generation, sweep the rest plus any
+    // stranded pre-rotation root files.
+    val keep =
+      if (root == path) "" else root.substring(path.length + 1)
+    fs.listStatus(new Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      val staleGen = st.isDirectory && n != keep && n.matches("g\\d+")
+      val staleRoot =
+        root != path && (RootArtifactNames.contains(n) || n == "_GEN.tmp")
+      if (staleGen || staleRoot) fs.delete(st.getPath, true)
+    }
+  }
+
   /** Close the drift loop: run [[driftCheck]] and, when it recommends
-    * a rebuild, RETRAIN on the current LIVE rows (tombstone-filtered,
-    * all segments) into the next generation directory and swap the
+    * a rebuild AND the churn since build clears `minChangedFraction`,
+    * RETRAIN on the current LIVE rows (tombstone-filtered, all
+    * segments) into the next generation directory and swap the
     * `_GEN` pointer atomically — the automated form of the "retrain
     * on a cadence" story the drift probe was only recommending. The
     * rebuilt artifact follows [[build]]'s contract exactly: fresh
@@ -426,7 +487,16 @@ object AnnIndex {
     * the next [[driftCheck]] re-records it). The previous generation
     * is removed after the swap; a crash anywhere before the pointer
     * write leaves the old generation fully live, a crash after it
-    * leaves only cleanup owed — re-running converges.
+    * leaves only cleanup owed — repaid by [[sweepOrphans]] at the
+    * next call, drift or no drift.
+    *
+    * `minChangedFraction` is the rebuild-frequency bound the 100 TB
+    * story needs: a rebuild re-ingests `Drift.rebuildCostRows` rows —
+    * a FULL index rewrite — so recall drift alone must not be able to
+    * trigger it back-to-back. The default demands ≥10 % churn
+    * (appends + deletes, from the metadata sidecars) since the last
+    * build, amortizing each rewrite against a tenth of the corpus;
+    * pass 0 to rebuild on any recommended drift.
     *
     * Geometry parameters (dim, nlist, seed) carry over from the
     * stored meta; rebuild equivalence to a manual
@@ -435,10 +505,13 @@ object AnnIndex {
   def maybeRebuild(spark: SparkSession, path: String,
       sample: Int = 32, k: Int = 10, nprobe: Int = 3,
       refine: Int = 4, tolerance: Double = 0.1,
-      maxTrainRows: Long = 100000L): Drift = {
+      maxTrainRows: Long = 100000L,
+      minChangedFraction: Double = 0.1): Drift = {
+    sweepOrphans(spark, path)
     val drift = driftCheck(spark, path, sample, k, nprobe, refine,
       tolerance)
-    if (!drift.rebuildRecommended) return drift
+    if (!drift.rebuildRecommended ||
+      drift.changedFraction < minChangedFraction) return drift
     val oldRoot = resolveRoot(spark, path)
     val meta = readMeta(spark, oldRoot)
     val live = liveOnly(
@@ -453,15 +526,22 @@ object AnnIndex {
       else oldRoot.substring(path.length + 2).toLong + 1L // "<path>/g<N>
     build(live, s"$path/g$gen", nlist = meta.nlist, seed = meta.seed,
       dim = meta.dim, maxTrainRows = maxTrainRows)
-    val fs = new Path(path).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    val out = fs.create(new Path(path, "_GEN"), true)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    // pointer swap via tmp + rename, the TableSync commitPointer
+    // discipline — a plain create(overwrite) truncates first, so a
+    // crash (or concurrent reader) mid-write could observe an empty
+    // _GEN that resolves to a root with no _META
+    val tmp = fs.makeQualified(new Path(path, "_GEN.tmp"))
+    val cur = fs.makeQualified(new Path(path, "_GEN"))
+    val out = fs.create(tmp, true)
     try out.write(s"g$gen".getBytes("UTF-8")) finally out.close()
-    // old generation cleanup (post-swap; readers already resolve g<N>)
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // old generation cleanup (post-swap; readers already resolve
+    // g<N>; a crash before this point is repaid by the entry sweep)
     if (oldRoot == path)
-      Seq("codes", "centroids", "tombstones", "_META", "_SEGROWS",
-        "_RECALL0")
-        .foreach(n => fs.delete(new Path(path, n), true))
+      RootArtifactNames.foreach(n => fs.delete(new Path(path, n), true))
     else fs.delete(new Path(oldRoot), true)
     drift
   }

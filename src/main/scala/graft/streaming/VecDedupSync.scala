@@ -509,8 +509,17 @@ object VecDedupSync {
             // payload log that lost segments in a partial restore
             // otherwise shrinks the candidate set with no failure.
             // One limit-1 anti-join probe; reseed + re-read on a gap.
+            // The batch's OWN ids are excluded: the member log is not
+            // version-gated, so a crash replay that re-ingests an id
+            // sees the crashed attempt's member rows, while the id's
+            // payload rows carry ver = batchId > lastVer and are
+            // legitimately invisible — gating on them would fire a
+            // spurious O(index) backfill on every such replay (the
+            // text twin smallDocsProbe filters batchIdSet for the
+            // same reason).
             val fetched = {
               val committed = survReps.unionByName(memberIds).distinct()
+                .join(batchIds, Seq("id"), "left_anti")
               val gap = committed
                 .join(fetched0.select(col("id")), Seq("id"), "left_anti")
               if (gap.isEmpty) fetched0
@@ -560,9 +569,14 @@ object VecDedupSync {
     * under threshold degrades it toward fetch-everything. Past this
     * bound the batch falls back to the fully distributed probe, so
     * the driver never holds more than ~32 MB of survivor tuples no
-    * matter the corpus.
+    * matter the corpus. The system property exists ONLY so specs can
+    * shrink the ceiling and exercise the distributed-fallback arms on
+    * fixture-sized corpora — production never sets it.
     */
-  val MaxDriverSurvivors: Int = 1 << 20
+  val DefaultMaxDriverSurvivors: Int = 1 << 20
+  private[streaming] def MaxDriverSurvivors: Int =
+    Integer.getInteger("graft.test.maxDriverSurvivors",
+      DefaultMaxDriverSurvivors)
 
   /** The DRIVER-RESOLVED micro-batch probe: ONE collect of the
     * checkpointed batch index, then every batch-shaped value —
@@ -790,6 +804,13 @@ object VecDedupSync {
             .localCheckpoint() // replaced-rep collect + verification
         }
         var fetched = DedupSync.phase("v_pruned_read") { readOnce() }
+        // the batch's own ids are NOT committed state: on a crash
+        // replay the member log (not version-gated) already lists
+        // them, but their payload rows carry ver = batchId > lastVer
+        // and are legitimately invisible until the index commit —
+        // gating on them would fire a spurious O(index) backfill on
+        // every such replay (smallDocsProbe's batchIdSet discipline)
+        val batchIdSet: Set[Any] = batchIdRows.map(_.get(0)).toSet
         // ONE driver pass over the fetched ids: coverage gate +
         // replaced-rep signatures (≤ fetch-set rows; rep sigs only
         // for the batch's own re-ingested reps)
@@ -812,12 +833,31 @@ object VecDedupSync {
           // reseed from the committed snapshot and re-read.
           val want: Set[Any] =
             (memberRows.map(_.get(0)) ++ survRows.map(_.get(0))).toSet
+              .diff(batchIdSet)
           val got: Set[Any] = meta.map(_.get(0)).toSet
           if (!want.subsetOf(got)) {
             println(s"[VecDedupSync] payload log under $indexPath is " +
               s"missing ${(want -- got).size} committed candidate " +
               "rows (partial restore?) — reseeding from the committed " +
               "snapshot")
+            PayloadLog.backfill(spark, indexPath, lastVer,
+              payloadBucketBytes)
+            fetched = DedupSync.phase("v_pruned_read") { readOnce() }
+            meta = fetchedMeta()
+          }
+        } else {
+          // the distributed-fetch arm runs the same gate as
+          // largeProbe's: on the largest candidate sets a partial
+          // restore must not silently shrink the set either. One
+          // anti-join existence probe over checkpointed frames.
+          val committed = memberIds.unionByName(survLocal).distinct()
+            .join(batchIdsLocal, Seq("id"), "left_anti")
+          val gap = committed
+            .join(fetched.select(col("id")), Seq("id"), "left_anti")
+          if (!gap.isEmpty) {
+            println(s"[VecDedupSync] payload log under $indexPath is " +
+              "missing committed candidate rows (partial restore?) " +
+              "— reseeding from the committed snapshot")
             PayloadLog.backfill(spark, indexPath, lastVer,
               payloadBucketBytes)
             fetched = DedupSync.phase("v_pruned_read") { readOnce() }

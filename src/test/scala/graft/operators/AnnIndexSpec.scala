@@ -283,4 +283,58 @@ class AnnIndexSpec extends AnyFunSuite {
       segId = 1L)
     assert(AnnIndex.probe(spark, path, q, k = 5).count() > 0)
   }
+
+  test("rebuild COST GOVERNANCE: churn is reported in the drift " +
+    "report, minChangedFraction blocks a low-churn rebuild, and the " +
+    "entry sweep reclaims orphaned generations a crash stranded") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("annix-gov-").toString
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    AnnIndex.build(corpus, path, nlist = 8, dim = 16)
+    val d0 = AnnIndex.driftCheck(spark, path, sample = 16, k = 5)
+    assert(d0.changedFraction == 0.0 && d0.rebuildCostRows == 400L,
+      s"as-built churn accounting: $d0")
+    // the driftCheck fixture's shifted mass: 400 appended rows on 400
+    // built = changedFraction 1.0 — recommended AND churn-cleared
+    val shifted = (0L until 400L).map { i =>
+      val v = (0 until 16).map { d =>
+        val x = i * 48271L + d * 69621L
+        2f + (((x ^ (x >>> 11)) % 100L).toFloat / 50f)
+      }
+      (20000L + i, v)
+    }.toDF("vec_id", "embedding")
+    AnnIndex.append(shifted, path, segId = 1L)
+    // a floor above the actual churn BLOCKS the rewrite: drift is
+    // reported (the operator can still rebuild manually) but the
+    // pointer does not move — recall drift alone must not be able to
+    // trigger back-to-back full rewrites
+    val blocked = AnnIndex.maybeRebuild(spark, path, sample = 16,
+      k = 5, minChangedFraction = 2.0)
+    assert(blocked.rebuildRecommended &&
+      blocked.changedFraction == 1.0 &&
+      !fs.exists(new org.apache.hadoop.fs.Path(path, "_GEN")),
+      s"guarded: $blocked")
+    // default floor (0.1) clears at churn 1.0: rotation proceeds and
+    // the pointer is a well-formed rename target (no stranded tmp)
+    val d1 = AnnIndex.maybeRebuild(spark, path, sample = 16, k = 5)
+    assert(d1.rebuildRecommended && d1.changedFraction == 1.0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_GEN.tmp")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "g1/_META")))
+    // crash-after-swap simulation: strand a fake older generation and
+    // pre-rotation root files; the NEXT call (no drift — fresh
+    // baseline) must sweep them even though it returns early
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path, "g0/codes"))
+    val strayMeta = new org.apache.hadoop.fs.Path(path, "_META")
+    val out = fs.create(strayMeta, true)
+    try out.write("stale".getBytes("UTF-8")) finally out.close()
+    val d2 = AnnIndex.maybeRebuild(spark, path, sample = 16, k = 5)
+    assert(!d2.rebuildRecommended, s"fresh baseline: $d2")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "g0")),
+      "orphaned generation must be swept")
+    assert(!fs.exists(strayMeta),
+      "stranded pre-rotation root files must be swept")
+    assert(AnnIndex.probe(spark, path,
+      corpus.filter(col("vec_id") % 40 === 0), k = 5).count() > 0)
+  }
 }

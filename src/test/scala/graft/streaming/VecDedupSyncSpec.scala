@@ -461,6 +461,81 @@ class VecDedupSyncSpec extends AnyFunSuite {
       s"missing ${oneShot -- streamed} (payload gap uncovered?)")
   }
 
+  test("CRASH REPLAY does NOT fire a spurious payload reseed: the " +
+    "crashed attempt's member rows list this batch's ids (keep = a " +
+    "committed rep), their payload rows are version-gated invisible " +
+    "— the coverage gate must exclude batch ids, not backfill") {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ix = Files.createTempDirectory("vsync-rp-ix-").toString
+    val pr = Files.createTempDirectory("vsync-rp-pr-").toString
+    val b0 = corpus.filter(col("vec_id") <= 2)
+    apply1(b0, ix, pr, 0L)
+    // crashed batch 1: id 10 duplicates committed id 1's vector. The
+    // crash wrote EVERYTHING but the index commit — including the
+    // member row binding id 10 under committed rep 1 (the member log
+    // is not version-gated) and id 10's payload rows at ver 1
+    val aVec = rows.toMap.apply(1L)
+    val b1 = Seq(10L -> aVec).toDF("vec_id", "embedding")
+    val batchIdx = Dedup.vecDedupIndex(b1, "embedding", "vec_id",
+      dim = 8).localCheckpoint()
+    KeyedLog.append(
+      Seq((1L, 10L)).toDF("keep", "id")
+        .select(xxhash64(col("keep")).as("bk"), col("keep"), col("id")),
+      ix.stripSuffix("/") + "_members", 1L)
+    PayloadLog.append(batchIdx.withColumn("ver", lit(1L)), ix, 1L)
+    val payload = new org.apache.hadoop.fs.Path(
+      ix.stripSuffix("/") + "_payload")
+    def segsExceptBatch1: Seq[String] =
+      fs.listStatus(payload).map(_.getPath.getName)
+        .filter(n => n.startsWith("seg_") && !n.startsWith("seg_1-"))
+        .sorted.toSeq
+    val before = segsExceptBatch1
+    // the redelivered batch: its member-log ghost (id 10 under rep 1)
+    // must NOT trip the gate — a reseed here would be an O(index)
+    // backfill on EVERY crash replay of a duplicate ingest
+    apply1(b1, ix, pr, 1L)
+    assert(segsExceptBatch1 == before,
+      s"spurious reseed: payload segments changed from $before to " +
+        s"$segsExceptBatch1")
+    // and the replay converged: 10 pairs with 1 at cosine 1.0
+    val pairs = pairSet(VecDedupSync.readPairs(spark, pr))
+    assert(pairs.contains((1L, 10L, 1.0)), s"replay pairs: $pairs")
+  }
+
+  test("DISTRIBUTED-FETCH arm of the small probe (members past the " +
+    "driver ceiling) still runs the payload coverage gate: a lost " +
+    "segment reseeds instead of silently shrinking the candidates") {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ix = Files.createTempDirectory("vsync-df-ix-").toString
+    val pr = Files.createTempDirectory("vsync-df-pr-").toString
+    val aVec = rows.toMap.apply(1L)
+    // batch 0: six exact copies — one rep (id 1) with six members,
+    // so the member fetch (6) exceeds a ceiling of 4 while the
+    // survivor collect (1 rep pair) stays within it: exactly the
+    // !localFetch arm
+    val flood = (1L to 6L).map(i => i -> aVec)
+    apply1(flood.toDF("vec_id", "embedding"), ix, pr, 0L)
+    val payload = new org.apache.hadoop.fs.Path(
+      ix.stripSuffix("/") + "_payload")
+    val seg0 = fs.listStatus(payload).map(_.getPath)
+      .filter(_.getName.startsWith("seg_0-"))
+    assert(seg0.nonEmpty, "fixture: batch-0 payload segment expected")
+    seg0.foreach(p => fs.delete(p, true))
+    System.setProperty("graft.test.maxDriverSurvivors", "4")
+    try
+      apply1(Seq(7L -> aVec).toDF("vec_id", "embedding"), ix, pr, 1L)
+    finally System.clearProperty("graft.test.maxDriverSurvivors")
+    val pairs = pairSet(VecDedupSync.readPairs(spark, pr))
+    val want = (1L to 6L).map(i => (i, 7L, 1.0)).toSet
+    assert(want.subsetOf(pairs),
+      s"missing ${want -- pairs} (gap uncovered on the distributed " +
+        "fetch arm?)")
+  }
+
   test("EMPTY micro-batch flows through the driver-resolved path as " +
     "a no-op commit") {
     import spark.implicits._
