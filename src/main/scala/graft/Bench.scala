@@ -206,9 +206,26 @@ object Bench {
     val series = calibSeries.map(f).mkString("[", ",", "]")
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val remeasJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // INTER-CAPTURE DRIFT detector (round 15): the r14 captures
+    // drifted ~25% against r13 while the tiny calibration probes read
+    // flat — so capture-to-capture comparison, the repo's own
+    // discipline, silently broke. The median per-query ratio vs the
+    // committed reference is a load-independent drift meter (medians
+    // ignore the genuinely-changed tail); it rides the artifact so
+    // every capture records how comparable it was, and it GATES the
+    // reference refresh below.
+    val ratios = results.collect {
+      case (k, t, _) if t > 0 && refTimes.get(k).exists(_ > 0) =>
+        t / refTimes(k)
+    }.sorted
+    val medianVsRef =
+      if (ratios.isEmpty) 1.0
+      else if (ratios.length % 2 == 1) ratios(ratios.length / 2)
+      else (ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2
     val json = s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
       s""""calib_before":${f(calibBefore)},"calib_after":${f(calibAfter)},""" +
       s""""calib_series":$series,"probe_idle":${f(idleRef)},""" +
+      s""""median_vs_ref":${f(medianVsRef)},""" +
       s""""flagged":$flaggedJson,"remeasured":$remeasJson,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
@@ -223,9 +240,34 @@ object Bench {
     // reference is now an explicit act: SPARK_GRAFT_BENCH_OUT=
     // bench_out.json (and only from a run whose flagged list is
     // empty).
-    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+    val outFile0 = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
       if (flagged.nonEmpty) "bench_out.flagged.json"
       else "bench_out.last.json")
+    // Refreshing the committed reference additionally requires the
+    // capture to be COMPARABLE to the one it replaces: a median
+    // per-query drift beyond ±10% means the capture environment
+    // moved (r14's references were 10-18% hot vs their own driver
+    // runs), and committing it would poison every future flag/drift
+    // comparison. A deliberate whole-suite code change that really
+    // moves the median is the exception — set
+    // SPARK_GRAFT_BENCH_FORCE=1 and record the named cause plus this
+    // run's median ratio in SURVEY.md.
+    val refreshingRef = outFile0 == sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_REF", "bench_out.json")
+    val driftBlocked = refreshingRef && refTimes.nonEmpty &&
+      math.abs(medianVsRef - 1.0) > 0.10 &&
+      !sys.env.contains("SPARK_GRAFT_BENCH_FORCE")
+    val outFile =
+      if (!driftBlocked) outFile0
+      else {
+        println(s"[bench] REFUSING to refresh $outFile0: median " +
+          f"per-query ratio vs the committed reference is " +
+          f"$medianVsRef%.3f (>±10%% drift) — re-run at idle " +
+          "(median-of-3) or, for a named whole-suite code cause, " +
+          "set SPARK_GRAFT_BENCH_FORCE=1 and record the cause in " +
+          "SURVEY.md. Writing bench_out.drifted.json instead.")
+        "bench_out.drifted.json"
+      }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

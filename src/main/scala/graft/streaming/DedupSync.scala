@@ -91,13 +91,15 @@ object DedupSync {
     * driver-resolved path's per-batch price is FIXED (a sidecar
     * hash-read job, a candidate-id collect, the coverage-gate probe)
     * while its saving is INDEX-proportional, so it only wins once the
-    * committed index outgrows a couple of scan tasks. 64 MB ≈ half a
-    * `maxPartitionBytes` default — below it the full pruned read is
-    * one task wave either way. Measured: the r14 d23 entry (a <1 MB
-    * split-fragmented store) paid ~2 s/run on the driver path; the
-    * dsyncp ladder (multi-100 MB index) saves ~1 s/append on it.
+    * committed index outgrows a couple of scan tasks. Measured at the
+    * bracketing points: the r14 d23 entry (3.3 MB split-fragmented
+    * store) paid ~1.5-2 s/run on the driver path, while the dsyncp
+    * ladder (47.8 MB store) saves ~0.5-0.7 s/append on it — 16 MB
+    * splits that bracket with margin on the losing side (the floor
+    * only controls which probe runs; results are spec-pinned
+    * identical).
     */
-  val DefaultDriverProbeMinIndexBytes: Long = 64L << 20
+  val DefaultDriverProbeMinIndexBytes: Long = 16L << 20
 
   /** Start the online-dedup sink over a streaming (id, text) frame.
     *

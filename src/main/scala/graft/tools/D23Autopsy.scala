@@ -22,6 +22,10 @@ object D23Autopsy {
     val d = Engine.Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text"))
 
+    // floor 0 on the driver arm: the committed-bytes gate would
+    // otherwise send BOTH arms down the distributed path on this
+    // 3.3 MB store (that gate is the fix this tool measured into
+    // existence); the A/B stays an A/B
     def runOnce(label: String, smallRows: Int): Unit = {
       val root = java.nio.file.Files
         .createTempDirectory("d23_autopsy").toString
@@ -33,7 +37,7 @@ object D23Autopsy {
           threshold = 0.5, numHashes = 24, bands = 8,
           hasher = Dedup.MinHashFamily.Md5,
           numBuckets = 8, maxBucketBytes = 1L, splitsPerBatch = 4,
-          smallBatchRows = smallRows)
+          smallBatchRows = smallRows, driverProbeMinIndexBytes = 0L)
       }
       val n = graft.streaming.DedupSync.readPairs(spark, s"$root/pr")
         .count()

@@ -864,6 +864,68 @@ object ScaleSmoke {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pr))
     }
 
+    // ADVERSARIAL BUCKET-FLOOD WITNESS (dsync_adv) — the text twin of
+    // vsync_adv: every doc opens with the SAME 40-token boilerplate,
+    // so the minhash signature is dominated by shared shingles and
+    // every band key collides corpus-wide — every bucket overfull at
+    // cap 10 no matter the corpus size. The refinement ladder appends
+    // signature coordinates that CORRELATE with the very boilerplate
+    // that crowds the buckets (they shrink slowly, not by half), so
+    // this corpus holds the refined-key path at its floor: three
+    // rounds, then the cap's bounded-drop semantics. Per-doc unique
+    // tails push pairwise jaccard (~0.31) below the 0.5 threshold, so
+    // verification kills everything and the measured wall is PURE
+    // probe machinery. Pass condition: append wall BOUNDED and ~flat
+    // across k — candidates per append are capped per refined bucket,
+    // never corpus-proportional; failure mode is bounded wall, never
+    // unbounded candidate expansion (the pre-round-11 state).
+    locally {
+      val ix = java.nio.file.Files
+        .createTempDirectory("smoke_dsyncadv_ix").toString
+      val pr = java.nio.file.Files
+        .createTempDirectory("smoke_dsyncadv_pr").toString
+      val advN = 2000L * k
+      val boiler = (1 to 40).map(i => s"tmpl$i").mkString(" ")
+      def adv(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        col("doc_id"),
+        concat(lit(boiler + " "),
+          array_join(transform(sequence(lit(0), lit(39)),
+            d => concat(lit("w"), xxhash64(col("doc_id"), d))), " "))
+          .as("text"))
+      val seed = adv(spark.range(advN).select(col("id").as("doc_id")))
+      val appendIds = spark.range(advN, advN + 10L)
+        .select(col("id").as("doc_id"))
+      timed("dsync_adv_seed") {
+        graft.streaming.DedupSync.applyDocs(
+          seed, ix, pr, "text", "doc_id", batchId = 0L,
+          threshold = 0.5, numHashes = 24, bands = 8,
+          maxBucketSize = 10, maxBucketBytes = Long.MaxValue,
+          payloadBucketBytes = 64L << 10)
+        seed.count()
+      }
+      // floor 0 pins the DRIVER-RESOLVED path across every ladder k
+      // (the committed-bytes gate would flip paths as the flooded
+      // index crosses 64 MB, muddying the curve); the flood stresses
+      // exactly the new machinery — candidate collects, coverage
+      // gate, refined-key resolution over corpus-wide-overfull
+      // buckets
+      (1 to 3).foreach { b =>
+        timed(s"dsync_adv_append$b") {
+          graft.streaming.DedupSync.applyDocs(
+            adv(appendIds.select((col("doc_id") + lit(b * 100L))
+              .as("doc_id"))),
+            ix, pr, "text", "doc_id", batchId = b.toLong,
+            threshold = 0.5, numHashes = 24, bands = 8,
+            maxBucketSize = 10, maxBucketBytes = Long.MaxValue,
+            payloadBucketBytes = 64L << 10,
+            driverProbeMinIndexBytes = 0L)
+          appendIds.count()
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pr))
+    }
+
     // BUCKET EVOLUTION (round 9's one open scale gap, closed): a
     // SECOND index bootstraps at a deliberately undersized 16
     // buckets, then maxBucketBytes-armed appends let linear-hashing
