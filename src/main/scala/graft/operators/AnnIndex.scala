@@ -238,9 +238,9 @@ object AnnIndex {
         try in.readFully(0, buf) finally in.close()
         new String(buf, "UTF-8").trim.toDouble
       } else {
-        val out = fs.create(basePath, true)
-        try out.write(recall.toString.getBytes("UTF-8"))
-        finally out.close()
+        graft.AtomicFiles.write(fs,
+          spark.sessionState.newHadoopConf(), basePath,
+          recall.toString.getBytes("UTF-8"))
         recall
       }
     // churn accounting from the metadata sidecars alone (no extra
@@ -316,12 +316,11 @@ object AnnIndex {
 
   private def writeSegRows(spark: SparkSession, path: String,
       m: Map[Long, Long]): Unit = {
-    val fs = new Path(path).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    val out = fs.create(new Path(path, "_SEGROWS"), true)
-    try out.write(m.toSeq.sorted.map { case (s, n) => s"$s $n" }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    val conf = spark.sessionState.newHadoopConf()
+    graft.AtomicFiles.write(new Path(path).getFileSystem(conf), conf,
+      new Path(path, "_SEGROWS"),
+      m.toSeq.sorted.map { case (s, n) => s"$s $n" }
+        .mkString("\n").getBytes("UTF-8"))
   }
 
   private def readSegRows(spark: SparkSession,
@@ -358,11 +357,12 @@ object AnnIndex {
 
   private def writeMeta(spark: SparkSession, path: String,
       meta: Meta): Unit = {
-    val fs = new Path(path).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    val out = fs.create(new Path(path, "_META"), true)
-    try out.write(meta.serialize.getBytes("UTF-8"))
-    finally out.close()
+    val conf = spark.sessionState.newHadoopConf()
+    // tmp+rename: _META is read by EVERY probe/append/drift call — a
+    // torn create(overwrite) would fail the whole artifact loudly
+    // until repaired by hand (the _GEN lesson, applied to its peers)
+    graft.AtomicFiles.write(new Path(path).getFileSystem(conf), conf,
+      new Path(path, "_META"), meta.serialize.getBytes("UTF-8"))
   }
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
@@ -469,7 +469,8 @@ object AnnIndex {
       val n = st.getPath.getName
       val staleGen = st.isDirectory && n != keep && n.matches("g\\d+")
       val staleRoot =
-        root != path && (RootArtifactNames.contains(n) || n == "_GEN.tmp")
+        root != path &&
+          (RootArtifactNames.contains(n) || n.endsWith(".tmp"))
       if (staleGen || staleRoot) fs.delete(st.getPath, true)
     }
   }
@@ -532,12 +533,8 @@ object AnnIndex {
     // discipline — a plain create(overwrite) truncates first, so a
     // crash (or concurrent reader) mid-write could observe an empty
     // _GEN that resolves to a root with no _META
-    val tmp = fs.makeQualified(new Path(path, "_GEN.tmp"))
-    val cur = fs.makeQualified(new Path(path, "_GEN"))
-    val out = fs.create(tmp, true)
-    try out.write(s"g$gen".getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    graft.AtomicFiles.write(fs, conf, new Path(path, "_GEN"),
+      s"g$gen".getBytes("UTF-8"))
     // old generation cleanup (post-swap; readers already resolve
     // g<N>; a crash before this point is repaid by the entry sweep)
     if (oldRoot == path)

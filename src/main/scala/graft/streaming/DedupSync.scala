@@ -327,8 +327,10 @@ object DedupSync {
         "committed snapshot")
       segs.foreach(s => fs.delete(new Path(keysPath, s), true))
     }
-    val out = fs.create(pf, true)
-    try out.write(want.getBytes("UTF-8")) finally out.close()
+    // tmp+rename: a torn marker would read as a params MISMATCH and
+    // fire the O(index) sidecar rebuild above on the next probe
+    graft.AtomicFiles.write(fs, spark.sessionState.newHadoopConf(),
+      pf, want.getBytes("UTF-8"))
   }
 
   /** One probe path's output for the shared write tail — the text

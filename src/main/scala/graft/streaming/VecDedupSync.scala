@@ -987,8 +987,10 @@ object VecDedupSync {
         "files for rebuild from the committed snapshot")
       stale.foreach(n => fs.delete(new Path(keysPath, n), true))
     }
-    val out = fs.create(pf, true)
-    try out.write(LayoutVersion.getBytes("UTF-8")) finally out.close()
+    // tmp+rename: a torn marker would read as a layout MISMATCH and
+    // fire the O(index) sidecar rebuild above on the next probe
+    graft.AtomicFiles.write(fs, spark.sessionState.newHadoopConf(),
+      pf, LayoutVersion.getBytes("UTF-8"))
   }
 
   /** Migration for an index that predates the sidecars: derive the
