@@ -513,6 +513,28 @@ object AnnIndex {
       tolerance)
     if (!drift.rebuildRecommended ||
       drift.changedFraction < minChangedFraction) return drift
+    // EXCLUSIVE REBUILD LOCK (the TableSync commitPointer
+    // discipline): two concurrent rebuilds would both train into the
+    // same g<N+1> directory and interleave writes — fail the second
+    // loudly instead. A crashed holder leaves the lock for the
+    // operator to clear, exactly like the table sink.
+    val conf0 = spark.sessionState.newHadoopConf()
+    val fs0 = new Path(path).getFileSystem(conf0)
+    val lock = fs0.makeQualified(new Path(path, "_REBUILD_LOCK"))
+    if (!fs0.createNewFile(lock))
+      throw new java.util.ConcurrentModificationException(
+        s"rebuild lock $lock already exists — another rebuild is in " +
+          "flight, or one crashed mid-rebuild; verify no builder is " +
+          "alive, then delete the lock file (rebuilds are " +
+          "single-writer)")
+    try {
+      rebuildLocked(spark, path, maxTrainRows)
+    } finally fs0.delete(lock, false)
+    drift
+  }
+
+  private def rebuildLocked(spark: SparkSession, path: String,
+      maxTrainRows: Long): Unit = {
     val oldRoot = resolveRoot(spark, path)
     val meta = readMeta(spark, oldRoot)
     val live = liveOnly(
@@ -540,6 +562,5 @@ object AnnIndex {
     if (oldRoot == path)
       RootArtifactNames.foreach(n => fs.delete(new Path(path, n), true))
     else fs.delete(new Path(oldRoot), true)
-    drift
   }
 }

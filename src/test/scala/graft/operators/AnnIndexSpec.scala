@@ -336,5 +336,25 @@ class AnnIndexSpec extends AnyFunSuite {
       "stranded pre-rotation root files must be swept")
     assert(AnnIndex.probe(spark, path,
       corpus.filter(col("vec_id") % 40 === 0), k = 5).count() > 0)
+    // rebuilds are single-writer: a held (or crashed) lock fails the
+    // next triggered rebuild LOUDLY instead of interleaving two
+    // trainings into the same generation directory — on a FRESH
+    // artifact driven through the proven drift fixture
+    val p2 = Files.createTempDirectory("annix-lock-").toString
+    AnnIndex.build(corpus, p2, nlist = 8, dim = 16)
+    AnnIndex.driftCheck(spark, p2, sample = 16, k = 5) // baseline
+    AnnIndex.append(shifted, p2, segId = 1L)
+    val lock = new org.apache.hadoop.fs.Path(p2, "_REBUILD_LOCK")
+    fs.createNewFile(lock)
+    try {
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        AnnIndex.maybeRebuild(spark, p2, sample = 16, k = 5)
+      }
+      assert(ex.getMessage.contains("_REBUILD_LOCK"))
+    } finally fs.delete(lock, false)
+    // lock cleared: the same call succeeds and rotates
+    val d3 = AnnIndex.maybeRebuild(spark, p2, sample = 16, k = 5)
+    assert(d3.rebuildRecommended &&
+      fs.exists(new org.apache.hadoop.fs.Path(p2, "_GEN")))
   }
 }
