@@ -18,10 +18,20 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * the replay overwrites it — rename would buy nothing.
   */
 private[graft] object AtomicFiles {
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
   def write(fs: FileSystem, conf: Configuration, dest: Path,
       payload: Array[Byte]): Unit = {
-    val tmp = fs.makeQualified(
-      new Path(dest.getParent, dest.getName + ".tmp"))
+    // unique tmp name per write: a FIXED sibling would let two
+    // concurrent writers of the same dest truncate each other's
+    // open tmp and publish a torn dest through the rename — the
+    // exact state this helper exists to rule out. pid+counter keeps
+    // names collision-free across processes AND threads; a stranded
+    // tmp from a crash is swept by the owning store's hygiene pass
+    // (or harmlessly ignored).
+    val tmp = fs.makeQualified(new Path(dest.getParent,
+      s"${dest.getName}.${ProcessHandle.current().pid()}-" +
+        s"${seq.incrementAndGet()}.tmp"))
     val out = fs.create(tmp, true)
     try out.write(payload) finally out.close()
     FileContext.getFileContext(fs.getUri, conf)

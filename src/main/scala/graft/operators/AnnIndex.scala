@@ -508,7 +508,19 @@ object AnnIndex {
       refine: Int = 4, tolerance: Double = 0.1,
       maxTrainRows: Long = 100000L,
       minChangedFraction: Double = 0.1): Drift = {
-    sweepOrphans(spark, path)
+    val conf0 = spark.sessionState.newHadoopConf()
+    val fs0 = new Path(path).getFileSystem(conf0)
+    val lock = fs0.makeQualified(new Path(path, "_REBUILD_LOCK"))
+    // the orphan sweep runs ONLY under the rebuild lock: a lock-free
+    // sweep would read a half-built g<N+1> (pointer not yet swapped)
+    // as "crashed rebuild debt" and delete it out from under the
+    // builder that owns the lock — the builder would then swap the
+    // pointer onto a gutted generation AND delete the old one. When
+    // the lock is held, skip sweeping; the holder owns the layout.
+    if (fs0.createNewFile(lock)) {
+      try sweepOrphans(spark, path) finally fs0.delete(lock, false)
+    }
+    val rootAtCheck = resolveRoot(spark, path)
     val drift = driftCheck(spark, path, sample, k, nprobe, refine,
       tolerance)
     if (!drift.rebuildRecommended ||
@@ -518,9 +530,6 @@ object AnnIndex {
     // same g<N+1> directory and interleave writes — fail the second
     // loudly instead. A crashed holder leaves the lock for the
     // operator to clear, exactly like the table sink.
-    val conf0 = spark.sessionState.newHadoopConf()
-    val fs0 = new Path(path).getFileSystem(conf0)
-    val lock = fs0.makeQualified(new Path(path, "_REBUILD_LOCK"))
     if (!fs0.createNewFile(lock))
       throw new java.util.ConcurrentModificationException(
         s"rebuild lock $lock already exists — another rebuild is in " +
@@ -528,7 +537,14 @@ object AnnIndex {
           "alive, then delete the lock file (rebuilds are " +
           "single-writer)")
     try {
-      rebuildLocked(spark, path, maxTrainRows)
+      // re-validate under the lock: driftCheck is a long window, and
+      // a rebuild that landed during it already rotated the pointer —
+      // this caller's drift decision is stale against the fresh
+      // geometry (zero churn, fresh baseline), and acting on it would
+      // be exactly the back-to-back full rewrite minChangedFraction
+      // forbids. Skip; the report still carries the observed drift.
+      if (resolveRoot(spark, path) == rootAtCheck)
+        rebuildLocked(spark, path, maxTrainRows)
     } finally fs0.delete(lock, false)
     drift
   }

@@ -196,12 +196,19 @@ object DedupSync {
     // split-fragmented store; above it the savings dominate (the
     // dsyncp ladder's 3.9 -> 3.0 s/append win on a multi-100 MB
     // index). Specs force the driver path with a 0 floor.
+    // legacy manifests record some bucket sizes as unknown ("?") —
+    // summing only the known ones would under-report a large table
+    // to ~0 and permanently disable the driver path on it; unknown
+    // coverage reads as "not provably small" and keeps the pre-floor
+    // behavior (results are path-independent either way)
+    def committedBytesBelow(floor: Long): Boolean =
+      TableSync.currentManifest(spark, indexPath).exists(m =>
+        m.entries.keySet.subsetOf(m.sizes.keySet) &&
+          m.sizes.values.sum < floor)
     val smallRows: Option[Seq[org.apache.spark.sql.Row]] =
       if (applied.isEmpty || smallBatchRows <= 0) None
       else if (driverProbeMinIndexBytes > 0 &&
-          TableSync.currentManifest(spark, indexPath)
-            .map(_.sizes.values.sum).getOrElse(0L)
-            < driverProbeMinIndexBytes) None
+          committedBytesBelow(driverProbeMinIndexBytes)) None
       else {
         val rows = newIdx.limit(smallBatchRows + 1).collect()
         if (rows.length <= smallBatchRows) Some(rows.toSeq) else None
@@ -407,7 +414,14 @@ object DedupSync {
         .collect().map(_.getLong(0)).toSet
     }
     def sidecar() = phase("p_s_sidecar") {
-      KeyedLog.readForHashes(spark, keysPath, bkHashes, Some(keySchema))
+      // maxSeg = lastApplied: segments a crashed attempt wrote ahead
+      // of its index commit drop at the source, so candidate ids are
+      // COMMITTED by construction and the coverage gate below covers
+      // re-ingested batch ids too (previously blanket-excluded, which
+      // left a committed-row loss behind a same-batch re-ingest
+      // undetectable)
+      KeyedLog.readForHashes(spark, keysPath, bkHashes, Some(keySchema),
+        maxSeg = lastApplied)
     }
     val sc = sidecar().orElse {
       // index predates the sidecar: one O(index) backfill migration
@@ -461,11 +475,14 @@ object DedupSync {
         var probeIx = phase("p_pruned_read") { readOnce() }
         if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING"))
           println(s"[phase] p_cand cand=${candRows.size}")
-        // coverage gate — candidate ids minus the batch's own are
-        // committed and must resolve to current rows. One anti-join
-        // existence probe over the cached fetch (no driver transfer
-        // of the candidate-sized id set).
-        val wantRows = candRows.filterNot(r => batchIdSet(r.get(0)))
+        // coverage gate — every candidate id is committed (the
+        // sidecar read is capped at lastApplied, so a crashed
+        // attempt's written-ahead rows never resolve) and must fetch
+        // a current row; this includes the batch's own re-ingested
+        // ids, whose committed rows are as loseable as anyone's. One
+        // anti-join existence probe over the cached fetch (no driver
+        // transfer of the candidate-sized id set).
+        val wantRows = candRows
         if (wantRows.nonEmpty) {
           val gap = localDF(idSchema, wantRows)
             .join(probeIx.select(col("id")), Seq("id"), "left_anti")
@@ -514,14 +531,18 @@ object DedupSync {
       bands: Int, lastApplied: Long,
       payloadBucketBytes: Long): DataFrame = {
     val probeK = newKeys.select(col("bk")).distinct()
-    val sidecar = KeyedLog.readForKeys(spark, keysPath, probeK, "bk")
+    // maxSeg: written-ahead sidecar segments of a crashed attempt
+    // drop at the source (see smallDocsProbe)
+    val sidecar = KeyedLog.readForKeys(spark, keysPath, probeK, "bk",
+        maxSeg = lastApplied)
       .orElse {
         KeyedLog.appendBucketed(
           Dedup.probeKeys(
             TableSync.readCurrent(spark, indexPath).drop("ver"),
             numHashes, bands),
           keysPath, "bk", lastApplied)
-        KeyedLog.readForKeys(spark, keysPath, probeK, "bk")
+        KeyedLog.readForKeys(spark, keysPath, probeK, "bk",
+          maxSeg = lastApplied)
       }
     sidecar match {
       case None => // empty committed index (e.g. an empty first batch)
@@ -548,17 +569,14 @@ object DedupSync {
                              // probe's several subtrees
         var probeIx = readOnce()
         // coverage gate, distributed twin of smallDocsProbe's: every
-        // candidate id the sidecar names — minus the batch's own (a
-        // crash replay's sidecar-ahead rows resolve to nothing until
-        // the index commit; see the sidecar-AHEAD spec) — is
-        // committed and must fetch a current row. A payload log that
-        // lost segments (partial restore) otherwise silently shrinks
-        // the candidate set forever. One anti-join existence probe
-        // over two checkpointed candidate-sized frames per batch.
+        // candidate id the sidecar names is committed (the read is
+        // capped at lastApplied — a crash replay's written-ahead rows
+        // never resolve) and must fetch a current row. A payload log
+        // that lost segments (partial restore) otherwise silently
+        // shrinks the candidate set forever. One anti-join existence
+        // probe over two checkpointed candidate-sized frames.
         val gap = candIds
           .join(probeIx.select(col("id")), Seq("id"), "left_anti")
-          .join(newKeys.select(col("id")).distinct(), Seq("id"),
-            "left_anti")
         if (phase("p_gate") { !gap.isEmpty }) {
           println(s"[DedupSync] payload log under $indexPath is " +
             "missing committed candidate rows (partial restore?) " +

@@ -74,13 +74,20 @@ object KeyedLog {
   private val SegPrefix = "seg_"
   private val SegName = """seg_(c?\d+)-L(\d+)(?:-nb(\d+))?""".r
 
-  private[streaming] case class Seg(name: String, level: Int, nb: Int) {
+  private[streaming] case class Seg(name: String, level: Int, nb: Int,
+      batch: Option[Long] = None) {
     def dir: String = name
   }
 
   private def parseSeg(dirName: String): Option[Seg] = dirName match {
-    case SegName(_, l, nb) =>
-      Some(Seg(dirName, l.toInt, Option(nb).map(_.toInt).getOrElse(1)))
+    case SegName(g, l, nb) =>
+      Some(Seg(dirName, l.toInt, Option(nb).map(_.toInt).getOrElse(1),
+        // raw per-batch segments carry their batch id in the name;
+        // folded segments (c<gen>) only ever contain rows from
+        // batches committed before the fold ran (maintenance is
+        // post-commit, batch ids are sequential single-writer), so
+        // they read as version-unconstrained
+        if (g.startsWith("c")) None else Some(g.toLong)))
     case _ => None
   }
 
@@ -177,8 +184,14 @@ object KeyedLog {
     * the log does not exist or holds no segments (bootstrap).
     */
   def readForKeys(spark: SparkSession, path: String, keys: DataFrame,
-      keyCol: String): Option[DataFrame] = {
+      keyCol: String, maxSeg: Long = Long.MaxValue): Option[DataFrame] = {
+    // maxSeg: probes pass the last COMMITTED batch id so segments a
+    // crashed attempt wrote ahead of its index commit (seg id >
+    // lastVer) drop at the SOURCE — phantom rows never reach the
+    // candidate set or the payload coverage gate (which can therefore
+    // include re-ingested ids instead of blanket-excluding the batch)
     val segs = listSegs(spark, path)
+      .filter(_.batch.forall(_ <= maxSeg))
     if (segs.isEmpty) return None
     // one driver-side kb set per distinct bucket count (compacted
     // segments written at the same fold size share one computation);
@@ -199,9 +212,11 @@ object KeyedLog {
     */
   private[streaming] def readForHashes(spark: SparkSession, path: String,
       hashes: Set[Long],
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxSeg: Long = Long.MaxValue)
       : Option[DataFrame] = {
     val segs = listSegs(spark, path)
+      .filter(_.batch.forall(_ <= maxSeg))
     if (segs.isEmpty) return None
     val nbs = segs.filter(_.level > 0).map(_.nb).distinct
     val kbSets: Map[Int, Set[Int]] = nbs.map { nb =>

@@ -456,9 +456,14 @@ object VecDedupSync {
             }
             val survReps = scored.select(col("id")).distinct()
               .localCheckpoint()
+            // maxSeg = lastVer: member rows a crashed attempt wrote
+            // ahead of its index commit drop at the source, so the
+            // member set is COMMITTED by construction (the member log
+            // rows themselves carry no version column)
             def memberRead() = KeyedLog.readForKeys(spark,
               membersPath,
-              survReps.select(xxhash64(col("id")).as("bk")), "bk")
+              survReps.select(xxhash64(col("id")).as("bk")), "bk",
+              maxSeg = lastVer)
               .map(_.join(
                 survReps.select(col("id").as("keep")),
                 Seq("keep"), "left_semi")
@@ -505,21 +510,16 @@ object VecDedupSync {
               readFetched()
             }
             // COVERAGE GATE (r13 advice): survivors and members are
-            // committed state and must each fetch a current row — a
-            // payload log that lost segments in a partial restore
-            // otherwise shrinks the candidate set with no failure.
-            // One limit-1 anti-join probe; reseed + re-read on a gap.
-            // The batch's OWN ids are excluded: the member log is not
-            // version-gated, so a crash replay that re-ingests an id
-            // sees the crashed attempt's member rows, while the id's
-            // payload rows carry ver = batchId > lastVer and are
-            // legitimately invisible — gating on them would fire a
-            // spurious O(index) backfill on every such replay (the
-            // text twin smallDocsProbe filters batchIdSet for the
-            // same reason).
+            // committed state (the member read is capped at lastVer,
+            // so a crashed attempt's written-ahead rows never
+            // resolve — including for this batch's own re-ingested
+            // ids, whose committed rows the gate now covers instead
+            // of blanket-excluding) and must each fetch a current
+            // row — a payload log that lost segments in a partial
+            // restore otherwise shrinks the candidate set with no
+            // failure. One anti-join probe; reseed + re-read on a gap.
             val fetched = {
               val committed = survReps.unionByName(memberIds).distinct()
-                .join(batchIds, Seq("id"), "left_anti")
               val gap = committed
                 .join(fetched0.select(col("id")), Seq("id"), "left_anti")
               if (gap.isEmpty) fetched0
@@ -735,7 +735,7 @@ object VecDedupSync {
           StructField("bk", LongType),
           idField.copy(name = "keep"), idField.copy(name = "id")))
         def memberRead() = KeyedLog.readForHashes(spark, membersPath,
-            survHashes, Some(memberSchema))
+            survHashes, Some(memberSchema), maxSeg = lastVer)
           .map(_.join(broadcast(survLocal.select(col("id").as("keep"))),
             Seq("keep"), "left_semi")
             .select(col("id")))
@@ -771,6 +771,12 @@ object VecDedupSync {
         lazy val fetchHashes: Set[Long] = fetchLocal
           .select(KeyedLog.keyHashCol(col("id")).as("h"))
           .collect().map(_.getLong(0)).toSet
+        // the distributed arm's fetch set, checkpointed ONCE and
+        // shared by the read and its coverage gate (the first cut
+        // re-executed the member-log scan per consumer)
+        lazy val distFetchIds = memberIds.unionByName(survLocal)
+          .unionByName(batchIdsLocal).distinct()
+          .localCheckpoint()
         def readOnce(): DataFrame = {
           val read =
             if (localFetch) {
@@ -788,15 +794,12 @@ object VecDedupSync {
                     Some(payloadSchema))
                 }
             } else {
-              val fetchIds = memberIds.unionByName(survLocal)
-                .unionByName(batchIdsLocal).distinct()
-                .localCheckpoint()
-              PayloadLog.readCurrent(spark, indexPath, fetchIds,
+              PayloadLog.readCurrent(spark, indexPath, distFetchIds,
                   lastVer)
                 .orElse {
                   PayloadLog.backfill(spark, indexPath, lastVer,
                     payloadBucketBytes)
-                  PayloadLog.readCurrent(spark, indexPath, fetchIds,
+                  PayloadLog.readCurrent(spark, indexPath, distFetchIds,
                     lastVer)
                 }
             }
@@ -804,13 +807,6 @@ object VecDedupSync {
             .localCheckpoint() // replaced-rep collect + verification
         }
         var fetched = DedupSync.phase("v_pruned_read") { readOnce() }
-        // the batch's own ids are NOT committed state: on a crash
-        // replay the member log (not version-gated) already lists
-        // them, but their payload rows carry ver = batchId > lastVer
-        // and are legitimately invisible until the index commit —
-        // gating on them would fire a spurious O(index) backfill on
-        // every such replay (smallDocsProbe's batchIdSet discipline)
-        val batchIdSet: Set[Any] = batchIdRows.map(_.get(0)).toSet
         // ONE driver pass over the fetched ids: coverage gate +
         // replaced-rep signatures (≤ fetch-set rows; rep sigs only
         // for the batch's own re-ingested reps)
@@ -826,14 +822,16 @@ object VecDedupSync {
         var meta = fetchedMeta()
         if (localFetch) {
           // COVERAGE GATE (r13 advice): every id the keys/members
-          // sidecars resolved is committed state and MUST fetch a
-          // current row — a payload log that lost segments in a
-          // partial restore otherwise serves a silently-shrunken
-          // candidate set (pairs vanish with no failure). On a gap,
-          // reseed from the committed snapshot and re-read.
+          // sidecars resolved is committed state (the member read is
+          // capped at lastVer, so a crashed attempt's written-ahead
+          // rows never resolve — and the batch's own previously-
+          // committed ids are therefore gateable, not blanket-
+          // excluded) and MUST fetch a current row — a payload log
+          // that lost segments in a partial restore otherwise serves
+          // a silently-shrunken candidate set (pairs vanish with no
+          // failure). On a gap, reseed and re-read.
           val want: Set[Any] =
             (memberRows.map(_.get(0)) ++ survRows.map(_.get(0))).toSet
-              .diff(batchIdSet)
           val got: Set[Any] = meta.map(_.get(0)).toSet
           if (!want.subsetOf(got)) {
             println(s"[VecDedupSync] payload log under $indexPath is " +
@@ -849,8 +847,12 @@ object VecDedupSync {
           // the distributed-fetch arm runs the same gate as
           // largeProbe's: on the largest candidate sets a partial
           // restore must not silently shrink the set either. One
-          // anti-join existence probe over checkpointed frames.
-          val committed = memberIds.unionByName(survLocal).distinct()
+          // anti-join probe over the ALREADY-checkpointed fetch set
+          // (batch ids excluded here because distFetchIds unions them
+          // in for the decrement pass; their committed subset is
+          // covered through memberIds/survivors, which the capped
+          // member read keeps sound).
+          val committed = distFetchIds
             .join(batchIdsLocal, Seq("id"), "left_anti")
           val gap = committed
             .join(fetched.select(col("id")), Seq("id"), "left_anti")

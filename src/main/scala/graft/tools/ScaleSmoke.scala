@@ -905,7 +905,8 @@ object ScaleSmoke {
       }
       // floor 0 pins the DRIVER-RESOLVED path across every ladder k
       // (the committed-bytes gate would flip paths as the flooded
-      // index crosses 64 MB, muddying the curve); the flood stresses
+      // index crosses its 16 MB floor, muddying the curve); the flood
+      // stresses
       // exactly the new machinery — candidate collects, coverage
       // gate, refined-key resolution over corpus-wide-overfull
       // buckets

@@ -319,7 +319,9 @@ class AnnIndexSpec extends AnyFunSuite {
     // the pointer is a well-formed rename target (no stranded tmp)
     val d1 = AnnIndex.maybeRebuild(spark, path, sample = 16, k = 5)
     assert(d1.rebuildRecommended && d1.changedFraction == 1.0)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_GEN.tmp")))
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .exists(_.getPath.getName.endsWith(".tmp")),
+      "no stranded pointer tmp after the swap")
     assert(fs.exists(new org.apache.hadoop.fs.Path(path, "g1/_META")))
     // crash-after-swap simulation: strand a fake older generation and
     // pre-rotation root files; the NEXT call (no drift — fresh
