@@ -493,6 +493,37 @@ class DedupSyncSpec extends AnyFunSuite {
     assert(small._2 == large._2, "index count diverged between paths")
   }
 
+  test("RE-INGESTED doc with a LOST committed payload row is caught " +
+    "by the gate (text twin of the vec blind-spot spec): its " +
+    "committed key rows resolve through the capped sidecar read, the " +
+    "reseed restores the row, and the stream equals one-shot") {
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ix = java.nio.file.Files
+      .createTempDirectory("dsync-ri-ix-").toString
+    val pr = java.nio.file.Files
+      .createTempDirectory("dsync-ri-pr-").toString
+    def ingest(b: Long, df: org.apache.spark.sql.DataFrame): Unit =
+      DedupSync.applyDocs(df, ix, pr, "text", "doc_id", b,
+        threshold = 0.3, driverProbeMinIndexBytes = 0L)
+    ingest(0L, corpus) // everything committed
+    val payload = new org.apache.hadoop.fs.Path(
+      ix.stripSuffix("/") + "_payload")
+    fs.listStatus(payload).map(_.getPath)
+      .filter(_.getName.startsWith("seg_0-"))
+      .foreach(p => fs.delete(p, true))
+    // re-deliver one committed doc: same text -> same band keys ->
+    // its committed key rows resolve, the gate demands its (lost)
+    // payload row, and the reseed rebuilds the log from the
+    // committed snapshot
+    ingest(1L, corpus.filter(col("doc_id") === 1))
+    val streamed = pairSet(DedupSync.readPairs(spark, pr))
+    val oneShot = pairSet(Dedup.nearDupPairs(
+      corpus, "text", "doc_id", threshold = 0.3))
+    assert(streamed == oneShot,
+      s"missing ${oneShot -- streamed} (re-ingest gap uncovered?)")
+  }
+
   // both probe arms must detect the gap: the driver-resolved path
   // (floor 0 forces it) and the distributed path (smallBatchRows 0)
   for ((arm, smallRows) <- Seq(("driver", 4096), ("distributed", 0)))

@@ -536,6 +536,40 @@ class VecDedupSyncSpec extends AnyFunSuite {
         "fetch arm?)")
   }
 
+  test("RE-INGESTED id with a LOST committed payload row is caught " +
+    "by the gate (the blind spot blanket batch-id exclusion left): " +
+    "the capped member read proves the id committed, the reseed " +
+    "restores its row, and occupancy still equals one-shot") {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ix = Files.createTempDirectory("vsync-ri-ix-").toString
+    val pr = Files.createTempDirectory("vsync-ri-pr-").toString
+    val aVec = rows.toMap.apply(1L)
+    // batch 0 commits ids 1,2 (exact dups — members of rep 1)
+    apply1(Seq(1L -> aVec, 2L -> aVec).toDF("vec_id", "embedding"),
+      ix, pr, 0L)
+    // partial restore: batch 0's payload segment is gone
+    val payload = new org.apache.hadoop.fs.Path(
+      ix.stripSuffix("/") + "_payload")
+    fs.listStatus(payload).map(_.getPath)
+      .filter(_.getName.startsWith("seg_0-"))
+      .foreach(p => fs.delete(p, true))
+    // batch 1 RE-INGESTS committed id 2 (same vector): id 2 reaches
+    // the probe only through the member log — under the old blanket
+    // exclusion its lost row was never gated and the stale state
+    // survived silently; the capped read keeps it in `want`
+    apply1(Seq(2L -> aVec).toDF("vec_id", "embedding"), ix, pr, 1L)
+    val pairs = pairSet(VecDedupSync.readPairs(spark, pr))
+    assert(pairs.contains((1L, 2L, 1.0)), s"pairs: $pairs")
+    // the reseed restored the payload log: a THIRD batch probing the
+    // same cluster fetches complete current rows
+    apply1(Seq(10L -> aVec).toDF("vec_id", "embedding"), ix, pr, 2L)
+    val pairs2 = pairSet(VecDedupSync.readPairs(spark, pr))
+    assert(pairs2.contains((1L, 10L, 1.0)) &&
+      pairs2.contains((2L, 10L, 1.0)), s"pairs after reseed: $pairs2")
+  }
+
   test("EMPTY micro-batch flows through the driver-resolved path as " +
     "a no-op commit") {
     import spark.implicits._
