@@ -125,7 +125,12 @@ object KeyedLog {
     * until the fold cadence catches up — fine for micro-batches,
     * pathological for a seed/backfill batch that IS the corpus (the
     * ladder measured a 100k-doc seed segment re-read by every
-    * 10-doc append until the 8th batch folded it).
+    * 10-doc append until the 8th batch folded it). Used by callers
+    * without per-row byte estimates (VecLog); [[append]] itself
+    * thresholds on estimated BYTES — a fixed row count let wide-row
+    * logs (payload rows ~1 KB) park ~64 MB L0 segments that every
+    * probe re-read whole, 8x the bucket-read amplification the
+    * class doc promises.
     */
   val L0MaxRows: Long = 65536
 
@@ -145,7 +150,10 @@ object KeyedLog {
     // know (knownRows skips the count job)
     val rows = if (knownRows >= 0L) knownRows else df.count()
     if (rows == 0) return
-    if (rows > L0MaxRows)
+    // byte-based threshold: an L0 segment is read WHOLE by probes, so
+    // it may cost at most ~one bucket of IO (targetBucketBytes);
+    // past that it lands bucketed and prunes immediately
+    if (rows * approxRowBytes > targetBucketBytes)
       appendBucketed(df, path, keyCol, segId, approxRowBytes,
         targetBucketBytes)
     else df.write.mode("overwrite")
@@ -160,22 +168,30 @@ object KeyedLog {
     * driver count (rows x ~row bytes); sizing is approximate — folds
     * re-derive it from real bytes.
     */
-  def appendBucketed(df: DataFrame, path: String, keyCol: String,
+  def appendBucketed(df0: DataFrame, path: String, keyCol: String,
       segId: Long, approxRowBytes: Long = 24,
       targetBucketBytes: Long = DefaultTargetBucketBytes): Unit = {
-    val rows = df.count()
-    if (rows == 0) return
-    val nb = math.max(1L, math.min(1L << 20,
-      rows * approxRowBytes / math.max(1L, targetBucketBytes) + 1)).toInt
-    // cluster by bucket before the partitioned write: without it
-    // EVERY input task writes a sliver file into EVERY bucket
-    // directory (tasks x buckets files — measured 50k files and a
-    // 138 s seed at 64 KB buckets); clustered, each bucket is one
-    // full-size file
-    df.withColumn(KbCol, kbExpr(keyCol, nb))
-      .repartition(col(KbCol))
-      .write.mode("overwrite").partitionBy(KbCol)
-      .parquet(s"$path/${SegPrefix}$segId-L1-nb$nb")
+    // two actions run below (the sizing count, then the write) and
+    // backfill callers pass UNMATERIALIZED index-wide plans
+    // (TableSync.readCurrent unions, probe-key derivations) — persist
+    // so the one-shot migration computes its source once, not twice
+    val df = df0.persist()
+    try {
+      val rows = df.count()
+      if (rows == 0) return
+      val nb = math.max(1L, math.min(1L << 20,
+        rows * approxRowBytes / math.max(1L, targetBucketBytes) + 1))
+        .toInt
+      // cluster by bucket before the partitioned write: without it
+      // EVERY input task writes a sliver file into EVERY bucket
+      // directory (tasks x buckets files — measured 50k files and a
+      // 138 s seed at 64 KB buckets); clustered, each bucket is one
+      // full-size file
+      df.withColumn(KbCol, kbExpr(keyCol, nb))
+        .repartition(col(KbCol))
+        .write.mode("overwrite").partitionBy(KbCol)
+        .parquet(s"$path/${SegPrefix}$segId-L1-nb$nb")
+    } finally df.unpersist()
   }
 
   /** All rows whose key MAY be in `keys` — L0 segments whole, each
@@ -332,8 +348,13 @@ object KeyedLog {
             val r = raw.agg(count(lit(1)), count_distinct(col(kc)))
               .head
             val rawN = math.max(1L, r.getLong(0))
+            // BigInt: srcBytes * distinct overflows Long at the
+            // design point (TB-scale fold x 1e7+ keys), which would
+            // wrap negative -> max(1, _) = 1 byte -> nb = 1 and the
+            // whole level would fold into ONE bucket through one task
             (collapse(raw),
-              math.max(1L, srcBytes * r.getLong(1) / rawN))
+              math.max(1L,
+                (BigInt(srcBytes) * r.getLong(1) / rawN).toLong))
         }
         val nb = math.max(1L,
           math.min(1L << 20, bytes / math.max(1L, targetBucketBytes) +

@@ -74,7 +74,12 @@ private[graft] object PayloadLog {
     */
   def readCurrent(spark: SparkSession, indexPath: String,
       ids: DataFrame, asOf: Long): Option[DataFrame] =
-    KeyedLog.readForKeys(spark, path(indexPath), ids, "id")
+    // maxSeg = asOf: rows past it are ver-filtered anyway, so reading
+    // a crashed attempt's written-ahead segment (whole, when L0) only
+    // to discard every row is pure waste — the keys-sidecar reads cap
+    // the same way
+    KeyedLog.readForKeys(spark, path(indexPath), ids, "id",
+        maxSeg = asOf)
       .map(currentize(_, ids, asOf))
 
   /** [[readCurrent]] with the fetch set resolved on the DRIVER — the
@@ -88,7 +93,8 @@ private[graft] object PayloadLog {
       indexPath: String, ids: DataFrame, hashes: Set[Long], asOf: Long,
       schema: Option[org.apache.spark.sql.types.StructType])
       : Option[DataFrame] =
-    KeyedLog.readForHashes(spark, path(indexPath), hashes, schema)
+    KeyedLog.readForHashes(spark, path(indexPath), hashes, schema,
+        maxSeg = asOf)
       .map(currentize(_, broadcast(ids), asOf))
 
   private def currentize(raw: DataFrame, ids: DataFrame,

@@ -324,6 +324,21 @@ object TableSync {
       localKeys: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     val prev = currentManifest(spark, path)
+    // the manifest records the key/version columns precisely so
+    // writers and readers agree; a batch applied under a DIFFERENT
+    // key would bucket the same logical key into two places and the
+    // per-bucket merge-on-read fold could never collapse them again
+    // — fail loudly instead (legacy pre-column manifests record
+    // nothing and pass)
+    prev.foreach { m =>
+      m.keyCol.foreach(k => require(k == keyCol,
+        s"table at $path is keyed by '$k' (manifest) but applyBatch " +
+          s"was called with keyCol='$keyCol' — refusing to split a " +
+          "logical key across buckets"))
+      m.verCol.foreach(v => require(v == verCol,
+        s"table at $path records verCol '$v' (manifest) but " +
+          s"applyBatch was called with verCol='$verCol'"))
+    }
     val nb = prev.map(_.numBuckets).getOrElse(numBuckets)
     val s0 = prev.map(_.split).getOrElse(0)
     val hx = prev.map(_.hashHex).getOrElse(DefaultHashHex)
@@ -495,15 +510,20 @@ object TableSync {
         s"merges=${mergedPairs.length}")
     val appendSet: Set[Int] = batchBuckets -- foldSet
     val touched = (batchBuckets ++ foldForced ++ refOwed).toSeq.sorted
-    // Fresh-directory rule: if the manifest already names a variant
-    // of THIS batch (crash-after-swap replay), write the next replay
-    // suffix — never a directory the current manifest references.
-    val snapName = prev.map(_.name)
-      .filter(n => batchOf(n).contains(batchId)) match {
-      case Some(SnapName(_, r)) =>
-        s"v${batchId}r${Option(r).map(_.toInt).getOrElse(0) + 1}"
-      case _ => s"v$batchId"
-    }
+    // Fresh-directory rule: never overwrite a directory the current
+    // manifest references ANYWHERE — not just via its own name
+    // (crash-after-swap replay of this batch) but via any bucket's
+    // generation list: a reused batchId (a stream restarted on a
+    // fresh checkpoint restarts at 0; the batch entry takes synthetic
+    // ids) would otherwise mode("overwrite") a snapshot directory
+    // whose COLD buckets are still carried by reference, destroying
+    // them while the commit succeeds. Walk replay suffixes until the
+    // name is unreferenced.
+    val referenced: Set[String] = prev.toSeq.flatMap(m =>
+      m.name +: m.entries.values.flatten.map(refSnap).toSeq).toSet
+    val snapName = Iterator.from(0)
+      .map(r => if (r == 0) s"v$batchId" else s"v${batchId}r$r")
+      .find(!referenced(_)).get
     // Previous rows of the FOLDING buckets only — every generation,
     // tagged with its generation ordinal so the fold can break
     // same-version ties deterministically (newest generation wins;
@@ -654,6 +674,10 @@ object TableSync {
     val prev = currentManifest(spark, path)
       .getOrElse(throw new IllegalStateException(
         s"no _CURRENT pointer under $path — table never initialized"))
+    prev.keyCol.foreach(k => require(k == keyCol,
+      s"table at $path is keyed by '$k' (manifest) but rebucket was " +
+        s"called with keyCol='$keyCol' — a wrong-column re-base " +
+        "splits every logical key across buckets permanently"))
     val snapName = prev.name match {
       case SnapName(b, r) =>
         s"v${b}r${Option(r).map(_.toInt).getOrElse(0) + 1}"
@@ -746,10 +770,12 @@ object TableSync {
             s"${nowName.getOrElse("<none>")} since this batch read its " +
             "snapshot — refusing to swap (this sink is single-writer)")
       val payload = manifest.serialize.getBytes("UTF-8")
-      val archive = fs.makeQualified(
-        new Path(path, ManifestPrefix + manifest.name))
-      val arc = fs.create(archive, true)
-      try arc.write(payload) finally arc.close()
+      // the ARCHIVE gets the same tmp+rename as the pointer: a torn
+      // archive still parses (truncated at a row boundary) as a
+      // partial table, and readVersion prefers the newest variant —
+      // a crash mid-write would silently un-reproduce that version
+      graft.AtomicFiles.write(fs, conf,
+        new Path(path, ManifestPrefix + manifest.name), payload)
       val tmp = fs.makeQualified(new Path(path, "_CURRENT.tmp"))
       val cur = fs.makeQualified(new Path(path, "_CURRENT"))
       val out = fs.create(tmp, true)
