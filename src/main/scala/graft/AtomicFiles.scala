@@ -12,10 +12,14 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * would park one. The TableSync `_CURRENT` / AnnIndex `_GEN`
   * pointer-swap discipline, shared.
   *
-  * NOT for version-addressed files (OccStats `_occ_v<N>`, per-batch
-  * segments, archived manifests): those are only ever read at the
-  * COMMITTED version, so a torn uncommitted write is invisible and
-  * the replay overwrites it — rename would buy nothing.
+  * Version-addressed files a caller only ever WRITES at uncommitted
+  * versions (per-batch segments, archived manifests) may stay plain
+  * writes — a torn uncommitted write is invisible at the committed
+  * read point and the replay overwrites it. But the exemption is a
+  * property of the WRITE SITE, not the file family: OccStats
+  * `_occ_v<N>` moved here because its migration path writes at the
+  * last COMMITTED version, where a torn create is read by the very
+  * next probe.
   */
 private[graft] object AtomicFiles {
   private val seq = new java.util.concurrent.atomic.AtomicLong()

@@ -97,12 +97,22 @@ object AnnIndex {
         lit(-127.0)), lit(127.0)).cast("tinyint").cast("float"))
 
   /** Train + project + persist. One corpus projection job; the write
-    * is `partitionBy(seg, cell)` so probes prune cell directories and
-    * a rebuild's overwrite clears every appended segment too — and
-    * explicitly clears tombstones and the recall baseline (a rebuild
-    * re-ingests exactly its input corpus; stale delete markers must
-    * not suppress re-ingested ids, and drift measures against the NEW
-    * geometry).
+    * is `partitionBy(seg, cell)` so probes prune cell directories —
+    * and the artifact starts with no tombstones and no recall
+    * baseline (a build ingests exactly its input corpus; drift
+    * measures against the new geometry).
+    *
+    * A build over an EXISTING artifact never overwrites it in place:
+    * codes, centroids and `_META` land in sequence, so an in-place
+    * overwrite interrupted mid-build leaves CROSS-GEOMETRY state
+    * (new-scale codes under the old `_META`/centroids) that scores
+    * silently wrong. Instead it builds completely into the next
+    * `g<N>` generation and swaps the `_GEN` pointer atomically — the
+    * [[maybeRebuild]] discipline, shared — under the same rebuild
+    * lock, so a manual rebuild and an auto-rebuild can never
+    * interleave writes into one generation directory. A crash
+    * anywhere before the swap leaves the old artifact fully live and
+    * the half-built generation to [[sweepOrphans]].
     */
   def build(corpus: DataFrame, path0: String,
       nlist: Int = 16, seed: Long = 42L,
@@ -110,6 +120,16 @@ object AnnIndex {
       dim: Int = 64, maxTrainRows: Long = 100000L): Unit = {
     val spark = corpus.sparkSession
     val path = resolveRoot(spark, path0)
+    val fs0 = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (fs0.exists(new Path(path, "_META"))) {
+      withRebuildLock(spark, path0) {
+        rotateInto(spark, path0, path, dir =>
+          build(corpus, dir, nlist, seed, idCol, vecCol, dim,
+            maxTrainRows))
+      }
+      return
+    }
     val centroids = Similarity.coarseCentroids(corpus, vecCol, idCol,
       nlist, seed, maxTrainRows)
     val r = corpus.agg(max(array_max(transform(col(vecCol),
@@ -525,18 +545,7 @@ object AnnIndex {
       tolerance)
     if (!drift.rebuildRecommended ||
       drift.changedFraction < minChangedFraction) return drift
-    // EXCLUSIVE REBUILD LOCK (the TableSync commitPointer
-    // discipline): two concurrent rebuilds would both train into the
-    // same g<N+1> directory and interleave writes — fail the second
-    // loudly instead. A crashed holder leaves the lock for the
-    // operator to clear, exactly like the table sink.
-    if (!fs0.createNewFile(lock))
-      throw new java.util.ConcurrentModificationException(
-        s"rebuild lock $lock already exists — another rebuild is in " +
-          "flight, or one crashed mid-rebuild; verify no builder is " +
-          "alive, then delete the lock file (rebuilds are " +
-          "single-writer)")
-    try {
+    withRebuildLock(spark, path) {
       // re-validate under the lock: driftCheck is a long window, and
       // a rebuild that landed during it already rotated the pointer —
       // this caller's drift decision is stale against the fresh
@@ -545,8 +554,54 @@ object AnnIndex {
       // forbids. Skip; the report still carries the observed drift.
       if (resolveRoot(spark, path) == rootAtCheck)
         rebuildLocked(spark, path, maxTrainRows)
-    } finally fs0.delete(lock, false)
+    }
     drift
+  }
+
+  /** Run `body` holding the EXCLUSIVE rebuild lock; fail loudly when
+    * it is already held — two concurrent rebuilds would both train
+    * into the same g<N+1> directory and interleave writes. A crashed
+    * holder leaves the lock for the operator to clear, exactly like
+    * the table sink (the TableSync commitPointer discipline).
+    */
+  private def withRebuildLock[A](spark: SparkSession, path: String)(
+      body: => A): A = {
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lock = fs.makeQualified(new Path(path, "_REBUILD_LOCK"))
+    if (!fs.createNewFile(lock))
+      throw new java.util.ConcurrentModificationException(
+        s"rebuild lock $lock already exists — another rebuild is in " +
+          "flight, or one crashed mid-rebuild; verify no builder is " +
+          "alive, then delete the lock file (rebuilds are " +
+          "single-writer)")
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Build a fresh artifact into the next `g<N>` generation via
+    * `buildInto`, swap the `_GEN` pointer atomically (tmp + rename —
+    * a plain create(overwrite) truncates first, so a crash or
+    * concurrent reader mid-write could observe an empty `_GEN` that
+    * resolves to a root with no `_META`), then delete the previous
+    * generation — the pre-rotation root files when the old root WAS
+    * the path. A crash before the swap leaves the old artifact fully
+    * live (the half-built generation is [[sweepOrphans]] debt); a
+    * crash after it leaves only cleanup owed. Callers hold the
+    * rebuild lock.
+    */
+  private def rotateInto(spark: SparkSession, path: String,
+      oldRoot: String, buildInto: String => Unit): Unit = {
+    val gen =
+      if (oldRoot == path) 1L
+      else oldRoot.substring(path.length + 2).toLong + 1L // "<path>/g<N>
+    buildInto(s"$path/g$gen")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    graft.AtomicFiles.write(fs, conf, new Path(path, "_GEN"),
+      s"g$gen".getBytes("UTF-8"))
+    if (oldRoot == path)
+      RootArtifactNames.foreach(n => fs.delete(new Path(path, n), true))
+    else fs.delete(new Path(oldRoot), true)
   }
 
   private def rebuildLocked(spark: SparkSession, path: String,
@@ -560,23 +615,8 @@ object AnnIndex {
       .select(col("id").as("vec_id"), col("vec").as("embedding"))
       .localCheckpoint() // the old generation dies under the swap —
                          // nothing may lazily re-read it
-    val gen =
-      if (oldRoot == path) 1L
-      else oldRoot.substring(path.length + 2).toLong + 1L // "<path>/g<N>
-    build(live, s"$path/g$gen", nlist = meta.nlist, seed = meta.seed,
-      dim = meta.dim, maxTrainRows = maxTrainRows)
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new Path(path).getFileSystem(conf)
-    // pointer swap via tmp + rename, the TableSync commitPointer
-    // discipline — a plain create(overwrite) truncates first, so a
-    // crash (or concurrent reader) mid-write could observe an empty
-    // _GEN that resolves to a root with no _META
-    graft.AtomicFiles.write(fs, conf, new Path(path, "_GEN"),
-      s"g$gen".getBytes("UTF-8"))
-    // old generation cleanup (post-swap; readers already resolve
-    // g<N>; a crash before this point is repaid by the entry sweep)
-    if (oldRoot == path)
-      RootArtifactNames.foreach(n => fs.delete(new Path(path, n), true))
-    else fs.delete(new Path(oldRoot), true)
+    rotateInto(spark, path, oldRoot, dir =>
+      build(live, dir, nlist = meta.nlist, seed = meta.seed,
+        dim = meta.dim, maxTrainRows = maxTrainRows))
   }
 }

@@ -319,13 +319,26 @@ object TarShards {
           override def next(): Row = {
             val shard = pending._1
             val p = new Path(outDir, s"shard-$shard.tar")
+            val ixP = new Path(outDir, s"shard-$shard.tar.idx")
             val fs = p.getFileSystem(conf.value)
-            val o = fs.create(p, true)
+            // stage under ATTEMPT-UNIQUE tmp names, publish by rename
+            // after a clean close: a direct final-name write let a
+            // retried (or zombie) task attempt interleave two writers
+            // on one file, and a crashed job left torn archives that
+            // readers would trust. Bytes are deterministic (mtime 0,
+            // members sorted), so last-rename-wins keeps .tar and
+            // .idx mutually consistent even if two attempts finish;
+            // a failed attempt's tmps are never published (the glob
+            // readers match *.tar only).
+            val attempt = java.util.UUID.randomUUID().toString
+            val tmpP = new Path(outDir, s"shard-$shard.tar.$attempt.tmp")
+            val tmpIx = new Path(outDir,
+              s"shard-$shard.tar.idx.$attempt.tmp")
+            val o = fs.create(tmpP, true)
             // index sidecar, streamed alongside the archive: one line
             // per member "<offset>\t<size>\t<urlencoded name>" — what
             // readMembersByName seeks by (the WebDataset .idx idea)
-            val ix = fs.create(new Path(outDir, s"shard-$shard.tar.idx"),
-              true)
+            val ix = fs.create(tmpIx, true)
             var members = 0
             var bytes = 0L
             try {
@@ -346,6 +359,12 @@ object TarShards {
               }
               bytes += writeTrailer(o)
             } finally { o.close(); ix.close() }
+            val fc = org.apache.hadoop.fs.FileContext
+              .getFileContext(fs.getUri, conf.value)
+            fc.rename(fs.makeQualified(tmpP), fs.makeQualified(p),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            fc.rename(fs.makeQualified(tmpIx), fs.makeQualified(ixP),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
             Row(shard, members, bytes)
           }
         }
@@ -583,7 +602,11 @@ object TarShards {
         val in = stream.open()
         val ixPath = new Path(path + ".idx")
         val fs = ixPath.getFileSystem(conf.value)
-        val o = fs.create(ixPath, true)
+        // staged like writeShards: a torn sidecar from a crashed or
+        // doubly-running attempt must never be published
+        val tmpIx = new Path(
+          path + s".idx.${java.util.UUID.randomUUID()}.tmp")
+        val o = fs.create(tmpIx, true)
         var n = 0
         try {
           scanEntries(in).foreach { case (name, off, size) =>
@@ -593,6 +616,10 @@ object TarShards {
             n += 1
           }
         } finally { in.close(); o.close() }
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(fs.getUri, conf.value)
+          .rename(fs.makeQualified(tmpIx), fs.makeQualified(ixPath),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         Row(shard, n)
       }
     spark.createDataFrame(rows, schema)

@@ -123,8 +123,7 @@ object VecLog {
   def appendBucketed(df: DataFrame, path: String, segId: Long,
       depths: Depths): Unit = {
     if (df.isEmpty) return
-    writePartitioned(df, path, s"${SegPrefix}$segId-L1", depths,
-      staged = false)
+    writePartitioned(df, path, s"${SegPrefix}$segId-L1", depths)
   }
 
   /** All rows that MAY share a refined bucket with the probe tuples —
@@ -317,7 +316,7 @@ object VecLog {
           .map(d => spark.read.parquet(s"$path/$d").drop(KbCol))
           .reduce(_.unionByName(_, allowMissingColumns = true)), full)
         writePartitioned(merged, path, s"${SegPrefix}c$gen-L$lvl",
-          depths, staged = true)
+          depths)
       })
 
   /** Per-batch cadence trigger (call AFTER the outer commit). */
@@ -331,12 +330,27 @@ object VecLog {
       compact(spark, path, depths, fanout, collapse)
   }
 
+  /** Write a depth-partitioned segment and PUBLISH IT ATOMICALLY:
+    * data and `_DEPTHS` are staged together under a `_compact_tmp_`
+    * prefix (invisible to [[listSegs]]) and renamed into place in one
+    * metadata op. The first cut staged only FOLDS and let the
+    * backfill/large-append path write the final name directly, with
+    * `_DEPTHS` created after the data — a crash between the two left
+    * a level-1 segment whose missing depth record threw on EVERY
+    * later probe with no self-repair (the reseed never re-runs while
+    * the segment dir exists; [[KeyedLog]]'s equivalent path
+    * self-heals only because it has no marker file). Staged, a crash
+    * leaves nothing a reader or [[listSegs]] can see, so the
+    * backfill/replay re-runs and converges; the stale staging dir is
+    * overwritten by the retry (deterministic name) and swept by the
+    * next fold.
+    */
   private def writePartitioned(df: DataFrame, path: String,
-      name: String, depths: Depths, staged: Boolean): Unit = {
+      name: String, depths: Depths): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val f = fs(spark, path)
-    val target = if (staged) s"_compact_tmp_$name" else name
+    val target = s"_compact_tmp_$name"
     val baseMask = (1L << depths.bits) - 1
     // depth lookup via a BROADCAST-joined map frame: base depth
     // everywhere, the overfull map's depth where recorded. (A WHEN
@@ -364,9 +378,17 @@ object VecLog {
       .parquet(s"$path/$target")
     val dp = f.create(new Path(s"$path/$target", DepthsFile), true)
     try dp.write(depths.serialize.getBytes("UTF-8")) finally dp.close()
-    if (staged && !f.rename(new Path(path, target), new Path(path, name)))
+    // a pre-existing dest is a completed attempt of the SAME
+    // deterministic write (a replayed large append, or a re-run
+    // backfill after a crash before its counter write landed) —
+    // replace it. Replacement is safe pre-commit only, which is the
+    // only time this path re-runs: post-commit the batch never
+    // replays, and the backfill derives from committed state.
+    val dest = new Path(path, name)
+    if (f.exists(dest)) f.delete(dest, true)
+    if (!f.rename(new Path(path, target), dest))
       throw new IllegalStateException(
-        s"VecLog fold rename failed under $path ($name)")
+        s"VecLog segment rename failed under $path ($name)")
   }
 
   private def readSmall(f: org.apache.hadoop.fs.FileSystem,
@@ -418,22 +440,38 @@ private[streaming] object OccStats {
 
   /** Write the counters for index version `ver`; retains the last 3
     * versions (the TableSync manifest-retention discipline).
+    *
+    * Atomic tmp+rename, NOT a plain create: the per-batch path writes
+    * at the uncommitted batch id (where a torn file is invisible and
+    * the replay overwrites it), but the MIGRATION path
+    * (VecDedupSync.backfillSidecars) writes at the last COMMITTED
+    * version — a torn create there is read by the very next probe
+    * (an empty file parses as a real, empty map; a truncated line as
+    * wrong counts) and the incremental maintenance propagates the
+    * wrong occupancy forever. One rename buys out both cases.
     */
   def write(spark: SparkSession, dir: String, ver: Long,
       occ: Map[(Int, Long), Long]): Unit = {
-    val f = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val f = new Path(dir).getFileSystem(conf)
     val payload = occ.toSeq.sortBy(k => (k._1._1, k._1._2))
       .collect { case ((t, b), n) if n != 0 => s"$t\t$b\t$n" }
       .mkString("\n")
-    val out = f.create(path(dir, ver), true)
-    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    graft.AtomicFiles.write(f, conf, path(dir, ver),
+      payload.getBytes("UTF-8"))
     if (f.exists(new Path(dir)))
       f.listStatus(new Path(dir))
         .filterNot(_.isDirectory)
         .map(_.getPath.getName)
         .filter(_.startsWith(Prefix))
-        .map(n => n.stripPrefix(Prefix).toLong)
-        .filter(_ < ver - 2)
-        .foreach(v => f.delete(path(dir, v), false))
+        .foreach { n =>
+          // stranded `.tmp` siblings of a crashed atomic write sweep
+          // with the retention pass (this store's hygiene hook);
+          // toLongOption guards the parse against them racing in
+          if (n.endsWith(".tmp")) f.delete(new Path(dir, n), false)
+          else n.stripPrefix(Prefix).toLongOption
+            .filter(_ < ver - 2)
+            .foreach(v => f.delete(path(dir, v), false))
+        }
   }
 }

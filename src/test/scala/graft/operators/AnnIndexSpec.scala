@@ -46,8 +46,9 @@ class AnnIndexSpec extends AnyFunSuite {
   }
 
   test("the artifact is self-contained and immutable between builds: " +
-    "probing after the corpus frame is gone works; rebuild replaces " +
-    "atomically-by-overwrite; probing a missing index fails loudly") {
+    "probing after the corpus frame is gone works; a build over an " +
+    "existing artifact ROTATES generations (never overwrites " +
+    "geometry in place); probing a missing index fails loudly") {
     val path = Files.createTempDirectory("annix2-").toString
     AnnIndex.build(corpus, path, nlist = 4, dim = 16)
     import spark.implicits._
@@ -63,6 +64,25 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.probe(spark, path, q, k = 3, nprobe = 2)
       .collect().forall(_.getLong(1) < 100L),
       "rebuild must fully replace the artifact")
+    // the rebuild landed as a generation swap: an in-place overwrite
+    // lands codes/centroids/_META in sequence, so a crash mid-build
+    // would leave cross-geometry state that scores silently wrong
+    val fsG = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fsG.exists(new org.apache.hadoop.fs.Path(path, "_GEN")),
+      "build over an existing artifact must rotate, not overwrite")
+    assert(!fsG.exists(new org.apache.hadoop.fs.Path(path, "_META")) &&
+      fsG.exists(new org.apache.hadoop.fs.Path(path, "g1/_META")),
+      "pre-rotation root files must be swept after the swap")
+    assert(!fsG.exists(
+      new org.apache.hadoop.fs.Path(path, "_REBUILD_LOCK")),
+      "the rotation's lock must release")
+    // a third build rotates again and sweeps g1
+    AnnIndex.build(corpus.limit(50), path, nlist = 4, dim = 16)
+    assert(AnnIndex.probe(spark, path, q, k = 3, nprobe = 2)
+      .collect().forall(_.getLong(1) < 50L))
+    assert(!fsG.exists(new org.apache.hadoop.fs.Path(path, "g1")) &&
+      fsG.exists(new org.apache.hadoop.fs.Path(path, "g2/_META")))
     val missing = Files.createTempDirectory("annix3-").toString
     val e = intercept[IllegalArgumentException] {
       AnnIndex.probe(spark, missing, q, k = 3)

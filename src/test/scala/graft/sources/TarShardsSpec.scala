@@ -258,6 +258,12 @@ class TarShardsSpec extends AnyFunSuite {
         finally in.close()
       }.toSet
     assert(idx == scanned && idx.size == 40)
+    // staged publish: a clean write leaves only renamed finals —
+    // no attempt-unique .tmp survives (the staging that keeps a
+    // retried/zombie attempt from interleaving writers on one file)
+    assert(new java.io.File(out).listFiles()
+      .forall(!_.getName.endsWith(".tmp")),
+      "stranded staging tmp after writeShards")
     // selective read: exactly the requested members, bytes intact
     val want = Seq("m03.bin", "m17.bin", "m38.bin")
     val got = TarShards.readMembersByName(spark, out, want)

@@ -234,4 +234,68 @@ class VecLogSpec extends AnyFunSuite {
     assert(loc == dist && locSch == dist,
       s"local $loc / schema $locSch vs distributed $dist")
   }
+
+  test("appendBucketed publishes ATOMICALLY: a crashed attempt's " +
+    "staging dir is invisible to readers (backfill re-runs and " +
+    "converges), the published segment carries _DEPTHS, and a " +
+    "replay over a completed segment converges to one segment") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("vlog-at-").toString
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // simulate a crash mid-publish: only the staging dir exists (the
+    // pre-fix failure mode was the FINAL name existing without
+    // _DEPTHS, which wedged every later probe on a FileNotFound)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$path/_compact_tmp_seg_7-L1"))
+    assert(VecLog.readForKeys(spark, path, Seq((0, 1L)), D()).isEmpty,
+      "a staging dir must read as 'no sidecar' so the backfill re-runs")
+    // the re-run backfill (same deterministic segId) converges
+    VecLog.appendBucketed(
+      Seq((0, 0x05L, 1L), (1, 0x09L, 2L)).toDF("tbl", "sig", "id"),
+      path, 7L, D())
+    def segDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("seg_")).sorted.toSeq
+    assert(segDirs() == Seq("seg_7-L1"), s"got ${segDirs()}")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/seg_7-L1/_DEPTHS")),
+      "_DEPTHS must publish WITH the data (atomic rename)")
+    // replay over the completed segment (crash after publish, before
+    // the caller's counter write): still one readable segment
+    VecLog.appendBucketed(
+      Seq((0, 0x05L, 1L), (1, 0x09L, 2L)).toDF("tbl", "sig", "id"),
+      path, 7L, D())
+    assert(segDirs() == Seq("seg_7-L1"), s"replay diverged: ${segDirs()}")
+    val got = rows(VecLog.readForKeys(spark, path, Seq((0, 0x05L)),
+      D()).get)
+    assert(got.contains((0, 0x05L, 1L)), s"got $got")
+  }
+
+  test("OccStats.write is atomic + idempotent: read-back equals the " +
+    "map, an overwrite at the same version serves the new map, no " +
+    ".tmp survives, and retention sweeps old versions and stranded " +
+    "tmps without tripping on their names") {
+    val dir = Files.createTempDirectory("vlog-occ-").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // a stranded tmp from a crashed atomic write must neither break
+    // the retention parse nor survive the next write's hygiene pass
+    val stranded = new org.apache.hadoop.fs.Path(dir,
+      "_occ_v1.12345-6.tmp")
+    val o = fs.create(stranded, true)
+    o.write("torn".getBytes("UTF-8")); o.close()
+    val m1 = Map((0, 1L) -> 5L, (2, 3L) -> 7L)
+    OccStats.write(spark, dir, 1L, m1)
+    assert(OccStats.read(spark, dir, 1L).contains(m1))
+    // replay overwrite at the same version (migration path re-run)
+    val m2 = Map((0, 1L) -> 6L)
+    OccStats.write(spark, dir, 1L, m2)
+    assert(OccStats.read(spark, dir, 1L).contains(m2))
+    OccStats.write(spark, dir, 3L, m1)
+    OccStats.write(spark, dir, 5L, m1) // retention: versions < 3 swept
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("_occ_v")).sorted.toSeq
+    assert(names == Seq("_occ_v3", "_occ_v5"), s"got $names")
+  }
 }
