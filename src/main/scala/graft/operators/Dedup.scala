@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.Metadata
 
 import graft.functions.{TextFunctions, VectorFunctions}
 
@@ -44,11 +45,22 @@ object Dedup {
     * signature of per-permutation minima.
     */
   sealed trait MinHashFamily {
+    /** Stable name recorded in index column metadata, so a live
+      * index pins the family it was hashed with across restarts.
+      */
+    def name: String
     def shingleHashes(text: Column, n: Int): Column
     def signature(shingleHashes: Column, numHashes: Int): Column
   }
   object MinHashFamily {
+    def byName(n: String): MinHashFamily = n match {
+      case "xx"  => Xx
+      case "md5" => Md5
+      case other => throw new IllegalArgumentException(
+        s"unknown MinHash family recorded in index metadata: $other")
+    }
     case object Xx extends MinHashFamily {
+      def name: String = "xx"
       def shingleHashes(text: Column, n: Int): Column =
         VectorFunctions.shingleHashes(text, n)
       def signature(hashes: Column, numHashes: Int): Column =
@@ -56,6 +68,7 @@ object Dedup {
     }
     case object Md5 extends MinHashFamily {
       import graft.functions.PortableHash
+      def name: String = "md5"
       def shingleHashes(text: Column, n: Int): Column =
         array_sort(array_distinct(transform(
           TextFunctions.shingles(text, n),
@@ -742,16 +755,26 @@ object Dedup {
       index: DataFrame, newVecs: DataFrame, vecCol: String, idCol: String,
       threshold: Double, bits: Int = 4, tables: Int = 12,
       dim: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
-    // build the batch's own index at the CORPUS index's stored depth
-    // (both sides must derive refined keys from the same plane
-    // sequence; the batch side regenerates it deterministically from
-    // splitmix64 plan arithmetic) and hand off to the index-to-index
-    // form — batch vectors are signed exactly once
+    // build the batch's own index at the CORPUS index's stored
+    // GEOMETRY — all of it, not just the signature depth: both sides
+    // must derive keys from the same (bits, tables, dim) plane
+    // sequence (the batch side regenerates it deterministically from
+    // splitmix64 plan arithmetic), or the batch probes buckets the
+    // stored rows never landed in and pairs silently vanish. Hand off
+    // to the index-to-index form — batch vectors are signed exactly
+    // once. Legacy indexes without the metadata keep the passed knobs.
     val sigBits = indexSigBits(index, bits)
-    val batchIdx = vecDedupIndex(newVecs, vecCol, idCol, bits, tables,
-      dim, sigBits).localCheckpoint()
-    incrementalVecPairs(index, batchIdx, threshold, bits, tables, dim,
-      maxBucketSize)
+    def stored(key: String, passed: Int): Int =
+      index.schema.fields.find(_.name == "sigs")
+        .filter(_.metadata.contains(key))
+        .map(_.metadata.getLong(key).toInt).getOrElse(passed)
+    val eBits = stored("graft.lsh.bits", bits)
+    val eTables = stored("graft.lsh.tables", tables)
+    val eDim = stored("graft.lsh.dim", dim)
+    val batchIdx = vecDedupIndex(newVecs, vecCol, idCol, eBits, eTables,
+      eDim, sigBits).localCheckpoint()
+    incrementalVecPairs(index, batchIdx, threshold, eBits, eTables,
+      eDim, maxBucketSize)
   }
 
   /** Stored-or-default physical signature depth of an index (also
@@ -1055,6 +1078,18 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, shingleSize: Int = 3,
       hasher: MinHashFamily = MinHashFamily.Xx): DataFrame = {
+    // derivation params ride the sig column as metadata (the
+    // vecDedupIndex discipline): a persisted index's shingle size,
+    // hash family and signature width are FROZEN properties of its
+    // stored shsets/sigs — a consumer that re-derives batch rows
+    // under different params compares incommensurable spaces and
+    // silently loses pairs, so DedupSync reads these back and signs
+    // every later batch at the stored values
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.minhash.numhashes", numHashes.toLong)
+      .putLong("graft.minhash.shinglesize", shingleSize.toLong)
+      .putString("graft.minhash.family", hasher.name)
+      .build()
     val hashed = df.select(col(idCol).as("id"),
       // the exact fingerprint rides along so cross-boundary EXACT
       // dups are caught even for docs too short to shingle (null sig)
@@ -1064,7 +1099,7 @@ object Dedup {
       case MinHashFamily.Xx =>
         hashed.select(col("id"), col("fp"), col("shset"),
           when(size(col("shset")) > 0,
-            hasher.signature(col("shset"), numHashes)).as("sig"))
+            hasher.signature(col("shset"), numHashes)).as("sig", md))
       case MinHashFamily.Md5 =>
         // distinct-hash permute table, not the per-occurrence HOF —
         // and never the unmaterialized form, whose signature tree
@@ -1072,7 +1107,8 @@ object Dedup {
         val m = hashed.localCheckpoint()
         m.join(md5Signatures(m.select(col("id"), col("shset")),
             "id", numHashes), Seq("id"), "left")
-          .select(col("id"), col("fp"), col("shset"), col("sig"))
+          .select(col("id"), col("fp"), col("shset"),
+            col("sig").as("sig", md))
     }
   }
 
@@ -1145,12 +1181,31 @@ object Dedup {
       index: DataFrame, newDocs: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 32,
       shingleSize: Int = 3, maxBucketSize: Int = 1000,
-      hasher: MinHashFamily = MinHashFamily.Xx): DataFrame =
+      hasher: MinHashFamily = MinHashFamily.Xx): DataFrame = {
+    // hash the batch at the INDEX's stored derivation params
+    // (indexSigBits' discipline on the vector side): stored shsets
+    // and sigs were derived under the index's bootstrap knobs, and a
+    // batch hashed under different ones compares incommensurable
+    // spaces — band keys stop colliding and jaccard collapses, so
+    // cross-boundary pairs silently vanish. Legacy indexes without
+    // the metadata keep the passed knobs.
+    def stored[A](key: String, read: Metadata => A, passed: A): A =
+      index.schema.fields.find(_.name == "sig")
+        .filter(_.metadata.contains(key))
+        .map(f => read(f.metadata)).getOrElse(passed)
+    val eNumHashes = stored("graft.minhash.numhashes",
+      _.getLong("graft.minhash.numhashes").toInt, numHashes)
+    val eShingle = stored("graft.minhash.shinglesize",
+      _.getLong("graft.minhash.shinglesize").toInt, shingleSize)
+    val eHasher = stored("graft.minhash.family",
+      m => MinHashFamily.byName(m.getString("graft.minhash.family")),
+      hasher)
     incrementalPairs(
       index,
-      dedupIndex(newDocs, textCol, idCol, numHashes, shingleSize, hasher)
+      dedupIndex(newDocs, textCol, idCol, eNumHashes, eShingle, eHasher)
         .localCheckpoint(), // consumed by buckets + verification + within
-      threshold, numHashes, bands, maxBucketSize)
+      threshold, eNumHashes, bands, maxBucketSize)
+  }
 
   /** [[incrementalNearDups]] over a PRE-COMPUTED batch index — the
     * entry DedupSync uses so each micro-batch's text is shingle-

@@ -176,11 +176,53 @@ object DedupSync {
     val applied = TableSync.versions(spark, indexPath)
     if (applied.exists(_ >= batchId)) return // replayed after commit
     val keysPath = sidecarPath(indexPath)
-    ensureSidecarParams(spark, keysPath, numHashes, bands)
+    // A LIVE index's derivation params are FROZEN: stored shsets and
+    // sigs were hashed under the bootstrap (numHashes, shingleSize,
+    // family), and a batch derived under different knobs compares
+    // incommensurable spaces — band keys stop colliding and jaccard
+    // over mixed-size shingle sets collapses, so every cross-boundary
+    // near-dup pair silently vanishes (only the fp leg survives).
+    // The sidecar _PARAMS guard cannot repair this class: it rebuilds
+    // BAND KEYS from stored sigs, but the sigs/shsets themselves are
+    // unrecoverable without the original text. So read the stored
+    // params from the index column metadata (the vec side's
+    // storedSigBits discipline — sign at the STORED geometry) and
+    // ignore differing knobs, loudly. Legacy indexes without the
+    // metadata keep the passed knobs, as before.
+    def mmOf(sch: org.apache.spark.sql.types.StructType,
+        key: String): Option[org.apache.spark.sql.types.Metadata] =
+      sch.fields.find(_.name == "sig")
+        .filter(_.metadata.contains(key)).map(_.metadata)
+    lazy val sampleSch = TableSync.sampleSchema(spark, indexPath)
+    // the sampled bucket generation may predate the metadata on a
+    // mixed-history index — consult the full union schema before
+    // defaulting (planning-only; rare)
+    lazy val fullSch = TableSync.readCurrent(spark, indexPath).schema
+    def storedInt(key: String, passed: Int): Int =
+      if (applied.isEmpty) passed
+      else mmOf(sampleSch, key).orElse(mmOf(fullSch, key))
+        .map(_.getLong(key).toInt).getOrElse(passed)
+    val eNumHashes = storedInt("graft.minhash.numhashes", numHashes)
+    val eShingle = storedInt("graft.minhash.shinglesize", shingleSize)
+    val famKey = "graft.minhash.family"
+    val eHasher =
+      if (applied.isEmpty) hasher
+      else mmOf(sampleSch, famKey).orElse(mmOf(fullSch, famKey))
+        .map(m => Dedup.MinHashFamily.byName(m.getString(famKey)))
+        .getOrElse(hasher)
+    if (eNumHashes != numHashes || eShingle != shingleSize ||
+        eHasher != hasher)
+      println(s"[DedupSync] index at $indexPath was hashed with " +
+        s"(numHashes=$eNumHashes, shingleSize=$eShingle, " +
+        s"family=${eHasher.name}); ignoring the differing knobs " +
+        s"passed (numHashes=$numHashes, shingleSize=$shingleSize, " +
+        s"family=${hasher.name}) — a live index's derivation " +
+        "parameters are frozen")
+    ensureSidecarParams(spark, keysPath, eNumHashes, bands)
     // consumed by the pairs computation AND the index append
     val newIdx = phase("p_hash_batch") {
-      Dedup.dedupIndex(batch, textCol, idCol, numHashes,
-        shingleSize, hasher).localCheckpoint()
+      Dedup.dedupIndex(batch, textCol, idCol, eNumHashes,
+        eShingle, eHasher).localCheckpoint()
     }
     // the small path serves micro-batches against an existing index
     // (see VecDedupSync.smallProbe — this is its text twin); the
@@ -216,27 +258,27 @@ object DedupSync {
     val out: DocsOut = smallRows match {
       case Some(idxRows) =>
         smallDocsProbe(spark, newIdx, idxRows, indexPath, keysPath,
-          batchId, applied.max, threshold, numHashes, bands,
+          batchId, applied.max, threshold, eNumHashes, bands,
           maxBucketSize, payloadBucketBytes)
       case None =>
         // the batch's probe keys feed the pruned read AND the sidecar
         // append — derived once
         val newKeys = phase("p_probe_keys") {
-          Dedup.probeKeys(newIdx, numHashes, bands).localCheckpoint()
+          Dedup.probeKeys(newIdx, eNumHashes, bands).localCheckpoint()
         }
         val pairs =
           if (applied.isEmpty)
             // first batch: within-batch pairs only (nothing indexed)
-            Dedup.pairsFromIndex(newIdx, threshold, numHashes, bands,
+            Dedup.pairsFromIndex(newIdx, threshold, eNumHashes, bands,
               maxBucketSize)
           else {
             val probeIx = phase("p_pruned_read") {
               prunedProbeIndex(spark, indexPath, keysPath, newKeys,
-                numHashes, bands, applied.max, payloadBucketBytes)
+                eNumHashes, bands, applied.max, payloadBucketBytes)
             }
             phase("p_pair_compute") {
               Dedup.incrementalPairs(probeIx,
-                newIdx, threshold, numHashes, bands, maxBucketSize)
+                newIdx, threshold, eNumHashes, bands, maxBucketSize)
             }
           }
         DocsOut(pairs, newKeys)

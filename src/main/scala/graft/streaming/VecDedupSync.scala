@@ -153,28 +153,44 @@ object VecDedupSync {
     val keysPath = DedupSync.sidecarPath(indexPath)
     val membersPath = indexPath.stripSuffix("/") + "_members"
     ensureSidecarLayout(spark, keysPath)
-    // sign at the STORED depth when an index exists (a bootstrap knob
-    // change must not diverge refined keys from stored signatures).
-    // sampleSchema reads ONE bucket generation's footer — the sigs
+    // sign at the STORED geometry when an index exists (a bootstrap
+    // knob change must not diverge refined keys from stored
+    // signatures) — ALL of it, not just the signature depth: stored
+    // sigs were derived under the bootstrap (bits, tables, dim)
+    // planes, so a batch signed under different knobs probes buckets
+    // the stored rows never landed in (tables/dim drift) or masks
+    // bases differently (bits drift) and silently loses every
+    // cross-boundary pair. vecDedupIndex records all four in the sigs
+    // column metadata; read them back and ignore differing knobs,
+    // loudly. sampleSchema reads ONE bucket generation's footer — the
     // metadata is written by every batch, and planning the full
     // multi-path snapshot scan just for a schema probe was a
-    // measurable slice of the per-batch constant.
-    def sigBitsOf(sch: org.apache.spark.sql.types.StructType)
-        : Option[Int] = sch.fields
+    // measurable slice of the per-batch constant; a mixed-history
+    // index whose sampled generation predates the metadata (r13
+    // advice) consults the full union schema before defaulting —
+    // planning-only, rare.
+    def lshOf(sch: org.apache.spark.sql.types.StructType,
+        key: String): Option[Int] = sch.fields
       .find(_.name == "sigs")
-      .filter(_.metadata.contains("graft.lsh.sigbits"))
-      .map(_.metadata.getLong("graft.lsh.sigbits").toInt)
-    val storedSigBits =
-      if (applied.isEmpty) sigBits
-      else sigBitsOf(TableSync.sampleSchema(spark, indexPath))
-        .orElse {
-          // the sampled bucket generation may predate the sigs
-          // metadata on a mixed-history index (r13 advice): before
-          // defaulting, consult the full snapshot's union schema —
-          // planning-only, no job, and only on this rare path
-          sigBitsOf(TableSync.readCurrent(spark, indexPath).schema)
-        }
-        .getOrElse(bits)
+      .filter(_.metadata.contains(key))
+      .map(_.metadata.getLong(key).toInt)
+    lazy val sampleSch = TableSync.sampleSchema(spark, indexPath)
+    lazy val fullSch = TableSync.readCurrent(spark, indexPath).schema
+    def storedOpt(key: String): Option[Int] =
+      lshOf(sampleSch, key).orElse(lshOf(fullSch, key))
+    val (storedSigBits, eBits, eTables, eDim) =
+      if (applied.isEmpty) (sigBits, bits, tables, dim)
+      else (
+        // legacy indexes (no metadata) stored exactly the base bucket
+        storedOpt("graft.lsh.sigbits").getOrElse(bits),
+        storedOpt("graft.lsh.bits").getOrElse(bits),
+        storedOpt("graft.lsh.tables").getOrElse(tables),
+        storedOpt("graft.lsh.dim").getOrElse(dim))
+    if (eBits != bits || eTables != tables || eDim != dim)
+      println(s"[VecDedupSync] index at $indexPath was signed with " +
+        s"(bits=$eBits, tables=$eTables, dim=$eDim); ignoring the " +
+        s"differing knobs passed (bits=$bits, tables=$tables, " +
+        s"dim=$dim) — a live index's LSH geometry is frozen")
     // An at-least-once source can redeliver the same id TWICE within
     // one micro-batch. The index upsert stores one row per id, but
     // everything derived per-ROW here — sidecar key rows and, most
@@ -189,8 +205,8 @@ object VecDedupSync {
           .orderBy(xxhash64(to_json(struct(col(vecCol)))))))
       .filter(col("__rn") === 1).drop("__rn")
     val batchIdx = DedupSync.phase("v_hash_batch") {
-      Dedup.vecDedupIndex(batchOne, vecCol, idCol, bits,
-        tables, dim, storedSigBits).localCheckpoint()
+      Dedup.vecDedupIndex(batchOne, vecCol, idCol, eBits,
+        eTables, eDim, storedSigBits).localCheckpoint()
     }
     // the small path serves micro-batches against an existing index;
     // everything else (bootstrap, seeds, backfills) runs the
@@ -206,11 +222,11 @@ object VecDedupSync {
     val out: ProbeOut = smallRows match {
       case Some(idxRows) =>
         smallProbe(spark, batchIdx, idxRows, indexPath, keysPath,
-          membersPath, batchId, applied.max, threshold, bits, tables,
-          dim, maxBucketSize, storedSigBits, payloadBucketBytes)
+          membersPath, batchId, applied.max, threshold, eBits, eTables,
+          eDim, maxBucketSize, storedSigBits, payloadBucketBytes)
       case None =>
         largeProbe(spark, batchIdx, indexPath, keysPath, membersPath,
-          batchId, applied, threshold, bits, tables, dim,
+          batchId, applied, threshold, eBits, eTables, eDim,
           maxBucketSize, storedSigBits, payloadBucketBytes)
     }
     // pairs FIRST (idempotent overwrite of this batch's directory),
@@ -222,8 +238,8 @@ object VecDedupSync {
     DedupSync.phase("v_pairs_write") {
       PairsStore.writeBatch(out.pairs, pairsPath, "cosine", batchId)
     }
-    val newDepths = VecLog.Depths(bits, storedSigBits,
-      Dedup.refineDepths(out.newOcc, maxBucketSize, bits,
+    val newDepths = VecLog.Depths(eBits, storedSigBits,
+      Dedup.refineDepths(out.newOcc, maxBucketSize, eBits,
         storedSigBits))
     DedupSync.phase("v_sidecar_write") {
       VecLog.append(out.sidecarKeys, keysPath, batchId, newDepths,

@@ -139,6 +139,44 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.nonEmpty)
   }
 
+  test("incremental dedup with DRIFTED knobs hashes the batch at the " +
+    "INDEX's stored params (metadata wins) — pairs equal the " +
+    "consistent-knob run instead of silently vanishing") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val index = Dedup.dedupIndex(existing, "text", "doc_id")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val drifted = asSet(Dedup.incrementalNearDups(index, batch,
+      "text", "doc_id", 0.5, numHashes = 64, shingleSize = 5,
+      hasher = Dedup.MinHashFamily.Md5))
+    val consistent = asSet(Dedup.incrementalNearDups(index, batch,
+      "text", "doc_id", 0.5))
+    assert(drifted == consistent && consistent.nonEmpty,
+      s"missing=${(consistent -- drifted).take(5)}")
+  }
+
+  test("incremental VEC dedup with DRIFTED geometry knobs signs the " +
+    "batch at the INDEX's stored geometry (metadata wins)") {
+    val a = Array.tabulate(8)(i => (i + 1).toFloat).toSeq
+    val b = Array.tabulate(8)(i => (8 - i).toFloat).toSeq
+    val existing = Seq((1L, a), (9L, b)).toDF("vec_id", "embedding")
+    val batch = Seq((100L, a.map(_ * 1.01f))).toDF("vec_id", "embedding")
+    val index = Dedup.vecDedupIndex(existing, "embedding", "vec_id",
+      dim = 8)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val drifted = asSet(Dedup.incrementalVecDups(index, batch,
+      "embedding", "vec_id", 0.9, bits = 2, tables = 3, dim = 32))
+    val consistent = asSet(Dedup.incrementalVecDups(index, batch,
+      "embedding", "vec_id", 0.9, dim = 8))
+    assert(drifted == consistent && consistent.contains((1L, 100L)),
+      s"drifted=$drifted consistent=$consistent")
+  }
+
   test("incremental dedup catches shingle-less exact dups via fingerprint") {
     val existing = Seq((1L, "tiny doc"), (2L, "another one"))
       .toDF("doc_id", "text")
@@ -462,7 +500,9 @@ class DedupSpec extends AnyFunSuite {
       s"legacy cap-drop unexpectedly found: ${expect & legacy}")
   }
 
-  test("incremental vec dedup: parameter drift fails loudly across parquet") {
+  test("incremental vec dedup: parameter drift across parquet is " +
+    "RESOLVED at the entry (stored geometry wins) and the low-level " +
+    "probe still fails loudly on genuinely mismatched sides") {
     val v = Array.tabulate(8)(i => 0.1f * (i + 1)).toSeq
     val other = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f).toSeq
     val path = java.nio.file.Files
@@ -473,9 +513,23 @@ class DedupSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(path)
     val stored = spark.read.parquet(path) // metadata survives parquet
     val batch = Seq((100L, v)).toDF("vec_id", "embedding")
+    // entry-level drift: incrementalVecDups reads the stored geometry
+    // from the index metadata and signs the batch there, so the
+    // drifted knob is ignored and the planted dup still lands (the
+    // streaming sinks' frozen-geometry discipline, shared)
+    val drifted = Dedup.incrementalVecDups(stored, batch, "embedding",
+      "vec_id", threshold = 0.9, bits = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drifted.contains((1L, 100L)), s"got $drifted")
+    // the defense-in-depth guard below the entry: feeding the
+    // index-to-index form two sides signed under DIFFERENT geometry
+    // (unresolvable — both are already derived) must fail loudly,
+    // never silently return near-zero recall
     val ex = intercept[IllegalArgumentException] {
-      Dedup.incrementalVecDups(stored, batch, "embedding", "vec_id",
-        threshold = 0.9, bits = 5)
+      Dedup.incrementalVecPairs(stored,
+        Dedup.vecDedupIndex(batch, "embedding", "vec_id", bits = 5,
+          tables = 3, dim = 8, sigBits = 8),
+        threshold = 0.9, bits = 5, tables = 3, dim = 8)
     }
     assert(ex.getMessage.contains("rebuild"), ex.getMessage)
     // matching parameters probe fine and catch the planted exact dup

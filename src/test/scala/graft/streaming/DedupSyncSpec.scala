@@ -555,4 +555,39 @@ class DedupSyncSpec extends AnyFunSuite {
       assert(streamed == oneShot,
         s"missing ${oneShot -- streamed} (payload gap uncovered?)")
     }
+
+  test("a restart with DRIFTED derivation knobs signs at the STORED " +
+    "params (index metadata wins): cross-boundary pairs survive a " +
+    "shingleSize/hasher/numHashes change that would otherwise " +
+    "silently lose them all") {
+    import spark.implicits._
+    val ix = Files.createTempDirectory("dsync-drift-ix-").toString
+    val pr = Files.createTempDirectory("dsync-drift-pr-").toString
+    val b0 = corpus.filter(col("doc_id") =!= 8L)
+    val b1 = corpus.filter(col("doc_id") === 8L)
+    DedupSync.applyDocs(b0, ix, pr, "text", "doc_id", 0L,
+      threshold = 0.3)
+    // the index records its derivation params in column metadata
+    val sigMeta = DedupSync.readIndex(spark, ix).schema("sig").metadata
+    assert(sigMeta.getLong("graft.minhash.numhashes") == 128L &&
+      sigMeta.getLong("graft.minhash.shinglesize") == 3L &&
+      sigMeta.getString("graft.minhash.family") == "xx",
+      s"derivation params missing from index metadata: $sigMeta")
+    // "operator restarted the stream with different knobs": every
+    // knob that shapes stored shsets/sigs drifts at once. Pre-fix,
+    // batch rows hashed under the new space shared no band keys with
+    // the stored rows and shset jaccard collapsed — (1,8)/(4,8)
+    // silently vanished. Stored params must win.
+    DedupSync.applyDocs(b1, ix, pr, "text", "doc_id", 1L,
+      threshold = 0.3, numHashes = 64, shingleSize = 5,
+      hasher = Dedup.MinHashFamily.Md5)
+    val streamed = pairSet(DedupSync.readPairs(spark, pr))
+    val oneShot = pairSet(Dedup.nearDupPairs(
+      corpus, "text", "doc_id", threshold = 0.3))
+    assert(streamed == oneShot,
+      s"drifted-knob restart diverged: missing ${oneShot -- streamed}")
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 8L) &&
+      streamed.exists(p => p._1 == 4L && p._2 == 8L),
+      s"cross-boundary template-A pairs lost under knob drift: $streamed")
+  }
 }

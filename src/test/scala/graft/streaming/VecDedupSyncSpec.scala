@@ -583,4 +583,30 @@ class VecDedupSyncSpec extends AnyFunSuite {
     assert(pairSet(VecDedupSync.readPairs(spark, pr)) == oneShot)
     assert(VecDedupSync.readIndex(spark, ix).count() == 9)
   }
+
+  test("a restart with DRIFTED LSH geometry knobs signs at the " +
+    "STORED geometry (index metadata wins): cross-boundary pairs " +
+    "survive a bits/tables change that would otherwise silently " +
+    "lose them") {
+    val ix = Files.createTempDirectory("vsync-drift-ix-").toString
+    val pr = Files.createTempDirectory("vsync-drift-pr-").toString
+    val b0 = corpus.filter(col("vec_id") =!= 8L && col("vec_id") =!= 5L)
+    val b1 = corpus.filter(col("vec_id") === 8L || col("vec_id") === 5L)
+    apply1(b0, ix, pr, 0L)
+    // "operator restarted the stream with different knobs": batch
+    // rows signed under a different (bits, tables) would probe
+    // buckets the stored reps never landed in — (1,8)/(4,8)/(5,9)
+    // would silently vanish. The stored geometry must win.
+    VecDedupSync.applyVecs(b1, ix, pr, "embedding", "vec_id", 1L,
+      threshold = 0.9, bits = 2, tables = 3, dim = 8, sigBits = 8)
+    assert(pairSet(VecDedupSync.readPairs(spark, pr)) == oneShot,
+      "drifted-geometry restart diverged from the one-shot pairs")
+    // the appended rows carry signatures at the STORED geometry: one
+    // sig per ORIGINAL table, not per the drifted knob's 3
+    val sigLens = VecDedupSync.readIndex(spark, ix)
+      .filter(col("id") === col("keep"))
+      .select(size(col("sigs"))).collect().map(_.getInt(0)).toSet
+    assert(sigLens == Set(12),
+      s"appended rows not signed at the stored 12 tables: $sigLens")
+  }
 }
