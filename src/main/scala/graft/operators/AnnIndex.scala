@@ -124,7 +124,17 @@ object AnnIndex {
       spark.sessionState.newHadoopConf())
     if (fs0.exists(new Path(path, "_META"))) {
       withRebuildLock(spark, path0) {
-        rotateInto(spark, path0, path, dir =>
+        // under the lock: clear any half-built generation a crashed
+        // rotation stranded — its gen ordinal is exactly the one this
+        // rotation computes (pointer + 1), and a stranded dir whose
+        // inner _META landed before the crash would route the nested
+        // build() call below into a SECOND rotation inside the
+        // generation directory, which the single-level _GEN
+        // resolution can never serve. Then re-resolve: a rotation
+        // that completed between the entry check and the lock moved
+        // the root.
+        sweepOrphans(spark, path0)
+        rotateInto(spark, path0, resolveRoot(spark, path0), dir =>
           build(corpus, dir, nlist, seed, idCol, vecCol, dim,
             maxTrainRows))
       }

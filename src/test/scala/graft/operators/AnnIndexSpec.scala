@@ -83,6 +83,24 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().forall(_.getLong(1) < 50L))
     assert(!fsG.exists(new org.apache.hadoop.fs.Path(path, "g1")) &&
       fsG.exists(new org.apache.hadoop.fs.Path(path, "g2/_META")))
+    // CRASHED-ROTATION RECOVERY: strand a half-built g3 whose inner
+    // _META already landed (crash between the nested build and the
+    // pointer swap). Without the entry sweep the next build would
+    // compute the SAME gen ordinal, see the stranded _META, and
+    // rotate NESTED inside g3 (g3/g1 + g3/_GEN) — unreachable through
+    // the single-level pointer resolution. The sweep must clear it
+    // and the rotation land cleanly.
+    fsG.mkdirs(new org.apache.hadoop.fs.Path(path, "g3/codes"))
+    val mOut = fsG.create(
+      new org.apache.hadoop.fs.Path(path, "g3/_META"), true)
+    mOut.write("16 4 42 1.0 5".getBytes("UTF-8")); mOut.close()
+    AnnIndex.build(corpus.limit(25), path, nlist = 4, dim = 16)
+    assert(!fsG.exists(new org.apache.hadoop.fs.Path(path, "g3/g1")) &&
+      !fsG.exists(new org.apache.hadoop.fs.Path(path, "g3/_GEN")),
+      "nested rotation inside a stranded generation dir")
+    assert(AnnIndex.probe(spark, path, q, k = 3, nprobe = 2)
+      .collect().forall(_.getLong(1) < 25L),
+      "rebuild over the stranded generation must serve the new corpus")
     val missing = Files.createTempDirectory("annix3-").toString
     val e = intercept[IllegalArgumentException] {
       AnnIndex.probe(spark, missing, q, k = 3)
