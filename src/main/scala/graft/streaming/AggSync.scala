@@ -61,7 +61,17 @@ object AggSync {
       maxGens: Int = TableSync.DefaultMaxGens): Unit = {
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, path)
-    if (applied.exists(_ >= batchId)) return // replayed after commit
+    if (applied.exists(_ >= batchId)) {
+      // replay no-op; loud below the high-water mark (fresh-checkpoint
+      // restart drops data silently otherwise — see DedupSync)
+      if (applied.max > batchId)
+        println(s"[AggSync] skipping batch $batchId below the table's " +
+          s"high-water mark ${applied.max} under $path — if this " +
+          "stream was restarted on a FRESH checkpoint its batch ids " +
+          "restarted and its data is being dropped; resume from the " +
+          "original checkpoint or use a new table path")
+      return
+    }
     // The delta aggregate is <= |batch keys| rows but its lineage is
     // the whole batch scan, and FOUR downstream actions replay it
     // (touched-bucket collects, the state semi-join, the snapshot
@@ -137,7 +147,16 @@ object AggSync {
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
       maxGens: Int = TableSync.DefaultMaxGens): Unit = {
     val applied = TableSync.versions(batch.sparkSession, path)
-    if (applied.exists(_ >= batchId)) return // replayed after commit
+    if (applied.exists(_ >= batchId)) {
+      // replay no-op; loud below the high-water mark (see applyDelta)
+      if (applied.max > batchId)
+        println(s"[AggSync] skipping batch $batchId below the table's " +
+          s"high-water mark ${applied.max} under $path — if this " +
+          "stream was restarted on a FRESH checkpoint its batch ids " +
+          "restarted and its data is being dropped; resume from the " +
+          "original checkpoint or use a new table path")
+      return
+    }
     // <= |batch keys| * k longs; materialized once for the same
     // four-consumer reason as applyDelta's delta
     val delta = IncrementalAgg.kmvDelta(batch, keyCol, valCol, k)

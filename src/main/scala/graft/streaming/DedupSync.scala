@@ -174,7 +174,25 @@ object DedupSync {
         "Dedup.incrementalPairs' probe-key contract")
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, indexPath)
-    if (applied.exists(_ >= batchId)) return // replayed after commit
+    if (applied.exists(_ >= batchId)) {
+      // replayed after commit — no-op. But WARN below the high-water
+      // mark: a genuine foreachBatch replay re-delivers the LAST
+      // uncommitted batch (id == max, or max was committed and the
+      // replay no-ops at max); an id STRICTLY below max means the
+      // caller's batch-id sequence restarted — a stream resumed on a
+      // FRESH checkpoint restarts at 0, and its genuinely new data
+      // would drain through this no-op silently until the ids climb
+      // past the mark. The skip is the documented idempotence
+      // contract (batchId is the exactly-once key); the silence is
+      // not.
+      if (applied.max > batchId)
+        println(s"[DedupSync] skipping batch $batchId below the " +
+          s"table's high-water mark ${applied.max} under $indexPath — " +
+          "if this stream was restarted on a FRESH checkpoint its " +
+          "batch ids restarted and its data is being dropped; resume " +
+          "from the original checkpoint or use a new table path")
+      return
+    }
     val keysPath = sidecarPath(indexPath)
     // A LIVE index's derivation params are FROZEN: stored shsets and
     // sigs were hashed under the bootstrap (numHashes, shingleSize,

@@ -149,7 +149,17 @@ object VecDedupSync {
       : Unit = {
     val spark = batch.sparkSession
     val applied = TableSync.versions(spark, indexPath)
-    if (applied.exists(_ >= batchId)) return // replayed after commit
+    if (applied.exists(_ >= batchId)) {
+      // replay no-op; loud below the high-water mark (fresh-checkpoint
+      // restart drops data silently otherwise — see DedupSync)
+      if (applied.max > batchId)
+        println(s"[VecDedupSync] skipping batch $batchId below the " +
+          s"table's high-water mark ${applied.max} under $indexPath — " +
+          "if this stream was restarted on a FRESH checkpoint its " +
+          "batch ids restarted and its data is being dropped; resume " +
+          "from the original checkpoint or use a new table path")
+      return
+    }
     val keysPath = DedupSync.sidecarPath(indexPath)
     val membersPath = indexPath.stripSuffix("/") + "_members"
     ensureSidecarLayout(spark, keysPath)

@@ -556,6 +556,41 @@ class DedupSyncSpec extends AnyFunSuite {
         s"missing ${oneShot -- streamed} (payload gap uncovered?)")
     }
 
+  test("a batch id BELOW the table's high-water mark no-ops LOUDLY: " +
+    "the fresh-checkpoint-restart foot-gun (ids restart at 0, new " +
+    "data drains through the replay no-op) warns instead of " +
+    "dropping silently") {
+    val ix = Files.createTempDirectory("dsync-hw-ix-").toString
+    val pr = Files.createTempDirectory("dsync-hw-pr-").toString
+    DedupSync.applyDocs(corpus.filter(col("doc_id") <= 5),
+      ix, pr, "text", "doc_id", 0L, threshold = 0.3)
+    DedupSync.applyDocs(corpus.filter(col("doc_id") > 5),
+      ix, pr, "text", "doc_id", 1L, threshold = 0.3)
+    val before = DedupSync.readIndex(spark, ix).count()
+    // a "restarted stream" re-submits NEW content under id 0: the
+    // documented idempotence contract must no-op (batchId is the
+    // exactly-once key) — but loudly
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      DedupSync.applyDocs(
+        corpus.limit(2).select(col("doc_id") + 1000, col("text"))
+          .toDF("doc_id", "text"),
+        ix, pr, "text", "doc_id", 0L, threshold = 0.3)
+    }
+    assert(DedupSync.readIndex(spark, ix).count() == before,
+      "below-high-water batch must no-op (the idempotence contract)")
+    assert(out.toString.contains("high-water mark"),
+      s"expected the fresh-checkpoint warning, got: '${out.toString}'")
+    // an exact replay AT the mark stays silent (the normal case)
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      DedupSync.applyDocs(corpus.filter(col("doc_id") > 5),
+        ix, pr, "text", "doc_id", 1L, threshold = 0.3)
+    }
+    assert(!out2.toString.contains("high-water mark"),
+      "replay at the mark must not warn")
+  }
+
   test("a restart with DRIFTED derivation knobs signs at the STORED " +
     "params (index metadata wins): cross-boundary pairs survive a " +
     "shingleSize/hasher/numHashes change that would otherwise " +
