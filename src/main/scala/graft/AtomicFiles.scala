@@ -1,16 +1,29 @@
 package graft
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{ChecksumFileSystem, FileContext, FileSystem, Options, Path}
 
 /** Atomic small-file writes for live metadata the engine reads on
   * its serving paths (index `_META`/`_SEGROWS`/`_RECALL0`, sidecar
-  * parameter markers): write a sibling tmp file, then
-  * `FileContext.rename(..., OVERWRITE)` — a single metadata op on
-  * HDFS-style filesystems, so no reader (or post-crash restart) can
+  * parameter markers): write a sibling tmp file, then atomically
+  * rename-with-overwrite — so no reader (or post-crash restart) can
   * ever observe a truncated file where a torn `fs.create(overwrite)`
-  * would park one. The TableSync `_CURRENT` / AnnIndex `_GEN`
+  * would park one, and no reader ever observes a MISSING destination
+  * mid-swap. The TableSync `_CURRENT` / AnnIndex `_GEN`
   * pointer-swap discipline, shared.
+  *
+  * The overwrite rename is scheme-aware ([[renameOverwrite]]):
+  * HDFS-style stores perform `FileContext.rename(OVERWRITE)` as one
+  * NameNode metadata op, but on the LOCAL filesystem Hadoop
+  * decomposes it into status + delete + rename — the round-16
+  * two-writer race spec caught a racing writer throwing
+  * FileAlreadyExistsException from that window, and a reader racing
+  * a swap could see no destination at all. The local branch
+  * therefore uses POSIX rename(2) via nio ATOMIC_MOVE +
+  * REPLACE_EXISTING, which is a true atomic replace. Same story for
+  * lock files ([[createExclusive]]): `FileSystem.createNewFile` is
+  * exists-check-then-create, so the local branch uses nio
+  * `Files.createFile` (O_CREAT|O_EXCL).
   *
   * Version-addressed files a caller only ever WRITES at uncommitted
   * versions (per-batch segments, archived manifests) may stay plain
@@ -24,6 +37,82 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 private[graft] object AtomicFiles {
   private val seq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** The checksum-free side of a (possibly) checksummed filesystem.
+    * Tmp files write through it so the atomic publish moves ONE file
+    * — a `.crc` sibling cannot follow a raw rename, and a stale one
+    * would make checksummed readers fail the NEW bytes against the
+    * OLD sums.
+    */
+  private def rawOf(fs: FileSystem): FileSystem = fs match {
+    case c: ChecksumFileSystem => c.getRawFileSystem
+    case other                 => other
+  }
+
+  private def isLocal(p: Path): Boolean =
+    Option(p.toUri.getScheme).forall(_ == "file")
+
+  /** Atomic rename-with-overwrite: one metadata op on HDFS-style
+    * stores, POSIX rename(2) on the local filesystem (where Hadoop's
+    * OVERWRITE decomposes — see class doc). Any stale checksum
+    * sidecars (legacy writes through the checksummed local FS) are
+    * swept first, so a checksummed reader never verifies the moved
+    * bytes against old sums.
+    */
+  def renameOverwrite(fs: FileSystem, conf: Configuration,
+      src: Path, dest: Path): Unit = {
+    val s = fs.makeQualified(src)
+    val d = fs.makeQualified(dest)
+    if (isLocal(d)) {
+      fs match {
+        case c: ChecksumFileSystem =>
+          // dest's stale sums go BEFORE the move (a reader in the gap
+          // sees the old bytes unverified, never a mismatch); src is
+          // this writer's own tmp, about to vanish
+          c.getRawFileSystem.delete(c.getChecksumFile(d), false)
+          c.getRawFileSystem.delete(c.getChecksumFile(s), false)
+        case _ => ()
+      }
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s.toUri.getPath),
+        java.nio.file.Paths.get(d.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else
+      FileContext.getFileContext(fs.getUri, conf)
+        .rename(s, d, Options.Rename.OVERWRITE)
+  }
+
+  /** Atomic create-exclusive for lock files: true iff THIS caller
+    * created the file. `FileSystem.createNewFile` is exists-check
+    * then create — two racers can both pass the check and the loser
+    * THROWS FileAlreadyExistsException instead of returning false
+    * (or, on the raw local FS, both can "succeed") — so the local
+    * branch uses nio `Files.createFile` (O_CREAT|O_EXCL, atomic in
+    * the kernel) and elsewhere the thrown exists-exception maps to
+    * false. On stores with no atomic create-exclusive at all (raw
+    * S3) this remains best-effort detection, as documented by the
+    * callers.
+    */
+  def createExclusive(fs: FileSystem, p: Path): Boolean = {
+    val q = fs.makeQualified(p)
+    if (isLocal(q)) {
+      val jp = java.nio.file.Paths.get(q.toUri.getPath)
+      try {
+        if (jp.getParent != null)
+          java.nio.file.Files.createDirectories(jp.getParent)
+        java.nio.file.Files.createFile(jp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try fs.createNewFile(q)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    }
+  }
+
   def write(fs: FileSystem, conf: Configuration, dest: Path,
       payload: Array[Byte]): Unit = {
     // unique tmp name per write: a FIXED sibling would let two
@@ -36,9 +125,9 @@ private[graft] object AtomicFiles {
     val tmp = fs.makeQualified(new Path(dest.getParent,
       s"${dest.getName}.${ProcessHandle.current().pid()}-" +
         s"${seq.incrementAndGet()}.tmp"))
-    val out = fs.create(tmp, true)
+    val out = rawOf(fs).create(tmp, true)
     try out.write(payload) finally out.close()
-    FileContext.getFileContext(fs.getUri, conf)
-      .rename(tmp, fs.makeQualified(dest), Options.Rename.OVERWRITE)
+    FaultPoints.reach("AtomicFiles.tmp")
+    renameOverwrite(fs, conf, tmp, dest)
   }
 }

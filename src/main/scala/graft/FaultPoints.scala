@@ -1,0 +1,100 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+/** Crash-injection registry for the storage layer's PUBLISH
+  * boundaries — the systematic form of the manual crash-consistency
+  * review that found torn-state bugs three rounds running (the lens:
+  * "what committed-readable state can a crash at instruction X leave,
+  * and does any later read trust it").
+  *
+  * Every committed-readable write boundary in the engine calls
+  * [[reach]] with a STRING-LITERAL site name immediately after its
+  * durable operation lands (and before the next one starts). Unarmed
+  * — production — a reach is two volatile reads and nothing else.
+  * The fault-injection spec (CrashFaultInjectionSpec) enumerates the
+  * site inventory PROGRAMMATICALLY by scanning the source tree for
+  * `FaultPoints.reach("...")` literals, records how often each
+  * scenario crosses each site, then re-runs every scenario with a
+  * crash armed at each (site, occurrence) and asserts the standing
+  * invariants on the re-opened store: replay converges, probe ≡
+  * oracle, no wedge. A new publish site without a covering scenario
+  * fails the inventory test — coverage is bounded by the write-site
+  * inventory, not by reviewer attention.
+  *
+  * Fidelity note (disclosed, not hidden): an armed reach throws
+  * [[InjectedCrash]], which UNWINDS — `finally` blocks run, unlike a
+  * real `kill -9`. Two states are therefore modeled cleaner than
+  * reality: advisory lock files released in `finally` (stale-lock
+  * recovery is separately spec'd — the loud-refusal paths in
+  * TableSyncSpec/AnnIndexSpec), and output streams closed (a torn
+  * single `create()` is exactly the state the AtomicFiles tmp+rename
+  * discipline makes unreachable, spec'd there). Everything BETWEEN
+  * durable operations — the class the manual reviews kept finding —
+  * is modeled faithfully: operations after the armed site never run.
+  *
+  * Reference semantics being protected: the ack-on-success commit
+  * point (reference GetJobs.py:37-40 — delete-after-upload; a crash
+  * between upload and delete redelivers, never drops).
+  */
+object FaultPoints {
+
+  /** Thrown by an armed [[reach]]; simulates the writer dying right
+    * after the named durable operation. Extends Error so generic
+    * `catch NonFatal` recovery paths in the engine cannot swallow a
+    * simulated crash and "handle" it.
+    */
+  final class InjectedCrash(val site: String, val occurrence: Long)
+      extends Error(s"injected crash at $site (occurrence $occurrence)")
+
+  private final case class Arm(site: String, occurrence: Long,
+      counter: AtomicLong)
+
+  @volatile private var arm: Arm = null
+  @volatile private var recording: ConcurrentHashMap[String, AtomicLong] =
+    null
+
+  /** Mark a publish boundary: the durable operation just before this
+    * call is on disk; nothing after it has run. Site names MUST be
+    * string literals (the spec's source scan enforces it).
+    */
+  def reach(site: String): Unit = {
+    val rec = recording
+    if (rec != null)
+      rec.computeIfAbsent(site, _ => new AtomicLong()).incrementAndGet()
+    val a = arm
+    if (a != null && a.site == site &&
+        a.counter.incrementAndGet() == a.occurrence)
+      throw new InjectedCrash(site, a.occurrence)
+  }
+
+  /** Test API — record which sites a scenario crosses. */
+  def startRecording(): Unit =
+    recording = new ConcurrentHashMap[String, AtomicLong]()
+
+  /** Stop recording and return site -> times reached. */
+  def stopRecording(): Map[String, Long] = {
+    val rec = recording
+    recording = null
+    if (rec == null) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      rec.asScala.map { case (k, v) => k -> v.get() }.toMap
+    }
+  }
+
+  /** Test API — arm a crash at the nth (1-based) reach of `site`. */
+  def armCrash(site: String, occurrence: Long): Unit = {
+    require(occurrence >= 1, s"occurrence must be >= 1: $occurrence")
+    arm = Arm(site, occurrence, new AtomicLong())
+  }
+
+  /** Whether an armed crash has fired (or is still pending). */
+  def armedFired: Boolean = {
+    val a = arm
+    a != null && a.counter.get() >= a.occurrence
+  }
+
+  def disarm(): Unit = arm = null
+}

@@ -119,11 +119,22 @@ object AnnIndex {
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, maxTrainRows: Long = 100000L): Unit = {
     val spark = corpus.sparkSession
-    val path = resolveRoot(spark, path0)
-    val fs0 = new Path(path).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    if (fs0.exists(new Path(path, "_META"))) {
-      withRebuildLock(spark, path0) {
+    // EVERY build is single-writer under the rebuild lock — including
+    // the bootstrap branch, which previously wrote codes/centroids/
+    // _META in place lock-free: two concurrent first builds (or a
+    // build whose entry check raced a completed rotation that deleted
+    // its resolved root) could interleave in-place writes — exactly
+    // the torn cross-geometry class the rotation path eliminates for
+    // rebuilds. The _META presence check runs UNDER the lock, so the
+    // decision and the writes it gates cannot be split by a
+    // concurrent completion. (Nested builds — rotateInto's buildInto
+    // into a fresh g<N> directory — lock at the generation dir, a
+    // different file, so re-entry cannot deadlock.)
+    withRebuildLock(spark, path0) {
+      val fs0 = new Path(path0).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val path = resolveRoot(spark, path0)
+      if (fs0.exists(new Path(path, "_META"))) {
         // under the lock: clear any half-built generation a crashed
         // rotation stranded — its gen ordinal is exactly the one this
         // rotation computes (pointer + 1), and a stranded dir whose
@@ -137,31 +148,37 @@ object AnnIndex {
         rotateInto(spark, path0, resolveRoot(spark, path0), dir =>
           build(corpus, dir, nlist, seed, idCol, vecCol, dim,
             maxTrainRows))
+      } else {
+        val centroids = Similarity.coarseCentroids(corpus, vecCol,
+          idCol, nlist, seed, maxTrainRows)
+        val r = corpus.agg(max(array_max(transform(col(vecCol),
+          x => abs(x.cast("double")))))).head
+        require(!r.isNullAt(0), "corpus is empty — nothing to index")
+        val scale = r.getDouble(0)
+        require(scale > 0, "corpus has no nonzero vector component")
+        project(corpus, centroids, scale, idCol, vecCol)
+          .withColumn("seg", lit(0L))
+          .write.mode("overwrite").partitionBy("seg", "cell")
+          .parquet(s"$path/codes")
+        graft.FaultPoints.reach("AnnIndex.codes")
+        import spark.implicits._
+        centroids.map { case (c, v) => (c, v) }.toDF("cell", "cvec")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/centroids")
+        graft.FaultPoints.reach("AnnIndex.centroids")
+        val fs = new Path(path).getFileSystem(
+          spark.sessionState.newHadoopConf())
+        fs.delete(new Path(path, "tombstones"), true)
+        fs.delete(new Path(path, "_RECALL0"), false)
+        graft.FaultPoints.reach("AnnIndex.cleared")
+        val rows = corpus.count()
+        writeSegRows(spark, path, Map(0L -> rows))
+        graft.FaultPoints.reach("AnnIndex.segrows")
+        writeMeta(spark, path, Meta(dim, nlist, seed, scale, rows))
+        // _META lands LAST — it is the bootstrap's commit point
+        graft.FaultPoints.reach("AnnIndex.meta")
       }
-      return
     }
-    val centroids = Similarity.coarseCentroids(corpus, vecCol, idCol,
-      nlist, seed, maxTrainRows)
-    val r = corpus.agg(max(array_max(transform(col(vecCol),
-      x => abs(x.cast("double")))))).head
-    require(!r.isNullAt(0), "corpus is empty — nothing to index")
-    val scale = r.getDouble(0)
-    require(scale > 0, "corpus has no nonzero vector component")
-    project(corpus, centroids, scale, idCol, vecCol)
-      .withColumn("seg", lit(0L))
-      .write.mode("overwrite").partitionBy("seg", "cell")
-      .parquet(s"$path/codes")
-    import spark.implicits._
-    centroids.map { case (c, v) => (c, v) }.toDF("cell", "cvec")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    val fs = new Path(path).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    fs.delete(new Path(path, "tombstones"), true)
-    fs.delete(new Path(path, "_RECALL0"), false)
-    val rows = corpus.count()
-    writeSegRows(spark, path, Map(0L -> rows))
-    writeMeta(spark, path, Meta(dim, nlist, seed, scale, rows))
   }
 
   /** DELETE by id — the lifecycle half FAISS `remove_ids` covers and
@@ -183,6 +200,7 @@ object AnnIndex {
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("overwrite")
       .parquet(s"$path/tombstones/seg=$segId")
+    graft.FaultPoints.reach("AnnIndex.delete.tombs")
   }
 
   /** Tombstones as (tid, tseg), or None when none exist. */
@@ -322,6 +340,7 @@ object AnnIndex {
     project(more, centroids, meta.scale, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes/seg=$segId")
+    graft.FaultPoints.reach("AnnIndex.append.codes")
     val segRows = readSegRows(spark, path)
       // legacy artifact without _SEGROWS: one-time PER-SEGMENT counts
       // (listing codes/seg=*), not a lump attributed to the build —
@@ -341,7 +360,9 @@ object AnnIndex {
       } +
       (segId -> segRowsNew)
     writeSegRows(spark, path, segRows)
+    graft.FaultPoints.reach("AnnIndex.append.segrows")
     writeMeta(spark, path, meta.copy(rows = segRows.values.sum))
+    graft.FaultPoints.reach("AnnIndex.append.meta")
   }
 
   private def writeSegRows(spark: SparkSession, path: String,
@@ -547,7 +568,7 @@ object AnnIndex {
     // builder that owns the lock — the builder would then swap the
     // pointer onto a gutted generation AND delete the old one. When
     // the lock is held, skip sweeping; the holder owns the layout.
-    if (fs0.createNewFile(lock)) {
+    if (graft.AtomicFiles.createExclusive(fs0, lock)) {
       try sweepOrphans(spark, path) finally fs0.delete(lock, false)
     }
     val rootAtCheck = resolveRoot(spark, path)
@@ -579,7 +600,10 @@ object AnnIndex {
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val lock = fs.makeQualified(new Path(path, "_REBUILD_LOCK"))
-    if (!fs.createNewFile(lock))
+    // atomic create-exclusive (nio O_EXCL on the local FS): a racing
+    // acquirer must LOSE cleanly, not throw FileAlreadyExists from
+    // createNewFile's check-then-act window (round-16 race spec)
+    if (!graft.AtomicFiles.createExclusive(fs, lock))
       throw new java.util.ConcurrentModificationException(
         s"rebuild lock $lock already exists — another rebuild is in " +
           "flight, or one crashed mid-rebuild; verify no builder is " +
@@ -605,13 +629,18 @@ object AnnIndex {
       if (oldRoot == path) 1L
       else oldRoot.substring(path.length + 2).toLong + 1L // "<path>/g<N>
     buildInto(s"$path/g$gen")
+    // new generation complete on disk; pointer still names the old
+    graft.FaultPoints.reach("AnnIndex.rotate.built")
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
     graft.AtomicFiles.write(fs, conf, new Path(path, "_GEN"),
       s"g$gen".getBytes("UTF-8"))
+    // pointer swapped — old-generation cleanup is the only owed work
+    graft.FaultPoints.reach("AnnIndex.rotate.swap")
     if (oldRoot == path)
       RootArtifactNames.foreach(n => fs.delete(new Path(path, n), true))
     else fs.delete(new Path(oldRoot), true)
+    graft.FaultPoints.reach("AnnIndex.rotate.cleaned")
   }
 
   private def rebuildLocked(spark: SparkSession, path: String,

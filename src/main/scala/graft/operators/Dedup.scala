@@ -768,6 +768,17 @@ object Dedup {
       index.schema.fields.find(_.name == "sigs")
         .filter(_.metadata.contains(key))
         .map(_.metadata.getLong(key).toInt).getOrElse(passed)
+    // the degrade path is LOUD (r15 verdict): a metadata-stripped
+    // index silently assuming drifted knobs reproduces exactly the
+    // incommensurable-space pair loss the param freeze kills
+    if (index.schema.fields.exists(f => f.name == "sigs" &&
+        !f.metadata.contains("graft.lsh.bits")))
+      println("[Dedup] vec index carries no stored geometry metadata " +
+        s"(legacy or metadata-stripped); assuming the passed knobs " +
+        s"(bits=$bits, tables=$tables, dim=$dim; signature depth = " +
+        "bits) — if the index was signed under different knobs, " +
+        "cross-boundary pairs are silently lost; rebuild the index " +
+        "to freeze its geometry")
     val eBits = stored("graft.lsh.bits", bits)
     val eTables = stored("graft.lsh.tables", tables)
     val eDim = stored("graft.lsh.dim", dim)
@@ -1193,6 +1204,15 @@ object Dedup {
       index.schema.fields.find(_.name == "sig")
         .filter(_.metadata.contains(key))
         .map(f => read(f.metadata)).getOrElse(passed)
+    // loud degrade (r15 verdict): see incrementalVecDups' twin
+    if (index.schema.fields.exists(f => f.name == "sig" &&
+        !f.metadata.contains("graft.minhash.numhashes")))
+      println("[Dedup] text index carries no stored derivation " +
+        "metadata (legacy or metadata-stripped); assuming the passed " +
+        s"knobs (numHashes=$numHashes, shingleSize=$shingleSize, " +
+        s"family=${hasher.name}) — if the index was hashed under " +
+        "different knobs, cross-boundary pairs are silently lost; " +
+        "rebuild the index to freeze its params")
     val eNumHashes = stored("graft.minhash.numhashes",
       _.getLong("graft.minhash.numhashes").toInt, numHashes)
     val eShingle = stored("graft.minhash.shinglesize",

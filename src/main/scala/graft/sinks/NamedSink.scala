@@ -62,7 +62,7 @@ object NamedSink {
             val key = row.getString(0)
             val bytes = row.getAs[Array[Byte]](1)
             if (bytes != null)
-              writeAtomic(fs, d, sanitize(key) + ext, bytes)
+              writeAtomic(fs, conf, d, sanitize(key) + ext, bytes)
           }
         }
       }
@@ -89,14 +89,16 @@ object NamedSink {
     sb.toString
   }
 
-  /** Create under a task-unique temp name, then rename into place.
-    * Hadoop `rename` refuses an existing destination on some
-    * filesystems (HDFS) — delete-and-retry gives last-writer-wins
-    * there; on object stores rename is copy+delete and the PUT itself
-    * is atomic.
+  /** Create under a task-unique temp name, then atomically
+    * rename-with-overwrite into place (graft.AtomicFiles — one
+    * metadata op on HDFS, POSIX rename(2) on the local FS): a
+    * duplicate/zombie execution overwrites with identical bytes via
+    * last-writer-wins, never interleaves, and a reader never sees a
+    * missing or half-replaced destination. On object stores rename is
+    * copy+delete and the PUT itself is atomic.
     */
-  private def writeAtomic(
-      fs: FileSystem, dir: Path, name: String, bytes: Array[Byte]): Unit = {
+  private def writeAtomic(fs: FileSystem, conf: Configuration,
+      dir: Path, name: String, bytes: Array[Byte]): Unit = {
     val tmp = new Path(dir,
       s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val dest = new Path(dir, name)
@@ -104,13 +106,9 @@ object NamedSink {
     try {
       val out = fs.create(tmp, true)
       try out.write(bytes) finally out.close()
-      renamed = fs.rename(tmp, dest)
-      if (!renamed) {
-        fs.delete(dest, false)
-        renamed = fs.rename(tmp, dest)
-        if (!renamed)
-          throw new java.io.IOException(s"rename $tmp -> $dest failed")
-      }
+      graft.FaultPoints.reach("NamedSink.tmp")
+      graft.AtomicFiles.renameOverwrite(fs, conf, tmp, dest)
+      renamed = true
     } finally {
       if (!renamed) fs.delete(tmp, false)
       ()

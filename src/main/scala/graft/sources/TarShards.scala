@@ -306,10 +306,35 @@ object TarShards {
       StructField("shard", StringType),
       StructField("n_members", IntegerType),
       StructField("n_bytes", LongType)))
+    // hygiene: sweep stranded attempt tmps from PRIOR crashed jobs
+    // over this outDir (a failed attempt's tmps are never published,
+    // but nothing else ever deletes them — they would accumulate
+    // forever); runs at call time, before this job's tasks create
+    // their own
+    val fsOut = new Path(outDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (fsOut.exists(new Path(outDir)))
+      fsOut.listStatus(new Path(outDir))
+        .filterNot(_.isDirectory)
+        .map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          (n.startsWith("shard-") && n.endsWith(".tmp")) ||
+            // checksum sidecars of stranded tmps (local FS)
+            (n.startsWith(".shard-") && n.endsWith(".tmp.crc"))
+        }
+        .foreach(fsOut.delete(_, false))
     df.select(col(shardCol).cast("string").as("shard"),
         col(nameCol).cast("string").as("name"), col(binCol).as("bytes"))
       .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("name"))
+      // payload as the final sort key: the last-rename-wins safety
+      // argument below needs BYTE-determinism, and (shard, name)
+      // alone leaves tie order among duplicate member names
+      // attempt-dependent — two finished attempts could then publish
+      // one attempt's .tar with the other's .idx at mismatched
+      // offsets. With the payload tiebreaker the row order (hence
+      // the archive bytes) is a pure function of the data.
+      .sortWithinPartitions(col("shard"), col("name"), col("bytes"))
       .as[(String, String, Array[Byte])]
       .mapPartitions { rows =>
         new Iterator[Row] {
@@ -359,12 +384,17 @@ object TarShards {
               }
               bytes += writeTrailer(o)
             } finally { o.close(); ix.close() }
-            val fc = org.apache.hadoop.fs.FileContext
-              .getFileContext(fs.getUri, conf.value)
-            fc.rename(fs.makeQualified(tmpP), fs.makeQualified(p),
-              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-            fc.rename(fs.makeQualified(tmpIx), fs.makeQualified(ixP),
-              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            // scheme-aware atomic overwrite (graft.AtomicFiles): on
+            // the local FS Hadoop's OVERWRITE rename decomposes into
+            // delete+rename — a dueling finished attempt would throw
+            // from the window and readers could glimpse a missing
+            // archive
+            graft.AtomicFiles.renameOverwrite(fs, conf.value, tmpP, p)
+            // archive published, index sidecar still staged — a
+            // re-run republishes both (deterministic bytes)
+            graft.FaultPoints.reach("TarShards.tar")
+            graft.AtomicFiles.renameOverwrite(fs, conf.value, tmpIx, ixP)
+            graft.FaultPoints.reach("TarShards.idx")
             Row(shard, members, bytes)
           }
         }

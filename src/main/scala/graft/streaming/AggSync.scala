@@ -60,7 +60,7 @@ object AggSync {
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
       maxGens: Int = TableSync.DefaultMaxGens): Unit = {
     val spark = batch.sparkSession
-    val applied = TableSync.versions(spark, path)
+    val applied = TableSync.committedVersions(spark, path)
     if (applied.exists(_ >= batchId)) {
       // replay no-op; loud below the high-water mark (fresh-checkpoint
       // restart drops data silently otherwise — see DedupSync)
@@ -146,7 +146,7 @@ object AggSync {
       maxBucketBytes: Long = DedupSync.DefaultMaxBucketBytes,
       splitsPerBatch: Int = TableSync.DefaultSplitsPerBatch,
       maxGens: Int = TableSync.DefaultMaxGens): Unit = {
-    val applied = TableSync.versions(batch.sparkSession, path)
+    val applied = TableSync.committedVersions(batch.sparkSession, path)
     if (applied.exists(_ >= batchId)) {
       // replay no-op; loud below the high-water mark (see applyDelta)
       if (applied.max > batchId)

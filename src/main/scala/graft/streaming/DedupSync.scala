@@ -101,6 +101,17 @@ object DedupSync {
     */
   val DefaultDriverProbeMinIndexBytes: Long = 16L << 20
 
+  /** Mixed-history metadata lookups resolved against the FULL union
+    * schema, cached per indexPath for the life of the JVM — see the
+    * resolution block in [[applyDocs]]. Values are frozen properties
+    * of a live index, so a JVM-lifetime cache can never go stale; an
+    * index recreated at the same path writes metadata into every new
+    * generation, which the per-batch sampled-schema check picks up
+    * ahead of this cache.
+    */
+  private val fullSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
   /** Start the online-dedup sink over a streaming (id, text) frame.
     *
     * `numBuckets` sizes the index's TableSync sub-table granularity
@@ -173,7 +184,7 @@ object DedupSync {
       s"threshold must be > 0 (got $threshold) — see " +
         "Dedup.incrementalPairs' probe-key contract")
     val spark = batch.sparkSession
-    val applied = TableSync.versions(spark, indexPath)
+    val applied = TableSync.committedVersions(spark, indexPath)
     if (applied.exists(_ >= batchId)) {
       // replayed after commit — no-op. But WARN below the high-water
       // mark: a genuine foreachBatch replay re-delivers the LAST
@@ -212,21 +223,61 @@ object DedupSync {
       sch.fields.find(_.name == "sig")
         .filter(_.metadata.contains(key)).map(_.metadata)
     lazy val sampleSch = TableSync.sampleSchema(spark, indexPath)
+    val famKey = "graft.minhash.family"
     // the sampled bucket generation may predate the metadata on a
     // mixed-history index — consult the full union schema before
-    // defaulting (planning-only; rare)
-    lazy val fullSch = TableSync.readCurrent(spark, indexPath).schema
+    // defaulting. Planning the full multi-path snapshot scan is a
+    // measurable per-batch constant, so its RESULT is cached per
+    // (indexPath, bootstrap id) for the life of the JVM: a live
+    // index's derivation params are frozen, so the one consult can
+    // never go stale — and a legacy index (no metadata anywhere)
+    // caches its "nothing found" answer instead of re-planning the
+    // snapshot on every batch forever (the r15 advice). The cache is
+    // bypassed whenever the sampled generation carries the metadata
+    // (the steady state for post-freeze indexes).
+    def fullLookup(): Map[String, String] = {
+      // keyed by path alone: a retention-sliding batch id in the key
+      // would leak one entry per batch over a long stream. Residual
+      // staleness window (delete + re-bootstrap at the SAME path in
+      // the SAME JVM, with the new index ALSO metadata-less in its
+      // sampled generation) is unreachable for indexes this sink
+      // bootstraps — they always write the metadata, and the sampled-
+      // schema check runs ahead of this cache every batch.
+      fullSchemaCache.computeIfAbsent(indexPath, _ => {
+        val fullSch = TableSync.readCurrent(spark, indexPath).schema
+        val m = Seq("graft.minhash.numhashes",
+            "graft.minhash.shinglesize")
+          .flatMap(k => mmOf(fullSch, k)
+            .map(md => k -> md.getLong(k).toString)) ++
+          mmOf(fullSch, famKey)
+            .map(md => famKey -> md.getString(famKey))
+        if (m.isEmpty)
+          // both metadata sources lost — the one remaining
+          // silent-divergence window the param freeze left open: a
+          // restart with drifted knobs on such an index reproduces
+          // exactly the incommensurable-space pair loss the freeze
+          // kills. Say so loudly, naming the knobs being assumed.
+          println(s"[DedupSync] index at $indexPath carries NO stored " +
+            "derivation metadata in any generation (legacy or " +
+            "metadata-stripped); assuming the passed knobs " +
+            s"(numHashes=$numHashes, shingleSize=$shingleSize, " +
+            s"family=${hasher.name}) — if the index was built under " +
+            "different knobs, cross-boundary near-dup pairs are " +
+            "silently lost; rebuild the index to freeze its params")
+        m.toMap
+      })
+    }
     def storedInt(key: String, passed: Int): Int =
       if (applied.isEmpty) passed
-      else mmOf(sampleSch, key).orElse(mmOf(fullSch, key))
-        .map(_.getLong(key).toInt).getOrElse(passed)
+      else mmOf(sampleSch, key).map(_.getLong(key).toInt)
+        .orElse(fullLookup().get(key).map(_.toInt)).getOrElse(passed)
     val eNumHashes = storedInt("graft.minhash.numhashes", numHashes)
     val eShingle = storedInt("graft.minhash.shinglesize", shingleSize)
-    val famKey = "graft.minhash.family"
     val eHasher =
       if (applied.isEmpty) hasher
-      else mmOf(sampleSch, famKey).orElse(mmOf(fullSch, famKey))
-        .map(m => Dedup.MinHashFamily.byName(m.getString(famKey)))
+      else mmOf(sampleSch, famKey).map(m => Dedup.MinHashFamily
+          .byName(m.getString(famKey)))
+        .orElse(fullLookup().get(famKey).map(Dedup.MinHashFamily.byName))
         .getOrElse(hasher)
     if (eNumHashes != numHashes || eShingle != shingleSize ||
         eHasher != hasher)
@@ -310,11 +361,13 @@ object DedupSync {
     phase("p_pairs_write") {
       PairsStore.writeBatch(out.pairs, pairsPath, "jaccard", batchId)
     }
+    graft.FaultPoints.reach("DedupSync.pairs")
     phase("p_sidecar_write") {
       phase("p_sw_keys") {
         KeyedLog.append(out.newKeys, keysPath, batchId,
           knownRows = out.keyRows)
       }
+      graft.FaultPoints.reach("DedupSync.keys")
       // the id-keyed point-lookup projection the pruned probe fetches
       // candidate rows from — version-gated, so writing it ahead of
       // the commit is invisible until the commit lands
@@ -325,6 +378,9 @@ object DedupSync {
           knownRows = out.batchRows)
       }
     }
+    // pairs + both sidecars durable at the uncommitted batch id —
+    // all invisible until the index commit below lands
+    graft.FaultPoints.reach("DedupSync.sidecar")
     phase("p_index_commit") {
       TableSync.applyBatch(out.batchFrame.getOrElse(newIdx)
           .withColumn("ver", lit(batchId)),
@@ -342,6 +398,7 @@ object DedupSync {
       KeyedLog.maybeCompact(spark, keysPath, "bk")
       PayloadLog.maybeCompact(spark, indexPath, payloadBucketBytes)
     }
+    graft.FaultPoints.reach("DedupSync.post")
   }
 
   /** The key sidecar of a dedup index (a sibling directory, derived —
@@ -756,6 +813,8 @@ private[graft] object PairsStore {
     val tmp = new Path(path, s"_compact_tmp_c$gen")
     read(spark, path, valueCol)
       .write.mode("overwrite").parquet(tmp.toString)
+    // staged fold durable under the reader-invisible prefix
+    graft.FaultPoints.reach("PairsStore.staged")
     // one rename: readers switch from N sources to one generation
     // with no window where neither is visible (atomic on HDFS/local;
     // copy+delete on object stores, where max-merge keeps any
@@ -763,7 +822,12 @@ private[graft] object PairsStore {
     if (!fs.rename(tmp, new Path(path, s"batch=c$gen")))
       throw new IllegalStateException(
         s"compaction rename failed under $path (generation c$gen)")
-    dirs.foreach(d => fs.delete(new Path(path, d), true))
+    // fold published; sources still present (max-merge tolerates both)
+    graft.FaultPoints.reach("PairsStore.folded")
+    dirs.foreach { d =>
+      fs.delete(new Path(path, d), true)
+      graft.FaultPoints.reach("PairsStore.src-delete")
+    }
   }
 
   /** The per-batch cadence trigger: fold once the store accumulates

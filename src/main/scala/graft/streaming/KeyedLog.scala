@@ -370,6 +370,8 @@ object KeyedLog {
         if (!f.rename(tmp, new Path(path, name)))
           throw new IllegalStateException(
             s"KeyedLog fold rename failed under $path ($name)")
+        // fold published; TieredFold deletes the sources next
+        graft.FaultPoints.reach("KeyedLog.fold")
       })
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -57,11 +57,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     (max-version-per-key over current ∪ batch), so every variant
   *     of a batch holds identical content — which is what upgrades
   *     foreachBatch's at-least-once to exactly-once table state.
-  *   - ATOMIC OVERWRITE SWAP: the pointer is renamed over with
-  *     `FileContext.rename(..., Options.Rename.OVERWRITE)` — a single
-  *     atomic metadata operation, no missing-pointer window. If the
-  *     pointer IS ever missing while snapshots exist, readers fail
-  *     loudly instead of guessing.
+  *   - ATOMIC OVERWRITE SWAP: the pointer is renamed over atomically
+  *     (graft.AtomicFiles.renameOverwrite — one NameNode metadata op
+  *     on HDFS, POSIX rename(2) on the local FS, where Hadoop's
+  *     OVERWRITE decomposes and would open a missing-pointer window).
+  *     If the pointer IS ever missing while snapshots exist, readers
+  *     fail loudly instead of guessing.
   *   - EXCLUSIVE COMMIT LOCK: the read-check-swap in `commitPointer`
   *     runs under an atomically created `_LOCK` file
   *     (`FileSystem.createNewFile`), so two racing writers cannot
@@ -632,6 +633,9 @@ object TableSync {
           .parquet(s"$path/$snapName/$BucketCol=0")
         (Map(0 -> Seq(snapName)), Map(0 -> 0L))
       }
+    // the snapshot directory (and any fallback empty bucket) is fully
+    // on disk; the manifest that makes it visible has not been written
+    graft.FaultPoints.reach("TableSync.snap")
     // Level completion: every bucket of this level has split, and
     // (nb, nb) is by construction the same key->bucket mapping as
     // (2nb, 0) — normalize so the next level's pointer starts clean.
@@ -644,6 +648,9 @@ object TableSync {
           Some(keyCol), Some(verCol)))
     }
     phase("gc") { gc(spark, path, batchId) }
+    // batch fully applied (commit + retention); a crash here replays
+    // into the idempotent no-op path
+    graft.FaultPoints.reach("TableSync.done")
   }
 
   /** The table's current bucket scheme `(numBuckets, split)` —
@@ -755,7 +762,11 @@ object TableSync {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
     val lock = fs.makeQualified(new Path(path, "_LOCK"))
-    if (!fs.createNewFile(lock))
+    // createExclusive, not createNewFile: the latter is exists-check-
+    // then-create, so a real racing writer THREW FileAlreadyExists
+    // from the window instead of losing cleanly (found by the
+    // round-16 two-writer race spec)
+    if (!graft.AtomicFiles.createExclusive(fs, lock))
       throw new java.util.ConcurrentModificationException(
         s"commit lock $lock already exists — another writer is " +
           "mid-commit, or a writer crashed inside its commit window; " +
@@ -776,17 +787,45 @@ object TableSync {
       // a crash mid-write would silently un-reproduce that version
       graft.AtomicFiles.write(fs, conf,
         new Path(path, ManifestPrefix + manifest.name), payload)
-      val tmp = fs.makeQualified(new Path(path, "_CURRENT.tmp"))
-      val cur = fs.makeQualified(new Path(path, "_CURRENT"))
-      val out = fs.create(tmp, true)
-      try out.write(payload) finally out.close()
-      val fc = FileContext.getFileContext(fs.getUri, conf)
-      fc.rename(tmp, cur, Options.Rename.OVERWRITE)
+      // archive durable, pointer not yet swapped — the batch is NOT
+      // committed here; nothing may treat the archive as applied
+      graft.FaultPoints.reach("TableSync.commit.archive")
+      // the pointer swap routes through AtomicFiles: unique tmp +
+      // scheme-aware atomic overwrite (POSIX rename(2) on the local
+      // FS, where Hadoop's OVERWRITE decomposes into delete+rename
+      // and a reader could observe a MISSING pointer mid-swap)
+      graft.AtomicFiles.write(fs, conf, new Path(path, "_CURRENT"),
+        payload)
+      // pointer swapped — the batch IS committed; everything after
+      // (gc, post-commit maintenance) is owed work replays repay
+      graft.FaultPoints.reach("TableSync.commit.swap")
     } finally fs.delete(lock, false)
   }
 
+  /** Batch ids the table has actually COMMITTED — [[versions]] capped
+    * at the `_CURRENT` pointer's batch. The pointer swap is the
+    * commit point; the archived manifest lands BEFORE the swap (so
+    * time travel can never lose the version the pointer names) —
+    * which means an archive can exist for a batch whose commit never
+    * happened (a crash inside the commit window, between the archive
+    * write and the pointer rename). A sink that reads "archived" as
+    * "applied" no-ops that batch's replay and silently drops its
+    * data — found by CrashFaultInjectionSpec's very first walk of
+    * `TableSync.commit.archive` (round 16), after three rounds of
+    * manual review missed it. Sinks gate on THIS; [[versions]] is for
+    * time travel only.
+    */
+  def committedVersions(spark: SparkSession, path: String): Seq[Long] =
+    currentManifest(spark, path) match {
+      case None => Seq.empty
+      case Some(m) =>
+        val cur = batchOf(m.name).getOrElse(Long.MinValue)
+        versions(spark, path).filter(_ <= cur)
+    }
+
   /** Retained snapshot batch ids (ascending, replay variants deduped)
-    * — from the archived manifests, the unit of time travel.
+    * — from the archived manifests, the unit of time travel. NOT the
+    * applied-check: see [[committedVersions]].
     */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val fs = new Path(path).getFileSystem(

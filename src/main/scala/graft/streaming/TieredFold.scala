@@ -48,7 +48,12 @@ private[streaming] object TieredFold {
           val gen = s.flatMap(x => genOf(x._1).toSeq)
             .maxOption.getOrElse(0L) + 1
           fold(src, l + 1, gen)
-          src.foreach(d => f.delete(new Path(path, d), true))
+          src.foreach { d =>
+            f.delete(new Path(path, d), true)
+            // partial source deletion: fold + surviving sources
+            // coexist (readers tolerate the duplicate rows)
+            graft.FaultPoints.reach("TieredFold.src-delete")
+          }
       }
     }
   }

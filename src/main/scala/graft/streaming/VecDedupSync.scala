@@ -106,6 +106,13 @@ object VecDedupSync {
     */
   val DefaultSmallBatchRows: Int = 4096
 
+  /** Mixed-history geometry lookups resolved against the FULL union
+    * schema, cached per indexPath for the life of the JVM — see the
+    * resolution block in [[applyVecs]] and DedupSync's text twin.
+    */
+  private val vecSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Int]]()
+
   def vecSink(vecs: DataFrame, indexPath: String, pairsPath: String,
       vecCol: String, idCol: String, checkpoint: String,
       threshold: Double, bits: Int = 4, tables: Int = 12,
@@ -148,7 +155,7 @@ object VecDedupSync {
       smallBatchRows: Int = DefaultSmallBatchRows)
       : Unit = {
     val spark = batch.sparkSession
-    val applied = TableSync.versions(spark, indexPath)
+    val applied = TableSync.committedVersions(spark, indexPath)
     if (applied.exists(_ >= batchId)) {
       // replay no-op; loud below the high-water mark (fresh-checkpoint
       // restart drops data silently otherwise — see DedupSync)
@@ -185,9 +192,34 @@ object VecDedupSync {
       .filter(_.metadata.contains(key))
       .map(_.metadata.getLong(key).toInt)
     lazy val sampleSch = TableSync.sampleSchema(spark, indexPath)
-    lazy val fullSch = TableSync.readCurrent(spark, indexPath).schema
+    // the full-union-schema consult caches its RESULT per (indexPath,
+    // bootstrap id) — frozen params can never go stale, and a legacy
+    // index (no metadata anywhere) must not re-plan the full snapshot
+    // on every batch forever (the r15 advice; DedupSync's cache, the
+    // vec four-key form). The no-metadata case also warns loudly:
+    // it is the one remaining window where a drifted-knob restart
+    // silently diverges the signature space.
+    def fullLookup(): Map[String, Int] = {
+      // keyed by path alone — see DedupSync's twin for the leak and
+      // staleness rationale
+      vecSchemaCache.computeIfAbsent(indexPath, _ => {
+        val fullSch = TableSync.readCurrent(spark, indexPath).schema
+        val m = Seq("graft.lsh.sigbits", "graft.lsh.bits",
+            "graft.lsh.tables", "graft.lsh.dim")
+          .flatMap(k => lshOf(fullSch, k).map(k -> _)).toMap
+        if (m.isEmpty)
+          println(s"[VecDedupSync] index at $indexPath carries NO " +
+            "stored geometry metadata in any generation (legacy or " +
+            "metadata-stripped); assuming the passed knobs " +
+            s"(bits=$bits, tables=$tables, dim=$dim; legacy " +
+            "signature depth = bits) — if the index was signed under " +
+            "different knobs, cross-boundary pairs are silently " +
+            "lost; rebuild the index to freeze its geometry")
+        m
+      })
+    }
     def storedOpt(key: String): Option[Int] =
-      lshOf(sampleSch, key).orElse(lshOf(fullSch, key))
+      lshOf(sampleSch, key).orElse(fullLookup().get(key))
     val (storedSigBits, eBits, eTables, eDim) =
       if (applied.isEmpty) (sigBits, bits, tables, dim)
       else (
@@ -248,15 +280,19 @@ object VecDedupSync {
     DedupSync.phase("v_pairs_write") {
       PairsStore.writeBatch(out.pairs, pairsPath, "cosine", batchId)
     }
+    graft.FaultPoints.reach("VecDedupSync.pairs")
     val newDepths = VecLog.Depths(eBits, storedSigBits,
       Dedup.refineDepths(out.newOcc, maxBucketSize, eBits,
         storedSigBits))
     DedupSync.phase("v_sidecar_write") {
       VecLog.append(out.sidecarKeys, keysPath, batchId, newDepths,
         knownRows = out.sidecarRows)
+      graft.FaultPoints.reach("VecDedupSync.veclog")
       KeyedLog.append(out.memberRows, membersPath, batchId,
         knownRows = out.batchRows)
+      graft.FaultPoints.reach("VecDedupSync.members")
       OccStats.write(spark, keysPath, batchId, out.newOcc)
+      graft.FaultPoints.reach("VecDedupSync.occ")
       // the small path hands back the batch as a LocalRelation —
       // the append and the commit write from driver rows (single-
       // task writes, no broadcast/build jobs); identical content
@@ -265,6 +301,9 @@ object VecDedupSync {
         indexPath, batchId, payloadBucketBytes,
         knownRows = out.batchRows)
     }
+    // all four sidecars durable at the uncommitted batch id —
+    // invisible until the index commit below lands
+    graft.FaultPoints.reach("VecDedupSync.sidecar")
     DedupSync.phase("v_index_commit") {
       TableSync.applyBatch(out.batchFrame.getOrElse(batchIdx)
           .withColumn("ver", lit(batchId)),
@@ -276,6 +315,7 @@ object VecDedupSync {
       collapse = vecLogCollapse)
     KeyedLog.maybeCompact(spark, membersPath, "bk")
     PayloadLog.maybeCompact(spark, indexPath, payloadBucketBytes)
+    graft.FaultPoints.reach("VecDedupSync.post")
   }
 
   /** One probe path's output, consumed by the shared write tail:

@@ -376,16 +376,36 @@ object VecLog {
                                // not one sliver per (task x partition)
       .write.mode("overwrite").partitionBy(KbCol)
       .parquet(s"$path/$target")
+    graft.FaultPoints.reach("VecLog.staged")
     val dp = f.create(new Path(s"$path/$target", DepthsFile), true)
     try dp.write(depths.serialize.getBytes("UTF-8")) finally dp.close()
+    graft.FaultPoints.reach("VecLog.depths")
     // a pre-existing dest is a completed attempt of the SAME
     // deterministic write (a replayed large append, or a re-run
     // backfill after a crash before its counter write landed) —
     // replace it. Replacement is safe pre-commit only, which is the
     // only time this path re-runs: post-commit the batch never
     // replays, and the backfill derives from committed state.
+    // Replacement moves the old attempt ASIDE (one rename) rather
+    // than deleting it: delete+rename was two metadata ops whose
+    // crash window unpublished a previously COMPLETE segment with
+    // nothing recoverable on disk; renamed aside, the old bytes
+    // survive under a staging-prefixed name (invisible to listSegs,
+    // swept by the next fold's _compact_tmp_ hygiene pass) and the
+    // publish itself stays a single rename. Directory
+    // rename-with-overwrite is not portable (HDFS requires an empty
+    // dest), so the aside step is the narrowest safe form.
     val dest = new Path(path, name)
-    if (f.exists(dest)) f.delete(dest, true)
+    if (f.exists(dest)) {
+      // unique aside name: Hadoop local rename onto an EXISTING dir
+      // nests the source inside it instead of failing
+      val aside = new Path(path, s"_compact_tmp_aside_$name." +
+        s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      if (!f.rename(dest, aside))
+        throw new IllegalStateException(
+          s"VecLog aside rename failed under $path ($name)")
+      graft.FaultPoints.reach("VecLog.aside")
+    }
     if (!f.rename(new Path(path, target), dest))
       throw new IllegalStateException(
         s"VecLog segment rename failed under $path ($name)")
@@ -459,6 +479,8 @@ private[streaming] object OccStats {
       .mkString("\n")
     graft.AtomicFiles.write(f, conf, path(dir, ver),
       payload.getBytes("UTF-8"))
+    // counters durable; retention sweep of older versions still owed
+    graft.FaultPoints.reach("OccStats.written")
     if (f.exists(new Path(dir)))
       f.listStatus(new Path(dir))
         .filterNot(_.isDirectory)

@@ -642,6 +642,85 @@ object ScaleSmoke {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ix))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pr))
     }
+    // ANN-INDEX LIFECYCLE LADDER (annlife) — s18–s21's scale witness
+    // (the dedup sinks had ladders; the persisted-artifact lifecycle
+    // had none): build → probe → append → probe → delete → probe →
+    // forced drift-rebuild → probe, over k x |embeddings| DISTINCT
+    // vectors (per-replica sign patterns — exact replicas would say
+    // nothing about cell balance). Claims under measurement:
+    //  - append/delete are BATCH-bound: they project/write their own
+    //    seg=<id> subtree and never read existing segments, so their
+    //    wall must stay FLAT as k grows;
+    //  - probes ride nprobe/nlist of the corpus BYTES (partition-
+    //    pruned scans), so they may grow ~linearly in k but never
+    //    super-linearly;
+    //  - the forced rebuild reads the live rows once (the
+    //    rebuildCostRows cost model) — ~linear in k, which is exactly
+    //    why maybeRebuild's churn gate exists: at 100 TB the rewrite
+    //    must amortize against >= 10% corpus churn.
+    locally {
+      val dir = java.nio.file.Files
+        .createTempDirectory("smoke_annlife").toString
+      def signedA(df: org.apache.spark.sql.DataFrame, rep: Int) =
+        df.select(
+          (col("vec_id") + lit(rep.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"), (x, d) =>
+            when(pmod(xxhash64(d, lit(rep)), lit(2)) === 0, -x)
+              .otherwise(x))
+            .as("embedding"))
+      val corpus = (0 until k).map(i => signedA(ebase, i))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+      val corpusN = corpus.count()
+      val queries = signedA(ebase.limit(50), 0)
+        .withColumn("vec_id", col("vec_id") + lit(950000000L))
+        .localCheckpoint()
+      val appendB = signedA(ebase.limit(1000), 1)
+        .withColumn("vec_id", col("vec_id") + lit(960000000L))
+        .localCheckpoint()
+      val deadIds = appendB.limit(500).select(col("vec_id"))
+        .localCheckpoint()
+      timed("annlife_build") {
+        graft.operators.AnnIndex.build(corpus, dir, nlist = 64)
+        corpusN
+      }
+      timed("annlife_probe0") {
+        graft.operators.AnnIndex.probe(spark, dir, queries, k = 10)
+          .count()
+      }
+      timed("annlife_append") {
+        graft.operators.AnnIndex.append(appendB, dir, segId = 1L)
+        1000L
+      }
+      timed("annlife_probe1") {
+        graft.operators.AnnIndex.probe(spark, dir, queries, k = 10)
+          .count()
+      }
+      timed("annlife_delete") {
+        graft.operators.AnnIndex.delete(deadIds, dir, segId = 2L)
+        500L
+      }
+      timed("annlife_probe2") {
+        graft.operators.AnnIndex.probe(spark, dir, queries, k = 10)
+          .count()
+      }
+      // forced rebuild (tolerance < 0 always recommends; churn gate
+      // off): measures the full retrain + rotation at this corpus
+      // size — the rebuildCostRows claim, witnessed
+      timed("annlife_rebuild") {
+        graft.operators.AnnIndex.maybeRebuild(spark, dir, sample = 16,
+          k = 10, tolerance = -1.0, minChangedFraction = 0.0)
+        corpusN + 500L
+      }
+      timed("annlife_probe3") {
+        graft.operators.AnnIndex.probe(spark, dir, queries, k = 10)
+          .count()
+      }
+      corpus.unpersist()
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
     // PQ/ADC: codebook trains on a BOUNDED sample regardless of k
     // (fixed driver cost); the scan does m lookup reads per pair over
     // 4-bit codes, so growth must track the candidate count only
