@@ -673,14 +673,17 @@ object ScaleSmoke {
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
       val corpusN = corpus.count()
+      // plain persisted projections, NOT localCheckpoints: timed()
+      // frees checkpoint blocks between stages, and these frames are
+      // deterministic ebase derivations anyway
       val queries = signedA(ebase.limit(50), 0)
         .withColumn("vec_id", col("vec_id") + lit(950000000L))
-        .localCheckpoint()
+        .persist()
       val appendB = signedA(ebase.limit(1000), 1)
         .withColumn("vec_id", col("vec_id") + lit(960000000L))
-        .localCheckpoint()
+        .persist()
       val deadIds = appendB.limit(500).select(col("vec_id"))
-        .localCheckpoint()
+        .persist()
       timed("annlife_build") {
         graft.operators.AnnIndex.build(corpus, dir, nlist = 64)
         corpusN
