@@ -250,6 +250,25 @@ class CrashFaultInjectionSpec extends AnyFunSuite {
       }))
   }
 
+  test("aggsync: every publish boundary crash converges") {
+    record(Scenario("aggsync",
+      root => {
+        import spark.implicits._
+        val path = s"$root/agg"
+        def batch(b: Long, rows: Seq[(String, Double)]) = () =>
+          AggSync.applyDelta(rows.toDF("k", "amount"), path,
+            "k", "amount", b, numBuckets = 4)
+        Seq(
+          batch(0L, Seq(("a", 1.0), ("b", 2.0), ("c", 3.0))),
+          // overlapping keys: the merge must fold prior state — the
+          // exact path the archive-crash applied-check bug corrupted
+          batch(1L, Seq(("a", 4.0), ("d", 5.0))),
+          batch(2L, Seq(("a", 6.0), ("b", 7.0), ("d", 8.0))))
+      },
+      root => rowsFp(TableSync.readCurrent(spark, s"$root/agg")
+        .select(col("k"), col("n"), col("tot")))))
+  }
+
   test("keyedlog fold: every publish boundary crash converges") {
     record(Scenario("keyedfold",
       root => {
