@@ -96,8 +96,10 @@ class CrashFaultInjectionSpec extends AnyFunSuite {
     (rec, s.fingerprint(root), crashed)
   }
 
-  /** Clean run, then an armed run per (site, first and last
-    * occurrence). Returns the recorded site->count map.
+  /** Clean run, then an armed run per (site, occurrence): EVERY
+    * occurrence for sites the scenario crosses up to three times
+    * (the common case — one hit per batch), first + last beyond.
+    * Returns the recorded site->count map.
     */
   private def walk(s: Scenario): Map[String, Long] = {
     val (rec, cleanFp, _) = runScenario(s, None)
@@ -105,7 +107,8 @@ class CrashFaultInjectionSpec extends AnyFunSuite {
     val failures = mutable.Buffer[String]()
     for {
       (site, count) <- rec.toSeq.sortBy(_._1)
-      occ <- Set(1L, count).toSeq.sorted
+      occ <- (if (count <= 3) (1L to count).toSeq
+              else Seq(1L, count)).distinct
     } {
       val res: Option[(Seq[String], Boolean)] =
         try {
