@@ -842,12 +842,17 @@ object TableSync {
   /** Time-travel read of a specific retained snapshot — the audit /
     * reproduce-yesterday's-training-set path. Fails loudly when the
     * version fell out of retention (a silent fallback to current
-    * would un-reproduce the run it exists to reproduce). Resolves the
-    * archived manifest of that batch: each bucket reads from the
-    * directory that last rewrote it AS OF the requested batch. If the
-    * current pointer names a replay variant of the requested batch,
-    * that variant's manifest is read; all variants hold identical
-    * content by idempotence.
+    * would un-reproduce the run it exists to reproduce) — and when
+    * the version was never COMMITTED: the archive lands before the
+    * pointer swap, so a crash inside the commit window leaves a
+    * phantom archive whose batch the sinks will re-run (or a
+    * restarted stream abandoned); serving it as history would
+    * "reproduce" a dataset no reader ever saw. Resolves the archived
+    * manifest of that batch: each bucket reads from the directory
+    * that last rewrote it AS OF the requested batch. If the current
+    * pointer names a replay variant of the requested batch, that
+    * variant's manifest is read; all variants hold identical content
+    * by idempotence.
     */
   def readVersion(
       spark: SparkSession, path: String, version: Long): DataFrame = {
@@ -864,6 +869,13 @@ object TableSync {
     if (variants.isEmpty) throw new IllegalStateException(
       s"snapshot v$version not retained under $path " +
         s"(have: ${versions(spark, path).mkString(", ")})")
+    val committed = currentManifest(spark, path)
+      .flatMap(m => batchOf(m.name)).getOrElse(Long.MinValue)
+    if (version > committed) throw new IllegalStateException(
+      s"snapshot v$version under $path is archived but NOT committed " +
+        s"(pointer is at v$committed) — a crash inside the commit " +
+        "window left it; the batch will re-commit on replay, or was " +
+        "abandoned by a restarted stream")
     val cur = currentManifest(spark, path).map(_.name)
     val name = cur.filter(variants.contains)
       .getOrElse(variants.maxBy(snapOrder))

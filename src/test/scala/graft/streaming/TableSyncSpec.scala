@@ -56,6 +56,38 @@ class TableSyncSpec extends AnyFunSuite {
     assert(snap.count() == 2, "replay must not duplicate rows")
   }
 
+  test("time travel refuses a phantom archive (archived inside a " +
+    "crashed commit window, never committed)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-phantom-").toString
+    def batch(b: Long, rows: Seq[(Long, Long, String)]): Unit =
+      TableSync.applyBatch(rows.toDF("k", "ver", "attr"), path,
+        "k", "ver", b, numBuckets = 4)
+    batch(0L, Seq((1L, 0L, "a0"), (2L, 0L, "b0")))
+    batch(1L, Seq((1L, 1L, "a1")))
+    // crash between the archive write and the pointer swap: batch 2's
+    // manifest is archived but the commit never happened
+    graft.FaultPoints.armCrash("TableSync.commit.archive", 1L)
+    intercept[graft.FaultPoints.InjectedCrash] {
+      batch(2L, Seq((2L, 2L, "b2")))
+    }
+    graft.FaultPoints.disarm()
+    assert(TableSync.versions(spark, path).contains(2L),
+      "fixture broken: the phantom archive should exist")
+    assert(TableSync.committedVersions(spark, path) == Seq(0L, 1L))
+    // committed history serves; the phantom refuses loudly
+    assert(TableSync.readVersion(spark, path, 1L).count() == 2)
+    val e = intercept[IllegalStateException] {
+      TableSync.readVersion(spark, path, 2L)
+    }
+    assert(e.getMessage.contains("NOT committed"), e.getMessage)
+    // the replay commits the batch; time travel then serves it
+    batch(2L, Seq((2L, 2L, "b2")))
+    val got = TableSync.readVersion(spark, path, 2L).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "a1", 2L -> "b2"), s"got $got")
+  }
+
   test("crash-forced batch REPLAY recomputes the same snapshot (exactly-once)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
