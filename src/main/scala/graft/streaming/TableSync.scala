@@ -870,12 +870,12 @@ object TableSync {
       s"snapshot v$version not retained under $path " +
         s"(have: ${versions(spark, path).mkString(", ")})")
     val committed = currentManifest(spark, path)
-      .flatMap(m => batchOf(m.name)).getOrElse(Long.MinValue)
-    if (version > committed) throw new IllegalStateException(
+      .flatMap(m => batchOf(m.name))
+    if (!committed.exists(_ >= version)) throw new IllegalStateException(
       s"snapshot v$version under $path is archived but NOT committed " +
-        s"(pointer is at v$committed) — a crash inside the commit " +
-        "window left it; the batch will re-commit on replay, or was " +
-        "abandoned by a restarted stream")
+        s"(pointer is at ${committed.map("v" + _).getOrElse("<none>")})" +
+        " — a crash inside the commit window left it; the batch will " +
+        "re-commit on replay, or was abandoned by a restarted stream")
     val cur = currentManifest(spark, path).map(_.name)
     val name = cur.filter(variants.contains)
       .getOrElse(variants.maxBy(snapOrder))
