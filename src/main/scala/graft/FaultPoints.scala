@@ -23,16 +23,23 @@ import java.util.concurrent.atomic.AtomicLong
   * fails the inventory test — coverage is bounded by the write-site
   * inventory, not by reviewer attention.
   *
-  * Fidelity note (disclosed, not hidden): an armed reach throws
-  * [[InjectedCrash]], which UNWINDS — `finally` blocks run, unlike a
-  * real `kill -9`. Two states are therefore modeled cleaner than
-  * reality: advisory lock files released in `finally` (stale-lock
-  * recovery is separately spec'd — the loud-refusal paths in
-  * TableSyncSpec/AnnIndexSpec), and output streams closed (a torn
-  * single `create()` is exactly the state the AtomicFiles tmp+rename
-  * discipline makes unreachable, spec'd there). Everything BETWEEN
-  * durable operations — the class the manual reviews kept finding —
-  * is modeled faithfully: operations after the armed site never run.
+  * Fidelity note: an armed reach throws [[InjectedCrash]], which
+  * UNWINDS — `finally` blocks run, unlike a real `kill -9`. For
+  * advisory LOCK FILES that gap is closed by ABANDON MODE
+  * ([[enableAbandonMode]]): every engine lock routes its acquire and
+  * release through [[lockAcquired]]/[[lockReleased]] (two volatile
+  * reads in production), and when an armed crash fires in abandon
+  * mode the locks the dying "process" holds are marked LEAKED — their
+  * `finally` release is suppressed, so the lock file stays on disk
+  * exactly as a kill -9 leaves it, and the harness walks the
+  * stale-lock recovery contract (loud refusal naming the file, then
+  * operator deletion, then convergent replay) at every lock-guarded
+  * (site, occurrence). The remaining unwind artifact — output streams
+  * closed in `finally` — models a torn single `create()`, exactly the
+  * state the AtomicFiles tmp+rename discipline makes unreachable
+  * (spec'd there). Everything BETWEEN durable operations — the class
+  * the manual reviews kept finding — is modeled faithfully either
+  * way: operations after the armed site never run.
   *
   * Reference semantics being protected: the ack-on-success commit
   * point (reference GetJobs.py:37-40 — delete-after-upload; a crash
@@ -65,8 +72,62 @@ object FaultPoints {
       rec.computeIfAbsent(site, _ => new AtomicLong()).incrementAndGet()
     val a = arm
     if (a != null && a.site == site &&
-        a.counter.incrementAndGet() == a.occurrence)
+        a.counter.incrementAndGet() == a.occurrence) {
+      // abandon mode: the dying writer takes its held locks with it —
+      // their finally-release is suppressed (lockReleased), so the
+      // lock files stay on disk exactly as kill -9 leaves them
+      if (abandonMode) held.forEach(l => { leaked.add(l); () })
       throw new InjectedCrash(site, a.occurrence)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // abandon (no-unwind / leaked-lock) mode
+  // ---------------------------------------------------------------
+
+  @volatile private var abandonMode: Boolean = false
+  private val held =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val leaked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Engine hook — an advisory lock file was atomically created.
+    * Unarmed this is one volatile read; in abandon mode the id joins
+    * the held set a firing crash will leak.
+    */
+  def lockAcquired(id: String): Unit =
+    if (abandonMode) { held.add(id); () }
+
+  /** Engine hook — run `release` (the `finally` lock deletion) UNLESS
+    * an abandon-mode crash leaked this lock, in which case the file
+    * must stay on disk: a killed process cannot run its finally.
+    */
+  def lockReleased(id: String)(release: => Unit): Unit = {
+    if (abandonMode) {
+      held.remove(id)
+      if (leaked.contains(id)) return
+    }
+    release
+  }
+
+  /** Test API — make the next armed crashes leak held locks. */
+  def enableAbandonMode(): Unit = { abandonMode = true }
+
+  /** Test API — leave abandon mode, clearing all tracking. */
+  def disableAbandonMode(): Unit = {
+    abandonMode = false
+    held.clear()
+    leaked.clear()
+  }
+
+  /** Test API — the lock ids the last crash leaked; cleared so the
+    * harness can delete the files and replay.
+    */
+  def drainLeakedLocks(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val out = leaked.asScala.toSet
+    leaked.clear()
+    out
   }
 
   /** Test API — record which sites a scenario crosses. */

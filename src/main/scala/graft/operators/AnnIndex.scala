@@ -195,12 +195,41 @@ object AnnIndex {
   def delete(ids: DataFrame, path0: String, segId: Long,
       idCol: String = "vec_id"): Unit = {
     require(segId >= 1L, s"segId must be >= 1 (0 is the build): $segId")
-    val path = resolveRoot(ids.sparkSession, path0)
-    readMeta(ids.sparkSession, path) // fail loudly on a missing index
-    ids.select(col(idCol).as("id")).distinct()
-      .write.mode("overwrite")
-      .parquet(s"$path/tombstones/seg=$segId")
+    val spark = ids.sparkSession
+    val path = resolveRoot(spark, path0)
+    readMeta(spark, path) // fail loudly on a missing index
+    // staged + renamed like append: a tombstone segment visible per
+    // task commit would apply a PREFIX of the delete batch to
+    // concurrent probes — a state no committed point ever held
+    publishSegment(spark, s"$path/tombstones", segId,
+      ids.select(col(idCol).as("id")).distinct()
+        .write.mode("overwrite").parquet(_))
     graft.FaultPoints.reach("AnnIndex.delete.tombs")
+  }
+
+  /** Stage-then-rename publish of `<base>/seg=<segId>`: `write` fills
+    * an underscore-prefixed staging directory the parquet reader
+    * never lists, then ONE atomic directory rename makes the complete
+    * segment visible. If the destination already exists it was
+    * published whole (it only ever appears via this rename), so a
+    * replay deletes its fresh stage and no-ops — first-publish-wins,
+    * which for the streaming-replay contract (same segId = same rows)
+    * is identical to overwrite. Stranded stages from crashed writers
+    * are uuid-unique, invisible, and swept age-gated by
+    * [[sweepOrphans]].
+    */
+  private def publishSegment(spark: SparkSession, base: String,
+      segId: Long, write: String => Unit): Unit = {
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val stage = new Path(
+      s"$base/_stage-seg-$segId-${java.util.UUID.randomUUID()}")
+    write(stage.toString)
+    graft.FaultPoints.reach("AnnIndex.seg.staged")
+    val dest = new Path(s"$base/seg=$segId")
+    if (fs.exists(dest)) { fs.delete(stage, true); () }
+    else require(fs.rename(stage, dest),
+      s"failed to publish segment $dest (stage: $stage)")
   }
 
   /** Tombstones as (tid, tseg), or None when none exist. */
@@ -328,6 +357,17 @@ object AnnIndex {
     * replace/upsert semantics route vectors through [[graft.streaming.VecDedupSync]]
     * (keyed TableSync storage) and rebuild this artifact on the
     * retrain cadence.
+    *
+    * ATOMIC VISIBILITY (round-17 reader/writer walk): the segment is
+    * staged under an underscore-prefixed directory (invisible to the
+    * parquet reader) and published by ONE directory rename — a direct
+    * `write.parquet(codes/seg=N)` became visible per task commit, so
+    * a probe concurrent with an append could rank a PREFIX of the new
+    * segment: a state no committed lifecycle point ever held. A
+    * replayed segId whose destination already exists no-ops the data
+    * move (the published directory is complete by construction — it
+    * only ever appears via the rename) and just re-converges the
+    * `_SEGROWS`/`_META` accounting.
     */
   def append(more: DataFrame, path0: String, segId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -337,9 +377,9 @@ object AnnIndex {
     val meta = readMeta(spark, path)
     val centroids = loadCentroids(spark, path)
     val segRowsNew = more.count()
-    project(more, centroids, meta.scale, idCol, vecCol)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/codes/seg=$segId")
+    publishSegment(spark, s"$path/codes", segId,
+      project(more, centroids, meta.scale, idCol, vecCol)
+        .write.mode("overwrite").partitionBy("cell").parquet(_))
     graft.FaultPoints.reach("AnnIndex.append.codes")
     val segRows = readSegRows(spark, path)
       // legacy artifact without _SEGROWS: one-time PER-SEGMENT counts
@@ -516,15 +556,51 @@ object AnnIndex {
     // stranded pre-rotation root files.
     val keep =
       if (root == path) "" else root.substring(path.length + 1)
+    val now = System.currentTimeMillis()
     fs.listStatus(new Path(path)).foreach { st =>
       val n = st.getPath.getName
       val staleGen = st.isDirectory && n != keep && n.matches("g\\d+")
       val staleRoot =
         root != path &&
           (RootArtifactNames.contains(n) || n.endsWith(".tmp"))
-      if (staleGen || staleRoot) fs.delete(st.getPath, true)
+      // stranded AtomicFiles tmps at an UNROTATED root (a crash
+      // between tmp-create and rename; unique names mean nothing
+      // overwrites them): `_GEN.*.tmp` are deletable outright — _GEN
+      // writes happen only under the rebuild lock this sweep holds —
+      // while other tmps (_META/_SEGROWS/_RECALL0 from lock-free
+      // appends) need an age threshold so a CONCURRENT append's
+      // in-flight tmp (a milliseconds window) is never swept from
+      // under its rename.
+      val strayTmp = !st.isDirectory && n.endsWith(".tmp") &&
+        (n.startsWith("_GEN.") ||
+          now - st.getModificationTime > StaleTmpMs)
+      if (staleGen || staleRoot || strayTmp)
+        fs.delete(st.getPath, true)
     }
+    // stranded SEGMENT STAGES (publishSegment uuid dirs a crashed
+    // append/delete never renamed): invisible to readers, but they
+    // would accumulate forever. Age-gated like the tmps — a LIVE
+    // concurrent append's in-flight stage must never be swept from
+    // under its rename.
+    Seq("codes", "tombstones").foreach { sub =>
+      val d = new Path(root, sub)
+      if (fs.exists(d))
+        fs.listStatus(d)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("_stage-") &&
+            now - st.getModificationTime > StaleTmpMs)
+          .foreach(st => fs.delete(st.getPath, true))
+    }
+    // sweep deletions durable; callers hold a lock here, so a crash
+    // at this boundary is the stale-lock state the recovery contract
+    // (loud refusal / loud skip, operator deletes) exists for
+    graft.FaultPoints.reach("AnnIndex.sweep.done")
   }
+
+  /** Age beyond which a stranded `*.tmp` is presumed dead — hours
+    * past any AtomicFiles create-to-rename window (milliseconds).
+    */
+  private val StaleTmpMs = 3600000L
 
   /** Close the drift loop: run [[driftCheck]] and, when it recommends
     * a rebuild AND the churn since build clears `minChangedFraction`,
@@ -569,8 +645,21 @@ object AnnIndex {
     // pointer onto a gutted generation AND delete the old one. When
     // the lock is held, skip sweeping; the holder owns the layout.
     if (graft.AtomicFiles.createExclusive(fs0, lock)) {
-      try sweepOrphans(spark, path) finally fs0.delete(lock, false)
-    }
+      graft.FaultPoints.lockAcquired(lock.toString)
+      try sweepOrphans(spark, path)
+      finally graft.FaultPoints.lockReleased(lock.toString) {
+        fs0.delete(lock, false); ()
+      }
+    } else
+      // a LIVE rebuild legitimately owns the layout — but a STALE
+      // lock (crashed holder) would otherwise disable orphan
+      // sweeping forever with no signal: in the no-drift steady
+      // state nothing else ever touches the lock, so the debt never
+      // refuses loudly anywhere. Say so; the operator clears it.
+      println(s"[AnnIndex] skipping orphan sweep under $path — " +
+        s"rebuild lock $lock is held; if no rebuild is in flight " +
+        "the lock is stale (a crashed holder): verify and delete " +
+        "the lock file to resume sweeping")
     val rootAtCheck = resolveRoot(spark, path)
     val drift = driftCheck(spark, path, sample, k, nprobe, refine,
       tolerance)
@@ -609,7 +698,10 @@ object AnnIndex {
           "flight, or one crashed mid-rebuild; verify no builder is " +
           "alive, then delete the lock file (rebuilds are " +
           "single-writer)")
-    try body finally fs.delete(lock, false)
+    graft.FaultPoints.lockAcquired(lock.toString)
+    try body finally graft.FaultPoints.lockReleased(lock.toString) {
+      fs.delete(lock, false); ()
+    }
   }
 
   /** Build a fresh artifact into the next `g<N>` generation via

@@ -127,14 +127,63 @@ object TarShards {
     val rawName = field(0, 100)
     val prefix = field(345, 155)
     val name = if (prefix.isEmpty) rawName else s"$prefix/$rawName"
+    // STRICT size parse: octal digits, then only NUL/space terminators
+    // to the end of the field. The lenient form (skip non-octal bytes
+    // anywhere) silently misparsed a crafted checksum-valid header —
+    // "12x4" read as 124 — handing downstream a wrong payload length:
+    // exactly the silent-truncation class the adversarial-input gate
+    // (round-17 order #2) forbids. Hostile size bytes now fail loudly.
     var size = 0L
+    var terminated = false
     i = 124
     while (i < 136) {
       val c = h(i) & 0xff
-      if (c >= '0' && c <= '7') size = size * 8 + (c - '0')
+      if (!terminated && c >= '0' && c <= '7') size = size * 8 + (c - '0')
+      else if (c == 0 || c == ' ') terminated = true
+      else throw new IllegalArgumentException(
+        s"tar header at offset $headerOff has a malformed size field " +
+          s"(non-octal byte 0x${c.toHexString} for member $name)")
       i += 1
     }
     (name, size, h(156))
+  }
+
+  /** Read exactly `size` payload bytes, allocation-bounded: sizes up
+    * to one chunk allocate exactly (the hot path — training samples);
+    * larger declared sizes stream in chunks so a LYING header (a
+    * crafted ~2 GiB size over a 1 KB stream) fails loudly after
+    * allocating only what the stream actually held, never a
+    * multi-GiB up-front allocation an attacker controls.
+    */
+  private def readPayload(din: DataInputStream, size: Long,
+      name: String): Array[Byte] = {
+    // header-parsed sizes are non-negative by construction; a hostile
+    // SIDECAR line can say anything — refuse with the loud class
+    require(size >= 0,
+      s"tar member $name declares a negative size ($size)")
+    require(size <= Int.MaxValue,
+      s"tar member $name exceeds 2 GiB (single-member limit)")
+    val chunk = 1 << 20
+    def truncated() = throw new IllegalArgumentException(
+      s"tar member $name truncated (need $size bytes)")
+    if (size <= chunk) {
+      val bytes = new Array[Byte](size.toInt)
+      try din.readFully(bytes)
+      catch { case _: EOFException => truncated() }
+      bytes
+    } else {
+      val out = new ByteArrayOutputStream(chunk)
+      val buf = new Array[Byte](chunk)
+      var left = size
+      while (left > 0) {
+        val want = math.min(left, chunk.toLong).toInt
+        val n = din.read(buf, 0, want)
+        if (n < 0) truncated()
+        out.write(buf, 0, n)
+        left -= n
+      }
+      out.toByteArray
+    }
   }
 
   /** Stream (name, bytes) members out of a USTAR archive,
@@ -189,14 +238,7 @@ object TarShards {
           val (name, size, typeflag) = parseHeader(h, headerOff)
           val padded = size + (BlockSize - size % BlockSize) % BlockSize
           if (typeflag == '0'.toByte || typeflag == 0.toByte) {
-            require(size <= Int.MaxValue,
-              s"tar member $name exceeds 2 GiB (single-member limit)")
-            val bytes = new Array[Byte](size.toInt)
-            try din.readFully(bytes)
-            catch { case _: EOFException =>
-              throw new IllegalArgumentException(
-                s"tar member $name truncated (need $size bytes)")
-            }
+            val bytes = readPayload(din, size, name)
             skipFully(padded - size, name)
             offset += padded
             ready = (name, bytes)
@@ -297,7 +339,8 @@ object TarShards {
     */
   def writeShards(df: DataFrame, nameCol: String, binCol: String,
       shardCol: String, outDir: String,
-      maxShardBytes: Long = 8L << 30): DataFrame = {
+      maxShardBytes: Long = 8L << 30,
+      staleTmpMs: Long = 3600000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -310,20 +353,28 @@ object TarShards {
     // over this outDir (a failed attempt's tmps are never published,
     // but nothing else ever deletes them — they would accumulate
     // forever); runs at call time, before this job's tasks create
-    // their own
+    // their own. AGE-GATED: an unconditional sweep deleted the
+    // in-flight tmps of a CONCURRENTLY running writeShards over the
+    // same outDir — the dueling-zombie overlap the byte-determinism
+    // tiebreaker exists to make safe — turning the elder attempt's
+    // publish rename into a loud job failure. Strands are therefore
+    // presumed dead only past `staleTmpMs` (crashed-writer mtimes
+    // freeze; a live local-FS writer's advance with every write), at
+    // the price of crashed strands lingering up to the threshold.
     val fsOut = new Path(outDir).getFileSystem(
       spark.sessionState.newHadoopConf())
+    val now = System.currentTimeMillis()
     if (fsOut.exists(new Path(outDir)))
       fsOut.listStatus(new Path(outDir))
         .filterNot(_.isDirectory)
-        .map(_.getPath)
-        .filter { p =>
-          val n = p.getName
-          (n.startsWith("shard-") && n.endsWith(".tmp")) ||
+        .filter { st =>
+          val n = st.getPath.getName
+          ((n.startsWith("shard-") && n.endsWith(".tmp")) ||
             // checksum sidecars of stranded tmps (local FS)
-            (n.startsWith(".shard-") && n.endsWith(".tmp.crc"))
+            (n.startsWith(".shard-") && n.endsWith(".tmp.crc"))) &&
+            now - st.getModificationTime > staleTmpMs
         }
-        .foreach(fsOut.delete(_, false))
+        .foreach(st => fsOut.delete(st.getPath, false))
     df.select(col(shardCol).cast("string").as("shard"),
         col(nameCol).cast("string").as("name"), col(binCol).as("bytes"))
       .repartition(col("shard"))
@@ -343,6 +394,18 @@ object TarShards {
           override def hasNext: Boolean = pending != null
           override def next(): Row = {
             val shard = pending._1
+            // the shard key comes from DATA and becomes a file name:
+            // a hostile key containing a separator ("../x", "a/b")
+            // would write OUTSIDE outDir — the path-escape class the
+            // adversarial-input gate forbids. Refuse loudly (the
+            // NamedSink key sink percent-encodes instead, but shard
+            // keys round-trip through file names via parseShardName,
+            // so encoding would corrupt read-back keys).
+            require(shard != null && shard.nonEmpty &&
+              !shard.contains('/') && !shard.contains('\\'),
+              s"shard key ${if (shard == null) "<null>" else s"'$shard'"} " +
+                "is not a safe file-name component (empty, or contains " +
+                "a path separator) — re-key the shard column")
             val p = new Path(outDir, s"shard-$shard.tar")
             val ixP = new Path(outDir, s"shard-$shard.tar.idx")
             val fs = p.getFileSystem(conf.value)
@@ -595,8 +658,10 @@ object TarShards {
             s"stale shard index for $p: expected $name ($size B) at " +
               s"offset $offset, found $gotName ($gotSize B) — " +
               "rebuild with indexShards")
-          val bytes = new Array[Byte](size.toInt)
-          in.readFully(bytes)
+          // size is now HEADER-validated (== gotSize), but the header
+          // itself is input: allocation-bounded read, like unpack
+          // (FSDataInputStream IS a DataInputStream)
+          val bytes = readPayload(in, size, name)
           Row(shard, batchId, name, bytes)
         }
         new Iterator[Row] {

@@ -104,13 +104,18 @@ object DedupSync {
   /** Mixed-history metadata lookups resolved against the FULL union
     * schema, cached per indexPath for the life of the JVM — see the
     * resolution block in [[applyDocs]]. Values are frozen properties
-    * of a live index, so a JVM-lifetime cache can never go stale; an
-    * index recreated at the same path writes metadata into every new
-    * generation, which the per-batch sampled-schema check picks up
-    * ahead of this cache.
+    * of a live index, so the cache can only go stale if the index is
+    * DELETED AND RECREATED at the same path in the same JVM — which is
+    * why each entry carries the table's bootstrap token
+    * (TableSync.bootstrapToken, stamped write-once at first commit)
+    * and is invalidated on mismatch: an externally rebuilt,
+    * metadata-stripped index (the ParamDegradeSpec fixture shape) must
+    * not be served the PREVIOUS index's cached params. One entry per
+    * path (replaced on rebirth), so no growth over a long stream.
     */
   private val fullSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Map[String, String])]()
 
   /** Start the online-dedup sink over a streaming (id, text) frame.
     *
@@ -236,14 +241,19 @@ object DedupSync {
     // bypassed whenever the sampled generation carries the metadata
     // (the steady state for post-freeze indexes).
     def fullLookup(): Map[String, String] = {
-      // keyed by path alone: a retention-sliding batch id in the key
-      // would leak one entry per batch over a long stream. Residual
-      // staleness window (delete + re-bootstrap at the SAME path in
-      // the SAME JVM, with the new index ALSO metadata-less in its
-      // sampled generation) is unreachable for indexes this sink
-      // bootstraps — they always write the metadata, and the sampled-
-      // schema check runs ahead of this cache every batch.
-      fullSchemaCache.computeIfAbsent(indexPath, _ => {
+      // keyed by (path, bootstrap token): a retention-sliding batch id
+      // in the key would leak one entry per batch over a long stream,
+      // while path ALONE served the previous index's params after a
+      // delete + re-bootstrap at the same path in the same JVM when
+      // the new index's sampled generation also lacked metadata (an
+      // externally rebuilt, metadata-stripped index — a supported
+      // input). The token is the table's write-once _BORN marker —
+      // one small-file read per consult, replaced-not-leaked on
+      // rebirth.
+      val token = TableSync.bootstrapToken(spark, indexPath)
+      fullSchemaCache.compute(indexPath, (_, cached) => {
+        if (cached != null && cached._1 == token) cached
+        else {
         val fullSch = TableSync.readCurrent(spark, indexPath).schema
         val m = Seq("graft.minhash.numhashes",
             "graft.minhash.shinglesize")
@@ -264,8 +274,9 @@ object DedupSync {
             s"family=${hasher.name}) — if the index was built under " +
             "different knobs, cross-boundary near-dup pairs are " +
             "silently lost; rebuild the index to freeze its params")
-        m.toMap
-      })
+        (token, m.toMap)
+        }
+      })._2
     }
     def storedInt(key: String, passed: Int): Int =
       if (applied.isEmpty) passed

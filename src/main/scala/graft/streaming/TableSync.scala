@@ -136,6 +136,7 @@ object TableSync {
   private val ManifestPrefix = "_MANIFEST_"
   private val BucketCol = "__bucket"
   private val GenCol = "__gen"
+  private val BornFile = "_BORN"
 
   /** Generation entries are `v<b>[r<k>]` or `v<b>[r<k>]@<src>` — the
     * @-form references ANOTHER bucket's directory inside the named
@@ -192,7 +193,8 @@ object TableSync {
       name: String, numBuckets: Int, entries: Map[Int, Seq[String]],
       split: Int = 0, sizes: Map[Int, Long] = Map.empty,
       hashHex: Int = 4,
-      keyCol: Option[String] = None, verCol: Option[String] = None) {
+      keyCol: Option[String] = None, verCol: Option[String] = None,
+      prev: Option[String] = None) {
     def serialize: String =
       // an UNKNOWN size (bucket last written by a pre-sizes manifest)
       // round-trips as `?`, never as 0 — the contraction trigger must
@@ -201,10 +203,15 @@ object TableSync {
       // the key/version column names ride the header so READERS can
       // fold multi-generation buckets without being told the schema
       // (columns with spaces are unsupported in this sink — the
-      // header is space-separated).
+      // header is space-separated). `prev` — the manifest this commit
+      // replaced — is the commit-chain link readVersion walks to tell
+      // a committed version from a phantom archive; it trails the
+      // header, and header LENGTH disambiguates which optional fields
+      // are present (4 = bare, 5 = +prev, 6 = +cols, 7 = +cols +prev).
       ((s"$name $numBuckets $split $hashHex" +
         keyCol.zip(verCol).map { case (k, v) => s" $k $v" }
-          .getOrElse("")) +:
+          .getOrElse("") +
+        prev.map(p => s" $p").getOrElse("")) +:
         entries.toSeq.sortBy(_._1).map { case (b, dirs) =>
           s"$b\t${dirs.mkString(",")}\t" +
             sizes.get(b).map(_.toString).getOrElse("?")
@@ -222,8 +229,10 @@ object TableSync {
       rows.filter(a => a.length > 2 && a(2) != "?")
         .map(a => a(0).toInt -> a(2).toLong).toMap,
       if (head.length > 3) head(3).toInt else 4,
-      if (head.length > 5) Some(head(4)) else None,
-      if (head.length > 5) Some(head(5)) else None)
+      if (head.length >= 6) Some(head(4)) else None,
+      if (head.length >= 6) Some(head(5)) else None,
+      if (head.length == 5) Some(head(4))
+      else if (head.length == 7) Some(head(6)) else None)
   }
 
   /** Hash width (md5 hex digits) for NEW tables: 8 digits = a 32-bit
@@ -772,7 +781,19 @@ object TableSync {
           "mid-commit, or a writer crashed inside its commit window; " +
           "verify no writer is alive, then delete the lock file " +
           "(this sink is single-writer)")
+    graft.FaultPoints.lockAcquired(lock.toString)
     try {
+      // stray-tmp hygiene, under the lock (where no OTHER writer can
+      // have an in-flight tmp at this root — commitPointer is the only
+      // AtomicFiles writer here, and it is exclusive): a writer that
+      // crashed between tmp-create and rename strands a unique
+      // `_CURRENT.<pid>-<seq>.tmp` / `_MANIFEST_*.tmp` that nothing
+      // else sweeps (gc collects only _MANIFEST_-prefixed files), so
+      // strands would otherwise accumulate unboundedly across crashes.
+      fs.listStatus(new Path(path)).iterator
+        .filter(st => !st.isDirectory &&
+          st.getPath.getName.endsWith(".tmp"))
+        .foreach(st => fs.delete(st.getPath, false))
       val nowName = currentManifest(spark, path).map(_.name)
       if (nowName != expectedPrev)
         throw new java.util.ConcurrentModificationException(
@@ -780,7 +801,24 @@ object TableSync {
             s"${expectedPrev.getOrElse("<none>")} to " +
             s"${nowName.getOrElse("<none>")} since this batch read its " +
             "snapshot — refusing to swap (this sink is single-writer)")
-      val payload = manifest.serialize.getBytes("UTF-8")
+      // bootstrap identity: the FIRST commit stamps a write-once
+      // `_BORN` marker (uuid) — the token JVM-lifetime caches key on
+      // (see bootstrapToken), so a table deleted and recreated at the
+      // same path can never be served another table's cached
+      // parameters. Re-written idempotently if a crash lands between
+      // it and the pointer swap (the table has no committed state yet,
+      // so a fresh uuid only invalidates harder).
+      if (nowName.isEmpty) {
+        graft.AtomicFiles.write(fs, conf, new Path(path, BornFile),
+          java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+        graft.FaultPoints.reach("TableSync.commit.born")
+      }
+      // the chain link: `prev` records the manifest this commit
+      // replaces — stamped HERE (the one site every commit routes
+      // through) so readVersion's committed-chain walk can never be
+      // starved by a construction site that forgot it
+      val payload = manifest.copy(prev = nowName).serialize
+        .getBytes("UTF-8")
       // the ARCHIVE gets the same tmp+rename as the pointer: a torn
       // archive still parses (truncated at a row boundary) as a
       // partial table, and readVersion prefers the newest variant —
@@ -799,7 +837,56 @@ object TableSync {
       // pointer swapped — the batch IS committed; everything after
       // (gc, post-commit maintenance) is owed work replays repay
       graft.FaultPoints.reach("TableSync.commit.swap")
-    } finally fs.delete(lock, false)
+    } finally graft.FaultPoints.lockReleased(lock.toString) {
+      fs.delete(lock, false); ()
+    }
+  }
+
+  /** The table's bootstrap identity: the `_BORN` marker the FIRST
+    * commit stamps (uuid, write-once for the table's life — retention
+    * never touches it). JVM-lifetime caches keyed by table path
+    * compare this token so a table deleted and recreated at the same
+    * path invalidates them (the ParamDegradeSpec shape: an externally
+    * rebuilt, metadata-stripped index must not be served the previous
+    * index's cached parameters). `<legacy>` for tables bootstrapped
+    * before the marker existed — recreating one goes through the new
+    * first-commit path and flips the token.
+    */
+  def bootstrapToken(spark: SparkSession, path: String): String = {
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val p = new Path(path, BornFile)
+    if (fs.exists(p)) readSmallFile(fs, p) else "<legacy>"
+  }
+
+  /** Walk the commit chain (`prev` links) from the `_CURRENT` pointer
+    * down through retained archives: Some(true) when a variant of
+    * `version` is ON the chain (committed), Some(false) when the walk
+    * passed BELOW it without meeting it (a phantom between committed
+    * batches — reachable only for direct applyBatch callers using
+    * gapped batch ids, but "reachable" is enough), None when the
+    * chain ends (legacy manifests without links, or an expired
+    * archive) before a verdict — callers fall back to the pointer
+    * bound. Bounded by retention: at most the retained manifests.
+    */
+  private def chainVerdict(fs: FileSystem, path: String,
+      pointer: Manifest, version: Long): Option[Boolean] = {
+    var m = pointer
+    var hops = 0
+    while (hops < 10000) {
+      hops += 1
+      val b = batchOf(m.name)
+      if (b.contains(version)) return Some(true)
+      if (b.exists(_ < version)) return Some(false)
+      m.prev match {
+        case None => return None
+        case Some(p) =>
+          val f = new Path(path, ManifestPrefix + p)
+          if (!fs.exists(f)) return None
+          m = parseManifest(readSmallFile(fs, f))
+      }
+    }
+    None
   }
 
   /** Batch ids the table has actually COMMITTED — [[versions]] capped
@@ -869,13 +956,29 @@ object TableSync {
     if (variants.isEmpty) throw new IllegalStateException(
       s"snapshot v$version not retained under $path " +
         s"(have: ${versions(spark, path).mkString(", ")})")
-    val committed = currentManifest(spark, path)
-      .flatMap(m => batchOf(m.name))
+    val pointer = currentManifest(spark, path)
+    val committed = pointer.flatMap(m => batchOf(m.name))
     if (!committed.exists(_ >= version)) throw new IllegalStateException(
       s"snapshot v$version under $path is archived but NOT committed " +
         s"(pointer is at ${committed.map("v" + _).getOrElse("<none>")})" +
         " — a crash inside the commit window left it; the batch will " +
         "re-commit on replay, or was abandoned by a restarted stream")
+    // Below-pointer phantoms: the pointer bound alone accepts an
+    // archive BETWEEN committed batches whose own commit never
+    // happened (gapped applyBatch ids — a later batch committed while
+    // an intermediate crashed inside its commit window). Walk the
+    // commit chain (`prev` links stamped by every commit): on the
+    // chain = committed; passed below it = phantom, refuse; chain
+    // ends without a verdict (legacy manifests, expired links) =
+    // keep the pointer bound — never stricter for pre-chain tables.
+    val fsv = fs
+    if (pointer.exists(m =>
+        chainVerdict(fsv, path, m, version).contains(false)))
+      throw new IllegalStateException(
+        s"snapshot v$version under $path is archived but NOT on the " +
+          "commit chain — a later batch committed while this one's " +
+          "crash left only its archive (gapped batch ids); serving it " +
+          "would reproduce a dataset no reader ever saw")
     val cur = currentManifest(spark, path).map(_.name)
     val name = cur.filter(variants.contains)
       .getOrElse(variants.maxBy(snapOrder))

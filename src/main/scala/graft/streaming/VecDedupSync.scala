@@ -107,11 +107,14 @@ object VecDedupSync {
   val DefaultSmallBatchRows: Int = 4096
 
   /** Mixed-history geometry lookups resolved against the FULL union
-    * schema, cached per indexPath for the life of the JVM — see the
-    * resolution block in [[applyVecs]] and DedupSync's text twin.
+    * schema, cached per (indexPath, bootstrap token) for the life of
+    * the JVM — the token (TableSync.bootstrapToken) invalidates the
+    * entry when an index is deleted and recreated at the same path.
+    * See the resolution block in [[applyVecs]] and DedupSync's twin.
     */
   private val vecSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Int]]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Map[String, Int])]()
 
   def vecSink(vecs: DataFrame, indexPath: String, pairsPath: String,
       vecCol: String, idCol: String, checkpoint: String,
@@ -200,9 +203,15 @@ object VecDedupSync {
     // it is the one remaining window where a drifted-knob restart
     // silently diverges the signature space.
     def fullLookup(): Map[String, Int] = {
-      // keyed by path alone — see DedupSync's twin for the leak and
-      // staleness rationale
-      vecSchemaCache.computeIfAbsent(indexPath, _ => {
+      // keyed by (path, bootstrap token) — see DedupSync's twin for
+      // the leak and staleness rationale: path alone served the
+      // previous index's geometry after a delete + re-bootstrap at
+      // the same path in the same JVM when the reborn index was also
+      // metadata-stripped
+      val token = TableSync.bootstrapToken(spark, indexPath)
+      vecSchemaCache.compute(indexPath, (_, cached) => {
+        if (cached != null && cached._1 == token) cached
+        else {
         val fullSch = TableSync.readCurrent(spark, indexPath).schema
         val m = Seq("graft.lsh.sigbits", "graft.lsh.bits",
             "graft.lsh.tables", "graft.lsh.dim")
@@ -215,8 +224,9 @@ object VecDedupSync {
             "signature depth = bits) — if the index was signed under " +
             "different knobs, cross-boundary pairs are silently " +
             "lost; rebuild the index to freeze its geometry")
-        m
-      })
+        (token, m)
+        }
+      })._2
     }
     def storedOpt(key: String): Option[Int] =
       lshOf(sampleSch, key).orElse(fullLookup().get(key))

@@ -852,6 +852,81 @@ object ScaleSmoke {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
 
+    // aggsyncp: the PROGRESSIVE rung the other sinks already have
+    // (dsyncp/vsyncp/annlife — round-17 order #5). Claim under test:
+    // a maintained view's per-batch cost is O(|delta| + touched
+    // buckets) ACROSS BUCKET EVOLUTION — seed 100k keys into BOTH
+    // maintained views (count/sum and KMV distinct), arm
+    // maxBucketBytes low enough that the accumulated view keeps
+    // forcing linear-hash splits, then fold a FIXED 1k-row/100-key
+    // delta per batch. Pass condition: warm tails (batches ~6+) stay
+    // FLAT in accumulated volume while the scheme visibly widens —
+    // a slope here would mean the fold pays O(view), the exact
+    // regression the readCurrentForKeys sub-table read exists to
+    // prevent.
+    locally {
+      val cs = java.nio.file.Files
+        .createTempDirectory("smoke_aggsyncp_cs").toString
+      val km = java.nio.file.Files
+        .createTempDirectory("smoke_aggsyncp_kmv").toString
+      val nKeys = 100000L
+      val seed = spark.range(0, 3L * nKeys).select(
+        concat(lit("k"), pmod(col("id"), lit(nKeys))).as("key"),
+        (col("id") % 97).cast("double").as("v"))
+      def scheme(dir: String): String = {
+        val (nb, s) = graft.streaming.TableSync.bucketScheme(spark, dir)
+        s"($nb, $s)"
+      }
+      timed("aggsyncp_seed_cs") {
+        graft.streaming.AggSync.applyDelta(seed, cs, "key", "v",
+          batchId = 0L, numBuckets = 8, maxBucketBytes = 32768L,
+          splitsPerBatch = 4, maxGens = 4)
+        3L * nKeys
+      }
+      timed("aggsyncp_seed_kmv") {
+        graft.streaming.AggSync.applyKmvDelta(seed, km, "key", "v",
+          batchId = 0L, k = 64, numBuckets = 8,
+          maxBucketBytes = 32768L, splitsPerBatch = 4, maxGens = 4)
+        3L * nKeys
+      }
+      println(s"[smoke] aggsyncp schemes after seed: cs=${scheme(cs)} " +
+        s"kmv=${scheme(km)}")
+      (1 to 12).foreach { b =>
+        // fixed-size delta over EXISTING keys spread across the hash
+        // space (so folds touch real prior state, not fresh buckets)
+        val delta = spark.range(0, 1000).select(
+          concat(lit("k"),
+            pmod(lit(b.toLong) * 977L + col("id") * 997L, lit(nKeys)))
+            .as("key"),
+          (col("id") * 7919L + b).cast("double").as("v"))
+        timed(s"aggsyncp_cs_batch$b") {
+          graft.streaming.AggSync.applyDelta(delta, cs, "key", "v",
+            batchId = b.toLong, numBuckets = 8,
+            maxBucketBytes = 32768L, splitsPerBatch = 4, maxGens = 4)
+          1000L
+        }
+        timed(s"aggsyncp_kmv_batch$b") {
+          graft.streaming.AggSync.applyKmvDelta(
+            delta.select(col("key"), col("v").cast("long").as("v")),
+            km, "key", "v", batchId = b.toLong, k = 64,
+            numBuckets = 8, maxBucketBytes = 32768L,
+            splitsPerBatch = 4, maxGens = 4)
+          1000L
+        }
+      }
+      println(s"[smoke] aggsyncp schemes after tails: cs=${scheme(cs)} " +
+        s"kmv=${scheme(km)}")
+      // the views stayed correct through the evolution: every seeded
+      // key still present, counts positive
+      val viewRows = graft.streaming.AggSync.readView(spark, cs).count()
+      val kmvRows = graft.streaming.AggSync
+        .readDistinctView(spark, km).count()
+      println(s"[smoke] aggsyncp view rows: cs=$viewRows kmv=$kmvRows " +
+        s"(expect $nKeys each)")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cs))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(km))
+    }
+
     // DedupSync online-dedup ingestion: seed the full replica corpus
     // as batch 0 (one-time bootstrap: within-batch dedup of the k-way
     // flood + index write), then ingest a small append batch at

@@ -212,6 +212,33 @@ class TarShardsSpec extends AnyFunSuite {
     assert(TarShards.readShards(spark, out).count() == 1)
   }
 
+  test("tmp hygiene is age-gated: a live concurrent invocation's " +
+    "fresh tmp survives the sweep; an hour-stale strand is collected") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("tarsweep-").toString
+    val df = Seq(("a.txt", "x".getBytes, "7")).toDF("name", "bytes", "shard")
+    TarShards.writeShards(df, "name", "bytes", "shard", out).collect()
+    // a CONCURRENT invocation's in-flight tmp (fresh mtime): the old
+    // unconditional sweep deleted it, failing the elder attempt's
+    // publish rename — a supported overlap turned job failure
+    val live = java.nio.file.Paths.get(out,
+      s"shard-7.tar.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(live, "inflight".getBytes("UTF-8"))
+    // a strand from a long-dead writer (mtime frozen at its crash)
+    val dead = java.nio.file.Paths.get(out,
+      s"shard-7.tar.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(dead, "stranded".getBytes("UTF-8"))
+    Files.setLastModifiedTime(dead,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 3600000L))
+    TarShards.writeShards(df, "name", "bytes", "shard", out).collect()
+    val tmps = new java.io.File(out).list().filter(_.endsWith(".tmp"))
+    assert(tmps.toSeq == Seq(live.getFileName.toString),
+      s"sweep should keep the fresh tmp and collect the stale one; " +
+        s"left: ${tmps.toSeq}")
+    assert(TarShards.readShards(spark, out).count() == 1)
+  }
+
   test("writeShards/readShards round-trip the fixture corpus with " +
     "correct shard routing") {
     val dir = "/root/testdata/sf0.001"

@@ -32,11 +32,17 @@ import graft.sources.TarShards
   *    readIndex / probe / readShards / readForKeys) — equals the
   *    clean run's.
   *
-  * Fidelity scope (see FaultPoints scaladoc): the injection unwinds,
-  * so `finally` cleanup (lock release, stream close) runs — stale-lock
-  * recovery and torn-single-create states are covered by the existing
-  * targeted specs; this gate covers every state BETWEEN durable
-  * operations, the class manual review kept finding (rounds 13–15).
+  * Fidelity scope (round-17 order #1 closed the lock half): every
+  * armed point runs in ABANDON mode first — a firing crash LEAKS the
+  * locks its writer held (kill -9 semantics; FaultPoints suppresses
+  * the finally release), and the walk asserts the stale-lock recovery
+  * contract end-to-end: loud refusal (or the documented degraded
+  * sweep-skip), operator lock deletion, convergent replay. Points
+  * that leaked are then ALSO walked in unwind mode (a survivable
+  * mid-commit throw: finally ran, locks released, plain replay) —
+  * both are real failure modes. The remaining unwind artifact,
+  * streams closed in `finally` (torn single create), stays covered
+  * by the AtomicFiles tmp+rename specs.
   */
 class CrashFaultInjectionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -62,18 +68,53 @@ class CrashFaultInjectionSpec extends AnyFunSuite {
     false
   }
 
+  /** Is this throw (possibly task-wrapped) a stale-lock refusal? */
+  private def isLockRefusal(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var hops = 0
+    while (c != null && hops < 32) {
+      if (c.isInstanceOf[java.util.ConcurrentModificationException] &&
+          c.getMessage != null && c.getMessage.contains("lock"))
+        return true
+      c = c.getCause
+      hops += 1
+    }
+    false
+  }
+
+  private def deleteLockFile(id: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(id)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, false)
+    ()
+  }
+
   /** One scenario execution over fresh directories. Recording run
     * (arm = None) doubles as the clean-oracle run.
+    *
+    * `abandon` = kill -9 lock fidelity (round-17 order #1): a firing
+    * crash LEAKS the locks its "process" held — the engine's finally
+    * release is suppressed, the files stay on disk — and this harness
+    * then walks the full stale-lock recovery contract: the replay
+    * either refuses loudly (naming a lock) or completes despite the
+    * stale lock (a documented degraded path, e.g. the orphan-sweep
+    * skip); the operator then deletes the named lock files; the next
+    * replay must converge. Returns whether any lock leaked so the
+    * walk can ALSO run the unwind flavor (a non-fatal mid-commit
+    * throw where finally DID run — both are real failure modes).
     */
-  private def runScenario(s: Scenario, arm: Option[(String, Long)])
-      : (Map[String, Long], Seq[String], Boolean) = {
+  private def runScenario(s: Scenario, arm: Option[(String, Long)],
+      abandon: Boolean = false)
+      : (Map[String, Long], Seq[String], Boolean, Boolean) = {
     val root = Files.createTempDirectory(s"crash-${s.name}-").toString
     val steps = s.steps(root)
     var crashed = false
+    var anyLeak = false
     arm match {
       case None              => FaultPoints.startRecording()
       case Some((site, occ)) => FaultPoints.armCrash(site, occ)
     }
+    if (abandon) FaultPoints.enableAbandonMode()
     try {
       steps.foreach { step =>
         try step()
@@ -83,66 +124,100 @@ class CrashFaultInjectionSpec extends AnyFunSuite {
               s"[${s.name}] injected crash fired twice after disarm")
             crashed = true
             FaultPoints.disarm()
-            // the recovery contract: re-run the failed unit (the
-            // replay), then continue — exactly what a restarted
-            // stream / re-submitted job does
-            step()
+            val leaked =
+              if (abandon) FaultPoints.drainLeakedLocks() else Set.empty[String]
+            if (leaked.nonEmpty) {
+              anyLeak = true
+              // the killed writer's lock files are on disk. The
+              // replay must never wedge silently: it either REFUSES
+              // loudly (the commit-lock contract) or completes on a
+              // documented degraded path (sweep-skip). Anything else
+              // propagates and fails the walk.
+              val refused =
+                try { step(); false }
+                catch { case t2: Throwable if isLockRefusal(t2) => true }
+              // operator recovery, exactly as the refusal message
+              // instructs: verify no writer is alive, delete the lock
+              leaked.foreach(deleteLockFile)
+              if (refused) step()
+            } else
+              // the recovery contract: re-run the failed unit (the
+              // replay), then continue — exactly what a restarted
+              // stream / re-submitted job does
+              step()
         }
       }
-    } finally FaultPoints.disarm()
+    } finally {
+      FaultPoints.disarm()
+      if (abandon) FaultPoints.disableAbandonMode()
+    }
     val rec =
       if (arm.isEmpty) FaultPoints.stopRecording()
       else Map.empty[String, Long]
-    (rec, s.fingerprint(root), crashed)
+    (rec, s.fingerprint(root), crashed, anyLeak)
   }
 
-  /** Clean run, then an armed run per (site, occurrence): EVERY
-    * occurrence for sites the scenario crosses up to three times
-    * (the common case — one hit per batch), first + last beyond.
-    * Returns the recorded site->count map.
+  /** Clean run, then per (site, occurrence) — EVERY occurrence for
+    * sites the scenario crosses up to three times (the common case —
+    * one hit per batch), first + last beyond — an ABANDON-mode armed
+    * run (kill -9: held locks leak, stale-lock recovery walked); when
+    * that run leaked locks, ALSO an unwind-mode run (a survivable
+    * mid-commit throw: finally ran, locks released, plain replay).
+    * Returns (site->count, sites observed leaking a lock).
     */
-  private def walk(s: Scenario): Map[String, Long] = {
-    val (rec, cleanFp, _) = runScenario(s, None)
+  private def walk(s: Scenario): (Map[String, Long], Set[String]) = {
+    val (rec, cleanFp, _, _) = runScenario(s, None)
     assert(rec.nonEmpty, s"[${s.name}] reached no fault sites")
     val failures = mutable.Buffer[String]()
+    val leakSites = mutable.Set.empty[String]
     for {
       (site, count) <- rec.toSeq.sortBy(_._1)
       occ <- (if (count <= 3) (1L to count).toSeq
               else Seq(1L, count)).distinct
     } {
-      val res: Option[(Seq[String], Boolean)] =
+      def armedRun(abandon: Boolean): Option[Boolean] =
         try {
-          val (_, fp, fired) = runScenario(s, Some((site, occ)))
-          Some((fp, fired))
+          val (_, fp, fired, leak) =
+            runScenario(s, Some((site, occ)), abandon)
+          val mode = if (abandon) "abandon" else "unwind"
+          if (!fired)
+            failures += s"$site#$occ[$mode] never fired — reach " +
+              "count drifted between runs (nondeterministic publish " +
+              "sequence?)"
+          else if (fp != cleanFp)
+            failures += s"$site#$occ[$mode] diverged from the clean " +
+              s"run:\n    clean: $cleanFp\n    crashed: $fp"
+          Some(leak)
         } catch {
           case t: Throwable =>
             failures += s"$site#$occ wedged: ${t.getClass.getName}: " +
               s"${t.getMessage}"
             None
         }
-      res.foreach { case (fp, fired) =>
-        if (!fired)
-          failures += s"$site#$occ never fired — reach count drifted " +
-            "between runs (nondeterministic publish sequence?)"
-        else if (fp != cleanFp)
-          failures += s"$site#$occ diverged from the clean run:\n" +
-            s"    clean: $cleanFp\n    crashed: $fp"
+      armedRun(abandon = true).foreach { leak =>
+        if (leak) {
+          leakSites += site
+          armedRun(abandon = false)
+          ()
+        }
       }
     }
     assert(failures.isEmpty,
       s"[${s.name}] ${failures.size} crash-point failures:\n  " +
         failures.mkString("\n  "))
-    rec
+    (rec, leakSites.toSet)
   }
 
   // union of recorded coverage across scenario tests, checked by the
   // final inventory test (tests run in registration order)
   private val covered = mutable.Map.empty[String, Long]
+  private val leakWalked = mutable.Set.empty[String]
   private def record(s: Scenario): Unit = {
-    val rec = walk(s)
+    val (rec, leaks) = walk(s)
     rec.foreach { case (k, v) =>
       covered(k) = covered.getOrElse(k, 0L) + v
     }
+    leakWalked ++= leaks
   }
 
   private def rowsFp(df: DataFrame): Seq[String] =
@@ -349,7 +424,13 @@ class CrashFaultInjectionSpec extends AnyFunSuite {
           // nested bootstrap inside the new generation
           () => AnnIndex.build(corpus.unionByName(more), path,
             nlist = 4, dim = 8),
-          () => { AnnIndex.driftCheck(spark, path, sample = 8, k = 3); () })
+          () => { AnnIndex.driftCheck(spark, path, sample = 8, k = 3); () },
+          // maybeRebuild crosses the SWEEP lock (held around the
+          // orphan sweep) — deterministic no-rebuild here: the fresh
+          // build above zeroed churn and the baseline was just
+          // recorded, so drift cannot recommend
+          () => { AnnIndex.maybeRebuild(spark, path, sample = 8,
+            k = 3); () })
       },
       root => rowsFp(AnnIndex.probe(spark, s"$root/ann", queries,
         k = 3).select(col("qid"), col("id"), col("rank")))))
@@ -381,9 +462,15 @@ class CrashFaultInjectionSpec extends AnyFunSuite {
           .select(col("shard"), col("name"), sha2(col("content"), 256))
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sessionState.newHadoopConf())
+        // reader-visible files only: stranded attempt tmps from the
+        // crashed run legitimately linger (the hygiene sweep is
+        // AGE-GATED so it cannot kill a live concurrent invocation's
+        // in-flight tmps — TarShardsSpec pins both halves); readers
+        // glob *.tar/*.idx and never see them
         val listed = fs.listStatus(
           new org.apache.hadoop.fs.Path(s"$root/shards"))
           .map(_.getPath.getName).sorted.toSeq
+          .filterNot(_.endsWith(".tmp"))
         // idx sidecars must pair their archives byte-consistently
         val idx = listed.filter(_.endsWith(".idx")).map { n =>
           val p = new org.apache.hadoop.fs.Path(s"$root/shards/$n")
@@ -393,8 +480,6 @@ class CrashFaultInjectionSpec extends AnyFunSuite {
           try in.readFully(0, buf) finally in.close()
           s"$n:${new String(buf, "UTF-8")}"
         }
-        assert(!listed.exists(_.endsWith(".tmp")),
-          s"stranded attempt tmps not swept: $listed")
         rowsFp(read) ++ listed ++ idx
       }))
   }
@@ -462,5 +547,15 @@ class CrashFaultInjectionSpec extends AnyFunSuite {
     val phantom = covered.keySet -- sites
     assert(phantom.isEmpty,
       s"recorded sites missing from source scan: $phantom")
+    // the abandon-mode (kill -9) walk must have actually exercised
+    // stale-lock recovery at BOTH lock-guarded stores — if these stop
+    // leaking, a refactor moved publishes out of their lock windows
+    // and the no-unwind coverage silently evaporated
+    assert(leakWalked.exists(_.startsWith("TableSync.commit.")),
+      s"no TableSync commit-lock site leaked in the abandon walk " +
+        s"(leaked: ${leakWalked.toSeq.sorted})")
+    assert(leakWalked.exists(_.startsWith("AnnIndex.")),
+      s"no AnnIndex rebuild/sweep-lock site leaked in the abandon " +
+        s"walk (leaked: ${leakWalked.toSeq.sorted})")
   }
 }

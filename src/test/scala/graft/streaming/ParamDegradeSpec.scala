@@ -125,4 +125,50 @@ class ParamDegradeSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 4L), (5L, 9L)), s"pairs: $pairs")
   }
+
+  test("sink degrade cache: an index deleted and recreated at the " +
+    "same path re-consults (bootstrap token, not path, keys the cache)") {
+    import spark.implicits._
+    val ix = Files.createTempDirectory("reborn-ix-").toString
+    val pr = Files.createTempDirectory("reborn-pr-").toString
+    def bootstrapStripped(): Unit = {
+      val idx0 = strip(Dedup.dedupIndex(
+        docs.filter(col("doc_id").isin(1L, 9L)), "text", "doc_id"))
+        .withColumn("ver", lit(0L))
+      TableSync.applyBatch(idx0, ix, "id", "ver", 0L, numBuckets = 8)
+    }
+    bootstrapStripped()
+    val (_, first) = captureOut {
+      DedupSync.applyDocs(docs.filter(col("doc_id") === 4L),
+        ix, pr, "text", "doc_id", 1L, threshold = 0.5,
+        driverProbeMinIndexBytes = 0L)
+    }
+    assert(first.contains("NO stored derivation metadata"),
+      s"first consult should warn: '$first'")
+    val tokenA = TableSync.bootstrapToken(spark, ix)
+    // delete + recreate at the SAME path in the SAME JVM — the exact
+    // shape that used to be served the previous index's cached params
+    // because the JVM-lifetime cache was keyed by path alone
+    def rm(dir: String): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Files.delete(f); () })
+      Files.createDirectories(p)
+      ()
+    }
+    rm(ix); rm(pr)
+    bootstrapStripped()
+    val tokenB = TableSync.bootstrapToken(spark, ix)
+    assert(tokenA != tokenB,
+      "recreated table must carry a fresh bootstrap token")
+    val (_, reborn) = captureOut {
+      DedupSync.applyDocs(docs.filter(col("doc_id") === 4L),
+        ix, pr, "text", "doc_id", 1L, threshold = 0.5,
+        driverProbeMinIndexBytes = 0L)
+    }
+    assert(reborn.contains("NO stored derivation metadata"),
+      "recreated index was served the stale cached consult — the " +
+        s"degrade warning did not re-fire: '$reborn'")
+  }
 }

@@ -88,6 +88,68 @@ class TableSyncSpec extends AnyFunSuite {
     assert(got == Map(1L -> "a1", 2L -> "b2"), s"got $got")
   }
 
+  test("time travel refuses a BELOW-POINTER phantom (gapped batch ids: " +
+    "a later batch committed over an intermediate crashed commit)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-midphantom-").toString
+    def batch(b: Long, rows: Seq[(Long, Long, String)]): Unit =
+      TableSync.applyBatch(rows.toDF("k", "ver", "attr"), path,
+        "k", "ver", b, numBuckets = 4)
+    batch(0L, Seq((1L, 0L, "a0"), (2L, 0L, "b0")))
+    // batch 1 crashes inside its commit window (archive durable,
+    // pointer never swapped)...
+    graft.FaultPoints.armCrash("TableSync.commit.archive", 1L)
+    intercept[graft.FaultPoints.InjectedCrash] {
+      batch(1L, Seq((1L, 1L, "a1")))
+    }
+    graft.FaultPoints.disarm()
+    // ...and a DIRECT applyBatch caller with gapped ids commits batch
+    // 2 anyway — now the phantom sits BELOW the pointer, where the
+    // pointer-bound check alone would serve it as history
+    batch(2L, Seq((2L, 2L, "b2")))
+    assert(TableSync.versions(spark, path) == Seq(0L, 1L, 2L))
+    val e = intercept[IllegalStateException] {
+      TableSync.readVersion(spark, path, 1L)
+    }
+    assert(e.getMessage.contains("NOT on the commit chain"),
+      e.getMessage)
+    // the committed neighbours still serve
+    assert(TableSync.readVersion(spark, path, 0L).count() == 2)
+    assert(TableSync.readVersion(spark, path, 2L).count() == 2)
+    // and a REPLAY variant of a committed batch stays servable (the
+    // chain names the variant the pointer adopted; idempotent twins
+    // of the same batch id resolve through batchOf, not name equality)
+    batch(3L, Seq((1L, 3L, "a3")))
+    assert(TableSync.readVersion(spark, path, 2L).count() == 2)
+  }
+
+  test("stray AtomicFiles tmps at the table root are swept under the " +
+    "commit lock instead of accumulating across crashes") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-straytmp-").toString
+    def batch(b: Long, rows: Seq[(Long, Long, String)]): Unit =
+      TableSync.applyBatch(rows.toDF("k", "ver", "attr"), path,
+        "k", "ver", b, numBuckets = 4)
+    batch(0L, Seq((1L, 0L, "a0")))
+    // simulate a writer that crashed between tmp-create and rename:
+    // unique tmp names mean no later write ever overwrites these
+    val root = java.nio.file.Paths.get(path)
+    Files.write(root.resolve("_CURRENT.99999-7.tmp"),
+      "torn".getBytes("UTF-8"))
+    Files.write(root.resolve("_MANIFEST_v0.99999-8.tmp"),
+      "torn".getBytes("UTF-8"))
+    batch(1L, Seq((1L, 1L, "a1")))
+    val strays = Files.list(root).iterator()
+    val left = scala.jdk.CollectionConverters.IteratorHasAsScala(strays)
+      .asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".tmp")).toList
+    assert(left.isEmpty, s"stranded tmps not swept: $left")
+    // the table still reads correctly after the sweep
+    val got = TableSync.readCurrent(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "a1"))
+  }
+
   test("crash-forced batch REPLAY recomputes the same snapshot (exactly-once)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
