@@ -64,4 +64,23 @@ object JobSpec {
     val ok = col("action") === lit("process") && col("fileName").isNotNull
     (jobs.filter(ok), jobs.filter(!ok || ok.isNull))
   }
+
+  /** Is this envelope fileName safe to resolve under the input
+    * directory? The reference stages by RAW fileName
+    * (GetJobs.py:44,51 — `workDir + '/' + fileName`), so a message
+    * carrying `../../etc/passwd` reads an arbitrary host file and
+    * publishes it to the output prefix. We refuse: no absolute paths,
+    * no `..` segments, no backslashes/NULs (Windows-separator and
+    * C-string smuggling), no `:` (Hadoop Path scheme confusion).
+    * Relative subpaths (`sub/dir/f.csv`) stay allowed — prefixes are
+    * part of the reference's naming contract. Callers route unsafe
+    * names to quarantine (SURVEY §1.3), never throw mid-stage.
+    */
+  def pathSafe(fileName: String): Boolean =
+    fileName != null && fileName.nonEmpty &&
+      !fileName.startsWith("/") &&
+      !fileName.contains('\\') && !fileName.contains('\u0000') &&
+      !fileName.contains(':') &&
+      !fileName.split('/').contains("..") &&
+      !fileName.split('/').contains("")
 }

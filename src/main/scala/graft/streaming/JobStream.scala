@@ -149,8 +149,15 @@ object JobStream {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val (ok, bad) = JobSpec.dispatch(batch)
-    val names = ok.select("fileName").distinct()
+    // PATH-TRAVERSAL gate at the staging boundary (the round-17
+    // adversarial-input lens): fileName comes off the wire, and
+    // `new Path(inputDir, fileName)` resolves `..` upward — the
+    // reference reads and republishes ANY host file a message names
+    // (GetJobs.py:44,51). Unsafe names quarantine like every other
+    // malformed envelope; they never become paths.
+    val (names, hostileNames) = ok.select("fileName").distinct()
       .collect().map(_.getString(0))
+      .partition(JobSpec.pathSafe)
     // driver-side existence check: metadata-only, bulk-listed per
     // parent directory past a small threshold (statNames) so a wide
     // batch costs one listing RPC, not one per file. The stat also
@@ -167,7 +174,11 @@ object JobStream {
     val empties = stats.collect { case (n, Some(0L)) => n }
     val absent = stats.collect { case (n, None) => n }
     import spark.implicits._
-    val missing = absent.toSeq.map(n => (n, -2, "input object not found"))
+    val missing = (absent.toSeq.map(n =>
+      (n, -2, "input object not found")) ++
+      hostileNames.toSeq.map(n =>
+        (n, -4, "unsafe fileName (path traversal) — refused to " +
+          "resolve under the input directory")))
       .toDF("key", "exitCode", "error")
     val scanned =
       if (present.isEmpty) None

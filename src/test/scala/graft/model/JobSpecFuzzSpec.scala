@@ -79,6 +79,19 @@ class JobSpecFuzzSpec extends AnyFunSuite {
         s"${lbad.collect().mkString("; ")}")
   }
 
+  test("pathSafe: traversal/absolute/scheme/NUL fileNames refused, " +
+    "ordinary relative names (with subdirs) allowed") {
+    val unsafe = Seq(null, "", "/etc/passwd", "../x", "a/../../x",
+      "..", "a/..", "sub/../../x", "a\\..\\x", "file:/etc/passwd",
+      "hdfs://nn/x", "a:b", "a//b", "nul\u0000byte")
+    unsafe.foreach(n => assert(!JobSpec.pathSafe(n),
+      s"'$n' must be refused"))
+    val safe = Seq("f.csv", "sub/dir/f.csv", "weird name.txt",
+      "..hidden", "a..b", "trailing.dots..", "0", "ключ.dat")
+    safe.foreach(n => assert(JobSpec.pathSafe(n),
+      s"'$n' must be allowed"))
+  }
+
   test("a well-formed envelope among garbage still dispatches; its " +
     "neighbours quarantine (row-level isolation, not batch death)") {
     import spark.implicits._

@@ -15,18 +15,25 @@ class StreamingSpec extends AnyFunSuite {
 
   test("file-queue worker: envelopes -> pipe -> named outputs, exactly-once") {
     val queue = Files.createTempDirectory("graft-q-").toString
-    val in = Files.createTempDirectory("graft-sin-")
+    val root = Files.createTempDirectory("graft-sroot-")
+    val in = Files.createDirectory(root.resolve("inputs"))
     val out = Files.createTempDirectory("graft-sout-").toString
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     Files.write(in.resolve("f1.txt"), "hello stream".getBytes)
     Files.write(in.resolve("f2.txt"), "second file".getBytes)
     Files.write(in.resolve("f0.empty"), Array.empty[Byte])
-    // 3 good jobs (one empty input), 1 unknown action, 1 missing input
+    // a file OUTSIDE the input directory a traversal fileName would
+    // reach — the reference stages by raw name and would read and
+    // republish it (GetJobs.py:44,51)
+    Files.write(root.resolve("secret.txt"), "must never publish".getBytes)
+    // 3 good jobs (one empty input), 1 unknown action, 1 missing
+    // input, 1 path-traversal fileName
     Files.write(Paths.get(queue, "batch1.jsonl"),
       ("""["process","b","i/","o/","f1.txt"]""" + "\n" +
         """["process","b","i/","o/","f2.txt"]""" + "\n" +
         """["process","b","i/","o/","f0.empty"]""" + "\n" +
         """["reboot","b","i/","o/","f1.txt"]""" + "\n" +
+        """["process","b","i/","o/","../secret.txt"]""" + "\n" +
         """["process","b","i/","o/","missing.txt"]""").getBytes)
 
     val q = JobStream.runWorker(spark, queue, in.toString, out, ckpt,
@@ -43,6 +50,12 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(quar("missing.txt") == -2)
     assert(quar.exists(_._2 == -3)) // unknown action routed, not retried
+    // traversal fileName QUARANTINED, its target neither read nor
+    // published under any name
+    assert(quar("../secret.txt") == -4)
+    assert(!Paths.get(out).toFile.list()
+      .exists(_.contains("secret")),
+      "a traversal fileName's target leaked into the output dir")
 
     // restart with same checkpoint: no new work, outputs unchanged
     val before = Paths.get(out).toFile.list().toSet
