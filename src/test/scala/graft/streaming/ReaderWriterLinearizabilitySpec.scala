@@ -46,7 +46,12 @@ class ReaderWriterLinearizabilitySpec extends AnyFunSuite {
       val m = Option(c.getMessage).getOrElse("")
       if (c.isInstanceOf[java.io.FileNotFoundException] ||
         m.contains("PATH_NOT_FOUND") || m.contains("does not exist") ||
-        m.contains("No such file"))
+        m.contains("No such file") ||
+        // a rotation deleting the old generation UNDER a reader that
+        // already resolved it surfaces as schema-inference failure on
+        // the vanished directory (Spark logs "was it deleted very
+        // recently?") — same missing-file fail-stop, different class
+        m.contains("UNABLE_TO_INFER_SCHEMA"))
         return true
       c = c.getCause
       hops += 1
