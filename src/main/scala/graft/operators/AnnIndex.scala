@@ -536,14 +536,16 @@ object AnnIndex {
   private val RootArtifactNames = Seq("codes", "centroids",
     "tombstones", "_META", "_SEGROWS", "_RECALL0")
 
-  /** Delete everything under `path` that the current `_GEN` pointer
-    * does NOT name: stale `g<N>` generation directories (a crash
-    * after the swap, or a crashed half-built rebuild the pointer
-    * never adopted) and — once rotated — the pre-rotation root
-    * files. A no-drift [[maybeRebuild]] call returns early and would
-    * otherwise never repay this debt: the rebuilt artifact carries a
-    * fresh baseline, so driftCheck reports no drift forever while
-    * the orphaned old generation leaks its full index size.
+  /** Delete everything under `path` that is neither the pointed
+    * generation nor its RETAINED PREDECESSOR (the reader-grace
+    * generation, see [[rotateInto]]): stale `g<K>` directories two or
+    * more rotations behind, crashed half-built generations AHEAD of
+    * the pointer, and — once the pointer is at g2 or later — the
+    * pre-rotation root files. A no-drift [[maybeRebuild]] call
+    * returns early and would otherwise never repay this debt: the
+    * rebuilt artifact carries a fresh baseline, so driftCheck reports
+    * no drift forever while orphaned generations leak their full
+    * index size.
     */
   private def sweepOrphans(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(
@@ -552,17 +554,22 @@ object AnnIndex {
     val root = resolveRoot(spark, path)
     // pointerless artifact (root == path): any g<N> directory is a
     // crashed half-built rebuild the pointer never adopted. Rotated:
-    // keep exactly the pointed generation, sweep the rest plus any
-    // stranded pre-rotation root files.
-    val keep =
-      if (root == path) "" else root.substring(path.length + 1)
+    // keep the pointed generation AND its predecessor (g<N-1>, or the
+    // pre-rotation root files when the pointer is at g1), sweep the
+    // rest plus any stranded root tmps.
+    val ord: Long =
+      if (root == path) 0L else root.substring(path.length + 2).toLong
+    val keep: Set[String] =
+      if (ord == 0L) Set.empty
+      else if (ord >= 2L) Set(s"g$ord", s"g${ord - 1L}")
+      else Set("g1")
     val now = System.currentTimeMillis()
     fs.listStatus(new Path(path)).foreach { st =>
       val n = st.getPath.getName
-      val staleGen = st.isDirectory && n != keep && n.matches("g\\d+")
+      val staleGen = st.isDirectory && n.matches("g\\d+") && !keep(n)
       val staleRoot =
-        root != path &&
-          (RootArtifactNames.contains(n) || n.endsWith(".tmp"))
+        (ord >= 2L && RootArtifactNames.contains(n)) ||
+          (root != path && n.endsWith(".tmp"))
       // stranded AtomicFiles tmps at an UNROTATED root (a crash
       // between tmp-create and rename; unique names mean nothing
       // overwrites them): `_GEN.*.tmp` are deletable outright — _GEN
@@ -708,12 +715,20 @@ object AnnIndex {
     * `buildInto`, swap the `_GEN` pointer atomically (tmp + rename —
     * a plain create(overwrite) truncates first, so a crash or
     * concurrent reader mid-write could observe an empty `_GEN` that
-    * resolves to a root with no `_META`), then delete the previous
-    * generation — the pre-rotation root files when the old root WAS
-    * the path. A crash before the swap leaves the old artifact fully
-    * live (the half-built generation is [[sweepOrphans]] debt); a
-    * crash after it leaves only cleanup owed. Callers hold the
-    * rebuild lock.
+    * resolves to a root with no `_META`), then delete the
+    * TWO-GENERATIONS-BEHIND layout. The generation the pointer just
+    * left is RETAINED as READER GRACE (round-17): a probe resolves
+    * the pointer once per call and then plans multi-job reads over
+    * the resolved files — deleting them at the swap made every probe
+    * concurrent with a rotation fail-stop and retry. One retained
+    * generation gives concurrent readers a full rotation cycle to
+    * finish, the same bounded-retention philosophy as TableSync's
+    * two-batch manifest trail, at the cost of <= 2x index disk
+    * between rotations (reclaimed by the NEXT rotation or any
+    * [[sweepOrphans]]-bearing call). A crash before the swap leaves
+    * the old artifact fully live (the half-built generation is
+    * [[sweepOrphans]] debt); a crash after it leaves only the
+    * two-behind cleanup owed. Callers hold the rebuild lock.
     */
   private def rotateInto(spark: SparkSession, path: String,
       oldRoot: String, buildInto: String => Unit): Unit = {
@@ -727,11 +742,17 @@ object AnnIndex {
     val fs = new Path(path).getFileSystem(conf)
     graft.AtomicFiles.write(fs, conf, new Path(path, "_GEN"),
       s"g$gen".getBytes("UTF-8"))
-    // pointer swapped — old-generation cleanup is the only owed work
+    // pointer swapped — two-behind cleanup is the only owed work;
+    // g<gen-1> (or the pre-rotation root files when gen == 1) stays
+    // on disk as the reader-grace generation
     graft.FaultPoints.reach("AnnIndex.rotate.swap")
-    if (oldRoot == path)
-      RootArtifactNames.foreach(n => fs.delete(new Path(path, n), true))
-    else fs.delete(new Path(oldRoot), true)
+    if (oldRoot != path) {
+      val k = oldRoot.substring(path.length + 2).toLong
+      if (k == 1L)
+        RootArtifactNames.foreach(n =>
+          fs.delete(new Path(path, n), true))
+      else fs.delete(new Path(s"$path/g${k - 1}"), true)
+    }
     graft.FaultPoints.reach("AnnIndex.rotate.cleaned")
   }
 

@@ -71,18 +71,25 @@ class AnnIndexSpec extends AnyFunSuite {
       spark.sessionState.newHadoopConf())
     assert(fsG.exists(new org.apache.hadoop.fs.Path(path, "_GEN")),
       "build over an existing artifact must rotate, not overwrite")
-    assert(!fsG.exists(new org.apache.hadoop.fs.Path(path, "_META")) &&
+    // READER GRACE: the pre-rotation root files are RETAINED for one
+    // rotation cycle (a probe that resolved the old layout before the
+    // swap keeps its files); the pointer serves g1
+    assert(fsG.exists(new org.apache.hadoop.fs.Path(path, "_META")) &&
       fsG.exists(new org.apache.hadoop.fs.Path(path, "g1/_META")),
-      "pre-rotation root files must be swept after the swap")
+      "pre-rotation root files retained as the reader-grace " +
+        "predecessor; g1 live")
     assert(!fsG.exists(
       new org.apache.hadoop.fs.Path(path, "_REBUILD_LOCK")),
       "the rotation's lock must release")
-    // a third build rotates again and sweeps g1
+    // a third build rotates again: g2 live, g1 retained as grace, the
+    // TWO-BEHIND root files now swept
     AnnIndex.build(corpus.limit(50), path, nlist = 4, dim = 16)
     assert(AnnIndex.probe(spark, path, q, k = 3, nprobe = 2)
       .collect().forall(_.getLong(1) < 50L))
-    assert(!fsG.exists(new org.apache.hadoop.fs.Path(path, "g1")) &&
-      fsG.exists(new org.apache.hadoop.fs.Path(path, "g2/_META")))
+    assert(!fsG.exists(new org.apache.hadoop.fs.Path(path, "_META")) &&
+      fsG.exists(new org.apache.hadoop.fs.Path(path, "g1/_META")) &&
+      fsG.exists(new org.apache.hadoop.fs.Path(path, "g2/_META")),
+      "two-behind root files swept; g1 retained; g2 live")
     // CRASHED-ROTATION RECOVERY: strand a half-built g3 whose inner
     // _META already landed (crash between the nested build and the
     // pointer swap). Without the entry sweep the next build would
@@ -101,6 +108,10 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.probe(spark, path, q, k = 3, nprobe = 2)
       .collect().forall(_.getLong(1) < 25L),
       "rebuild over the stranded generation must serve the new corpus")
+    assert(!fsG.exists(new org.apache.hadoop.fs.Path(path, "g1")) &&
+      fsG.exists(new org.apache.hadoop.fs.Path(path, "g2/_META")) &&
+      fsG.exists(new org.apache.hadoop.fs.Path(path, "g3/_META")),
+      "retention window slides: g1 two-behind swept, g2 grace, g3 live")
     val missing = Files.createTempDirectory("annix3-").toString
     val e = intercept[IllegalArgumentException] {
       AnnIndex.probe(spark, missing, q, k = 3)
@@ -361,9 +372,12 @@ class AnnIndexSpec extends AnyFunSuite {
       .exists(_.getPath.getName.endsWith(".tmp")),
       "no stranded pointer tmp after the swap")
     assert(fs.exists(new org.apache.hadoop.fs.Path(path, "g1/_META")))
-    // crash-after-swap simulation: strand a fake older generation and
-    // pre-rotation root files; the NEXT call (no drift — fresh
-    // baseline) must sweep them even though it returns early
+    // crash-debris simulation: strand a fake g0 (never a legitimate
+    // generation — ordinals start at 1) and pre-rotation root files;
+    // the NEXT call (no drift — fresh baseline) must sweep the
+    // garbage generation even though it returns early, while the
+    // root files are RETAINED at pointer g1 (they are the
+    // reader-grace predecessor — see rotateInto)
     fs.mkdirs(new org.apache.hadoop.fs.Path(path, "g0/codes"))
     val strayMeta = new org.apache.hadoop.fs.Path(path, "_META")
     val out = fs.create(strayMeta, true)
@@ -372,10 +386,21 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!d2.rebuildRecommended, s"fresh baseline: $d2")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "g0")),
       "orphaned generation must be swept")
-    assert(!fs.exists(strayMeta),
-      "stranded pre-rotation root files must be swept")
+    assert(fs.exists(strayMeta),
+      "root files retained as reader grace while the pointer is at g1")
     assert(AnnIndex.probe(spark, path,
       corpus.filter(col("vec_id") % 40 === 0), k = 5).count() > 0)
+    // a SECOND rotation slides the window: the root files become
+    // two-behind and the sweep reclaims them
+    AnnIndex.append(shifted.withColumn("vec_id", col("vec_id") + 10000L),
+      path, segId = 2L)
+    val dRot = AnnIndex.maybeRebuild(spark, path, sample = 16, k = 5,
+      tolerance = -1.0, minChangedFraction = 0.0)
+    assert(dRot.rebuildRecommended, s"forced second rotation: $dRot")
+    assert(!fs.exists(strayMeta) &&
+      fs.exists(new org.apache.hadoop.fs.Path(path, "g1/_META")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(path, "g2/_META")),
+      "after the second rotation: root files swept, g1 grace, g2 live")
     // rebuilds are single-writer: a held (or crashed) lock fails the
     // next triggered rebuild LOUDLY instead of interleaving two
     // trainings into the same generation directory — on a FRESH

@@ -78,7 +78,8 @@ class ConcurrentWritersSpec extends AnyFunSuite {
   }
 
   test("two concurrent maybeRebuild calls (forced drift): artifact " +
-    "intact, losers loud or skipped, exactly one live generation") {
+    "intact, losers loud or skipped, generations within the " +
+    "retention window") {
     import spark.implicits._
     val corpus = (0L until 30L).map(i => (i, vec(i)))
       .toDF("vec_id", "embedding").localCheckpoint()
@@ -125,15 +126,28 @@ class ConcurrentWritersSpec extends AnyFunSuite {
       assert(!fs.exists(new Path(path, "_REBUILD_LOCK")),
         "rebuild lock leaked")
       // a later no-op maybeRebuild (high churn bar) sweeps any orphan
-      // generation debt; after it, exactly the pointed generation may
-      // remain
+      // generation debt; after it, only the pointed generation and
+      // its reader-grace predecessor may remain (rotation retention)
       AnnIndex.maybeRebuild(spark, path, sample = 4, k = 3,
         tolerance = 10.0, minChangedFraction = 10.0)
+      val pointed = {
+        val p = new Path(path, "_GEN")
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, "UTF-8").trim
+      }
+      val ordinal = pointed.stripPrefix("g").toLong
+      val allowed =
+        if (ordinal >= 2) Set(pointed, s"g${ordinal - 1}")
+        else Set(pointed)
       val gens = fs.listStatus(new Path(path))
         .filter(st => st.isDirectory &&
           st.getPath.getName.matches("g\\d+"))
-        .map(_.getPath.getName).toSeq
-      assert(gens.size <= 1, s"orphan generations survived: $gens")
+        .map(_.getPath.getName).toSet
+      assert(gens.contains(pointed) && gens.subsetOf(allowed),
+        s"generations $gens outside the retention window $allowed")
     }
   }
 
@@ -203,6 +217,44 @@ class ConcurrentWritersSpec extends AnyFunSuite {
       assert(keys == won + "seed",
         s"table keys $keys != successful writers $won + seed " +
           s"(round $round) — a silent lost or phantom update")
+    }
+  }
+
+  test("two concurrent writeShards over one outDir (dueling-zombie " +
+    "overlap): BOTH succeed, published artifacts intact and readable") {
+    // the supported overlap the byte-determinism tiebreaker exists
+    // for: identical data, two invocations. Before the age-gated tmp
+    // sweep, the younger invocation's call-time hygiene deleted the
+    // elder's IN-FLIGHT attempt tmps and its publish rename failed
+    // loudly — a supported overlap turned job failure (r16 advice).
+    import spark.implicits._
+    import graft.sources.TarShards
+    val data = (0 until 40).map(i =>
+      (s"m$i.bin", Array.tabulate(64)(j => (i * j).toByte),
+        s"s${i % 4}"))
+      .toDF("name", "bytes", "shard").localCheckpoint()
+    (0 until 3).foreach { round =>
+      val out = Files.createTempDirectory(s"race-tar-$round-").toString
+      val (ra, rb) = race(
+        () => TarShards.writeShards(data, "name", "bytes", "shard",
+          out).collect().length,
+        () => TarShards.writeShards(data, "name", "bytes", "shard",
+          out).collect().length)
+      // identical deterministic bytes => last-rename-wins keeps every
+      // .tar/.idx pair consistent and NEITHER invocation may fail
+      assert(ra.isSuccess && rb.isSuccess,
+        s"dueling writeShards failed (round $round): $ra / $rb")
+      val back = TarShards.readShards(spark, out)
+      assert(back.count() == 40, s"round $round: member loss")
+      // selective reads through the sidecars stay byte-consistent
+      val sel = TarShards.readMembersByName(spark, out,
+        Seq("m7.bin", "m33.bin")).collect()
+      assert(sel.length == 2 && sel.forall(r =>
+        java.util.Arrays.equals(r.getAs[Array[Byte]](3),
+          Array.tabulate(64)(j =>
+            (r.getString(2).drop(1).stripSuffix(".bin").toInt * j)
+              .toByte))),
+        s"round $round: selective read drifted after the duel")
     }
   }
 }
