@@ -206,6 +206,95 @@ class ReaderWriterLinearizabilitySpec extends AnyFunSuite {
       s"time-travel reader starved: ${successes.get()} reads")
   }
 
+  test("KeyedLog: continuous commit-gated readForKeys against a live " +
+    "append+compact writer never LOSES a committed row (duplicates " +
+    "are the documented superset contract; loss never)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("rwlin-klog-").toString
+    val nSegs = 10
+    def rowsOf(s: Int): Seq[(Long, Long)] =
+      (0 until 8).map(i => ((s * 8 + i).toLong, (s * 8 + i) * 10L))
+    // floor after segment s committed: everything appended so far
+    val floors: Vector[Set[(Long, Long)]] =
+      (1 to nSegs).scanLeft(Set.empty[(Long, Long)]) {
+        case (acc, s) => acc ++ rowsOf(s)
+      }.toVector
+    val probeKeys = (8L until 88L).toDF("bk").localCheckpoint()
+    val writerDone = new AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val successes = new AtomicInteger(0)
+    // the production probe gates on the last COMMITTED batch id
+    // (maxSeg) — in-flight segments are excluded at the source, so
+    // the reader models exactly that contract. The read may still
+    // observe MORE than its gate's floor: a concurrent fold legally
+    // carries later committed segments' rows (folds are supersets of
+    // their sources) — so the invariant is "some floor AT OR ABOVE
+    // the gate", monotone, never a partial segment.
+    val committed = new AtomicInteger(0)
+    val reader = new Thread(() => {
+      var lastFloor = -1
+      while (!writerDone.get()) {
+        val gate = committed.get()
+        if (gate > 0) {
+          try {
+            KeyedLog.readForKeys(spark, path, probeKeys, "bk",
+              maxSeg = gate.toLong)
+              .foreach { df =>
+                val got = df.select("bk", "payload").distinct()
+                  .collect().map(r => (r.getLong(0), r.getLong(1)))
+                  .toSet
+                  .filter(p => p._1 >= 8L && p._1 < 88L)
+                val idx = floors.indexOf(got)
+                if (idx < 0)
+                  failures.add(s"read matches NO committed floor " +
+                    s"(lost or partial rows): ${got.size} rows at " +
+                    s"gate $gate; missing vs full=" +
+                    s"${(floors.last -- got).take(5)}")
+                else if (idx < gate)
+                  failures.add(s"read LOST committed rows: floor " +
+                    s"$idx below gate $gate")
+                else if (idx < lastFloor)
+                  failures.add(s"floor went BACKWARD: $idx after " +
+                    s"$lastFloor")
+                else lastFloor = idx
+                successes.incrementAndGet()
+                ()
+              }
+            ()
+          } catch {
+            case t: Throwable if isMissingFileRace(t) => ()
+            case t: Throwable =>
+              failures.add(s"reader died on a non-race error: " +
+                s"${t.getClass.getName}: ${t.getMessage}")
+              writerDone.set(true)
+          }
+        }
+      }
+    })
+    reader.start()
+    try {
+      (1 to nSegs).foreach { s =>
+        KeyedLog.append(rowsOf(s).toDF("bk", "payload"), path, s.toLong)
+        committed.set(s) // durable => committed (the sink's contract)
+        // fold cascades run concurrently with the reader loop
+        if (s % 2 == 0) KeyedLog.compact(spark, path, "bk", fanout = 2)
+      }
+    } finally {
+      writerDone.set(true)
+      reader.join(60000)
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} log-read violations:\n  " +
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          failures.iterator()).asScala.mkString("\n  "))
+    assert(successes.get() >= 5,
+      s"log reader starved: ${successes.get()} reads")
+    // final state is the complete corpus
+    val fin = KeyedLog.readForKeys(spark, path, probeKeys, "bk")
+      .get.select("bk", "payload").distinct().count()
+    assert(fin == 80L)
+  }
+
   test("AnnIndex: continuous probes against a live lifecycle writer " +
     "(build, appends, deletes, generation-rotating rebuild) observe " +
     "only committed index states, monotonically") {
