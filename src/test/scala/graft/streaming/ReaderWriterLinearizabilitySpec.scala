@@ -51,7 +51,12 @@ class ReaderWriterLinearizabilitySpec extends AnyFunSuite {
         // already resolved it surfaces as schema-inference failure on
         // the vanished directory (Spark logs "was it deleted very
         // recently?") — same missing-file fail-stop, different class
-        m.contains("UNABLE_TO_INFER_SCHEMA"))
+        m.contains("UNABLE_TO_INFER_SCHEMA") ||
+        // ...and a retention slide deleting snapshot files between a
+        // reader's PLAN and its SCAN surfaces as Spark 4's
+        // execution-time read failure (the task-side
+        // FileNotFoundException is flattened into the message)
+        m.contains("FAILED_READ_FILE"))
         return true
       c = c.getCause
       hops += 1
