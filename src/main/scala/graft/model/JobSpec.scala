@@ -71,7 +71,13 @@ object JobSpec {
     * carrying `../../etc/passwd` reads an arbitrary host file and
     * publishes it to the output prefix. We refuse: no absolute paths,
     * no `..` segments, no backslashes/NULs (Windows-separator and
-    * C-string smuggling), no `:` (Hadoop Path scheme confusion).
+    * C-string smuggling), no `:` before the first `/` (Hadoop `new
+    * Path(child)` reads a scheme ONLY from text preceding the first
+    * slash, so `s3:…` smuggling needs a first-segment colon; a colon
+    * in any LATER segment — e.g. ISO-timestamp names like
+    * `logs/2024-01-01T12:00:00.json` — is path-inert, and the
+    * reference processes such names, so quarantining them would be a
+    * silent divergence).
     * Relative subpaths (`sub/dir/f.csv`) stay allowed — prefixes are
     * part of the reference's naming contract. Callers route unsafe
     * names to quarantine (SURVEY §1.3), never throw mid-stage.
@@ -80,7 +86,7 @@ object JobSpec {
     fileName != null && fileName.nonEmpty &&
       !fileName.startsWith("/") &&
       !fileName.contains('\\') && !fileName.contains('\u0000') &&
-      !fileName.contains(':') &&
+      !fileName.takeWhile(_ != '/').contains(':') &&
       !fileName.split('/').contains("..") &&
       !fileName.split('/').contains("")
 }

@@ -215,21 +215,49 @@ object AnnIndex {
     * replay deletes its fresh stage and no-ops — first-publish-wins,
     * which for the streaming-replay contract (same segId = same rows)
     * is identical to overwrite. Stranded stages from crashed writers
-    * are uuid-unique, invisible, and swept age-gated by
-    * [[sweepOrphans]].
+    * are uuid-unique, invisible, and swept by [[sweepOrphans]] under
+    * a liveness heartbeat (graft.Liveness): the stage's uuid keys a
+    * `_live-<uuid>` marker beaten for the duration of the parquet
+    * write, so a LONG in-flight segment write (mtime frozen at
+    * create on HDFS-semantics stores) is never swept from under its
+    * publisher; markerless strands keep the age-gate fallback.
     */
   private def publishSegment(spark: SparkSession, base: String,
       segId: Long, write: String => Unit): Unit = {
     val fs = new Path(base).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val stage = new Path(
-      s"$base/_stage-seg-$segId-${java.util.UUID.randomUUID()}")
+    val id = java.util.UUID.randomUUID().toString
+    val stage = new Path(s"$base/_stage-seg-$segId-$id")
+    val beat = graft.Liveness.start(fs, new Path(base), id)
+    try publishStaged(fs, base, segId, stage, write)
+    finally beat.close()
+  }
+
+  private def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+      base: String, segId: Long, stage: Path,
+      write: String => Unit): Unit = {
     write(stage.toString)
     graft.FaultPoints.reach("AnnIndex.seg.staged")
     val dest = new Path(s"$base/seg=$segId")
     if (fs.exists(dest)) { fs.delete(stage, true); () }
-    else require(fs.rename(stage, dest),
-      s"failed to publish segment $dest (stage: $stage)")
+    else {
+      val renamed = fs.rename(stage, dest)
+      // TOCTOU on the exists check: if another publisher of the same
+      // segId won between it and our rename, Hadoop's Posix-style
+      // rename into a now-existing DIRECTORY moves the stage INSIDE
+      // seg=N (and returns true) — invisible to the parquet reader
+      // (underscore prefix) but never swept, leaking disk per
+      // collision. The nested path is our uuid, so the probe-and-
+      // delete below is race-free: only our own swallowed stage dies.
+      val nested = new Path(dest, stage.getName)
+      if (fs.exists(nested)) { fs.delete(nested, true); () }
+      else if (!renamed) {
+        // FSs that instead REFUSE a rename onto an existing dest:
+        // loser no-ops (first-publish-wins), anything else is real
+        if (fs.exists(dest)) { fs.delete(stage, true); () }
+        else sys.error(s"failed to publish segment $dest (stage: $stage)")
+      }
+    }
   }
 
   /** Tombstones as (tid, tseg), or None when none exist. */
@@ -586,17 +614,42 @@ object AnnIndex {
     }
     // stranded SEGMENT STAGES (publishSegment uuid dirs a crashed
     // append/delete never renamed): invisible to readers, but they
-    // would accumulate forever. Age-gated like the tmps — a LIVE
-    // concurrent append's in-flight stage must never be swept from
-    // under its rename.
+    // would accumulate forever. A LIVE concurrent append's in-flight
+    // stage must never be swept from under its rename — and its own
+    // mtime cannot prove liveness (HDFS-semantics stores stamp it at
+    // create, so a long parquet segment write looks old while
+    // in-flight). Liveness comes from the publisher's `_live-<uuid>`
+    // heartbeat (graft.Liveness, beaten every 30 s for the write's
+    // duration): fresh marker keeps the stage at any age, stale
+    // marker collects the crash in ~10 min, markerless (pre-liveness
+    // strands) falls back to the age gate.
     Seq("codes", "tombstones").foreach { sub =>
       val d = new Path(root, sub)
-      if (fs.exists(d))
-        fs.listStatus(d)
+      if (fs.exists(d)) {
+        val entries = fs.listStatus(d)
+        val markerMtime: Map[String, Long] = entries.collect {
+          case st if !st.isDirectory &&
+              st.getPath.getName.startsWith("_live-") =>
+            st.getPath.getName.stripPrefix("_live-") ->
+              st.getModificationTime
+        }.toMap
+        entries
           .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith("_stage-") &&
-            now - st.getModificationTime > StaleTmpMs)
-          .foreach(st => fs.delete(st.getPath, true))
+            st.getPath.getName.startsWith("_stage-"))
+          .foreach { st =>
+            val dead =
+              markerMtime.get(st.getPath.getName.takeRight(36)) match {
+                case Some(mt) => now - mt > graft.Liveness.StaleAfterMs
+                case None => now - st.getModificationTime > StaleTmpMs
+              }
+            if (dead) fs.delete(st.getPath, true)
+          }
+        // markers whose owner stopped beating are themselves strands
+        markerMtime.foreach { case (id, mt) =>
+          if (now - mt > graft.Liveness.StaleAfterMs)
+            fs.delete(graft.Liveness.marker(d, id), false)
+        }
+      }
     }
     // sweep deletions durable; callers hold a lock here, so a crash
     // at this boundary is the stale-lock state the recovery contract

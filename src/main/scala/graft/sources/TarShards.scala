@@ -127,19 +127,33 @@ object TarShards {
     val rawName = field(0, 100)
     val prefix = field(345, 155)
     val name = if (prefix.isEmpty) rawName else s"$prefix/$rawName"
-    // STRICT size parse: octal digits, then only NUL/space terminators
-    // to the end of the field. The lenient form (skip non-octal bytes
-    // anywhere) silently misparsed a crafted checksum-valid header —
-    // "12x4" read as 124 — handing downstream a wrong payload length:
-    // exactly the silent-truncation class the adversarial-input gate
-    // (round-17 order #2) forbids. Hostile size bytes now fail loudly.
+    // STRICT size parse: optional leading spaces, octal digits, then
+    // only NUL/space terminators to the end of the field. The lenient
+    // form (skip non-octal bytes anywhere) silently misparsed a
+    // crafted checksum-valid header — "12x4" read as 124 — handing
+    // downstream a wrong payload length: exactly the silent-truncation
+    // class the adversarial-input gate (round-17 order #2) forbids.
+    // Hostile size bytes still fail loudly; two checksum-valid,
+    // unambiguous foreign-writer variants are handled specially:
+    // leading-space padding (older tar writers right-justify with
+    // spaces) parses, and GNU base-256 (first byte 0x80-flagged, used
+    // for >8 GiB members) fails with its OWN message rather than a
+    // generic malformed-field error — it is a real encoding we choose
+    // not to support (shards cap at 8 GiB), not corruption.
+    if ((h(124) & 0x80) != 0) throw new IllegalArgumentException(
+      s"tar header at offset $headerOff uses GNU base-256 size " +
+        s"encoding (member $name): >8 GiB members are unsupported")
     var size = 0L
+    var seenDigit = false
     var terminated = false
     i = 124
     while (i < 136) {
       val c = h(i) & 0xff
-      if (!terminated && c >= '0' && c <= '7') size = size * 8 + (c - '0')
-      else if (c == 0 || c == ' ') terminated = true
+      if (!terminated && c >= '0' && c <= '7') {
+        size = size * 8 + (c - '0'); seenDigit = true
+      } else if (c == ' ' && !seenDigit && !terminated) {
+        () // leading pad space before the first digit
+      } else if (c == 0 || c == ' ') terminated = true
       else throw new IllegalArgumentException(
         s"tar header at offset $headerOff has a malformed size field " +
           s"(non-octal byte 0x${c.toHexString} for member $name)")
@@ -353,28 +367,68 @@ object TarShards {
     // over this outDir (a failed attempt's tmps are never published,
     // but nothing else ever deletes them — they would accumulate
     // forever); runs at call time, before this job's tasks create
-    // their own. AGE-GATED: an unconditional sweep deleted the
-    // in-flight tmps of a CONCURRENTLY running writeShards over the
-    // same outDir — the dueling-zombie overlap the byte-determinism
-    // tiebreaker exists to make safe — turning the elder attempt's
-    // publish rename into a loud job failure. Strands are therefore
-    // presumed dead only past `staleTmpMs` (crashed-writer mtimes
-    // freeze; a live local-FS writer's advance with every write), at
-    // the price of crashed strands lingering up to the threshold.
+    // their own. An unconditional sweep deleted the in-flight tmps of
+    // a CONCURRENTLY running writeShards over the same outDir — the
+    // dueling-zombie overlap the byte-determinism tiebreaker exists
+    // to make safe — turning the elder attempt's publish rename into
+    // a loud job failure. Liveness is therefore decided by the
+    // writers' `_live-<task>` HEARTBEAT markers (graft.Liveness):
+    // each writing task re-creates its marker every 30 s and strand
+    // names embed the owning task's id, so a fresh marker keeps its
+    // strands no matter how old their own mtimes are — an mtime age
+    // gate alone is LOCAL-FS-ONLY reasoning (HDFS/object stores stamp
+    // mtime at create/close, so a >threshold single-shard stream
+    // looked dead while alive) — while a stale marker collects a
+    // crash in ~10 min. Markerless strands (legacy layout, or a
+    // finished owner that removed its marker before its failed
+    // attempts were listed) keep the old `staleTmpMs` age gate as the
+    // fallback bound.
     val fsOut = new Path(outDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     val now = System.currentTimeMillis()
-    if (fsOut.exists(new Path(outDir)))
-      fsOut.listStatus(new Path(outDir))
+    if (fsOut.exists(new Path(outDir))) {
+      val entries = fsOut.listStatus(new Path(outDir))
         .filterNot(_.isDirectory)
+      val markerMtime: Map[String, Long] = entries.collect {
+        case st if st.getPath.getName.startsWith("_live-") =>
+          st.getPath.getName.stripPrefix("_live-") ->
+            st.getModificationTime
+      }.toMap
+      // tmp name ...<taskId>-<attemptId>.tmp (two 36-char uuids);
+      // 36-char tokens are pre-liveness strands -> age-gate fallback
+      def ownerOf(n0: String): Option[String] = {
+        val core =
+          if (n0.startsWith(".") && n0.endsWith(".crc"))
+            n0.drop(1).dropRight(4)
+          else n0
+        val base = core.stripSuffix(".tmp")
+        val tok = base.substring(base.lastIndexOf('.') + 1)
+        if (tok.length == 73 && tok.charAt(36) == '-')
+          Some(tok.substring(0, 36))
+        else None
+      }
+      entries
         .filter { st =>
           val n = st.getPath.getName
-          ((n.startsWith("shard-") && n.endsWith(".tmp")) ||
+          (n.startsWith("shard-") && n.endsWith(".tmp")) ||
             // checksum sidecars of stranded tmps (local FS)
-            (n.startsWith(".shard-") && n.endsWith(".tmp.crc"))) &&
-            now - st.getModificationTime > staleTmpMs
+            (n.startsWith(".shard-") && n.endsWith(".tmp.crc"))
         }
-        .foreach(st => fsOut.delete(st.getPath, false))
+        .foreach { st =>
+          val dead =
+            ownerOf(st.getPath.getName).flatMap(markerMtime.get) match {
+              case Some(mt) => now - mt > graft.Liveness.StaleAfterMs
+              case None =>
+                now - st.getModificationTime > staleTmpMs
+            }
+          if (dead) fsOut.delete(st.getPath, false)
+        }
+      // markers whose owner stopped beating are themselves strands
+      markerMtime.foreach { case (id, mt) =>
+        if (now - mt > graft.Liveness.StaleAfterMs)
+          fsOut.delete(graft.Liveness.marker(new Path(outDir), id), false)
+      }
+    }
     df.select(col(shardCol).cast("string").as("shard"),
         col(nameCol).cast("string").as("name"), col(binCol).as("bytes"))
       .repartition(col("shard"))
@@ -391,6 +445,26 @@ object TarShards {
         new Iterator[Row] {
           private var pending: (String, String, Array[Byte]) =
             if (rows.hasNext) rows.next() else null
+          // liveness heartbeat for this task's in-flight tmps (see
+          // the call-time sweep): marker created BEFORE the first tmp
+          // so no sweep can see an owned strand without its marker,
+          // stopped+removed by the task completion listener (runs on
+          // success AND task failure — only an executor kill skips
+          // it, which is exactly the stale-marker sweep case)
+          private val taskToken = java.util.UUID.randomUUID().toString
+          private val beatToClose: Option[AutoCloseable] =
+            if (pending == null) None
+            else {
+              val b = graft.Liveness.start(
+                new Path(outDir).getFileSystem(conf.value),
+                new Path(outDir), taskToken)
+              Option(org.apache.spark.TaskContext.get()) match {
+                case Some(ctx) =>
+                  ctx.addTaskCompletionListener[Unit](_ => b.close())
+                  None
+                case None => Some(b) // no task ctx: close at exhaustion
+              }
+            }
           override def hasNext: Boolean = pending != null
           override def next(): Row = {
             val shard = pending._1
@@ -418,7 +492,9 @@ object TarShards {
             // .idx mutually consistent even if two attempts finish;
             // a failed attempt's tmps are never published (the glob
             // readers match *.tar only).
-            val attempt = java.util.UUID.randomUUID().toString
+            // <taskToken>-<attempt>: the task id keys the liveness
+            // marker, the per-shard uuid keeps duels attempt-unique
+            val attempt = s"$taskToken-${java.util.UUID.randomUUID()}"
             val tmpP = new Path(outDir, s"shard-$shard.tar.$attempt.tmp")
             val tmpIx = new Path(outDir,
               s"shard-$shard.tar.idx.$attempt.tmp")
@@ -458,6 +534,7 @@ object TarShards {
             graft.FaultPoints.reach("TarShards.tar")
             graft.AtomicFiles.renameOverwrite(fs, conf.value, tmpIx, ixP)
             graft.FaultPoints.reach("TarShards.idx")
+            if (pending == null) beatToClose.foreach(_.close())
             Row(shard, members, bytes)
           }
         }

@@ -848,15 +848,30 @@ object TableSync {
     * compare this token so a table deleted and recreated at the same
     * path invalidates them (the ParamDegradeSpec shape: an externally
     * rebuilt, metadata-stripped index must not be served the previous
-    * index's cached parameters). `<legacy>` for tables bootstrapped
-    * before the marker existed — recreating one goes through the new
-    * first-commit path and flips the token.
+    * index's cached parameters). Tables bootstrapped before the
+    * marker existed get a CONTENT-derived token — the `_CURRENT`
+    * pointer's manifest name plus its mtime — not a shared constant:
+    * with a constant, a delete-and-recreate where the rebirth ALSO
+    * lacks `_BORN` (restored from a pre-marker backup, or copied in
+    * externally rather than committed through TableSync) would reuse
+    * the dead incarnation's token and the caches would serve its
+    * parameters — the exact hole the token closes for marked tables.
+    * Any rebirth changes the pointed manifest name or its mtime, so
+    * the content token flips; a recreate committed THROUGH TableSync
+    * flips harder (first commit stamps a fresh `_BORN` uuid).
     */
   def bootstrapToken(spark: SparkSession, path: String): String = {
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val p = new Path(path, BornFile)
-    if (fs.exists(p)) readSmallFile(fs, p) else "<legacy>"
+    if (fs.exists(p)) readSmallFile(fs, p)
+    else {
+      val cur = new Path(path, "_CURRENT")
+      if (fs.exists(cur))
+        s"<legacy:${readSmallFile(fs, cur).trim}" +
+          s":${fs.getFileStatus(cur).getModificationTime}>"
+      else "<legacy:unborn>"
+    }
   }
 
   /** Walk the commit chain (`prev` links) from the `_CURRENT` pointer

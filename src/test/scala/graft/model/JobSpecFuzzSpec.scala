@@ -83,11 +83,16 @@ class JobSpecFuzzSpec extends AnyFunSuite {
     "ordinary relative names (with subdirs) allowed") {
     val unsafe = Seq(null, "", "/etc/passwd", "../x", "a/../../x",
       "..", "a/..", "sub/../../x", "a\\..\\x", "file:/etc/passwd",
-      "hdfs://nn/x", "a:b", "a//b", "nul\u0000byte")
+      "hdfs://nn/x", "a:b", "a//b", "nul\u0000byte",
+      "s3:bucket/key") // scheme-shaped: colon before the first slash
     unsafe.foreach(n => assert(!JobSpec.pathSafe(n),
       s"'$n' must be refused"))
+    // a colon AFTER the first '/' cannot start a Hadoop Path scheme -
+    // ISO-timestamp keys are legitimate and the reference processes
+    // them; quarantining them would silently diverge from it
     val safe = Seq("f.csv", "sub/dir/f.csv", "weird name.txt",
-      "..hidden", "a..b", "trailing.dots..", "0", "ключ.dat")
+      "..hidden", "a..b", "trailing.dots..", "0", "ключ.dat",
+      "logs/2024-01-01T12:00:00.json", "a/b:c")
     safe.foreach(n => assert(JobSpec.pathSafe(n),
       s"'$n' must be allowed"))
   }

@@ -422,4 +422,50 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(d3.rebuildRecommended &&
       fs.exists(new org.apache.hadoop.fs.Path(p2, "_GEN")))
   }
+
+  test("segment-stage sweep consults the publisher's liveness " +
+    "heartbeat: a >threshold-old stage with a beating owner survives; " +
+    "a stale-marker owner's stage and marker are collected; " +
+    "markerless strands keep the age-gate fallback") {
+    import org.apache.hadoop.fs.Path
+    val path = Files.createTempDirectory("annix-beat-").toString
+    AnnIndex.build(corpus, path, nlist = 4, dim = 16)
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val codes = new Path(path, "codes")
+    val old = System.currentTimeMillis() - 2L * 3600000L
+    def stage(segId: Int, owner: String): Path = {
+      val p = new Path(codes, s"_stage-seg-$segId-$owner")
+      fs.mkdirs(p)
+      // HDFS shape: dir mtime does not advance while a long parquet
+      // segment write streams into it
+      fs.setTimes(p, old, -1)
+      p
+    }
+    val liveOwner = java.util.UUID.randomUUID().toString
+    val liveStage = stage(5, liveOwner)
+    fs.create(new Path(codes, s"_live-$liveOwner"), true).close()
+    val deadOwner = java.util.UUID.randomUUID().toString
+    val deadStage = stage(6, deadOwner)
+    val deadMarker = new Path(codes, s"_live-$deadOwner")
+    fs.create(deadMarker, true).close()
+    fs.setTimes(deadMarker, old, -1)
+    val legacyStage = stage(7, java.util.UUID.randomUUID().toString)
+    // no-drift maybeRebuild: sweeps under the lock, never rotates
+    val d = AnnIndex.maybeRebuild(spark, path, sample = 16, k = 5)
+    assert(!d.rebuildRecommended, s"fixture must not drift: $d")
+    assert(fs.exists(liveStage),
+      "a 2h-old stage whose owner still beats must survive the sweep")
+    assert(fs.exists(new Path(codes, s"_live-$liveOwner")),
+      "the fresh marker must survive")
+    assert(!fs.exists(deadStage),
+      "a stale-marker owner's stage must be collected")
+    assert(!fs.exists(deadMarker),
+      "the stale marker itself must be collected")
+    assert(!fs.exists(legacyStage),
+      "markerless strands keep the age-gate fallback (2h > 1h)")
+    // the index still serves through all of it
+    assert(AnnIndex.probe(spark, path,
+      corpus.filter(col("vec_id") % 40 === 0), k = 3).count() > 0)
+  }
 }

@@ -154,6 +154,34 @@ class TarFuzzSpec extends AnyFunSuite {
     assert(e.getMessage.contains("malformed size field"), e.getMessage)
   }
 
+  test("leading-space-padded octal size (older tar writers right-" +
+    "justify with spaces) is checksum-valid and unambiguous: it " +
+    "parses, and digits AFTER a terminator still fail loudly") {
+    val ms = TarShards.unpack(withSizeField("          3")).toList
+    assert(ms.map(_._1) == List("hostile.bin"))
+    assert(ms.head._2.toSeq == Seq[Byte](1, 2, 3))
+    // a space BETWEEN digits terminates; more digits after it are
+    // still the malformed class, not a second number
+    val e = intercept[IllegalArgumentException] {
+      TarShards.unpack(withSizeField("1 3")).toList
+    }
+    assert(e.getMessage.contains("malformed size field"), e.getMessage)
+  }
+
+  test("GNU base-256 size encoding (0x80-flagged first byte, >8 GiB " +
+    "members) fails with its OWN loud message — a real encoding we " +
+    "do not support, not generic corruption") {
+    val tar = withSizeField("00000000003")
+    tar(124) = 0x80.toByte // flag byte of a base-256 size
+    val h = java.util.Arrays.copyOfRange(tar, 0, 512)
+    reChecksum(h)
+    System.arraycopy(h, 0, tar, 0, 512)
+    val e = intercept[IllegalArgumentException] {
+      TarShards.unpack(tar).toList
+    }
+    assert(e.getMessage.contains("base-256"), e.getMessage)
+  }
+
   test("a member named ../../etc/passwd is DATA, not a path: unpack " +
     "returns it verbatim and nothing touches the filesystem") {
     val out = new ByteArrayOutputStream()

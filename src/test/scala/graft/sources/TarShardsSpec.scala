@@ -239,6 +239,50 @@ class TarShardsSpec extends AnyFunSuite {
     assert(TarShards.readShards(spark, out).count() == 1)
   }
 
+  test("liveness heartbeat overrides tmp age: a >threshold-old tmp " +
+    "whose owner still beats survives the sweep; a stale-marker " +
+    "owner's tmp AND marker are collected") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("tarbeat-").toString
+    val df = Seq(("a.txt", "x".getBytes, "7")).toDF("name", "bytes", "shard")
+    val twoHoursAgo = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 3600000L)
+    def strand(owner: String): java.nio.file.Path = {
+      val p = java.nio.file.Paths.get(out,
+        s"shard-7.tar.$owner-${java.util.UUID.randomUUID()}.tmp")
+      Files.write(p, "inflight".getBytes("UTF-8"))
+      // the HDFS shape: mtime stamped at create, frozen while the
+      // writer streams — a 2h-old tmp can still have a LIVE owner
+      Files.setLastModifiedTime(p, twoHoursAgo)
+      p
+    }
+    // live owner: marker fresh (beaten 30s ago by its writer)
+    val liveOwner = java.util.UUID.randomUUID().toString
+    val liveTmp = strand(liveOwner)
+    Files.write(java.nio.file.Paths.get(out, s"_live-$liveOwner"),
+      Array.empty[Byte])
+    // dead owner: marker exists but its beats stopped 2h ago (crash)
+    val deadOwner = java.util.UUID.randomUUID().toString
+    val deadTmp = strand(deadOwner)
+    val deadMarker = java.nio.file.Paths.get(out, s"_live-$deadOwner")
+    Files.write(deadMarker, Array.empty[Byte])
+    Files.setLastModifiedTime(deadMarker, twoHoursAgo)
+    TarShards.writeShards(df, "name", "bytes", "shard", out).collect()
+    val left = new java.io.File(out).list().toSet
+    assert(left.contains(liveTmp.getFileName.toString),
+      s"a live (beating) owner's old tmp must survive the sweep; left: $left")
+    assert(!left.contains(deadTmp.getFileName.toString),
+      s"a stale-marker owner's tmp must be collected; left: $left")
+    assert(!left.contains(deadMarker.getFileName.toString),
+      s"the stale marker itself must be collected; left: $left")
+    assert(left.contains(s"_live-$liveOwner"),
+      s"the fresh marker must survive; left: $left")
+    // a completed invocation leaves no marker of its own behind
+    assert(left.count(_.startsWith("_live-")) == 1,
+      s"finished writeShards must remove its own markers; left: $left")
+    assert(TarShards.readShards(spark, out).count() == 1)
+  }
+
   test("writeShards/readShards round-trip the fixture corpus with " +
     "correct shard routing") {
     val dir = "/root/testdata/sf0.001"
