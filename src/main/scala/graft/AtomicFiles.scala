@@ -126,7 +126,15 @@ private[graft] object AtomicFiles {
       s"${dest.getName}.${ProcessHandle.current().pid()}-" +
         s"${seq.incrementAndGet()}.tmp"))
     val out = rawOf(fs).create(tmp, true)
-    try out.write(payload) finally out.close()
+    try {
+      out.write(payload)
+      // kill -9 point: stream OPEN, payload possibly still buffered —
+      // a real SIGKILL here leaves a truncated tmp that no unwind can
+      // model (finally would flush it). KillMinus9Spec parks a child
+      // JVM here and kills it; the tmp+rename discipline must make
+      // the torn tmp invisible to every reader.
+      FaultPoints.pulse("AtomicFiles.midwrite")
+    } finally out.close()
     FaultPoints.reach("AtomicFiles.tmp")
     renameOverwrite(fs, conf, tmp, dest)
   }

@@ -34,12 +34,14 @@ import java.util.concurrent.atomic.AtomicLong
   * exactly as a kill -9 leaves it, and the harness walks the
   * stale-lock recovery contract (loud refusal naming the file, then
   * operator deletion, then convergent replay) at every lock-guarded
-  * (site, occurrence). The remaining unwind artifact — output streams
-  * closed in `finally` — models a torn single `create()`, exactly the
-  * state the AtomicFiles tmp+rename discipline makes unreachable
-  * (spec'd there). Everything BETWEEN durable operations — the class
-  * the manual reviews kept finding — is modeled faithfully either
-  * way: operations after the armed site never run.
+  * (site, occurrence). The last fidelity gap — output streams closed
+  * by the unwind's `finally`, flushing buffered tails a real kill
+  * never flushes — is closed by the subprocess SIGKILL harness
+  * (KillMinus9Spec + [[pulse]]): a child JVM is parked MID-WRITE with
+  * streams open and killed with a real `kill -9`, one representative
+  * site per store family. Everything BETWEEN durable operations — the
+  * class the manual reviews kept finding — is modeled faithfully
+  * either way: operations after the armed site never run.
   *
   * Reference semantics being protected: the ack-on-success commit
   * point (reference GetJobs.py:37-40 — delete-after-upload; a crash
@@ -80,6 +82,55 @@ object FaultPoints {
       throw new InjectedCrash(site, a.occurrence)
     }
   }
+
+  // ---------------------------------------------------------------
+  // subprocess SIGKILL harness hooks (round-18 order #3)
+  // ---------------------------------------------------------------
+
+  /** Park-capable MID-STREAM points for the subprocess kill -9
+    * harness (KillMinus9Spec). Unlike [[reach]], a pulse site is NOT
+    * a publish boundary — nothing durable is promised on either side
+    * — and is deliberately excluded from the crash-walk inventory
+    * scan (which greps for `reach("` literals). It exists so a CHILD
+    * JVM can be parked with its output streams OPEN and buffers
+    * UNFLUSHED, then killed with a real SIGKILL: the one writer state
+    * the in-process InjectedCrash cannot produce (unwinding runs
+    * `finally` stream closes, flushing buffered tails, so tmps look
+    * cleaner than a kill -9 leaves them).
+    *
+    * Armed only via system properties at JVM start (the child is a
+    * fresh process; there is no test API):
+    *   -Dgraft.faultpoints.park=<site>      touch the sentinel, then
+    *     park forever at the site (streams open) until the SIGKILL
+    *   -Dgraft.faultpoints.signal=<site>    touch the sentinel and
+    *     CONTINUE — for killing a beat into a long write the site
+    *     immediately precedes (a parked thread never starts it)
+    *   -Dgraft.faultpoints.sentinel=<file>  the parent's kill trigger
+    * Production cost: two static null comparisons.
+    */
+  def pulse(site: String): Unit = {
+    if (signalSite != null && signalSite == site) touchSentinel()
+    if (parkSite != null && parkSite == site) {
+      touchSentinel()
+      while (true) Thread.sleep(60000L) // parked until SIGKILL
+    }
+  }
+
+  private def touchSentinel(): Unit =
+    if (parkSentinel != null) {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(parkSentinel), Array.empty[Byte])
+        ()
+      } catch { case _: Throwable => () }
+    }
+
+  private val parkSite: String =
+    System.getProperty("graft.faultpoints.park")
+  private val signalSite: String =
+    System.getProperty("graft.faultpoints.signal")
+  private val parkSentinel: String =
+    System.getProperty("graft.faultpoints.sentinel")
 
   // ---------------------------------------------------------------
   // abandon (no-unwind / leaked-lock) mode

@@ -236,6 +236,11 @@ object AnnIndex {
   private def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
       base: String, segId: Long, stage: Path,
       write: String => Unit): Unit = {
+    // kill -9 point: KillMinus9Spec signals here, then SIGKILLs the
+    // child a beat into the (deliberately slowed) parquet stage write
+    // — the stage dir dies half-filled with task files, invisible
+    // behind the underscore prefix, and the replay must converge
+    graft.FaultPoints.pulse("AnnIndex.seg.prewrite")
     write(stage.toString)
     graft.FaultPoints.reach("AnnIndex.seg.staged")
     val dest = new Path(s"$base/seg=$segId")

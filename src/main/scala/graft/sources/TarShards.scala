@@ -518,6 +518,12 @@ object TarShards {
                     s"at member $name — re-key to smaller shards or " +
                     "raise the cap")
                 members += 1
+                // kill -9 point: archive AND sidecar streams OPEN
+                // mid-shard with buffered tails — KillMinus9Spec
+                // parks a child JVM here and SIGKILLs it; the
+                // truncated attempt tmps must never publish and the
+                // replay must converge
+                graft.FaultPoints.pulse("TarShards.midstream")
                 pending = if (rows.hasNext) rows.next() else null
                 more = pending != null && pending._1 == shard
               }

@@ -40,9 +40,15 @@ import graft.sources.TarShards
   * sweep-skip), operator lock deletion, convergent replay. Points
   * that leaked are then ALSO walked in unwind mode (a survivable
   * mid-commit throw: finally ran, locks released, plain replay) —
-  * both are real failure modes. The remaining unwind artifact,
-  * streams closed in `finally` (torn single create), stays covered
-  * by the AtomicFiles tmp+rename specs.
+  * both are real failure modes. The last unwind artifact — streams
+  * closed by `finally`, flushing buffered tails a real kill never
+  * flushes — is covered by [[KillMinus9Spec]] (round-18 order #3):
+  * a forked writer JVM is parked MID-WRITE at a `FaultPoints.pulse`
+  * point and killed with a real SIGKILL, one representative site per
+  * store family (`AtomicFiles.midwrite` under the live commit lock,
+  * `TarShards.midstream` with archive+sidecar streams open,
+  * `AnnIndex.seg.prewrite` into a slowed parquet stage write), then
+  * replayed in-process to fingerprint convergence.
   */
 class CrashFaultInjectionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark

@@ -1,0 +1,224 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** TRUE kill -9 fidelity (round-18 order #3). The in-process crash
+  * walk's one modeling gap was stream closes: an armed InjectedCrash
+  * unwinds, `finally` blocks close output streams and FLUSH buffered
+  * tails, so torn tmps looked cleaner than a real kill leaves them.
+  * This spec closes the gap for ONE representative site per store
+  * family by forking a writer JVM ([[KillWriterChild]]), waiting for
+  * its sentinel at a `FaultPoints.pulse` mid-write point, and
+  * SIGKILLing it (`Process.destroyForcibly`) — no unwind, no
+  * flushes, locks and markers left exactly as death leaves them —
+  * then replaying in-process and asserting fingerprint convergence
+  * against a clean-run oracle twin:
+  *
+  *  - `AtomicFiles.midwrite` (metadata family — TableSync commit):
+  *    killed with the archived-manifest tmp stream OPEN under the
+  *    real commit lock. The table keeps serving the previous commit,
+  *    the replay REFUSES loudly on the genuinely leaked lock file,
+  *    and after operator lock removal the replay converges and the
+  *    under-lock sweep collects the torn tmp.
+  *  - `TarShards.midstream` (archive family): killed mid-shard with
+  *    archive + index sidecar streams open and the liveness marker
+  *    fresh. The truncated attempt tmps never publish, the replay
+  *    converges byte-for-byte, and the sweep KEEPS the killed
+  *    writer's strand while its marker is still fresh (the
+  *    real-kill face of the heartbeat contract — collected minutes
+  *    later when the marker goes stale, pinned by the age-gated
+  *    sweep specs).
+  *  - `AnnIndex.seg.prewrite` (parquet-segment family): the child
+  *    signals and CONTINUES into a deliberately slowed stage write;
+  *    the SIGKILL lands mid-parquet-write, leaving the underscore-
+  *    invisible stage dir half-filled with task files. Probes keep
+  *    serving the built state and the same-segId replay converges.
+  */
+class KillMinus9Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Fork KillWriterChild, wait for its pulse sentinel, then SIGKILL
+    * it `killDelayMs` later. Returns the child's (killed) exit code.
+    */
+  private def forkAndKill(family: String, dir: String, mode: String,
+      site: String, killDelayMs: Long): Unit = {
+    val sentinel = java.io.File.createTempFile("kill9-", ".sentinel")
+    sentinel.delete()
+    val log = java.io.File.createTempFile(s"kill9-$family-", ".log")
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"),
+      "java").getAbsolutePath
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx3g", "-Dfile.encoding=UTF-8", "-Dsun.jnu.encoding=UTF-8",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      s"-Dgraft.faultpoints.$mode=$site",
+      s"-Dgraft.faultpoints.sentinel=${sentinel.getAbsolutePath}",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.streaming.KillWriterChild", family, dir))
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    val proc = pb.start()
+    try {
+      val deadline = System.nanoTime() + 240L * 1000000000L
+      while (!sentinel.exists() && proc.isAlive &&
+          System.nanoTime() < deadline)
+        Thread.sleep(50L)
+      assert(sentinel.exists(), {
+        val tail = scala.util.Try(
+          new String(Files.readAllBytes(log.toPath), "UTF-8")
+            .linesIterator.toSeq.takeRight(25).mkString("\n"))
+        s"child never reached $site (alive=${proc.isAlive}); " +
+          s"log tail:\n${tail.getOrElse("<unreadable>")}"
+      })
+      if (killDelayMs > 0) Thread.sleep(killDelayMs)
+      proc.destroyForcibly() // SIGKILL — no unwind, no flushes
+      assert(proc.waitFor(30, TimeUnit.SECONDS), "child did not die")
+      assert(proc.exitValue() != 0, "child must have died by signal")
+    } finally { if (proc.isAlive) { proc.destroyForcibly(); () } }
+  }
+
+  test("kill -9 mid metadata write (AtomicFiles family, under the " +
+    "real commit lock): previous commit keeps serving, the replay " +
+    "refuses loudly on the genuinely leaked lock, converges after " +
+    "operator lock removal, torn tmp swept") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kill9-af-").toString
+    def batch(d: String, b: Long,
+        rows: Seq[(Long, Long, String)]): Unit =
+      TableSync.applyBatch(rows.toDF("k", "ver", "attr"), d,
+        "k", "ver", b, numBuckets = 2)
+    def readMap(d: String): Map[Long, String] =
+      TableSync.readCurrent(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val r0 = Seq((1L, 0L, "a0"), (2L, 0L, "b0"))
+    val r1 = Seq((1L, 1L, "a1"), (2L, 1L, "b1"))
+    batch(dir, 0L, r0)
+    // clean-oracle twin
+    val twin = Files.createTempDirectory("kill9-af-twin-").toString
+    batch(twin, 0L, r0); batch(twin, 1L, r1)
+    val oracle = readMap(twin)
+
+    forkAndKill("atomicfiles", dir, "park", "AtomicFiles.midwrite", 0L)
+
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lock = new org.apache.hadoop.fs.Path(dir, "_LOCK")
+    assert(fs.exists(lock),
+      "the killed writer must leave the real commit lock on disk")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.endsWith(".tmp")),
+      "the killed writer must leave its torn metadata tmp on disk")
+    // readers are lock-free: the table still serves batch 0 exactly
+    assert(readMap(dir) == r0.map(r => r._1 -> r._3).toMap)
+    // the replay refuses LOUDLY on the kill-leaked lock...
+    val e = intercept[java.util.ConcurrentModificationException] {
+      batch(dir, 1L, r1)
+    }
+    assert(e.getMessage.contains("lock"), e.getMessage)
+    // ...operator recovery exactly as the message instructs
+    fs.delete(lock, false)
+    batch(dir, 1L, r1)
+    assert(readMap(dir) == oracle, "replay must converge")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.endsWith(".tmp")),
+      "the replay's under-lock sweep must collect the torn tmp")
+  }
+
+  test("kill -9 mid shard stream (TarShards family): truncated " +
+    "attempt tmps never publish, replay converges, and the sweep " +
+    "keeps the killed writer's strand while its liveness marker is " +
+    "fresh") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kill9-tar-").toString
+    def df = (0 until 64)
+      .map(i => (f"m$i%04d", Array.fill(1024)(i.toByte), "s0"))
+      .toDF("name", "bytes", "shard")
+    def fingerprint(d: String): Seq[(String, Int)] =
+      graft.sources.TarShards.readShards(spark, d)
+        .select(col("name"), length(col("content")).as("len"))
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+        .sortBy(_._1).toSeq
+    val twin = Files.createTempDirectory("kill9-tar-twin-").toString
+    graft.sources.TarShards
+      .writeShards(df, "name", "bytes", "shard", twin).collect()
+    val oracle = fingerprint(twin)
+
+    forkAndKill("tarshards", dir, "park", "TarShards.midstream", 0L)
+
+    val left0 = new java.io.File(dir).list().toSet
+    assert(left0.exists(_.endsWith(".tmp")),
+      s"the killed writer must leave a truncated attempt tmp: $left0")
+    assert(left0.exists(_.startsWith("_live-")),
+      s"the killed writer's liveness marker must survive it: $left0")
+    // replay in-process: the sweep consults the fresh marker and
+    // KEEPS the kill strand; the replay publishes its own attempt
+    graft.sources.TarShards
+      .writeShards(df, "name", "bytes", "shard", dir).collect()
+    assert(fingerprint(dir) == oracle, "replay must converge")
+    val left1 = new java.io.File(dir).list().toSet
+    assert(left1.exists(_.endsWith(".tmp")),
+      "a fresh-marker strand must survive the sweep (collected only " +
+        s"after the marker goes stale): $left1")
+  }
+
+  test("kill -9 mid parquet segment write (AnnIndex family): the " +
+    "half-filled stage dir stays invisible, probes keep serving, " +
+    "and the same-segId replay converges") {
+    import spark.implicits._
+    val corpus = (for { c <- 0 until 4; j <- 1 to 6 } yield {
+      val v = (0 until 8).map(d =>
+        if (d == c) 3f else if (d == c + 4) j * 0.15f else 0f)
+      ((c * 100 + j).toLong, v)
+    }).toDF("vec_id", "embedding").localCheckpoint()
+    // the child's append rows, WITHOUT its per-row sleep — same
+    // values, so the in-process replay is byte-deterministic
+    def appendRows = spark.range(0L, 400L).select(
+      (col("id") + 1000L).as("vec_id"),
+      array((0 until 8).map(d =>
+        ((col("id") % 7L + d.toLong) / 7.0).cast("float")): _*)
+        .as("embedding"))
+    val queries = (0 until 4).map(c =>
+      ((900 + c).toLong,
+        (0 until 8).map(d => if (d == c) 3f else 0f)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    def fp(d: String): Seq[String] =
+      graft.operators.AnnIndex.probe(spark, d, queries, k = 3)
+        .select("qid", "id", "rank")
+        .collect().map(_.toString).sorted.toSeq
+    val dir = Files.createTempDirectory("kill9-ann-").toString
+    graft.operators.AnnIndex.build(corpus, dir, nlist = 4, dim = 8)
+    val builtFp = fp(dir)
+    val twin = Files.createTempDirectory("kill9-ann-twin-").toString
+    graft.operators.AnnIndex.build(corpus, twin, nlist = 4, dim = 8)
+    graft.operators.AnnIndex.append(appendRows, twin, segId = 1L)
+    val oracle = fp(twin)
+
+    forkAndKill("annindex", dir, "signal", "AnnIndex.seg.prewrite",
+      1500L)
+
+    // the kill landed mid stage write: probes still serve the built
+    // state exactly (the stage is underscore-invisible)
+    assert(fp(dir) == builtFp,
+      "probe after the mid-write kill must serve the built state")
+    // replay the same segment in-process: converges to the twin
+    graft.operators.AnnIndex.append(appendRows, dir, segId = 1L)
+    assert(fp(dir) == oracle, "same-segId replay must converge")
+  }
+}
