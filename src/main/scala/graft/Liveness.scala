@@ -92,13 +92,11 @@ object Liveness {
     }
   }
 
-  /** Sweep-side consult: None = no marker (use the age-gate
-    * fallback); Some(true) = owner live, keep; Some(false) = owner
-    * dead, sweep strand and marker.
-    */
-  def ownerLive(fs: FileSystem, dir: Path, id: String,
-      now: Long): Option[Boolean] =
-    try Some(now - fs.getFileStatus(marker(dir, id)).getModificationTime
-      <= StaleAfterMs)
-    catch { case _: java.io.FileNotFoundException => None }
+  // Sweep-side consultation lives with the sweeps (TarShards
+  // call-time sweep, AnnIndex.sweepOrphans): both work off the ONE
+  // directory listing they already hold (marker name -> mtime map),
+  // so a per-id getFileStatus helper here would only add round trips.
+  // The shared contract is the three-way decision documented above:
+  // fresh marker keeps, stale marker collects strand AND marker,
+  // markerless falls back to the age gate.
 }

@@ -349,12 +349,21 @@ object TarShards {
     * instead of letting a mis-keyed flood OOM an executor or produce
     * an unreadably large archive.
     *
+    * Strand-death knobs for the call-time sweep (see the comment at
+    * the sweep): `markerStaleMs` bounds how long a writer may stop
+    * BEATING its `_live-` marker before it is presumed dead and its
+    * strands collected — widen it when writers may legitimately pause
+    * longer (long GC, suspended JVMs, store partitions); `staleTmpMs`
+    * is the mtime age gate for MARKERLESS strands only (pre-liveness
+    * layouts, or an owner that finished between listings).
+    *
     * Returns the shard manifest (shard, n_members, n_bytes).
     */
   def writeShards(df: DataFrame, nameCol: String, binCol: String,
       shardCol: String, outDir: String,
       maxShardBytes: Long = 8L << 30,
-      staleTmpMs: Long = 3600000L): DataFrame = {
+      staleTmpMs: Long = 3600000L,
+      markerStaleMs: Long = graft.Liveness.StaleAfterMs): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -379,10 +388,11 @@ object TarShards {
     // gate alone is LOCAL-FS-ONLY reasoning (HDFS/object stores stamp
     // mtime at create/close, so a >threshold single-shard stream
     // looked dead while alive) — while a stale marker collects a
-    // crash in ~10 min. Markerless strands (legacy layout, or a
-    // finished owner that removed its marker before its failed
-    // attempts were listed) keep the old `staleTmpMs` age gate as the
-    // fallback bound.
+    // crash in ~`markerStaleMs` (default 10 min; callers widen it to
+    // tolerate longer legitimate writer pauses). Markerless strands
+    // (legacy layout, or a finished owner that removed its marker
+    // before its failed attempts were listed) keep the old
+    // `staleTmpMs` age gate as the fallback bound.
     val fsOut = new Path(outDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     val now = System.currentTimeMillis()
@@ -417,7 +427,7 @@ object TarShards {
         .foreach { st =>
           val dead =
             ownerOf(st.getPath.getName).flatMap(markerMtime.get) match {
-              case Some(mt) => now - mt > graft.Liveness.StaleAfterMs
+              case Some(mt) => now - mt > markerStaleMs
               case None =>
                 now - st.getModificationTime > staleTmpMs
             }
@@ -425,7 +435,7 @@ object TarShards {
         }
       // markers whose owner stopped beating are themselves strands
       markerMtime.foreach { case (id, mt) =>
-        if (now - mt > graft.Liveness.StaleAfterMs)
+        if (now - mt > markerStaleMs)
           fsOut.delete(graft.Liveness.marker(new Path(outDir), id), false)
       }
     }
@@ -450,21 +460,29 @@ object TarShards {
           // so no sweep can see an owned strand without its marker,
           // stopped+removed by the task completion listener (runs on
           // success AND task failure — only an executor kill skips
-          // it, which is exactly the stale-marker sweep case)
+          // it, which is exactly the stale-marker sweep case). A
+          // missing TaskContext fails FAST: the only alternative hook
+          // (close on clean iterator exhaustion) silently leaks the
+          // beat thread on a mid-partition throw, keeping the marker
+          // fresh for the JVM's life and the failed attempt's tmps
+          // unsweepable — worse than a loud refusal for a state Spark
+          // never produces (mapPartitions closures always run in a
+          // task).
           private val taskToken = java.util.UUID.randomUUID().toString
-          private val beatToClose: Option[AutoCloseable] =
-            if (pending == null) None
-            else {
-              val b = graft.Liveness.start(
-                new Path(outDir).getFileSystem(conf.value),
-                new Path(outDir), taskToken)
-              Option(org.apache.spark.TaskContext.get()) match {
-                case Some(ctx) =>
-                  ctx.addTaskCompletionListener[Unit](_ => b.close())
-                  None
-                case None => Some(b) // no task ctx: close at exhaustion
-              }
+          if (pending != null) {
+            val b = graft.Liveness.start(
+              new Path(outDir).getFileSystem(conf.value),
+              new Path(outDir), taskToken)
+            val ctx = org.apache.spark.TaskContext.get()
+            if (ctx == null) {
+              b.close()
+              throw new IllegalStateException(
+                "writeShards partition function invoked outside a " +
+                  "Spark task (no TaskContext): the liveness beat " +
+                  "has no completion hook to close it")
             }
+            ctx.addTaskCompletionListener[Unit](_ => b.close())
+          }
           override def hasNext: Boolean = pending != null
           override def next(): Row = {
             val shard = pending._1
@@ -540,7 +558,6 @@ object TarShards {
             graft.FaultPoints.reach("TarShards.tar")
             graft.AtomicFiles.renameOverwrite(fs, conf.value, tmpIx, ixP)
             graft.FaultPoints.reach("TarShards.idx")
-            if (pending == null) beatToClose.foreach(_.close())
             Row(shard, members, bytes)
           }
         }

@@ -807,8 +807,17 @@ object TableSync {
       // same path can never be served another table's cached
       // parameters. Re-written idempotently if a crash lands between
       // it and the pointer swap (the table has no committed state yet,
-      // so a fresh uuid only invalidates harder).
-      if (nowName.isEmpty) {
+      // so a fresh uuid only invalidates harder). A LEGACY table
+      // (committed history, no marker — bootstrapped before the
+      // marker existed, or restored/copied in without it) is
+      // RETRO-STAMPED here, once, at its next commit: its
+      // content-derived fallback token changes with every commit,
+      // which defeats the JVM-lifetime caches for as long as the
+      // table stays markerless (a full re-consult per micro-batch on
+      // an actively-written index — the very cost the cache removes).
+      // Stamping is safe mid-history: the token flips once (content
+      // token -> uuid), a cache invalidation in the safe direction.
+      if (nowName.isEmpty || !fs.exists(new Path(path, BornFile))) {
         graft.AtomicFiles.write(fs, conf, new Path(path, BornFile),
           java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
         graft.FaultPoints.reach("TableSync.commit.born")
@@ -858,7 +867,12 @@ object TableSync {
     * parameters — the exact hole the token closes for marked tables.
     * Any rebirth changes the pointed manifest name or its mtime, so
     * the content token flips; a recreate committed THROUGH TableSync
-    * flips harder (first commit stamps a fresh `_BORN` uuid).
+    * flips harder (first commit stamps a fresh `_BORN` uuid). The
+    * content token is transitional by construction: commitPointer
+    * retro-stamps `_BORN` at a legacy table's next commit, so only
+    * READ-ONLY legacy tables stay on it — for those the per-commit
+    * token flip that would defeat the caches cannot occur (nothing
+    * commits).
     */
   def bootstrapToken(spark: SparkSession, path: String): String = {
     val fs = new Path(path).getFileSystem(
@@ -868,7 +882,10 @@ object TableSync {
     else {
       val cur = new Path(path, "_CURRENT")
       if (fs.exists(cur))
-        s"<legacy:${readSmallFile(fs, cur).trim}" +
+        // the pointed manifest's NAME (not the full payload — the
+        // token is a long-lived cache-key component, and the payload
+        // is the whole per-bucket entry map) plus the pointer's mtime
+        s"<legacy:${parseManifest(readSmallFile(fs, cur)).name}" +
           s":${fs.getFileStatus(cur).getModificationTime}>"
       else "<legacy:unborn>"
     }

@@ -283,6 +283,41 @@ class TarShardsSpec extends AnyFunSuite {
     assert(TarShards.readShards(spark, out).count() == 1)
   }
 
+  test("markerStaleMs is the caller's paused-writer grace knob: a " +
+    "marker stale by the default bound KEEPS its strands when the " +
+    "caller widens the bound") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("tarbeatwide-").toString
+    val df = Seq(("a.txt", "x".getBytes, "7")).toDF("name", "bytes", "shard")
+    // a writer paused ~30 min (long GC / suspended JVM / partition
+    // from the store): beats stopped, marker mtime frozen — dead by
+    // the 10-min default, alive by the caller's widened bound
+    val halfHourAgo = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 30L * 60000L)
+    val owner = java.util.UUID.randomUUID().toString
+    val tmp = java.nio.file.Paths.get(out,
+      s"shard-7.tar.$owner-${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, "inflight".getBytes("UTF-8"))
+    Files.setLastModifiedTime(tmp, halfHourAgo)
+    val marker = java.nio.file.Paths.get(out, s"_live-$owner")
+    Files.write(marker, Array.empty[Byte])
+    Files.setLastModifiedTime(marker, halfHourAgo)
+    TarShards.writeShards(df, "name", "bytes", "shard", out,
+      markerStaleMs = 3600000L).collect()
+    val left = new java.io.File(out).list().toSet
+    assert(left.contains(tmp.getFileName.toString),
+      s"a paused writer inside the widened bound must keep its " +
+        s"strands; left: $left")
+    assert(left.contains(s"_live-$owner"),
+      s"its marker must survive too; left: $left")
+    // same state, default bound: the pause exceeded 10 min -> dead
+    TarShards.writeShards(df, "name", "bytes", "shard", out).collect()
+    val after = new java.io.File(out).list().toSet
+    assert(!after.contains(tmp.getFileName.toString) &&
+      !after.contains(s"_live-$owner"),
+      s"under the default bound the same owner is dead; left: $after")
+  }
+
   test("writeShards/readShards round-trip the fixture corpus with " +
     "correct shard routing") {
     val dir = "/root/testdata/sf0.001"

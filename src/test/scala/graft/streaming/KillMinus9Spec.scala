@@ -54,7 +54,8 @@ class KillMinus9Spec extends AnyFunSuite {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   /** Fork KillWriterChild, wait for its pulse sentinel, then SIGKILL
-    * it `killDelayMs` later. Returns the child's (killed) exit code.
+    * it `killDelayMs` later. Asserts the child died by signal
+    * (nonzero exit) before returning.
     */
   private def forkAndKill(family: String, dir: String, mode: String,
       site: String, killDelayMs: Long): Unit = {

@@ -987,4 +987,36 @@ class TableSyncSpec extends AnyFunSuite {
       Map(1L -> s"upd${b - 1}", 2L -> "upd2")
     assert(got == expect, s"content diverged after owed folds")
   }
+
+  test("legacy (pre-_BORN) table is retro-stamped at its next commit: " +
+    "the bootstrap token flips once and then holds steady, instead of " +
+    "flipping per commit and defeating the JVM-lifetime caches") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("tsync-born-").toString
+    TableSync.applyBatch(Seq((1L, 0L, "a0")).toDF("k", "ver", "attr"),
+      path, "k", "ver", 0L, numBuckets = 2)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val born = new org.apache.hadoop.fs.Path(path, "_BORN")
+    assert(fs.exists(born), "first commit stamps _BORN")
+    // simulate a pre-marker table: committed history, no _BORN
+    // (bootstrapped before the marker existed, or restored from a
+    // pre-marker backup)
+    fs.delete(born, false)
+    val legacyTok = TableSync.bootstrapToken(spark, path)
+    assert(legacyTok.startsWith("<legacy:"),
+      s"markerless table gets the content fallback token: $legacyTok")
+    // next commit retro-stamps — the token flips ONCE (content ->
+    // uuid, the safe invalidation direction) and then holds
+    TableSync.applyBatch(Seq((1L, 1L, "a1")).toDF("k", "ver", "attr"),
+      path, "k", "ver", 1L, numBuckets = 2)
+    assert(fs.exists(born), "a legacy table's next commit retro-stamps")
+    val tok1 = TableSync.bootstrapToken(spark, path)
+    assert(!tok1.startsWith("<legacy:"), s"retro-stamped token: $tok1")
+    TableSync.applyBatch(Seq((1L, 2L, "a2")).toDF("k", "ver", "attr"),
+      path, "k", "ver", 2L, numBuckets = 2)
+    assert(TableSync.bootstrapToken(spark, path) == tok1,
+      "the token must be commit-stable once stamped — a per-commit " +
+        "flip re-opens the per-batch re-consult the cache removes")
+  }
 }
