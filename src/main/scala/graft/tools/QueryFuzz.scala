@@ -1,0 +1,546 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+
+/** Random-QUERY differential sweep — the anti-overfit gate on the
+  * QUERY axis (round 18; FixtureGen is the same idea on the DATA
+  * axis). The 170 registered oracles prove the engine on the queries
+  * their authors thought to write; this tool proves the RELATIONAL
+  * CORE on queries nobody wrote: it generates `n` random queries from
+  * a typed grammar restricted to the Spark/DuckDB dialect
+  * intersection, runs each on Spark against the fixture parquet, and
+  * emits the exact same SQL text as the DuckDB oracle — so
+  * `tools/check.py <sfDir> <outDir>` replays every query in DuckDB
+  * and compares cell-wise, the same harness the round gate uses.
+  *
+  *     sbt -batch "runMain graft.tools.QueryFuzz <sfDir> <outDir> <seed> <n>"
+  *     python3 tools/check.py <sfDir> <outDir>
+  *
+  * Grammar scope: scans, filters (3VL predicates, LIKE, IN, IS NULL),
+  * arithmetic/CASE/string exprs, 1-3 table FK joins (inner/left),
+  * grouped aggregation with HAVING, set ops, and windows over a
+  * TOTAL per-partition order. Everything is generated under the same
+  * cross-engine discipline the hand-written oracles follow (SURVEY
+  * "float/oracle discipline"):
+  *
+  *  - order-dependent double aggregation is UNREACHABLE: SUM over
+  *    doubles goes through DECIMAL(18,2) then casts to double; AVG is
+  *    integral-only (exact integer sum ÷ count — one IEEE division of
+  *    identical operands on both engines); MIN/MAX are order-free.
+  *  - every aggregate/function whose RESULT TYPE diverges between the
+  *    engines is wrapped (SUM(int)->BIGINT vs HUGEINT, LENGTH->INT vs
+  *    BIGINT, EXTRACT->INT vs BIGINT, ROW_NUMBER->INT vs BIGINT):
+  *    check.py's type lint is part of the gate, not an obstacle.
+  *  - double literals render as CAST(x AS DOUBLE) (a bare decimal
+  *    literal types as DECIMAL in both parsers, with different
+  *    precision rules); string literals come from a sampled pool
+  *    restricted to a quote/LIKE-safe charset; ANSI overflow is
+  *    avoided by construction (small-literal multipliers, depth-3
+  *    expressions over bounded columns).
+  *  - no LIMIT (check.py canonicalizes row order, but LIMIT without
+  *    a total order is nondeterministic on BOTH engines); window
+  *    ORDER BY keys always extend to a per-partition-unique key.
+  *
+  * Tables: the eight relational fixtures (events is excluded — its
+  * parquet vintage handling is Engine.Tables-specific and pinned by
+  * its own oracles; embeddings is excluded — array cells crash the
+  * driver's row canonicalization, per check.py's rep lint).
+  *
+  * Determinism: same (seed, grammar) -> same query text, independent
+  * of JVM or data (literal pools are sampled with ORDER BY + LIMIT).
+  * QueryFuzzSpec pins generation determinism and Spark-side
+  * executability; the DuckDB half runs through check.py like every
+  * other oracle gate.
+  */
+object QueryFuzz {
+
+  // ---------------------------------------------------------------
+  // schema model
+  // ---------------------------------------------------------------
+
+  sealed trait T
+  case object TInt extends T // INTEGER on both engines
+  case object TLong extends T // BIGINT
+  case object TDbl extends T // DOUBLE
+  case object TStr extends T // VARCHAR
+  case object TTs extends T // TIMESTAMP (filter-only operand)
+
+  final case class Col(name: String, t: T)
+  final case class Tab(name: String, cols: Seq[Col], pk: Seq[String])
+
+  val tabs: Seq[Tab] = Seq(
+    Tab("region", Seq(Col("r_regionkey", TInt), Col("r_name", TStr)),
+      Seq("r_regionkey")),
+    Tab("nation", Seq(Col("n_nationkey", TInt), Col("n_name", TStr),
+      Col("n_regionkey", TInt)), Seq("n_nationkey")),
+    Tab("customer", Seq(Col("c_custkey", TLong), Col("c_name", TStr),
+      Col("c_nationkey", TInt), Col("c_acctbal", TDbl),
+      Col("c_mktsegment", TStr)), Seq("c_custkey")),
+    Tab("supplier", Seq(Col("s_suppkey", TLong), Col("s_name", TStr),
+      Col("s_nationkey", TInt), Col("s_acctbal", TDbl)),
+      Seq("s_suppkey")),
+    Tab("part", Seq(Col("p_partkey", TLong), Col("p_name", TStr),
+      Col("p_brand", TStr), Col("p_type", TStr), Col("p_size", TInt),
+      Col("p_retailprice", TDbl)), Seq("p_partkey")),
+    Tab("orders", Seq(Col("o_orderkey", TLong), Col("o_custkey", TLong),
+      Col("o_orderstatus", TStr), Col("o_totalprice", TDbl),
+      Col("o_orderdate", TTs), Col("o_orderpriority", TStr)),
+      Seq("o_orderkey")),
+    Tab("lineitem", Seq(Col("l_orderkey", TLong), Col("l_partkey", TLong),
+      Col("l_suppkey", TLong), Col("l_linenumber", TInt),
+      Col("l_quantity", TDbl), Col("l_extendedprice", TDbl),
+      Col("l_discount", TDbl), Col("l_tax", TDbl),
+      Col("l_returnflag", TStr), Col("l_linestatus", TStr),
+      Col("l_shipdate", TTs)), Seq("l_orderkey", "l_linenumber")),
+    Tab("documents", Seq(Col("doc_id", TLong), Col("text", TStr),
+      Col("lang", TStr), Col("source", TStr), Col("n_chars", TLong)),
+      Seq("doc_id")))
+
+  /** FK edges (child col = parent col); joins follow these so result
+    * sizes stay data-proportional, never cartesian.
+    */
+  val fks: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  // ---------------------------------------------------------------
+  // literal pools (sampled deterministically from the data)
+  // ---------------------------------------------------------------
+
+  /** Up to `k` distinct non-null values per column, smallest-first —
+    * deterministic for a given dataset, so constants are in-domain
+    * (selective filters) without being fixture-frozen (a re-rolled
+    * fixture re-samples its own pools).
+    */
+  def samplePools(spark: SparkSession, dir: String,
+      k: Int = 24): Map[(String, String), Seq[String]] = {
+    import org.apache.spark.sql.functions.col
+    // fixture timestamps are naive micros: decode as TimestampType
+    // (session tz pinned UTC), the same bytes DuckDB's naive
+    // TIMESTAMP sees — NTZ inference would also make TIMESTAMP
+    // literals (LTZ-typed) incomparable against the columns
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val safe = "^[A-Za-z0-9 .,#-]+$".r
+    tabs.flatMap { tb =>
+      val df = spark.read.parquet(s"$dir/${tb.name}.parquet")
+      tb.cols.map { c =>
+        val vals = df.select(col(c.name)).where(col(c.name).isNotNull)
+          .distinct().orderBy(col(c.name)).limit(200).collect()
+          .map(_.get(0)).toSeq
+        val lits: Seq[String] = c.t match {
+          case TInt | TLong => vals.map(_.toString)
+          case TDbl => vals.map(v => s"CAST(${v.toString} AS DOUBLE)")
+          case TStr => vals.map(_.toString)
+            .filter(s => s.nonEmpty && s.length <= 40 &&
+              safe.pattern.matcher(s).matches())
+            .map(s => s"'$s'")
+          case TTs => vals.map { v =>
+            // render in UTC (the session tz both engines effectively
+            // compare under), not the JVM default zone
+            val utc = v match {
+              case ts: java.sql.Timestamp =>
+                java.time.LocalDateTime.ofInstant(
+                  ts.toInstant, java.time.ZoneOffset.UTC)
+              case ldt: java.time.LocalDateTime => ldt // NTZ read
+              case other => sys.error(
+                s"unexpected timestamp class ${other.getClass}")
+            }
+            val f = java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss")
+            s"TIMESTAMP '${utc.format(f)}'"
+          }
+        }
+        // spread picks across the value range, not just the smallest
+        val spread =
+          if (lits.size <= k) lits
+          else (0 until k).map(i => lits(i * lits.size / k))
+        (tb.name, c.name) -> spread
+      }
+    }.toMap
+  }
+
+  // ---------------------------------------------------------------
+  // typed expression generation
+  // ---------------------------------------------------------------
+
+  final class Gen(rng: Random, pools: Map[(String, String), Seq[String]]) {
+
+    private def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.size))
+
+    private def colsOf(ts: Seq[Tab], t: T): Seq[(Tab, Col)] =
+      ts.flatMap(tb => tb.cols.filter(_.t == t).map(tb -> _))
+
+    private def lit(tb: Tab, c: Col): Option[String] =
+      pools.get((tb.name, c.name)).filter(_.nonEmpty).map(pick)
+
+    /** A literal of type `t` drawn from some in-scope column's pool. */
+    private def litOf(ts: Seq[Tab], t: T): Option[String] = {
+      val cands = colsOf(ts, t).flatMap { case (tb, c) => lit(tb, c) }
+      if (cands.isEmpty) None else Some(pick(cands))
+    }
+
+    /** INTEGER-typed expr on both engines. */
+    def intExpr(ts: Seq[Tab], depth: Int): String = {
+      val leafs = Seq[() => String](
+        () => colsOf(ts, TInt) match {
+          case Seq() => (rng.nextInt(90) + 1).toString
+          case cs => pick(cs)._2.name
+        },
+        () => (rng.nextInt(90) + 1).toString)
+      val nodes = Seq[() => String](
+        () => s"(${intExpr(ts, depth - 1)} + ${intExpr(ts, depth - 1)})",
+        () => s"(${intExpr(ts, depth - 1)} - ${intExpr(ts, depth - 1)})",
+        () => s"(${intExpr(ts, depth - 1)} * ${rng.nextInt(7) + 2})",
+        () => s"(${intExpr(ts, depth - 1)} % ${rng.nextInt(95) + 2})",
+        // both engines type LENGTH differently (INT vs BIGINT): wrap
+        () => s"CAST(LENGTH(${strExpr(ts, depth - 1)}) AS INT)",
+        () => colsOf(ts, TTs) match {
+          case Seq() => intExpr(ts, 0)
+          case cs =>
+            s"CAST(EXTRACT(YEAR FROM ${pick(cs)._2.name}) AS INT)"
+        },
+        () => s"(CASE WHEN ${pred(ts, depth - 1)} THEN " +
+          s"${intExpr(ts, depth - 1)} ELSE ${intExpr(ts, depth - 1)} END)")
+      if (depth <= 0) pick(leafs)() else pick(leafs ++ nodes)()
+    }
+
+    /** BIGINT-typed expr on both engines. */
+    def longExpr(ts: Seq[Tab], depth: Int): String = {
+      val leafs = Seq[() => String](
+        () => colsOf(ts, TLong) match {
+          case Seq() => s"CAST(${intExpr(ts, 0)} AS BIGINT)"
+          case cs => pick(cs)._2.name
+        },
+        () => s"CAST(${rng.nextInt(9000) + 1} AS BIGINT)")
+      val nodes = Seq[() => String](
+        () => s"(${longExpr(ts, depth - 1)} + ${longExpr(ts, depth - 1)})",
+        () => s"(${longExpr(ts, depth - 1)} - ${longExpr(ts, depth - 1)})",
+        () => s"(${longExpr(ts, depth - 1)} * ${rng.nextInt(7) + 2})",
+        () => s"(${longExpr(ts, depth - 1)} % ${rng.nextInt(995) + 5})",
+        () => s"CAST(${intExpr(ts, depth - 1)} AS BIGINT)",
+        () => s"(CASE WHEN ${pred(ts, depth - 1)} THEN " +
+          s"${longExpr(ts, depth - 1)} ELSE ${longExpr(ts, depth - 1)} END)")
+      if (depth <= 0) pick(leafs)() else pick(leafs ++ nodes)()
+    }
+
+    /** DOUBLE-typed expr; every op is a per-row IEEE op on identical
+      * operands in both engines (bitwise-equal results), never an
+      * order-dependent accumulation.
+      */
+    def dblExpr(ts: Seq[Tab], depth: Int): String = {
+      val leafs = Seq[() => String](
+        () => colsOf(ts, TDbl) match {
+          case Seq() => s"CAST(${rng.nextInt(500) + 1} AS DOUBLE)"
+          case cs => pick(cs)._2.name
+        },
+        () => litOf(ts, TDbl)
+          .getOrElse(s"CAST(${rng.nextInt(500) + 1} AS DOUBLE)"))
+      val nodes = Seq[() => String](
+        () => s"(${dblExpr(ts, depth - 1)} + ${dblExpr(ts, depth - 1)})",
+        () => s"(${dblExpr(ts, depth - 1)} - ${dblExpr(ts, depth - 1)})",
+        () => s"(${dblExpr(ts, depth - 1)} * ${dblExpr(ts, depth - 1)})",
+        // NULLIF guards the zero denominator on both engines alike
+        () => s"(${dblExpr(ts, depth - 1)} / " +
+          s"NULLIF(${dblExpr(ts, depth - 1)}, 0))",
+        () => s"CAST(${longExpr(ts, depth - 1)} AS DOUBLE)",
+        () => s"(CASE WHEN ${pred(ts, depth - 1)} THEN " +
+          s"${dblExpr(ts, depth - 1)} ELSE ${dblExpr(ts, depth - 1)} END)")
+      if (depth <= 0) pick(leafs)() else pick(leafs ++ nodes)()
+    }
+
+    /** VARCHAR-typed expr. */
+    def strExpr(ts: Seq[Tab], depth: Int): String = {
+      val leafs = Seq[() => String](
+        () => colsOf(ts, TStr) match {
+          case Seq() => "'x'"
+          case cs => pick(cs)._2.name
+        },
+        () => litOf(ts, TStr).getOrElse("'x'"))
+      val nodes = Seq[() => String](
+        () => s"UPPER(${strExpr(ts, depth - 1)})",
+        () => s"LOWER(${strExpr(ts, depth - 1)})",
+        () => s"SUBSTR(${strExpr(ts, depth - 1)}, 1, ${rng.nextInt(12) + 1})",
+        () => s"(${strExpr(ts, depth - 1)} || ${strExpr(ts, depth - 1)})",
+        () => s"(CASE WHEN ${pred(ts, depth - 1)} THEN " +
+          s"${strExpr(ts, depth - 1)} ELSE ${strExpr(ts, depth - 1)} END)")
+      if (depth <= 0) pick(leafs)() else pick(leafs ++ nodes)()
+    }
+
+    /** BOOLEAN predicate (3VL — identical NULL semantics on both). */
+    def pred(ts: Seq[Tab], depth: Int): String = {
+      val cmpOps = Seq("=", "<>", "<", "<=", ">", ">=")
+      val leafs = Seq[() => String](
+        () => s"(${intExpr(ts, 0)} ${pick(cmpOps)} ${intExpr(ts, 0)})",
+        () => s"(${longExpr(ts, 0)} ${pick(cmpOps)} ${longExpr(ts, 0)})",
+        () => s"(${dblExpr(ts, 0)} ${pick(cmpOps)} ${dblExpr(ts, 0)})",
+        () => s"(${strExpr(ts, 0)} ${pick(cmpOps)} ${strExpr(ts, 0)})",
+        () => colsOf(ts, TTs) match {
+          case Seq() => s"(${intExpr(ts, 0)} ${pick(cmpOps)} ${intExpr(ts, 0)})"
+          case cs =>
+            val (tb, c) = pick(cs)
+            lit(tb, c) match {
+              case Some(l) => s"(${c.name} ${pick(cmpOps)} $l)"
+              case None => s"(${c.name} IS NOT NULL)"
+            }
+        },
+        () => {
+          val all = ts.flatMap(tb => tb.cols.filter(_.t != TTs))
+          if (all.isEmpty) "(1 = 1)"
+          else s"(${pick(all).name} IS " +
+            s"${if (rng.nextBoolean()) "" else "NOT "}NULL)"
+        },
+        () => colsOf(ts, TStr) match {
+          case Seq() => "(1 = 1)"
+          case cs =>
+            val (tb, c) = pick(cs)
+            lit(tb, c) match {
+              case Some(l) =>
+                // prefix-LIKE from a pooled value: charset has no
+                // %/_ metacharacters by pool construction
+                s"(${c.name} LIKE '${l.stripPrefix("'").stripSuffix("'")
+                  .take(rng.nextInt(6) + 1)}%')"
+              case None => s"(${c.name} IS NOT NULL)"
+            }
+        },
+        () => {
+          val typed: Seq[(T, (Tab, Col))] =
+            Seq(TInt, TLong, TStr).flatMap(t => colsOf(ts, t).map(t -> _))
+          if (typed.isEmpty) "(1 = 1)"
+          else {
+            val (_, (tb, c)) = pick(typed)
+            pools.get((tb.name, c.name)).filter(_.size >= 3) match {
+              case Some(p) =>
+                val ins = rng.shuffle(p).take(rng.nextInt(3) + 2)
+                s"(${c.name} IN (${ins.mkString(", ")}))"
+              case None => s"(${c.name} IS NOT NULL)"
+            }
+          }
+        })
+      val nodes = Seq[() => String](
+        () => s"(${pred(ts, depth - 1)} AND ${pred(ts, depth - 1)})",
+        () => s"(${pred(ts, depth - 1)} OR ${pred(ts, depth - 1)})",
+        () => s"(NOT ${pred(ts, depth - 1)})")
+      if (depth <= 0) pick(leafs)() else pick(leafs ++ nodes)()
+    }
+
+    /** Typed expr dispatch for projections. */
+    def anyExpr(ts: Seq[Tab], depth: Int): (String, T) =
+      rng.nextInt(4) match {
+        case 0 => (intExpr(ts, depth), TInt)
+        case 1 => (longExpr(ts, depth), TLong)
+        case 2 => (dblExpr(ts, depth), TDbl)
+        case _ => (strExpr(ts, depth), TStr)
+      }
+
+    // -------------------------------------------------------------
+    // aggregates (result types pinned identical on both engines)
+    // -------------------------------------------------------------
+
+    def aggExpr(ts: Seq[Tab]): String = rng.nextInt(8) match {
+      case 0 => "COUNT(*)"
+      case 1 =>
+        val all = ts.flatMap(_.cols.filter(_.t != TTs))
+        if (all.isEmpty) "COUNT(*)" else s"COUNT(${pick(all).name})"
+      case 2 =>
+        val cs = ts.flatMap(_.cols.filter(c => c.t == TStr || c.t == TInt
+          || c.t == TLong))
+        if (cs.isEmpty) "COUNT(*)"
+        else s"COUNT(DISTINCT ${pick(cs).name})"
+      // SUM(integral) types BIGINT on Spark, HUGEINT on DuckDB: pin
+      case 3 => s"CAST(SUM(${intExpr(ts, 1)}) AS BIGINT)"
+      case 4 => s"CAST(SUM(${longExpr(ts, 1)}) AS BIGINT)"
+      // double sums ONLY through exact decimal, then back to double
+      case 5 => colsOf(ts, TDbl) match {
+        case Seq() => "COUNT(*)"
+        case cs => s"CAST(SUM(CAST(${pick(cs)._2.name} " +
+          "AS DECIMAL(18,2))) AS DOUBLE)"
+      }
+      case 6 =>
+        val (e, _) = anyExpr(ts, 1)
+        s"${if (rng.nextBoolean()) "MIN" else "MAX"}($e)"
+      // AVG only over integrals: exact integer sum ÷ count is ONE
+      // IEEE division of identical operands on both engines
+      case _ => s"AVG(${intExpr(ts, 1)})"
+    }
+
+    // -------------------------------------------------------------
+    // query shapes
+    // -------------------------------------------------------------
+
+    /** FROM clause over 1..3 FK-joined tables; returns (sql, tabs). */
+    def fromClause(maxJoins: Int): (String, Seq[Tab]) = {
+      var scope = Seq(pick(tabs))
+      var sql = scope.head.name
+      var joins = rng.nextInt(maxJoins + 1)
+      while (joins > 0) {
+        val edges = fks.filter { case (c, _, p, _) =>
+          (scope.exists(_.name == c) && !scope.exists(_.name == p)) ||
+            (scope.exists(_.name == p) && !scope.exists(_.name == c))
+        }
+        if (edges.isEmpty) joins = 0
+        else {
+          val (c, ck, p, pk) = pick(edges)
+          val add = if (scope.exists(_.name == c)) p else c
+          val kind = if (rng.nextInt(10) < 3) "LEFT JOIN" else "JOIN"
+          sql += s" $kind $add ON $ck = $pk"
+          scope :+= tabs.find(_.name == add).get
+          joins -= 1
+        }
+      }
+      (sql, scope)
+    }
+
+    def scanQuery(): String = {
+      val (from, scope) = fromClause(2)
+      val nProj = rng.nextInt(3) + 2
+      val projs = (0 until nProj).map { i =>
+        val (e, _) = anyExpr(scope, rng.nextInt(3))
+        s"$e AS c$i"
+      }
+      val where = s" WHERE ${pred(scope, rng.nextInt(2) + 1)}"
+      s"SELECT ${projs.mkString(", ")} FROM $from$where"
+    }
+
+    def aggQuery(): String = {
+      val (from, scope) = fromClause(2)
+      val nKeys = rng.nextInt(3) // 0, 1 or 2 grouping keys
+      val keys = (0 until nKeys).map { i =>
+        val e = rng.nextInt(3) match {
+          case 0 => strExpr(scope, 0)
+          case 1 => s"(${intExpr(scope, 0)} % ${rng.nextInt(8) + 2})"
+          case _ => colsOf(scope, TTs) match {
+            case Seq() => strExpr(scope, 0)
+            case cs => s"CAST(EXTRACT(YEAR FROM ${pick(cs)._2.name}) AS INT)"
+          }
+        }
+        (e, s"k$i")
+      }
+      val nAggs = rng.nextInt(3) + 1
+      val aggs = (0 until nAggs).map(i => (aggExpr(scope), s"a$i"))
+      val projs = keys.map { case (e, a) => s"$e AS $a" } ++
+        aggs.map { case (e, a) => s"$e AS $a" }
+      val where =
+        if (rng.nextBoolean()) s" WHERE ${pred(scope, 1)}" else ""
+      val group =
+        if (keys.isEmpty) ""
+        else s" GROUP BY ${keys.map(_._1).mkString(", ")}"
+      val having =
+        if (keys.nonEmpty && rng.nextInt(3) == 0)
+          s" HAVING COUNT(*) > ${rng.nextInt(4)}"
+        else ""
+      s"SELECT ${projs.mkString(", ")} FROM $from$where$group$having"
+    }
+
+    def setOpQuery(): String = {
+      val tb = pick(tabs)
+      val scope = Seq(tb)
+      val nProj = rng.nextInt(2) + 1
+      def branch(): String = {
+        val projs = (0 until nProj).map { i =>
+          // same expr TYPES on both branches: derive from column list
+          val cands = tb.cols.filter(_.t != TTs)
+          s"${cands(i % cands.size).name} AS c$i"
+        }
+        s"SELECT ${projs.mkString(", ")} FROM ${tb.name} " +
+          s"WHERE ${pred(scope, 1)}"
+      }
+      val op = pick(Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
+      s"${branch()} $op ${branch()}"
+    }
+
+    def windowQuery(): String = {
+      // partition key + a total ORDER (pk) — ROW_NUMBER/cumulative
+      // sums are deterministic only under a per-partition-unique sort
+      val tb = pick(Seq("lineitem", "orders", "customer", "documents"))
+        .pipe(n => tabs.find(_.name == n).get)
+      val scope = Seq(tb)
+      val partCol = tb.name match {
+        case "lineitem" => "l_returnflag"
+        case "orders" => "o_orderstatus"
+        case "customer" => "c_mktsegment"
+        case _ => "lang"
+      }
+      val ord = tb.pk.mkString(", ")
+      val w = s"PARTITION BY $partCol ORDER BY $ord"
+      val fn = rng.nextInt(4) match {
+        // ROW_NUMBER/RANK type INT on Spark, BIGINT on DuckDB: pin
+        case 0 => s"CAST(ROW_NUMBER() OVER ($w) AS BIGINT)"
+        case 1 => s"CAST(RANK() OVER ($w) AS BIGINT)"
+        case 2 => s"CAST(SUM(${intExpr(scope, 0)}) OVER ($w " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        case _ =>
+          val (e, _) = anyExpr(scope, 0)
+          s"LAG($e, 1) OVER ($w)"
+      }
+      val pkProjs = tb.pk.zipWithIndex.map { case (c, i) => s"$c AS p$i" }
+      val where =
+        if (rng.nextBoolean()) s" WHERE ${pred(scope, 1)}" else ""
+      s"SELECT ${pkProjs.mkString(", ")}, $partCol AS g, $fn AS w0 " +
+        s"FROM ${tb.name}$where"
+    }
+
+    def query(): String = rng.nextInt(100) match {
+      case x if x < 30 => scanQuery()
+      case x if x < 65 => aggQuery()
+      case x if x < 80 => // join-heavy agg: 3-table chains
+        aggQuery()
+      case x if x < 90 => setOpQuery()
+      case _ => windowQuery()
+    }
+  }
+
+  implicit final class PipeOps[A](private val a: A) extends AnyVal {
+    def pipe[B](f: A => B): B = f(a)
+  }
+
+  /** Generate the suite: deterministic for (seed, data). */
+  def generate(spark: SparkSession, sfDir: String, seed: Long,
+      n: Int): Seq[(String, String)] = {
+    val pools = samplePools(spark, sfDir)
+    val gen = new Gen(new Random(seed), pools)
+    (0 until n).map(i => (f"qf$i%03d", gen.query()))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    val seed = if (args.length > 2) args(2).toLong else 20260816L
+    val n = if (args.length > 3) args(3).toInt else 120
+    val spark = graft.Engine.session(appName = "graft-queryfuzz")
+    // naive-micros decode BEFORE the views capture their schemas
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    tabs.foreach(tb => spark.read.parquet(s"$sfDir/${tb.name}.parquet")
+      .createOrReplaceTempView(tb.name))
+    new java.io.File(outDir).mkdirs()
+    val suite = generate(spark, sfDir, seed, n)
+    var rows = 0L
+    suite.foreach { case (name, sql) =>
+      val df = spark.sql(sql)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      val c = spark.read.parquet(s"$outDir/$name").count()
+      rows += c
+      println(s"[queryfuzz] $name -> $c rows")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = suite.map { case (k, s) => s"${q(k)}: ${q(s)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"[queryfuzz] ${suite.size} queries, $rows total rows, " +
+      s"seed=$seed -> $outDir (now run tools/check.py $sfDir $outDir)")
+    spark.stop()
+  }
+}
