@@ -410,6 +410,54 @@ object QueryFuzz {
       s"SELECT ${projs.mkString(", ")} FROM $from$where"
     }
 
+    /** SELECT DISTINCT over non-double projections (double distinct
+      * would ride on -0.0/0.0 normalization differences between the
+      * engines' hash layers — a representation hazard, not a
+      * semantics divergence worth hunting).
+      */
+    def distinctQuery(): String = {
+      val (from, scope) = fromClause(1)
+      val nProj = rng.nextInt(2) + 1
+      val projs = (0 until nProj).map { i =>
+        val e = rng.nextInt(3) match {
+          case 0 => intExpr(scope, rng.nextInt(2))
+          case 1 => longExpr(scope, rng.nextInt(2))
+          case _ => strExpr(scope, rng.nextInt(2))
+        }
+        s"$e AS c$i"
+      }
+      val where = s" WHERE ${pred(scope, 1)}"
+      s"SELECT DISTINCT ${projs.mkString(", ")} FROM $from$where"
+    }
+
+    /** Semi/anti joins via correlated EXISTS and IN-subquery along an
+      * FK edge — the operator family plain joins never exercise (the
+      * fixture FK keys are non-null, so NOT IN's empty-on-null 3VL
+      * trap, identical in both engines anyway, stays out of play).
+      */
+    def semiQuery(): String = {
+      val (c, ck, p, pk) = pick(fks)
+      val child = tabs.find(_.name == c).get
+      val parent = tabs.find(_.name == p).get
+      val nProj = rng.nextInt(2) + 1
+      val projs = (0 until nProj).map { i =>
+        val (e, _) = anyExpr(Seq(child), rng.nextInt(2))
+        s"$e AS c$i"
+      }
+      val neg = rng.nextBoolean()
+      val cond =
+        if (rng.nextBoolean())
+          s"${if (neg) "NOT " else ""}EXISTS (SELECT 1 FROM $p " +
+            s"WHERE $pk = $ck AND ${pred(Seq(parent), 1)})"
+        else
+          s"$ck ${if (neg) "NOT IN" else "IN"} (SELECT $pk FROM $p " +
+            s"WHERE ${pred(Seq(parent), 1)})"
+      val outer =
+        if (rng.nextBoolean()) s"${pred(Seq(child), 1)} AND $cond"
+        else cond
+      s"SELECT ${projs.mkString(", ")} FROM $c WHERE $outer"
+    }
+
     def aggQuery(): String = {
       val (from, scope) = fromClause(2)
       val nKeys = rng.nextInt(3) // 0, 1 or 2 grouping keys
@@ -430,11 +478,24 @@ object QueryFuzz {
         aggs.map { case (e, a) => s"$e AS $a" }
       val where =
         if (rng.nextBoolean()) s" WHERE ${pred(scope, 1)}" else ""
+      // ROLLUP adds the super-aggregate rows (NULL-filled keys).
+      // FOUND BY THIS GATE (qf138, seed 555001): on EMPTY input the
+      // engines genuinely diverge — DuckDB (with the standard and
+      // Postgres) still emits the () grand-total row, Spark's empty-
+      // relation propagation emits nothing. Normalized by always
+      // pairing ROLLUP with HAVING COUNT(*) > k (k>=0): the empty
+      // grand-total row has COUNT(*)=0 and drops on the DuckDB side,
+      // while no non-empty group is affected. Kept rather than
+      // dropping ROLLUP — the non-empty semantics stay covered.
+      val rollup = keys.size == 2 && rng.nextInt(4) == 0
       val group =
         if (keys.isEmpty) ""
+        else if (rollup)
+          s" GROUP BY ROLLUP(${keys.map(_._1).mkString(", ")})"
         else s" GROUP BY ${keys.map(_._1).mkString(", ")}"
       val having =
-        if (keys.nonEmpty && rng.nextInt(3) == 0)
+        if (rollup) s" HAVING COUNT(*) > ${rng.nextInt(4)}"
+        else if (keys.nonEmpty && rng.nextInt(3) == 0)
           s" HAVING COUNT(*) > ${rng.nextInt(4)}"
         else ""
       s"SELECT ${projs.mkString(", ")} FROM $from$where$group$having"
@@ -458,8 +519,16 @@ object QueryFuzz {
     }
 
     def windowQuery(): String = {
-      // partition key + a total ORDER (pk) — ROW_NUMBER/cumulative
-      // sums are deterministic only under a per-partition-unique sort
+      // FOUND BY THIS GATE (qf140, seed 555001): ordering by the
+      // tables' nominal pk is NOT total — the fixtures carry
+      // duplicate (l_orderkey, l_linenumber) rows — so LAG/running
+      // sums were tie-order nondeterministic and the engines'
+      // (equally valid) orders diverged. The window ORDER BY is now
+      // EVERY column of the table: rows with equal sort keys are
+      // fully identical, making every window function's output
+      // multiset order-independent. NULLS FIRST is pinned because
+      // the engines' ASC defaults differ (Spark NULLS FIRST, DuckDB
+      // NULLS LAST).
       val tb = pick(Seq("lineitem", "orders", "customer", "documents"))
         .pipe(n => tabs.find(_.name == n).get)
       val scope = Seq(tb)
@@ -469,7 +538,8 @@ object QueryFuzz {
         case "customer" => "c_mktsegment"
         case _ => "lang"
       }
-      val ord = tb.pk.mkString(", ")
+      val ord = tb.cols.map(c => s"${c.name} ASC NULLS FIRST")
+        .mkString(", ")
       val w = s"PARTITION BY $partCol ORDER BY $ord"
       val fn = rng.nextInt(4) match {
         // ROW_NUMBER/RANK type INT on Spark, BIGINT on DuckDB: pin
@@ -489,11 +559,11 @@ object QueryFuzz {
     }
 
     def query(): String = rng.nextInt(100) match {
-      case x if x < 30 => scanQuery()
-      case x if x < 65 => aggQuery()
-      case x if x < 80 => // join-heavy agg: 3-table chains
-        aggQuery()
-      case x if x < 90 => setOpQuery()
+      case x if x < 22 => scanQuery()
+      case x if x < 30 => distinctQuery()
+      case x if x < 60 => aggQuery()
+      case x if x < 70 => setOpQuery()
+      case x if x < 85 => semiQuery()
       case _ => windowQuery()
     }
   }
