@@ -117,7 +117,8 @@ object AnnIndex {
   def build(corpus: DataFrame, path0: String,
       nlist: Int = 16, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64, maxTrainRows: Long = 100000L): Unit = {
+      dim: Int = 64, maxTrainRows: Long = 100000L,
+      markerStaleMs: Long = graft.Liveness.StaleAfterMs): Unit = {
     val spark = corpus.sparkSession
     // EVERY build is single-writer under the rebuild lock — including
     // the bootstrap branch, which previously wrote codes/centroids/
@@ -144,7 +145,7 @@ object AnnIndex {
         // resolution can never serve. Then re-resolve: a rotation
         // that completed between the entry check and the lock moved
         // the root.
-        sweepOrphans(spark, path0)
+        sweepOrphans(spark, path0, markerStaleMs)
         rotateInto(spark, path0, resolveRoot(spark, path0), dir =>
           build(corpus, dir, nlist, seed, idCol, vecCol, dim,
             maxTrainRows))
@@ -580,7 +581,8 @@ object AnnIndex {
     * no drift forever while orphaned generations leak their full
     * index size.
     */
-  private def sweepOrphans(spark: SparkSession, path: String): Unit = {
+  private def sweepOrphans(spark: SparkSession, path: String,
+      markerStaleMs: Long = graft.Liveness.StaleAfterMs): Unit = {
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(path))) return
@@ -644,14 +646,14 @@ object AnnIndex {
           .foreach { st =>
             val dead =
               markerMtime.get(st.getPath.getName.takeRight(36)) match {
-                case Some(mt) => now - mt > graft.Liveness.StaleAfterMs
+                case Some(mt) => now - mt > markerStaleMs
                 case None => now - st.getModificationTime > StaleTmpMs
               }
             if (dead) fs.delete(st.getPath, true)
           }
         // markers whose owner stopped beating are themselves strands
         markerMtime.foreach { case (id, mt) =>
-          if (now - mt > graft.Liveness.StaleAfterMs)
+          if (now - mt > markerStaleMs)
             fs.delete(graft.Liveness.marker(d, id), false)
         }
       }
@@ -699,7 +701,8 @@ object AnnIndex {
       sample: Int = 32, k: Int = 10, nprobe: Int = 3,
       refine: Int = 4, tolerance: Double = 0.1,
       maxTrainRows: Long = 100000L,
-      minChangedFraction: Double = 0.1): Drift = {
+      minChangedFraction: Double = 0.1,
+      markerStaleMs: Long = graft.Liveness.StaleAfterMs): Drift = {
     val conf0 = spark.sessionState.newHadoopConf()
     val fs0 = new Path(path).getFileSystem(conf0)
     val lock = fs0.makeQualified(new Path(path, "_REBUILD_LOCK"))
@@ -711,7 +714,7 @@ object AnnIndex {
     // the lock is held, skip sweeping; the holder owns the layout.
     if (graft.AtomicFiles.createExclusive(fs0, lock)) {
       graft.FaultPoints.lockAcquired(lock.toString)
-      try sweepOrphans(spark, path)
+      try sweepOrphans(spark, path, markerStaleMs)
       finally graft.FaultPoints.lockReleased(lock.toString) {
         fs0.delete(lock, false); ()
       }

@@ -468,4 +468,34 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.probe(spark, path,
       corpus.filter(col("vec_id") % 40 === 0), k = 3).count() > 0)
   }
+
+  test("markerStaleMs is the caller's paused-publisher grace knob: " +
+    "a marker stale by the default bound keeps its stage when the " +
+    "caller widens the bound, and is collected under the default") {
+    import org.apache.hadoop.fs.Path
+    val path = Files.createTempDirectory("annix-wide-").toString
+    AnnIndex.build(corpus, path, nlist = 4, dim = 16)
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val codes = new Path(path, "codes")
+    // a publisher paused ~30 min: beats stopped, marker frozen —
+    // dead by the 10-min default, alive by a widened 1h bound
+    val halfHourAgo = System.currentTimeMillis() - 30L * 60000L
+    val owner = java.util.UUID.randomUUID().toString
+    val stage = new Path(codes, s"_stage-seg-9-$owner")
+    fs.mkdirs(stage)
+    fs.setTimes(stage, halfHourAgo, -1)
+    val marker = new Path(codes, s"_live-$owner")
+    fs.create(marker, true).close()
+    fs.setTimes(marker, halfHourAgo, -1)
+    val d = AnnIndex.maybeRebuild(spark, path, sample = 16, k = 5,
+      markerStaleMs = 3600000L)
+    assert(!d.rebuildRecommended, s"fixture must not drift: $d")
+    assert(fs.exists(stage) && fs.exists(marker),
+      "a paused publisher inside the widened bound must keep its " +
+        "stage and marker")
+    AnnIndex.maybeRebuild(spark, path, sample = 16, k = 5)
+    assert(!fs.exists(stage) && !fs.exists(marker),
+      "under the default bound the same owner is dead")
+  }
 }
