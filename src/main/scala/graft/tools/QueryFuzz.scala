@@ -247,7 +247,12 @@ object QueryFuzz {
       val nodes = Seq[() => String](
         () => s"(${dblExpr(ts, depth - 1)} + ${dblExpr(ts, depth - 1)})",
         () => s"(${dblExpr(ts, depth - 1)} - ${dblExpr(ts, depth - 1)})",
-        () => s"(${dblExpr(ts, depth - 1)} * ${dblExpr(ts, depth - 1)})",
+        // products are LEAF×LEAF only: recursive factors could chain
+        // three ~5e5 price columns past exact-double 2^53 (whole-
+        // dollar fixture values make the product integer-valued) and
+        // trip check.py's range lint with no engine divergence —
+        // two-column products cap at ~2.5e11, always representable
+        () => s"(${dblExpr(ts, 0)} * ${dblExpr(ts, 0)})",
         // NULLIF guards the zero denominator on both engines alike
         () => s"(${dblExpr(ts, depth - 1)} / " +
           s"NULLIF(${dblExpr(ts, depth - 1)}, 0))",
@@ -507,8 +512,12 @@ object QueryFuzz {
       val nProj = rng.nextInt(2) + 1
       def branch(): String = {
         val projs = (0 until nProj).map { i =>
-          // same expr TYPES on both branches: derive from column list
-          val cands = tb.cols.filter(_.t != TTs)
+          // same expr TYPES on both branches: derive from column
+          // list. Doubles are excluded like distinctQuery's — set
+          // ops are distinct-based, and a -0.0/0.0 pair would ride
+          // on the engines' hash-normalization differences rather
+          // than any semantics worth hunting
+          val cands = tb.cols.filter(c => c.t != TTs && c.t != TDbl)
           s"${cands(i % cands.size).name} AS c$i"
         }
         s"SELECT ${projs.mkString(", ")} FROM ${tb.name} " +
@@ -529,8 +538,8 @@ object QueryFuzz {
       // multiset order-independent. NULLS FIRST is pinned because
       // the engines' ASC defaults differ (Spark NULLS FIRST, DuckDB
       // NULLS LAST).
-      val tb = pick(Seq("lineitem", "orders", "customer", "documents"))
-        .pipe(n => tabs.find(_.name == n).get)
+      val tbName = pick(Seq("lineitem", "orders", "customer", "documents"))
+      val tb = tabs.find(_.name == tbName).get
       val scope = Seq(tb)
       val partCol = tb.name match {
         case "lineitem" => "l_returnflag"
@@ -568,14 +577,19 @@ object QueryFuzz {
     }
   }
 
-  implicit final class PipeOps[A](private val a: A) extends AnyVal {
-    def pipe[B](f: A => B): B = f(a)
-  }
+  /** JVM-lifetime pool memo per fixture dir: the pools are a pure
+    * function of the data (ORDER BY + LIMIT), so re-sampling ~58
+    * per-column Spark jobs for every generate() call (the spec calls
+    * it three times) buys nothing.
+    */
+  private val poolMemo =
+    new scala.collection.concurrent.TrieMap[String,
+      Map[(String, String), Seq[String]]]()
 
   /** Generate the suite: deterministic for (seed, data). */
   def generate(spark: SparkSession, sfDir: String, seed: Long,
       n: Int): Seq[(String, String)] = {
-    val pools = samplePools(spark, sfDir)
+    val pools = poolMemo.getOrElseUpdate(sfDir, samplePools(spark, sfDir))
     val gen = new Gen(new Random(seed), pools)
     (0 until n).map(i => (f"qf$i%03d", gen.query()))
   }
@@ -590,6 +604,19 @@ object QueryFuzz {
     tabs.foreach(tb => spark.read.parquet(s"$sfDir/${tb.name}.parquet")
       .createOrReplaceTempView(tb.name))
     new java.io.File(outDir).mkdirs()
+    // clear prior runs' query dumps: check.py rep-lints EVERY
+    // parquet-bearing dir under outDir, so a stale qfNNN from a
+    // larger-n run would be linted (and counted) against THIS run's
+    // oracle set. Guarded delete — only the shapes this tool writes.
+    def rmTree(p: java.nio.file.Path): Unit = {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.delete(f); () })
+    }
+    new java.io.File(outDir).listFiles().foreach { f =>
+      if (f.getName.matches("qf\\d+") && f.isDirectory)
+        rmTree(f.toPath)
+      else if (f.getName == "oracle_sql.json") { f.delete(); () }
+    }
     val suite = generate(spark, sfDir, seed, n)
     var rows = 0L
     suite.foreach { case (name, sql) =>
