@@ -157,8 +157,14 @@ object AnnIndex {
         require(!r.isNullAt(0), "corpus is empty — nothing to index")
         val scale = r.getDouble(0)
         require(scale > 0, "corpus has no nonzero vector component")
-        project(corpus, centroids, scale, idCol, vecCol)
+        // the row count rides the projection write as an observed
+        // metric — the separate corpus.count() was a SECOND full
+        // corpus pass per build (project is 1:1, so projected rows ==
+        // corpus rows)
+        val obs = new org.apache.spark.sql.Observation("annix-build")
+        clusterByCell(project(corpus, centroids, scale, idCol, vecCol))
           .withColumn("seg", lit(0L))
+          .observe(obs, count(lit(1)).as("n"))
           .write.mode("overwrite").partitionBy("seg", "cell")
           .parquet(s"$path/codes")
         graft.FaultPoints.reach("AnnIndex.codes")
@@ -172,7 +178,8 @@ object AnnIndex {
         fs.delete(new Path(path, "tombstones"), true)
         fs.delete(new Path(path, "_RECALL0"), false)
         graft.FaultPoints.reach("AnnIndex.cleared")
-        val rows = corpus.count()
+        val rows = obs.get("n").asInstanceOf[Long]
+        require(rows > 0, "corpus is empty — nothing to index")
         writeSegRows(spark, path, Map(0L -> rows))
         graft.FaultPoints.reach("AnnIndex.segrows")
         writeMeta(spark, path, Meta(dim, nlist, seed, scale, rows))
@@ -410,10 +417,15 @@ object AnnIndex {
     val path = resolveRoot(spark, path0)
     val meta = readMeta(spark, path)
     val centroids = loadCentroids(spark, path)
-    val segRowsNew = more.count()
+    // batch row count observed on the projection write itself — the
+    // separate more.count() was a second pass over the batch
+    val obs = new org.apache.spark.sql.Observation(
+      s"annix-append-$segId")
     publishSegment(spark, s"$path/codes", segId,
-      project(more, centroids, meta.scale, idCol, vecCol)
+      clusterByCell(project(more, centroids, meta.scale, idCol, vecCol))
+        .observe(obs, count(lit(1)).as("n"))
         .write.mode("overwrite").partitionBy("cell").parquet(_))
+    val segRowsNew = obs.get("n").asInstanceOf[Long]
     graft.FaultPoints.reach("AnnIndex.append.codes")
     val segRows = readSegRows(spark, path)
       // legacy artifact without _SEGROWS: one-time PER-SEGMENT counts
@@ -465,6 +477,22 @@ object AnnIndex {
         .toMap)
     }
   }
+
+  /** Cluster the projection by cell before the `partitionBy` write —
+    * the hash-distribution write mode (guide §6): without it every
+    * scan task holding rows of every cell writes one file PER
+    * (task, cell), so a 32-partition input × 16 cells left ~512 tiny
+    * parquet files that every probe's two pruned scans then re-open
+    * (measured: the build write was s18's single largest job). The
+    * deterministic id-hash salt keeps one cell from collapsing into
+    * ONE task at corpus scale (a 100 TB corpus has ~corpus/nlist rows
+    * per cell — unsaltable skew otherwise); AQE coalesces the tiny
+    * case back to few tasks, so locally the layout lands at ~one file
+    * per cell. Row content is unchanged — layout only.
+    */
+  private def clusterByCell(projected: DataFrame): DataFrame =
+    projected.repartition(col("cell"),
+      pmod(xxhash64(col("id")), lit(1024L)))
 
   /** The one shared projection: assign to the nearest centroid cell,
     * quantize with the index scale, carry the exact vector for the
