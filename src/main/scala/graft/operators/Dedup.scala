@@ -352,23 +352,49 @@ object Dedup {
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
   }
 
+  /** Total row count of a frame whose analyzed plan is a ROOT
+    * LocalRelation (the micro-batch driver-path frames), else None —
+    * free (no job), and an upper bound on ANY per-bucket occupancy,
+    * which is what the cap-skip fast paths below rest on.
+    */
+  private[graft] def localRowCount(df: DataFrame): Option[Long] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(l.data.length.toLong)
+      case _ => None
+    }
+
   /** Candidate pairs (a < b) from bucket collisions. `maxBucketSize`
-    * drops pathological buckets (see scaladoc above).
+    * drops pathological buckets (see scaladoc above). `skipCap = true`
+    * asserts the CALLER proved no bucket can exceed the cap (e.g. the
+    * whole input has <= maxBucketSize rows — bucket occupancy is
+    * bounded by total rows), making the occupancy agg + semi-join a
+    * provable no-op: skipping them drops one shuffle + one broadcast
+    * build from every micro-batch's within-batch leg.
     */
   def candidatePairs(
-      buckets: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+      buckets: DataFrame, maxBucketSize: Int = 1000,
+      skipCap: Boolean = false,
+      materialize: DataFrame => DataFrame = _.localCheckpoint())
+      : DataFrame = {
     // Materialize the bucket table once (localCheckpoint): three
     // consumers follow (size agg, join left, join right) and each
     // would otherwise recompute the full signature subtree. The cap
     // itself is a hash-agg + semi-join on small buckets — one
     // map-side-combinable pass, no per-partition sort (a window
-    // count would sort the whole exploded table).
-    val b = buckets.localCheckpoint()
-    val okBuckets = b.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") <= maxBucketSize)
-      .select("band", "bucket")
-    val sized = b.join(okBuckets, Seq("band", "bucket"), "left_semi")
+    // count would sort the whole exploded table). A micro-batch
+    // caller over already-local/materialized inputs passes identity
+    // (the explode is a cheap projection there).
+    val b = materialize(buckets)
+    val sized =
+      if (skipCap) b
+      else {
+        val okBuckets = b.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bsize"))
+          .filter(col("bsize") <= maxBucketSize)
+          .select("band", "bucket")
+        b.join(okBuckets, Seq("band", "bucket"), "left_semi")
+      }
     val l = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
     val rt = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(rt, Seq("band", "bucket"))
@@ -1064,11 +1090,20 @@ object Dedup {
       .select(col("id"), posexplode(col("sigs")))
       .select(col("id"), col("pos").as("table"),
         col("col").bitwiseAND(lit((1L << bits) - 1)).as("bucket"))
-    val okBuckets = sigd.groupBy(col("table"), col("bucket"))
-      .agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") <= maxBucketSize)
-      .select("table", "bucket")
-    val sized = sigd.join(okBuckets, Seq("table", "bucket"), "left_semi")
+    // cap-skip proof: any bucket's occupancy <= total reps <= the
+    // batch's rows — a driver-local micro-batch with <= maxBucketSize
+    // rows cannot have an overfull bucket, so the occupancy agg +
+    // semi-join are a no-op and are skipped (one fewer shuffle and
+    // broadcast build per micro-batch's within-batch leg)
+    val sized =
+      if (localRowCount(batchIdx).exists(_ <= maxBucketSize)) sigd
+      else {
+        val okBuckets = sigd.groupBy(col("table"), col("bucket"))
+          .agg(count(lit(1)).as("bsize"))
+          .filter(col("bsize") <= maxBucketSize)
+          .select("table", "bucket")
+        sigd.join(okBuckets, Seq("table", "bucket"), "left_semi")
+      }
     val l = sized.select(col("table"), col("bucket"), col("id").as("id_a"))
     val rt = sized.select(col("table"), col("bucket"), col("id").as("id_b"))
     val cand = l.join(rt, Seq("table", "bucket"))
@@ -1430,9 +1465,15 @@ object Dedup {
       groups.filter(col("did") === col("keep"))
         .select(col("did").as("id")),
       Seq("id"), "left_semi")) // bucket table + two verification joins
+    // cap-skip proof: reps <= idx rows, and any band bucket's
+    // occupancy <= reps — a driver-local micro-batch index with
+    // <= maxBucketSize rows cannot have an overfull bucket, so the
+    // occupancy agg + semi-join are a no-op and are skipped
     val cands = candidatePairs(
       lshBuckets(repIdx.select(col("id"), col("sig")), bands, numHashes),
-      maxBucketSize)
+      maxBucketSize,
+      skipCap = localRowCount(idx).exists(_ <= maxBucketSize),
+      materialize = materialize)
     val repPairs = cands
       .join(repIdx.select(col("id").as("id_a"), col("shset").as("set_a")),
         Seq("id_a"))

@@ -795,13 +795,28 @@ private[graft] object PairsStore {
 
   /** Canonicalize + merge + write one batch's pairs (idempotent:
     * overwrites its own directory only).
+    *
+    * `preCanonical = true` skips the least/greatest + groupBy(max)
+    * pass for callers whose pair tree PROVABLY already ends in the
+    * canonical merged form (id_a < id_b on every leg, one row per
+    * pair via a final groupBy-max) — the vec sink's
+    * [[graft.operators.Dedup.incrementalVecPairs]] /
+    * `vecPairsFromIndex` outputs. For those the extra pass was one
+    * full exchange + aggregation of the batch's pair set per
+    * micro-batch that re-derived exactly its input (the least/
+    * greatest projection destroys the child agg's partitioning info,
+    * so Spark cannot reuse the exchange). The text sink keeps the
+    * default: incrementalPairs' cross legs are (corpus id, batch id)
+    * oriented by contract, not canonical.
     */
   def writeBatch(pairs: DataFrame, path: String, valueCol: String,
-      batchId: Long): Unit =
-    pairs.select(least(col("id_a"), col("id_b")).as("id_a"),
+      batchId: Long, preCanonical: Boolean = false): Unit =
+    (if (preCanonical) pairs.select(col("id_a"), col("id_b"), col(valueCol))
+     else pairs
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col(valueCol))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col(valueCol)).as(valueCol))
+      .agg(max(col(valueCol)).as(valueCol)))
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
   def compact(spark: SparkSession, path: String, valueCol: String): Unit = {

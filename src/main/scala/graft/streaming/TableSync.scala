@@ -159,8 +159,15 @@ object TableSync {
     */
   private[streaming] def phase[A](label: String)(body: => A): A =
     if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING")) {
+      // label the phase's jobs too (guide §1.5) so a job-level
+      // profiler attributes them; restore the caller's description
+      val sc = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext)
+      val prev = sc.map(_.getLocalProperty("spark.job.description"))
+      sc.foreach(_.setJobDescription(label))
       val t0 = System.nanoTime()
-      val r = body
+      val r = try body finally
+        sc.foreach(_.setJobDescription(prev.flatMap(Option(_)).orNull))
       println(f"[phase] $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     } else body
@@ -576,9 +583,24 @@ object TableSync {
       case None =>
         batchTagged.filter(col(BucketCol).isin(foldSet.toSeq: _*))
     }
-    val w = Window.partitionBy(col(keyCol))
+    // The merge window partitions by (bucket, key) with the rows
+    // pre-clustered BY BUCKET: bucket is a pure function of the key
+    // under the batch's scheme (both legs carry BucketCol computed at
+    // (nbF, sF, hx)), so the grouping — and therefore the fold — is
+    // row-identical to the old partitionBy(key) form, but the ONE
+    // exchange each leg pays now lands the rows clustered the way the
+    // `partitionBy(BucketCol)` write needs them: one file per bucket
+    // per task instead of one file per (task, bucket) — the
+    // hash-distribution write mode (guide §6). HashPartitioning on
+    // BucketCol alone satisfies the window's (bucket, key) clustering,
+    // so no second exchange appears (plan-checked). Per-task work is
+    // bounded: a fold reads <= maxBucketBytes per bucket when the
+    // split trigger is armed; disarmed tables keep the caller's
+    // bucket sizing responsibility they always had.
+    val w = Window.partitionBy(col(BucketCol), col(keyCol))
       .orderBy(col(verCol).desc, col(GenCol).desc)
     val foldedRows = folding
+      .repartition(col(BucketCol))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     // Append buckets: the batch's own rows, one-row-per-key within
@@ -586,6 +608,7 @@ object TableSync {
     // generation internally deduped so sizes and reads stay tight)
     val appendRows = batchTagged
       .filter(col(BucketCol).isin(appendSet.toSeq: _*))
+      .repartition(col(BucketCol))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val snap = foldedRows
@@ -701,6 +724,13 @@ object TableSync {
     readManifest(spark, path, prev)
       .withColumn(BucketCol,
         bucketExpr(keyCol, newNumBuckets, 0, prev.hashHex))
+      // cluster by bucket before the partitioned write (one file per
+      // bucket per task, not per (task, bucket)); the deterministic
+      // key-hash salt keeps a re-based bucket from collapsing into
+      // ONE task — unlike applyBatch's folds, a rebucket target has
+      // no maxBucketBytes bound
+      .repartition(col(BucketCol),
+        pmod(xxhash64(col(keyCol)), lit(1024L)))
       .write.mode("overwrite").partitionBy(BucketCol)
       .parquet(s"$path/$snapName")
     val fs = new Path(path).getFileSystem(

@@ -288,7 +288,13 @@ object VecDedupSync {
     // hides until the commit lands), index LAST (the outer commit
     // point checked at entry)
     DedupSync.phase("v_pairs_write") {
-      PairsStore.writeBatch(out.pairs, pairsPath, "cosine", batchId)
+      // preCanonical: every vec pair tree (vecPairsFromIndex,
+      // incrementalVecPairs — both probe paths) ends in the canonical
+      // merged groupBy(id_a, id_b).max with id_a < id_b on every leg,
+      // so the store's canonicalize+merge pass would be a redundant
+      // exchange + agg per batch
+      PairsStore.writeBatch(out.pairs, pairsPath, "cosine", batchId,
+        preCanonical = true)
     }
     graft.FaultPoints.reach("VecDedupSync.pairs")
     val newDepths = VecLog.Depths(eBits, storedSigBits,
