@@ -156,7 +156,12 @@ object KeyedLog {
     if (rows * approxRowBytes > targetBucketBytes)
       appendBucketed(df, path, keyCol, segId, approxRowBytes,
         targetBucketBytes)
-    else df.write.mode("overwrite")
+    // ONE file per L0 segment: the branch is row/byte-bounded (above
+    // the threshold the segment lands bucketed), so a single write
+    // task is size-safe by construction — while the default layout
+    // wrote one sliver file per input partition, and probes re-read
+    // every L0 segment WHOLE (per-file open cost x segments x probes)
+    else df.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/${SegPrefix}$segId-L0")
   }
 

@@ -113,7 +113,9 @@ object VecLog {
     val rows = if (knownRows >= 0L) knownRows else df.count()
     if (rows == 0) return
     if (rows > KeyedLog.L0MaxRows) appendBucketed(df, path, segId, depths)
-    else df.write.mode("overwrite")
+    // one file per L0 segment — row-bounded branch, single write task
+    // is size-safe; see KeyedLog.append
+    else df.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/${SegPrefix}$segId-L0")
   }
 
