@@ -81,9 +81,29 @@ object Engine {
     // parquet is one file (one split), which would serialize a
     // brute-force or explode-heavy scan on one core; a 100 TB table
     // arrives in thousands of splits and must NOT pay a full shuffle
-    // here. getNumPartitions plans the query but runs no job.
+    // here. The narrowness probe is METADATA-ONLY: the scan's split
+    // count is ~ceil(bytes / maxPartitionBytes) off the already-built
+    // file index, where the previous `df.rdd.getNumPartitions` ran
+    // full physical planning + RDD DAG construction — pure driver
+    // time, paid once per registered query that starts from a table.
+    // Frames with no file-source leaf (unions of in-memory data)
+    // keep the exact RDD-partition probe.
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val fileBytes = df.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.sizeInBytes
+    }
+    val narrow =
+      if (fileBytes.nonEmpty) {
+        val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+        // estimated splits, summed per leaf (each file set splits
+        // independently); the estimate only moves the REPARTITION
+        // DECISION, never results — borderline tables just keep or
+        // skip a layout exchange
+        fileBytes.map(b => math.max(1L, b / math.max(1L, maxSplit)))
+          .sum < target
+      } else df.rdd.getNumPartitions < target
+    if (narrow) df.repartition(target) else df
   }
 
   def releaseCheckpoints(spark: SparkSession): Unit =

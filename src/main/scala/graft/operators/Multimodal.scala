@@ -38,6 +38,18 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** javax.imageio defaults to DISK-backed stream caches: every
+    * encode/decode via ImageIO.write / createImageInputStream spins
+    * up (writes, then deletes) a temp FILE per call even when the
+    * image already sits in a byte array — per-image filesystem
+    * traffic that dominates small-image pipelines. Memory-backed
+    * streams are strictly correct here (all call sites buffer whole
+    * images in byte arrays anyway). JVM-global, applied when any
+    * executor-side closure loads this object; decode output is
+    * byte-identical either way.
+    */
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoded metadata appended per image row. */
   val metaSchema: StructType = StructType(Seq(
     StructField("width", IntegerType),

@@ -49,6 +49,10 @@ object MultimodalQueries {
       StructField("doc_id", LongType),
       StructField("image", BinaryType)))
     ids.mapPartitions { it =>
+      // memory-backed ImageIO streams (no per-image temp file); this
+      // closure calls ImageIO directly, so it cannot rely on the
+      // Multimodal object initializer having run in this executor
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(0)
         val w = (8 + id % 16).toInt
