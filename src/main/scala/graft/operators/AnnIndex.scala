@@ -342,8 +342,19 @@ object AnnIndex {
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"))
-    val hits = approx.join(exact, Seq("qid", "id"), "left_semi").count()
-    val denom = exact.count()
+    // ONE pass for hits AND denominator: the exact frame is the
+    // O(live x sample) maintenance scan — the previous semi-join
+    // count + separate denom count evaluated it twice per drift
+    // probe. approx rows are unique per (qid, id) (ranked top-k), so
+    // a left join's matched-row count IS the intersection size.
+    val aggRow = exact
+      .join(broadcast(approx.withColumn("__hit", lit(1))),
+        Seq("qid", "id"), "left")
+      .agg(count(lit(1)).as("denom"),
+        sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .head
+    val denom = aggRow.getLong(0)
+    val hits = if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1)
     val recall = if (denom == 0) 1.0 else hits.toDouble / denom
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
