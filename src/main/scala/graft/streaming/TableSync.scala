@@ -436,8 +436,31 @@ object TableSync {
     // repro showed fold=248 of 256 buckets for a 10-row batch).
     val splitIds =
       if (k > 0) (s0 until sF).toSet else Set.empty[Int]
-    val bucketed = batch.withColumn(BucketCol,
+    // THREE consumers replay the bucketed batch below (the touched
+    // collect, the folding leg, the append leg) — a raw caller's
+    // batch plan (a filtered source scan, or a whole delta aggregate)
+    // would be recomputed per consumer. Materialize once, UNLESS the
+    // plan is already cheap to rescan (a LocalRelation from the
+    // micro-batch driver path, or an already-checkpointed frame —
+    // projections/filters over either), where the extra job would be
+    // pure cost. Blocks are released after the commit below.
+    def cheapRescan(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        cheapRescan(pr.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        cheapRescan(f.child)
+      case _ => false
+    }
+    val bucketed0 = batch.withColumn(BucketCol,
       bucketExpr(keyCol, nbF, sF, hx))
+    val ownCheckpoint = !cheapRescan(batch.queryExecution.analyzed)
+    val bucketed =
+      if (ownCheckpoint) bucketed0.localCheckpoint() else bucketed0
     // Touched buckets: bounded by numBuckets (a parameter), never by
     // data volume — the one driver-side collect in this sink. Splits
     // add their source bucket (read + redistributed) and its doubled
@@ -680,6 +703,15 @@ object TableSync {
           Some(keyCol), Some(verCol)))
     }
     phase("gc") { gc(spark, path, batchId) }
+    // free the bucketed batch's checkpoint blocks — ONLY when this
+    // call created them (a cheap-rescan batch may itself contain the
+    // CALLER's checkpoint, whose blocks the caller still owns):
+    // nothing references the frame past the commit, and a long-lived
+    // stream must not accumulate one generation of blocks per batch
+    if (ownCheckpoint)
+      bucketed.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.foreach(_.unpersist(blocking = false))
     // batch fully applied (commit + retention); a crash here replays
     // into the idempotent no-op path
     graft.FaultPoints.reach("TableSync.done")
