@@ -328,14 +328,20 @@ object DedupSync {
         m.entries.keySet.subsetOf(m.sizes.keySet) &&
           m.sizes.values.sum < floor)
     val smallRows: Option[Seq[org.apache.spark.sql.Row]] =
-      if (applied.isEmpty || smallBatchRows <= 0) None
-      else if (driverProbeMinIndexBytes > 0 &&
+      if (smallBatchRows <= 0) None
+      // the committed-bytes floor gates the PROBE trade-off only; a
+      // small SEED has no probe and always benefits from the driver
+      // path (LocalRelation appends, driver-known counts, local keys)
+      else if (applied.nonEmpty && driverProbeMinIndexBytes > 0 &&
           committedBytesBelow(driverProbeMinIndexBytes)) None
       else {
         val rows = newIdx.limit(smallBatchRows + 1).collect()
         if (rows.length <= smallBatchRows) Some(rows.toSeq) else None
       }
     val out: DocsOut = smallRows match {
+      case Some(idxRows) if applied.isEmpty =>
+        seedDocsLocal(spark, newIdx, idxRows, threshold, eNumHashes,
+          bands, maxBucketSize)
       case Some(idxRows) =>
         smallDocsProbe(spark, newIdx, idxRows, indexPath, keysPath,
           batchId, applied.max, threshold, eNumHashes, bands,
@@ -478,6 +484,42 @@ object DedupSync {
       newKeys: DataFrame, keyRows: Long = -1L, batchRows: Long = -1L,
       localIds: Option[DataFrame] = None,
       batchFrame: Option[DataFrame] = None)
+
+  /** The DRIVER-RESOLVED SEED — text twin of
+    * [[VecDedupSync.seedLocal]]: no probe exists on the first batch,
+    * so the output is the within-batch pairs plus LocalRelation-
+    * shaped appends with driver-known counts; probe keys evaluate
+    * driver-side through the same [[Dedup.probeKeys]] expressions the
+    * distributed seed compiles. Store equality seed-for-seed is
+    * pinned by the FORCED-PATH spec.
+    */
+  private def seedDocsLocal(spark: SparkSession, newIdx: DataFrame,
+      idxRows: Seq[org.apache.spark.sql.Row], threshold: Double,
+      numHashes: Int, bands: Int, maxBucketSize: Int): DocsOut = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val idField = newIdx.schema("id")
+    def localDF(schema: StructType, rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, schema)
+    val localIdx = localDF(newIdx.schema, idxRows)
+    val keySchema = StructType(Seq(
+      idField.copy(name = "id"), StructField("bk", LongType)))
+    val keyRows: Seq[Row] = phase("p_probe_keys") {
+      Dedup.probeKeys(localIdx, numHashes, bands).collect().toSeq
+    }
+    val idIx = newIdx.schema.fieldIndex("id")
+    val idSchema = StructType(Seq(idField.copy(name = "id")))
+    DocsOut(
+      Dedup.pairsFromIndex(localIdx, threshold, numHashes, bands,
+        maxBucketSize, materialize = identity),
+      localDF(keySchema, keyRows),
+      keyRows = keyRows.size.toLong,
+      batchRows = idxRows.size.toLong,
+      localIds = Some(localDF(idSchema,
+        idxRows.map(r => Row(r.get(idIx))).distinct)),
+      batchFrame = Some(localIdx))
+  }
 
   /** The DRIVER-RESOLVED micro-batch probe — text twin of
     * [[VecDedupSync.smallProbe]], same equivalence argument: probe

@@ -260,18 +260,24 @@ object VecDedupSync {
       Dedup.vecDedupIndex(batchOne, vecCol, idCol, eBits,
         eTables, eDim, storedSigBits).localCheckpoint()
     }
-    // the small path serves micro-batches against an existing index;
-    // everything else (bootstrap, seeds, backfills) runs the
-    // distributed path. The limit-guarded collect doubles as the size
-    // probe: a seed reads at most smallBatchRows+1 cached rows, a
-    // micro-batch is exactly the collect the fast path needs.
+    // the small path serves micro-batches; a small SEED (first batch)
+    // takes its own driver-resolved branch (nothing indexed yet, so
+    // there is no probe — only the within-batch pairs and the
+    // LocalRelation-shaped appends); everything else (large seeds,
+    // backfills) runs the distributed path. The limit-guarded collect
+    // doubles as the size probe: a big batch reads at most
+    // smallBatchRows+1 cached rows, a micro-batch is exactly the
+    // collect the fast path needs.
     val smallRows: Option[Seq[org.apache.spark.sql.Row]] =
-      if (applied.isEmpty || smallBatchRows <= 0) None
+      if (smallBatchRows <= 0) None
       else {
         val rows = batchIdx.limit(smallBatchRows + 1).collect()
         if (rows.length <= smallBatchRows) Some(rows.toSeq) else None
       }
     val out: ProbeOut = smallRows match {
+      case Some(idxRows) if applied.isEmpty =>
+        seedLocal(spark, batchIdx, idxRows, batchId, threshold, eBits,
+          eTables, eDim, maxBucketSize)
       case Some(idxRows) =>
         smallProbe(spark, batchIdx, idxRows, indexPath, keysPath,
           membersPath, batchId, applied.max, threshold, eBits, eTables,
@@ -659,6 +665,55 @@ object VecDedupSync {
   private[streaming] def MaxDriverSurvivors: Int =
     Integer.getInteger("graft.test.maxDriverSurvivors",
       DefaultMaxDriverSurvivors)
+
+  /** The DRIVER-RESOLVED SEED (first batch): nothing is indexed yet,
+    * so there is no cross probe — the output is the within-batch
+    * pairs plus the batch-shaped appends, all of which derive from
+    * the already-collected batch index rows. Every derived frame is a
+    * LocalRelation (key rows and occupancy increments evaluate
+    * driver-side through the SAME expressions the distributed seed
+    * compiles — [[vecKeyRows]]), so the seed pays exactly two kinds
+    * of Spark jobs: the within-batch pair computation (materialized
+    * by the pairs write) and the writes themselves, with driver-known
+    * row counts and a LocalRelation key set for the index commit's
+    * touched-bucket evaluation. Value-equivalence to the distributed
+    * seed is structural (shared expressions over identical collected
+    * rows); the FORCED-PATH spec pins store equality batch for batch,
+    * seed included.
+    */
+  private def seedLocal(spark: SparkSession, batchIdx: DataFrame,
+      idxRows: Seq[org.apache.spark.sql.Row], batchId: Long,
+      threshold: Double, bits: Int, tables: Int, dim: Int,
+      maxBucketSize: Int): ProbeOut = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val idField = batchIdx.schema("id")
+    def localDF(schema: StructType, rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, schema)
+    val localIdx = localDF(batchIdx.schema, idxRows)
+    val keyRows: Seq[Row] = DedupSync.phase("v_keys") {
+      vecKeyRows(localIdx, batchId).collect().toSeq
+    }
+    val baseMask = (1L << bits) - 1
+    val incs = keyRows
+      .groupBy(r => (r.getInt(0), r.getLong(1) & baseMask))
+      .map { case (k, v) => k -> v.size.toLong }
+    val idIx = batchIdx.schema.fieldIndex("id")
+    val idSchema = StructType(Seq(idField.copy(name = "id")))
+    ProbeOut(
+      Dedup.vecPairsFromIndex(localIdx, threshold, bits, tables, dim,
+        maxBucketSize),
+      incs,
+      localDF(keyRowSchema(idField), keyRows),
+      localIdx.select(xxhash64(col("keep")).as("bk"), col("keep"),
+        col("id")),
+      sidecarRows = keyRows.size.toLong,
+      batchRows = idxRows.size.toLong,
+      localIds = Some(localDF(idSchema,
+        idxRows.map(r => Row(r.get(idIx))).distinct)),
+      batchFrame = Some(localIdx))
+  }
 
   /** The DRIVER-RESOLVED micro-batch probe: ONE collect of the
     * checkpointed batch index, then every batch-shaped value —
