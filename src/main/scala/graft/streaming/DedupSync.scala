@@ -65,6 +65,13 @@ object DedupSync {
   private[streaming] def phase[A](label: String)(body: => A): A =
     TableSync.phase(label)(body)
 
+  /** Small SEED batches take the driver-resolved branch unless
+    * SPARK_GRAFT_SEED_LOCAL=false — a measurement knob (A/B the two
+    * value-identical seed paths), never a correctness one.
+    */
+  private[streaming] val seedLocalEnabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_SEED_LOCAL", "true") != "false"
+
   /** Default split trigger for the index: ARMED at 1 GB/bucket, not
     * off — a long-lived stream should never rediscover the frozen-
     * bucket-count failure mode by forgetting a knob. Far above any
@@ -338,36 +345,40 @@ object DedupSync {
         val rows = newIdx.limit(smallBatchRows + 1).collect()
         if (rows.length <= smallBatchRows) Some(rows.toSeq) else None
       }
+    // the fully distributed derivation (large batches; also the
+    // SPARK_GRAFT_SEED_LOCAL=false measurement arm for small seeds)
+    def distributedOut(): DocsOut = {
+      // the batch's probe keys feed the pruned read AND the sidecar
+      // append — derived once
+      val newKeys = phase("p_probe_keys") {
+        Dedup.probeKeys(newIdx, eNumHashes, bands).localCheckpoint()
+      }
+      val pairs =
+        if (applied.isEmpty)
+          // first batch: within-batch pairs only (nothing indexed)
+          Dedup.pairsFromIndex(newIdx, threshold, eNumHashes, bands,
+            maxBucketSize)
+        else {
+          val probeIx = phase("p_pruned_read") {
+            prunedProbeIndex(spark, indexPath, keysPath, newKeys,
+              eNumHashes, bands, applied.max, payloadBucketBytes)
+          }
+          phase("p_pair_compute") {
+            Dedup.incrementalPairs(probeIx,
+              newIdx, threshold, eNumHashes, bands, maxBucketSize)
+          }
+        }
+      DocsOut(pairs, newKeys)
+    }
     val out: DocsOut = smallRows match {
-      case Some(idxRows) if applied.isEmpty =>
+      case Some(idxRows) if applied.isEmpty && seedLocalEnabled =>
         seedDocsLocal(spark, newIdx, idxRows, threshold, eNumHashes,
           bands, maxBucketSize)
-      case Some(idxRows) =>
+      case Some(idxRows) if applied.nonEmpty =>
         smallDocsProbe(spark, newIdx, idxRows, indexPath, keysPath,
           batchId, applied.max, threshold, eNumHashes, bands,
           maxBucketSize, payloadBucketBytes)
-      case None =>
-        // the batch's probe keys feed the pruned read AND the sidecar
-        // append — derived once
-        val newKeys = phase("p_probe_keys") {
-          Dedup.probeKeys(newIdx, eNumHashes, bands).localCheckpoint()
-        }
-        val pairs =
-          if (applied.isEmpty)
-            // first batch: within-batch pairs only (nothing indexed)
-            Dedup.pairsFromIndex(newIdx, threshold, eNumHashes, bands,
-              maxBucketSize)
-          else {
-            val probeIx = phase("p_pruned_read") {
-              prunedProbeIndex(spark, indexPath, keysPath, newKeys,
-                eNumHashes, bands, applied.max, payloadBucketBytes)
-            }
-            phase("p_pair_compute") {
-              Dedup.incrementalPairs(probeIx,
-                newIdx, threshold, eNumHashes, bands, maxBucketSize)
-            }
-          }
-        DocsOut(pairs, newKeys)
+      case _ => distributedOut()
     }
     // pairs FIRST (append-only, overwrite of this batch's own
     // directory — idempotent under replay), then the SIDECAR segment
@@ -511,8 +522,15 @@ object DedupSync {
     val idIx = newIdx.schema.fieldIndex("id")
     val idSchema = StructType(Seq(idField.copy(name = "id")))
     DocsOut(
+      // default materialize (localCheckpoint), NOT identity: unlike
+      // the vec seed (whose groups/reps are precomputed index
+      // columns), the text within-pairs derive a fingerprint window
+      // and a rep semi-join from the index — with identity those
+      // subtrees recompute per consumer inside the pairs write
+      // (measured: seed p_pairs_write 0.64 -> 1.8 s). Two checkpoint
+      // jobs are the cheaper shape here.
       Dedup.pairsFromIndex(localIdx, threshold, numHashes, bands,
-        maxBucketSize, materialize = identity),
+        maxBucketSize),
       localDF(keySchema, keyRows),
       keyRows = keyRows.size.toLong,
       batchRows = idxRows.size.toLong,

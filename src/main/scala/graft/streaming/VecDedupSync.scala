@@ -275,14 +275,15 @@ object VecDedupSync {
         if (rows.length <= smallBatchRows) Some(rows.toSeq) else None
       }
     val out: ProbeOut = smallRows match {
-      case Some(idxRows) if applied.isEmpty =>
+      case Some(idxRows) if applied.isEmpty &&
+          DedupSync.seedLocalEnabled =>
         seedLocal(spark, batchIdx, idxRows, batchId, threshold, eBits,
           eTables, eDim, maxBucketSize)
-      case Some(idxRows) =>
+      case Some(idxRows) if applied.nonEmpty =>
         smallProbe(spark, batchIdx, idxRows, indexPath, keysPath,
           membersPath, batchId, applied.max, threshold, eBits, eTables,
           eDim, maxBucketSize, storedSigBits, payloadBucketBytes)
-      case None =>
+      case _ =>
         largeProbe(spark, batchIdx, indexPath, keysPath, membersPath,
           batchId, applied, threshold, eBits, eTables, eDim,
           maxBucketSize, storedSigBits, payloadBucketBytes)
