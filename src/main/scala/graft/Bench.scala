@@ -271,6 +271,23 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Driver-contract rescue (r18 verdict item 1): at 174 queries the
+    // full JSON line is ~5 KB while the driver keeps only a ~2 KB
+    // stdout TAIL, so the line's head is truncated and the driver's
+    // parse has read null in EVERY round since r01. Two mitigations,
+    // measurement methodology untouched:
+    //  - the SAME line, verbatim, lands in BENCH_LINE.json at the cwd
+    //    (the repo root under the driver's sbt invocation) where a
+    //    file reader finds the complete per-query data;
+    //  - the very last stdout line is a compact summary that always
+    //    fits the tail window. It deliberately carries NO "metric" or
+    //    "queries" keys so a pattern-matching parser can never mistake
+    //    it for the contract line (which stays printed above, in full).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LINE.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(s"""{"total":${f(total)},"n":${results.size},""" +
+      s""""probe_idle":${f(idleRef)},"line_file":"BENCH_LINE.json"}""")
   }
 }

@@ -89,20 +89,31 @@ object Engine {
     // Frames with no file-source leaf (unions of in-memory data)
     // keep the exact RDD-partition probe.
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val fileBytes = df.queryExecution.logical.collect {
+    val conf = df.sparkSession.sessionState.conf
+    val maxSplit = math.max(1L, conf.filesMaxPartitionBytes)
+    val openCost = math.max(0L, conf.filesOpenCostInBytes)
+    val leafSplits = df.queryExecution.logical.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.relation.sizeInBytes
+        // approximate Spark's split packing (each file charged
+        // openCostInBytes on top of its bytes, ceiling division) —
+        // the previous floor(b / maxSplit) both underestimated (r18
+        // advice: floor where the comment claimed ~ceil) and ignored
+        // file count, so a many-small-files table estimated ~1 split
+        // and always paid the extra repartition. The estimate only
+        // moves the REPARTITION DECISION, never results — borderline
+        // tables just keep or skip a layout exchange.
+        val nFiles = l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            math.max(1L, f.location.inputFiles.length.toLong)
+          case _ => 1L
+        }
+        math.max(1L,
+          (l.relation.sizeInBytes + nFiles * openCost + maxSplit - 1) /
+            maxSplit)
     }
     val narrow =
-      if (fileBytes.nonEmpty) {
-        val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
-        // estimated splits, summed per leaf (each file set splits
-        // independently); the estimate only moves the REPARTITION
-        // DECISION, never results — borderline tables just keep or
-        // skip a layout exchange
-        fileBytes.map(b => math.max(1L, b / math.max(1L, maxSplit)))
-          .sum < target
-      } else df.rdd.getNumPartitions < target
+      if (leafSplits.nonEmpty) leafSplits.sum < target
+      else df.rdd.getNumPartitions < target
     if (narrow) df.repartition(target) else df
   }
 

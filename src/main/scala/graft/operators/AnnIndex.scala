@@ -345,10 +345,17 @@ object AnnIndex {
     // ONE pass for hits AND denominator: the exact frame is the
     // O(live x sample) maintenance scan — the previous semi-join
     // count + separate denom count evaluated it twice per drift
-    // probe. approx rows are unique per (qid, id) (ranked top-k), so
-    // a left join's matched-row count IS the intersection size.
+    // probe. The left join counts matched rows as the intersection,
+    // which is only sound if the broadcast side is unique per
+    // (qid, id) — ranks are unique, ids need not be (an id stored
+    // live in two segments surfaces twice from the probe), and a
+    // duplicate would fan exact rows out, inflating hits AND denom
+    // vs the old semi-join semantics. dropDuplicates pins uniqueness
+    // at sample*k scale (r18 verdict item 7), keeping denom ==
+    // exact.count() exactly.
     val aggRow = exact
-      .join(broadcast(approx.withColumn("__hit", lit(1))),
+      .join(broadcast(approx.dropDuplicates("qid", "id")
+          .withColumn("__hit", lit(1))),
         Seq("qid", "id"), "left")
       .agg(count(lit(1)).as("denom"),
         sum(coalesce(col("__hit"), lit(0))).as("hits"))

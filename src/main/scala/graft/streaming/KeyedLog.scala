@@ -161,8 +161,32 @@ object KeyedLog {
     // task is size-safe by construction — while the default layout
     // wrote one sliver file per input partition, and probes re-read
     // every L0 segment WHOLE (per-file open cost x segments x probes)
-    else df.coalesce(1).write.mode("overwrite")
+    else singleFile(df).write.mode("overwrite")
       .parquet(s"$path/${SegPrefix}$segId-L0")
+  }
+
+  /** Single-file layout for a bounded L0 segment. coalesce(1)
+    * propagates up the plan with no shuffle, so it is only safe when
+    * a re-scan of the frame is driver-local or block-cached
+    * (LocalRelation / checkpointed RDD, possibly under projections,
+    * filters or unions of such) — the contract append's callers
+    * already follow. An UNMATERIALIZED derivation slipped in here
+    * would otherwise run its entire upstream in ONE task (r18 advice);
+    * it falls back to repartition(1): one tiny shuffle of a bounded
+    * segment, upstream parallelism kept.
+    */
+  private[streaming] def singleFile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def cheap(p: LogicalPlan): Boolean = p match {
+      case _: LocalRelation                           => true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case pr: Project                                => cheap(pr.child)
+      case f: Filter                                  => cheap(f.child)
+      case u: Union                                   => u.children.forall(cheap)
+      case _                                          => false
+    }
+    if (cheap(df.queryExecution.analyzed)) df.coalesce(1)
+    else df.repartition(1)
   }
 
   /** Write rows directly as a BUCKETED level-1 segment — the

@@ -114,8 +114,9 @@ object VecLog {
     if (rows == 0) return
     if (rows > KeyedLog.L0MaxRows) appendBucketed(df, path, segId, depths)
     // one file per L0 segment — row-bounded branch, single write task
-    // is size-safe; see KeyedLog.append
-    else df.coalesce(1).write.mode("overwrite")
+    // is size-safe; see KeyedLog.append (singleFile guards against an
+    // unmaterialized upstream collapsing into the one task)
+    else KeyedLog.singleFile(df).write.mode("overwrite")
       .parquet(s"$path/${SegPrefix}$segId-L0")
   }
 

@@ -27,40 +27,53 @@ object JobProfile {
     val spark = Engine.session(appName = s"graft-jobprofile-$name")
     val q = SparkEntry.queries(name)
 
-    @volatile var lastEnd = 0L
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, String)]()
-    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // Per-job (start, end, desc) tuples; gaps derive from the SORTED
+    // timeline after the run (r18 advice: the old single @volatile
+    // lastEnd misassigned or went negative under concurrent jobs —
+    // AQE stages, parallel writes — and the summary re-parsed this
+    // tool's own formatted lines).
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val gap = if (lastEnd == 0) 0L else js.time - lastEnd
         val desc = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
-        starts.put(js.jobId, (js.time, gap, desc))
+        starts.put(js.jobId, (js.time, desc))
       }
-      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
-        lastEnd = je.time
-        Option(starts.remove(je.jobId)).foreach { case (t0, gap, desc) =>
-          lines.add(f"[job] ${je.jobId}%4d run=${(je.time - t0) / 1e3}%7.3f " +
-            f"gap=${gap / 1e3}%7.3f  $desc%.80s")
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        Option(starts.remove(je.jobId)).foreach { case (t0, desc) =>
+          jobs.add((je.jobId, t0, je.time, desc))
         }
-      }
     }
     spark.sparkContext.addSparkListener(listener)
     (1 to reps).foreach { i =>
-      lines.clear()
-      lastEnd = 0L
+      jobs.clear()
       val t0 = System.nanoTime()
       q(spark, dir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Engine.releaseCheckpoints(spark)
       Thread.sleep(200) // let listener events drain
       import scala.jdk.CollectionConverters._
-      val ls = lines.asScala.toSeq
+      val ls = jobs.asScala.toSeq.sortBy(_._2)
       println(s"==== $name rep $i: wall=$wall s, jobs=${ls.size}")
-      ls.foreach(println)
-      val runSum = ls.map(_.split("run=")(1).trim.split(" ")(0).toDouble).sum
-      val gapSum = ls.map(_.split("gap=")(1).trim.split(" ")(0).toDouble).sum
+      // driver gap per job = start minus the latest end among jobs
+      // that started earlier (never negative under overlap); idle sum
+      // = wall minus the union of job intervals, so concurrent jobs
+      // are not double-counted as busy either
+      var runningEnd = 0L
+      val withGaps = ls.map { case (id, s, e, desc) =>
+        val gap = if (runningEnd == 0L) 0.0
+          else math.max(0L, s - runningEnd) / 1e3
+        runningEnd = math.max(runningEnd, e)
+        (id, s, e, desc, gap)
+      }
+      withGaps.foreach { case (id, s, e, desc, gap) =>
+        println(f"[job] $id%4d run=${(e - s) / 1e3}%7.3f " +
+          f"gap=$gap%7.3f  $desc%.80s")
+      }
+      val runSum = ls.map(t => (t._3 - t._2) / 1e3).sum
+      val gapSum = withGaps.map(_._5).sum
       println(f"==== sum(job run)=$runSum%.2f s  sum(gap)=$gapSum%.2f s  " +
         f"wall=$wall%.2f s")
     }

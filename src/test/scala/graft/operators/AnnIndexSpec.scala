@@ -244,6 +244,55 @@ class AnnIndexSpec extends AnyFunSuite {
       s"rebuild must restore recall: $d2 vs $d1")
   }
 
+  test("driftCheck recall is duplicate-safe: an id stored LIVE twice " +
+    "(re-appended, no suppressing tombstone) must not fan the joint " +
+    "hits/denom aggregate out — recall equals the semi-join-semantics " +
+    "reference computed from the same probe and exact frames") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.expressions.Window
+    val path = Files.createTempDirectory("annix-dup-").toString
+    val c = corpus
+    AnnIndex.build(c, path, nlist = 8, dim = 16)
+    // re-ingest a slice WITHOUT deleting: append stores the ids AGAIN
+    // (segments are never read there), so `live` now holds duplicate
+    // (id, vec) rows and the probe may surface a qid's neighbor twice
+    AnnIndex.append(c.filter(col("vec_id") % 25 === 0), path, segId = 1L)
+    val d = AnnIndex.driftCheck(spark, path, sample = 16, k = 5)
+    assert(d.recall >= 0.0 && d.recall <= 1.0, s"recall out of range: $d")
+    // reference: the SAME exact/approx frames driftCheck derives,
+    // reduced on the driver with semi-join semantics — exact rows
+    // keep multiplicity (denominator), approx matches as a SET
+    val live = spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("vec"))
+    val queries = live.orderBy(xxhash64(col("id")), col("id"))
+      .limit(16)
+      .select(col("id").as("vec_id"), col("vec").as("embedding"))
+      .localCheckpoint()
+    val approxSet = AnnIndex.probe(spark, path, queries, k = 5,
+      nprobe = 3, refine = 4)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    val exactRows = live
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec"))), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("vec"), col("qvec")).as("cosine"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exactRows.distinct.length < exactRows.length,
+      "fixture must actually produce duplicate (qid,id) exact rows — " +
+        "the duplicate-bearing corpus is the point of this spec")
+    val refRecall =
+      exactRows.count(approxSet.contains).toDouble / exactRows.length
+    assert(math.abs(d.recall - refRecall) < 1e-12,
+      s"driftCheck recall ${d.recall} != duplicate-safe reference " +
+        s"$refRecall (fan-out regression)")
+  }
+
   test("legacy artifact without _SEGROWS backfills PER-SEGMENT " +
     "counts: a replayed earlier segment never double-counts into " +
     "the row total") {
