@@ -1275,8 +1275,8 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32,
       maxBucketSize: Int = 1000,
       refineExtra: Int = Int.MaxValue,
-      materialize: DataFrame => DataFrame = _.localCheckpoint())
-      : DataFrame = {
+      materialize: DataFrame => DataFrame = _.localCheckpoint(),
+      canonical: Boolean = false): DataFrame = {
     // probeKeys' bit-identical-pairs contract assumes a POSITIVE
     // threshold: null-sig (too-short) docs are excluded from the band
     // leg, and jaccard_sorted(empty, empty) = 0.0, so at
@@ -1425,7 +1425,20 @@ object Dedup {
         Seq("fp"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    crossPairs.unionByName(fpPairs)
+    // `canonical = true` orients the CROSS legs least/greatest at
+    // generation time (a free projection before the merge groupBy
+    // this tree pays anyway; the within-batch leg is canonical
+    // already), so a pairs-store sink can take writeBatch's
+    // preCanonical path — one fewer full exchange + agg of the pair
+    // set per micro-batch. Default keeps the (corpus id, batch id)
+    // orientation the direct consumers contract on (c19 reads id_a
+    // as the corpus doc and id_b as the eval excerpt).
+    val cross0 = crossPairs.unionByName(fpPairs)
+    val cross =
+      if (!canonical) cross0
+      else cross0.select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+    cross
       .unionByName(
         pairsFromIndex(newIdx, threshold, numHashes, bands,
           maxBucketSize, materialize = materialize))

@@ -365,7 +365,8 @@ object DedupSync {
           }
           phase("p_pair_compute") {
             Dedup.incrementalPairs(probeIx,
-              newIdx, threshold, eNumHashes, bands, maxBucketSize)
+              newIdx, threshold, eNumHashes, bands, maxBucketSize,
+              canonical = true)
           }
         }
       DocsOut(pairs, newKeys)
@@ -387,7 +388,16 @@ object DedupSync {
     // yet, and the pruned read's id semi-join drops them), index LAST
     // (the outer commit point checked at entry)
     phase("p_pairs_write") {
-      PairsStore.writeBatch(out.pairs, pairsPath, "jaccard", batchId)
+      // preCanonical: every text-sink pair tree now ends in the
+      // canonical merged groupBy(id_a, id_b).max — the within-batch
+      // legs (pairsFromIndex) were canonical already and the cross
+      // legs orient least/greatest at generation (incrementalPairs'
+      // canonical = true above), so the store's canonicalize+merge
+      // pass would re-derive its input through one more full
+      // exchange + agg per micro-batch (the vec sink's r18 change,
+      // applied to the text side; r18 verdict item 5)
+      PairsStore.writeBatch(out.pairs, pairsPath, "jaccard", batchId,
+        preCanonical = true)
     }
     graft.FaultPoints.reach("DedupSync.pairs")
     phase("p_sidecar_write") {
@@ -577,7 +587,7 @@ object DedupSync {
       }
       DocsOut(phase("p_pair_compute") {
         Dedup.incrementalPairs(probeIx, newIdx, threshold, numHashes,
-          bands, maxBucketSize)
+          bands, maxBucketSize, canonical = true)
       }, newKeys)
     }
     val idField = newIdx.schema("id")
@@ -687,7 +697,7 @@ object DedupSync {
           phase("p_pair_compute") {
             Dedup.incrementalPairs(probeIx, localIdx, threshold,
               numHashes, bands, maxBucketSize,
-              materialize = identity)
+              materialize = identity, canonical = true)
           },
           newKeysLocal, keyRows.size.toLong, idxRows.size.toLong,
           Some(batchIdsLocal), Some(localIdx))

@@ -797,17 +797,23 @@ object VecDedupSync {
         // recovery arm (full-index probe) — rare, O(index), loud
         distributed()
       case Some(raw) =>
-        // currentize exactly as the distributed arm (same window)
-        val curW = Window
-          .partitionBy(col("tbl"), col("id"), col("sig"))
-          .orderBy(col("ver").desc, col("del").asc)
-        // NOT checkpointed: both consumers (candidate join + cap
-        // counts) live inside the single probe job below — a double
-        // scan of the pruned partitions is cheaper than a barrier
+        // currentize in ONE hash aggregate (max_by over (ver, live))
+        // instead of the distributed arm's window: the grouping keys
+        // and the winner are identical — max of (ver, !del) under
+        // lexicographic struct order IS "ver desc, del asc, first" —
+        // but a partial-aggregating exchange replaces the window's
+        // exchange + per-partition sort, and the single probe action
+        // below no longer re-derives this subtree for the cap counts
+        // (r18 verdict item 2: the v_quant_filter fusion)
         val curLog = raw.filter(col("ver") <= lastVer)
-          .withColumn("__rn", row_number().over(curW))
-          .filter(col("__rn") === 1).drop("__rn")
-          .filter(!col("del"))
+          .groupBy(col("tbl"), col("id"), col("sig"))
+          .agg(max_by(
+            struct(col("del"), col("vq"), col("scale"), col("norm")),
+            struct(col("ver"), not(col("del")))).as("__top"))
+          .filter(!col("__top.del"))
+          .select(col("tbl"), col("id"), col("sig"),
+            col("__top.vq").as("vq"), col("__top.scale").as("scale"),
+            col("__top.norm").as("norm"))
         val ixKeys = refKey(curLog, depths, baseMask)
         // refined keys of the batch side in plain Scala — the same
         // mask arithmetic refKey compiles, pinned by VecLogSpec
@@ -820,25 +826,31 @@ object VecDedupSync {
         val batchKeysLocal = localDF(batchKeySchema,
           keyRows.map(r => Row(r.getInt(0),
             refOf(r.getInt(0), r.getLong(1)), r.get(2))))
-        val joined0 = ixKeys
+        // every current row of a probed refined bucket joins every
+        // batch rep probing that bucket (join key == the refined
+        // key), so count(*) per (tbl, key, n_rep) over the UNFILTERED
+        // join equals the bucket's full ixKeys occupancy — the exact
+        // count the old separate capped-aggregate subtree re-derived
+        // through a second scan + currentize of the pruned partitions.
+        // Window BEFORE the self-exclusion filter: a re-ingested
+        // batch rep counts itself in its own bucket, as the old
+        // ixKeys aggregate did.
+        val joinedAll = ixKeys
           .join(broadcast(batchKeysLocal), Seq("tbl", "key"))
-          .filter(col("id") =!= col("n_rep"))
         val joined =
-          if (depths.over.isEmpty) joined0.withColumn("unc", lit(1))
+          if (depths.over.isEmpty)
+            joinedAll.filter(col("id") =!= col("n_rep"))
+              .withColumn("unc", lit(1))
           else {
-            val capped = ixKeys.groupBy(col("tbl"), col("key"))
-              .agg(count(lit(1)).as("bsize"))
-              .filter(col("bsize") > maxBucketSize)
-              .select(col("tbl"), col("key"), lit(1).as("__capped"))
-            joined0.join(broadcast(capped), Seq("tbl", "key"), "left")
+            val wb = Window.partitionBy(col("tbl"), col("key"),
+              col("n_rep"))
+            joinedAll
+              .withColumn("bsize", count(lit(1)).over(wb))
+              .filter(col("id") =!= col("n_rep"))
               .withColumn("unc",
-                when(col("__capped").isNull, 1).otherwise(0))
-              .drop("__capped")
+                when(col("bsize") <= maxBucketSize, 1).otherwise(0))
+              .drop("bsize")
           }
-        val candPairs = joined.groupBy(col("id"), col("n_rep"))
-          .agg(max(col("unc")).as("unc"), first(col("vq")).as("vq"),
-            first(col("scale")).as("scale"),
-            first(col("norm")).as("norm"))
         // batch-rep norms via a LocalRelation projection of the same
         // expressions the distributed arm compiles; broadcast as a
         // LocalRelation (no build job)
@@ -852,16 +864,28 @@ object VecDedupSync {
         // ONE probe job: pruned scan -> currentize -> candidate join
         // -> prefilter -> survivors to the driver (ceiling-bounded;
         // the limit guard keeps an adversarial corpus from flooding
-        // the driver — past it the batch re-runs distributed)
-        val scoredRows: Seq[Row] = DedupSync.phase("v_quant_filter") {
-          candPairs.join(broadcast(batchULocal), Seq("n_rep"))
+        // the driver — past it the batch re-runs distributed). The
+        // old per-(id, n_rep) merge groupBy is gone: vq/scale/norm
+        // are per-id constants and the prefilter is per-row, so the
+        // surviving DISTINCT pair set is unchanged — rows collect
+        // with <= tables-fold multiplicity (same driver bound, the
+        // guard just trips earlier) and dedupe on the driver below.
+        val scoredRows0: Seq[Row] = DedupSync.phase("v_quant_filter") {
+          joined.join(broadcast(batchULocal), Seq("n_rep"))
             .withColumn("upper", quantUpper)
             .filter(col("upper") >= least(lit(threshold), lit(1.0)))
             .select(col("id"), col("n_rep"), col("unc"))
             .limit(MaxDriverSurvivors + 1)
             .collect().toSeq
         }
-        if (scoredRows.size > MaxDriverSurvivors) return distributed()
+        if (scoredRows0.size > MaxDriverSurvivors) return distributed()
+        // driver-side (id, n_rep) dedupe with max(unc) — exactly the
+        // aggregate the removed groupBy computed
+        val scoredRows: Seq[Row] = scoredRows0
+          .groupBy(r => (r.get(0), r.get(1)))
+          .map { case ((id, nr), rs) =>
+            Row(id, nr, rs.map(_.getInt(2)).max)
+          }.toSeq
         val survRows = scoredRows.map(r => Row(r.get(0))).distinct
         val survLocal = localDF(idSchema, survRows)
         // member-log bucket hashes of the survivor reps, evaluated
